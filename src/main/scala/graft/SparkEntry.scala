@@ -1,13 +1,401 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analytics.{Enrich, Relational}
+import graft.multimodal.Multimodal
+import graft.text.{Dedup, TextOps}
+import graft.vector.Similarity
+
+/** Driver contract — see /root/repo/SURVEY.md §2.9 + §7.
+  *
+  * `queries` is the full operator inventory as named DataFrame plans;
+  * `oracleSql` carries the DuckDB-equivalent ANSI SQL the driver hash-checks
+  * against. Column names and value arithmetic are kept engine-portable (see
+  * Relational's scaladoc for the exact-fixed-point money rule).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q03(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project"  -> (Relational.q01 _),
+    "q02_pricing_summary" -> (Relational.q02 _),
+    "q03_revenue_nation"  -> (Relational.q03 _),
+    "q04_broadcast_region" -> (Relational.q04 _),
+    "q05_semi_join"       -> (Relational.q05 _),
+    "q06_anti_join"       -> (Relational.q06 _),
+    "q07_topk_per_group"  -> (Relational.q07 _),
+    "q08_lag_lead"        -> (Relational.q08 _),
+    "q09_sessionize"      -> (Relational.q09 _),
+    "q10_distinct_agg"    -> (Relational.q10 _),
+    "q11_rollup"          -> (Relational.q11 _),
+    "q12_cube"            -> (Relational.q12 _),
+    "q13_set_ops"         -> (Relational.q13 _),
+    "q14_top10_orders"    -> (Relational.q14 _),
+    "q15_string_funcs"    -> (Relational.q15 _),
+    "q16_date_agg"        -> (Relational.q16 _),
+    "q17_latest_per_key"  -> (Relational.q17 _),
+    "q18_quality_suite"   -> (Relational.q18 _),
+    "q19_json_extract"    -> (Relational.q19 _),
+    "q20_range_join"      -> (Relational.q20 _),
+    "q21_exact_dedup"     -> (Dedup.exactDedup _),
+    "q22_text_stats"      -> (TextOps.q22 _),
+    "q23_cosine_topk"     -> ((s: SparkSession, d: String) => Similarity.cosineTopK(s, d)),
+    "q24_order_invariant" -> (Relational.q24 _),
+    "q25_token_counts"    -> (TextOps.tokenCounts _),
+    "q26_lang_id"         -> (TextOps.langId _),
+    "q27_text_quality"    -> (TextOps.qualityScore _),
+    "q28_fingerprint"     -> (TextOps.fingerprint _),
+    "q29_minhash_sig"     -> (Dedup.minhashSignatures _),
+    "q30_minhash_pairs"   -> (Dedup.minhashPairs _),
+    "q31_ngram_jaccard"   -> (Dedup.ngramJaccard _),
+    "q32_simhash"         -> (Dedup.simhash _),
+    "q33_ann_lsh"         -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "q34_embed_neardup"   -> ((s: SparkSession, d: String) => Similarity.nearDupPairs(s, d)),
+    "q35_multimodal_meta" -> (Multimodal.metadata _),
+    "q36_user_segments"   -> (Enrich.userSegments _),
+    "q37_gold_daily"      -> (Enrich.goldDaily _),
+  )
+
+  // ---- DuckDB oracle SQL ---------------------------------------------------
+  // Shared SQL fragments (kept as vals so Spark/DuckDB formulations stay in
+  // lock-step when edited).
+  private val rev = "l_extendedprice*(1-l_discount)"
+  private val grams =
+    """CASE WHEN len(toks) >= 3
+      | THEN list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+      | ELSE []::VARCHAR[] END""".stripMargin
+  private def dotD(a: String, b: String) = s"list_dot_product($a, $b)"
+  private def cosD(a: String, b: String) =
+    s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+  // portable round (see graft.functions.Portable): floor(x*10^n + 0.5)/10^n
+  private def pr4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000.0"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         | floor(($rev) * 100 + 0.5) / 100.0 AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | SUM(l_quantity) AS sum_qty,
+         | CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+         | CAST(SUM(CAST(ROUND($rev*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
+         | CAST(SUM(CAST(ROUND($rev*(1+l_tax)*1000000, 0) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
+         | AVG(l_quantity) AS avg_qty,
+         | COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_revenue_nation" ->
+      s"""SELECT n_name,
+         | CAST(SUM(CAST(ROUND($rev*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q04_broadcast_region" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_topk_per_group" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_lag_lead" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT user_id, event_id, event_type, ts_us,
+        | lag(event_type) OVER w AS prev_type,
+        | (ts_us - lag(ts_us) OVER w) / 1000000.0 AS secs_since_prev
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q09_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, event_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT user_id, ts_us,
+        |        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |      FROM f)
+        |SELECT user_id, session_seq, COUNT(*) AS event_count,
+        | (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS span_secs
+        |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q10_distinct_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        | COUNT(DISTINCT user_id) * 1.0 / COUNT(*) AS user_ratio
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
+        | CAST(GROUPING(p_type) AS BIGINT) AS g_type, p_brand, p_type,
+        | CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY ROLLUP(p_brand, p_type)
+        |ORDER BY g_brand, g_type, p_brand, p_type""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        | l_returnflag, l_linestatus, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "q13_set_ops" ->
+      """SELECT custkey FROM (
+        |  (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |   INTERSECT
+        |   SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
+        |  EXCEPT
+        |  SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) t ORDER BY custkey""".stripMargin,
+
+    "q14_top10_orders" ->
+      """SELECT o_orderkey, o_totalprice AS price FROM orders
+        |ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q15_string_funcs" ->
+      """SELECT p_partkey, UPPER(SUBSTRING(p_name, 1, 8)) AS name8,
+        | p_brand || '#' || p_type AS brand_type
+        |FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey""".stripMargin,
+
+    "q16_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
+
+    "q17_latest_per_key" ->
+      """SELECT user_id, event_id, event_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q18_quality_suite" ->
+      """WITH e AS (SELECT *, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s FROM events)
+        |SELECT COUNT(*) AS total_rows,
+        | COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_user_id,
+        | CAST(COUNT(DISTINCT event_id) = COUNT(*) AS BIGINT) AS event_id_unique,
+        | COUNT(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') THEN 1 END) AS domain_violations,
+        | COUNT(CASE WHEN value < 0 OR value > 1000 THEN 1 END) AS value_range_violations,
+        | MIN(ts_s) AS min_ts_s, MAX(ts_s) AS max_ts_s
+        |FROM e""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(TRY_CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(CASE WHEN TRY_CAST(props->>'$.k' AS BIGINT) IS NULL THEN 1 END) AS null_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q20_range_join" ->
+      """SELECT o_orderkey, COUNT(l_orderkey) AS n_shipped_30d
+        |FROM orders LEFT JOIN lineitem
+        |  ON o_orderkey = l_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q21_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS fp,
+        | CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS BIGINT) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | AVG(n_chars) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q23_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         |s AS (SELECT vec_id, ${pr4(cosD("v", "pv"))} AS cos_sim FROM e, p),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
+         |        vec_id, cos_sim FROM s)
+         |SELECT rnk, vec_id, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q24_order_invariant" ->
+      s"""SELECT l_orderkey, COUNT(*) AS n_lines,
+         | CAST(SUM(CAST(ROUND($rev*100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+         | CAST(MAX(CAST(ROUND($rev*100, 0) AS BIGINT)) AS BIGINT) AS max_line_cents,
+         | CAST(SUM(CAST(ROUND($rev*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS order_total
+         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q25_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+        | CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('table','row'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('key','value'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('scan','merge'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('join','query'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('spark','batch'))) AS BIGINT) AS s_zh
+        | FROM t),
+        |m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s),
+        |r AS (SELECT doc_id, lang,
+        |  CASE WHEN s_de = best AND best > 0 THEN 'de'
+        |       WHEN s_en = best AND best > 0 THEN 'en'
+        |       WHEN s_es = best AND best > 0 THEN 'es'
+        |       WHEN s_fr = best AND best > 0 THEN 'fr'
+        |       WHEN s_zh = best AND best > 0 THEN 'zh'
+        |       ELSE 'und' END AS pred_lang
+        | FROM m)
+        |SELECT doc_id, lang, pred_lang, CAST(pred_lang = lang AS BIGINT) AS correct
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q27_text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, CAST(length(text) AS BIGINT) AS n_chars_m FROM documents),
+        |u AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(toks, x -> x = 'a')) AS BIGINT) AS stop_hits, n_chars_m FROM t),
+        |v AS (SELECT doc_id, n_tokens, n_chars_m, stop_hits * 1.0 / n_tokens AS stop_ratio FROM u)
+        |SELECT doc_id, n_tokens, n_chars_m, stop_ratio,
+        | floor(LEAST(1.0, GREATEST(0.0, 0.25 * log10(n_tokens + 1) + 0.5 - 0.8 * stop_ratio)) * 10000 + 0.5) / 10000.0 AS quality_score
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "q28_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, text, toks, $grams AS grams FROM t)
+         |SELECT doc_id, md5(text) AS fp_exact,
+         | md5(array_to_string(list_sort(toks), ' ')) AS fp_sorted,
+         | list_min(list_transform(grams, g -> md5(g))) AS fp_min_shingle
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q29_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, $grams AS grams FROM t)
+         |SELECT doc_id,
+         | list_min(list_transform(grams, g -> md5('0:' || g))) AS mh0,
+         | list_min(list_transform(grams, g -> md5('1:' || g))) AS mh1,
+         | list_min(list_transform(grams, g -> md5('2:' || g))) AS mh2,
+         | list_min(list_transform(grams, g -> md5('3:' || g))) AS mh3,
+         | list_min(list_transform(grams, g -> md5('4:' || g))) AS mh4,
+         | list_min(list_transform(grams, g -> md5('5:' || g))) AS mh5,
+         | list_min(list_transform(grams, g -> md5('6:' || g))) AS mh6,
+         | list_min(list_transform(grams, g -> md5('7:' || g))) AS mh7
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q30_minhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, $grams AS grams FROM t),
+         |sig AS (SELECT doc_id,
+         |  [list_min(list_transform(grams, g -> md5('0:' || g))),
+         |   list_min(list_transform(grams, g -> md5('1:' || g))),
+         |   list_min(list_transform(grams, g -> md5('2:' || g))),
+         |   list_min(list_transform(grams, g -> md5('3:' || g))),
+         |   list_min(list_transform(grams, g -> md5('4:' || g))),
+         |   list_min(list_transform(grams, g -> md5('5:' || g))),
+         |   list_min(list_transform(grams, g -> md5('6:' || g))),
+         |   list_min(list_transform(grams, g -> md5('7:' || g)))] AS sig
+         | FROM u),
+        |bands AS (SELECT doc_id, b AS band_id, sig[2*b+1] || '|' || sig[2*b+2] AS band_val
+        |          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t2(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y
+        |           ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        | len(list_filter(list_transform(range(8), i -> a.sig[i+1] = b.sig[i+1]), v -> v)) * 1.0 / 8 AS est_jaccard
+        |FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, lang, source, list_distinct($grams) AS grams FROM t)
+         |SELECT a.lang AS lang, a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | len(list_intersect(a.grams, b.grams)) * 1.0 / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+         |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |ORDER BY lang, source, doc_a, doc_b""".stripMargin,
+
+    "q32_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, h, unnest(range(16)) AS bit FROM h),
+        |s AS (SELECT doc_id, bit, SUM(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |      FROM bits GROUP BY doc_id, bit)
+        |SELECT doc_id,
+        | CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q33_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bkt AS (SELECT vec_id, v,
+         |  (CASE WHEN v[1]  > v[2]  THEN 1   ELSE 0 END +
+         |   CASE WHEN v[5]  > v[6]  THEN 2   ELSE 0 END +
+         |   CASE WHEN v[9]  > v[10] THEN 4   ELSE 0 END +
+         |   CASE WHEN v[13] > v[14] THEN 8   ELSE 0 END +
+         |   CASE WHEN v[17] > v[18] THEN 16  ELSE 0 END +
+         |   CASE WHEN v[21] > v[22] THEN 32  ELSE 0 END +
+         |   CASE WHEN v[25] > v[26] THEN 64  ELSE 0 END +
+         |   CASE WHEN v[29] > v[30] THEN 128 ELSE 0 END)::BIGINT AS bucket
+         | FROM e),
+         |p AS (SELECT v AS pv, bucket AS pbucket FROM bkt WHERE vec_id = 0),
+         |s AS (SELECT vec_id, bucket, ${pr4(cosD("v", "pv"))} AS cos_sim
+         |      FROM bkt, p WHERE bucket = pbucket),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
+         |        vec_id, bucket, cos_sim FROM s)
+         |SELECT rnk, vec_id, bucket, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q34_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         | ${pr4(cosD("a.v", "b.v"))} AS cos_sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+
+    "q35_multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | md5(text) AS content_md5,
+        | hex(encode(substr(text, 1, 8))) AS head_hex
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q36_user_segments" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+        | COUNT(DISTINCT event_type) AS n_types,
+        | CAST(COUNT(*) > 200 AS BIGINT) AS is_bot,
+        | CASE WHEN CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 > 10000 THEN 'high_value'
+        |      WHEN COUNT(*) < 20 THEN 'at_risk'
+        |      ELSE 'regular' END AS user_segment
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q37_gold_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+        | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin,
+  )
 }

@@ -1,0 +1,328 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Portable.pround
+import graft.sources.Tables
+
+/** The relational query contract (SURVEY.md §2.9, Q1–Q20 + Q24).
+  *
+  * Every query is a declarative DataFrame plan — Catalyst handles predicate
+  * pushdown, column pruning, partial aggregation and join strategy; we only
+  * add explicit `broadcast()` hints for dimension tables that stay small at
+  * any scale (region/nation: fixed cardinality 5/25, cf. reference's 8-row
+  * product catalog `event_producer.py:63-72`).
+  *
+  * Determinism rules (for the DuckDB-oracle hash compare, SURVEY §5.2 and
+  * §7.4.1): explicit ORDER BY ending in a unique key; integers cast to
+  * BIGINT on both sides; no raw timestamp output columns (epoch
+  * micros/millis or formatted strings instead); and — the money rule —
+  * SUMs of doubles go through exact fixed-point: every money column in the
+  * test data is 2-decimal (discount/tax too), so `ROUND(x·10^s) :: BIGINT`
+  * is exact, the integer SUM is order-independent, and one final division
+  * yields bit-identical doubles in any engine regardless of aggregation
+  * order. Per-row arithmetic needs no such care (same input double → same
+  * output double everywhere).
+  */
+object Relational {
+
+  /** Revenue expression — the reference's canonical derived column shape
+    * (`line_total = qty*price*(1-disc)`, events.py:142-144) transplanted to
+    * lineitem. */
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Exact fixed-point: x·10^scale rounded to an integral long. Safe while
+    * |x|·10^scale < 2^53 — money values here are ≤1e8·1e6 = 1e14. */
+  private def fixed(c: Column, scale: Int): Column =
+    round(c * math.pow(10, scale), 0).cast("long")
+
+  /** Q1 — scan, pushed filter, projection. The shipdate predicate and the
+    * 3-column projection both reach the parquet scan (PushedFilters +
+    * ReadSchema), so at 100 TB only the matching row groups are read. */
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        pround(revenue, 2).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q2 — TPC-H-Q1-style pricing summary: single hash aggregate with
+    * map-side partial aggregation; 6 grouped rows, no skew at any scale. */
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"), // integral-valued doubles: exact
+        (sum(fixed(col("l_extendedprice"), 2)) / 100.0).as("sum_base_price"),
+        (sum(fixed(revenue, 4)) / 10000.0).as("sum_disc_price"),
+        (sum(fixed(revenue * (lit(1.0) + col("l_tax")), 6)) / 1000000.0).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3 — multi-way equi join: customer ⋈ orders ⋈ lineitem ⋈ nation.
+    * The fact-side joins (orders⋈lineitem, ⋈customer) shuffle on their keys;
+    * nation is a fixed-25-row dimension → broadcast, so the final join adds
+    * no exchange. */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg((sum(fixed(revenue, 4)) / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** Q4 — broadcast-only join chain: supplier ⋈ nation ⋈ region. Both
+    * dimensions are broadcast; the plan has zero shuffles before the final
+    * 5-row aggregate. */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("r_name")
+  }
+
+  /** Q5 — LEFT SEMI (EXISTS): customers with at least one order (J3 — the
+    * "identified user with non-empty cart" selection,
+    * event_producer.py:168-171). */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Q6 — LEFT ANTI (NOT EXISTS): customers with zero orders (J4, the
+    * funnel-drop complement). */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Q7 — per-group top-k via row_number. One shuffle on o_custkey;
+    * Spark's WindowGroupLimit pushes the rank filter below the sort so only
+    * k rows per key survive. */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q8 — lag/lead sequence analytics over the event stream, partitioned by
+    * user (per-session ordering is the reference's only order guarantee,
+    * event_producer.py:254-258). Timestamps surface as epoch micros. */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"), col("event_type"), col("ts_us"),
+        col("prev_type"),
+        ((col("ts_us") - col("prev_us")) / 1000000.0).as("secs_since_prev"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Q9 — batch sessionization (gaps-and-islands): strict > 10 min gap opens
+    * a new session (reference expiry is strictly > 600 s,
+    * event_producer.py:92-93 — minus its timedelta.seconds day-wrap bug,
+    * SURVEY §7.4.3). Both window passes share one (user_id) shuffle. */
+  def q09(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 600000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("event_count"),
+        ((max("ts_us") - min("ts_us")) / 1000000.0).as("span_secs"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Q10 — distinct aggregation: exact COUNT(DISTINCT) per group (expands to
+    * a two-phase aggregate; at 100 TB switch dashboard callers to
+    * approx_count_distinct — SURVEY A6). */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        (countDistinct(col("user_id")) * lit(1.0) / count(lit(1))).as("user_ratio"))
+      .orderBy("event_type")
+
+  /** Q11 — ROLLUP(p_brand, p_type) over part ⋈ lineitem with explicit
+    * GROUPING() keys for stable ordering (A10 gold rollups). */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    // SQL form: grouping() resolution over a join + rollup trips the
+    // DataFrame analyzer's ambiguous-self-join check; the SQL path resolves
+    // cleanly and plans identically (Expand + hash aggregate).
+    Tables.part(spark, dir).createOrReplaceTempView("part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
+        |       CAST(GROUPING(p_type) AS BIGINT) AS g_type, p_brand, p_type,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY ROLLUP(p_brand, p_type)
+        |ORDER BY g_brand, g_type, p_brand, p_type""".stripMargin)
+  }
+
+  /** Q12 — CUBE(l_returnflag, l_linestatus). */
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n_rows"))
+      .select(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"), col("n_rows"))
+      .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+
+  /** Q13 — set ops (O4 audience algebra): (custkeys with an 'F' order)
+    * ∩ (positive balance) ∖ (BUILDING segment). */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val withF = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val posBal = c.filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("custkey")).distinct()
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey")).distinct()
+    withF.intersect(posBal).except(building).orderBy("custkey")
+  }
+
+  /** Q14 — global top-k: Spark plans orderBy+limit as TakeOrderedAndProject
+    * (per-partition top-k, merge on driver — no full sort at scale). */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      .orderBy(desc("price"), col("o_orderkey"))
+      .limit(10)
+
+  /** Q15 — string functions (F1–F4). */
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%"))
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name8"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Q16 — date functions (F5–F7): orders per (year, month). */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(fixed(col("o_totalprice"), 2)) / 100.0).as("total_revenue"))
+      .orderBy("o_year", "o_month")
+
+  /** Q17 — latest-per-key (J5/W2): latest event per user by (ts, event_id)
+    * desc — the same dedup-by-key shape as lsn-ordered CDC state
+    * reconstruction (events.py:213). */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+      .orderBy("user_id")
+  }
+
+  /** Q18 — the quality expectation suite as ONE relational aggregate pass
+    * (vs the reference interpreter's full-scan-per-expectation,
+    * expectations.py:344-400). Domain set fixed from FIXTURES.md. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val domain = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .withColumn("ts_s", expr("unix_micros(ts) div 1000000"))
+      .agg(
+        count(lit(1)).as("total_rows"),
+        count(when(col("user_id").isNull, 1)).as("null_user_id"),
+        (countDistinct(col("event_id")) === count(lit(1))).cast("long").as("event_id_unique"),
+        count(when(!col("event_type").isin(domain: _*), 1)).as("domain_violations"),
+        count(when(col("value") < 0 || col("value") > 1000, 1)).as("value_range_violations"),
+        min("ts_s").as("min_ts_s"),
+        max("ts_s").as("max_ts_s"))
+  }
+
+  /** Q19 — JSON extraction (F9): the reference's raw_payload access
+    * (events.py:246) as get_json_object over props. */
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(when(col("k").isNull, 1)).as("null_k"))
+      .orderBy("event_type")
+
+  /** Q20 — bounded range join (J6 as-of shape): lineitems shipped within 30
+    * days of their order date. The equi component (orderkey) keys the
+    * shuffle; the range condition is a join residual, so the plan stays a
+    * plain sort-merge join — no quadratic blowup at scale (SURVEY §7.4.5). */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") < o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left")
+      .groupBy(o("o_orderkey"))
+      .agg(count(l("l_orderkey")).as("n_shipped_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q24 — array / higher-order functions (F11) + the order-total invariant
+    * (P4, events.py:167-177): per order, fold the line array with
+    * `aggregate` in exact integer cents (order-independent), plus an
+    * `array_max` of the per-line totals. collect_list order is made
+    * deterministic via sort_array before the fold. */
+  def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        fixed(revenue, 2).as("rev_cents"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("rev_cents")))).as("lines"))
+      .select(
+        col("l_orderkey"),
+        size(col("lines")).cast("long").as("n_lines"),
+        aggregate(col("lines"), lit(0L), (acc, x) => acc + x.getField("rev_cents"))
+          .as("total_cents"),
+        array_max(transform(col("lines"), x => x.getField("rev_cents")))
+          .as("max_line_cents"))
+      .withColumn("order_total", col("total_cents") / 100.0)
+      .orderBy("l_orderkey")
+}

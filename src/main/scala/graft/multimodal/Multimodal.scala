@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north star): media as opaque `binary`
+  * columns + typed metadata, with decode / feature-extract / frame-sample
+  * stages whose Spark-side shape (schema, batching, partition-local
+  * processing) is real while the codec itself is a clearly-marked
+  * deterministic stub (no image/audio libs in this environment).
+  *
+  * Scale design: decode runs via `mapPartitions` — one iterator pass per
+  * partition, no per-row task overhead, no shuffle; a real codec slots into
+  * [[FakeCodec.decode]] without touching the plan shape. Binary payloads
+  * never enter a shuffle key.
+  */
+object Multimodal {
+
+  /** One media asset: payload + typed metadata (the bronze-layer shape a
+    * 100 TB media lake would carry per row). */
+  case class MediaAsset(asset_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features: fixed-width, shuffle-friendly (no binary). */
+  case class MediaFeatures(asset_id: Long, kind: String, byte_len: Long,
+    sha_prefix: String, width: Int, height: Int, mean_intensity: Double)
+
+  /** STUB codec — deterministic fake in place of a real image/audio decode.
+    * A production build replaces `decode` with the actual library call; the
+    * signature (bytes in, fixed-shape features out) is the contract. */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      // ??? real codec goes here; deterministic fake below keeps tests real
+      val n = payload.length
+      val w = 16 + (n % 64)
+      val h = 16 + ((n / 64) % 64)
+      val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / n
+      (w, h, mean)
+    }
+  }
+
+  /** Decode + feature-extract over a binary column, partition-local. */
+  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        val (w, h, mean) = FakeCodec.decode(a.payload)
+        val sha = digest.digest(a.payload).map("%02x".format(_)).mkString.take(8)
+        digest.reset()
+        MediaFeatures(a.asset_id, a.kind, a.payload.length.toLong, sha, w, h,
+          math.rint(mean * 100) / 100)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size slice of the payload (the
+    * video-frame analog), emitted as (asset_id, frame_no, frame bytes). */
+  def sampleFrames(assets: Dataset[MediaAsset], frameSize: Int, stride: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val nFrames = a.payload.length / frameSize
+      (0 until nFrames by stride).map { f =>
+        (a.asset_id, f.toLong, a.payload.slice(f * frameSize, (f + 1) * frameSize))
+      }
+    }.toDF("asset_id", "frame_no", "frame")
+  }
+
+  /** Oracle-checkable metadata pass: treats document text bytes as the
+    * binary payload (the test corpus has no real media) and computes the
+    * metadata a media lake tracks — byte length, content hash, head-bytes
+    * hex (the "thumbnail"). Pure column expressions → codegen'd. */
+  def metadata(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("asset_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
+        md5(col("text")).as("content_md5"),
+        hex(substring(col("text"), 1, 8).cast("binary")).as("head_hex"))
+      .orderBy("asset_id")
+}
