@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.model.Schemas
+
+/** Structured-Streaming rewrite of the reference's consumer→validate→bronze
+  * path (`/root/reference/kafka/consumer/event_consumer.py` +
+  * `data/lake_writer.py`) — SURVEY S1–S6, T1–T9.
+  *
+  * Delivery semantics: the reference claims at-least-once but can drop up
+  * to one buffer on sink failure (lake_writer.py:185-191 clears the buffer
+  * in `finally`; SURVEY §3.2). We implement the claim, not the bug:
+  * checkpointed micro-batches + idempotent file sinks give effective
+  * exactly-once (T1; checkpoint bucket `spark-checkpoints`,
+  * docker-compose.yml:190).
+  *
+  * Scale notes: every transform below is keyed (session_id / event_id /
+  * product_id) so state is partitionable across 1000 executors; state
+  * stores should be RocksDB-backed at the 100 TB north star
+  * (`spark.sql.streaming.stateStore.providerClass`, SURVEY §7.4.6).
+  */
+object Streaming {
+
+  // ---- S1: Kafka-shaped source parsing -------------------------------------
+
+  /** Parse a Kafka-shaped stream (key/value binary columns) for `topic`
+    * using the fixed TOPIC_SCHEMA_MAP binding (events.py:260-265).
+    * Malformed JSON yields a null struct — the P1 permissive-validation
+    * path (event_consumer.py:87-92). Unknown topic ⇒ None, mirroring the
+    * consumer's drop (event_consumer.py:82-85). */
+  def parseTopic(raw: DataFrame, topic: String): Option[DataFrame] =
+    Schemas.topicSchemaMap.get(topic).map { schema =>
+      raw.select(from_json(col("value").cast("string"), schema).as("parsed"))
+    }
+
+  /** S10/T7 — dead-letter split: invalid rows are quarantined (with the raw
+    * payload for replay), valid rows are unwrapped. The reference logs and
+    * skips, committing the offset anyway (event_consumer.py:187-191);
+    * checkpointing gives us the same no-reprocess guarantee. */
+  def splitParsed(raw: DataFrame, topic: String): Option[(DataFrame, DataFrame)] =
+    Schemas.topicSchemaMap.get(topic).map { schema =>
+      val parsed = raw.select(col("value").cast("string").as("raw"),
+        from_json(col("value").cast("string"), schema).as("parsed"))
+      // from_json returns a non-null struct of all-null fields for
+      // schema-mismatched JSON; require the envelope's event_id too.
+      val ok = parsed.filter(col("parsed").isNotNull && col("parsed.event_id").isNotNull)
+        .select("parsed.*")
+      val dead = parsed.filter(col("parsed").isNull || col("parsed.event_id").isNull)
+        .select(col("raw"), current_timestamp().as("quarantined_at"))
+      (ok, dead)
+    }
+
+  // ---- S2: Kafka-shaped sink projection ------------------------------------
+
+  /** Project rows to the Kafka sink contract: key = session_id (the
+    * reference's partition key for per-session ordering,
+    * event_producer.py:254-258,294), value = JSON of all columns. */
+  def toKafkaShape(df: DataFrame): DataFrame =
+    df.select(col("session_id").cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  // ---- S3/S4: bronze sink --------------------------------------------------
+
+  /** Add the Hive partition columns year/month/day/hour from the event
+    * timestamp (lake_writer.py:118-141's key pattern
+    * `{folder}/year=YYYY/month=MM/day=DD/hour=HH/...`). */
+  def withHivePartitions(df: DataFrame, tsCol: String = "timestamp"): DataFrame =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .withColumn("hour", hour(col(tsCol)))
+
+  /** Bronze sink: gzip JSON lines, Hive-partitioned, 30 s micro-batches.
+    * The reference's flush-at-100-events-OR-30 s duality (lake_writer.py:111)
+    * maps to a time trigger (+ `maxOffsetsPerTrigger` for the size cap) —
+    * the documented semantic delta (SURVEY S4). */
+  def bronzeSink(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    withHivePartitions(df).writeStream
+      .format("json")
+      .option("compression", "gzip")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("year", "month", "day", "hour")
+      .trigger(trigger)
+      .start()
+
+  /** Silver sink prep (S5, lake_writer.py:13-16): validated + deduplicated
+    * Parquet. Dedup justification: "Duplicate event_ids = producer retry
+    * bug" (expectations.py:239). Streaming uses watermark-bounded state so
+    * the dedup map can't grow unboundedly at scale. */
+  def silverDedup(df: DataFrame, tsCol: String = "timestamp",
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- T5/W1: sessionization -----------------------------------------------
+
+  /** Streaming session windows with the reference's 10-minute inactivity gap
+    * (event_producer.py:90-95): one row per (session_id, window) with event
+    * count and span. Watermark bounds state eviction (T2). */
+  def sessionWindows(df: DataFrame, tsCol: String = "timestamp",
+      gap: String = "10 minutes", watermark: String = "30 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col("session_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("event_count"),
+        min(tsCol).as("session_start"), max(tsCol).as("session_end"))
+      .select(col("session_id"), col("session_window.start").as("window_start"),
+        col("event_count"), col("session_start"), col("session_end"))
+
+  // ---- J5/T5: CDC latest-state upsert --------------------------------------
+
+  /** Current inventory row state, reconstructed per product key. */
+  case class CdcInput(product_id: String, operation: String, lsn: String,
+    stock_quantity: Option[Int], reorder_level: Option[Int])
+  case class CdcState(product_id: String, lsn: String, deleted: Boolean,
+    stock_quantity: Int, reorder_level: Int)
+
+  /** flatMapGroupsWithState upsert keyed by product_id, ordered by `lsn`
+    * (the reference's Postgres WAL ordering, events.py:213): INSERT/UPDATE
+    * apply `after`, DELETE tombstones. Emits the post-batch state per key
+    * (OutputMode.Update). */
+  def cdcUpsert(ds: Dataset[CdcInput]): Dataset[CdcState] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.product_id)
+      .flatMapGroupsWithState[CdcState, CdcState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[CdcInput], state: GroupState[CdcState]) =>
+          val sorted = rows.toSeq.sortBy(_.lsn)
+          val init = state.getOption
+          val next = sorted.foldLeft(init) { (cur, ev) =>
+            // lsn monotonicity: ignore events at or before the applied lsn
+            if (cur.exists(_.lsn >= ev.lsn)) cur
+            else ev.operation match {
+              case "DELETE" => Some(CdcState(key, ev.lsn, deleted = true, 0, 0))
+              case _ => Some(CdcState(key, ev.lsn, deleted = false,
+                ev.stock_quantity.getOrElse(0), ev.reorder_level.getOrElse(0)))
+            }
+          }
+          next.foreach(state.update)
+          next.iterator
+      }
+  }
+
+  /** J7 — reorder alert: stock below reorder level ("Alert when stock drops
+    * below this", events.py:196). */
+  def reorderAlerts(state: Dataset[CdcState]): Dataset[CdcState] =
+    state.filter(s => !s.deleted && s.stock_quantity < s.reorder_level)
+
+  // ---- A12: streaming event-mix counters -----------------------------------
+
+  /** Running counts per event type (producer stats every 50 events,
+    * event_producer.py:357-364) — update-mode streaming aggregate. */
+  def eventMix(df: DataFrame): DataFrame =
+    df.groupBy("event_type").count()
+}

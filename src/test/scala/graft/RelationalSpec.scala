@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Relational
+
+/** Spot checks for the relational contract on sf0.001 (the full
+  * hash-compare against DuckDB runs via Verify + tools/selfcheck.py). */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q02 groups on the (returnflag, linestatus) domain") {
+    val r = Relational.q02(spark, sf0001).collect()
+    assert(r.length <= 6 && r.nonEmpty)
+    assert(r.map(_.getString(0)).toSet.subsetOf(Set("A", "N", "R")))
+  }
+
+  test("q05 + q06 partition the customer table") {
+    val semi = Relational.q05(spark, sf0001).count()
+    val anti = Relational.q06(spark, sf0001).count()
+    val total = spark.read.parquet(s"$sf0001/customer.parquet").count()
+    assert(semi + anti == total)
+  }
+
+  test("q07 emits at most 3 rows per customer, rank-ordered") {
+    val r = Relational.q07(spark, sf0001)
+    val maxPer = r.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("q09 session gap boundary: exactly 600 s stays in-session (strict >)") {
+    // build a tiny events table: user 1 with gaps 600s (same session) and
+    // 601s (new session)
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = Seq(0L, 600L, 1201L).zipWithIndex.map { case (off, i) =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(off)), 1L, "click", 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q09").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sessions = Relational.q09(spark, dir).collect()
+    // events at t=0 and t=600 share session 1; t=1201 (gap 601) opens session 2
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getLong(2)).toSeq == Seq(2L, 1L)) // event counts
+  }
+
+  test("q13 set algebra matches a hand computation") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val c = spark.read.parquet(s"$sf0001/customer.parquet")
+    val withF = o.filter($"o_orderstatus" === "F").select($"o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val pos = c.filter($"c_acctbal" > 0).select($"c_custkey").collect().map(_.getLong(0)).toSet
+    val bld = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val expected = (withF intersect pos) diff bld
+    val got = Relational.q13(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("q14 is the global top-10 by price desc") {
+    val r = Relational.q14(spark, sf0001).collect()
+    assert(r.length == 10)
+    val prices = r.map(_.getDouble(1)).toSeq
+    assert(prices == prices.sorted.reverse)
+  }
+
+  test("q20 counts match a correlated recount for a sample order") {
+    val r = Relational.q20(spark, sf0001)
+    val some = r.filter($"n_shipped_30d" > 0).head()
+    val (key, n) = (some.getLong(0), some.getLong(1))
+    val o = spark.read.parquet(s"$sf0001/orders.parquet").filter($"o_orderkey" === key).head()
+    // Spark 4 surfaces parquet TIMESTAMP(isAdjustedToUTC=false) as NTZ
+    val od = o.getAs[java.time.LocalDateTime]("o_orderdate")
+    val manual = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .filter($"l_orderkey" === key &&
+        $"l_shipdate" >= lit(od) &&
+        $"l_shipdate" < lit(od.plusDays(30)))
+      .count()
+    assert(manual == n)
+  }
+}

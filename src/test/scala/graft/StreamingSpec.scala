@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{CdcInput, CdcState}
+
+/** T1–T9 streaming semantics via MemoryStream micro-batches (no Kafka). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  test("silver dedup drops duplicate event_ids within the watermark — S5/O5") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val dedup = Streaming.silverDedup(
+      in.toDF().toDF("event_id", "timestamp"), "timestamp", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData(("e1", ts("2024-01-01T00:00:00Z")), ("e2", ts("2024-01-01T00:00:10Z")),
+      ("e1", ts("2024-01-01T00:00:05Z"))) // producer-retry duplicate
+    q.processAllAvailable()
+    in.addData(("e3", ts("2024-01-01T00:01:00Z")), ("e2", ts("2024-01-01T00:01:01Z")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("event_id").collect().map(_.getString(0)).toSeq
+    assert(got.sorted == Seq("e1", "e2", "e3"))
+  }
+
+  test("session windows close after the 10-minute gap — W1/T5") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = Streaming.sessionWindows(
+      in.toDF().toDF("session_id", "timestamp"), "timestamp", "10 minutes", "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // two bursts 20 min apart → two session windows once watermark passes
+    in.addData(("s1", ts("2024-01-01T00:00:00Z")), ("s1", ts("2024-01-01T00:05:00Z")))
+    q.processAllAvailable()
+    in.addData(("s1", ts("2024-01-01T00:25:00Z")))
+    q.processAllAvailable()
+    in.addData(("s1", ts("2024-01-01T02:00:00Z"))) // advance watermark, close both
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out").orderBy("window_start").collect()
+    assert(rows.length >= 2)
+    assert(rows.head.getAs[Long]("event_count") == 2)
+    assert(rows(1).getAs[Long]("event_count") == 1)
+  }
+
+  test("CDC upsert applies INSERT/UPDATE/DELETE in lsn order — J5/T5") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[CdcInput]
+    val q = Streaming.cdcUpsert(in.toDS()).writeStream.format("memory")
+      .queryName("cdc_out").outputMode("update").start()
+    in.addData(
+      CdcInput("P1", "INSERT", "0/01", Some(100), Some(10)),
+      CdcInput("P1", "UPDATE", "0/03", Some(42), Some(10)),
+      CdcInput("P1", "UPDATE", "0/02", Some(77), Some(10)), // stale lsn, ignored
+      CdcInput("P2", "INSERT", "0/01", Some(5), Some(10)))
+    q.processAllAvailable()
+    in.addData(CdcInput("P2", "DELETE", "0/02", None, None))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("cdc_out").groupBy("product_id")
+      .agg(max(struct($"lsn", $"deleted", $"stock_quantity")).as("s"))
+      .select($"product_id", $"s.deleted", $"s.stock_quantity")
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getInt(2)))).toMap
+    assert(last("P1") == ((false, 42))) // 0/02 ignored after 0/03
+    assert(last("P2")._1)               // tombstoned
+  }
+
+  test("reorder alerts fire when stock < reorder level — J7") {
+    val state = Seq(
+      CdcState("P1", "0/01", deleted = false, stock_quantity = 5, reorder_level = 10),
+      CdcState("P2", "0/01", deleted = false, stock_quantity = 50, reorder_level = 10),
+      CdcState("P3", "0/01", deleted = true, stock_quantity = 0, reorder_level = 10)).toDS()
+    val alerts = Streaming.reorderAlerts(state).collect().map(_.product_id).toSeq
+    assert(alerts == Seq("P1"))
+  }
+
+  test("bronze hive partitioning derives y/m/d/h from the event timestamp — S3") {
+    val df = Seq(("e1", ts("2024-03-05T07:30:00Z"))).toDF("event_id", "timestamp")
+    val r = Streaming.withHivePartitions(df).select("year", "month", "day", "hour").head()
+    assert(r.toSeq == Seq(2024, 3, 5, 7))
+  }
+
+  test("kafka sink shape: key = session_id, value = full-row JSON — S2") {
+    val df = Seq(("s9", "e1", 5.0)).toDF("session_id", "event_id", "value")
+    val r = Streaming.toKafkaShape(df).head()
+    assert(r.getString(0) == "s9")
+    assert(r.getString(1).contains("\"event_id\":\"e1\""))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextOps}
+import graft.vector.Similarity
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaAsset
+
+/** U6–U8 north-star operators + multimodal plumbing. */
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup flags every copy after the first — U6") {
+    val dir = docsDir(Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d e", "en", "s", 9L),
+      (3L, "x y z w v", "en", "s", 9L)))
+    val r = Dedup.exactDedup(spark, dir).collect()
+    assert(r.map(x => x.getLong(0) -> x.getLong(2)).toSeq ==
+      Seq(1L -> 0L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("minhash: identical docs agree on all 8 hashes; LSH pairs them") {
+    val dir = docsDir(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (3L, "completely different words appear in this document here", "en", "s", 55L)))
+    val pairs = Dedup.minhashPairs(spark, dir).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("ngram jaccard: identical = 1.0, disjoint = 0.0 within a block") {
+    val dir = docsDir(Seq(
+      (1L, "a b c d e f", "en", "s", 11L),
+      (2L, "a b c d e f", "en", "s", 11L),
+      (3L, "u v w x y z", "en", "s", 11L)))
+    val r = Dedup.ngramJaccard(spark, dir).collect()
+      .map(x => (x.getLong(2), x.getLong(3)) -> x.getDouble(4)).toMap
+    assert(r((1L, 2L)) == 1.0)
+    assert(r((1L, 3L)) == 0.0)
+    assert(r((2L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical docs share a fingerprint; it stays in 16 bits") {
+    val dir = docsDir(Seq(
+      (1L, "spark query engine test", "en", "s", 23L),
+      (2L, "spark query engine test", "en", "s", 23L)))
+    val r = Dedup.simhash(spark, dir).collect().map(_.getLong(1))
+    assert(r(0) == r(1))
+    assert(r(0) >= 0 && r(0) < 65536)
+  }
+
+  test("language-ID predicts by marker-token profile with tie-break — U8") {
+    val dir = docsDir(Seq(
+      (1L, "table row table something", "de", "s", 24L),  // de markers win
+      (2L, "key value key value", "en", "s", 19L),        // en markers win
+      (3L, "nothing matches here", "fr", "s", 20L)))      // no markers → und
+    val r = TextOps.langId(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r(1L) == "de" && r(2L) == "en" && r(3L) == "und")
+  }
+
+  test("cosine top-k: self-similarity ranks first at 1.0 — U7") {
+    val r = Similarity.cosineTopK(spark, sf0001).collect()
+    assert(r.length == 10)
+    assert(r.head.getLong(1) == 0L)       // probe itself
+    assert(r.head.getDouble(2) == 1.0)
+    val sims = r.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("LSH bucket path returns a subset consistent with brute force") {
+    val ann = Similarity.annLsh(spark, sf0001).collect()
+    assert(ann.nonEmpty && ann.head.getLong(1) == 0L)
+    // every ANN hit must carry the probe's bucket
+    assert(ann.map(_.getLong(2)).distinct.length == 1)
+  }
+
+  test("multimodal: stub decode features are deterministic and fixed-shape") {
+    val assets = Seq(
+      MediaAsset(1L, "image", "some fake image payload bytes".getBytes("UTF-8")),
+      MediaAsset(2L, "audio", Array[Byte]())).toDS()
+    val f = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(f(0).byte_len == 29 && f(0).width == 16 + 29 % 64)
+    assert(f(1).byte_len == 0 && f(1).mean_intensity == 0.0)
+    val frames = Multimodal.sampleFrames(assets.filter(_.asset_id == 1), 4, 2).collect()
+    assert(frames.length == 4) // 29/4 = 7 frames, stride 2 → frames 0,2,4,6
+  }
+}
