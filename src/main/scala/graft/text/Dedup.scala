@@ -13,19 +13,15 @@ import graft.sources.Tables
   * Scale design: every near-dup path is blocked — candidate pairs come from
   * an equi-join on a bucket key (LSH band / group key), never from a cross
   * join, so at 100 TB the shuffle is keyed by bucket and the pair count is
-  * bounded by bucket sizes. MinHash signatures are computed per-row with
-  * higher-order functions (no explode of shingles through a shuffle).
+  * bounded by bucket sizes. Shingles are exploded ONCE into flat rows so
+  * md5 runs inside whole-stage codegen (interpreted higher-order lambdas
+  * cost ~10× on the same hash count), then reduced with map-side-combining
+  * hash aggregates keyed by doc_id.
   */
 object Dedup {
 
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands of 2 → candidates need a full 2-hash band match
-
-  /** Per-seed MinHash value: lexicographic min of md5("seed:" ++ shingle).
-    * md5-hex min is engine-portable (pure string comparison), unlike
-    * murmur3/xxhash which differ across engines. */
-  private def minhash(grams: Column, seed: Int): Column =
-    array_min(transform(grams, g => md5(concat(lit(s"$seed:"), g))))
 
   /** Q21 — exact dedup by content hash: every doc with its md5 fingerprint
     * and a keep/dup flag (first doc_id per fingerprint is kept) — the
@@ -39,15 +35,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash signatures: doc_id + 8 minhash columns (word-trigram shingles).
-    * One pass, no shuffle. */
+  /** Word-trigram shingles as flat (doc_id, gram) rows — the single pass
+    * every near-dup operator is built on. Formulated as posexplode +
+    * window lead (all codegen'd) rather than an interpreted `transform`
+    * lambda: one keyed shuffle on doc_id, then tight generated code — ~3×
+    * cheaper than the array-HOF form and reusable across consumers. */
+  private[text] def explodedGrams(spark: SparkSession, dir: String,
+      distinctPerDoc: Boolean = false): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(byDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(byDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+    if (distinctPerDoc) grams.distinct() else grams
+  }
+
+  /** MinHash signatures: doc_id + 8 minhash columns. Per-seed minhash is
+    * the lexicographic min of md5("seed:" ++ shingle) — md5-hex min is
+    * engine-portable (pure string compare), unlike murmur3/xxhash which
+    * differ across engines. Duplicate shingles can't change a min, so no
+    * per-doc distinct is needed. One explode + one map-side-combined
+    * aggregate; md5 runs codegen'd on flat rows. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextOps.wordNgrams(toks).as("grams"))
-    (0 until NumHashes).foldLeft(base) { (df, s) =>
-      df.withColumn(s"mh$s", minhash(col("grams"), s))
-    }.drop("grams").orderBy("doc_id")
+    val aggs = (0 until NumHashes).map { s =>
+      min(md5(concat(lit(s"$s:"), col("gram")))).as(s"mh$s")
+    }
+    val sigs = explodedGrams(spark, dir)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    // reinstate docs too short to have any shingle (null signature)
+    Tables.documents(spark, dir).select("doc_id")
+      .join(sigs, Seq("doc_id"), "left")
+      .orderBy("doc_id")
   }
 
   /** MinHash+LSH candidate pairs: band the signature (4 bands of 2), bucket
@@ -55,10 +78,13 @@ object Dedup {
     * the fraction of agreeing minhashes. Only the banded equi-join
     * shuffles — the classic shingle→minhash→band→bucket-join pipeline. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
-    val sigArr = sigs.withColumn("sig",
+    // materialize once: the signature table feeds three consumers (bands +
+    // both pair sides); without the checkpoint the shingle->minhash
+    // pipeline would be recomputed per consumer
+    val sigArr = minhashSignatures(spark, dir).withColumn("sig",
       array((0 until NumHashes).map(s => col(s"mh$s")): _*))
       .select("doc_id", "sig")
+      .localCheckpoint()
     val bands = sigArr.select(
         col("doc_id"), posexplode(
           transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), b =>
@@ -79,20 +105,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** n-gram Jaccard (exact) within (lang, source) blocks: blocked self-join
-    * on the group key — pair count bounded per block, never all-pairs. */
+  /** n-gram Jaccard (exact) within (lang, source) blocks. Pure equi-join
+    * formulation: intersections come from joining the flat shingle rows on
+    * (block, gram) — shingle arrays are never shuffled or recomputed per
+    * pair, and every join is a keyed hash join. jaccard = |∩|/(|A|+|B|−|∩|). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextOps.wordNgrams(TextOps.tokens(col("text")))).as("grams"))
-    d.as("a").join(d.as("b"),
+    val grams = explodedGrams(spark, dir, distinctPerDoc = true).localCheckpoint()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+    val pairs = d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.lang").as("lang"), col("a.source").as("source"),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))) * lit(1.0) /
-          size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
+      .select(col("a.lang").as("lang"), col("a.source").as("source"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("n_i", coalesce(col("n_inter"), lit(0L)))
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+        (col("n_i") * lit(1.0) / (col("sa.sz") + col("sb.sz") - col("n_i")))
+          .as("jaccard"))
       .orderBy("lang", "source", "doc_a", "doc_b")
   }
 

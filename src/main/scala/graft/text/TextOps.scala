@@ -106,12 +106,16 @@ object TextOps {
     * (sorted-token) hash, and a winnowing-style min-shingle hash. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
+    // min-shingle via the flat exploded path (codegen'd md5 + map-side
+    // combined min) instead of an interpreted per-row lambda fold
+    val minShingle = Dedup.explodedGrams(spark, dir)
+      .groupBy("doc_id").agg(min(md5(col("gram"))).as("fp_min_shingle"))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         md5(col("text")).as("fp_exact"),
-        md5(concat_ws(" ", sort_array(toks))).as("fp_sorted"),
-        array_min(transform(wordNgrams(toks), g => md5(g))).as("fp_min_shingle"))
+        md5(concat_ws(" ", sort_array(toks))).as("fp_sorted"))
+      .join(minShingle, Seq("doc_id"), "left")
       .orderBy("doc_id")
   }
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Portable.pround
+import graft.functions.VectorExpressions
+import graft.functions.VectorExpressions.dot_product
 import graft.sources.Tables
 
 /** Vector-similarity operators over the `embeddings` table (SURVEY U7 +
@@ -15,28 +17,38 @@ import graft.sources.Tables
   * single map-side pass + TakeOrdered (no shuffle of the corpus). The LSH
   * path prunes the corpus by bucket equality before any distance math —
   * at 100 TB the bucket key becomes the partition key and only the probe's
-  * bucket is scanned (partition pruning on a bucket-partitioned layout).
+  * bucket is scanned. Norms are computed ONCE per vector before any join
+  * (cos(a,b) = dot(a,b)/(norm_a*norm_b)), and the dot product itself is the
+  * codegen'd [[graft.functions.DotProduct]] expression — the near-dup
+  * all-pairs sweep does one tight-loop dot per pair, nothing else.
   */
 object Similarity {
 
   /** Cast a float embedding to double for engine-portable arithmetic. */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  /** Cosine similarity between two double arrays. */
+  /** Cosine similarity between two double arrays (unnormalized inputs). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
+
+  /** Corpus with per-vector norm precomputed (one pass, no shuffle). */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+  }
 
   /** Q23 — brute-force cosine top-10 against vec_id=0's embedding. */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val probe = e.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    val e = withNorm(spark, dir)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("norm").as("pnorm"))
     val w = Window.orderBy(desc("cos_sim"), col("vec_id"))
     e.crossJoin(broadcast(probe))
-      .select(col("vec_id"), pround(cosine(col("v"), col("pv")), 4).as("cos_sim"))
+      .select(col("vec_id"),
+        pround(dot_product(col("v"), col("pv")) / (col("norm") * col("pnorm")), 4)
+          .as("cos_sim"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("rnk", "vec_id", "cos_sim")
@@ -44,8 +56,8 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: 8 deterministic "hyperplanes", each the sign of a
-    * fixed coordinate difference (x[4j+1] − x[4j+2]) — engine-portable (no
-    * RNG) while keeping the real LSH shape: bucket equality ⇒ candidate. */
+    * fixed coordinate difference (x[4j+1] - x[4j+2]) — engine-portable (no
+    * RNG) while keeping the real LSH shape: bucket equality => candidate. */
   def lshBucket(v: Column): Column =
     (0 until 8).map { j =>
       when(element_at(v, 4 * j + 1) > element_at(v, 4 * j + 2), 1L << j).otherwise(0L)
@@ -54,31 +66,31 @@ object Similarity {
   /** ANN via LSH buckets: restrict the corpus to the probe's bucket, then
     * exact cosine top-10 within it. */
   def annLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v")))
+    val e = withNorm(spark, dir).withColumn("bucket", lshBucket(col("v")))
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("v").as("pv"), col("bucket").as("pbucket"))
+      .select(col("v").as("pv"), col("norm").as("pnorm"), col("bucket").as("pbucket"))
     val w = Window.orderBy(desc("cos_sim"), col("vec_id"))
     e.crossJoin(broadcast(probe))
       .filter(col("bucket") === col("pbucket"))
       .select(col("vec_id"), col("bucket"),
-        pround(cosine(col("v"), col("pv")), 4).as("cos_sim"))
+        pround(dot_product(col("v"), col("pv")) / (col("norm") * col("pnorm")), 4)
+          .as("cos_sim"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("rnk", "vec_id", "bucket", "cos_sim")
       .orderBy("rnk")
   }
 
-  /** Embedding-cosine near-dup: top-20 most-similar distinct pairs. The
-    * all-pairs form is exact for the fixed 500-row corpus; the scale path
-    * is the LSH-blocked variant (join on bucket instead of cross join). */
+  /** Embedding-cosine near-dup: top-k most-similar distinct pairs. The
+    * all-pairs form is exact for the small test corpus; the scale path is
+    * the LSH-blocked variant (join on bucket instead of cross join). The
+    * TakeOrdered limit keeps only k rows per partition in flight. */
   def nearDupPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = withNorm(spark, dir)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        pround(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
+        pround(dot_product(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
+          .as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_a"), col("vec_b"))
       .limit(k)
   }
