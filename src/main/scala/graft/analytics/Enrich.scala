@@ -1,7 +1,8 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ingest.Validation
 import graft.sources.Tables
 
 /** The declared Spark-enrichment surface (`ProcessedEvent`,
@@ -50,4 +51,69 @@ object Enrich {
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"))
       .withColumn("avg_value", col("total_value") / col("n_events"))
       .orderBy("event_date", "event_type")
+
+  /** U2 — country_code → region lookup. The producer's 6-country domain
+    * (event_producer.py:104: US/IN/GB/DE/CA/AU) as a deterministic
+    * when-chain — a 6-entry dimension needs no UDF and no join; at a larger
+    * domain this becomes `events.join(broadcast(geoDim), "country_code")`
+    * (J1 shape). */
+  def geoRegion(countryCode: Column): Column = {
+    val regions = Seq(
+      "US" -> "NA", "CA" -> "NA",
+      "GB" -> "EU", "DE" -> "EU",
+      "IN" -> "APAC", "AU" -> "APAC")
+    regions.foldRight(lit("OTHER")) { case ((cc, region), els) =>
+      when(countryCode === cc, region).otherwise(els)
+    }
+  }
+
+  /** The full ProcessedEvent builder (events.py:230-253): validated click
+    * events → enrichment columns + quality flags, in the declared output
+    * shape.
+    *
+    * `is_bot` is the documented "ML model prediction" slot (events.py:243)
+    * implemented as a deterministic click-rate rule (session > 30 events or
+    * > 1 event/sec sustained); `user_segment` (events.py:244) derives from
+    * per-user activity; `raw_payload` (events.py:246) carries the original
+    * click context as a string map.
+    *
+    * Plan shape: one groupBy(session_id) + one groupBy(user_id) aggregate,
+    * each joined back — two keyed shuffles total, both partitionable at
+    * 100 TB (session/user keys are the Kafka partition keys already,
+    * event_producer.py:294). */
+  def processedEvents(clicks: DataFrame, now: Column): DataFrame = {
+    val annotated = Validation.annotate(
+      clicks, Validation.clickViolations(now), Validation.ClickK)
+
+    val sessionStats = annotated.groupBy("session_id").agg(
+      count(lit(1)).as("s_events"),
+      (unix_micros(max(col("timestamp"))) - unix_micros(min(col("timestamp"))))
+        .as("s_span_us"))
+      .withColumn("s_rate",
+        when(col("s_span_us") > 0, col("s_events") * lit(1000000.0) / col("s_span_us"))
+          .otherwise(lit(0.0)))
+
+    val userStats = annotated.filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("u_events"))
+
+    annotated
+      .join(sessionStats, Seq("session_id"), "left")
+      .join(userStats, Seq("user_id"), "left")
+      .select(
+        col("event_id"), col("event_type"), col("timestamp"),
+        col("user_id"), col("session_id"),
+        now.as("processing_timestamp"),
+        (col("s_events") > 30 || col("s_rate") > 1.0).as("is_bot"),
+        when(col("user_id").isNull, "anonymous")
+          .when(col("u_events") >= 20, "high_value")
+          .when(col("u_events") < 3, "at_risk")
+          .otherwise("regular").as("user_segment"),
+        geoRegion(col("country_code")).as("geo_region"),
+        map(
+          lit("click_type"), col("click_type"),
+          lit("page_url"), col("page_url"),
+          lit("device_type"), col("device_type")).as("raw_payload"),
+        col("has_missing_fields"),
+        col("quality_score"))
+  }
 }

@@ -1,0 +1,115 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.analytics.Enrich
+import graft.ingest.Validation
+import graft.model.Schemas
+import graft.quality.{Expectations, Gate, SuiteCompiler}
+import graft.streaming.Streaming
+
+/** Application wiring (SURVEY §7.1 `app/`): the two executable jobs the
+  * reference's docker topology declares but never implements —
+  * the Spark streaming job (`spark/streaming/stream_processor.py`, 0 bytes)
+  * and the hourly batch + quality-gated load
+  * (`expectations.py:187-194`).
+  */
+object Jobs {
+
+  def session(appName: String, master: String = "local[*]"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Streaming ingestion: JSONL drop-dir (Kafka stand-in — swap the source
+  * format for `kafka` + `subscribe` in production) → validate → bronze
+  * (gzip JSON, y/m/d/h partitions) + quarantine, with a 30 s trigger
+  * mirroring the reference's flush interval (lake_writer.py:111).
+  *
+  * Usage: IngestJob <inDir> <bronzeDir> <quarantineDir> <checkpointDir>
+  */
+object IngestJob {
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, bronzeDir, quarantineDir, checkpointDir) = args.take(4)
+    val spark = Jobs.session("graft-ingest")
+
+    val raw = spark.readStream
+      .format("text")
+      .load(inDir)
+      .select(col("value").cast("binary").as("value"))
+
+    val (valid, dead) = Streaming.splitParsed(raw, "ecommerce.user_clicks").get
+
+    val bronze = Streaming.bronzeSink(valid, bronzeDir, s"$checkpointDir/bronze")
+    val quarantine = dead.writeStream
+      .format("json")
+      .option("path", quarantineDir)
+      .option("checkpointLocation", s"$checkpointDir/quarantine")
+      .trigger(Trigger.ProcessingTime("30 seconds"))
+      .start()
+
+    bronze.awaitTermination()
+    quarantine.awaitTermination()
+  }
+}
+
+/** Hourly batch: bronze clicks → quality gate (≥0.95, expectations.py:437)
+  * → silver (validated+deduplicated parquet) + gold (aggregations
+  * partitioned by date, lake_writer.py:18-21) + ProcessedEvent output.
+  * Aborts the load when the gate fails, exactly like the reference's
+  * Redshift path (expectations.py:456-464).
+  *
+  * Usage: BatchJob <bronzeJsonDir> <silverDir> <goldDir> <processedDir>
+  */
+object BatchJob {
+  def main(args: Array[String]): Unit = {
+    val Array(bronzeDir, silverDir, goldDir, processedDir) = args.take(4)
+    val spark = Jobs.session("graft-batch")
+
+    val clicks = spark.read.schema(Schemas.userClickSchema).json(bronzeDir)
+
+    // gate BEFORE load (A9): one aggregate pass over the batch
+    val nowS = java.time.Instant.now().getEpochSecond
+    val gate = Gate.check(SuiteCompiler.run(clicks, Expectations.clickSuite(nowS)))
+    if (!gate.passed) {
+      System.err.println(
+        f"[batch] quality gate FAILED (score=${gate.score}%.4f, " +
+          s"failing=${gate.failing.mkString(",")}) — aborting load")
+      spark.stop(); sys.exit(1)
+    }
+
+    // silver: validated + deduplicated columnar (lake_writer.py:13-16)
+    val annotated = Validation.annotate(
+      clicks, Validation.clickViolations(current_timestamp()), Validation.ClickK)
+    val (valid, _) = Validation.split(annotated,
+      Seq("missing_required", "bad_click_type", "bad_device_type"))
+    valid.dropDuplicates("event_id")
+      .write.mode("overwrite").parquet(silverDir)
+
+    // gold: date-partitioned aggregations (lake_writer.py:18-21)
+    val gold = valid
+      .groupBy(date_format(col("timestamp"), "yyyy-MM-dd").as("date"),
+        col("click_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    gold.write.mode("overwrite").partitionBy("date").parquet(goldDir)
+
+    // ProcessedEvent output stream shape (events.py:230-253)
+    Enrich.processedEvents(clicks, current_timestamp())
+      .write.mode("overwrite").parquet(processedDir)
+
+    println(f"[batch] gate passed (score=${gate.score}%.4f); wrote silver/gold/processed")
+    spark.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Enrich
+import graft.model.Schemas
+
+/** U1–U3: the ProcessedEvent builder (events.py:230-253). */
+class EnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def click(id: String, session: String, user: String, country: String,
+      ts: String): String =
+    s"""{"event_id":"$id","event_type":"user_click","timestamp":"$ts",
+       |"session_id":"$session",${if (user == null) "\"user_id\":null," else s"\"user_id\":\"$user\","}
+       |"click_type":"page_view","page_url":"https://x.com/p","device_type":"mobile",
+       |"country_code":"$country"}""".stripMargin.replaceAll("\n", "")
+
+  test("processedEvents produces the declared output shape with enrichment") {
+    val rows =
+      // bot session: 40 events in 20 seconds
+      (1 to 40).map(i => click(s"b$i", "bot-s", "bot-u", "US",
+        f"2024-01-15T10:00:${i % 60}%02d")) ++
+      // regular user, distinct sessions
+      (1 to 5).map(i => click(s"r$i", s"reg-s$i", "reg-u", "DE",
+        f"2024-01-15T1$i%d:00:00")) ++
+      // anonymous single event
+      Seq(click("a1", "anon-s", null, "XX", "2024-01-15T12:00:00"))
+    val df = rows.toSeq.toDF("value")
+      .select(from_json($"value", Schemas.userClickSchema).as("p")).select("p.*")
+    val out = Enrich.processedEvents(df, to_timestamp(lit("2024-01-15T13:00:00")))
+
+    assert(out.columns.toSeq == Seq("event_id", "event_type", "timestamp", "user_id",
+      "session_id", "processing_timestamp", "is_bot", "user_segment", "geo_region",
+      "raw_payload", "has_missing_fields", "quality_score"))
+
+    val byId = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("b1").getAs[Boolean]("is_bot"))          // 40 events, >1/s
+    assert(!byId("r1").getAs[Boolean]("is_bot"))
+    assert(byId("b1").getAs[String]("user_segment") == "high_value") // 40 events
+    assert(byId("r1").getAs[String]("user_segment") == "regular")    // 5 events
+    assert(byId("a1").getAs[String]("user_segment") == "anonymous")
+    assert(byId("b1").getAs[String]("geo_region") == "NA")
+    assert(byId("r1").getAs[String]("geo_region") == "EU")
+    assert(byId("a1").getAs[String]("geo_region") == "OTHER")
+    assert(byId("r1").getAs[Map[String, String]]("raw_payload")("click_type") == "page_view")
+    assert(byId("r1").getAs[Double]("quality_score") == 1.0)
+  }
+
+  test("geoRegion maps the producer's 6-country domain — event_producer.py:104") {
+    val df = Seq("US", "IN", "GB", "DE", "CA", "AU", "JP").toDF("cc")
+      .select($"cc", Enrich.geoRegion($"cc").as("r"))
+    val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("US" -> "NA", "CA" -> "NA", "GB" -> "EU", "DE" -> "EU",
+      "IN" -> "APAC", "AU" -> "APAC", "JP" -> "OTHER"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+import graft.analytics.Relational
+
+/** Plan-quality regression guards (SURVEY §4.2): the physical plans the
+  * engine relies on at scale must stay the plans Catalyst actually picks.
+  * These assert on explain output so a refactor that silently loses a
+  * pushdown, a broadcast, or a top-k pushdown fails the build.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def explain(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  test("q01: shipdate predicate reaches the parquet scan; columns pruned") {
+    val s = explain(Relational.q01(spark, sf0001))
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
+    // 5 of 11 lineitem columns read
+    assert(s.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_discount:double,l_shipdate"))
+  }
+
+  test("q02: aggregation is partial before the exchange (map-side combine)") {
+    val s = explain(Relational.q02(spark, sf0001))
+    assert(s.contains("partial_sum"))
+    assert(s.contains("partial_count"))
+  }
+
+  test("q03: nation dimension joins via broadcast, no extra shuffle") {
+    val s = explain(Relational.q03(spark, sf0001))
+    assert(s.contains("BroadcastHashJoin"))
+    assert(s.contains("nation.parquet"))
+  }
+
+  test("q07: rank filter is pushed below the shuffle (WindowGroupLimit)") {
+    val s = explain(Relational.q07(spark, sf0001))
+    assert(s.contains("WindowGroupLimit"))
+    assert(s.contains("Partial"))
+  }
+
+  test("q14: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val s = explain(Relational.q14(spark, sf0001))
+    assert(s.contains("TakeOrderedAndProject"))
+  }
+
+  test("q20: range join keeps its equi component (sort-merge/hash, not NL)") {
+    val s = explain(Relational.q20(spark, sf0001))
+    assert(s.contains("o_orderkey") && !s.contains("CartesianProduct"))
+    assert(!s.contains("BroadcastNestedLoopJoin") ||
+      // at tiny SF a broadcast NL can win; the equi key must still exist
+      s.contains("l_orderkey"))
+  }
+
+  test("q23: dot product uses the codegen'd graft_dot expression") {
+    val s = explain(graft.vector.Similarity.cosineTopK(spark, sf0001))
+    assert(s.contains("graft_dot"))
+    assert(!s.contains("aggregate(zip_with"))
+  }
+}
