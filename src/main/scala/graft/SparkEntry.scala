@@ -57,6 +57,9 @@ object SparkEntry {
     "q35_multimodal_meta" -> (Multimodal.metadata _),
     "q36_user_segments"   -> (Enrich.userSegments _),
     "q37_gold_daily"      -> (Enrich.goldDaily _),
+    "q38_asof_join"       -> (Relational.q38 _),
+    "q39_running_total"   -> (Relational.q39 _),
+    "q40_hourly_tumbling" -> (Relational.q40 _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -397,5 +400,36 @@ object SparkEntry {
         | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
         | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY event_date, event_type""".stripMargin,
+
+    "q38_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type = 'click'
+        |        THEN lpad(ts_us::VARCHAR, 16, '0') || ':' || lpad(event_id::VARCHAR, 10, '0') END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, is_p, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |  FROM u)
+        |SELECT event_id, user_id, ts_us,
+        | CAST(substr(last_click, 18, 10) AS BIGINT) AS last_click_event_id,
+        | (ts_us - CAST(substr(last_click, 1, 16) AS BIGINT)) / 1000000.0 AS gap_secs
+        |FROM w WHERE is_p = 1 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q39_running_total" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |             CAST(ROUND(value*100, 0) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, ts_us,
+        | CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS running_value
+        |FROM e ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q40_hourly_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
   )
 }

@@ -325,4 +325,63 @@ object Relational {
           .as("max_line_cents"))
       .withColumn("order_total", col("total_cents") / 100.0)
       .orderBy("l_orderkey")
+
+  /** Q38 — AS-OF join (J6, the CDC "state at order time" shape,
+    * events.py:198+81): for each purchase event, the user's most recent
+    * click at-or-before it. Formulated as a tagged union + one running-max
+    * window — a single keyed shuffle, no range-join explosion, the scalable
+    * as-of pattern (DuckDB's native ASOF JOIN is the oracle). The (ts,
+    * event_id) pair is packed into a zero-padded sortable string so "latest"
+    * is total-ordered identically in both engines. */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val packed = concat(lpad(col("ts_us").cast("string"), 16, "0"), lit(":"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+      .withColumn("click_key", when(col("event_type") === "click", packed))
+      .withColumn("last_click", max(col("click_key")).over(w))
+      .filter(col("is_p") === 1)
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        substring(col("last_click"), 18, 10).cast("long").as("last_click_event_id"),
+        ((col("ts_us") - substring(col("last_click"), 1, 16).cast("long")) / 1000000.0)
+          .as("gap_secs"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Q39 — frame-spec running totals (W5, the cart-accumulation shape,
+    * event_producer.py:135-136): cumulative spend per user over event time.
+    * The cumsum runs in exact integer cents (order-fixed by the window
+    * sort), so it is engine-deterministic without rounding. */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("running_value", sum(col("cents")).over(w) / 100.0)
+      .select("user_id", "event_id", "ts_us", "running_value")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  /** Q40 — tumbling 1-hour windows (T9, the hourly batch cadence,
+    * expectations.py:187-194 / lake_writer.py:123): events per (hour,
+    * type) with exact cents totals. In streaming form this is
+    * `window($"ts", "1 hour")`; the batch formulation groups on the
+    * truncated hour so the DuckDB oracle can mirror it. */
+  def q40(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"))
+      .orderBy("hour_start", "event_type")
 }

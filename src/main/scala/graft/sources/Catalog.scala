@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition catalog (SURVEY S8/A11) — the Spark rewrite of
+  * `DataLakeCatalog` (`/root/reference/data/lake_writer.py:233-286`):
+  * per-partition file_count + total_size_mb, and a per-table lake summary.
+  *
+  * Two implementations on purpose:
+  * - [[listPartitions]] walks the FileSystem like the reference walks S3
+  *   keys — exact, driver-side, right for operational tooling on one table.
+  * - [[partitionStats]] derives the same stats distributed from
+  *   `input_file_name()` — the path that still works when "list the
+  *   partitions" means scanning a 100 TB lake's manifest in parallel.
+  */
+object Catalog {
+
+  case class PartitionInfo(partition: String, file_count: Long, total_size_mb: Double)
+
+  /** List Hive-style partitions under `root` with file counts and sizes
+    * (key pattern `year=YYYY/month=MM/...`, lake_writer.py:118-141; listing
+    * shape :244-266). Ordered by partition path like the reference's
+    * lexicographic S3 listing (O1). */
+  def listPartitions(spark: SparkSession, root: String): Seq[PartitionInfo] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify so URI relativization works across schemes (file:, s3a:, hdfs:)
+    val base = fs.makeQualified(new Path(root))
+    if (!fs.exists(base)) return Seq.empty
+    val files = fs.listFiles(base, true)
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    while (files.hasNext) {
+      val f = files.next()
+      if (!f.getPath.getName.startsWith("_")) {
+        val rel = base.toUri.relativize(f.getPath.toUri).getPath
+        val dir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => rel.substring(0, i)
+        }
+        if (dir.contains("=")) {
+          val (c, s) = acc.getOrElse(dir, (0L, 0L))
+          acc(dir) = (c + 1, s + f.getLen)
+        }
+      }
+    }
+    acc.toSeq.sortBy(_._1).map { case (p, (c, sz)) =>
+      PartitionInfo(p, c, math.rint(sz / 1048576.0 * 100) / 100)
+    }
+  }
+
+  /** Lake summary per table root (get_lake_summary, lake_writer.py:268-286):
+    * object count + total size per prefix. */
+  def lakeSummary(spark: SparkSession, roots: Map[String, String]): Map[String, (Long, Double)] =
+    roots.map { case (name, root) =>
+      val parts = listPartitions(spark, root)
+      name -> (parts.map(_.file_count).sum,
+        math.rint(parts.map(_.total_size_mb).sum * 100) / 100)
+    }
+
+  /** Distributed partition stats from the files behind a DataFrame scan:
+    * groupBy(input_file_name) — runs on executors, scales with the lake. */
+  def partitionStats(df: DataFrame): DataFrame =
+    df.withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(count(lit(1)).as("row_count"))
+      .orderBy("file")
+}

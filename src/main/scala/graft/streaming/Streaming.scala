@@ -26,6 +26,22 @@ object Streaming {
 
   // ---- S1: Kafka-shaped source parsing -------------------------------------
 
+  /** Kafka source builder — the production S1 wiring
+    * (event_consumer.py:125-147's subscribe + poll loop as one declaration).
+    * Requires the `spark-sql-kafka-0-10` connector on the classpath (not
+    * shipped in this environment, so this path is exercised through
+    * [[parseTopic]]/[[splitParsed]] over Kafka-shaped frames instead).
+    * `startingOffsets=earliest` mirrors `auto.offset.reset=earliest`
+    * (event_consumer.py:136); offset commits are subsumed by checkpointing
+    * (T1/T4). */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
   /** Parse a Kafka-shaped stream (key/value binary columns) for `topic`
     * using the fixed TOPIC_SCHEMA_MAP binding (events.py:260-265).
     * Malformed JSON yields a null struct — the P1 permissive-validation

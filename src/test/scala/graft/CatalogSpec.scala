@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.quality.WeightedScore
+import graft.sources.Catalog
+import graft.streaming.Streaming
+
+/** S8/A11 partition catalog + U4 udaf registration. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("listPartitions reports hive partitions with file counts and sizes") {
+    val dir = java.nio.file.Files.createTempDirectory("lake").toString
+    val df = Seq(
+      ("e1", java.sql.Timestamp.valueOf("2024-03-05 07:30:00")),
+      ("e2", java.sql.Timestamp.valueOf("2024-03-05 08:30:00")),
+      ("e3", java.sql.Timestamp.valueOf("2024-03-06 07:30:00"))).toDF("event_id", "timestamp")
+    Streaming.withHivePartitions(df).write.mode("overwrite")
+      .partitionBy("year", "month", "day", "hour").json(dir)
+    val parts = Catalog.listPartitions(spark, dir)
+    assert(parts.length == 3)
+    assert(parts.map(_.partition).toSeq == Seq(
+      "year=2024/month=3/day=5/hour=7", "year=2024/month=3/day=5/hour=8",
+      "year=2024/month=3/day=6/hour=7"))
+    assert(parts.forall(p => p.file_count >= 1 && p.total_size_mb >= 0))
+    val summary = Catalog.lakeSummary(spark, Map("bronze" -> dir))
+    assert(summary("bronze")._1 == parts.map(_.file_count).sum)
+  }
+
+  test("partitionStats derives per-file row counts distributed") {
+    val stats = Catalog.partitionStats(
+      spark.read.parquet(s"$sf0001/lineitem.parquet"))
+    val total = stats.agg(sum("row_count")).head().getLong(0)
+    assert(total == spark.read.parquet(s"$sf0001/lineitem.parquet").count())
+  }
+
+  test("WeightedScore registers as a SQL aggregate and computes group scores") {
+    val name = WeightedScore.register(spark, 0.2)
+    Seq(("s1", 0L), ("s1", 1L), ("s2", 5L), ("s2", 10L))
+      .toDF("session_id", "violations").createOrReplaceTempView("v")
+    val r = spark.sql(
+      s"SELECT session_id, $name(violations) AS score FROM v GROUP BY session_id ORDER BY session_id")
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("s1") - 0.9) < 1e-9)  // mean(1.0, 0.8)
+    assert(r("s2") == 0.0)                  // both clamped to 0
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.model.Schemas.OrderItem
+import graft.quality.WeightedScore
+
+/** Property-based invariants (SURVEY §5.2) with generators mirroring the
+  * producer's distributions (event_producer.py:120-132,176-189). */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic forAll: 100 seeded samples per property (the scalatest-
+    * scalacheck bridge isn't in the offline cache; direct sampling keeps
+    * runs reproducible). */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 100).foreach { i => f(g.pureApply(Gen.Parameters.default, Seed(i.toLong))) }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 100).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(i.toLong)),
+        gb.pureApply(Gen.Parameters.default, Seed(i.toLong + 1000)))
+    }
+
+  private val itemGen: Gen[OrderItem] = for {
+    pid   <- Gen.choose(1, 8).map(i => s"P00$i")            // 8-product catalog
+    qty   <- Gen.choose(1, 3)                                // quantity 1-3
+    price <- Gen.choose(599, 129999).map(_ / 100.0)          // money, 2-dec
+    disc  <- Gen.oneOf(0.0, 5.0, 10.0, 15.0, 20.0)           // discount_pct
+  } yield OrderItem(pid, s"name-$pid", "cat", qty, price, disc)
+
+  test("line_total is nonnegative and ≤ qty·price — events.py:142-144") {
+    forAll(itemGen) { item =>
+      assert(item.lineTotal >= 0.0)
+      assert(item.lineTotal <= item.quantity * item.unit_price + 1e-9)
+    }
+  }
+
+  test("order built from its items always satisfies the ±0.01 invariant") {
+    forAll(Gen.nonEmptyListOf(itemGen).map(_.take(3))) { items => // cart [:3]
+      val total = math.rint(items.map(_.lineTotal).sum * 100) / 100 // round(,2)
+      assert(math.abs(total - items.map(_.lineTotal).sum) <= 0.01 + 1e-9)
+    }
+  }
+
+  test("quality score is monotone in violations and clamped to [0,1]") {
+    forAll(Gen.choose(0, 20), Gen.oneOf(0.2, 0.25, 0.3)) { (v, k) =>
+      val s = math.max(0.0, 1.0 - k * v)
+      val s2 = math.max(0.0, 1.0 - k * (v + 1))
+      assert(s >= s2)
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("WeightedScore aggregator matches the per-row mean for any group") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 10L))) { violations =>
+      val agg = new WeightedScore(0.2)
+      val buf = violations.foldLeft(agg.zero)(agg.reduce)
+      val expected = violations.map(v => math.max(0.0, 1.0 - 0.2 * v)).sum / violations.size
+      assert(math.abs(agg.finish(buf) - expected) < 1e-12)
+    }
+  }
+
+  test("WeightedScore merge is associative-compatible with reduce (partial agg)") {
+    forAll(Gen.listOf(Gen.choose(0L, 10L)), Gen.listOf(Gen.choose(0L, 10L))) { (a, b) =>
+      val agg = new WeightedScore(0.25)
+      val whole = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+      val parts = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(math.abs(agg.finish(whole) - agg.finish(parts)) < 1e-12)
+    }
+  }
+
+  test("dedup is idempotent: dropDuplicates twice == once") {
+    import spark.implicits._
+    (1 to 5).map(i => Gen.listOfN(40, Gen.choose(1, 12))
+        .pureApply(Gen.Parameters.default, Seed(i.toLong))).foreach { ids =>
+      val df = ids.map(i => (s"e$i", i)).toDF("event_id", "v")
+      val once = df.dropDuplicates("event_id")
+      val twice = once.dropDuplicates("event_id")
+      assert(once.count() == twice.count())
+      assert(once.select("event_id").distinct().count() == once.count())
+    }
+  }
+}
