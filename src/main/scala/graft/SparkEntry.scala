@@ -60,6 +60,7 @@ object SparkEntry {
     "q38_asof_join"       -> (Relational.q38 _),
     "q39_running_total"   -> (Relational.q39 _),
     "q40_hourly_tumbling" -> (Relational.q40 _),
+    "q41_ann_ivf"         -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -431,5 +432,20 @@ object SparkEntry {
         | event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q41_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
+         |cb AS (SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n WHERE vec_id BETWEEN 1 AND 4),
+         |a AS (SELECT n.vec_id, n.v, n.norm, c_id,
+         |        ${dotD("v", "cv")} / (norm * cnorm) AS c_cos FROM n, cb),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn FROM a),
+         |cell AS (SELECT vec_id, v, norm, c_id AS cell FROM r WHERE rn = 1),
+         |p AS (SELECT v AS pv, norm AS pnorm, cell AS pcell FROM cell WHERE vec_id = 0),
+         |s AS (SELECT vec_id, cell, ${pr4(s"${dotD("v", "pv")} / (norm * pnorm)")} AS cos_sim
+         |      FROM cell, p WHERE cell = pcell),
+         |rk AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
+         |         vec_id, cell, cos_sim FROM s)
+         |SELECT rnk, vec_id, cell, cos_sim FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
   )
 }

@@ -26,6 +26,10 @@ object Jobs {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // RocksDB-backed state: session/dedup/CDC state stays off-heap and
+      // spillable at the 100 TB north star (SURVEY 7.4.6)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

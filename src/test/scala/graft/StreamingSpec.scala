@@ -92,4 +92,24 @@ class StreamingSpec extends SparkSpec {
     assert(r.getString(0) == "s9")
     assert(r.getString(1).contains("\"event_id\":\"e1\""))
   }
+
+  test("tumbling hourly windows aggregate per (window, type) — T9") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val win = Streaming.windowedCounts(
+      in.toDF().toDF("event_type", "timestamp"), "timestamp", "1 hour", "1 hour", "2 hours")
+    val q = win.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    in.addData(("click", ts("2024-01-01T10:05:00Z")), ("click", ts("2024-01-01T10:55:00Z")),
+      ("view", ts("2024-01-01T11:05:00Z")))
+    q.processAllAvailable()
+    in.addData(("click", ts("2024-01-01T20:00:00Z"))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out").orderBy("window_start", "event_type").collect()
+    assert(rows.exists(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[Long]("n_events") == 2))
+    assert(rows.exists(r => r.getAs[String]("event_type") == "view" &&
+      r.getAs[Long]("n_events") == 1))
+  }
 }

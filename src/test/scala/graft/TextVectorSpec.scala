@@ -95,4 +95,10 @@ class TextVectorSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(assets.filter(_.asset_id == 1), 4, 2).collect()
     assert(frames.length == 4) // 29/4 = 7 frames, stride 2 → frames 0,2,4,6
   }
+
+  test("IVF cells: probe's cell contains the probe at rank 1") {
+    val r = Similarity.annIvf(spark, sf0001).collect()
+    assert(r.nonEmpty && r.head.getLong(1) == 0L && r.head.getDouble(3) == 1.0)
+    assert(r.map(_.getLong(2)).distinct.length == 1) // single cell searched
+  }
 }
