@@ -69,6 +69,19 @@ object Streaming {
       (ok, dead)
     }
 
+  /** O3 — all-topics merge (event_consumer.py:265-273 consumes the three
+    * topic streams through one handler): schema-tolerant union of per-topic
+    * frames. */
+  def unionTopics(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** F10 — envelope defaults (BaseEvent, events.py:79-81): fill missing
+    * `event_id` with a generated UUID and missing `timestamp` with
+    * processing time, exactly the Pydantic default-factory behavior. */
+  def withEnvelopeDefaults(df: DataFrame): DataFrame =
+    df.withColumn("event_id", coalesce(col("event_id"), expr("uuid()")))
+      .withColumn("timestamp", coalesce(col("timestamp"), current_timestamp()))
+
   // ---- S2: Kafka-shaped sink projection ------------------------------------
 
   /** Project rows to the Kafka sink contract: key = session_id (the

@@ -112,4 +112,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[String]("event_type") == "view" &&
       r.getAs[Long]("n_events") == 1))
   }
+
+  test("unionTopics merges heterogenous topic frames by name — O3") {
+    val clicks = Seq(("e1", "user_click", "https://x.com")).toDF("event_id", "event_type", "page_url")
+    val orders = Seq(("e2", "order", "ORD-1")).toDF("event_id", "event_type", "order_id")
+    val u = Streaming.unionTopics(Seq(clicks, orders))
+    assert(u.count() == 2)
+    assert(u.columns.toSet == Set("event_id", "event_type", "page_url", "order_id"))
+    assert(u.filter($"event_id" === "e1").head().getAs[String]("order_id") == null)
+  }
+
+  test("envelope defaults fill null event_id/timestamp — F10, events.py:79-81") {
+    val df = Seq((null.asInstanceOf[String], null.asInstanceOf[java.sql.Timestamp], "s1"),
+      ("keep-me", ts("2024-01-01T00:00:00Z"), "s2")).toDF("event_id", "timestamp", "session_id")
+    val out = Streaming.withEnvelopeDefaults(df).collect()
+      .map(r => r.getString(2) -> ((r.getString(0), r.get(1)))).toMap
+    assert(out("s1")._1 != null && out("s1")._1.length == 36) // uuid
+    assert(out("s1")._2 != null)
+    assert(out("s2")._1 == "keep-me")
+  }
 }
