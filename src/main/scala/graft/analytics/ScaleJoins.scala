@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-avoidance utilities for the 100 TB path (SURVEY §4.2 "join
+  * strategy" + the brief's partitioning/bucketing/salting checklist).
+  *
+  * - Bucketing: write both join sides bucketed by the join key → repeated
+  *   joins read co-located buckets with NO exchange on either side. The
+  *   right trade when a fact table is joined on the same key by many
+  *   downstream queries (orders ⋈ lineitem here).
+  * - Salting: explode a hot key into `saltFactor` sub-keys on the skewed
+  *   side and replicate the other side, so one giant key no longer pins a
+  *   single reducer. AQE's skew-join split handles moderate skew
+  *   automatically; salting is the deliberate version for pathological keys.
+  */
+object ScaleJoins {
+
+  /** Write `df` as a bucketed+sorted table (co-located layout). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — plans as a
+    * sort-merge join with zero Exchange operators when bucket counts match. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** Salted equi-join: `facts ⋈ dim` on `key` where some fact keys are hot.
+    * Facts get a random salt in [0, saltFactor); the dimension side is
+    * replicated across all salts (explode of a literal range — dimension
+    * rows × saltFactor, fine for dimension-sized tables). Result equals the
+    * plain join, but the shuffle key is (key, salt) so hot keys spread over
+    * saltFactor reducers. */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val salted = facts.withColumn("_salt",
+      (rand(seed = 42) * saltFactor).cast("int"))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Count Exchange operators in a plan — the unit tests' shuffle meter. */
+  def exchangeCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+}

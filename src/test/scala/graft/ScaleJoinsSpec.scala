@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.ScaleJoins
+
+/** Shuffle-avoidance: bucketed co-located joins + salted skew joins. */
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join on matching buckets plans with zero shuffles") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    ScaleJoins.writeBucketed(o, "orders_b", "o_orderkey", 4)
+    ScaleJoins.writeBucketed(l, "lineitem_b", "o_orderkey", 4)
+    val joined = ScaleJoins.bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+    assert(ScaleJoins.exchangeCount(joined) == 0) // co-located: no exchange
+    assert(joined.count() == l.count())           // every line matches its order
+    // contrast: the plain parquet join needs at least one shuffle
+    val plain = o.join(l, "o_orderkey")
+    assert(ScaleJoins.exchangeCount(plain) >= 1 ||
+      plain.queryExecution.executedPlan.toString.contains("Broadcast"))
+  }
+
+  test("salted join equals the plain join and spreads the hot key") {
+    // hot key: 10k rows of key=1, a handful elsewhere
+    val facts = ((1 to 10000).map(_ => (1, "hot")) ++ Seq((2, "a"), (3, "b")))
+      .toDF("k", "payload")
+    val dim = Seq((1, "dim1"), (2, "dim2"), (3, "dim3"), (4, "dim4")).toDF("k", "attr")
+    val plain = facts.join(dim, "k")
+    val salted = ScaleJoins.saltedJoin(facts, dim, "k", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k", "attr").count().orderBy("k").collect().toSeq ==
+      plain.groupBy("k", "attr").count().orderBy("k").collect().toSeq)
+  }
+}
