@@ -61,6 +61,10 @@ object SparkEntry {
     "q39_running_total"   -> (Relational.q39 _),
     "q40_hourly_tumbling" -> (Relational.q40 _),
     "q41_ann_ivf"         -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q42_vocabulary"      -> ((s: SparkSession, d: String) => TextOps.vocabulary(s, d)),
+    "q43_tfidf"           -> (TextOps.tfidf _),
+    "q44_sample"          -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
+    "q45_length_stats"    -> (TextOps.lengthStats _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -447,5 +451,39 @@ object SparkEntry {
          |rk AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
          |         vec_id, cell, cos_sim FROM s)
          |SELECT rnk, vec_id, cell, cos_sim FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q42_vocabulary" ->
+      """SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
+    "q43_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfx AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+        |nn AS (SELECT COUNT(*) * 1.0 AS n FROM documents),
+        |j AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+        |        floor((tf.tf * ln(nn.n / dfx.df)) * 10000 + 0.5) / 10000.0 AS tfidf
+        |      FROM tf, dfx, nn WHERE tf.token = dfx.token),
+        |r AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rn,
+        |        token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf FROM j)
+        |SELECT doc_id, rn, token, tf, df, tfidf FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q44_sample" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | COUNT(CASE WHEN bucket = 0 THEN 1 END) AS n_sampled,
+        | COUNT(CASE WHEN bucket = 0 THEN 1 END) * 1.0 / COUNT(*) AS sample_rate
+        |FROM (SELECT lang,
+        |        CAST(CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) AS BIGINT) % 10 AS bucket
+        |      FROM documents) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q45_length_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        | floor(quantile_cont(n_chars, 0.5) * 10000 + 0.5) / 10000.0 AS median_chars,
+        | floor(quantile_cont(n_chars, 0.9) * 10000 + 0.5) / 10000.0 AS p90_chars,
+        | CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

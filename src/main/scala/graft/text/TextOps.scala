@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.Portable.pround
 import graft.sources.Tables
 
@@ -118,4 +119,65 @@ object TextOps {
       .join(minShingle, Seq("doc_id"), "left")
       .orderBy("doc_id")
   }
+
+  /** Vocabulary build (north star, the BPE-training precursor): global token
+    * counts + document frequency, top 100. One explode + two map-side
+    * combined aggregates — at corpus scale this is the canonical
+    * shuffle-on-token wordcount. */
+  def vocabulary(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(desc("n_occurrences"), col("token"))
+      .limit(k)
+  }
+
+  /** TF-IDF relevance (north star): per document, the top-3 tokens by
+    * tf·ln(N/df). Exact integer tf/df/N keep the only float op one ln and
+    * one multiply — engine-deterministic, pround(4) for presentation. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // fixed corpus size (deterministic literal)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
+    tf.join(df_, "token")
+      .withColumn("tfidf", pround(col("tf") * log(lit(n * 1.0) / col("df")), 4))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Deterministic stratified sampling (north star, training-data
+    * curation): hash-mod selection — md5-derived bucket, keep bucket 0 of
+    * `mod` (≈1/mod of the corpus), reported per language stratum.
+    * Hash-based sampling is reproducible across runs/engines/cluster sizes,
+    * unlike rand()-based sampling. */
+  def stratifiedSample(spark: SparkSession, dir: String, mod: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(text), 1, 4), 16, 10) as bigint)") % mod)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("bucket") === 0, 1)).as("n_sampled"),
+        (count(when(col("bucket") === 0, 1)) * lit(1.0) / count(lit(1))).as("sample_rate"))
+      .orderBy("lang")
+
+  /** Corpus length distribution (north star): exact linear-interpolated
+    * percentiles of document length per language. */
+  def lengthStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        pround(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
+        pround(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang")
 }

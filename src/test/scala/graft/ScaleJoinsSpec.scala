@@ -8,6 +8,15 @@ class ScaleJoinsSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed join on matching buckets plans with zero shuffles") {
+    // managed-table locations outlive the session's in-memory catalog
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
     val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .withColumnRenamed("l_orderkey", "o_orderkey")
