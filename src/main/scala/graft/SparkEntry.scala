@@ -65,6 +65,8 @@ object SparkEntry {
     "q43_tfidf"           -> (TextOps.tfidf _),
     "q44_sample"          -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
     "q45_length_stats"    -> (TextOps.lengthStats _),
+    "q46_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.hybridSearch(s, d)),
+    "q47_funnel"          -> (Relational.q47 _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -485,5 +487,26 @@ object SparkEntry {
         | floor(quantile_cont(n_chars, 0.9) * 10000 + 0.5) / 10000.0 AS p90_chars,
         | CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q46_hybrid_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
+         |d AS (SELECT doc_id, lang FROM documents WHERE lang = 'en'),
+         |p AS (SELECT v AS pv, norm AS pnorm FROM n WHERE vec_id = 0),
+         |s AS (SELECT n.vec_id, d.lang, ${pr4(s"${dotD("v", "pv")} / (norm * pnorm)")} AS cos_sim
+         |      FROM n JOIN d ON n.vec_id = d.doc_id, p),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
+         |        vec_id, lang, cos_sim FROM s)
+         |SELECT rnk, vec_id, lang, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q47_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |      FROM e)
+        |SELECT prev_type, event_type, COUNT(*) AS n_transitions,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM w WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
   )
 }

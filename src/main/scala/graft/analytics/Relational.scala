@@ -384,4 +384,20 @@ object Relational {
         count(lit(1)).as("n_events"),
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("total_value"))
       .orderBy("hour_start", "event_type")
+
+  /** Q47 — funnel transition analysis (W4, the producer's core
+    * browse→cart→checkout invariant, event_producer.py:76-77,134-136):
+    * per user, adjacent event-type transitions counted via lag, plus the
+    * click→purchase conversion count. One (user_id) shuffle. */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("prev_type", "event_type")
+  }
 }

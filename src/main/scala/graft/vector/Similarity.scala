@@ -111,6 +111,31 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** Hybrid retrieval (multimodal join): filter the document corpus by a
+    * metadata predicate (lang), join to the embedding store on
+    * doc_id = vec_id, then exact cosine top-k against the probe — the
+    * filter-then-ANN shape of production RAG retrieval. The metadata filter
+    * prunes before any vector math; at scale the join is co-partitioned on
+    * the shared id. */
+  def hybridSearch(spark: SparkSession, dir: String, lang: String = "en",
+      k: Int = 10): DataFrame = {
+    val e = withNorm(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .filter(col("lang") === lang).select(col("doc_id"), col("lang"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("norm").as("pnorm"))
+    val w = Window.orderBy(desc("cos_sim"), col("vec_id"))
+    e.join(docs, e("vec_id") === docs("doc_id"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("lang"),
+        pround(dot_product(col("v"), col("pv")) / (col("norm") * col("pnorm")), 4)
+          .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("rnk", "vec_id", "lang", "cos_sim")
+      .orderBy("rnk")
+  }
+
   /** Embedding-cosine near-dup: top-k most-similar distinct pairs. The
     * all-pairs form is exact for the small test corpus; the scale path is
     * the LSH-blocked variant (join on bucket instead of cross join). The
