@@ -25,6 +25,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // remove any stale dump so a failed query can't masquerade as a
+        // pass when the out dir is reused
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(stale).deleteRecursively()
+        }
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

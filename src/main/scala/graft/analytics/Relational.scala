@@ -312,17 +312,16 @@ object Relational {
     * deterministic via sort_array before the fold. */
   def q24(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"),
-        fixed(revenue, 2).as("rev_cents"))
+      .select(col("l_orderkey"), fixed(revenue, 2).as("rev_cents"))
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("rev_cents")))).as("lines"))
+      .agg(collect_list(col("rev_cents")).as("lines"))
       .select(
         col("l_orderkey"),
         size(col("lines")).cast("long").as("n_lines"),
-        aggregate(col("lines"), lit(0L), (acc, x) => acc + x.getField("rev_cents"))
-          .as("total_cents"),
-        array_max(transform(col("lines"), x => x.getField("rev_cents")))
-          .as("max_line_cents"))
+        // integer cents: the fold is order-independent, so collect_list's
+        // nondeterministic ordering cannot change the result
+        aggregate(col("lines"), lit(0L), (acc, x) => acc + x).as("total_cents"),
+        array_max(col("lines")).as("max_line_cents"))
       .withColumn("order_total", col("total_cents") / 100.0)
       .orderBy("l_orderkey")
 

@@ -192,6 +192,33 @@ object Streaming {
   def reorderAlerts(state: Dataset[CdcState]): Dataset[CdcState] =
     state.filter(s => !s.deleted && s.stock_quantity < s.reorder_level)
 
+  // ---- A9/T-series: streaming quality-gated load ---------------------------
+
+  /** The reference's quality-gated load (quality_gate, expectations.py:
+    * 437-464) as a STREAMING sink: each micro-batch runs its expectation
+    * suite in one aggregate pass; passing batches append to the gold path,
+    * failing batches are quarantined whole (the abort-load branch,
+    * expectations.py:456-461). `foreachBatch` gives per-batch atomicity;
+    * checkpointing makes the decision exactly-once per batch. */
+  def gatedGoldSink(df: DataFrame, suite: graft.quality.Expectations.Suite,
+      goldPath: String, rejectPath: String, checkpoint: String,
+      minScore: Double = graft.quality.Gate.DefaultMinScore,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val result = graft.quality.SuiteCompiler.run(batch, suite)
+          val gate = graft.quality.Gate.check(result, minScore)
+          val target = if (gate.passed) goldPath else rejectPath
+          batch.withColumn("_batch_id", lit(batchId))
+            .withColumn("_gate_score", lit(gate.score))
+            .write.mode("append").parquet(target)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   // ---- A12: streaming event-mix counters -----------------------------------
 
   /** Running counts per event type (producer stats every 50 events,

@@ -131,4 +131,27 @@ class StreamingSpec extends SparkSpec {
     assert(out("s1")._2 != null)
     assert(out("s2")._1 == "keep-me")
   }
+
+  test("gated gold sink routes passing batches to gold, failing to reject — A9") {
+    import graft.quality.Expectations._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gate").toString
+    val suite = Suite("t", Seq(NotNull("event_id"),
+      InSet("click_type", graft.model.Schemas.ClickEventTypes)))
+    val in = MemoryStream[(String, String)]
+    val q = Streaming.gatedGoldSink(
+      in.toDF().toDF("event_id", "click_type"), suite,
+      s"$dir/gold", s"$dir/reject", s"$dir/ckpt", minScore = 0.95,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    in.addData(("e1", "page_view"), ("e2", "search"))   // clean batch
+    q.processAllAvailable()
+    in.addData(("e3", "NOT_A_TYPE"), ("e4", "page_view")) // failing batch
+    q.processAllAvailable()
+    q.stop()
+    val gold = spark.read.parquet(s"$dir/gold")
+    val reject = spark.read.parquet(s"$dir/reject")
+    assert(gold.select("event_id").collect().map(_.getString(0)).sorted.toSeq == Seq("e1", "e2"))
+    assert(reject.select("event_id").collect().map(_.getString(0)).sorted.toSeq == Seq("e3", "e4"))
+    assert(reject.select("_gate_score").head().getDouble(0) == 0.5)
+  }
 }
