@@ -307,9 +307,9 @@ object Relational {
 
   /** Q24 — array / higher-order functions (F11) + the order-total invariant
     * (P4, events.py:167-177): per order, fold the line array with
-    * `aggregate` in exact integer cents (order-independent), plus an
-    * `array_max` of the per-line totals. collect_list order is made
-    * deterministic via sort_array before the fold. */
+    * `aggregate` in exact integer cents, plus an `array_max` of the
+    * per-line totals. The fold and max are order-independent over integer
+    * cents, so collect_list's nondeterministic ordering needs no sort. */
   def q24(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), fixed(revenue, 2).as("rev_cents"))

@@ -196,24 +196,32 @@ object Streaming {
 
   /** The reference's quality-gated load (quality_gate, expectations.py:
     * 437-464) as a STREAMING sink: each micro-batch runs its expectation
-    * suite in one aggregate pass; passing batches append to the gold path,
+    * suite in one aggregate pass; passing batches land under the gold path,
     * failing batches are quarantined whole (the abort-load branch,
-    * expectations.py:456-461). `foreachBatch` gives per-batch atomicity;
-    * checkpointing makes the decision exactly-once per batch. */
+    * expectations.py:456-461).
+    *
+    * Delivery: foreachBatch is at-least-once, so each batch OVERWRITES its
+    * own `_batch_id=<id>` partition directory — a crash-and-retry rewrites
+    * the same directory instead of appending duplicates (effective
+    * exactly-once; readers of goldPath see `_batch_id` as a partition
+    * column). The batch is persisted so the gate judges exactly the rows
+    * that get written (and the source isn't recomputed per action). */
   def gatedGoldSink(df: DataFrame, suite: graft.quality.Expectations.Suite,
       goldPath: String, rejectPath: String, checkpoint: String,
       minScore: Double = graft.quality.Gate.DefaultMinScore,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val result = graft.quality.SuiteCompiler.run(batch, suite)
-          val gate = graft.quality.Gate.check(result, minScore)
-          val target = if (gate.passed) goldPath else rejectPath
-          batch.withColumn("_batch_id", lit(batchId))
-            .withColumn("_gate_score", lit(gate.score))
-            .write.mode("append").parquet(target)
-        }
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val result = graft.quality.SuiteCompiler.run(batch, suite)
+            val gate = graft.quality.Gate.check(result, minScore)
+            val target = if (gate.passed) goldPath else rejectPath
+            batch.withColumn("_gate_score", lit(gate.score))
+              .write.mode("overwrite").parquet(s"$target/_batch_id=$batchId")
+          }
+        } finally batch.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -148,8 +148,9 @@ class StreamingSpec extends SparkSpec {
     in.addData(("e3", "NOT_A_TYPE"), ("e4", "page_view")) // failing batch
     q.processAllAvailable()
     q.stop()
-    val gold = spark.read.parquet(s"$dir/gold")
+    val gold = spark.read.parquet(s"$dir/gold")   // _batch_id partition dirs
     val reject = spark.read.parquet(s"$dir/reject")
+    assert(gold.columns.contains("_batch_id"))
     assert(gold.select("event_id").collect().map(_.getString(0)).sorted.toSeq == Seq("e1", "e2"))
     assert(reject.select("event_id").collect().map(_.getString(0)).sorted.toSeq == Seq("e3", "e4"))
     assert(reject.select("_gate_score").head().getDouble(0) == 0.5)
