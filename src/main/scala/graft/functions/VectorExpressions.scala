@@ -69,3 +69,20 @@ object VectorExpressions {
     * have invoked [[register]] on the session first. */
   def dot_product(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }
+
+/** Production registration path: inject `graft_dot` at session build via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`). The registry route in
+  * [[VectorExpressions.register]] covers sessions built without the
+  * extension (e.g. the driver's Verify/Bench mains).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+}

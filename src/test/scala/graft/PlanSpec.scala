@@ -58,4 +58,18 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("graft_dot"))
     assert(!s.contains("aggregate(zip_with"))
   }
+
+  test("GraftExtensions injects graft_dot at session build") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(r == 11.0)
+    } finally ()
+  }
 }
