@@ -21,6 +21,8 @@ object Jobs {
     val s = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions) // graft_dot in SQL
+
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the vector hot path (SURVEY §7.3: the one
   * anticipated custom `Expression`).
@@ -25,6 +25,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -58,12 +70,21 @@ case class DotProduct(left: Expression, right: Expression)
 
 object VectorExpressions {
 
+  /** The one builder both registration paths share: arity-checked so SQL
+    * misuse fails analysis with a clear message instead of dropping
+    * arguments or throwing IndexOutOfBounds. */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
+    DotProduct(exprs(0), exprs(1))
+  }
+
   /** Register `graft_dot` in the session's function registry (idempotent).
     * The registry route keeps us on public API — Column-from-Expression
     * constructors are private[sql] in Spark 4. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "graft_dot", builder, "built-in")
 
   /** Column-level dot product over two array<double> columns. Callers must
     * have invoked [[register]] on the session first. */
@@ -84,5 +105,5 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      VectorExpressions.builder))
 }

