@@ -23,8 +23,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch every table once (parquet footer/codegen/JIT paths) so
     // the first timed query doesn't absorb one-time session costs
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
+    graft.sources.Tables.names.filterNot(_ == "events").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
     try graft.sources.Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
@@ -41,14 +40,19 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); true
+        }
+      (name, (System.nanoTime() - t0) / 1e9, failed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -344,7 +344,9 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
          |g AS (SELECT doc_id, lang, source, list_distinct($grams) AS grams FROM t)
          |SELECT a.lang AS lang, a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         | len(list_intersect(a.grams, b.grams)) * 1.0 / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+         | CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+         |   THEN len(list_intersect(a.grams, b.grams)) * 1.0 / len(list_distinct(list_concat(a.grams, b.grams)))
+         |   ELSE 0.0 END AS jaccard
          |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY lang, source, doc_a, doc_b""".stripMargin,
 

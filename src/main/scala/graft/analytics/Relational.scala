@@ -184,13 +184,14 @@ object Relational {
     // SQL form: grouping() resolution over a join + rollup trips the
     // DataFrame analyzer's ambiguous-self-join check; the SQL path resolves
     // cleanly and plans identically (Expand + hash aggregate).
-    Tables.part(spark, dir).createOrReplaceTempView("part")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    // scoped view names: never clobber a caller's `part`/`lineitem` views
+    Tables.part(spark, dir).createOrReplaceTempView("graft_q11_part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q11_lineitem")
     spark.sql(
       """SELECT CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
         |       CAST(GROUPING(p_type) AS BIGINT) AS g_type, p_brand, p_type,
         |       CAST(SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |FROM graft_q11_lineitem JOIN graft_q11_part ON l_partkey = p_partkey
         |GROUP BY ROLLUP(p_brand, p_type)
         |ORDER BY g_brand, g_type, p_brand, p_type""".stripMargin)
   }

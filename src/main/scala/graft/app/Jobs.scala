@@ -47,6 +47,10 @@ object Jobs {
   */
 object IngestJob {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: IngestJob <inDir> <bronzeDir> <quarantineDir> <checkpointDir>")
+      sys.exit(2)
+    }
     val Array(inDir, bronzeDir, quarantineDir, checkpointDir) = args.take(4)
     val spark = Jobs.session("graft-ingest")
 
@@ -80,6 +84,10 @@ object IngestJob {
   */
 object BatchJob {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: BatchJob <bronzeJsonDir> <silverDir> <goldDir> <processedDir>")
+      sys.exit(2)
+    }
     val Array(bronzeDir, silverDir, goldDir, processedDir) = args.take(4)
     val spark = Jobs.session("graft-batch")
 

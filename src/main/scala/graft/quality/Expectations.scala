@@ -114,6 +114,7 @@ object SuiteCompiler {
   /** Run the whole suite in ONE df.agg(...) (vs the reference's scan per
     * expectation, expectations.py:344-400). */
   def run(df: DataFrame, suite: Suite): SuiteResult = {
+    if (suite.expectations.isEmpty) return SuiteResult(suite.name, Seq.empty)
     val aggs = suite.expectations.zipWithIndex.map { case (e, i) =>
       observed(e).as(s"e_$i")
     }

@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
 
+  /** All driver test tables (single source of truth for warmups/registration). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -54,8 +58,7 @@ object Tables {
 
   /** Register all tables as temp views for `spark.sql` entry points. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { n =>
+    names.filterNot(_ == "events").foreach { n =>
       read(spark, dir, n).createOrReplaceTempView(n)
     }
     events(spark, dir).createOrReplaceTempView("events")

@@ -161,6 +161,16 @@ object Streaming {
   case class CdcState(product_id: String, lsn: String, deleted: Boolean,
     stock_quantity: Int, reorder_level: Int)
 
+  /** Numeric value of a Postgres text LSN ("hi/lo" in hex, unpadded —
+    * events.py:213 / FIXTURES.md B.3): (hi << 32) | lo. String comparison
+    * would mis-order unpadded LSNs of different lengths ("0/F00000" vs
+    * "0/1100000"). */
+  def lsnValue(lsn: String): Long = lsn.split('/') match {
+    case Array(hi, lo) => (java.lang.Long.parseLong(hi, 16) << 32) |
+      java.lang.Long.parseLong(lo, 16)
+    case _ => java.lang.Long.parseLong(lsn, 16)
+  }
+
   /** flatMapGroupsWithState upsert keyed by product_id, ordered by `lsn`
     * (the reference's Postgres WAL ordering, events.py:213): INSERT/UPDATE
     * apply `after`, DELETE tombstones. Emits the post-batch state per key
@@ -171,11 +181,11 @@ object Streaming {
       .flatMapGroupsWithState[CdcState, CdcState](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[CdcInput], state: GroupState[CdcState]) =>
-          val sorted = rows.toSeq.sortBy(_.lsn)
+          val sorted = rows.toSeq.sortBy(e => lsnValue(e.lsn))
           val init = state.getOption
           val next = sorted.foldLeft(init) { (cur, ev) =>
             // lsn monotonicity: ignore events at or before the applied lsn
-            if (cur.exists(_.lsn >= ev.lsn)) cur
+            if (cur.exists(c => lsnValue(c.lsn) >= lsnValue(ev.lsn))) cur
             else ev.operation match {
               case "DELETE" => Some(CdcState(key, ev.lsn, deleted = true, 0, 0))
               case _ => Some(CdcState(key, ev.lsn, deleted = false,

@@ -40,7 +40,7 @@ object Dedup {
     * window lead (all codegen'd) rather than an interpreted `transform`
     * lambda: one keyed shuffle on doc_id, then tight generated code — ~3×
     * cheaper than the array-HOF form and reusable across consumers. */
-  private[text] def explodedGrams(spark: SparkSession, dir: String,
+  def explodedGrams(spark: SparkSession, dir: String,
       distinctPerDoc: Boolean = false): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val grams = Tables.documents(spark, dir)
@@ -81,11 +81,15 @@ object Dedup {
     // materialize once: the signature table feeds three consumers (bands +
     // both pair sides); without the checkpoint the shingle->minhash
     // pipeline would be recomputed per consumer
-    val sigArr = minhashSignatures(spark, dir).withColumn("sig",
-      array((0 until NumHashes).map(s => col(s"mh$s")): _*))
-      .select("doc_id", "sig")
+    val sigArr = minhashSignatures(spark, dir)
+      .withColumn("sig", array((0 until NumHashes).map(s => col(s"mh$s")): _*))
+      .select(col("doc_id"), col("mh0"), col("sig"))
       .localCheckpoint()
-    val bands = sigArr.select(
+    // docs with no shingles carry null signatures: concat_ws would fold
+    // nulls into "" bands and spuriously pair every short doc — exclude
+    // them (the oracle's NULL band_val joins nothing, matching this)
+    val banded = sigArr.filter(col("mh0").isNotNull)
+    val bands = banded.select(
         col("doc_id"), posexplode(
           transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), b =>
             concat_ws("|", (0 until BandSize).map(k =>
@@ -125,12 +129,15 @@ object Dedup {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     pairs
       .join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"), "left")
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"), "left")
       .withColumn("n_i", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_u",
+        coalesce(col("sa.sz"), lit(0L)) + coalesce(col("sb.sz"), lit(0L)) - col("n_i"))
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-        (col("n_i") * lit(1.0) / (col("sa.sz") + col("sb.sz") - col("n_i")))
-          .as("jaccard"))
+        // shingle-less pair => defined 0.0, not 0/0 (oracle mirrors this)
+        when(col("n_u") > 0, col("n_i") * lit(1.0) / col("n_u"))
+          .otherwise(lit(0.0)).as("jaccard"))
       .orderBy("lang", "source", "doc_a", "doc_b")
   }
 

@@ -71,6 +71,23 @@ class StreamingSpec extends SparkSpec {
     assert(last("P2")._1)               // tombstoned
   }
 
+  test("CDC upsert orders unpadded Postgres LSNs numerically, not lexically") {
+    // "0/F00000" (0xF00000) < "0/1100000" (0x1100000) numerically, but
+    // lexicographic string order says the opposite
+    assert(Streaming.lsnValue("0/F00000") < Streaming.lsnValue("0/1100000"))
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[CdcInput]
+    val q = Streaming.cdcUpsert(in.toDS()).writeStream.format("memory")
+      .queryName("cdc_lsn_out").outputMode("update").start()
+    in.addData(CdcInput("P1", "INSERT", "0/F00000", Some(100), Some(10)))
+    q.processAllAvailable()
+    in.addData(CdcInput("P1", "UPDATE", "0/1100000", Some(42), Some(10)))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("cdc_lsn_out").orderBy(desc("lsn")).collect()
+    assert(last.exists(_.getAs[Int]("stock_quantity") == 42)) // update applied
+  }
+
   test("reorder alerts fire when stock < reorder level — J7") {
     val state = Seq(
       CdcState("P1", "0/01", deleted = false, stock_quantity = 5, reorder_level = 10),

@@ -101,4 +101,20 @@ class TextVectorSpec extends SparkSpec {
     assert(r.nonEmpty && r.head.getLong(1) == 0L && r.head.getDouble(3) == 1.0)
     assert(r.map(_.getLong(2)).distinct.length == 1) // single cell searched
   }
+
+  test("wordNgrams (array form) and explodedGrams (flat form) agree") {
+    import org.apache.spark.sql.functions._
+    val dir = docsDir(Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "x y", "en", "s", 3L),        // too short: no trigrams
+      (3L, "p q r", "en", "s", 5L)))
+    val viaArray = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(TextOps.wordNgrams(TextOps.tokens(col("text")))).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaFlat = graft.text.Dedup.explodedGrams(spark, dir)
+      .select("doc_id", "gram")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaArray == viaFlat)
+    assert(viaArray == Set((1L, "a b c"), (1L, "b c d"), (1L, "c d e"), (3L, "p q r")))
+  }
 }
