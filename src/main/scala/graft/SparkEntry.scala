@@ -67,6 +67,8 @@ object SparkEntry {
     "q45_length_stats"    -> (TextOps.lengthStats _),
     "q46_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.hybridSearch(s, d)),
     "q47_funnel"          -> (Relational.q47 _),
+    // no oracle entry (HLL sketches are engine-specific) -> rows-only check
+    "q48_approx_distinct" -> (Relational.q48 _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------

@@ -116,4 +116,32 @@ object Enrich {
         col("has_missing_fields"),
         col("quality_score"))
   }
+
+  /** Streaming ProcessedEvent builder: per-row enrichment + a STREAM-STATIC
+    * join against a precomputed user-stats snapshot (the production
+    * pattern — stats rebuilt by the nightly batch, streamed clicks joined
+    * live; no streaming aggregation state needed, so the plan stays
+    * append-mode and stateless beyond the join's broadcast). */
+  def processedEventsStreaming(clickStream: DataFrame,
+      userStats: DataFrame): DataFrame = {
+    val annotated = Validation.annotate(
+      clickStream, Validation.clickViolations(current_timestamp()), Validation.ClickK)
+    annotated
+      .join(broadcast(userStats), Seq("user_id"), "left")
+      .select(
+        col("event_id"), col("event_type"), col("timestamp"),
+        col("user_id"), col("session_id"),
+        current_timestamp().as("processing_timestamp"),
+        coalesce(col("is_bot_hint"), lit(false)).as("is_bot"),
+        coalesce(col("segment_hint"),
+          when(col("user_id").isNull, "anonymous").otherwise("regular"))
+          .as("user_segment"),
+        geoRegion(col("country_code")).as("geo_region"),
+        map(
+          lit("click_type"), col("click_type"),
+          lit("page_url"), col("page_url"),
+          lit("device_type"), col("device_type")).as("raw_payload"),
+        col("has_missing_fields"),
+        col("quality_score"))
+  }
 }

@@ -400,4 +400,19 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("prev_type", "event_type")
   }
+
+  /** Q48 — approximate distinct counts (A6's scale path): HyperLogLog++
+    * per event type at 2% relative error. The 100 TB dashboard variant of
+    * q10 — constant memory per group instead of an exact distinct
+    * expansion. HLL sketches are engine-specific, so this query has no
+    * DuckDB oracle (driver records a rows-only check); q10 pins the exact
+    * semantics. */
+  def q48(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+      .orderBy("event_type")
 }

@@ -53,4 +53,29 @@ class EnrichSpec extends SparkSpec {
     assert(m == Map("US" -> "NA", "CA" -> "NA", "GB" -> "EU", "DE" -> "EU",
       "IN" -> "APAC", "AU" -> "APAC", "JP" -> "OTHER"))
   }
+
+  test("streaming enrichment joins live clicks to a static user-stats snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val stats = Seq(("bot-u", true, "high_value"), ("reg-u", false, "regular"))
+      .toDF("user_id", "is_bot_hint", "segment_hint")
+    val in = MemoryStream[String]
+    val clicks = in.toDF()
+      .select(from_json($"value", Schemas.userClickSchema).as("p")).select("p.*")
+    val out = Enrich.processedEventsStreaming(clicks, stats)
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    in.addData(
+      click("e1", "s1", "bot-u", "US", "2024-01-15T10:00:00"),
+      click("e2", "s2", "reg-u", "DE", "2024-01-15T10:00:01"),
+      click("e3", "s3", null, "XX", "2024-01-15T10:00:02"))
+    q.processAllAvailable()
+    q.stop()
+    val byId = spark.table("enrich_out").collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("e1").getAs[Boolean]("is_bot"))
+    assert(byId("e1").getAs[String]("user_segment") == "high_value")
+    assert(byId("e2").getAs[String]("user_segment") == "regular")
+    assert(byId("e3").getAs[String]("user_segment") == "anonymous")
+    assert(byId("e3").getAs[String]("geo_region") == "OTHER")
+  }
 }
