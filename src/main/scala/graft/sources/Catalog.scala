@@ -65,4 +65,34 @@ object Catalog {
       .groupBy("file")
       .agg(count(lit(1)).as("row_count"))
       .orderBy("file")
+
+  /** Small-file compaction — the operational answer to the reference's
+    * 100-event gzip bronze files (lake_writer.py:111 flushes every 100
+    * events / 30 s, so a day of bronze is thousands of tiny objects, the
+    * classic small-files problem at lake scale). Reads a source directory,
+    * sizes it from the listing, and rewrites with ceil(total/target)
+    * output files. Returns (files before, files after). */
+  def compact(spark: SparkSession, src: String, dst: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      format: String = "parquet"): (Long, Long) = {
+    val parts = listPartitions(spark, src)
+    val flatFiles = if (parts.nonEmpty) parts.map(_.file_count).sum else {
+      val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(fs.makeQualified(new Path(src)), true)
+      var n = 0L
+      while (it.hasNext) { if (!it.next().getPath.getName.startsWith("_")) n += 1 }
+      n
+    }
+    val totalBytes = {
+      val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(fs.makeQualified(new Path(src)), true)
+      var b = 0L
+      while (it.hasNext) { val f = it.next(); if (!f.getPath.getName.startsWith("_")) b += f.getLen }
+      b
+    }
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    val df = spark.read.format(format).load(src)
+    df.repartition(nOut.toInt).write.mode("overwrite").format(format).save(dst)
+    (flatFiles, nOut)
+  }
 }

@@ -44,4 +44,30 @@ class CatalogSpec extends SparkSpec {
     assert(math.abs(r("s1") - 0.9) < 1e-9)  // mean(1.0, 0.8)
     assert(r("s2") == 0.0)                  // both clamped to 0
   }
+
+  test("compact rewrites a many-small-files directory into few target files") {
+    val src = java.nio.file.Files.createTempDirectory("small").toString
+    val dst = java.nio.file.Files.createTempDirectory("compacted").toString
+    spark.range(10000).toDF("id").repartition(50)
+      .write.mode("overwrite").parquet(src)
+    val (before, after) = Catalog.compact(spark, src, dst,
+      targetFileBytes = 10L * 1024 * 1024)
+    assert(before == 50)
+    assert(after == 1) // well under one 10MB target
+    assert(spark.read.parquet(dst).count() == 10000)
+  }
+
+  test("LoadGen mix matches the producer's 70/20/10 roll thresholds") {
+    import graft.streaming.LoadGen
+    val rate = spark.range(1000)
+      .select(org.apache.spark.sql.functions.current_timestamp().as("timestamp"),
+        $"id".as("value"))
+    val mix = LoadGen.shape(rate).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix("user_click") == 700)
+    assert(mix("order") == 200)
+    assert(mix("inventory_cdc") == 100)
+    val sessions = LoadGen.shape(rate).select("session_id").distinct().count()
+    assert(sessions == 20) // the ~20-session pool
+  }
 }
