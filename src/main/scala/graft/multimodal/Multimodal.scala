@@ -66,6 +66,25 @@ object Multimodal {
     }.toDF("asset_id", "frame_no", "frame")
   }
 
+  /** Resize: partition-local stub in place of a real image resampler — a
+    * deterministic stride-decimation of the payload to ceil(len·(tw·th)/
+    * (w·h)) bytes, keeping the real contract (bytes + target dims in,
+    * smaller bytes + recorded dims out). A real library call slots in
+    * without touching the plan. */
+  def resize(assets: Dataset[MediaAsset], targetW: Int, targetH: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val (w, h, _) = FakeCodec.decode(a.payload)
+        val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
+        val outLen = math.max(1, math.ceil(a.payload.length * ratio).toInt)
+        val stride = math.max(1, a.payload.length / outLen)
+        val resized = a.payload.indices.by(stride).map(a.payload).toArray
+        (a.asset_id, a.kind, targetW, targetH, resized)
+      }
+    }.toDF("asset_id", "kind", "out_w", "out_h", "payload")
+  }
+
   /** Oracle-checkable metadata pass: treats document text bytes as the
     * binary payload (the test corpus has no real media) and computes the
     * metadata a media lake tracks — byte length, content hash, head-bytes

@@ -94,6 +94,11 @@ class TextVectorSpec extends SparkSpec {
     assert(f(1).byte_len == 0 && f(1).mean_intensity == 0.0)
     val frames = Multimodal.sampleFrames(assets.filter(_.asset_id == 1), 4, 2).collect()
     assert(frames.length == 4) // 29/4 = 7 frames, stride 2 → frames 0,2,4,6
+    val resized = Multimodal.resize(assets.filter(_.asset_id == 1), 4, 4).collect()
+    assert(resized.length == 1)
+    val out = resized.head.getAs[Array[Byte]]("payload")
+    assert(out.length > 0 && out.length < 29) // decimated below original
+    assert(resized.head.getAs[Int]("out_w") == 4)
   }
 
   test("IVF cells: probe's cell contains the probe at rank 1") {
