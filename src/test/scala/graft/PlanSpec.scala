@@ -77,4 +77,23 @@ class PlanSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0) == 11.0)
   }
+
+  test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    val df = Seq(
+      ("e1", java.sql.Timestamp.valueOf("2024-03-05 07:30:00")),
+      ("e2", java.sql.Timestamp.valueOf("2024-03-05 08:30:00")),
+      ("e3", java.sql.Timestamp.valueOf("2024-04-06 07:30:00"))).toDF("event_id", "timestamp")
+    graft.streaming.Streaming.withHivePartitions(df)
+      .write.mode("overwrite").partitionBy("year", "month", "day", "hour").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter($"month" === 3 && $"day" === 5)
+    val plan = pruned.queryExecution.explainString(SimpleMode)
+    assert(plan.contains("PartitionFilters: [") && plan.contains("month"))
+    assert(pruned.count() == 2)
+    // the pruned scan reads only the matching partition directories
+    val filesRead = pruned.select(input_file_name()).distinct().count()
+    assert(filesRead == 2)
+  }
 }
