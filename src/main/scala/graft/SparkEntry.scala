@@ -85,6 +85,91 @@ object SparkEntry {
   // portable round (see graft.functions.Portable): floor(x*10^n + 0.5)/10^n
   private def pr4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000.0"
 
+  /** ±1 sign array as a DuckDB DOUBLE[] literal (same constants the Spark
+    * plan embeds via lit(...) — see Similarity.signHyperplanes). */
+  private def sqlSigns(a: Array[Double]): String =
+    a.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]::DOUBLE[]")
+
+  /** Oracle for q34: replicates the banded sign-LSH candidate generation
+    * (Similarity.bandedCandidates) exactly — candidates from a (band_id,
+    * band_val) equi-join, then exact cosine top-20 — so the hash check
+    * verifies the BLOCKED pipeline, the same way q33's oracle replicates
+    * its bucket pruning. */
+  private lazy val nearDupOracle: String = {
+    val nb = Similarity.NearDupBits
+    val bs = Similarity.NearDupBandSize
+    val signs = Similarity.signHyperplanes(nb, Similarity.EmbeddingDim)
+    val bitExprs = (0 until nb).map(j =>
+      s"CASE WHEN ${dotD("v", sqlSigns(signs(j)))} > 0 THEN 1 ELSE 0 END")
+    val bandExprs = (0 until nb / bs).map { b =>
+      (0 until bs).map(k => s"(${bitExprs(b * bs + k)}) * ${1L << k}").mkString(" + ")
+    }
+    val bandList = bandExprs.map(e => s"CAST($e AS BIGINT)").mkString("[", ",\n   ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
+       |bands AS (SELECT vec_id, t.b AS band_id,
+       |  list_extract($bandList, t.b + 1) AS band_val
+       | FROM e, range(${nb / bs}) t(b)),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |          AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, ${pr4(s"${dotD("a.v", "b.v")} / (a.norm * b.norm)")} AS cos_sim
+       |FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id
+       |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
+  }
+
+  /** Oracle for q41: replicates the deterministic k-means training
+    * (Similarity.trainIvfCodebook — init = vec_ids 1..4, 3 Lloyd rounds,
+    * fixed-point 10⁻⁶ centroid means) with unrolled iteration CTEs, then
+    * the same multi-probe (nprobe=2) cell-pruned cosine top-10. */
+  private lazy val ivfOracle: String = {
+    val dim = Similarity.EmbeddingDim
+    val k = 4
+    val iters = 3
+    val nprobe = 2
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
+         |cb0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id BETWEEN 1 AND $k),
+         |""".stripMargin)
+    for (it <- 1 to iters) {
+      val prev = s"cb${it - 1}"
+      sb.append(
+        s"""a$it AS (SELECT n.vec_id, n.v, c_id,
+           |  ${dotD("n.v", "cv")} / (n.norm * sqrt(${dotD("cv", "cv")})) AS c_cos
+           | FROM n, $prev),
+           |r$it AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn FROM a$it),
+           |s$it AS (SELECT vec_id, v, c_id AS cell FROM r$it WHERE rn = 1),
+           |u$it AS (SELECT cell, t.i AS i,
+           |   SUM(CAST(floor(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS s, COUNT(*) AS cnt
+           | FROM s$it, range($dim) t(i) GROUP BY cell, t.i),
+           |cb$it AS (SELECT $prev.c_id, COALESCE(nu.cv, $prev.cv) AS cv
+           | FROM $prev LEFT JOIN (SELECT cell AS c_id,
+           |     list(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY i) AS cv
+           |   FROM u$it GROUP BY cell) nu ON $prev.c_id = nu.c_id),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""af AS (SELECT n.vec_id, n.v, n.norm, c_id,
+         |  ${dotD("n.v", "cv")} / (n.norm * sqrt(${dotD("cv", "cv")})) AS c_cos
+         | FROM n, cb$iters),
+         |rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn FROM af),
+         |cellf AS (SELECT vec_id, v, norm, CAST(c_id AS BIGINT) AS cell FROM rf WHERE rn = 1),
+         |p AS (SELECT v AS pv, norm AS pnorm FROM n WHERE vec_id = 0),
+         |pc AS (SELECT c_id, row_number() OVER (ORDER BY
+         |         ${dotD("pv", "cv")} / (pnorm * sqrt(${dotD("cv", "cv")})) DESC, c_id) AS prn
+         |       FROM cb$iters, p),
+         |probe_cells AS (SELECT CAST(c_id AS BIGINT) AS pcell FROM pc WHERE prn <= $nprobe),
+         |sc AS (SELECT vec_id, cell, ${pr4(s"${dotD("v", "pv")} / (norm * pnorm)")} AS cos_sim
+         |       FROM cellf, p WHERE cell IN (SELECT pcell FROM probe_cells)),
+         |rk AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
+         |         vec_id, cell, cos_sim FROM sc)
+         |SELECT rnk, vec_id, cell, cos_sim FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -381,12 +466,7 @@ object SparkEntry {
          |        vec_id, bucket, cos_sim FROM s)
          |SELECT rnk, vec_id, bucket, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
 
-    "q34_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         | ${pr4(cosD("a.v", "b.v"))} AS cos_sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+    "q34_embed_neardup" -> nearDupOracle,
 
     "q35_multimodal_meta" ->
       """SELECT doc_id AS asset_id,
@@ -443,20 +523,7 @@ object SparkEntry {
         | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
-    "q41_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
-         |cb AS (SELECT vec_id AS c_id, v AS cv, norm AS cnorm FROM n WHERE vec_id BETWEEN 1 AND 4),
-         |a AS (SELECT n.vec_id, n.v, n.norm, c_id,
-         |        ${dotD("v", "cv")} / (norm * cnorm) AS c_cos FROM n, cb),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn FROM a),
-         |cell AS (SELECT vec_id, v, norm, c_id AS cell FROM r WHERE rn = 1),
-         |p AS (SELECT v AS pv, norm AS pnorm, cell AS pcell FROM cell WHERE vec_id = 0),
-         |s AS (SELECT vec_id, cell, ${pr4(s"${dotD("v", "pv")} / (norm * pnorm)")} AS cos_sim
-         |      FROM cell, p WHERE cell = pcell),
-         |rk AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
-         |         vec_id, cell, cos_sim FROM s)
-         |SELECT rnk, vec_id, cell, cos_sim FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    "q41_ann_ivf" -> ivfOracle,
 
     "q42_vocabulary" ->
       """SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS doc_freq

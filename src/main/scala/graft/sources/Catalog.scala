@@ -75,20 +75,15 @@ object Catalog {
   def compact(spark: SparkSession, src: String, dst: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       format: String = "parquet"): (Long, Long) = {
-    val parts = listPartitions(spark, src)
-    val flatFiles = if (parts.nonEmpty) parts.map(_.file_count).sum else {
-      val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(fs.makeQualified(new Path(src)), true)
-      var n = 0L
-      while (it.hasNext) { if (!it.next().getPath.getName.startsWith("_")) n += 1 }
-      n
-    }
-    val totalBytes = {
-      val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(fs.makeQualified(new Path(src)), true)
-      var b = 0L
-      while (it.hasNext) { val f = it.next(); if (!f.getPath.getName.startsWith("_")) b += f.getLen }
-      b
+    // one listing pass accumulates both file count and byte size (object
+    // store LIST calls are the expensive part of compaction planning)
+    val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(fs.makeQualified(new Path(src)), true)
+    var flatFiles = 0L
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) { flatFiles += 1; totalBytes += f.getLen }
     }
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
     val df = spark.read.format(format).load(src)

@@ -139,13 +139,17 @@ object TextOps {
     * one multiply — engine-deterministic, pround(4) for presentation. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // fixed corpus size (deterministic literal)
+    // corpus size N stays IN the plan as a broadcast 1-row scalar — a
+    // driver-side docs.count() here would fire an extra job on every query
+    // construction
+    val nTotal = docs.agg(count(lit(1)).cast("double").as("n_total"))
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
     tf.join(df_, "token")
-      .withColumn("tfidf", pround(col("tf") * log(lit(n * 1.0) / col("df")), 4))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("tfidf", pround(col("tf") * log(col("n_total") / col("df")), 4))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("rn"), col("token"), col("tf"), col("df"), col("tfidf"))

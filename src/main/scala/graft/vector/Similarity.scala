@@ -10,19 +10,25 @@ import graft.sources.Tables
 
 /** Vector-similarity operators over the `embeddings` table (SURVEY U7 +
   * similarity-search north star): brute-force cosine top-k as the exact
-  * baseline, a sign-LSH bucketed variant as the scale path, and
-  * embedding-cosine near-dup pairs.
+  * baseline, sign-LSH bucketed and IVF coarse-quantized variants as the
+  * scale paths, and banded-LSH embedding near-dup.
   *
   * Scale design: the probe vector is a 1-row broadcast, so brute-force is a
-  * single map-side pass + TakeOrdered (no shuffle of the corpus). The LSH
-  * path prunes the corpus by bucket equality before any distance math —
-  * at 100 TB the bucket key becomes the partition key and only the probe's
-  * bucket is scanned. Norms are computed ONCE per vector before any join
-  * (cos(a,b) = dot(a,b)/(norm_a*norm_b)), and the dot product itself is the
-  * codegen'd [[graft.functions.DotProduct]] expression — the near-dup
-  * all-pairs sweep does one tight-loop dot per pair, nothing else.
+  * single map-side pass; global top-k everywhere is `orderBy(...).limit(k)`
+  * — planned as TakeOrderedAndProject (per-partition top-k, driver merges
+  * k×partitions rows) — and the rank column is derived by a window over the
+  * ALREADY-LIMITED k rows only (partitioned on a constant, so no
+  * partitionless WindowExec ever sees the corpus). The LSH/IVF paths prune
+  * by bucket/cell equality before any distance math; near-dup candidates
+  * come from a banded equi-join, never a cross join. Norms are computed
+  * ONCE per vector (cos(a,b) = dot(a,b)/(norm_a*norm_b)), and the dot
+  * product itself is the codegen'd [[graft.functions.DotProduct]]
+  * expression.
   */
 object Similarity {
+
+  /** Dimensionality of the `embeddings.embedding` column in the test data. */
+  val EmbeddingDim = 64
 
   /** Cast a float embedding to double for engine-portable arithmetic. */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -39,18 +45,34 @@ object Similarity {
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
   }
 
-  /** Q23 — brute-force cosine top-10 against vec_id=0's embedding. */
+  /** Global top-k of `scored` by (cos_sim desc, vec_id) with a 1-based
+    * `rnk` column — WITHOUT ranking the full corpus through a partitionless
+    * window. `orderBy().limit(k)` plans as TakeOrderedAndProject
+    * (per-partition top-k, driver merge of k×partitions rows); only the k
+    * survivors pass through the rank window, which is partitioned on a
+    * constant so the single-partition stage is bounded at k rows. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val order = Seq(desc("cos_sim"), col("vec_id"))
+    // partition key: TakeOrderedAndProject emits SinglePartition, so
+    // spark_partition_id() is the constant 0 — a global rank — while being
+    // non-foldable (a lit(0) key would be optimized away, reintroducing the
+    // partitionless WindowExec this formulation exists to avoid)
+    val w = Window.partitionBy(spark_partition_id()).orderBy(order: _*)
+    scored.orderBy(order: _*).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  /** Q23 — brute-force cosine top-10 against vec_id=0's embedding: one
+    * map-side pass over the corpus + TakeOrdered, no shuffle. */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = withNorm(spark, dir)
     val probe = e.filter(col("vec_id") === 0)
       .select(col("v").as("pv"), col("norm").as("pnorm"))
-    val w = Window.orderBy(desc("cos_sim"), col("vec_id"))
-    e.crossJoin(broadcast(probe))
+    val scored = e.crossJoin(broadcast(probe))
       .select(col("vec_id"),
         pround(dot_product(col("v"), col("pv")) / (col("norm") * col("pnorm")), 4)
           .as("cos_sim"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k)
       .select("rnk", "vec_id", "cos_sim")
       .orderBy("rnk")
   }
@@ -69,44 +91,110 @@ object Similarity {
     val e = withNorm(spark, dir).withColumn("bucket", lshBucket(col("v")))
     val probe = e.filter(col("vec_id") === 0)
       .select(col("v").as("pv"), col("norm").as("pnorm"), col("bucket").as("pbucket"))
-    val w = Window.orderBy(desc("cos_sim"), col("vec_id"))
-    e.crossJoin(broadcast(probe))
+    val scored = e.crossJoin(broadcast(probe))
       .filter(col("bucket") === col("pbucket"))
       .select(col("vec_id"), col("bucket"),
         pround(dot_product(col("v"), col("pv")) / (col("norm") * col("pnorm")), 4)
           .as("cos_sim"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k)
       .select("rnk", "vec_id", "bucket", "cos_sim")
       .orderBy("rnk")
   }
 
-  /** ANN via IVF cells: a deterministic 4-centroid codebook (vec_ids 1-4 —
-    * a stand-in for trained k-means centroids), each vector assigned to its
-    * max-cosine centroid, probe searches only its own cell. The codebook is
-    * broadcast; assignment is one map-side pass + a 4-row window — the
-    * standard coarse-quantization shape that at 100 TB becomes
-    * partition-by-cell layout with per-cell scans. */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = withNorm(spark, dir)
-    val cb = e.filter(col("vec_id").between(1, 4))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("norm").as("cnorm"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(desc("c_cos"), col("c_id"))
-    val assigned = e.crossJoin(broadcast(cb))
-      .withColumn("c_cos", dot_product(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("c_id").as("cell"))
-    val probe = assigned.filter(col("vec_id") === 0)
-      .select(col("v").as("pv"), col("norm").as("pnorm"), col("cell").as("pcell"))
-    val wRank = Window.orderBy(desc("cos_sim"), col("vec_id"))
-    assigned.crossJoin(broadcast(probe))
-      .filter(col("cell") === col("pcell"))
+  // ---- IVF: trained coarse quantization ------------------------------------
+
+  /** Assign each (vec_id, v, norm, …) row to its max-cosine centroid from a
+    * driver-held codebook — one broadcast-literal map-side pass, no join, no
+    * window. Ties break to the lowest centroid id. */
+  private[graft] def assignCells(e: DataFrame,
+      cb: Seq[(Int, Seq[Double])]): DataFrame = {
+    val withCos = cb.foldLeft(e) { case (df, (cid, cv)) =>
+      // sequential fold == list_dot_product / DotProduct evaluation order
+      val cnorm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+      df.withColumn(s"c_cos_$cid",
+        dot_product(col("v"), lit(cv.toArray)) / (col("norm") * lit(cnorm)))
+    }
+    val best = greatest(cb.map { case (cid, _) => col(s"c_cos_$cid") }: _*)
+    val cell = cb.sortBy(_._1).foldRight(lit(-1)) { case ((cid, _), els) =>
+      when(col(s"c_cos_$cid") === best, lit(cid)).otherwise(els)
+    }
+    withCos.withColumn("cell", cell)
+      .select(e.columns.map(col) :+ col("cell"): _*)
+  }
+
+  /** Deterministic Lloyd k-means over the corpus: init = the vectors with
+    * vec_id 1..k (fixed, seedless), `iters` assign/update rounds, cosine
+    * assignment, and FIXED-POINT mean updates — per-dimension sums are taken
+    * over `floor(x·10⁶ + 0.5)` BIGINTs so the update is order-independent
+    * and bit-identical in any engine (IEEE division of exact integers), the
+    * same rule that makes the money aggregates portable. Empty cells keep
+    * their previous centroid. Centroids are k×dim tiny, so the per-round
+    * driver collect is the standard distributed-k-means shape (assignment
+    * itself never leaves the executors). */
+  private[graft] def trainIvfCodebook(e: DataFrame, k: Int = 4,
+      iters: Int = 3): Seq[(Int, Seq[Double])] = {
+    var cb: Seq[(Int, Seq[Double])] = e.filter(col("vec_id").between(1, k))
+      .select(col("vec_id").cast("int"), col("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    for (_ <- 0 until iters) {
+      val sums = assignCells(e, cb)
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i")
+        .agg(sum(floor(col("x") * lit(1000000.0) + lit(0.5))).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byCell = sums.groupBy(_._1)
+      cb = cb.map { case (cid, prev) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val byDim = rows.map(t => t._2 -> (t._3, t._4)).toMap
+            (cid, prev.indices.map { i =>
+              val (s, n) = byDim(i)
+              s.toDouble / (n.toDouble * 1000000.0)
+            })
+          case None => (cid, prev)
+        }
+      }
+    }
+    cb
+  }
+
+  /** ANN via IVF cells with a TRAINED codebook: deterministic k-means
+    * ([[trainIvfCodebook]]: fixed init, fixed-point updates) replaces the
+    * round-1 stand-in centroids; each vector is assigned to its max-cosine
+    * centroid in one broadcast-literal map pass, and the probe searches its
+    * `nprobe` closest cells (multi-probe — the standard IVF recall lever).
+    * The probe-cell choice is a k-row driver computation over the codebook;
+    * the corpus-side work is one cell-pruned map pass — the
+    * coarse-quantization shape that at 100 TB becomes partition-by-cell
+    * layout with per-cell scans. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val e = withNorm(spark, dir).localCheckpoint()
+    val cb = trainIvfCodebook(e)
+    val assigned = assignCells(e, cb)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell").cast("long").as("cell"))
+    val probeRow = e.filter(col("vec_id") === 0).select(col("v"), col("norm")).head()
+    val pv = probeRow.getSeq[Double](0)
+    val pnorm = probeRow.getDouble(1)
+    // same sequential-fold arithmetic as DotProduct/list_dot_product, so
+    // the oracle's SQL probe-cell ranking lands on identical doubles
+    val probeCells = cb.map { case (cid, cv) =>
+        val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) { d += pv(i) * cv(i); i += 1 }
+        (cid, d / (pnorm * cnorm))
+      }.sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1.toLong)
+    val scored = assigned
+      .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("cell"),
-        pround(dot_product(col("v"), col("pv")) / (col("norm") * col("pnorm")), 4)
+        pround(dot_product(col("v"), lit(pv.toArray)) / (col("norm") * lit(pnorm)), 4)
           .as("cos_sim"))
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k)
       .select("rnk", "vec_id", "cell", "cos_sim")
       .orderBy("rnk")
   }
@@ -124,23 +212,88 @@ object Similarity {
       .filter(col("lang") === lang).select(col("doc_id"), col("lang"))
     val probe = e.filter(col("vec_id") === 0)
       .select(col("v").as("pv"), col("norm").as("pnorm"))
-    val w = Window.orderBy(desc("cos_sim"), col("vec_id"))
-    e.join(docs, e("vec_id") === docs("doc_id"))
+    val scored = e.join(docs, e("vec_id") === docs("doc_id"))
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("lang"),
         pround(dot_product(col("v"), col("pv")) / (col("norm") * col("pnorm")), 4)
           .as("cos_sim"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    rankTopK(scored, k)
       .select("rnk", "vec_id", "lang", "cos_sim")
       .orderBy("rnk")
   }
 
-  /** Embedding-cosine near-dup: top-k most-similar distinct pairs. The
-    * all-pairs form is exact for the small test corpus; the scale path is
-    * the LSH-blocked variant (join on bucket instead of cross join). The
-    * TakeOrdered limit keeps only k rows per partition in flight. */
+  // ---- Banded sign-LSH near-dup --------------------------------------------
+
+  /** Random-hyperplane count / band width for near-dup blocking: 8 bands of
+    * 8 bits. A pair at cosine ≥0.95 agrees per-bit with p ≈ 0.9, so it
+    * collides in ≥1 band with p ≈ 0.99, while an unrelated pair (cos ≈ 0)
+    * survives banding with p ≈ 1-(1-2⁻⁸)⁸ ≈ 3% — real pruning in the
+    * regime near-dup detection targets. */
+  val NearDupBits = 64
+  val NearDupBandSize = 8
+
+  /** Deterministic ±1 hyperplane signs: sign(j,i) = +1 iff the first hex
+    * nibble of md5("h<j>:<i>") is even — seedless and reproducible in any
+    * engine (the oracle embeds the same literals). */
+  def signHyperplanes(nbits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nbits, dim) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"h$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Banded sign-LSH candidate pairs over a (vec_id, v, …) frame: project
+    * each vector onto `nbits` fixed hyperplanes, pack sign bits into
+    * nbits/bandSize band values, equi-join on (band_id, band_val) — the
+    * shuffle is keyed by band bucket, the pair count is bounded by bucket
+    * sizes, and no cross join ever materializes. */
+  def bandedCandidates(e: DataFrame, nbits: Int = NearDupBits,
+      bandSize: Int = NearDupBandSize, dim: Int = EmbeddingDim): DataFrame = {
+    val signs = signHyperplanes(nbits, dim)
+    val bits = (0 until nbits).map { j =>
+      when(dot_product(col("v"), lit(signs(j))) > 0, 1L).otherwise(0L)
+    }
+    val bandVals = (0 until nbits / bandSize).map { b =>
+      (0 until bandSize).map(k => bits(b * bandSize + k) * (1L << k)).reduce(_ + _)
+    }
+    val bands = e.select(col("vec_id"),
+      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Embedding near-dup, LSH-blocked (the 100 TB-shaped pipeline): banded
+    * candidates → exact cosine verification → top-k pairs. The corpus is
+    * checkpointed once and feeds three keyed consumers (bands + both pair
+    * sides); the only non-equi work is the per-candidate dot product. The
+    * exact quadratic form survives as [[nearDupPairsExact]] for
+    * small-corpus reference and the recall spec. */
   def nearDupPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val e = withNorm(spark, dir).localCheckpoint()
+    nearDupPairsOn(e, k)
+  }
+
+  /** [[nearDupPairs]] over an arbitrary (vec_id, v, norm) frame — reused by
+    * the planted-near-dup recall spec. */
+  def nearDupPairsOn(e: DataFrame, k: Int,
+      dim: Int = EmbeddingDim): DataFrame = {
+    val cand = bandedCandidates(e, dim = dim)
+    cand.join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        pround(dot_product(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_a"), col("vec_b"))
+      .limit(k)
+  }
+
+  /** Exact embedding near-dup: all-pairs top-k — O(n²), intentionally only
+    * the small-corpus ground truth the blocked path is measured against. */
+  def nearDupPairsExact(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val e = withNorm(spark, dir)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -78,6 +78,31 @@ class PlanSpec extends SparkSpec {
       .head().getDouble(0) == 11.0)
   }
 
+  test("no query plans a partitionless WindowExec (single-partition sort of the corpus)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sf0001).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"partitionless windows in: ${offenders.mkString(", ")}")
+  }
+
+  test("similarity top-k plans as TakeOrderedAndProject, not a global sort") {
+    import graft.vector.Similarity
+    val s = explain(Similarity.cosineTopK(spark, sf0001))
+    assert(s.contains("TakeOrderedAndProject"))
+  }
+
+  test("q34 near-dup candidates come from a keyed join, not a cross join") {
+    import graft.vector.Similarity
+    val s = explain(Similarity.nearDupPairs(spark, sf0001))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "blocked near-dup must join on (band_id, band_val), never cross-join")
+    assert(s.contains("band_val"))
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
