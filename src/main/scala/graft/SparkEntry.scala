@@ -69,6 +69,7 @@ object SparkEntry {
     "q47_funnel"          -> (Relational.q47 _),
     // no oracle entry (HLL sketches are engine-specific) -> rows-only check
     "q48_approx_distinct" -> (Relational.q48 _),
+    "q49_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -80,6 +81,27 @@ object SparkEntry {
       | THEN list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
       | ELSE []::VARCHAR[] END""".stripMargin
   private def dotD(a: String, b: String) = s"list_dot_product($a, $b)"
+  // shingle→minhash→band→candidate CTE chain, shared by q30 and q49
+  private lazy val minhashCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |u AS (SELECT doc_id, $grams AS grams FROM t),
+       |sig AS (SELECT doc_id,
+       |  [list_min(list_transform(grams, g -> md5('0:' || g))),
+       |   list_min(list_transform(grams, g -> md5('1:' || g))),
+       |   list_min(list_transform(grams, g -> md5('2:' || g))),
+       |   list_min(list_transform(grams, g -> md5('3:' || g))),
+       |   list_min(list_transform(grams, g -> md5('4:' || g))),
+       |   list_min(list_transform(grams, g -> md5('5:' || g))),
+       |   list_min(list_transform(grams, g -> md5('6:' || g))),
+       |   list_min(list_transform(grams, g -> md5('7:' || g)))] AS sig
+       | FROM u),
+       |bands AS (SELECT doc_id, b AS band_id, sig[2*b+1] || '|' || sig[2*b+2] AS band_val
+       |          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t2(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id)""".stripMargin
+  private val estJaccard =
+    "len(list_filter(list_transform(range(8), i -> a.sig[i+1] = b.sig[i+1]), v -> v)) * 1.0 / 8"
   private def cosD(a: String, b: String) =
     s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
   // portable round (see graft.functions.Portable): floor(x*10^n + 0.5)/10^n
@@ -405,25 +427,8 @@ object SparkEntry {
          |FROM u ORDER BY doc_id""".stripMargin,
 
     "q30_minhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |u AS (SELECT doc_id, $grams AS grams FROM t),
-         |sig AS (SELECT doc_id,
-         |  [list_min(list_transform(grams, g -> md5('0:' || g))),
-         |   list_min(list_transform(grams, g -> md5('1:' || g))),
-         |   list_min(list_transform(grams, g -> md5('2:' || g))),
-         |   list_min(list_transform(grams, g -> md5('3:' || g))),
-         |   list_min(list_transform(grams, g -> md5('4:' || g))),
-         |   list_min(list_transform(grams, g -> md5('5:' || g))),
-         |   list_min(list_transform(grams, g -> md5('6:' || g))),
-         |   list_min(list_transform(grams, g -> md5('7:' || g)))] AS sig
-         | FROM u),
-        |bands AS (SELECT doc_id, b AS band_id, sig[2*b+1] || '|' || sig[2*b+2] AS band_val
-        |          FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t2(b)),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |         FROM bands x JOIN bands y
-        |           ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
-        |SELECT doc_a, doc_b,
-        | len(list_filter(list_transform(range(8), i -> a.sig[i+1] = b.sig[i+1]), v -> v)) * 1.0 / 8 AS est_jaccard
+      s"""WITH $minhashCtes
+        |SELECT doc_a, doc_b, $estJaccard AS est_jaccard
         |FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
 
@@ -569,6 +574,21 @@ object SparkEntry {
          |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
          |        vec_id, lang, cos_sim FROM s)
          |SELECT rnk, vec_id, lang, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q49_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |edges AS (SELECT doc_a, doc_b
+        |          FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
+        |          WHERE $estJaccard >= 0.5),
+        |sym AS (SELECT doc_a, doc_b FROM edges
+        |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id)
+        |SELECT doc_id, MIN(label) AS cluster_rep,
+        | CAST(doc_id = MIN(label) AS BIGINT) AS keep
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q47_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -141,6 +141,44 @@ object Dedup {
       .orderBy("lang", "source", "doc_a", "doc_b")
   }
 
+  /** Near-dup RESOLUTION on top of [[minhashPairs]] — the operator a
+    * training pipeline actually runs: candidate pairs above `minJaccard`
+    * become edges, connected components are resolved by iterative min-label
+    * propagation, and each doc gets (cluster_rep, keep) with
+    * first-doc-per-cluster-wins. Each round is one keyed join + one
+    * map-side-combined min aggregate, checkpointed to keep lineage flat;
+    * rounds are bounded by component diameter (near-dup clusters are
+    * shallow). At 100 TB the same loop runs with the alternating
+    * large-star/small-star optimization; the per-round shape here — shuffle
+    * keyed by doc_id, no driver data movement beyond the convergence
+    * counter — is already the distributed one. */
+  def nearDupClusters(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val edges = minhashPairs(spark, dir)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val sym = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels, sym("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"),
+      (col("doc_id") === col("label")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (16-bit, md5-derived per-token hashes): per token-hash bit,
     * sum +1/-1 across the document's tokens; the sign vector packs into a
     * 16-bit fingerprint. Grouped by doc — one shuffle on doc_id (the

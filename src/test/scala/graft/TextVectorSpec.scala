@@ -38,6 +38,20 @@ class TextVectorSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("near-dup clusters: copies collapse to first-doc-wins components") {
+    val dir = docsDir(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (5L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (3L, "completely different words appear in this document here", "en", "s", 55L)))
+    val r = Dedup.nearDupClusters(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((1L, 1L))) // cluster rep keeps itself
+    assert(r(2L) == ((1L, 0L))) // dups point at the rep and drop
+    assert(r(5L) == ((1L, 0L)))
+    assert(r(3L) == ((3L, 1L))) // singleton keeps
+  }
+
   test("ngram jaccard: identical = 1.0, disjoint = 0.0 within a block") {
     val dir = docsDir(Seq(
       (1L, "a b c d e f", "en", "s", 11L),
