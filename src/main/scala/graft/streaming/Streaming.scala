@@ -82,7 +82,30 @@ object Streaming {
     df.withColumn("event_id", coalesce(col("event_id"), expr("uuid()")))
       .withColumn("timestamp", coalesce(col("timestamp"), current_timestamp()))
 
-  // ---- S2: Kafka-shaped sink projection ------------------------------------
+  // ---- S1/S2: source abstraction + Kafka sink builder ----------------------
+
+  /** Stream-source seam: production binds [[KafkaEventSource]]; tests bind
+    * [[FrameSource]] over a MemoryStream-backed frame carrying the same
+    * Kafka wire contract (binary key/value) — so every spec exercises the
+    * exact code path the connector feeds. */
+  trait EventSource { def load(spark: SparkSession): DataFrame }
+
+  /** The production S1 binding (requires spark-sql-kafka-0-10 on the
+    * classpath). */
+  case class KafkaEventSource(brokers: String, topic: String) extends EventSource {
+    def load(spark: SparkSession): DataFrame = kafkaSource(spark, brokers, topic)
+  }
+
+  /** Test/replay binding: any (key, value)-shaped frame, streaming or not. */
+  case class FrameSource(df: DataFrame) extends EventSource {
+    def load(spark: SparkSession): DataFrame = df
+  }
+
+  /** Source → validated per-topic stream through the SAME parse/dead-letter
+    * path regardless of binding ([[splitParsed]]); unknown topic ⇒ None. */
+  def topicStream(spark: SparkSession, source: EventSource,
+      topic: String): Option[(DataFrame, DataFrame)] =
+    splitParsed(source.load(spark), topic)
 
   /** Project rows to the Kafka sink contract: key = session_id (the
     * reference's partition key for per-session ordering,
@@ -90,6 +113,23 @@ object Streaming {
   def toKafkaShape(df: DataFrame): DataFrame =
     df.select(col("session_id").cast("string").as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** S2 — Kafka sink builder (event_producer.py:264-275's send wrapped as
+    * one declaration): [[toKafkaShape]] rows to `topic`, checkpointed.
+    * Keying by session_id preserves the reference's per-session ordering
+    * guarantee — all of a session's events land in one Kafka partition.
+    * Requires the spark-sql-kafka-0-10 connector at runtime; the projection
+    * it writes is spec-tested connector-free via [[toKafkaShape]]. */
+  def kafkaSink(df: DataFrame, brokers: String, topic: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    toKafkaShape(df).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
 
   // ---- S3/S4: bronze sink --------------------------------------------------
 
@@ -243,4 +283,43 @@ object Streaming {
     * event_producer.py:357-364) — update-mode streaming aggregate. */
   def eventMix(df: DataFrame): DataFrame =
     df.groupBy("event_type").count()
+
+  // ---- T6: observability + graceful shutdown -------------------------------
+
+  /** T6 — operational observability: start/progress/termination events from
+    * every streaming query on the session, recorded and forwarded to `log`
+    * (the reference's consumer stats + close-path logging,
+    * event_consumer.py:196-204,216-220 / lake_writer.py:221-226). Attach
+    * with `spark.streams.addListener(listener)`. */
+  final class GraftQueryListener(log: String => Unit = s => Console.err.println(s))
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val recorded = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private def record(s: String): Unit = { recorded.add(s); log(s) }
+    def events: Seq[String] = {
+      val it = recorded.iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      record(s"started ${e.id} name=${e.name}")
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      record(s"progress ${e.progress.id} batch=${e.progress.batchId} " +
+        s"rows=${e.progress.numInputRows}")
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      record(s"terminated ${e.id} exception=${e.exception.getOrElse("none")}")
+  }
+
+  /** T6 — graceful shutdown: drain everything the source has already made
+    * available (the reference's final buffer flush before close,
+    * event_consumer.py:216-220), then stop and wait for termination. The
+    * checkpoint makes even a non-graceful stop safe (T1); this makes it
+    * CLEAN — no in-flight batch is abandoned. Returns true if the query
+    * terminated within `timeoutMs`. */
+  def gracefulStop(q: StreamingQuery, timeoutMs: Long = 30000L): Boolean = {
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(timeoutMs)
+  }
 }

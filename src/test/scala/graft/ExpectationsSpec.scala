@@ -1,6 +1,6 @@
 package graft
 
-import graft.quality.{Expectations, Gate, SuiteCompiler}
+import graft.quality.{Expectations, Gate, SuiteCompiler, Warehouse}
 import Expectations._
 
 /** A1–A9: suite compiler + gate (expectations.py:331-464). */
@@ -48,6 +48,24 @@ class ExpectationsSpec extends SparkSpec {
     assert(!Gate.check(SuiteResult("s", Seq(
       ExpectationResult("bad", passed = false, 1),
       ExpectationResult("ok", passed = true, 0))), 0.95).passed)
+  }
+
+  test("warehouse load: failing gate aborts before the writer; passing gate commits") {
+    var written: Option[Long] = None
+    val writer: Warehouse.Writer = d => written = Some(d.count())
+    val suite = Suite("wh", Seq(
+      NotNull("event_id"),
+      InSet("click_type", graft.model.Schemas.ClickEventTypes)))
+    val good = Seq(("e1", "page_view"), ("e2", "search")).toDF("event_id", "click_type")
+    val ok = Warehouse.gatedLoad(good, suite, writer)
+    assert(ok.loaded && ok.rows == 2 && written.contains(2L))
+    written = None
+    val bad = Seq(("e1", "bogus"), (null: String, "worse")).toDF("event_id", "click_type")
+    val rejected = Warehouse.gatedLoad(bad, suite, writer)
+    assert(!rejected.loaded && rejected.rows == 0)
+    assert(written.isEmpty, "writer must never run on a failing gate")
+    assert(rejected.gate.failing.toSet ==
+      Set("not_null(event_id)", "in_set(click_type)"))
   }
 
   test("predefined click suite evaluates on real events-shaped data") {

@@ -172,4 +172,66 @@ class StreamingSpec extends SparkSpec {
     assert(reject.select("event_id").collect().map(_.getString(0)).sorted.toSeq == Seq("e3", "e4"))
     assert(reject.select("_gate_score").head().getDouble(0) == 0.5)
   }
+
+  test("kafka wire round-trip: from_json(to_json(x)) == x on all three topic schemas") {
+    import graft.model.Schemas
+    def roundTrip(df: org.apache.spark.sql.DataFrame,
+        schema: org.apache.spark.sql.types.StructType): Unit = {
+      val back = Streaming.toKafkaShape(df)
+        .select(from_json(col("value"), schema).as("p")).select("p.*")
+      assert(back.collect().toSeq == df.collect().toSeq)
+    }
+    val click = Seq(Schemas.UserClickEvent(
+      "e1", "user_click", ts("2024-01-01T00:00:00Z"), "s1", Some("u1"),
+      "page_view", "https://x/p", None, Some("P1"), None, None,
+      "mobile", Some("firefox"), Some("US"), None, None, None, None)).toDS()
+    roundTrip(click.toDF(), Schemas.userClickSchema)
+    val order = Seq(Schemas.OrderEvent(
+      "e2", "order", ts("2024-01-01T00:01:00Z"), "s1", None,
+      "ORD-1", "created",
+      Seq(Schemas.OrderItem("P1", "Widget", "tools", 2, 9.99, 10.0)),
+      17.98, "USD", Some("US"), None, Some("card"))).toDS()
+    roundTrip(order.toDF(), Schemas.orderSchema)
+    val cdc = Seq(Schemas.InventoryCDCEvent(
+      "e3", "inventory_cdc", ts("2024-01-01T00:02:00Z"), "s2", None,
+      "UPDATE", "inventory",
+      Some(Schemas.InventoryState("P1", Some("Widget"), None, 5, 10, None, None)),
+      Some(Schemas.InventoryState("P1", Some("Widget"), None, 3, 10, None, None)),
+      "0/1A2B3C")).toDS()
+    roundTrip(cdc.toDF(), Schemas.inventoryCdcSchema)
+  }
+
+  test("EventSource seam: FrameSource drives the same parse/dead-letter path — S1") {
+    val raw = Seq(
+      ("""{"event_id":"e1","event_type":"user_click","timestamp":"2024-01-01T00:00:00Z","session_id":"s1","click_type":"page_view","page_url":"https://x","device_type":"mobile"}"""),
+      ("""not json at all""")).toDF("value")
+      .select(col("value").cast("binary").as("value"))
+    val Some((ok, dead)) = Streaming.topicStream(spark,
+      Streaming.FrameSource(raw), "ecommerce.user_clicks")
+    assert(ok.select("event_id").collect().map(_.getString(0)).toSeq == Seq("e1"))
+    assert(dead.count() == 1)
+    // unknown topics are dropped at the boundary, same as the kafka binding
+    assert(Streaming.topicStream(spark, Streaming.FrameSource(raw), "nope").isEmpty)
+  }
+
+  test("query listener observes lifecycle; gracefulStop drains in-flight work — T6") {
+    implicit val sc = spark.sqlContext
+    val listener = new Streaming.GraftQueryListener(_ => ())
+    spark.streams.addListener(listener)
+    try {
+      val in = MemoryStream[String]
+      in.addData("a", "b")
+      val q = in.toDF().writeStream.format("memory").queryName("t6_out").start()
+      assert(Streaming.gracefulStop(q)) // drains the 2-row batch, then stops
+      assert(spark.table("t6_out").count() == 2)
+      // the listener bus is async — wait for the terminated event
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+        !listener.events.exists(_.startsWith("terminated"))) Thread.sleep(50)
+      val evs = listener.events
+      assert(evs.exists(_.startsWith("started")))
+      assert(evs.exists(e => e.startsWith("progress") && e.contains("rows=2")))
+      assert(evs.exists(e => e.startsWith("terminated") && e.endsWith("none")))
+    } finally spark.streams.removeListener(listener)
+  }
 }
