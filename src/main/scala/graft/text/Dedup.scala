@@ -38,8 +38,11 @@ object Dedup {
   /** Word-trigram shingles as flat (doc_id, gram) rows — the single pass
     * every near-dup operator is built on. Formulated as posexplode +
     * window lead (all codegen'd) rather than an interpreted `transform`
-    * lambda: one keyed shuffle on doc_id, then tight generated code — ~3×
-    * cheaper than the array-HOF form and reusable across consumers. */
+    * lambda: one keyed shuffle on doc_id, then tight generated code.
+    * A/B-measured twice (sf0.1, local[32], steady state): this form ~1.5 s
+    * vs ~4.7 s for the wordNgrams-array + posexplode variant — the
+    * interpreted per-gram lambda costs ~3× more than the keyed shuffle it
+    * avoids, so the shuffle stays. */
   def explodedGrams(spark: SparkSession, dir: String,
       distinctPerDoc: Boolean = false): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
