@@ -113,17 +113,22 @@ object SuiteCompiler {
 
   /** Run the whole suite in ONE df.agg(...) (vs the reference's scan per
     * expectation, expectations.py:344-400). */
-  def run(df: DataFrame, suite: Suite): SuiteResult = {
-    if (suite.expectations.isEmpty) return SuiteResult(suite.name, Seq.empty)
+  def run(df: DataFrame, suite: Suite): SuiteResult =
+    runWithCount(df, suite)._1
+
+  /** [[run]] plus the row count, still ONE aggregate pass — consumers that
+    * need both (the warehouse load report) must not pay a second scan or
+    * risk judging and counting different row sets. */
+  def runWithCount(df: DataFrame, suite: Suite): (SuiteResult, Long) = {
     val aggs = suite.expectations.zipWithIndex.map { case (e, i) =>
       observed(e).as(s"e_$i")
-    }
+    } :+ count(lit(1)).as("n_rows")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val results = suite.expectations.zipWithIndex.map { case (e, i) =>
       val obs = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
       ExpectationResult(e.name, judge(e, obs), obs)
     }
-    SuiteResult(suite.name, results)
+    (SuiteResult(suite.name, results), row.getLong(suite.expectations.size))
   }
 }
 

@@ -30,18 +30,23 @@ object Warehouse {
     * verdict, and the row count actually loaded (0 on abort). */
   case class LoadReport(loaded: Boolean, gate: Gate.GateResult, rows: Long)
 
-  /** Gate → load. The suite is evaluated in ONE aggregate pass
-    * ([[SuiteCompiler.run]]); a failing gate aborts before the writer is
-    * ever invoked (expectations.py:456-461's abort branch). */
+  /** Gate → load. Suite AND row count are evaluated in the SAME single
+    * aggregate pass ([[SuiteCompiler.runWithCount]]) — no separate count
+    * job, and the reported rows are the judged rows even if a cached
+    * partition is evicted afterwards; a failing gate aborts before the
+    * writer is ever invoked (expectations.py:456-461's abort branch).
+    * Callers feeding non-deterministic columns (uuid()/current_timestamp
+    * defaults) should checkpoint upstream so the written rows can't be
+    * recomputed differently from the judged ones. */
   def gatedLoad(df: DataFrame, suite: Expectations.Suite, writer: Writer,
       minScore: Double = Gate.DefaultMinScore): LoadReport = {
     df.persist()
     try {
-      val result = SuiteCompiler.run(df, suite)
+      val (result, rows) = SuiteCompiler.runWithCount(df, suite)
       val gate = Gate.check(result, minScore)
       if (gate.passed) {
         writer(df)
-        LoadReport(loaded = true, gate, df.count())
+        LoadReport(loaded = true, gate, rows)
       } else LoadReport(loaded = false, gate, 0L)
     } finally df.unpersist()
   }

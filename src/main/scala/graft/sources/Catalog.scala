@@ -76,14 +76,21 @@ object Catalog {
       targetFileBytes: Long = 128L * 1024 * 1024,
       format: String = "parquet"): (Long, Long) = {
     // one listing pass accumulates both file count and byte size (object
-    // store LIST calls are the expensive part of compaction planning)
+    // store LIST calls are the expensive part of compaction planning);
+    // hidden SEGMENTS anywhere in the path (_temporary/.staging debris from
+    // a crashed write) are excluded — spark.read would never load them, so
+    // counting them would inflate nOut
     val fs = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(fs.makeQualified(new Path(src)), true)
+    val base = fs.makeQualified(new Path(src))
+    val it = fs.listFiles(base, true)
     var flatFiles = 0L
     var totalBytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (!f.getPath.getName.startsWith("_")) { flatFiles += 1; totalBytes += f.getLen }
+      val rel = base.toUri.relativize(f.getPath.toUri).getPath
+      val hidden = rel.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) { flatFiles += 1; totalBytes += f.getLen }
     }
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
     val df = spark.read.format(format).load(src)

@@ -287,15 +287,22 @@ object Streaming {
   // ---- T6: observability + graceful shutdown -------------------------------
 
   /** T6 — operational observability: start/progress/termination events from
-    * every streaming query on the session, recorded and forwarded to `log`
-    * (the reference's consumer stats + close-path logging,
-    * event_consumer.py:196-204,216-220 / lake_writer.py:221-226). Attach
-    * with `spark.streams.addListener(listener)`. */
-  final class GraftQueryListener(log: String => Unit = s => Console.err.println(s))
+    * every streaming query on the session, forwarded to `log` and kept in a
+    * BOUNDED ring of the most recent `keep` events (a long-lived listener
+    * must not grow driver memory; the reference's consumer stats +
+    * close-path logging, event_consumer.py:196-204,216-220 /
+    * lake_writer.py:221-226). Attach with
+    * `spark.streams.addListener(listener)`. */
+  final class GraftQueryListener(log: String => Unit = s => Console.err.println(s),
+      keep: Int = 1000)
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val recorded = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    private def record(s: String): Unit = { recorded.add(s); log(s) }
+    private def record(s: String): Unit = {
+      recorded.add(s)
+      while (recorded.size > keep) recorded.poll()
+      log(s)
+    }
     def events: Seq[String] = {
       val it = recorded.iterator()
       val b = Seq.newBuilder[String]
@@ -311,14 +318,22 @@ object Streaming {
       record(s"terminated ${e.id} exception=${e.exception.getOrElse("none")}")
   }
 
-  /** T6 — graceful shutdown: drain everything the source has already made
+  /** T6 — graceful shutdown: drain what the source has already made
     * available (the reference's final buffer flush before close,
     * event_consumer.py:216-220), then stop and wait for termination. The
-    * checkpoint makes even a non-graceful stop safe (T1); this makes it
-    * CLEAN — no in-flight batch is abandoned. Returns true if the query
-    * terminated within `timeoutMs`. */
-  def gracefulStop(q: StreamingQuery, timeoutMs: Long = 30000L): Boolean = {
-    q.processAllAvailable()
+    * drain is BOUNDED by `drainTimeoutMs`: `processAllAvailable` can block
+    * forever against a source that keeps producing, so it runs on a
+    * daemon thread and we give up draining (not stopping) when the budget
+    * is spent — the checkpoint makes the undrained remainder safe to
+    * replay (T1); this just makes the common case CLEAN. Returns true if
+    * the query terminated within `timeoutMs` of the stop call. */
+  def gracefulStop(q: StreamingQuery, timeoutMs: Long = 30000L,
+      drainTimeoutMs: Long = 30000L): Boolean = {
+    val drain = new Thread(() =>
+      try q.processAllAvailable() catch { case _: Throwable => () })
+    drain.setDaemon(true)
+    drain.start()
+    drain.join(drainTimeoutMs)
     q.stop()
     q.awaitTermination(timeoutMs)
   }

@@ -80,7 +80,13 @@ object Dedup {
     * by (band_id, band value), equi-join buckets, then estimate Jaccard as
     * the fraction of agreeing minhashes. Only the banded equi-join
     * shuffles — the classic shingle→minhash→band→bucket-join pipeline. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    // the trailing sort is q30's presentation contract only — consumers
+    // that re-shuffle anyway (q49 clustering) take the unsorted form
+    minhashPairsUnsorted(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[minhashPairs]] without the final global sort. */
+  def minhashPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
     // materialize once: the signature table feeds three consumers (bands +
     // both pair sides); without the checkpoint the shingle->minhash
     // pipeline would be recomputed per consumer
@@ -109,7 +115,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
           v => v)) * lit(1.0) / NumHashes).as("est_jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** n-gram Jaccard (exact) within (lang, source) blocks. Pure equi-join
@@ -157,14 +162,17 @@ object Dedup {
     * counter — is already the distributed one. */
   def nearDupClusters(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val edges = minhashPairs(spark, dir)
+    val edges = minhashPairsUnsorted(spark, dir)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val sym = edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // propagate only over the candidate SUBGRAPH's nodes — the singleton
+    // majority (at 100 TB, ~all of the corpus) never enters the loop and
+    // is re-attached with one left join at the end
+    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
@@ -177,8 +185,12 @@ object Dedup {
         .filter(col("label") =!= col("old")).count()
       labels = next
     }
-    labels.select(col("doc_id"), col("label").as("cluster_rep"),
-      (col("doc_id") === col("label")).cast("long").as("keep"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_rep"),
+        (col("doc_id") === coalesce(col("label"), col("doc_id")))
+          .cast("long").as("keep"))
       .orderBy("doc_id")
   }
 

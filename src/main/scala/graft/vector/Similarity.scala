@@ -177,9 +177,22 @@ object Similarity {
     val cb = trainIvfCodebook(e)
     val assigned = assignCells(e, cb)
       .select(col("vec_id"), col("v"), col("norm"), col("cell").cast("long").as("cell"))
-    val probeRow = e.filter(col("vec_id") === 0).select(col("v"), col("norm")).head()
-    val pv = probeRow.getSeq[Double](0)
-    val pnorm = probeRow.getDouble(1)
+    val probeRows = e.filter(col("vec_id") === 0).select(col("v"), col("norm"))
+      .limit(1).collect()
+    if (probeRows.isEmpty) {
+      // no probe vector in the corpus: empty result with the contract schema
+      // (the round-1 broadcast formulation degraded the same way)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("rnk", LongType),
+        StructField("vec_id", e.schema("vec_id").dataType),
+        StructField("cell", LongType),
+        StructField("cos_sim", DoubleType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val pv = probeRows.head.getSeq[Double](0)
+    val pnorm = probeRows.head.getDouble(1)
     // same sequential-fold arithmetic as DotProduct/list_dot_product, so
     // the oracle's SQL probe-cell ranking lands on identical doubles
     val probeCells = cb.map { case (cid, cv) =>

@@ -50,6 +50,12 @@ class CatalogSpec extends SparkSpec {
     val dst = java.nio.file.Files.createTempDirectory("compacted").toString
     spark.range(10000).toDF("id").repartition(50)
       .write.mode("overwrite").parquet(src)
+    // debris from a crashed write must not count toward the plan: spark.read
+    // would never load files under hidden directories
+    val tmpDir = new java.io.File(s"$src/_temporary/0")
+    tmpDir.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/_temporary/0/part-junk.parquet"),
+      Array.fill(4096)(0.toByte))
     val (before, after) = Catalog.compact(spark, src, dst,
       targetFileBytes = 10L * 1024 * 1024)
     assert(before == 50)

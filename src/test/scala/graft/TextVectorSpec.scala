@@ -126,6 +126,17 @@ class TextVectorSpec extends SparkSpec {
     assert((exact & ivf).size >= 8, s"IVF recall ${(exact & ivf).size}/10")
   }
 
+  test("IVF without a probe vector degrades to an empty result, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("noprobe").toString
+    val rnd = new scala.util.Random(7)
+    (1L to 5L).map(i => (i, Array.fill(64)(rnd.nextFloat()), "x"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.annIvf(spark, dir)
+    assert(r.count() == 0)
+    assert(r.columns.toSeq == Seq("rnk", "vec_id", "cell", "cos_sim"))
+  }
+
   test("IVF k-means training moves centroids off their init vectors") {
     graft.functions.VectorExpressions.register(spark)
     import graft.functions.VectorExpressions.dot_product
