@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Enrich, Relational}
 import graft.multimodal.Multimodal
-import graft.text.{Dedup, TextOps}
+import graft.text.{Curation, Dedup, TextOps}
 import graft.vector.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §2.9 + §7.
@@ -70,6 +70,11 @@ object SparkEntry {
     // no oracle entry (HLL sketches are engine-specific) -> rows-only check
     "q48_approx_distinct" -> (Relational.q48 _),
     "q49_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
+    "q50_contamination"   -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
+    "q51_repetition"      -> (Curation.repetition _),
+    "q52_chunking"        -> ((s: SparkSession, d: String) => Curation.chunk(s, d)),
+    "q53_domain_mix"      -> (Curation.domainMix _),
+    "q54_pii_redact"      -> (Curation.piiRedact _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -589,6 +594,78 @@ object SparkEntry {
         |SELECT doc_id, MIN(label) AS cluster_rep,
         | CAST(doc_id = MIN(label) AS BIGINT) AS keep
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q50_contamination" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g0 AS (SELECT doc_id, $grams AS grams FROM t),
+         |g AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g0),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         |candg AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
+         |shared AS (SELECT doc_id, COUNT(*) AS n_shared FROM candg JOIN bench USING (gram) GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM candg GROUP BY doc_id),
+         |r AS (SELECT d.doc_id,
+         |        COALESCE(s.n_grams, 0) AS n_grams, COALESCE(sh.n_shared, 0) AS n_shared,
+         |        CASE WHEN COALESCE(s.n_grams, 0) > 0
+         |          THEN COALESCE(sh.n_shared, 0) * 1.0 / s.n_grams ELSE 0.0 END AS overlap
+         |      FROM documents d
+         |      LEFT JOIN sizes s ON d.doc_id = s.doc_id
+         |      LEFT JOIN shared sh ON d.doc_id = sh.doc_id
+         |      WHERE d.doc_id % 20 <> 0)
+         |SELECT doc_id, n_grams, n_shared, overlap,
+         | CAST(overlap >= 0.5 AS BIGINT) AS contaminated
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q51_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+         |td AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |         COUNT(*) AS n_distinct, MAX(c) AS top_tok FROM tc GROUP BY doc_id),
+         |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g0 AS (SELECT doc_id, unnest($grams) AS gram FROM t2),
+         |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g0 GROUP BY doc_id, gram),
+         |gd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, MAX(c) AS top_gram
+         |       FROM gc GROUP BY doc_id)
+         |SELECT td.doc_id, td.n_tokens,
+         | 1.0 - td.n_distinct * 1.0 / td.n_tokens AS dup_tok_frac,
+         | td.top_tok * 1.0 / td.n_tokens AS top_tok_frac,
+         | CASE WHEN gd.n_grams IS NOT NULL THEN gd.top_gram * 1.0 / gd.n_grams
+         |      ELSE 0.0 END AS top_gram_frac
+         |FROM td LEFT JOIN gd ON td.doc_id = gd.doc_id
+         |ORDER BY td.doc_id""".stripMargin,
+
+    "q52_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range((len(toks) - 1) // 24 + 1)) AS chunk_id FROM t)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        | CAST(len(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32)) AS BIGINT) AS chunk_len,
+        | md5(array_to_string(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32), ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q53_domain_mix" ->
+      """WITH ps AS (SELECT source, COUNT(*) AS n_docs,
+        |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |            FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS tot_docs,
+        |          CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
+        |          CAST(COUNT(*) AS DOUBLE) AS n_sources FROM ps)
+        |SELECT source, n_docs, n_tokens,
+        | n_docs / tot_docs AS doc_share,
+        | n_tokens / tot_tokens AS token_share,
+        | (1.0 / n_sources) / (n_docs / tot_docs) AS uniform_weight
+        |FROM ps, tot ORDER BY source""".stripMargin,
+
+    "q54_pii_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(text, '\+?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phone,
+        | CAST(len(regexp_extract_all(text, '\b(customer|user)\b')) AS BIGINT) AS n_lexicon,
+        | md5(regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |     '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g'),
+        |   '\b(customer|user)\b', '[REDACTED]', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q47_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

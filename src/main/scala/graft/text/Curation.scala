@@ -1,0 +1,161 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-corpus curation operators (the north-star LLM-pipeline surface
+  * beyond dedup/similarity: BASELINE.json "text analysis" + the operations a
+  * 100 TB pretraining pipeline runs between raw crawl and tokenizer).
+  *
+  * All operators are per-row column expressions plus at most one keyed
+  * aggregate — embarrassingly parallel, no driver-side data movement:
+  * - [[contamination]] — benchmark n-gram overlap screening (decontamination
+  *   before training); candidate grams meet the benchmark set in a keyed
+  *   equi-join on the gram, the same blocked shape as the dedup family.
+  * - [[repetition]] — Gopher-style repetition quality signals (duplicate
+  *   token fraction, dominant token/trigram fraction).
+  * - [[chunk]] — fixed-size token-window chunking with stride (sequence
+  *   packing for training): one generate per doc, no shuffle at all.
+  * - [[domainMix]] — per-source corpus shares + uniform-target resampling
+  *   weights (data-mix balancing).
+  * - [[piiRedact]] — PII-pattern counts (email/phone regex) + lexicon-term
+  *   masking with the redacted-content fingerprint.
+  */
+object Curation {
+
+  /** Q50 — benchmark-contamination screen: the fraction of each candidate
+    * doc's distinct trigrams that also occur in the BENCHMARK set (here the
+    * deterministic holdout doc_id % 20 == 0, standing in for an eval suite).
+    * Pipeline shape: distinct grams per doc (one keyed aggregate), benchmark
+    * gram set (broadcast-sized at eval-suite scale), equi-join on gram —
+    * never a cross join. `contaminated` = overlap ≥ 0.5. */
+  def contamination(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = Dedup.explodedGrams(spark, dir, distinctPerDoc = true)
+      .select(col("doc_id"), col("gram"))
+      .localCheckpoint()
+    val benchGrams = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("gram")).distinct()
+    val candGrams = grams.filter(col("doc_id") % 20 =!= 0)
+    val shared = candGrams.join(benchGrams, Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 20 =!= 0)
+      .join(sizes, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("overlap",
+        when(col("n_grams") > 0, col("n_shared") * lit(1.0) / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", (col("overlap") >= threshold).cast("long"))
+      .select("doc_id", "n_grams", "n_shared", "overlap", "contaminated")
+      .orderBy("doc_id")
+  }
+
+  /** Q51 — repetition quality signals (the Gopher repetition filters'
+    * shape): duplicate-token fraction, dominant-token fraction, and
+    * dominant-trigram fraction per doc. Two keyed aggregates (token level,
+    * gram level), map-side combined. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val tokCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_tok"))
+    val gramCounts = Dedup.explodedGrams(spark, dir)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_grams"),
+        max("c").as("top_gram"))
+    tokCounts.join(gramCounts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct") * lit(1.0) / col("n_tokens")).as("dup_tok_frac"),
+        (col("top_tok") * lit(1.0) / col("n_tokens")).as("top_tok_frac"),
+        when(col("n_grams").isNotNull,
+          col("top_gram") * lit(1.0) / col("n_grams"))
+          .otherwise(lit(0.0)).as("top_gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Q52 — token-window chunking with stride (sequence packing): each doc
+    * splits into windows of `size` tokens starting every `stride` tokens;
+    * emits per-chunk length + content fingerprint. One generate + map per
+    * row — the plan a 100 TB corpus wants: no shuffle, no state, output
+    * partitioning inherited from the scan. */
+  def chunk(spark: SparkSession, dir: String, width: Int = 32,
+      stride: Int = 24): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val win = slice(col("toks"), col("chunk_id") * stride + 1, lit(width))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("last_chunk", expr(s"(size(toks) - 1) div $stride"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("last_chunk"))).as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(win).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", win)).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Q53 — domain-mix shares + resampling weights: per source, its doc and
+    * token share of the corpus and the weight that would rebalance sampling
+    * to a uniform per-source target — the data-mix step before training.
+    * One aggregate + a broadcast 1-row totals scalar (same in-plan-scalar
+    * pattern as tfidf's N). */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val totals = perSource.agg(
+      sum("n_docs").cast("double").as("tot_docs"),
+      sum("n_tokens").cast("double").as("tot_tokens"),
+      count(lit(1)).cast("double").as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") / col("tot_docs")).as("doc_share"),
+        (col("n_tokens") / col("tot_tokens")).as("token_share"),
+        ((lit(1.0) / col("n_sources")) / (col("n_docs") / col("tot_docs")))
+          .as("uniform_weight"))
+      .orderBy("source")
+  }
+
+  /** Terms masked by [[piiRedact]]'s lexicon pass (entity names stand in
+    * for a real PII dictionary on the synthetic corpus). */
+  val RedactLexicon: Seq[String] = Seq("customer", "user")
+
+  /** Q54 — PII-style redaction: regex counts for email/phone shapes (the
+    * real patterns — zero hits on this synthetic corpus, their parity is
+    * what's verified) plus lexicon-term masking with the redacted content
+    * fingerprint. Patterns stay inside the Java∩RE2 regex subset so any
+    * engine computes identical matches. Pure per-row expressions. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+?[0-9][0-9() -]{7,}[0-9]"
+    val lex = RedactLexicon.mkString("\\b(", "|", ")\\b")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all(col("text"), lit(lex), lit(0)))
+          .cast("long").as("n_lexicon"),
+        md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), email, "[EMAIL]"),
+              phone, "[PHONE]"),
+            lex, "[REDACTED]")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+}
