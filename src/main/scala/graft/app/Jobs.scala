@@ -54,6 +54,9 @@ object IngestJob {
     val Array(inDir, bronzeDir, quarantineDir, checkpointDir) = args.take(4)
     val spark = Jobs.session("graft-ingest")
 
+    // T6 observability: lifecycle + progress of both sinks to the job log
+    spark.streams.addListener(new Streaming.GraftQueryListener())
+
     val raw = spark.readStream
       .format("text")
       .load(inDir)
@@ -69,6 +72,13 @@ object IngestJob {
       .trigger(Trigger.ProcessingTime("30 seconds"))
       .start()
 
+    // T6 graceful shutdown: SIGTERM drains in-flight batches, then stops —
+    // the reference's final-flush/close path (event_consumer.py:216-220)
+    sys.addShutdownHook {
+      Streaming.gracefulStop(bronze)
+      Streaming.gracefulStop(quarantine)
+    }
+
     bronze.awaitTermination()
     quarantine.awaitTermination()
   }
@@ -81,14 +91,20 @@ object IngestJob {
   * Redshift path (expectations.py:456-464).
   *
   * Usage: BatchJob <bronzeJsonDir> <silverDir> <goldDir> <processedDir>
+  *                 [warehouseTarget]
+  * `warehouseTarget` may be a `jdbc:` URL (the reference's Redshift shape)
+  * or a path (parquet stand-in); either way the load runs behind its own
+  * gate via Warehouse.gatedLoad.
   */
 object BatchJob {
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
-      System.err.println("usage: BatchJob <bronzeJsonDir> <silverDir> <goldDir> <processedDir>")
+      System.err.println(
+        "usage: BatchJob <bronzeJsonDir> <silverDir> <goldDir> <processedDir> [warehouseTarget]")
       sys.exit(2)
     }
     val Array(bronzeDir, silverDir, goldDir, processedDir) = args.take(4)
+    val warehouseTarget = args.lift(4)
     val spark = Jobs.session("graft-batch")
 
     val clicks = spark.read.schema(Schemas.userClickSchema).json(bronzeDir)
@@ -122,6 +138,27 @@ object BatchJob {
     // ProcessedEvent output stream shape (events.py:230-253)
     Enrich.processedEvents(clicks, current_timestamp())
       .write.mode("overwrite").parquet(processedDir)
+
+    // warehouse: the Redshift load the reference's gate guards
+    // (expectations.py:18-26,456-464), behind its own suite on the gold agg
+    warehouseTarget.foreach { target =>
+      import graft.quality.Warehouse
+      val writer: Warehouse.Writer =
+        if (target.startsWith("jdbc:")) Warehouse.jdbcWriter(target, "gold_daily")
+        else df => df.write.mode("overwrite").parquet(target)
+      val goldSuite = Expectations.Suite("gold_daily", Seq(
+        Expectations.NotNull("date"), Expectations.NotNull("click_type"),
+        Expectations.Between("n_events", 1, 1e12)))
+      val report = Warehouse.gatedLoad(gold, goldSuite, writer)
+      if (!report.loaded) {
+        System.err.println(
+          f"[batch] warehouse gate FAILED (score=${report.gate.score}%.4f, " +
+            s"failing=${report.gate.failing.mkString(",")}) — load aborted")
+        spark.stop(); sys.exit(1)
+      }
+      println(f"[batch] warehouse loaded ${report.rows} rows " +
+        f"(score=${report.gate.score}%.4f)")
+    }
 
     println(f"[batch] gate passed (score=${gate.score}%.4f); wrote silver/gold/processed")
     spark.stop()
