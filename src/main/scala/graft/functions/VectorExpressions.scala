@@ -101,9 +101,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       VectorExpressions.builder))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashHex].getName, "graft_minhash"),
+      TextExpressions.minhashBuilder))
+  }
 }

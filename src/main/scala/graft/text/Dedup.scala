@@ -60,19 +60,19 @@ object Dedup {
   /** MinHash signatures: doc_id + 8 minhash columns. Per-seed minhash is
     * the lexicographic min of md5("seed:" ++ shingle) — md5-hex min is
     * engine-portable (pure string compare), unlike murmur3/xxhash which
-    * differ across engines. Duplicate shingles can't change a min, so no
-    * per-doc distinct is needed. One explode + one map-side-combined
-    * aggregate; md5 runs codegen'd on flat rows. */
+    * differ across engines. Since round 2 the whole shingle→minhash loop
+    * is the [[graft.functions.MinHashHex]] expression: signatures are a
+    * pure MAP over the scan — zero shuffles (the round-1 exploded form
+    * shuffled the tokenized corpus twice; at 100 TB that was the
+    * pipeline's dominant cost). Short docs (<3 tokens) surface null
+    * signature columns, same as the old left-join contract. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until NumHashes).map { s =>
-      min(md5(concat(lit(s"$s:"), col("gram")))).as(s"mh$s")
-    }
-    val sigs = explodedGrams(spark, dir)
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-    // reinstate docs too short to have any shingle (null signature)
-    Tables.documents(spark, dir).select("doc_id")
-      .join(sigs, Seq("doc_id"), "left")
+    graft.functions.TextExpressions.register(spark)
+    import graft.functions.TextExpressions.minhash_hex
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), minhash_hex(TextOps.tokens(col("text"))).as("sigarr"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(s => element_at(col("sigarr"), s + 1).as(s"mh$s")): _*)
       .orderBy("doc_id")
   }
 

@@ -173,6 +173,34 @@ class TextVectorSpec extends SparkSpec {
     assert(top == planted, s"missed planted pairs: ${planted -- top}")
   }
 
+  test("MinHashHex expression == exploded min-aggregation formulation") {
+    val dir = sf0001
+    val viaExpr = Dedup.minhashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i)).toSeq).toMap
+    // the round-1 formulation it replaced: flat explode + min(md5) aggregate
+    val aggs = (0 until 8).map { s =>
+      min(md5(concat(lit(s"$s:"), col("gram")))).as(s"mh$s")
+    }
+    val sigs = Dedup.explodedGrams(spark, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val viaExplode = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      .join(sigs, Seq("doc_id"), "left").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i)).toSeq).toMap
+    assert(viaExpr == viaExplode)
+  }
+
+  test("graft_minhash contract: nulls for short docs, SQL route, arity check") {
+    graft.functions.TextExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_minhash(array('a','b')) AS short, graft_minhash(array('a','b','c')) AS ok")
+      .head()
+    assert(r.isNullAt(0)) // under 3 tokens -> no shingle -> null signature
+    val sig = r.getSeq[String](1)
+    assert(sig.length == 8 && sig.forall(_.length == 32))
+    intercept[IllegalArgumentException] {
+      graft.functions.TextExpressions.minhashBuilder(Seq.empty)
+    }
+  }
+
   test("wordNgrams (array form) and explodedGrams (flat form) agree") {
     import org.apache.spark.sql.functions._
     val dir = docsDir(Seq(
