@@ -75,6 +75,7 @@ object SparkEntry {
     "q52_chunking"        -> ((s: SparkSession, d: String) => Curation.chunk(s, d)),
     "q53_domain_mix"      -> (Curation.domainMix _),
     "q54_pii_redact"      -> (Curation.piiRedact _),
+    "q55_jaccard_prefiltered" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefiltered(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -666,6 +667,18 @@ object SparkEntry {
         |     '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g'),
         |   '\b(customer|user)\b', '[REDACTED]', 'g')) AS redacted_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q55_jaccard_prefiltered" ->
+      s"""WITH $minhashCtes,
+        |est AS (SELECT doc_a, doc_b, $estJaccard AS est_jaccard
+        |        FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id),
+        |pre AS (SELECT * FROM est WHERE est_jaccard >= 0.5),
+        |gd AS (SELECT doc_id, list_distinct(grams) AS grams FROM u)
+        |SELECT p.doc_a, p.doc_b, p.est_jaccard,
+        | len(list_intersect(ga.grams, gb.grams)) * 1.0 /
+        |   len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
+        |FROM pre p JOIN gd ga ON p.doc_a = ga.doc_id JOIN gd gb ON p.doc_b = gb.doc_id
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "q47_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -149,6 +149,35 @@ object Dedup {
       .orderBy("lang", "source", "doc_a", "doc_b")
   }
 
+  /** Exact n-gram Jaccard with a MinHash+LSH prefilter — the scale path for
+    * [[ngramJaccard]] (whose full per-block pair enumeration is quadratic):
+    * candidates come from the banded signature join and an estimated-Jaccard
+    * threshold, and only those pairs pay the exact intersection join. At
+    * 100 TB the pair set is bounded by bucket collisions instead of block
+    * sizes — the two-stage sketch-then-verify shape every production
+    * near-dup pipeline runs. */
+  def jaccardPrefiltered(spark: SparkSession, dir: String,
+      minEst: Double = 0.5): DataFrame = {
+    val cand = minhashPairsUnsorted(spark, dir)
+      .filter(col("est_jaccard") >= minEst)
+      .localCheckpoint()
+    val grams = explodedGrams(spark, dir, distinctPerDoc = true)
+      .select("doc_id", "gram").localCheckpoint()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand.join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(grams.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("n_i", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_u", col("sa.sz") + col("sb.sz") - col("n_i"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (col("n_i") * lit(1.0) / col("n_u")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Near-dup RESOLUTION on top of [[minhashPairs]] — the operator a
     * training pipeline actually runs: candidate pairs above `minJaccard`
     * become edges, connected components are resolved by iterative min-label

@@ -173,6 +173,21 @@ class TextVectorSpec extends SparkSpec {
     assert(top == planted, s"missed planted pairs: ${planted -- top}")
   }
 
+  test("prefiltered jaccard agrees with the exact form on surviving pairs and prunes") {
+    val dir = sf0001
+    val pre = Dedup.jaccardPrefiltered(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val exact = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    assert(pre.nonEmpty, "prefilter left no candidate pairs to verify")
+    // every surviving pair's exact jaccard matches the full enumeration
+    // (pairs crossing (lang, source) blocks are out of q31's scope)
+    pre.foreach { case (k, j) =>
+      exact.get(k).foreach(je => assert(je == j, s"pair $k: $j != $je"))
+    }
+    assert(pre.size < exact.size, "prefilter must prune the pair set")
+  }
+
   test("MinHashHex expression == exploded min-aggregation formulation") {
     val dir = sf0001
     val viaExpr = Dedup.minhashSignatures(spark, dir).collect()
