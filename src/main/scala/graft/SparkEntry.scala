@@ -657,16 +657,16 @@ object SparkEntry {
         |FROM ps, tot ORDER BY source""".stripMargin,
 
     "q54_pii_redact" ->
-      """SELECT doc_id,
+      """WITH s1 AS (SELECT doc_id, text,
+        |    regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS after_email
+        |  FROM documents),
+        |s2 AS (SELECT *, regexp_replace(after_email, '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g') AS after_phone FROM s1)
+        |SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
-        | CAST(len(regexp_extract_all(text, '\+?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phone,
-        | CAST(len(regexp_extract_all(text, '\b(customer|user)\b')) AS BIGINT) AS n_lexicon,
-        | md5(regexp_replace(
-        |   regexp_replace(
-        |     regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
-        |     '\+?[0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g'),
-        |   '\b(customer|user)\b', '[REDACTED]', 'g')) AS redacted_fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        | CAST(len(regexp_extract_all(after_email, '\+?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phone,
+        | CAST(len(regexp_extract_all(after_phone, '\b(customer|user)\b')) AS BIGINT) AS n_lexicon,
+        | md5(regexp_replace(after_phone, '\b(customer|user)\b', '[REDACTED]', 'g')) AS redacted_fp
+        |FROM s2 ORDER BY doc_id""".stripMargin,
 
     "q55_jaccard_prefiltered" ->
       s"""WITH $minhashCtes,

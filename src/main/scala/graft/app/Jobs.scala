@@ -73,14 +73,22 @@ object IngestJob {
       .start()
 
     // T6 graceful shutdown: SIGTERM drains in-flight batches, then stops —
-    // the reference's final-flush/close path (event_consumer.py:216-220)
-    sys.addShutdownHook {
-      Streaming.gracefulStop(bronze)
-      Streaming.gracefulStop(quarantine)
-    }
+    // the reference's final-flush/close path (event_consumer.py:216-220).
+    // Registered with the Hadoop shutdown manager ABOVE Spark's own hook
+    // priority (Spark's hooks run inside one Hadoop hook at priority 30):
+    // a plain JVM hook would race SparkContext.stop() and kill the queries
+    // mid-drain.
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit = {
+          Streaming.gracefulStop(bronze)
+          Streaming.gracefulStop(quarantine)
+        }
+      }, 60)
 
-    bronze.awaitTermination()
-    quarantine.awaitTermination()
+    // surface the FIRST failure of either sink: blocking on one query would
+    // let the other die silently (listener logs aside)
+    spark.streams.awaitAnyTermination()
   }
 }
 
@@ -149,7 +157,10 @@ object BatchJob {
       val goldSuite = Expectations.Suite("gold_daily", Seq(
         Expectations.NotNull("date"), Expectations.NotNull("click_type"),
         Expectations.Between("n_events", 1, 1e12)))
-      val report = Warehouse.gatedLoad(gold, goldSuite, writer)
+      // judge/load the rows as PERSISTED to the lake — re-deriving `gold`
+      // here would recompute the whole bronze scan + aggregation and could
+      // diverge from what the gold write landed
+      val report = Warehouse.gatedLoad(spark.read.parquet(goldDir), goldSuite, writer)
       if (!report.loaded) {
         System.err.println(
           f"[batch] warehouse gate FAILED (score=${report.gate.score}%.4f, " +

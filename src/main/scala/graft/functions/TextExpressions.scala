@@ -24,20 +24,30 @@ object MinHashHelper {
     while (i <= n - ngram) {
       val sb = new java.lang.StringBuilder
       var k = 0
+      var hasNull = false
       while (k < ngram) {
-        if (k > 0) sb.append(' ')
-        sb.append(tokens.getUTF8String(i + k).toString)
+        val tok = tokens.getUTF8String(i + k)
+        if (tok == null) hasNull = true
+        else {
+          if (k > 0) sb.append(' ')
+          sb.append(tok.toString)
+        }
         k += 1
       }
-      val gram = sb.toString
-      var s = 0
-      while (s < numHashes) {
-        val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s + ":" + gram)
-        if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
-        s += 1
+      // a gram touching a null token contributes nothing (DuckDB's
+      // null-propagating concat + null-skipping list_min behave the same)
+      if (!hasNull) {
+        val gram = sb.toString
+        var s = 0
+        while (s < numHashes) {
+          val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s + ":" + gram)
+          if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+          s += 1
+        }
       }
       i += 1
     }
+    if (mins(0) == null) return null // every gram touched a null token
     new GenericArrayData(mins.map(UTF8String.fromString))
   }
 }

@@ -96,7 +96,7 @@ object Curation {
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("last_chunk", expr(s"(size(toks) - 1) div $stride"))
       .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(0), col("last_chunk"))).as(Seq("chunk_id", "start")))
+        explode(sequence(lit(0), col("last_chunk"))).as("chunk_id"))
       .select(
         col("doc_id"),
         col("chunk_id").cast("long").as("chunk_id"),
@@ -142,20 +142,24 @@ object Curation {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phone = "\\+?[0-9][0-9() -]{7,}[0-9]"
     val lex = RedactLexicon.mkString("\\b(", "|", ")\\b")
+    // counts follow the REDACTION CASCADE (each stage counts on the
+    // previous stage's output), so n_email/n_phone/n_lexicon describe
+    // exactly the replacements present in redacted_fp — counting every
+    // pattern on the raw text would double-report overlapping matches
+    // (a digit run inside an email is not also a phone number)
+    val afterEmail = regexp_replace(col("text"), email, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, phone, "[PHONE]")
+    val afterLex = regexp_replace(afterPhone, lex, "[REDACTED]")
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(email), lit(0)))
           .cast("long").as("n_email"),
-        size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+        size(regexp_extract_all(afterEmail, lit(phone), lit(0)))
           .cast("long").as("n_phone"),
-        size(regexp_extract_all(col("text"), lit(lex), lit(0)))
+        size(regexp_extract_all(afterPhone, lit(lex), lit(0)))
           .cast("long").as("n_lexicon"),
-        md5(regexp_replace(
-            regexp_replace(
-              regexp_replace(col("text"), email, "[EMAIL]"),
-              phone, "[PHONE]"),
-            lex, "[REDACTED]")).as("redacted_fp"))
+        md5(afterLex).as("redacted_fp"))
       .orderBy("doc_id")
   }
 }

@@ -161,20 +161,19 @@ object Dedup {
     val cand = minhashPairsUnsorted(spark, dir)
       .filter(col("est_jaccard") >= minEst)
       .localCheckpoint()
-    val grams = explodedGrams(spark, dir, distinctPerDoc = true)
-      .select("doc_id", "gram").localCheckpoint()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand.join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(grams.as("gb"),
-        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    cand.join(inter, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("n_i", coalesce(col("n_inter"), lit(0L)))
-      .withColumn("n_u", col("sa.sz") + col("sb.sz") - col("n_i"))
+    // exact verification runs on per-row gram ARRAYS: the prefilter leaves
+    // few enough pairs that array_intersect/array_union on the joined rows
+    // beats re-exploding the corpus into flat gram rows (and mirrors the
+    // oracle's list_intersect/list_distinct(list_concat) one-to-one).
+    // Candidates always have ≥1 gram (null-signature docs never band).
+    val docGrams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(TextOps.wordNgrams(TextOps.tokens(col("text")))).as("grams"))
+    cand.join(docGrams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(docGrams.as("gb"), col("doc_b") === col("gb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
-        (col("n_i") * lit(1.0) / col("n_u")).as("jaccard"))
+        (size(array_intersect(col("ga.grams"), col("gb.grams"))) * lit(1.0) /
+          size(array_union(col("ga.grams"), col("gb.grams")))).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
