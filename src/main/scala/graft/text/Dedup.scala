@@ -166,7 +166,13 @@ object Dedup {
     // beats re-exploding the corpus into flat gram rows (and mirrors the
     // oracle's list_intersect/list_distinct(list_concat) one-to-one).
     // Candidates always have ≥1 gram (null-signature docs never band).
+    // The interpreted wordNgrams lambda runs ONLY on docs that survived
+    // the prefilter (semi-join first) — building arrays for the whole
+    // corpus would reintroduce the measured-3×-slower HOF path.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val docGrams = Tables.documents(spark, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(TextOps.wordNgrams(TextOps.tokens(col("text")))).as("grams"))
     cand.join(docGrams.as("ga"), col("doc_a") === col("ga.doc_id"))

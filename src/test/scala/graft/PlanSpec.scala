@@ -103,6 +103,21 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("band_val"))
   }
 
+  test("minhash signatures are a pure map: no shuffle before the presentation sort") {
+    import graft.text.Dedup
+    val plan = explain(Dedup.minhashSignatures(spark, sf0001))
+    // exactly ONE exchange — the rangepartitioning for orderBy(doc_id);
+    // signatures themselves come straight off the scan (MinHashHex)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange (sort), got $exchanges:\n$plan")
+  }
+
+  test("q55 prefiltered jaccard verifies candidates through keyed joins only") {
+    import graft.text.Dedup
+    val s = explain(Dedup.jaccardPrefiltered(spark, sf0001))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
