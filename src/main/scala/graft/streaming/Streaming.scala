@@ -166,6 +166,29 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup dedup (U6 in-stream): drop documents whose full
+    * 8-hash MinHash signature was already seen inside the watermark —
+    * catches retyped/whitespace-variant near-copies that exact event_id /
+    * content-hash dedup misses. Only possible because
+    * [[graft.functions.MinHashHex]] computes the signature as a pure
+    * per-row map (the exploded+aggregate formulation can't run inside a
+    * streaming dedup); state is keyed by signature and watermark-bounded,
+    * same scale contract as [[silverDedup]]. Rows under 3 tokens carry a
+    * null signature and are kept (no evidence of duplication). */
+  def nearDupDedup(df: DataFrame, textCol: String = "text",
+      tsCol: String = "timestamp", watermark: String = "1 hour"): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    import graft.functions.TextExpressions.minhash_hex
+    val sigged = df.withColumn("_sig",
+      concat_ws("|", minhash_hex(split(col(textCol), " "))))
+    val withSig = sigged.filter(col("_sig") =!= "")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_sig")
+    // concat_ws folds the null signature to "" — short docs bypass dedup
+    withSig.unionByName(sigged.filter(col("_sig") === ""))
+      .drop("_sig")
+  }
+
   // ---- T5/W1: sessionization -----------------------------------------------
 
   /** Streaming session windows with the reference's 10-minute inactivity gap

@@ -173,6 +173,27 @@ class StreamingSpec extends SparkSpec {
     assert(reject.select("_gate_score").head().getDouble(0) == 0.5)
   }
 
+  test("streaming near-dup dedup drops signature-identical docs within the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String, java.sql.Timestamp)]
+    val dedup = Streaming.nearDupDedup(
+      in.toDF().toDF("doc_id", "text", "timestamp"))
+    val q = dedup.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    val t0 = ts("2024-01-01T00:00:00Z")
+    in.addData(
+      ("d1", "the quick brown fox jumps over the lazy dog", t0),
+      ("d2", "the quick brown fox jumps over the lazy dog", t0), // near-copy: dropped
+      ("d3", "completely different words appear in this document", t0),
+      ("d4", "hi", t0)) // under 3 tokens: null signature, always kept
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_out").select("doc_id")
+      .collect().map(_.getString(0)).toSet
+    assert(got.intersect(Set("d1", "d2")).size == 1) // exactly one of the copies
+    assert(got.contains("d3") && got.contains("d4"))
+  }
+
   test("kafka wire round-trip: from_json(to_json(x)) == x on all three topic schemas") {
     import graft.model.Schemas
     def roundTrip(df: org.apache.spark.sql.DataFrame,
