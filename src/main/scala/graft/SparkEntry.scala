@@ -76,6 +76,7 @@ object SparkEntry {
     "q53_domain_mix"      -> (Curation.domainMix _),
     "q54_pii_redact"      -> (Curation.piiRedact _),
     "q55_jaccard_prefiltered" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefiltered(s, d)),
+    "q56_frame_sample"    -> ((s: SparkSession, d: String) => Multimodal.frameSampleQuery(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -679,6 +680,15 @@ object SparkEntry {
         |   len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
         |FROM pre p JOIN gd ga ON p.doc_a = ga.doc_id JOIN gd gb ON p.doc_b = gb.doc_id
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q56_frame_sample" ->
+      """WITH t AS (SELECT doc_id AS asset_id, text,
+        |             unnest(range((length(text) - 1) // 32 + 1)) AS frame_id
+        |           FROM documents)
+        |SELECT asset_id, CAST(frame_id AS BIGINT) AS frame_id,
+        | CAST(length(substring(text, frame_id * 32 + 1, 16)) AS BIGINT) AS frame_len,
+        | md5(substring(text, frame_id * 32 + 1, 16)) AS frame_md5
+        |FROM t ORDER BY asset_id, frame_id""".stripMargin,
 
     "q47_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -85,6 +85,28 @@ object Multimodal {
     }.toDF("asset_id", "kind", "out_w", "out_h", "payload")
   }
 
+  /** Oracle-checkable frame sampling (the declarative shape of
+    * [[sampleFrames]], over the same text-bytes-as-payload stand-in):
+    * every `stride` bytes a `frameSize`-byte frame is cut and
+    * fingerprinted — the (asset, frame_id, frame_hash) contract a video
+    * pipeline feeds its per-frame feature extractor. One generate + map
+    * per row, no shuffle; the tail frame clamps to the remaining bytes. */
+  def frameSampleQuery(spark: SparkSession, dir: String, frameSize: Int = 16,
+      stride: Int = 32): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("text"))
+      .withColumn("last_f", expr(s"(length(text) - 1) div $stride"))
+      .select(col("asset_id"), col("text"),
+        explode(sequence(lit(0), col("last_f"))).as("frame_id"))
+      .select(
+        col("asset_id"),
+        col("frame_id").cast("long").as("frame_id"),
+        length(expr(s"substring(text, frame_id * $stride + 1, $frameSize)"))
+          .cast("long").as("frame_len"),
+        md5(expr(s"substring(text, frame_id * $stride + 1, $frameSize)"))
+          .as("frame_md5"))
+      .orderBy("asset_id", "frame_id")
+
   /** Oracle-checkable metadata pass: treats document text bytes as the
     * binary payload (the test corpus has no real media) and computes the
     * metadata a media lake tracks — byte length, content hash, head-bytes

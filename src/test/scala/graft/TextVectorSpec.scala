@@ -99,6 +99,17 @@ class TextVectorSpec extends SparkSpec {
     assert(ann.map(_.getLong(2)).distinct.length == 1)
   }
 
+  test("frame-sample query cuts stride frames with a clamped tail") {
+    val text = "a" * 40 // 40 bytes: frames at 0 (16) and 32 (clamped to 8)
+    val dir = docsDir(Seq((7L, text, "en", "s", 40L)))
+    val r = Multimodal.frameSampleQuery(spark, dir).collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(1) == 0L && r(0).getLong(2) == 16L)
+    assert(r(1).getLong(1) == 1L && r(1).getLong(2) == 8L)
+    val exp = org.apache.commons.codec.digest.DigestUtils.md5Hex("a" * 16)
+    assert(r(0).getString(3) == exp)
+  }
+
   test("multimodal: stub decode features are deterministic and fixed-shape") {
     val assets = Seq(
       MediaAsset(1L, "image", "some fake image payload bytes".getBytes("UTF-8")),
