@@ -77,6 +77,7 @@ object SparkEntry {
     "q54_pii_redact"      -> (Curation.piiRedact _),
     "q55_jaccard_prefiltered" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefiltered(s, d)),
     "q56_frame_sample"    -> ((s: SparkSession, d: String) => Multimodal.frameSampleQuery(s, d)),
+    "q57_embed_quantize"  -> (Similarity.embedQuantize _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -689,6 +690,19 @@ object SparkEntry {
         | CAST(length(substring(text, frame_id * 32 + 1, 16)) AS BIGINT) AS frame_len,
         | md5(substring(text, frame_id * 32 + 1, 16)) AS frame_md5
         |FROM t ORDER BY asset_id, frame_id""".stripMargin,
+
+    "q57_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |r AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax,
+        |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+        |q AS (SELECT vec_id, vmin, vmax, scale,
+        |        list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+        |          ELSE CAST(floor((x - vmin) / scale + 0.5) AS BIGINT) END) AS qv
+        |      FROM r)
+        |SELECT vec_id, vmin, vmax, scale,
+        | CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+        | md5(array_to_string(qv, ',')) AS q_fp
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q47_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -304,6 +304,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Q57 — int8 embedding quantization (the storage-compression step a
+    * vector store runs before indexing: min/max range per vector, 255-level
+    * codes): emits the quantization params and a deterministic fingerprint
+    * + order-independent checksum of the codes. Pure per-row expressions —
+    * the 100 TB plan is a map over the scan. Codes use the portable
+    * `floor(x·k + 0.5)` rule so any engine reproduces them bit-exactly;
+    * constant vectors (range 0) code to all-zeros. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+    val codes = transform(col("v"), x =>
+      when(col("scale") === 0.0, lit(0L))
+        .otherwise(floor((x - col("vmin")) / col("scale") + lit(0.5))))
+    e.withColumn("q", codes)
+      .select(
+        col("vec_id"), col("vmin"), col("vmax"), col("scale"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_checksum"),
+        md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_fp"))
+      .orderBy("vec_id")
+  }
+
   /** Exact embedding near-dup: all-pairs top-k — O(n²), intentionally only
     * the small-corpus ground truth the blocked path is measured against. */
   def nearDupPairsExact(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {

@@ -137,6 +137,23 @@ class TextVectorSpec extends SparkSpec {
     assert((exact & ivf).size >= 8, s"IVF recall ${(exact & ivf).size}/10")
   }
 
+  test("embedding quantization: hand-computed codes, constant-vector guard") {
+    val dir = java.nio.file.Files.createTempDirectory("quant").toString
+    Seq(
+      (1L, Array(0.0f, 1.0f, 0.5f), "x"),
+      (2L, Array(3.0f, 3.0f, 3.0f), "x")) // constant: scale 0 -> all-zero codes
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.embedQuantize(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val v1 = r(1L)
+    assert(v1.getDouble(1) == 0.0 && v1.getDouble(2) == 1.0)
+    // codes: 0, 255, floor(0.5*255 + 0.5) = 128 -> checksum 383
+    assert(v1.getLong(4) == 383L)
+    val v2 = r(2L)
+    assert(v2.getDouble(3) == 0.0 && v2.getLong(4) == 0L)
+  }
+
   test("IVF without a probe vector degrades to an empty result, not a crash") {
     val dir = java.nio.file.Files.createTempDirectory("noprobe").toString
     val rnd = new scala.util.Random(7)
