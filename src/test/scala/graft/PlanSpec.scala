@@ -118,6 +118,18 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("map-only curation/multimodal queries shuffle only for their presentation sort") {
+    // chunking, frame sampling, quantization, pii redaction: all generate/map
+    // over the scan — exactly ONE exchange (the orderBy range partitioning)
+    val mapOnly = Seq("q52_chunking", "q56_frame_sample", "q57_embed_quantize",
+      "q54_pii_redact")
+    mapOnly.foreach { q =>
+      val plan = explain(SparkEntry.queries(q)(spark, sf0001))
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1, s"$q: expected 1 exchange (sort), got $exchanges")
+    }
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
