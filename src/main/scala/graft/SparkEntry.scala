@@ -700,8 +700,8 @@ object SparkEntry {
         |          ELSE CAST(floor((x - vmin) / scale + 0.5) AS BIGINT) END) AS qv
         |      FROM r)
         |SELECT vec_id, vmin, vmax, scale,
-        | CAST(list_sum(qv) AS BIGINT) AS q_checksum,
-        | md5(array_to_string(qv, ',')) AS q_fp
+        | CAST(COALESCE(list_sum(qv), 0) AS BIGINT) AS q_checksum,
+        | md5(COALESCE(array_to_string(qv, ','), '')) AS q_fp
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "q47_funnel" ->

@@ -168,24 +168,28 @@ object Streaming {
 
   /** Streaming NEAR-dup dedup (U6 in-stream): drop documents whose full
     * 8-hash MinHash signature was already seen inside the watermark —
-    * catches retyped/whitespace-variant near-copies that exact event_id /
-    * content-hash dedup misses. Only possible because
-    * [[graft.functions.MinHashHex]] computes the signature as a pure
-    * per-row map (the exploded+aggregate formulation can't run inside a
-    * streaming dedup); state is keyed by signature and watermark-bounded,
-    * same scale contract as [[silverDedup]]. Rows under 3 tokens carry a
-    * null signature and are kept (no evidence of duplication). */
+    * catches re-sent/near-identical token streams (docs whose trigram sets
+    * agree on all 8 minhash minima) that event_id dedup misses. Only
+    * possible because [[graft.functions.MinHashHex]] computes the
+    * signature as a pure per-row map (the exploded+aggregate formulation
+    * can't run inside a streaming dedup); state is keyed by signature and
+    * watermark-bounded, same scale contract as [[silverDedup]]. Docs under
+    * 3 tokens carry no signature and dedup on a per-row unique key instead
+    * (never dropped) — ONE branch, so the source is scanned and hashed
+    * once per micro-batch (a filter+union formulation would plan the
+    * source subtree twice). Tokenization is [[TextOps.tokens]], the same
+    * tokenizer the batch signatures use. */
   def nearDupDedup(df: DataFrame, textCol: String = "text",
       tsCol: String = "timestamp", watermark: String = "1 hour"): DataFrame = {
     graft.functions.TextExpressions.register(df.sparkSession)
     import graft.functions.TextExpressions.minhash_hex
-    val sigged = df.withColumn("_sig",
-      concat_ws("|", minhash_hex(split(col(textCol), " "))))
-    val withSig = sigged.filter(col("_sig") =!= "")
+    df.withColumn("_sig",
+        coalesce(
+          nullif(concat_ws("|",
+            minhash_hex(graft.text.TextOps.tokens(col(textCol)))), lit("")),
+          concat(lit("uniq:"), expr("uuid()"))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_sig")
-    // concat_ws folds the null signature to "" — short docs bypass dedup
-    withSig.unionByName(sigged.filter(col("_sig") === ""))
       .drop("_sig")
   }
 

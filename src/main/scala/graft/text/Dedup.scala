@@ -169,10 +169,13 @@ object Dedup {
     // The interpreted wordNgrams lambda runs ONLY on docs that survived
     // the prefilter (semi-join first) — building arrays for the whole
     // corpus would reintroduce the measured-3×-slower HOF path.
+    // no broadcast hint: the survivor set is small here but unbounded at
+    // corpus scale — size-based planning picks broadcast when it fits and
+    // a shuffled semi-join when it doesn't
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val docGrams = Tables.documents(spark, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(TextOps.wordNgrams(TextOps.tokens(col("text")))).as("grams"))
     cand.join(docGrams.as("ga"), col("doc_a") === col("ga.doc_id"))
