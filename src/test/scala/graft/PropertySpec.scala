@@ -68,6 +68,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token exactly, tails clamp, overlaps match stride") {
+    import spark.implicits._
+    // boundary sweep: single token, one-below/at/above each stride and
+    // width boundary, and long tails
+    Seq(1, 2, 23, 24, 25, 31, 32, 33, 48, 49, 56, 57, 100).foreach { nTok =>
+      val width = 32
+      val stride = 24
+      val text = (1 to nTok).map(i => s"t$i").mkString(" ")
+      val dir = java.nio.file.Files.createTempDirectory("chunkp").toString
+      Seq((1L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val chunks = graft.text.Curation.chunk(spark, dir, width, stride).collect()
+      val expected = (nTok - 1) / stride + 1
+      assert(chunks.length == expected, s"nTok=$nTok")
+      // every chunk covers [id*stride, min(id*stride+width, nTok))
+      chunks.foreach { c =>
+        val start = c.getLong(1) * stride
+        assert(c.getLong(2) == math.min(width.toLong, nTok - start), s"nTok=$nTok chunk=$c")
+      }
+      // union of chunk spans covers 0..nTok-1 with no gaps (stride < width)
+      val covered = chunks.map(c => (c.getLong(1) * stride, c.getLong(1) * stride + c.getLong(2)))
+        .sortBy(_._1)
+      assert(covered.head._1 == 0 && covered.last._2 == nTok)
+      covered.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(s2 <= e1, s"gap at $s2, nTok=$nTok")
+        case _ => ()
+      }
+    }
+  }
+
+  test("quantization reconstructs every coordinate within half a step") {
+    forAll(Gen.listOfN(16, Gen.choose(-1000000, 1000000).map(_ / 1000.0))) { xs =>
+      val vmin = xs.min
+      val vmax = xs.max
+      val scale = (vmax - vmin) / 255.0
+      xs.foreach { x =>
+        val code = if (scale == 0.0) 0L else math.floor((x - vmin) / scale + 0.5).toLong
+        assert(code >= 0 && code <= 255)
+        if (scale > 0) {
+          val recon = vmin + code * scale
+          assert(math.abs(recon - x) <= scale / 2 + 1e-9,
+            s"x=$x recon=$recon scale=$scale")
+        }
+      }
+    }
+  }
+
   test("dedup is idempotent: dropDuplicates twice == once") {
     import spark.implicits._
     (1 to 5).map(i => Gen.listOfN(40, Gen.choose(1, 12))
