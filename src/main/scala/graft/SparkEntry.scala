@@ -78,6 +78,7 @@ object SparkEntry {
     "q55_jaccard_prefiltered" -> ((s: SparkSession, d: String) => Dedup.jaccardPrefiltered(s, d)),
     "q56_frame_sample"    -> ((s: SparkSession, d: String) => Multimodal.frameSampleQuery(s, d)),
     "q57_embed_quantize"  -> (Similarity.embedQuantize _),
+    "q58_collocations"    -> ((s: SparkSession, d: String) => Curation.collocations(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -703,6 +704,24 @@ object SparkEntry {
         | CAST(COALESCE(list_sum(qv), 0) AS BIGINT) AS q_checksum,
         | md5(COALESCE(array_to_string(qv, ','), '')) AS q_fp
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q58_collocations" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |flat AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+        |bip AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+        |          i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS p FROM tok),
+        |bi AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bip),
+        |uni AS (SELECT tok, COUNT(*) AS c FROM flat GROUP BY tok),
+        |bic AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+        |               (SELECT COUNT(*) FROM bi) AS n_bi),
+        |j AS (SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |        floor(ln(CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)
+        |          / (CAST(n_bi AS DOUBLE) * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)))
+        |          * 10000 + 0.5) / 10000.0 AS pmi
+        |      FROM bic JOIN uni ua ON w1 = ua.tok JOIN uni ub ON w2 = ub.tok, tot)
+        |SELECT w1, w2, c_ab, c_a, c_b, pmi FROM j
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q47_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

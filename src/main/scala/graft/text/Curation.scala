@@ -129,6 +129,45 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Q58 — collocation mining by pointwise mutual information: adjacent
+    * token pairs scored by ln(p(ab)/(p(a)p(b))), min support `minCount`,
+    * top `k` — the phrase-detection pass that seeds multi-word entries in
+    * a tokenizer vocabulary. Two keyed aggregates + broadcast totals; the
+    * PMI arithmetic keeps exact integer counts in-plan and spends exactly
+    * one ln + one divide per surviving pair (pround(4) presentation). */
+  def collocations(spark: SparkSession, dir: String, minCount: Int = 5,
+      k: Int = 50): DataFrame = {
+    import graft.functions.Portable.pround
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val bigrams = toks
+      .withColumn("t1", lead(col("tok"), 1).over(byDoc))
+      .filter(col("t1").isNotNull)
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val bi = bigrams.groupBy(col("tok").as("w1"), col("t1").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val totals = uni.agg(sum("c").as("n_uni"))
+      .crossJoin(bigrams.agg(count(lit(1)).as("n_bi")))
+    // exact-integer counts cast to double in a FIXED association order
+    // (((a·b)·c) / ((d·e)·f)) so any engine lands on identical doubles
+    val num = col("c_ab").cast("double") *
+      col("n_uni").cast("double") * col("n_uni").cast("double")
+    val den = col("n_bi").cast("double") *
+      col("c_a").cast("double") * col("c_b").cast("double")
+    bi.join(uni.as("ua"), col("w1") === col("ua.tok"))
+      .join(uni.as("ub"), col("w2") === col("ub.tok"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        col("ua.c").as("c_a"), col("ub.c").as("c_b"), col("n_uni"), col("n_bi"))
+      .withColumn("pmi", pround(log(num / den), 4))
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi")
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Terms masked by [[piiRedact]]'s lexicon pass (entity names stand in
     * for a real PII dictionary on the synthetic corpus). */
   val RedactLexicon: Seq[String] = Seq("customer", "user")

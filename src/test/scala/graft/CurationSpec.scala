@@ -59,6 +59,17 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r("sb")._2 - 2.0 / 3) < 1e-12)
   }
 
+  test("collocations: an always-adjacent pair outranks independent co-occurrence") {
+    // "x y" only ever adjacent; "a"/"b" frequent but independent
+    val rows = (1L to 10L).map(i => (i, "a b x y b a", "en", "s", 11L))
+    val dir = docsDir(rows)
+    val r = Curation.collocations(spark, dir, minCount = 5, k = 10).collect()
+    assert(r.nonEmpty)
+    val top = r.head
+    assert((top.getString(0), top.getString(1)) == (("x", "y")))
+    assert(top.getDouble(5) > 0.0) // positive PMI: genuinely associated
+  }
+
   test("pii redaction: lexicon and pattern hits are masked and counted") {
     val dir = docsDir(Seq(
       (1L, "customer wrote to test@example.com from +1 (555) 123-4567 as user", "en", "s", 60L)))
