@@ -79,6 +79,7 @@ object SparkEntry {
     "q56_frame_sample"    -> ((s: SparkSession, d: String) => Multimodal.frameSampleQuery(s, d)),
     "q57_embed_quantize"  -> (Similarity.embedQuantize _),
     "q58_collocations"    -> ((s: SparkSession, d: String) => Curation.collocations(s, d)),
+    "q59_doc_packing"     -> ((s: SparkSession, d: String) => Curation.docPacking(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -722,6 +723,19 @@ object SparkEntry {
         |      FROM bic JOIN uni ua ON w1 = ua.tok JOIN uni ub ON w2 = ub.tok, tot)
         |SELECT w1, w2, c_ab, c_a, c_b, pmi FROM j
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q59_doc_packing" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+        |          AS global_offset
+        |      FROM t)
+        |SELECT doc_id, n_tokens, global_offset,
+        | global_offset // 256 AS pack_id,
+        | global_offset % 256 AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q47_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

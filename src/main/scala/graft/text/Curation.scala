@@ -129,6 +129,43 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Q59 — sequence packing (concatenate-and-chunk): every doc gets its
+    * global token offset in doc_id order, from which pack_id (which
+    * `budget`-token training sequence it lands in) and pack_offset follow.
+    * The global prefix sum is the two-level distributed form: per-block
+    * running totals under a KEYED window (block = doc_id div blockSize),
+    * plus a block-offset table whose own cumsum runs over the tiny
+    * block-totals frame (single partition by construction, ranked with the
+    * same bounded spark_partition_id window the top-k rank uses) — no
+    * unbounded partitionless window anywhere, the pattern a 100 TB corpus
+    * needs for any global ordering. */
+  def docPacking(spark: SparkSession, dir: String, budget: Int = 256,
+      blockSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("block", expr(s"doc_id div $blockSize"))
+    // per-block running total (keyed window — scales with blocks)
+    val wBlock = Window.partitionBy("block").orderBy("doc_id")
+    val inBlock = docs.withColumn("cum_in_block",
+      sum("n_tokens").over(wBlock) - col("n_tokens"))
+    // block totals are |corpus|/blockSize rows: coalesce(1) + constant-
+    // partition window gives their exclusive prefix sum without an
+    // unbounded partitionless WindowExec
+    val wBlocks = Window.partitionBy(spark_partition_id()).orderBy("block")
+    val blockOffsets = docs.groupBy("block").agg(sum("n_tokens").as("btot"))
+      .coalesce(1)
+      .withColumn("block_offset", sum("btot").over(wBlocks) - col("btot"))
+      .select("block", "block_offset")
+    inBlock.join(broadcast(blockOffsets), Seq("block"))
+      .withColumn("global_offset", col("block_offset") + col("cum_in_block"))
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+        expr(s"global_offset div $budget").as("pack_id"),
+        (col("global_offset") % budget).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
   /** Q58 — collocation mining by pointwise mutual information: adjacent
     * token pairs scored by ln(p(ab)/(p(a)p(b))), min support `minCount`,
     * top `k` — the phrase-detection pass that seeds multi-word entries in

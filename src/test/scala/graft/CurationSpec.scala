@@ -70,6 +70,24 @@ class CurationSpec extends SparkSpec {
     assert(top.getDouble(5) > 0.0) // positive PMI: genuinely associated
   }
 
+  test("doc packing: offsets are the exact contiguous prefix sum across blocks") {
+    // 2500 docs span multiple blocks (blockSize 1000) — exercises the
+    // two-level distributed cumsum, not just the within-block window
+    val rows = (0L until 2500L).map { i =>
+      val text = (0 to (i % 7).toInt).map(k => s"w$k").mkString(" ")
+      (i, text, "en", "s", text.length.toLong)
+    }
+    val dir = docsDir(rows)
+    val r = graft.text.Curation.docPacking(spark, dir, budget = 64).collect()
+    assert(r.length == 2500)
+    var expected = 0L
+    r.foreach { row =>
+      assert(row.getLong(2) == expected, s"doc ${row.getLong(0)}")
+      assert(row.getLong(3) == expected / 64 && row.getLong(4) == expected % 64)
+      expected += row.getLong(1)
+    }
+  }
+
   test("pii redaction: lexicon and pattern hits are masked and counted") {
     val dir = docsDir(Seq(
       (1L, "customer wrote to test@example.com from +1 (555) 123-4567 as user", "en", "s", 60L)))
