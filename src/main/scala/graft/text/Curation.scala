@@ -158,7 +158,9 @@ object Curation {
       .coalesce(1)
       .withColumn("block_offset", sum("btot").over(wBlocks) - col("btot"))
       .select("block", "block_offset")
-    inBlock.join(broadcast(blockOffsets), Seq("block"))
+    // no broadcast hint: |blocks| = |corpus|/blockSize is unbounded at
+    // scale — size-based planning broadcasts when the offset table fits
+    inBlock.join(blockOffsets, Seq("block"))
       .withColumn("global_offset", col("block_offset") + col("cum_in_block"))
       .select(col("doc_id"), col("n_tokens"), col("global_offset"),
         expr(s"global_offset div $budget").as("pack_id"),
