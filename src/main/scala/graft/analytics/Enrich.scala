@@ -121,13 +121,15 @@ object Enrich {
     * join against a precomputed user-stats snapshot (the production
     * pattern — stats rebuilt by the nightly batch, streamed clicks joined
     * live; no streaming aggregation state needed, so the plan stays
-    * append-mode and stateless beyond the join's broadcast). */
+    * append-mode). No broadcast hint: the user dimension is unbounded at
+    * scale — size-based planning broadcasts a small snapshot and falls
+    * back to a shuffled stream-static join when it outgrows the limit. */
   def processedEventsStreaming(clickStream: DataFrame,
       userStats: DataFrame): DataFrame = {
     val annotated = Validation.annotate(
       clickStream, Validation.clickViolations(current_timestamp()), Validation.ClickK)
     annotated
-      .join(broadcast(userStats), Seq("user_id"), "left")
+      .join(userStats, Seq("user_id"), "left")
       .select(
         col("event_id"), col("event_type"), col("timestamp"),
         col("user_id"), col("session_id"),
