@@ -45,7 +45,15 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); true
         }
-      (name, (System.nanoTime() - t0) / 1e9, failed)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // session hygiene: queries that localCheckpoint pin RDD blocks for the
+      // life of the session; across ~60 queries that accumulates into
+      // storage-memory pressure + GC thrash that taxes every LATER query
+      // (measured round 2: q48 1.3s isolated vs 11.2s late in the run).
+      // Release everything between queries so each timing is the query's own.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      (name, elapsed, failed)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -55,6 +63,11 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
+    // sbt wraps stdout lines with an [info] prefix, which breaks strict JSON
+    // parsers scraping the run log — emit the identical line on stderr too
+    // (sbt passes stderr through unprefixed) so every consumer finds a clean
+    // parseable line somewhere.
+    System.err.println(line)
     // also land the JSON in a file: sbt prefixes stdout with [info], so a
     // log-scraping consumer would otherwise never see a clean JSON line
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -77,14 +77,18 @@ object IngestJob {
     // Registered with the Hadoop shutdown manager ABOVE Spark's own hook
     // priority (Spark's hooks run inside one Hadoop hook at priority 30):
     // a plain JVM hook would race SparkContext.stop() and kill the queries
-    // mid-drain.
+    // mid-drain. The explicit 150 s hook timeout matters as much as the
+    // priority: Hadoop's default per-hook budget is 10 s, which would cancel
+    // the drain (gracefulStop can legitimately take up to drain+stop budget
+    // per query) and hand control to Spark's lower-priority hook mid-batch —
+    // the exact race the priority ordering exists to prevent.
     org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
       new Runnable {
         override def run(): Unit = {
           Streaming.gracefulStop(bronze)
           Streaming.gracefulStop(quarantine)
         }
-      }, 60)
+      }, 60, 150, java.util.concurrent.TimeUnit.SECONDS)
 
     // surface the FIRST failure of either sink: blocking on one query would
     // let the other die silently (listener logs aside)

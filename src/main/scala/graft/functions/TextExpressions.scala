@@ -16,39 +16,72 @@ import org.apache.spark.unsafe.types.UTF8String
   * stay oracle-identical. Null when the doc is shorter than `ngram` tokens
   * (no shingles ⇒ no signature, matching the left-join-null contract). */
 object MinHashHelper {
+
+  // "0:", "1:", … seed prefixes as bytes, computed once per JVM — the md5
+  // input is the UTF-8 of (s + ":" + gram) and these are its first bytes
+  private def seedPrefixBytes(s: Int): Array[Byte] =
+    (s.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val CachedPrefixes: Array[Array[Byte]] = Array.tabulate(16)(seedPrefixBytes)
+
   def compute(tokens: ArrayData, numHashes: Int, ngram: Int): ArrayData = {
     val n = tokens.numElements()
     if (n < ngram) return null
-    val mins = new Array[String](numHashes)
+    val prefixes =
+      if (numHashes <= CachedPrefixes.length) CachedPrefixes
+      else Array.tabulate(numHashes)(seedPrefixBytes)
+    // Hot-path layout (profiled round 3; semantics byte-identical to
+    // DigestUtils.md5Hex(s + ":" + gram) per seed×gram):
+    //  - ONE MessageDigest reused for every seed×gram of the row (md5Hex
+    //    allocated a fresh instance per call);
+    //  - gram bytes are streamed into the digest straight from the tokens'
+    //    UTF-8 (no per-seed String concat / re-encode) — UTF-8 of the
+    //    joined gram IS the tokens' UTF-8 joined by 0x20;
+    //  - mins are compared as UNSIGNED DIGEST BYTES: lowercase-hex
+    //    lexicographic order equals unsigned byte order, so hex encoding
+    //    happens only for the 8 winners at the end, not per seed×gram.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scratch = new Array[Byte](16)
+    val mins = new Array[Array[Byte]](numHashes)
+    // token UTF-8 extracted once (the sliding window reuses each ngram times)
+    val tokBytes = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t)
+      tokBytes(t) = if (tok == null) null else tok.getBytes
+      t += 1
+    }
     var i = 0
     while (i <= n - ngram) {
-      val sb = new java.lang.StringBuilder
-      var k = 0
-      var hasNull = false
-      while (k < ngram) {
-        val tok = tokens.getUTF8String(i + k)
-        if (tok == null) hasNull = true
-        else {
-          if (k > 0) sb.append(' ')
-          sb.append(tok.toString)
-        }
-        k += 1
-      }
       // a gram touching a null token contributes nothing (DuckDB's
       // null-propagating concat + null-skipping list_min behave the same)
+      var hasNull = false
+      var k = 0
+      while (k < ngram) {
+        if (tokBytes(i + k) == null) hasNull = true
+        k += 1
+      }
       if (!hasNull) {
-        val gram = sb.toString
         var s = 0
         while (s < numHashes) {
-          val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(s + ":" + gram)
-          if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+          md.update(prefixes(s))
+          k = 0
+          while (k < ngram) {
+            if (k > 0) md.update(' '.toByte)
+            md.update(tokBytes(i + k))
+            k += 1
+          }
+          md.digest(scratch, 0, 16) // fills scratch and resets the digest
+          if (mins(s) == null) mins(s) = scratch.clone()
+          else if (java.util.Arrays.compareUnsigned(scratch, mins(s)) < 0)
+            System.arraycopy(scratch, 0, mins(s), 0, 16)
           s += 1
         }
       }
       i += 1
     }
     if (mins(0) == null) return null // every gram touched a null token
-    new GenericArrayData(mins.map(UTF8String.fromString))
+    new GenericArrayData(mins.map(b => UTF8String.fromString(
+      org.apache.commons.codec.binary.Hex.encodeHexString(b))))
   }
 }
 

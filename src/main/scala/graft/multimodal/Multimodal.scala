@@ -95,6 +95,10 @@ object Multimodal {
       stride: Int = 32): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id").as("asset_id"), col("text"))
+      // same empty-payload guard as Curation.chunk: Spark div truncates
+      // toward zero vs the oracle's floor, so a 0-byte payload would emit
+      // one phantom frame here and none in DuckDB
+      .filter(length(col("text")) > 0)
       .withColumn("last_f", expr(s"(length(text) - 1) div $stride"))
       .select(col("asset_id"), col("text"),
         explode(sequence(lit(0), col("last_f"))).as("frame_id"))

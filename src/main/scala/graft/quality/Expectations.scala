@@ -112,9 +112,11 @@ object SuiteCompiler {
   }
 
   /** Run the whole suite in ONE df.agg(...) (vs the reference's scan per
-    * expectation, expectations.py:344-400). */
+    * expectation, expectations.py:344-400). An empty suite short-circuits —
+    * no point paying a full count(*) scan for a row count nobody reads. */
   def run(df: DataFrame, suite: Suite): SuiteResult =
-    runWithCount(df, suite)._1
+    if (suite.expectations.isEmpty) SuiteResult(suite.name, Seq.empty)
+    else runWithCount(df, suite)._1
 
   /** [[run]] plus the row count, still ONE aggregate pass — consumers that
     * need both (the warehouse load report) must not pay a second scan or

@@ -94,6 +94,12 @@ object Curation {
     val win = slice(col("toks"), col("chunk_id") * stride + 1, lit(width))
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
+      // guard the empty edge: Spark's div truncates toward zero where the
+      // oracle's // floors, so size=0 would emit one phantom chunk here and
+      // none in DuckDB. Unreachable with the current tokenizer (split never
+      // returns [] for non-null text) — pinned so a tokenizer change can't
+      // silently diverge the engines.
+      .filter(size(col("toks")) > 0)
       .withColumn("last_chunk", expr(s"(size(toks) - 1) div $stride"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), col("last_chunk"))).as("chunk_id"))

@@ -186,42 +186,92 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected edge list (columns `doc_a`,
+    * `doc_b`, one row per edge) by min-label propagation WITH pointer
+    * doubling: each round a node's label becomes
+    * `min(label, neighbours' labels, label(label))`. The `label(label)`
+    * shortcut (a self-join of the label table on label=doc_id) is the
+    * pointer-doubling step that halves every label chain per round, so
+    * rounds are O(log diameter) instead of the O(diameter) plain
+    * min-propagation needs — the same round bound the alternating
+    * large-star/small-star algorithm achieves, with one DataFrame join
+    * instead of a neighbourhood regroup. Labels only ever decrease and stay
+    * within the component, so the fixed point is min-doc_id-per-component.
+    *
+    * Cost per round is ONE materializing job: the convergence counter rides
+    * the round's aggregate (the previous label is carried through the union
+    * as a side column, so no separate next-vs-old join), and the follow-up
+    * `sum(changed)` only scans the freshly checkpointed blocks. Each round
+    * releases the previous round's checkpoint — session storage stays at
+    * one label table + the edge list, no matter how many rounds run.
+    *
+    * Returns the label table (doc_id, label) and the number of rounds
+    * (exposed for the convergence-bound specs).
+    */
+  def connectedComponents(edges: DataFrame): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val sym = edges.select(col("doc_a"), col("doc_b")).union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // blocks pinned before the loop (the caller's checkpointed edge list)
+    // are never ours to release
+    val keep = sc.getPersistentRDDs.keySet
+    var ours = Set.empty[Int]
+    def checkpointAndSwap(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint() // eager: materializes before the swap
+      val live = sc.getPersistentRDDs
+      val mine = (live.keySet -- keep -- ours).toSet
+      ours.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+      ours = mine
+      out
+    }
+    var labels = checkpointAndSwap(
+      sym.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+    val labelType = labels.schema("label").dataType
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      val viaEdges = sym.join(labels, sym("doc_a") === labels("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("label"))
+      val viaDouble = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"))
+      // carry the previous label as `old` through the union: exactly one
+      // non-null per doc_id, so max() recovers it inside the SAME aggregate
+      // that computes the new label — convergence costs no extra join
+      val next = labels.select(col("doc_id"), col("label"), col("label").as("old"))
+        .unionByName(viaEdges.withColumn("old", lit(null).cast(labelType)))
+        .unionByName(viaDouble.withColumn("old", lit(null).cast(labelType)))
+        .groupBy("doc_id")
+        .agg(min("label").as("label"),
+          (min("label") =!= max("old")).cast("long").as("changed"))
+      labels = checkpointAndSwap(next)
+      // cheap second pass: no shuffle beyond a 1-row final, reads only the
+      // blocks the checkpoint just wrote
+      changed = labels.agg(sum("changed")).head().getLong(0)
+      labels = labels.select("doc_id", "label")
+    }
+    (labels, rounds)
+  }
+
   /** Near-dup RESOLUTION on top of [[minhashPairs]] — the operator a
     * training pipeline actually runs: candidate pairs above `minJaccard`
-    * become edges, connected components are resolved by iterative min-label
-    * propagation, and each doc gets (cluster_rep, keep) with
-    * first-doc-per-cluster-wins. Each round is one keyed join + one
-    * map-side-combined min aggregate, checkpointed to keep lineage flat;
-    * rounds are bounded by component diameter (near-dup clusters are
-    * shallow). At 100 TB the same loop runs with the alternating
-    * large-star/small-star optimization; the per-round shape here — shuffle
-    * keyed by doc_id, no driver data movement beyond the convergence
-    * counter — is already the distributed one. */
+    * become edges, connected components are resolved by
+    * [[connectedComponents]] (min-label propagation + pointer doubling,
+    * O(log diameter) rounds, one materializing job per round), and each doc
+    * gets (cluster_rep, keep) with first-doc-per-cluster-wins. Only the
+    * candidate SUBGRAPH's nodes enter the loop — the singleton majority
+    * (at 100 TB, ~all of the corpus) is re-attached with one left join at
+    * the end. */
   def nearDupClusters(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     val edges = minhashPairsUnsorted(spark, dir)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    val sym = edges.union(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    // propagate only over the candidate SUBGRAPH's nodes — the singleton
-    // majority (at 100 TB, ~all of the corpus) never enters the loop and
-    // is re-attached with one left join at the end
-    var labels = sym.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val prop = sym.join(labels, sym("doc_a") === labels("doc_id"))
-        .select(col("doc_b").as("doc_id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-    }
+    val (labels, _) = connectedComponents(edges)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -111,8 +111,13 @@ object Similarity {
     val withCos = cb.foldLeft(e) { case (df, (cid, cv)) =>
       // sequential fold == list_dot_product / DotProduct evaluation order
       val cnorm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+      // zero-norm vector or centroid ⇒ NaN cosine; NaN never equals
+      // `best`, which would silently drop the row into cell -1. Pin NaN
+      // below any real cosine so it resolves to the lowest centroid id,
+      // the same place the oracle's ORDER BY puts it.
       df.withColumn(s"c_cos_$cid",
-        dot_product(col("v"), lit(cv.toArray)) / (col("norm") * lit(cnorm)))
+        nanvl(dot_product(col("v"), lit(cv.toArray)) / (col("norm") * lit(cnorm)),
+          lit(-2.0)))
     }
     val best = greatest(cb.map { case (cid, _) => col(s"c_cos_$cid") }: _*)
     val cell = cb.sortBy(_._1).foldRight(lit(-1)) { case ((cid, _), els) =>

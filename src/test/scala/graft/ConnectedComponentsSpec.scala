@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.text.Dedup
+
+/** Convergence-bound + correctness specs for the pointer-doubling connected
+  * components behind q49 (`Dedup.connectedComponents`). The oracle corpus
+  * only has shallow clusters, so these plant the shapes that break naive
+  * min-propagation: a long chain (worst case — plain propagation needs
+  * diameter rounds; doubling must finish in O(log diameter)) and a wide
+  * star (fan-out), plus a checkpoint-hygiene check (each round must release
+  * the previous round's blocks).
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def edgesDf(pairs: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("doc_a", "doc_b")
+  }
+
+  private def labelMap(labels: DataFrame): Map[Long, Long] =
+    labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("50-node chain: correct component in O(log n) rounds, not O(n)") {
+    val chain = (1L until 50L).map(i => (i, i + 1))
+    val (labels, rounds) = Dedup.connectedComponents(edgesDf(chain))
+    val m = labelMap(labels)
+    assert(m.size == 50)
+    assert(m.values.forall(_ == 1L), "every chain node must resolve to the min id")
+    // plain min-propagation needs ~49 rounds here; pointer doubling reaches
+    // distance 2^(r-1) by round r, so 50 nodes need ~7 + 1 confirming round
+    assert(rounds <= 10, s"expected O(log n) rounds for the chain, got $rounds")
+    assert(rounds < 25, s"round count $rounds is linear — doubling is not engaged")
+  }
+
+  test("1000-node star: converges in a constant number of rounds") {
+    val star = (2L to 1000L).map(k => (1L, k))
+    val (labels, rounds) = Dedup.connectedComponents(edgesDf(star))
+    val m = labelMap(labels)
+    assert(m.size == 1000)
+    assert(m.values.forall(_ == 1L))
+    assert(rounds <= 3, s"star should converge immediately, got $rounds rounds")
+  }
+
+  test("mixed components resolve to per-component min labels") {
+    // triangle {2,4,6}, chain {10,11,12,13}, pair {20,21}; ids deliberately
+    // not contiguous so label==min is a real check, not an artifact
+    val edges = Seq((4L, 6L), (2L, 4L), (2L, 6L),
+      (11L, 10L), (12L, 11L), (13L, 12L),
+      (21L, 20L))
+    val (labels, _) = Dedup.connectedComponents(edgesDf(edges))
+    val m = labelMap(labels)
+    assert(m == Map(2L -> 2L, 4L -> 2L, 6L -> 2L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("per-round checkpoints are released: no block pile-up across rounds") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val (labels, rounds) = Dedup.connectedComponents(edgesDf(chain))
+    labels.count() // consume
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(rounds > 3, "precondition: the loop must have run several rounds")
+    // only the FINAL round's checkpoint may remain pinned — earlier rounds
+    // must have been unpersisted as the loop advanced
+    assert(after - before <= 2,
+      s"persistent RDDs grew by ${after - before} across $rounds rounds — " +
+        "round checkpoints are leaking")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+}
