@@ -80,6 +80,7 @@ object SparkEntry {
     "q57_embed_quantize"  -> (Similarity.embedQuantize _),
     "q58_collocations"    -> ((s: SparkSession, d: String) => Curation.collocations(s, d)),
     "q59_doc_packing"     -> ((s: SparkSession, d: String) => Curation.docPacking(s, d)),
+    "q60_salted_join"     -> ((s: SparkSession, d: String) => Relational.q03SkewSafe(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -222,6 +223,17 @@ object SparkEntry {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q03_revenue_nation" ->
+      s"""SELECT n_name,
+         | CAST(SUM(CAST(ROUND($rev*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // q60 is q03 through the salted-join path: the salt only changes the
+    // shuffle key, not the result, so the oracle is identical to q03's.
+    "q60_salted_join" ->
       s"""SELECT n_name,
          | CAST(SUM(CAST(ROUND($rev*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
          |FROM lineitem

@@ -81,6 +81,31 @@ object Relational {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** Q3 rewritten through [[ScaleJoins.saltedJoin]] — the skew-safe form for
+    * a corpus where a handful of customers own most orders (the real-world
+    * shape TPC-H's uniform keys don't have). Facts (lineitem⋈orders) carry a
+    * random salt and the customer×nation dimension is replicated across the
+    * salt range, so the customer join shuffles on (c_custkey, _salt): one hot
+    * customer spreads over `saltFactor` reducers instead of pinning one.
+    * Result is row-identical to [[q03]] (same oracle) — only the shuffle key
+    * changes. AQE's skew split handles moderate skew without this; salting is
+    * the deliberate version for pathological keys known in advance. */
+  def q03SkewSafe(spark: SparkSession, dir: String, saltFactor: Int = 8): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val facts = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("c_custkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val dim = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    ScaleJoins.saltedJoin(facts, dim, "c_custkey", saltFactor)
+      .groupBy("n_name")
+      .agg((sum(fixed(revenue, 4)) / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   /** Q4 — broadcast-only join chain: supplier ⋈ nation ⋈ region. Both
     * dimensions are broadcast; the plan has zero shuffles before the final
     * 5-row aggregate. */

@@ -107,6 +107,14 @@ object IngestJob {
   * `warehouseTarget` may be a `jdbc:` URL (the reference's Redshift shape)
   * or a path (parquet stand-in); either way the load runs behind its own
   * gate via Warehouse.gatedLoad.
+  *
+  * Cadence: this main is ONE hourly unit of work — idempotent (gated
+  * overwrite per partition) and safe to re-run. The reference schedules the
+  * equivalent stage hourly from Airflow (expectations.py:187-194); here the
+  * scheduler is deliberately the caller's concern (cron / Airflow
+  * `SparkSubmitOperator` / any orchestrator invoking `BatchJob.main` each
+  * hour). Nothing inside the job assumes a cadence beyond reading whatever
+  * bronze partitions have arrived since the last processed watermark.
   */
 object BatchJob {
   def main(args: Array[String]): Unit = {

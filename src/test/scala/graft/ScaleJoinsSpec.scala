@@ -42,4 +42,25 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted.groupBy("k", "attr").count().orderBy("k").collect().toSeq ==
       plain.groupBy("k", "attr").count().orderBy("k").collect().toSeq)
   }
+
+  test("q03SkewSafe is row-identical to q03 and shuffles on (key, salt)") {
+    import graft.analytics.Relational
+    val plain = Relational.q03(spark, sf0001).collect().toSeq
+    assert(Relational.q03SkewSafe(spark, sf0001, saltFactor = 4)
+      .collect().toSeq == plain)
+    // With broadcast off (at sf0.001 the 600-row replicated dim would
+    // otherwise broadcast and hide the shuffle), the customer-side exchange
+    // must key on the salt too — that's the point: a hot custkey spreads
+    // over saltFactor reducers instead of pinning one.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Relational.q03SkewSafe(spark, sf0001, saltFactor = 4)
+      val plan = salted.queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      val saltedShuffle = plan.linesIterator
+        .exists(l => l.contains("hashpartitioning") && l.contains("_salt"))
+      assert(saltedShuffle, s"no salted shuffle key in plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
