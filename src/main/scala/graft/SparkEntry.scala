@@ -81,6 +81,11 @@ object SparkEntry {
     "q58_collocations"    -> ((s: SparkSession, d: String) => Curation.collocations(s, d)),
     "q59_doc_packing"     -> ((s: SparkSession, d: String) => Curation.docPacking(s, d)),
     "q60_salted_join"     -> ((s: SparkSession, d: String) => Relational.q03SkewSafe(s, d)),
+    "q61_canonical_docs"  -> ((s: SparkSession, d: String) => Dedup.canonicalDocs(s, d)),
+    "q62_filter_funnel"   -> (Curation.filterFunnel _),
+    "q63_stratified_sample" -> (Curation.stratifiedSample _),
+    "q64_incremental_dedup" -> (Dedup.incrementalDedup _),
+    "q65_length_buckets"  -> (Curation.lengthBuckets _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -758,5 +763,101 @@ object SparkEntry {
         | COUNT(DISTINCT user_id) AS n_users
         |FROM w WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
+
+    // q61 extends q49's recursive-CTE cluster resolution with the keep
+    // decision: canonical member = max n_chars, ties to smallest doc_id.
+    "q61_canonical_docs" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |edges AS (SELECT doc_a, doc_b
+        |          FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
+        |          WHERE $estJaccard >= 0.5),
+        |sym AS (SELECT doc_a, doc_b FROM edges
+        |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id),
+        |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id),
+        |c AS (SELECT d.doc_id, d.n_chars, l.cluster_rep
+        |      FROM documents d JOIN lab l ON d.doc_id = l.doc_id)
+        |SELECT doc_id, cluster_rep,
+        | CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size,
+        | FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id) AS canonical_id,
+        | CAST(doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_rep ORDER BY n_chars DESC, doc_id) AS BIGINT) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q62_filter_funnel" ->
+      """WITH t AS (SELECT text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS nl,
+        |        CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+        |        (list_contains(toks, 'the') OR list_contains(toks, 'a')) AS has_stop
+        |      FROM t),
+        |f AS (SELECT (nt >= 20) AS p1, (nt <= 80) AS p2,
+        |        (nl >= nt*4 AND nl <= nt*6) AS p3, has_stop AS p4,
+        |        (nd*10 >= nt*4) AS p5 FROM m),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+        |  CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS o2,
+        |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS o3,
+        |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS o4,
+        |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1 ELSE 0 END) AS BIGINT) AS o5
+        | FROM f)
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS rule_idx, 'min_tokens' AS rule,
+        |        total AS n_in, total - o1 AS n_dropped, o1 AS n_out FROM a
+        | UNION ALL SELECT CAST(2 AS BIGINT), 'max_tokens', o1, o1 - o2, o2 FROM a
+        | UNION ALL SELECT CAST(3 AS BIGINT), 'word_len', o2, o2 - o3, o3 FROM a
+        | UNION ALL SELECT CAST(4 AS BIGINT), 'stopword', o3, o3 - o4, o4 FROM a
+        | UNION ALL SELECT CAST(5 AS BIGINT), 'dup_frac', o4, o4 - o5, o5 FROM a
+        |) ORDER BY rule_idx""".stripMargin,
+
+    "q63_stratified_sample" ->
+      """WITH ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |            FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+        |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM ps),
+        |d AS (SELECT doc_id, source,
+        |        CAST(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 6) AS INTEGER) AS BIGINT) AS h
+        |      FROM documents)
+        |SELECT doc_id, d.source, h,
+        | floor(LEAST(1.0, CAST(tot_docs AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS rate,
+        | CAST(h * n_sources * n_docs < tot_docs * 16777216 AS BIGINT) AS keep
+        |FROM d JOIN ps ON d.source = ps.source, tot
+        |ORDER BY doc_id""".stripMargin,
+
+    "q64_incremental_dedup" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, text, $grams AS grams FROM t),
+        |sk AS (SELECT doc_id,
+        |  CASE WHEN len(grams) > 0
+        |   THEN list_aggregate(list_transform(range(8),
+        |          s -> list_min(list_transform(grams, g -> md5(s::VARCHAR || ':' || g)))),
+        |        'string_agg', '|')
+        |   ELSE md5(text) END AS sketch
+        | FROM u),
+        |led AS (SELECT DISTINCT sketch FROM sk WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, sketch FROM sk WHERE doc_id % 2 = 1),
+        |fc AS (SELECT sketch, MIN(doc_id) AS first_claim FROM b GROUP BY sketch)
+        |SELECT doc_id, b.sketch,
+        | CASE WHEN b.sketch IN (SELECT sketch FROM led) THEN 'dup_ledger'
+        |      WHEN doc_id <> first_claim THEN 'dup_batch'
+        |      ELSE 'new' END AS status
+        |FROM b JOIN fc ON b.sketch = fc.sketch
+        |ORDER BY doc_id""".stripMargin,
+
+    "q65_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+        |f AS (SELECT nt, CAST(length(bin(nt)) - 1 AS BIGINT) AS bucket,
+        |        (1::BIGINT << length(bin(nt))) - nt AS pad
+        |      FROM t WHERE nt > 0)
+        |SELECT bucket,
+        | CAST(1::BIGINT << bucket AS BIGINT) AS lo,
+        | CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS hi,
+        | CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        | MIN(nt) AS min_tokens, MAX(nt) AS max_tokens,
+        | CAST(SUM(pad) AS BIGINT) AS pad_waste
+        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

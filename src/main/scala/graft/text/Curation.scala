@@ -246,4 +246,111 @@ object Curation {
         md5(afterLex).as("redacted_fp"))
       .orderBy("doc_id")
   }
+
+  /** Q62 — quality-filter FUNNEL (the C4/RefinedWeb cascade report): five
+    * document-level rules applied in order, with per-rule in/dropped/out
+    * counts — the artifact a curation run publishes so reviewers see where
+    * the corpus went. Rules are integer/boolean-exact (mean-word-length is
+    * the cross-multiplied `4·nt ≤ letters ≤ 6·nt`, never a float divide) so
+    * any engine lands on identical counts. Plan: one pass over the corpus
+    * computing all five predicates, ONE aggregate of the cumulative
+    * survival flags (map-side combined), then a 1-row→5-row inline explode
+    * — per-rule rescans would read the corpus five times. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val flags = Tables.documents(spark, dir)
+      .select(
+        size(toks).cast("long").as("nt"),
+        length(translate(col("text"), " ", "")).cast("long").as("nl"),
+        size(array_distinct(toks)).cast("long").as("nd"),
+        (array_contains(toks, "the") || array_contains(toks, "a")).as("has_stop"))
+      .select(
+        (col("nt") >= 20).as("p1"),
+        (col("nt") <= 80).as("p2"),
+        (col("nl") >= col("nt") * 4 && col("nl") <= col("nt") * 6).as("p3"),
+        col("has_stop").as("p4"),
+        (col("nd") * 10 >= col("nt") * 4).as("p5"))
+    def surv(ps: Column*): Column =
+      sum(when(ps.reduce(_ && _), 1L).otherwise(0L))
+    val agg = flags.agg(
+      count(lit(1)).as("total"),
+      surv(col("p1")).as("o1"),
+      surv(col("p1"), col("p2")).as("o2"),
+      surv(col("p1"), col("p2"), col("p3")).as("o3"),
+      surv(col("p1"), col("p2"), col("p3"), col("p4")).as("o4"),
+      surv(col("p1"), col("p2"), col("p3"), col("p4"), col("p5")).as("o5"))
+    val rules = Seq("min_tokens", "max_tokens", "word_len", "stopword", "dup_frac")
+    val rows = rules.zipWithIndex.map { case (name, i) =>
+      val nIn  = if (i == 0) col("total") else col(s"o$i")
+      val nOut = col(s"o${i + 1}")
+      struct(lit(i + 1L).as("rule_idx"), lit(name).as("rule"),
+        nIn.as("n_in"), (nIn - nOut).as("n_dropped"), nOut.as("n_out"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select("r.*")
+      .orderBy("rule_idx")
+  }
+
+  /** Q63 — deterministic stratified sampling to a uniform per-source
+    * target (the data-mix EXECUTION step after [[domainMix]] computes the
+    * weights): each doc keeps iff its hash coin lands under its source's
+    * rate `min(1, (total/n_sources)/n_docs_source)`. The coin is the first
+    * 6 md5 hex digits of doc_id — reproducible across runs, engines, and
+    * re-partitions (rand() is none of those), which is what makes a 100 TB
+    * sample auditable. The keep decision cross-multiplies to exact BIGINT
+    * (`h·n_sources·n_docs < total·2^24`) so no float boundary can disagree;
+    * the per-source rate table is aggregate-then-broadcast (sources are
+    * few), the corpus side is a pure map. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = perSource.agg(
+      sum("n_docs").as("tot_docs"), count(lit(1)).as("n_sources"))
+    val rates = perSource.crossJoin(broadcast(totals))
+    docs
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long"))
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("h"),
+        graft.functions.Portable.pround(
+          least(lit(1.0), col("tot_docs").cast("double") /
+            (col("n_sources") * col("n_docs")).cast("double")), 6).as("rate"),
+        (col("h") * col("n_sources") * col("n_docs") <
+          col("tot_docs") * lit(16777216L)).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Q65 — power-of-2 length bucketing (the batching layout step before
+    * training: sequences padded to their bucket boundary): bucket b holds
+    * docs with n_tokens in [2^b, 2^(b+1)), pad target 2^(b+1), and the
+    * report carries per-bucket doc/token totals plus the padding waste the
+    * layout would cost. Bucket id is `bitlength(n_tokens) - 1` — pure
+    * integer, no log2 float (floor(log2(2^k)) is engine-dependent at the
+    * boundary). Shape: pure map + one tiny aggregate, the ideal 100 TB
+    * plan. An ntile-style equal-population bucketing would need a global
+    * sort — the partitionless-window trap; fixed boundaries don't. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .withColumn("bucket", (length(bin(col("nt"))) - 1).cast("long"))
+      // SQL shiftleft takes a column shift amount; the Scala functions
+      // overload only takes a literal
+      .withColumn("pad",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) + 1) - nt"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("total_tokens"),
+        min("nt").as("min_tokens"),
+        max("nt").as("max_tokens"),
+        sum("pad").as("pad_waste"))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").as("lo"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) + 1) - 1").as("hi"),
+        col("n_docs"), col("total_tokens"), col("min_tokens"),
+        col("max_tokens"), col("pad_waste"))
+      .orderBy("bucket")
+  }
 }

@@ -281,6 +281,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q61 — canonical-doc selection: the KEEP DECISION on top of
+    * [[nearDupClusters]]' resolution. Where q49's keep flag is
+    * first-doc-per-cluster (cheapest deterministic rule), a training
+    * pipeline usually retains the RICHEST member — here max `n_chars`, ties
+    * to the smallest doc_id. Both windows are keyed by cluster_rep: cluster
+    * populations are bounded (near-dup clusters are small by construction),
+    * so no partition grows with corpus size — the partitionless-window
+    * trap doesn't apply. Singletons never enter the CC loop; they join in
+    * with cluster_rep = doc_id and are trivially their own canonical. */
+  def canonicalDocs(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val edges = minhashPairsUnsorted(spark, dir)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val (labels, _) = connectedComponents(edges)
+    val byRichness = Window.partitionBy("cluster_rep")
+      .orderBy(desc("n_chars"), col("doc_id"))
+    val wholeCluster = Window.partitionBy("cluster_rep")
+    Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+      .withColumn("cluster_size", count(lit(1)).over(wholeCluster))
+      .withColumn("canonical_id", first("doc_id").over(byRichness))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Q64 — incremental (cross-snapshot) FUZZY dedup: the ledger pattern a
+    * corpus that GROWS needs — yesterday's accepted corpus publishes a
+    * SKETCH ledger (full 8-hash MinHash signature; exact md5 fallback for
+    * docs too short to shingle); today's batch is admitted only for sketches
+    * absent from the ledger AND not already claimed by an earlier doc in the
+    * same batch. Here the even/odd doc_id split stands in for
+    * ledger/batch snapshots. Plan shape: sketches are a pure map over each
+    * scan ([[graft.functions.MinHashHex]]), then one shuffle keyed by
+    * sketch (the batch-side min aggregate) + one left join against the
+    * distinct ledger — at 100 TB the ledger side is a sketch-only
+    * projection, a fraction of corpus bytes, and the key is uniform by
+    * construction (hashes). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextExpressions.minhash_hex
+    val toks = TextOps.tokens(col("text"))
+    val sketches = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(size(toks) >= 3, concat_ws("|", minhash_hex(toks)))
+          .otherwise(md5(col("text"))).as("sketch"))
+    val ledger = sketches.filter(col("doc_id") % 2 === 0)
+      .select(col("sketch")).distinct()
+      .withColumn("in_ledger", lit(1L))
+    val batch = sketches.filter(col("doc_id") % 2 === 1)
+    val firstInBatch = batch.groupBy("sketch")
+      .agg(min("doc_id").as("first_claim"))
+    batch.join(ledger, Seq("sketch"), "left")
+      .join(firstInBatch, Seq("sketch"))
+      .select(col("doc_id"), col("sketch"),
+        when(col("in_ledger").isNotNull, "dup_ledger")
+          .when(col("doc_id") =!= col("first_claim"), "dup_batch")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (16-bit, md5-derived per-token hashes): per token-hash bit,
     * sum +1/-1 across the document's tokens; the sign vector packs into a
     * 16-bit fingerprint. Grouped by doc — one shuffle on doc_id (the

@@ -88,6 +88,62 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("filter funnel: cascade conserves counts and each rule drops its doc") {
+    // 20 toks, mean word len 5, has stop, only 2 distinct -> dup_frac drop
+    val stop20 = Seq.fill(10)("the windows").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, "too short", "en", "s", 9L),                        // fails min_tokens
+      (2L, Seq.fill(81)("the").mkString(" "), "en", "s", 4L),  // fails max_tokens
+      (3L, Seq.fill(20)("a").mkString(" "), "en", "s", 1L),    // fails word_len (len 1)
+      (4L, Seq.fill(10)("data batch").mkString(" "), "en", "s", 4L), // fails stopword
+      (5L, stop20, "en", "s", 4L),                             // fails dup_frac (2 distinct / 20)
+      (6L, (1 to 18).map(i => s"tok$i").mkString("the a ", " ", ""), "en", "s", 5L))) // passes all
+    val rows = Curation.filterFunnel(spark, dir).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("min_tokens", "max_tokens", "word_len", "stopword", "dup_frac"))
+    // conservation: n_in - n_dropped = n_out, chained across the cascade
+    rows.foreach(r => assert(r.getLong(2) - r.getLong(3) == r.getLong(4)))
+    rows.sliding(2).foreach { w => assert(w(0).getLong(4) == w(1).getLong(2)) }
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 1L, 1L, 1L, 1L)) // one drop per rule
+    assert(rows.last.getLong(4) == 1L)                               // doc 6 survives
+  }
+
+  test("stratified sample: rate-1 sources keep everything; decision is h-exact") {
+    // source "big": 8 docs, "small": 2 docs -> uniform target = 5 docs/source,
+    // so small's rate = 1.0 (keeps all) and big's rate = 5/8
+    val docs = (1L to 8L).map(i => (i, s"alpha beta gamma $i", "en", "big", 20L)) ++
+      Seq((9L, "delta epsilon zeta", "en", "small", 18L),
+          (10L, "eta theta iota", "en", "small", 14L))
+    val dir = docsDir(docs)
+    val r = Curation.stratifiedSample(spark, dir).collect()
+    val bySource = r.groupBy(_.getString(1))
+    assert(bySource("small").forall(x => x.getDouble(3) == 1.0 && x.getLong(4) == 1L))
+    // big: keep iff h*2*8 < 10*2^24, re-derived from the emitted h
+    bySource("big").foreach { x =>
+      val expect = if (x.getLong(2) * 16 < 10L * 16777216L) 1L else 0L
+      assert(x.getLong(4) == expect)
+    }
+    assert(r.map(_.getLong(0)).toSeq == (1L to 10L)) // deterministic order
+  }
+
+  test("length buckets: power-of-2 boundaries, full coverage, exact pad waste") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, words(1), "en", "s", 2L),   // bucket 0 [1,1], pad to 2 -> waste 1
+      (2L, words(3), "en", "s", 6L),   // bucket 1 [2,3], pad to 4 -> waste 1
+      (3L, words(4), "en", "s", 8L),   // bucket 2 [4,7], pad to 8 -> waste 4
+      (4L, words(7), "en", "s", 14L),  // bucket 2, waste 1
+      (5L, words(8), "en", "s", 16L))) // bucket 3 [8,15], waste 8
+    val r = Curation.lengthBuckets(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(7))))
+      .toMap
+    assert(r(0L) == ((1L, 1L, 1L, 1L)))
+    assert(r(1L) == ((2L, 3L, 1L, 1L)))
+    assert(r(2L) == ((4L, 7L, 2L, 5L)))
+    assert(r(3L) == ((8L, 15L, 1L, 8L)))
+    assert(r.values.map(_._3).sum == 5L) // every doc landed in exactly one bucket
+  }
+
   test("pii redaction: lexicon and pattern hits are masked and counted") {
     val dir = docsDir(Seq(
       (1L, "customer wrote to test@example.com from +1 (555) 123-4567 as user", "en", "s", 60L)))

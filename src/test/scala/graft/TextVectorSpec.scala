@@ -52,6 +52,40 @@ class TextVectorSpec extends SparkSpec {
     assert(r(3L) == ((3L, 1L))) // singleton keeps
   }
 
+  test("canonical docs: richest cluster member wins, exactly one keeper each") {
+    val dir = docsDir(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "s", 50L), // richest
+      (5L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (3L, "completely different words appear in this document here", "en", "s", 55L)))
+    val r = Dedup.canonicalDocs(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    // cluster {1,2,5}: rep = min doc_id = 1, canonical = max n_chars = 2
+    assert(r(1L) == ((1L, 3L, 2L, 0L)))
+    assert(r(2L) == ((1L, 3L, 2L, 1L)))
+    assert(r(5L) == ((1L, 3L, 2L, 0L)))
+    assert(r(3L) == ((3L, 1L, 3L, 1L))) // singleton is its own canonical
+    // invariant: exactly one keeper per cluster
+    val keepers = Dedup.canonicalDocs(spark, dir)
+      .groupBy("cluster_rep").agg(sum("keep").as("k")).collect()
+    assert(keepers.forall(_.getLong(1) == 1L))
+  }
+
+  test("incremental dedup: ledger hit, within-batch claim, and new doc") {
+    val sameA = "the quick brown fox jumps over the lazy dog"
+    val sameB = "an entirely different sentence with its own tokens here"
+    val dir = docsDir(Seq(
+      (0L, sameA, "en", "s", 43L),  // ledger (even)
+      (1L, sameA, "en", "s", 43L),  // batch, sketch in ledger -> dup_ledger
+      (3L, sameB, "en", "s", 55L),  // batch, first claim      -> new
+      (5L, sameB, "en", "s", 55L),  // batch, second claim     -> dup_batch
+      (7L, "short", "en", "s", 5L)))// <3 tokens: md5 fallback -> new
+    val r = Dedup.incrementalDedup(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(1L -> "dup_ledger", 3L -> "new", 5L -> "dup_batch", 7L -> "new"))
+  }
+
   test("ngram jaccard: identical = 1.0, disjoint = 0.0 within a block") {
     val dir = docsDir(Seq(
       (1L, "a b c d e f", "en", "s", 11L),
