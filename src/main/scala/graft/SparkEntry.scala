@@ -86,6 +86,7 @@ object SparkEntry {
     "q63_stratified_sample" -> (Curation.stratifiedSample _),
     "q64_incremental_dedup" -> (Dedup.incrementalDedup _),
     "q65_length_buckets"  -> (Curation.lengthBuckets _),
+    "q66_semantic_clusters" -> ((s: SparkSession, d: String) => Similarity.semanticClusters(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -133,7 +134,9 @@ object SparkEntry {
     * band_val) equi-join, then exact cosine top-20 — so the hash check
     * verifies the BLOCKED pipeline, the same way q33's oracle replicates
     * its bucket pruning. */
-  private lazy val nearDupOracle: String = {
+  /** The banded sign-LSH candidate CTE chain (e, n, bands, cand) — shared
+    * by q34's pair oracle and q66's cluster oracle. */
+  private lazy val nearDupCandCtes: String = {
     val nb = Similarity.NearDupBits
     val bs = Similarity.NearDupBandSize
     val signs = Similarity.signHyperplanes(nb, Similarity.EmbeddingDim)
@@ -143,7 +146,7 @@ object SparkEntry {
       (0 until bs).map(k => s"(${bitExprs(b * bs + k)}) * ${1L << k}").mkString(" + ")
     }
     val bandList = bandExprs.map(e => s"CAST($e AS BIGINT)").mkString("[", ",\n   ", "]")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
        |bands AS (SELECT vec_id, t.b AS band_id,
        |  list_extract($bandList, t.b + 1) AS band_val
@@ -151,11 +154,14 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |         FROM bands x JOIN bands y
        |           ON x.band_id = y.band_id AND x.band_val = y.band_val
-       |          AND x.vec_id < y.vec_id)
+       |          AND x.vec_id < y.vec_id)""".stripMargin
+  }
+
+  private lazy val nearDupOracle: String =
+    s"""WITH $nearDupCandCtes
        |SELECT vec_a, vec_b, ${pr4(s"${dotD("a.v", "b.v")} / (a.norm * b.norm)")} AS cos_sim
        |FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id
        |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
-  }
 
   /** Oracle for q41: replicates the deterministic k-means training
     * (Similarity.trainIvfCodebook — init = vec_ids 1..4, 3 Lloyd rounds,
@@ -859,5 +865,24 @@ object SparkEntry {
         | MIN(nt) AS min_tokens, MAX(nt) AS max_tokens,
         | CAST(SUM(pad) AS BIGINT) AS pad_waste
         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q66 reuses q34's banded-candidate CTEs, then resolves clusters the
+    // same way q49's oracle does (recursive transitive closure).
+    "q66_semantic_clusters" ->
+      s"""WITH RECURSIVE $nearDupCandCtes,
+        |edges AS (SELECT vec_a, vec_b
+        |          FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id
+        |          WHERE ${dotD("a.v", "b.v")} / (a.norm * b.norm) >= 0.4),
+        |sym AS (SELECT vec_a, vec_b FROM edges
+        |        UNION ALL SELECT vec_b AS vec_a, vec_a AS vec_b FROM edges),
+        |reach(vec_id, label) AS (
+        |  SELECT vec_id, vec_id AS label FROM e
+        |  UNION
+        |  SELECT s.vec_b AS vec_id, r.label FROM reach r JOIN sym s ON s.vec_a = r.vec_id),
+        |lab AS (SELECT vec_id, MIN(label) AS cluster_rep FROM reach GROUP BY vec_id)
+        |SELECT vec_id, cluster_rep,
+        | CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size,
+        | CAST(vec_id = cluster_rep AS BIGINT) AS keep
+        |FROM lab ORDER BY vec_id""".stripMargin,
   )
 }

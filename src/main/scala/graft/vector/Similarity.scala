@@ -309,6 +309,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Q66 — semantic dedup cluster RESOLUTION (the SemDeDup-style action
+    * step on embeddings, completing the symmetry with the text side's
+    * q49/q61): banded sign-LSH candidates are verified by exact cosine
+    * against `minCos`, surviving pairs become edges, and
+    * [[graft.text.Dedup.connectedComponents]] (pointer doubling, O(log
+    * diameter) rounds) resolves clusters — every vector gets
+    * (cluster_rep, cluster_size, keep), min-vec_id-wins. The cosine
+    * threshold compares the RAW double (identical association order in
+    * both engines — the same expression q34 hash-verifies), so the edge
+    * set is engine-exact. `minCos` defaults low for this synthetic corpus
+    * (random vectors top out near 0.47; production semantic dedup sits at
+    * ~0.95) — the plan shape, not the threshold, is the operator. */
+  def semanticClusters(spark: SparkSession, dir: String,
+      minCos: Double = 0.4): DataFrame =
+    semanticClustersOn(withNorm(spark, dir).localCheckpoint(), minCos)
+
+  /** [[semanticClusters]] over an arbitrary (vec_id, v, norm) frame —
+    * reused by the planted-duplicate cluster spec. */
+  def semanticClustersOn(e: DataFrame, minCos: Double,
+      dim: Int = EmbeddingDim): DataFrame = {
+    val edges = bandedCandidates(e, dim = dim)
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .filter(dot_product(col("a.v"), col("b.v")) /
+        (col("a.norm") * col("b.norm")) >= minCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint()
+    val (labels, _) = graft.text.Dedup.connectedComponents(edges)
+    val wholeCluster = Window.partitionBy("cluster_rep")
+    e.select(col("vec_id"))
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_rep"))
+      .withColumn("cluster_size", count(lit(1)).over(wholeCluster))
+      .select(col("vec_id"), col("cluster_rep"), col("cluster_size"),
+        (col("vec_id") === col("cluster_rep")).cast("long").as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Q57 — int8 embedding quantization (the storage-compression step a
     * vector store runs before indexing: min/max range per vector, 255-level
     * codes): emits the quantization params and a deterministic fingerprint

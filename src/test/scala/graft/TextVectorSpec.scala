@@ -235,6 +235,26 @@ class TextVectorSpec extends SparkSpec {
     assert(top == planted, s"missed planted pairs: ${planted -- top}")
   }
 
+  test("semantic clusters: planted duplicate groups collapse, one keeper each") {
+    graft.functions.VectorExpressions.register(spark)
+    import graft.functions.VectorExpressions.dot_product
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    // plant two duplicate GROUPS: {0, 100, 200} and {1, 101} (cos ≈ 0.999)
+    val dups = Seq(100L -> 0, 200L -> 0, 101L -> 1).map { case (id, src) =>
+      (id, base(src)._2.map(_ + 0.02 * rnd.nextGaussian()))
+    }
+    val e = (base ++ dups).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "v")
+      .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
+    val r = Similarity.semanticClustersOn(e, minCos = 0.9).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(0L) == ((0L, 3L, 1L)) && r(100L) == ((0L, 3L, 0L)) && r(200L) == ((0L, 3L, 0L)))
+    assert(r(1L) == ((1L, 2L, 1L)) && r(101L) == ((1L, 2L, 0L)))
+    // everything unplanted is its own singleton keeper
+    assert(r.filterKeys(k => k >= 2 && k < 30).values.forall(v => v._2 == 1L && v._3 == 1L))
+  }
+
   test("prefiltered jaccard agrees with the exact form on surviving pairs and prunes") {
     val dir = sf0001
     val pre = Dedup.jaccardPrefiltered(spark, dir).collect()
