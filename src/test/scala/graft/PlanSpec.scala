@@ -130,6 +130,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-3 curation operators keep their scale shapes") {
+    import graft.text.{Curation, Dedup}
+    // q62: one corpus pass, no join anywhere — the funnel is a single
+    // aggregate plus a 1-row explode
+    val funnel = explain(Curation.filterFunnel(spark, sf0001))
+    assert(!funnel.contains("Join"), s"funnel must not join:\n$funnel")
+    // q63: the corpus side never shuffles for its join — the per-source
+    // rate table must come in as a broadcast
+    val sample = explain(Curation.stratifiedSample(spark, sf0001))
+    assert(sample.contains("BroadcastHashJoin"))
+    assert(!sample.contains("SortMergeJoin") && !sample.contains("ShuffledHashJoin"),
+      s"rate table must broadcast, not shuffle the corpus:\n$sample")
+    // q64: dedup work is keyed by the sketch — and never a cross join
+    val inc = explain(Dedup.incrementalDedup(spark, sf0001))
+    assert(inc.contains("hashpartitioning(sketch"), s"expected sketch-keyed shuffle:\n$inc")
+    assert(!inc.contains("CartesianProduct") && !inc.contains("BroadcastNestedLoopJoin"))
+    // q65: map + partial-aggregated groupBy + presentation sort — exactly
+    // two exchanges (agg hashpartitioning, orderBy rangepartitioning)
+    val buckets = explain(Curation.lengthBuckets(spark, sf0001))
+    val exchanges = "Exchange".r.findAllIn(buckets).length
+    assert(exchanges == 2, s"q65: expected 2 exchanges, got $exchanges:\n$buckets")
+    assert(buckets.contains("partial_"), "q65 aggregate must map-side combine")
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
