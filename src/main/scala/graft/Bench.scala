@@ -63,13 +63,13 @@ object Bench {
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
-    // sbt wraps stdout lines with an [info] prefix, which breaks strict JSON
-    // parsers scraping the run log — emit the identical line on stderr too
-    // (sbt passes stderr through unprefixed) so every consumer finds a clean
-    // parseable line somewhere.
+    // belt-and-braces delivery: build.sbt's `outputStrategy := StdoutOutput`
+    // keeps the stdout line unprefixed under `sbt runMain`, but a consumer
+    // invoking us differently (logger config, fork wrapper) may still wrap
+    // stdout — so the identical line also goes to stderr and to a file. A
+    // scraper should take the LAST parseable line of whichever stream it
+    // reads (merged streams see the line twice by design).
     System.err.println(line)
-    // also land the JSON in a file: sbt prefixes stdout with [info], so a
-    // log-scraping consumer would otherwise never see a clean JSON line
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))

@@ -134,6 +134,17 @@ object SparkEntry {
     * band_val) equi-join, then exact cosine top-20 — so the hash check
     * verifies the BLOCKED pipeline, the same way q33's oracle replicates
     * its bucket pruning. */
+  /** Shared by q03 (plain join) and q60 (salted join): both must stay
+    * row-identical by design, so they verify against the SAME oracle. */
+  private lazy val revenueByNationOracle: String =
+    s"""SELECT n_name,
+       | CAST(SUM(CAST(ROUND($rev*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   /** The banded sign-LSH candidate CTE chain (e, n, bands, cand) — shared
     * by q34's pair oracle and q66's cluster oracle. */
   private lazy val nearDupCandCtes: String = {
@@ -233,25 +244,12 @@ object SparkEntry {
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    "q03_revenue_nation" ->
-      s"""SELECT n_name,
-         | CAST(SUM(CAST(ROUND($rev*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q03_revenue_nation" -> revenueByNationOracle,
 
     // q60 is q03 through the salted-join path: the salt only changes the
-    // shuffle key, not the result, so the oracle is identical to q03's.
-    "q60_salted_join" ->
-      s"""SELECT n_name,
-         | CAST(SUM(CAST(ROUND($rev*10000, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // shuffle key, not the result, so the oracle is the SAME string — the
+    // two can never diverge.
+    "q60_salted_join" -> revenueByNationOracle,
 
     "q04_broadcast_region" ->
       """SELECT r_name, COUNT(*) AS n_suppliers

@@ -249,8 +249,9 @@ object Dedup {
           (min("label") =!= max("old")).cast("long").as("changed"))
       labels = checkpointAndSwap(next)
       // cheap second pass: no shuffle beyond a 1-row final, reads only the
-      // blocks the checkpoint just wrote
-      changed = labels.agg(sum("changed")).head().getLong(0)
+      // blocks the checkpoint just wrote; coalesce guards the empty-graph
+      // case (sum over zero rows is NULL, and getLong would NPE)
+      changed = labels.agg(coalesce(sum("changed"), lit(0L))).head().getLong(0)
       labels = labels.select("doc_id", "label")
     }
     (labels, rounds)
@@ -325,6 +326,7 @@ object Dedup {
     * projection, a fraction of corpus bytes, and the key is uniform by
     * construction (hashes). */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
     import graft.functions.TextExpressions.minhash_hex
     val toks = TextOps.tokens(col("text"))
     val sketches = Tables.documents(spark, dir)

@@ -21,6 +21,15 @@ class ConnectedComponentsSpec extends SparkSpec {
   private def labelMap(labels: DataFrame): Map[Long, Long] =
     labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("empty edge set: returns an empty label table, no NPE") {
+    // sum("changed") over zero rows is NULL — the convergence read must
+    // coalesce, not getLong a null (regression guard: the count()-based
+    // check this replaced exited cleanly on empty input)
+    val (labels, rounds) = Dedup.connectedComponents(edgesDf(Seq.empty))
+    assert(labels.count() == 0)
+    assert(rounds == 1)
+  }
+
   test("50-node chain: correct component in O(log n) rounds, not O(n)") {
     val chain = (1L until 50L).map(i => (i, i + 1))
     val (labels, rounds) = Dedup.connectedComponents(edgesDf(chain))
