@@ -297,10 +297,14 @@ object Curation {
     * rate `min(1, (total/n_sources)/n_docs_source)`. The coin is the first
     * 6 md5 hex digits of doc_id — reproducible across runs, engines, and
     * re-partitions (rand() is none of those), which is what makes a 100 TB
-    * sample auditable. The keep decision cross-multiplies to exact BIGINT
-    * (`h·n_sources·n_docs < total·2^24`) so no float boundary can disagree;
-    * the per-source rate table is aggregate-then-broadcast (sources are
-    * few), the corpus side is a pure map. */
+    * sample auditable. The keep decision cross-multiplies EXACTLY
+    * (`h·n_sources·n_docs < total·2^24`) so no float boundary can
+    * disagree — and the products run in decimal(38,0) (DuckDB: HUGEINT),
+    * not BIGINT: at 10^9 docs per source with 10^3 sources the left side
+    * reaches ~2·10^19 and would wrap int64; exact 128-bit integers survive
+    * any corpus size. The per-source rate table is
+    * aggregate-then-broadcast (sources are few), the corpus side is a
+    * pure map. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
@@ -316,8 +320,9 @@ object Curation {
         graft.functions.Portable.pround(
           least(lit(1.0), col("tot_docs").cast("double") /
             (col("n_sources") * col("n_docs")).cast("double")), 6).as("rate"),
-        (col("h") * col("n_sources") * col("n_docs") <
-          col("tot_docs") * lit(16777216L)).cast("long").as("keep"))
+        (col("h").cast("decimal(38,0)") * col("n_sources") * col("n_docs") <
+          col("tot_docs").cast("decimal(38,0)") * lit(16777216L))
+          .cast("long").as("keep"))
       .orderBy("doc_id")
   }
 
