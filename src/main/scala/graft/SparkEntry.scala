@@ -87,6 +87,7 @@ object SparkEntry {
     "q64_incremental_dedup" -> (Dedup.incrementalDedup _),
     "q65_length_buckets"  -> (Curation.lengthBuckets _),
     "q66_semantic_clusters" -> ((s: SparkSession, d: String) => Similarity.semanticClusters(s, d)),
+    "q67_ann_recall"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -134,6 +135,35 @@ object SparkEntry {
     * band_val) equi-join, then exact cosine top-20 — so the hash check
     * verifies the BLOCKED pipeline, the same way q33's oracle replicates
     * its bucket pruning. */
+  /** q23's oracle — also a component of q67's recall evaluation. */
+  private lazy val cosineTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |s AS (SELECT vec_id, ${pr4(cosD("v", "pv"))} AS cos_sim FROM e, p),
+       |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
+       |        vec_id, cos_sim FROM s)
+       |SELECT rnk, vec_id, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
+  /** q33's oracle — also a component of q67's recall evaluation. */
+  private lazy val annLshOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bkt AS (SELECT vec_id, v,
+       |  (CASE WHEN v[1]  > v[2]  THEN 1   ELSE 0 END +
+       |   CASE WHEN v[5]  > v[6]  THEN 2   ELSE 0 END +
+       |   CASE WHEN v[9]  > v[10] THEN 4   ELSE 0 END +
+       |   CASE WHEN v[13] > v[14] THEN 8   ELSE 0 END +
+       |   CASE WHEN v[17] > v[18] THEN 16  ELSE 0 END +
+       |   CASE WHEN v[21] > v[22] THEN 32  ELSE 0 END +
+       |   CASE WHEN v[25] > v[26] THEN 64  ELSE 0 END +
+       |   CASE WHEN v[29] > v[30] THEN 128 ELSE 0 END)::BIGINT AS bucket
+       | FROM e),
+       |p AS (SELECT v AS pv, bucket AS pbucket FROM bkt WHERE vec_id = 0),
+       |s AS (SELECT vec_id, bucket, ${pr4(cosD("v", "pv"))} AS cos_sim
+       |      FROM bkt, p WHERE bucket = pbucket),
+       |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
+       |        vec_id, bucket, cos_sim FROM s)
+       |SELECT rnk, vec_id, bucket, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
   /** Shared by q03 (plain join) and q60 (salted join): both must stay
     * row-identical by design, so they verify against the SAME oracle. */
   private lazy val revenueByNationOracle: String =
@@ -383,13 +413,7 @@ object SparkEntry {
         | AVG(n_chars) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q23_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
-         |s AS (SELECT vec_id, ${pr4(cosD("v", "pv"))} AS cos_sim FROM e, p),
-         |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
-         |        vec_id, cos_sim FROM s)
-         |SELECT rnk, vec_id, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    "q23_cosine_topk" -> cosineTopKOracle,
 
     "q24_order_invariant" ->
       s"""SELECT l_orderkey, COUNT(*) AS n_lines,
@@ -483,24 +507,7 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q33_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |bkt AS (SELECT vec_id, v,
-         |  (CASE WHEN v[1]  > v[2]  THEN 1   ELSE 0 END +
-         |   CASE WHEN v[5]  > v[6]  THEN 2   ELSE 0 END +
-         |   CASE WHEN v[9]  > v[10] THEN 4   ELSE 0 END +
-         |   CASE WHEN v[13] > v[14] THEN 8   ELSE 0 END +
-         |   CASE WHEN v[17] > v[18] THEN 16  ELSE 0 END +
-         |   CASE WHEN v[21] > v[22] THEN 32  ELSE 0 END +
-         |   CASE WHEN v[25] > v[26] THEN 64  ELSE 0 END +
-         |   CASE WHEN v[29] > v[30] THEN 128 ELSE 0 END)::BIGINT AS bucket
-         | FROM e),
-         |p AS (SELECT v AS pv, bucket AS pbucket FROM bkt WHERE vec_id = 0),
-         |s AS (SELECT vec_id, bucket, ${pr4(cosD("v", "pv"))} AS cos_sim
-         |      FROM bkt, p WHERE bucket = pbucket),
-         |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
-         |        vec_id, bucket, cos_sim FROM s)
-         |SELECT rnk, vec_id, bucket, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    "q33_ann_lsh" -> annLshOracle,
 
     "q34_embed_neardup" -> nearDupOracle,
 
@@ -883,5 +890,22 @@ object SparkEntry {
         | CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size,
         | CAST(vec_id = cluster_rep AS BIGINT) AS keep
         |FROM lab ORDER BY vec_id""".stripMargin,
+
+    // q67 composes the q23/q33/q41 oracles verbatim as subqueries (DuckDB
+    // allows WITH inside a derived table), so the evaluation verifies
+    // against exactly the result sets those queries hash-check.
+    "q67_ann_recall" ->
+      s"""WITH bf AS (SELECT vec_id FROM ($cosineTopKOracle) t),
+        |lsh AS (SELECT vec_id FROM ($annLshOracle) t),
+        |ivf AS (SELECT vec_id FROM ($ivfOracle) t),
+        |s AS (
+        | SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
+        |        CAST(COUNT(*) AS BIGINT) AS n_hits
+        | FROM ivf WHERE vec_id IN (SELECT vec_id FROM bf)
+        | UNION ALL
+        | SELECT 'lsh', CAST(10 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        | FROM lsh WHERE vec_id IN (SELECT vec_id FROM bf))
+        |SELECT method, k, n_hits, CAST(n_hits AS DOUBLE) / 10 AS recall
+        |FROM s ORDER BY method""".stripMargin,
   )
 }

@@ -309,6 +309,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Q67 — retrieval-quality evaluation (measure, don't guess): recall@k
+    * of each ANN path against the brute-force ground truth, computed
+    * in-plan — the report a pipeline publishes before trusting an index at
+    * scale. Each method's top-k (already tiny: k rows each) semi-joins the
+    * exact top-k; the counts and the k-denominator division are exact, so
+    * the score is engine-deterministic. Cost is the three underlying
+    * searches — the evaluation itself adds two k-row joins. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val truth = cosineTopK(spark, dir, k).select(col("vec_id"))
+    def score(method: String, got: DataFrame): DataFrame =
+      got.select(col("vec_id")).join(truth, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), lit(k.toLong).as("k"),
+          col("n_hits"), (col("n_hits") / lit(k.toDouble)).as("recall"))
+    score("ivf", annIvf(spark, dir, k))
+      .unionByName(score("lsh", annLsh(spark, dir, k)))
+      .orderBy("method")
+  }
+
   /** Q66 — semantic dedup cluster RESOLUTION (the SemDeDup-style action
     * step on embeddings, completing the symmetry with the text side's
     * q49/q61): banded sign-LSH candidates are verified by exact cosine

@@ -235,6 +235,18 @@ class TextVectorSpec extends SparkSpec {
     assert(top == planted, s"missed planted pairs: ${planted -- top}")
   }
 
+  test("ann recall report: both methods scored, hits bounded by k, exact ratio") {
+    val r = Similarity.annRecall(spark, sf001).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("ivf", "lsh"))
+    r.foreach { x =>
+      assert(x.getLong(1) == 10L)
+      assert(x.getLong(2) >= 0L && x.getLong(2) <= 10L)
+      assert(x.getDouble(3) == x.getLong(2) / 10.0)
+    }
+    // both paths always recall the probe itself (vec_id=0, cos 1.0)
+    assert(r.forall(_.getLong(2) >= 1L))
+  }
+
   test("semantic clusters: planted duplicate groups collapse, one keeper each") {
     graft.functions.VectorExpressions.register(spark)
     import graft.functions.VectorExpressions.dot_product
