@@ -834,7 +834,7 @@ object SparkEntry {
         |SELECT doc_id, d.source, h,
         | floor(LEAST(1.0, CAST(tot_docs AS DOUBLE) / CAST(n_sources * n_docs AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS rate,
         | CAST(CAST(h AS HUGEINT) * n_sources * n_docs
-        < CAST(tot_docs AS HUGEINT) * 16777216 AS BIGINT) AS keep
+        |   < CAST(tot_docs AS HUGEINT) * 16777216 AS BIGINT) AS keep
         |FROM d JOIN ps ON d.source = ps.source, tot
         |ORDER BY doc_id""".stripMargin,
 

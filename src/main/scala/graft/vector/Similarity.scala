@@ -317,7 +317,9 @@ object Similarity {
     * the score is engine-deterministic. Cost is the three underlying
     * searches — the evaluation itself adds two k-row joins. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val truth = cosineTopK(spark, dir, k).select(col("vec_id"))
+    // materialize the k-row ground truth once — embedded lazily it would
+    // re-run the brute-force corpus scan in BOTH union branches
+    val truth = cosineTopK(spark, dir, k).select(col("vec_id")).localCheckpoint()
     def score(method: String, got: DataFrame): DataFrame =
       got.select(col("vec_id")).join(truth, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
