@@ -127,4 +127,20 @@ class PropertySpec extends SparkSpec {
       assert(once.select("event_id").distinct().count() == once.count())
     }
   }
+
+  test("stratified sample is invariant to partitioning and shuffle-partition count") {
+    // THE property that makes hash-coin sampling auditable at 100 TB: the
+    // keep set depends only on data, never on layout. rand()-based sampling
+    // fails this — its draws change with partitioning and task retries.
+    import graft.text.Curation
+    val base = Curation.stratifiedSample(spark, sf001)
+      .select("doc_id", "keep").collect().toSeq.sortBy(_.getLong(0))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val reshaped = Curation.stratifiedSample(spark, sf001)
+        .select("doc_id", "keep").collect().toSeq.sortBy(_.getLong(0))
+      assert(reshaped == base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
