@@ -51,7 +51,10 @@ object Bench {
       // storage-memory pressure + GC thrash that taxes every LATER query
       // (measured round 2: q48 1.3s isolated vs 11.2s late in the run).
       // Release everything between queries so each timing is the query's own.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking: the sweep runs OUTSIDE the timed region, so waiting here
+      // costs no query time — async eviction could overlap the next query's
+      // timing and re-introduce the cross-query pollution this prevents
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       (name, elapsed, failed)
     }

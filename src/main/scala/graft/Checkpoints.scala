@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.SparkContext
+
+/** Release discipline for `localCheckpoint` blocks (the library-wide form of
+  * the per-round swap `Dedup.connectedComponents` runs internally): a
+  * checkpointed frame's blocks are pinned in the block manager for the life
+  * of the session unless explicitly unpersisted, so every operator that
+  * checkpoints an INTERMEDIATE (one whose data the returned plan no longer
+  * reads) must release it before returning. Long-lived library sessions
+  * otherwise accumulate pinned storage query over query — the round-2 bench
+  * measured that pressure at 5× on late-running queries.
+  *
+  * Only blocks no longer referenced may be released: `localCheckpoint`
+  * truncates lineage, so a released block cannot be recomputed and a plan
+  * that still reads it will fail. The usage pattern is therefore
+  * snapshot-before / release-after-the-last-consumer-materializes:
+  *
+  * {{{
+  * val before = sc.getPersistentRDDs.keySet
+  * val edges = build(...).localCheckpoint()   // pins intermediate blocks
+  * val (labels, _) = connectedComponents(edges) // labels materialized eagerly
+  * Checkpoints.release(sc, sc.getPersistentRDDs.keySet -- before -- keepIds)
+  * }}}
+  */
+object Checkpoints {
+
+  /** Unpersist the given pinned RDD ids (ids already gone are a no-op).
+    * Non-blocking: callers release mid-operator, where waiting for eviction
+    * would serialize against the next stage; the bench harness does its own
+    * blocking sweep between queries. */
+  def release(sc: SparkContext, ids: Set[Int]): Unit = {
+    val live = sc.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Ids pinned now that were not pinned in `before` — the operator's own
+    * checkpoints when `before` was snapshotted at entry. */
+  def pinnedSince(sc: SparkContext, before: scala.collection.Set[Int]): Set[Int] =
+    (sc.getPersistentRDDs.keySet -- before).toSet
+}

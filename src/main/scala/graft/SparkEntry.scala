@@ -852,10 +852,11 @@ object SparkEntry {
         |b AS (SELECT doc_id, sketch FROM sk WHERE doc_id % 2 = 1),
         |fc AS (SELECT sketch, MIN(doc_id) AS first_claim FROM b GROUP BY sketch)
         |SELECT doc_id, b.sketch,
-        | CASE WHEN b.sketch IN (SELECT sketch FROM led) THEN 'dup_ledger'
+        | CASE WHEN b.sketch IS NULL THEN 'no_sketch'
+        |      WHEN b.sketch IN (SELECT sketch FROM led) THEN 'dup_ledger'
         |      WHEN doc_id <> first_claim THEN 'dup_batch'
         |      ELSE 'new' END AS status
-        |FROM b JOIN fc ON b.sketch = fc.sketch
+        |FROM b LEFT JOIN fc ON b.sketch = fc.sketch
         |ORDER BY doc_id""".stripMargin,
 
     "q65_length_buckets" ->

@@ -273,11 +273,20 @@ object Dedup {
     * the end. */
   def nearDupClusters(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val edges = minhashPairsUnsorted(spark, dir)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
+    // everything pinned so far (the signature table inside
+    // minhashPairsUnsorted + the edge list) is an intermediate: once the CC
+    // loop returns, `labels` is an eagerly-materialized checkpoint and the
+    // output plan below reads only documents + labels — release the rest so
+    // library callers don't accumulate pinned blocks across operators
+    val mine = graft.Checkpoints.pinnedSince(sc, before)
     val (labels, _) = connectedComponents(edges)
+    graft.Checkpoints.release(sc, mine)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -298,11 +307,17 @@ object Dedup {
     * with cluster_rep = doc_id and are trivially their own canonical. */
   def canonicalDocs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val edges = minhashPairsUnsorted(spark, dir)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
+    // same release discipline as nearDupClusters: signatures + edges are
+    // dead once the CC labels are materialized
+    val mine = graft.Checkpoints.pinnedSince(sc, before)
     val (labels, _) = connectedComponents(edges)
+    graft.Checkpoints.release(sc, mine)
     val byRichness = Window.partitionBy("cluster_rep")
       .orderBy(desc("n_chars"), col("doc_id"))
     val wholeCluster = Window.partitionBy("cluster_rep")
@@ -344,10 +359,15 @@ object Dedup {
     val batch = sketches.filter(col("doc_id") % 2 === 1)
     val firstInBatch = batch.groupBy("sketch")
       .agg(min("doc_id").as("first_claim"))
+    // a null text has a null sketch (md5(NULL) is NULL); null join keys
+    // match nothing, so with inner joins those docs would silently vanish
+    // from the report — surface them explicitly as 'no_sketch' instead
+    // (left joins keep the rows; the oracle mirrors the same CASE arm)
     batch.join(ledger, Seq("sketch"), "left")
-      .join(firstInBatch, Seq("sketch"))
+      .join(firstInBatch, Seq("sketch"), "left")
       .select(col("doc_id"), col("sketch"),
-        when(col("in_ledger").isNotNull, "dup_ledger")
+        when(col("sketch").isNull, "no_sketch")
+          .when(col("in_ledger").isNotNull, "dup_ledger")
           .when(col("doc_id") =!= col("first_claim"), "dup_batch")
           .otherwise("new").as("status"))
       .orderBy("doc_id")

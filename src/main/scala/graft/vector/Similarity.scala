@@ -111,10 +111,11 @@ object Similarity {
     val withCos = cb.foldLeft(e) { case (df, (cid, cv)) =>
       // sequential fold == list_dot_product / DotProduct evaluation order
       val cnorm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
-      // zero-norm vector or centroid ⇒ NaN cosine; NaN never equals
-      // `best`, which would silently drop the row into cell -1. Pin NaN
-      // below any real cosine so it resolves to the lowest centroid id,
-      // the same place the oracle's ORDER BY puts it.
+      // zero-norm vector or centroid ⇒ NaN cosine. In Spark SQL, NaN = NaN
+      // evaluates TRUE and NaN sorts GREATER than any double — so an
+      // unguarded NaN would win greatest() and claim the cell, not drop the
+      // row. Pin NaN below any real cosine so it resolves to the lowest
+      // centroid id, the same place the oracle's ORDER BY puts it.
       df.withColumn(s"c_cos_$cid",
         nanvl(dot_product(col("v"), lit(cv.toArray)) / (col("norm") * lit(cnorm)),
           lit(-2.0)))
@@ -317,11 +318,17 @@ object Similarity {
     * the score is engine-deterministic. Cost is the three underlying
     * searches — the evaluation itself adds two k-row joins. */
   def annRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    // materialize the k-row ground truth once — embedded lazily it would
-    // re-run the brute-force corpus scan in BOTH union branches
-    val truth = cosineTopK(spark, dir, k).select(col("vec_id")).localCheckpoint()
+    // materialize the k-row ground truth ONCE, as a driver-side id list:
+    // embedded lazily it would re-run the brute-force corpus scan in both
+    // union branches, and a localCheckpoint would pin blocks the operator
+    // never gets a safe point to release (the result is lazy). k ids are
+    // bytes — the membership check becomes a map-side IN filter, no join.
+    val truthIds = cosineTopK(spark, dir, k).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val inTruth =
+      if (truthIds.isEmpty) lit(false) else col("vec_id").isin(truthIds: _*)
     def score(method: String, got: DataFrame): DataFrame =
-      got.select(col("vec_id")).join(truth, Seq("vec_id"), "left_semi")
+      got.select(col("vec_id")).filter(inTruth)
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(method).as("method"), lit(k.toLong).as("k"),
           col("n_hits"), (col("n_hits") / lit(k.toDouble)).as("recall"))
@@ -343,13 +350,28 @@ object Similarity {
     * (random vectors top out near 0.47; production semantic dedup sits at
     * ~0.95) — the plan shape, not the threshold, is the operator. */
   def semanticClusters(spark: SparkSession, dir: String,
-      minCos: Double = 0.4): DataFrame =
-    semanticClustersOn(withNorm(spark, dir).localCheckpoint(), minCos)
+      minCos: Double = 0.4): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val e = withNorm(spark, dir).localCheckpoint()
+    val eIds = graft.Checkpoints.pinnedSince(sc, before)
+    // node list from a fresh vec_id-only scan (column-pruned parquet read)
+    // rather than from `e`: the corpus checkpoint's last consumer is then
+    // the edge build inside semanticClustersOn, so its full-vector blocks
+    // can be released here instead of staying pinned behind the result
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val out = semanticClustersOn(e, minCos, nodes = Some(nodes))
+    graft.Checkpoints.release(sc, eIds)
+    out
+  }
 
   /** [[semanticClusters]] over an arbitrary (vec_id, v, norm) frame —
-    * reused by the planted-duplicate cluster spec. */
+    * reused by the planted-duplicate cluster spec. `nodes` overrides where
+    * the output's vector-id universe is read from (defaults to `e`). */
   def semanticClustersOn(e: DataFrame, minCos: Double,
-      dim: Int = EmbeddingDim): DataFrame = {
+      dim: Int = EmbeddingDim, nodes: Option[DataFrame] = None): DataFrame = {
+    val sc = e.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val edges = bandedCandidates(e, dim = dim)
       .join(e.as("a"), col("vec_a") === col("a.vec_id"))
       .join(e.as("b"), col("vec_b") === col("b.vec_id"))
@@ -357,9 +379,13 @@ object Similarity {
         (col("a.norm") * col("b.norm")) >= minCos)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       .localCheckpoint()
+    // the edge list is an intermediate: dead once CC's labels materialize
+    val mine = graft.Checkpoints.pinnedSince(sc, before)
     val (labels, _) = graft.text.Dedup.connectedComponents(edges)
+    graft.Checkpoints.release(sc, mine)
     val wholeCluster = Window.partitionBy("cluster_rep")
-    e.select(col("vec_id"))
+    nodes.getOrElse(e.select(col("vec_id")))
+      .select(col("vec_id"))
       .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster_rep"))

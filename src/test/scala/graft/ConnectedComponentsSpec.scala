@@ -65,17 +65,19 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 
   test("per-round checkpoints are released: no block pile-up across rounds") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val chain = (1L until 40L).map(i => (i, i + 1))
     val (labels, rounds) = Dedup.connectedComponents(edgesDf(chain))
     labels.count() // consume
-    val after = spark.sparkContext.getPersistentRDDs.size
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(rounds > 3, "precondition: the loop must have run several rounds")
     // only the FINAL round's checkpoint may remain pinned — earlier rounds
     // must have been unpersisted as the loop advanced
-    assert(after - before <= 2,
-      s"persistent RDDs grew by ${after - before} across $rounds rounds — " +
+    assert(added.size <= 2,
+      s"persistent RDDs grew by ${added.size} across $rounds rounds — " +
         "round checkpoints are leaking")
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // release only the blocks THIS test pinned: the session is shared with
+    // other suites, whose cached state a blanket sweep could clobber
+    graft.Checkpoints.release(spark.sparkContext, added.toSet)
   }
 }
