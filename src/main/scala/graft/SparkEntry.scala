@@ -88,6 +88,11 @@ object SparkEntry {
     "q65_length_buckets"  -> (Curation.lengthBuckets _),
     "q66_semantic_clusters" -> ((s: SparkSession, d: String) => Similarity.semanticClusters(s, d)),
     "q67_ann_recall"      -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
+    "q68_quality_calibration" -> (Curation.qualityCalibration _),
+    "q69_gram_novelty"    -> (Dedup.gramNovelty _),
+    "q70_mix_schedule"    -> (Curation.mixSchedule _),
+    "q71_shard_assign"    -> ((s: SparkSession, d: String) => Curation.shardAssign(s, d)),
+    "q72_knn_graph"       -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -908,5 +913,99 @@ object SparkEntry {
         | FROM lsh WHERE vec_id IN (SELECT vec_id FROM bf))
         |SELECT method, k, n_hits, CAST(n_hits AS DOUBLE) / 10 AS recall
         |FROM s ORDER BY method""".stripMargin,
+
+    // q68's thresholds interpolate over the FIXED-POINT score·10⁴ integers
+    // at quarter fractions — (1-f)·a + f·b is exact in IEEE for integer
+    // a, b and f ∈ {0.25, 0.5, 0.75}, so quantile_cont and Spark's
+    // percentile agree bit-for-bit regardless of association order.
+    "q68_quality_calibration" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(len(list_filter(toks, x -> x = 'a')) AS BIGINT) AS sh FROM t),
+        |s AS (SELECT doc_id, source,
+        |        CAST(floor(LEAST(1.0, GREATEST(0.0,
+        |          0.25 * log10(nt + 1) + 0.5 - 0.8 * (sh * 1.0 / nt))) * 10000.0 + 0.5)
+        |          AS BIGINT) AS score_i
+        |      FROM u),
+        |thr AS (SELECT source,
+        |          quantile_cont(score_i, 0.25) AS p25_i,
+        |          quantile_cont(score_i, 0.5) AS p50_i,
+        |          quantile_cont(score_i, 0.75) AS p75_i
+        |        FROM s GROUP BY source)
+        |SELECT doc_id, s.source AS source, score_i / 10000.0 AS quality_score,
+        | p25_i / 10000.0 AS p25, p50_i / 10000.0 AS p50, p75_i / 10000.0 AS p75,
+        | CASE WHEN score_i >= p75_i THEN 'top'
+        |      WHEN score_i >= p50_i THEN 'high'
+        |      WHEN score_i >= p25_i THEN 'mid'
+        |      ELSE 'low' END AS tier
+        |FROM s JOIN thr ON s.source = thr.source
+        |ORDER BY doc_id""".stripMargin,
+
+    "q69_gram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g0 AS (SELECT doc_id, list_distinct($grams) AS grams FROM t),
+         |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+         |dfq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_grams,
+         |         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |       FROM g JOIN dfq USING (gram) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+         | COALESCE(n_unique, 0) AS n_unique,
+         | CASE WHEN COALESCE(n_grams, 0) > 0 THEN n_unique * 1.0 / n_grams
+         |      ELSE 0.0 END AS novelty
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // The normalizing denominator sums FIXED-POINT √share·10⁹ BIGINTs, so
+    // it is order-independent; every other op is a single IEEE division or
+    // multiplication of identical inputs (sqrt is correctly rounded in both
+    // engines; pow is not guaranteed to be, hence τ fixed at 0.5).
+    "q70_mix_schedule" ->
+      """WITH ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |            FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens FROM ps),
+        |w AS (SELECT source, n_docs, n_tokens, tot_tokens,
+        |        n_tokens / tot_tokens AS token_share,
+        |        CAST(floor(sqrt(n_tokens / tot_tokens) * 1000000000.0 + 0.5) AS BIGINT) AS w_fix
+        |      FROM ps, tot),
+        |d AS (SELECT CAST(SUM(w_fix) AS DOUBLE) AS denom FROM w),
+        |f AS (SELECT source, n_docs, n_tokens, token_share,
+        |        w_fix / denom AS mix_weight,
+        |        CAST(floor(w_fix / denom * tot_tokens) AS BIGINT) AS target_tokens
+        |      FROM w, d)
+        |SELECT source, n_docs, n_tokens, token_share, mix_weight, target_tokens,
+        | target_tokens * 1.0 / n_tokens AS epochs
+        |FROM f ORDER BY source""".stripMargin,
+
+    "q71_shard_assign" ->
+      """WITH a AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 6) AS INTEGER) AS BIGINT) % 16 AS shard
+        |  FROM documents),
+        |per AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |        FROM a GROUP BY shard),
+        |tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS tot_docs,
+        |          CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens FROM per)
+        |SELECT shard, n_docs, n_tokens,
+        | n_docs * 16.0 / tot_docs AS doc_balance,
+        | n_tokens * 16.0 / tot_tokens AS token_balance
+        |FROM per, tot ORDER BY shard""".stripMargin,
+
+    // q72 reuses q34's banded-candidate CTEs; the per-vector rank mirrors
+    // the engine's WindowGroupLimit-planned keyed window.
+    "q72_knn_graph" ->
+      s"""WITH $nearDupCandCtes,
+        |sym AS (SELECT vec_a AS src, vec_b AS dst FROM cand
+        |        UNION ALL SELECT vec_b AS src, vec_a AS dst FROM cand),
+        |s AS (SELECT src, dst,
+        |        ${pr4(s"${dotD("a.v", "b.v")} / (a.norm * b.norm)")} AS cos_sim
+        |      FROM sym JOIN n a ON src = a.vec_id JOIN n b ON dst = b.vec_id),
+        |r AS (SELECT src, CAST(row_number() OVER
+        |        (PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT) AS rnk,
+        |        dst, cos_sim FROM s)
+        |SELECT src, rnk, dst, cos_sim FROM r WHERE rnk <= 3
+        |ORDER BY src, rnk""".stripMargin,
   )
 }

@@ -358,4 +358,107 @@ object Curation {
         col("max_tokens"), col("pad_waste"))
       .orderBy("bucket")
   }
+
+  /** Q68 — per-source quality CALIBRATION: raw quality scores are not
+    * comparable across sources (a boilerplate-heavy crawl and a clean book
+    * corpus have different score distributions), so production filtering
+    * thresholds per source, not globally. Each doc gets its source's
+    * quartile thresholds and a tier (top/high/mid/low).
+    *
+    * Scale shape: scores are a pure map; thresholds are ONE tiny per-source
+    * aggregate (exact interpolated percentiles) broadcast back onto the
+    * corpus — no global sort, no per-source window over the corpus (the
+    * ntile formulation would be exactly the partitionless-window trap).
+    *
+    * Determinism: percentiles interpolate over the FIXED-POINT score·10⁴
+    * integers ([[TextOps.qualityScoreFix4]]) at quarter fractions, so
+    * (1−f)·a + f·b is exact in IEEE arithmetic no matter how an engine
+    * associates it — thresholds carry zero float drift, and the tier
+    * comparison happens in the same integer space. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScoreFix4(col("text")).as("score_i"))
+    val thresholds = scored.groupBy("source").agg(
+      expr("percentile(score_i, 0.25)").as("p25_i"),
+      expr("percentile(score_i, 0.5)").as("p50_i"),
+      expr("percentile(score_i, 0.75)").as("p75_i"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (col("score_i") / lit(10000.0)).as("quality_score"),
+        (col("p25_i") / lit(10000.0)).as("p25"),
+        (col("p50_i") / lit(10000.0)).as("p50"),
+        (col("p75_i") / lit(10000.0)).as("p75"),
+        when(col("score_i") >= col("p75_i"), "top")
+          .when(col("score_i") >= col("p50_i"), "high")
+          .when(col("score_i") >= col("p25_i"), "mid")
+          .otherwise("low").as("tier"))
+      .orderBy("doc_id")
+  }
+
+  /** Q70 — temperature-based mixture schedule (τ = 0.5): the data-mix step
+    * that decides how many tokens each source contributes to a training
+    * run. Raw token shares are flattened by √share (the standard
+    * multilingual/multi-domain temperature reweighting), renormalized, and
+    * turned into per-source token targets + epoch counts (how many passes
+    * over a source the schedule implies).
+    *
+    * Scale shape: one per-source aggregate, then arithmetic over the tiny
+    * source table (two broadcast cross-joins for the totals, as q53 does).
+    *
+    * Determinism: √share is IEEE-correctly-rounded in every engine, and the
+    * normalizing denominator is a SUM OF FIXED-POINT BIGINTs (√share·10⁹),
+    * so it is order-independent — the one place a float sum could diverge.
+    * The remaining ops are single IEEE divisions/multiplications of
+    * identical inputs. τ is fixed at 0.5 because sqrt is correctly rounded
+    * where pow(x, τ) is not guaranteed to be across libm implementations. */
+  def mixSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val totals = perSource.agg(sum("n_tokens").cast("double").as("tot_tokens"))
+    val weighted = perSource.crossJoin(broadcast(totals))
+      .withColumn("token_share", col("n_tokens") / col("tot_tokens"))
+      .withColumn("w_fix",
+        floor(sqrt(col("token_share")) * lit(1000000000.0) + lit(0.5)).cast("long"))
+    val denom = weighted.agg(sum("w_fix").cast("double").as("denom"))
+    weighted.crossJoin(broadcast(denom))
+      .withColumn("mix_weight", col("w_fix") / col("denom"))
+      .withColumn("target_tokens",
+        floor(col("mix_weight") * col("tot_tokens")).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("token_share"),
+        col("mix_weight"), col("target_tokens"),
+        (col("target_tokens") * lit(1.0) / col("n_tokens")).as("epochs"))
+      .orderBy("source")
+  }
+
+  /** Q71 — hash-sharding for training-data layout: every doc is assigned to
+    * one of `nShards` output shards by a deterministic content-independent
+    * hash of its id (so shard membership is stable across runs and engines,
+    * unlike round-robin or rand), and the report shows the balance a data
+    * loader would see: per-shard doc/token counts and their ratio to the
+    * uniform ideal. At 100 TB this IS the write-partitioning step before
+    * `write.partitionBy(shard)` — uniform hash keys are what make the
+    * output files evenly sized. Shape: pure map + one tiny aggregate +
+    * broadcast totals. */
+  def shardAssign(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val assigned = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      // same md5-prefix integer convention q63/q44 hash-verify:
+      // conv(hex, 16, 10) == DuckDB CAST('0x' || hex AS INTEGER)
+      .withColumn("shard",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint)")
+          % nShards)
+    val per = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val totals = per.agg(
+      sum("n_docs").cast("double").as("tot_docs"),
+      sum("n_tokens").cast("double").as("tot_tokens"))
+    per.crossJoin(broadcast(totals))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") * lit(nShards.toDouble) / col("tot_docs")).as("doc_balance"),
+        (col("n_tokens") * lit(nShards.toDouble) / col("tot_tokens")).as("token_balance"))
+      .orderBy("shard")
+  }
 }

@@ -373,6 +373,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q69 — n-gram NOVELTY scoring: for each doc, the fraction of its
+    * distinct trigrams that occur in NO other document (document frequency
+    * exactly 1) — the inverse signal of the contamination/duplication
+    * family: high novelty marks content the corpus hasn't seen elsewhere,
+    * low novelty marks boilerplate. Shape: distinct grams per doc (one
+    * doc-keyed pass), gram document frequencies (one gram-keyed map-side
+    * combined aggregate), one gram-keyed equi-join back, one doc-keyed
+    * aggregate — every shuffle keyed, the same blocked profile as q50, and
+    * the gram-frequency table is a gram-keyed side that size-based planning
+    * can broadcast when small. Gramless docs report novelty 0.0. */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = explodedGrams(spark, dir, distinctPerDoc = true)
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfreq, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("n_unique") * lit(1.0) / col("n_grams"))
+          .otherwise(lit(0.0)).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (16-bit, md5-derived per-token hashes): per token-hash bit,
     * sum +1/-1 across the document's tokens; the sign vector packs into a
     * 16-bit fingerprint. Grouped by doc — one shuffle on doc_id (the

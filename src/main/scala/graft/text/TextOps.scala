@@ -84,6 +84,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q27's [0,1] quality score as a FIXED-POINT integer (score·10⁴) column
+    * expression — the reusable form downstream operators (q68 calibration)
+    * aggregate over: integer inputs make interpolated percentiles exact in
+    * IEEE arithmetic, so thresholds are engine-identical with no rounding
+    * margin. Must stay in lock-step with [[qualityScore]]'s formula. */
+  def qualityScoreFix4(text: Column): Column = {
+    val toks = tokens(text)
+    val stopRatio = size(filter(toks, t => t === "a")) * lit(1.0) / size(toks)
+    floor(least(lit(1.0), greatest(lit(0.0),
+      lit(0.25) * log10(size(toks) + 1) + lit(0.5) - lit(0.8) * stopRatio))
+      * lit(10000.0) + lit(0.5)).cast("long")
+  }
+
   /** Quality scoring (north star): length / stopword-ratio heuristics →
     * a [0,1] score, the text-corpus analog of the reference's per-event
     * `quality_score = max(0, 1 - k·violations)` (expectations.py:94). */

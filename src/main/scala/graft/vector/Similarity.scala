@@ -395,6 +395,37 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Q72 — approximate kNN GRAPH construction: each vector's top-k
+    * neighbors among its banded sign-LSH candidates — the all-vectors form
+    * of ANN (the probe queries q23/q33/q41 answer for ONE vector), and the
+    * substrate semantic clustering, graph-based index builds (HNSW-style),
+    * and diversity sampling all start from.
+    *
+    * Scale shape: candidates come from the same (band_id, band_val)
+    * equi-join as q34 — never all-pairs; the per-vector top-k is a rank
+    * window KEYED by the source vector (partition sizes bounded by band
+    * collision counts, not corpus size), which Spark plans with a
+    * WindowGroupLimit pushdown so only k survivors per vector cross the
+    * final shuffle. Vectors with no band-mates have no neighbors and are
+    * absent, as in any LSH-bucketed kNN build. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = withNorm(spark, dir).localCheckpoint()
+    val cand = bandedCandidates(e)
+    val sym = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(cand.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val scored = sym
+      .join(e.as("a"), col("src") === col("a.vec_id"))
+      .join(e.as("b"), col("dst") === col("b.vec_id"))
+      .select(col("src"), col("dst"),
+        pround(dot_product(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
+          .as("cos_sim"))
+    val w = Window.partitionBy("src").orderBy(desc("cos_sim"), col("dst"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("src", "rnk", "dst", "cos_sim")
+      .orderBy("src", "rnk")
+  }
+
   /** Q57 — int8 embedding quantization (the storage-compression step a
     * vector store runs before indexing: min/max range per vector, 255-level
     * codes): emits the quantization params and a deterministic fingerprint

@@ -144,6 +144,76 @@ class CurationSpec extends SparkSpec {
     assert(r.values.map(_._3).sum == 5L) // every doc landed in exactly one bucket
   }
 
+  test("quality calibration: per-source quartiles are ordered, tiers consistent") {
+    val r = Curation.qualityCalibration(spark, sf0001).collect()
+    assert(r.length == 500) // every doc judged
+    // thresholds are constant per source and ordered p25 <= p50 <= p75
+    r.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val thr = rows.map(x => (x.getDouble(3), x.getDouble(4), x.getDouble(5))).distinct
+      assert(thr.length == 1)
+      val (p25, p50, p75) = thr.head
+      assert(p25 <= p50 && p50 <= p75)
+    }
+    // every row's tier matches its score-vs-threshold position
+    r.foreach { x =>
+      val (s, p25, p50, p75) = (x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))
+      val expected =
+        if (s >= p75) "top" else if (s >= p50) "high" else if (s >= p25) "mid" else "low"
+      assert(x.getString(6) == expected, s"row $x")
+    }
+    // quartiles actually split: all four tiers occur somewhere in the corpus
+    assert(r.map(_.getString(6)).distinct.sorted.toSeq == Seq("high", "low", "mid", "top"))
+  }
+
+  test("mix schedule: sqrt-temperature flattens shares, weights renormalize") {
+    val a = (1L to 9L).map(i => (i, (1 to 10).map(j => s"w$j").mkString(" "), "en", "big", 20L))
+    val b = Seq((100L, (1 to 10).map(j => s"w$j").mkString(" "), "en", "small", 20L))
+    val dir = docsDir(a ++ b)
+    val r = Curation.mixSchedule(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val (big, small) = (r("big"), r("small"))
+    assert(big.getLong(2) == 90L && small.getLong(2) == 10L)
+    // weights renormalize to 1
+    assert(math.abs(big.getDouble(4) + small.getDouble(4) - 1.0) < 1e-9)
+    // temperature flattening: the dominant source is down-weighted below its
+    // raw share, the tail source up-weighted above it
+    assert(big.getDouble(4) < big.getDouble(3))
+    assert(small.getDouble(4) > small.getDouble(3))
+    // token targets preserve the budget (up to per-source floor loss)
+    val targetSum = big.getLong(5) + small.getLong(5)
+    assert(targetSum <= 100L && targetSum >= 98L)
+    // epochs: the up-weighted source repeats, the down-weighted one subsamples
+    assert(small.getDouble(6) > 1.0 && big.getDouble(6) < 1.0)
+  }
+
+  test("shard assignment: exhaustive, deterministic, balance ratios sum to n_shards") {
+    val dir = docsDir((1L to 200L).map(i =>
+      (i, "tok tok tok tok tok", "en", "s", 19L)))
+    val r = Curation.shardAssign(spark, dir).collect()
+    assert(r.map(_.getLong(0)).forall(s => s >= 0 && s < 16))
+    assert(r.map(_.getLong(1)).sum == 200L)
+    assert(r.map(_.getLong(2)).sum == 1000L)
+    assert(math.abs(r.map(_.getDouble(3)).sum - 16.0) < 1e-9)
+    assert(math.abs(r.map(_.getDouble(4)).sum - 16.0) < 1e-9)
+    // assignment is a pure function of doc_id: rerunning reproduces exactly
+    val again = Curation.shardAssign(spark, dir).collect()
+    assert(r.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("gram novelty: corpus-unique trigrams score 1, duplicated ones 0") {
+    val dir = docsDir(Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 22L), // grams shared with doc 2
+      (2L, "alpha beta gamma delta", "en", "s", 22L),
+      (3L, "one two three four", "en", "s", 18L),     // grams unique to doc 3
+      (4L, "hi there", "en", "s", 8L)))               // too short: no grams
+    val r = graft.text.Dedup.gramNovelty(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 0L, 0.0)))
+    assert(r(2L) == ((2L, 0L, 0.0)))
+    assert(r(3L) == ((2L, 2L, 1.0)))
+    assert(r(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("pii redaction: lexicon and pattern hits are masked and counted") {
     val dir = docsDir(Seq(
       (1L, "customer wrote to test@example.com from +1 (555) 123-4567 as user", "en", "s", 60L)))

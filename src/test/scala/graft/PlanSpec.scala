@@ -154,6 +154,27 @@ class PlanSpec extends SparkSpec {
     assert(buckets.contains("partial_"), "q65 aggregate must map-side combine")
   }
 
+  test("round-4 operators keep their scale shapes") {
+    import graft.text.{Curation, Dedup}
+    import graft.vector.Similarity
+    // q68: the corpus side meets the tiny per-source threshold table via
+    // broadcast — the corpus never shuffles for the calibration join
+    val cal = explain(Curation.qualityCalibration(spark, sf0001))
+    assert(cal.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$cal")
+    assert(!cal.contains("SortMergeJoin") && !cal.contains("ShuffledHashJoin"),
+      s"calibration join must not shuffle the corpus:\n$cal")
+    // q69: every shuffle keyed (gram agg), no cross join anywhere
+    val nov = explain(Dedup.gramNovelty(spark, sf0001))
+    assert(nov.contains("hashpartitioning(gram"), s"expected gram-keyed work:\n$nov")
+    assert(!nov.contains("CartesianProduct") && !nov.contains("BroadcastNestedLoopJoin"))
+    // q72: candidates from the banded equi-join, per-vector top-k pushed
+    // down as WindowGroupLimit (only k rows per src cross the final shuffle)
+    val knn = explain(Similarity.knnGraph(spark, sf0001))
+    assert(knn.contains("WindowGroupLimit"), s"rank filter must push down:\n$knn")
+    assert(!knn.contains("CartesianProduct"))
+    assert(knn.contains("band_val"))
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -267,6 +267,35 @@ class TextVectorSpec extends SparkSpec {
     assert(r.filterKeys(k => k >= 2 && k < 30).values.forall(v => v._2 == 1L && v._3 == 1L))
   }
 
+  test("knn graph: planted clones are mutual top neighbors, ranks dense per src") {
+    val dir = java.nio.file.Files.createTempDirectory("knn").toString
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val clones = Seq(1L, 2L, 3L).map(id => (id, base.toSeq, "x"))
+    val others = (10L until 20L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat).toSeq, "x"))
+    (clones ++ others).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.knnGraph(spark, dir).collect()
+    val bySrc = r.groupBy(_.getLong(0))
+    // identical vectors share every band: each clone's top-2 are the other
+    // two clones at cos 1.0, ties broken by dst id
+    assert(bySrc(1L).take(2).map(x => (x.getLong(2), x.getDouble(3))).toSeq ==
+      Seq((2L, 1.0), (3L, 1.0)))
+    assert(bySrc(2L).take(2).map(x => (x.getLong(2), x.getDouble(3))).toSeq ==
+      Seq((1L, 1.0), (3L, 1.0)))
+    bySrc.values.foreach { rows =>
+      // ranks are dense from 1 and cos_sim is non-increasing in rank
+      assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
+      val sims = rows.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+      assert(rows.length <= 3)
+      // no self-edges, no duplicate neighbors
+      assert(!rows.exists(x => x.getLong(2) == x.getLong(0)))
+      assert(rows.map(_.getLong(2)).distinct.length == rows.length)
+    }
+  }
+
   test("prefiltered jaccard agrees with the exact form on surviving pairs and prunes") {
     val dir = sf0001
     val pre = Dedup.jaccardPrefiltered(spark, dir).collect()
