@@ -93,6 +93,7 @@ object SparkEntry {
     "q70_mix_schedule"    -> (Curation.mixSchedule _),
     "q71_shard_assign"    -> ((s: SparkSession, d: String) => Curation.shardAssign(s, d)),
     "q72_knn_graph"       -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
+    "q73_mmr_select"      -> ((s: SparkSession, d: String) => Similarity.mmrSelect(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -260,7 +261,56 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Oracle for q73: replicates the greedy MMR selection with one unrolled
+    * CTE pair per step (the q41-style unrolling of an iterative algorithm):
+    * candidate pool + pairwise sim table once, then step i picks the
+    * argmax of `0.7·rel − (1−0.7)·max-sim-to-selected` among the not-yet-
+    * selected. `1 − λ` is spelled as a DOUBLE-cast subtraction: the engine
+    * computes it in IEEE doubles (1.0−0.7 = 0.30000000000000004), while a
+    * bare DuckDB `(1.0 - 0.7)` folds in DECIMAL to exactly 0.3. */
+  private lazy val mmrOracle: String = {
+    val k = 5
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
+         |p AS (SELECT v AS pv, norm AS pnorm FROM n WHERE vec_id = 0),
+         |cand AS (SELECT vec_id, v, norm,
+         |           ${pr4(s"${dotD("v", "pv")} / (norm * pnorm)")} AS rel
+         |         FROM n, p WHERE vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT 20),
+         |sims AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |           ${pr4(s"${dotD("a.v", "b.v")} / (a.norm * b.norm)")} AS sim
+         |         FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |sel1 AS (SELECT vec_id, rel, 0.0 AS max_sim,
+         |           0.7 * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * 0.0 AS score
+         |         FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+         |""".stripMargin)
+    for (i <- 2 to k) {
+      val selUnion = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      sb.append(
+        s"""m$i AS (SELECT c.vec_id, c.rel, MAX(s.sim) AS max_sim
+           |      FROM cand c JOIN sims s ON s.va = c.vec_id
+           |      WHERE s.vb IN ($selUnion) AND c.vec_id NOT IN ($selUnion)
+           |      GROUP BY c.vec_id, c.rel),
+           |sel$i AS (SELECT vec_id, rel, max_sim,
+           |           0.7 * rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * max_sim AS score
+           |         FROM m$i ORDER BY score DESC, vec_id LIMIT 1),
+           |""".stripMargin)
+    }
+    val unionAll = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, vec_id, rel AS relevance, " +
+        s"max_sim, score AS mmr_score FROM sel$i")
+      .mkString("\n UNION ALL ")
+    sb.append(
+      s"""f AS ($unionAll)
+         |SELECT sel_rank, vec_id, relevance, max_sim, mmr_score FROM f
+         |ORDER BY sel_rank""".stripMargin)
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q73_mmr_select" -> mmrOracle,
     "q01_filter_project" ->
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          | floor(($rev) * 100 + 0.5) / 100.0 AS revenue

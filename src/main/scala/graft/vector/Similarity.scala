@@ -410,20 +410,87 @@ object Similarity {
     * absent, as in any LSH-bucketed kNN build. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = withNorm(spark, dir).localCheckpoint()
-    val cand = bandedCandidates(e)
-    val sym = cand.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .union(cand.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-    val scored = sym
-      .join(e.as("a"), col("src") === col("a.vec_id"))
-      .join(e.as("b"), col("dst") === col("b.vec_id"))
-      .select(col("src"), col("dst"),
+    // score each undirected pair ONCE (cosine is symmetric), then mirror the
+    // scored rows — half the join probes and dot products of scoring both
+    // directions independently
+    val scoredPairs = bandedCandidates(e)
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
         pround(dot_product(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
           .as("cos_sim"))
+    val sym = scoredPairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
+      .union(scoredPairs
+        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("cos_sim")))
     val w = Window.partitionBy("src").orderBy(desc("cos_sim"), col("dst"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("src", "rnk", "dst", "cos_sim")
       .orderBy("src", "rnk")
+  }
+
+  /** Q73 — MMR (maximal marginal relevance) diversity-aware selection: from
+    * the probe's top-`poolSize` candidates, greedily pick `k` results
+    * maximizing `λ·relevance − (1−λ)·max-similarity-to-already-selected` —
+    * the rerank step RAG retrieval and few-shot example selection run so the
+    * result set isn't k near-copies of the best hit.
+    *
+    * Scale shape: candidate generation is the distributed part (one
+    * map-side scored pass + TakeOrderedAndProject, exactly q23's plan) and
+    * is where 100 TB lives; the greedy rerank runs on the driver over the
+    * collected `poolSize` rows — the standard production shape (rerankers
+    * run on the query node over a bounded candidate set), the same
+    * bounded-driver-step pattern as the IVF trainer's k×dim collect. The
+    * greedy loop is O(k·poolSize) driver flops on tens of rows.
+    *
+    * Determinism: relevance is the Spark-computed pr4 cosine; pairwise
+    * similarities replay the same sequential-fold dot product and pr4 rule
+    * in driver Scala (bit-identical to `list_dot_product`); each score is
+    * two IEEE multiplies and a subtraction of identical doubles, ties break
+    * to the lowest vec_id — so the oracle's unrolled step-CTEs land on the
+    * same selections. */
+  def mmrSelect(spark: SparkSession, dir: String, k: Int = 5,
+      poolSize: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val e = withNorm(spark, dir)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("norm").as("pnorm"))
+    val cands = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("v"), col("norm"),
+        pround(dot_product(col("v"), col("pv")) / (col("norm") * col("pnorm")), 4)
+          .as("rel"))
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        r.getDouble(3)))
+    def pr4d(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def cos(a: (Long, Array[Double], Double, Double),
+        b: (Long, Array[Double], Double, Double)): Double = {
+      // sequential fold == DotProduct / list_dot_product evaluation order
+      var d = 0.0
+      var i = 0
+      while (i < a._2.length) { d += a._2(i) * b._2(i); i += 1 }
+      pr4d(d / (a._3 * b._3))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Double)]
+    var remaining = cands.toList
+    while (selected.length < k && remaining.nonEmpty) {
+      val picked = remaining.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(c, cands.find(_._1 == s._2).get)).max
+        (c, maxSim, lambda * c._4 - (1.0 - lambda) * maxSim)
+      }.minBy { case (c, _, score) => (-score, c._1) }
+      selected += ((selected.length + 1L, picked._1._1, picked._1._4,
+        picked._2, picked._3))
+      remaining = remaining.filterNot(_._1 == picked._1._1)
+    }
+    val s = spark
+    import s.implicits._
+    selected.toSeq
+      .toDF("sel_rank", "vec_id", "relevance", "max_sim", "mmr_score")
+      .orderBy("sel_rank")
   }
 
   /** Q57 — int8 embedding quantization (the storage-compression step a

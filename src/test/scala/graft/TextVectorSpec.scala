@@ -296,6 +296,38 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("mmr selection: diversity beats a redundant clone of the top hit") {
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toString
+    def vec(u: Float, w: Float): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = u; a(1) = w; a.toSeq
+    }
+    // probe = e0; v1 at cos 0.9 to probe, v2 an exact clone of v1, v3 at
+    // cos 0.8 but azimuthally opposite (cos(v1,v3) ≈ 0.46); low-rel fillers.
+    // Greedy MMR must pick v1, then v3 (0.7·0.8 − 0.3·0.46 ≈ 0.42 beats the
+    // clone's 0.7·0.9 − 0.3·1.0 = 0.33), and only then the clone.
+    val rows = Seq(
+      (0L, vec(1.0f, 0.0f), "x"),
+      (1L, vec(0.9f, 0.43589f), "x"),
+      (2L, vec(0.9f, 0.43589f), "x"),
+      (3L, vec(0.8f, -0.6f), "x")) ++
+      (10L to 13L).map(i => (i, vec(0.2f, 0.9798f), "x"))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.mmrSelect(spark, dir).collect()
+    assert(r.length == 5)
+    assert(r.map(_.getLong(0)).toSeq == (1L to 5L).toSeq)
+    assert(r.take(3).map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    // rank 1 carries no diversity penalty; the clone's penalty is sim 1.0
+    assert(r(0).getDouble(3) == 0.0)
+    assert(r(2).getDouble(3) == 1.0)
+    // every score is λ·rel − (1−λ)·max_sim over the row's own columns
+    r.foreach { x =>
+      assert(x.getDouble(4) == 0.7 * x.getDouble(2) - (1.0 - 0.7) * x.getDouble(3))
+    }
+    // no duplicate selections
+    assert(r.map(_.getLong(1)).distinct.length == 5)
+  }
+
   test("prefiltered jaccard agrees with the exact form on surviving pairs and prunes") {
     val dir = sf0001
     val pre = Dedup.jaccardPrefiltered(spark, dir).collect()
