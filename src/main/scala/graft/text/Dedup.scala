@@ -262,6 +262,80 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Alternating large-star/small-star connected components — the named
+    * MapReduce-era alternative to [[connectedComponents]]' pointer doubling
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round rewrites the EDGE SET itself instead of a label
+    * table. Large-star hangs every neighbor LARGER than a node off the
+    * node's minimum neighbor; small-star re-hangs the smaller-or-equal
+    * neighbors. Components converge to stars centered at their minimum
+    * node in O(log² n) rounds (O(log n) in practice), at which point the
+    * label of every node is its minimum neighbor.
+    *
+    * Trade vs pointer doubling: LSS rewrites (and re-deduplicates) the edge
+    * list twice per round — heavier per round on dense candidate graphs —
+    * but its intermediate state SHRINKS monotonically toward one edge per
+    * non-root node, where pointer doubling carries a full label table plus
+    * the static edge list every round. Both are provided; production paths
+    * (q49/q61/q66) use pointer doubling, and the equivalence spec pins the
+    * two to identical labels. Release discipline is two-generation: a
+    * round's edge set is freed only after the convergence comparison that
+    * still reads it.
+    *
+    * Returns (labels(doc_id, label), rounds) with singletons absent, the
+    * same contract as [[connectedComponents]].
+    */
+  def connectedComponentsLSS(edges: DataFrame): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // m(u) = min(Γ(u) ∪ {u}) over the symmetrized neighborhood
+    def withMin(s: DataFrame): DataFrame =
+      s.join(
+        s.groupBy(col("doc_a").as("u"))
+          .agg(min(col("doc_b")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m")),
+        col("doc_a") === col("u"))
+    def largeStar(e: DataFrame): DataFrame =
+      withMin(sym(e)).filter(col("doc_b") > col("doc_a"))
+        .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b")).distinct()
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      withMin(s).filter(col("doc_b") <= col("doc_a"))
+        .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
+        .unionByName(withMin(s).select(col("u").as("doc_a"), col("m").as("doc_b")))
+        .filter(col("doc_a") =!= col("doc_b")).distinct()
+    }
+    // two-generation checkpoint management: the convergence check reads BOTH
+    // the old and the new edge set, so the old generation's blocks are only
+    // released after the comparison (a blind swap-on-checkpoint would free
+    // blocks the exceptAll still needs)
+    var before = sc.getPersistentRDDs.keySet
+    var cur = edges.select(col("doc_a"), col("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).distinct().localCheckpoint()
+    var curIds = graft.Checkpoints.pinnedSince(sc, before)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 64) {
+      rounds += 1
+      before = sc.getPersistentRDDs.keySet
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextIds = graft.Checkpoints.pinnedSince(sc, before)
+      // converged when the canonical edge set stopped changing (both sides
+      // are distinct checkpointed sets, so two anti-join probes suffice)
+      stable = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      graft.Checkpoints.release(sc, curIds)
+      cur = next
+      curIds = nextIds
+    }
+    val labels = sym(cur).groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("mn"))
+      .select(col("doc_id"), least(col("mn"), col("doc_id")).as("label"))
+    (labels, rounds)
+  }
+
   /** Near-dup RESOLUTION on top of [[minhashPairs]] — the operator a
     * training pipeline actually runs: candidate pairs above `minJaccard`
     * become edges, connected components are resolved by

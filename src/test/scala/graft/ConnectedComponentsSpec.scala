@@ -64,6 +64,32 @@ class ConnectedComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("large-star/small-star: chain and star converge to min labels in log rounds") {
+    val chain = (1L until 50L).map(i => (i, i + 1))
+    val (cl, crounds) = Dedup.connectedComponentsLSS(edgesDf(chain))
+    val cm = labelMap(cl)
+    assert(cm.size == 50 && cm.values.forall(_ == 1L))
+    assert(crounds < 25, s"LSS chain rounds $crounds not logarithmic")
+    val star = (2L to 1000L).map(k => (1L, k))
+    val (sl, srounds) = Dedup.connectedComponentsLSS(edgesDf(star))
+    val sm = labelMap(sl)
+    assert(sm.size == 1000 && sm.values.forall(_ == 1L))
+    assert(srounds <= 3, s"LSS star rounds $srounds")
+    // empty graph: same contract as pointer doubling
+    val (el, erounds) = Dedup.connectedComponentsLSS(edgesDf(Seq.empty))
+    assert(el.count() == 0 && erounds == 1)
+  }
+
+  test("large-star/small-star and pointer doubling agree on a random graph") {
+    val rnd = new scala.util.Random(13)
+    // 120 nodes, 150 random edges: several nontrivial components + singletons
+    val edges = Seq.fill(150)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val (pd, _) = Dedup.connectedComponents(edgesDf(edges))
+    val (lss, _) = Dedup.connectedComponentsLSS(edgesDf(edges))
+    assert(labelMap(pd) == labelMap(lss))
+  }
+
   test("per-round checkpoints are released: no block pile-up across rounds") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val chain = (1L until 40L).map(i => (i, i + 1))
