@@ -94,16 +94,24 @@ object SparkEntry {
     "q71_shard_assign"    -> ((s: SparkSession, d: String) => Curation.shardAssign(s, d)),
     "q72_knn_graph"       -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "q73_mmr_select"      -> ((s: SparkSession, d: String) => Similarity.mmrSelect(s, d)),
+    "q74_containment"     -> ((s: SparkSession, d: String) => Dedup.containment(s, d)),
+    "q75_cluster_balance" -> (Similarity.clusterBalance _),
+    "q76_drift_report"    -> (Curation.driftReport _),
+    "q77_chunk_dedup"     -> ((s: SparkSession, d: String) => Curation.chunkDedup(s, d)),
+    "q78_token_entropy"   -> (TextOps.tokenEntropy _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
   // Shared SQL fragments (kept as vals so Spark/DuckDB formulations stay in
   // lock-step when edited).
   private val rev = "l_extendedprice*(1-l_discount)"
-  private val grams =
-    """CASE WHEN len(toks) >= 3
-      | THEN list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-      | ELSE []::VARCHAR[] END""".stripMargin
+  private def gramsN(n: Int): String = {
+    val cat = (1 to n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $n
+       | THEN list_transform(range(len(toks)-${n - 1}), i -> $cat)
+       | ELSE []::VARCHAR[] END""".stripMargin
+  }
+  private val grams = gramsN(3)
   private def dotD(a: String, b: String) = s"list_dot_product($a, $b)"
   // shingle→minhash→band→candidate CTE chain, shared by q30 and q49
   private lazy val minhashCtes =
@@ -130,6 +138,7 @@ object SparkEntry {
     s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
   // portable round (see graft.functions.Portable): floor(x*10^n + 0.5)/10^n
   private def pr4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000.0"
+  private def pr6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000.0"
 
   /** ±1 sign array as a DuckDB DOUBLE[] literal (same constants the Spark
     * plan embeds via lit(...) — see Similarity.signHyperplanes). */
@@ -210,18 +219,17 @@ object SparkEntry {
        |FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id
        |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 20""".stripMargin
 
-  /** Oracle for q41: replicates the deterministic k-means training
+  /** Shared q41/q75 CTE chain: deterministic k-means training
     * (Similarity.trainIvfCodebook — init = vec_ids 1..4, 3 Lloyd rounds,
-    * fixed-point 10⁻⁶ centroid means) with unrolled iteration CTEs, then
-    * the same multi-probe (nprobe=2) cell-pruned cosine top-10. */
-  private lazy val ivfOracle: String = {
+    * fixed-point 10⁻⁶ centroid means) unrolled per iteration, ending at
+    * `cellf` = every vector with its final cell (codebook = `cb3`). */
+  private lazy val ivfCellCtes: String = {
     val dim = Similarity.EmbeddingDim
     val k = 4
     val iters = 3
-    val nprobe = 2
     val sb = new StringBuilder
     sb.append(
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
          |cb0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id BETWEEN 1 AND $k),
          |""".stripMargin)
@@ -247,18 +255,25 @@ object SparkEntry {
          |  ${dotD("n.v", "cv")} / (n.norm * sqrt(${dotD("cv", "cv")})) AS c_cos
          | FROM n, cb$iters),
          |rf AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, c_id) AS rn FROM af),
-         |cellf AS (SELECT vec_id, v, norm, CAST(c_id AS BIGINT) AS cell FROM rf WHERE rn = 1),
-         |p AS (SELECT v AS pv, norm AS pnorm FROM n WHERE vec_id = 0),
-         |pc AS (SELECT c_id, row_number() OVER (ORDER BY
-         |         ${dotD("pv", "cv")} / (pnorm * sqrt(${dotD("cv", "cv")})) DESC, c_id) AS prn
-         |       FROM cb$iters, p),
-         |probe_cells AS (SELECT CAST(c_id AS BIGINT) AS pcell FROM pc WHERE prn <= $nprobe),
-         |sc AS (SELECT vec_id, cell, ${pr4(s"${dotD("v", "pv")} / (norm * pnorm)")} AS cos_sim
-         |       FROM cellf, p WHERE cell IN (SELECT pcell FROM probe_cells)),
-         |rk AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
-         |         vec_id, cell, cos_sim FROM sc)
-         |SELECT rnk, vec_id, cell, cos_sim FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin)
+         |cellf AS (SELECT vec_id, v, norm, CAST(c_id AS BIGINT) AS cell FROM rf WHERE rn = 1)""".stripMargin)
     sb.toString
+  }
+
+  /** Oracle for q41: the shared cell CTEs + the multi-probe (nprobe=2)
+    * cell-pruned cosine top-10. */
+  private lazy val ivfOracle: String = {
+    val nprobe = 2
+    s"""WITH $ivfCellCtes,
+       |p AS (SELECT v AS pv, norm AS pnorm FROM n WHERE vec_id = 0),
+       |pc AS (SELECT c_id, row_number() OVER (ORDER BY
+       |         ${dotD("pv", "cv")} / (pnorm * sqrt(${dotD("cv", "cv")})) DESC, c_id) AS prn
+       |       FROM cb3, p),
+       |probe_cells AS (SELECT CAST(c_id AS BIGINT) AS pcell FROM pc WHERE prn <= $nprobe),
+       |sc AS (SELECT vec_id, cell, ${pr4(s"${dotD("v", "pv")} / (norm * pnorm)")} AS cos_sim
+       |       FROM cellf, p WHERE cell IN (SELECT pcell FROM probe_cells)),
+       |rk AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
+       |         vec_id, cell, cos_sim FROM sc)
+       |SELECT rnk, vec_id, cell, cos_sim FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin
   }
 
   /** Oracle for q73: replicates the greedy MMR selection with one unrolled
@@ -1057,5 +1072,95 @@ object SparkEntry {
         |        dst, cos_sim FROM s)
         |SELECT src, rnk, dst, cos_sim FROM r WHERE rnk <= 3
         |ORDER BY src, rnk""".stripMargin,
+
+    // q74: rare-5-gram blocked containment; the ≥½ cut is an exact integer
+    // cross-multiply in both engines (no float boundary).
+    "q74_containment" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(${gramsN(5)}) AS grams FROM t),
+         |f AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |dfq AS (SELECT gram, COUNT(*) AS df FROM f GROUP BY gram),
+         |rare AS (SELECT f.doc_id, f.gram FROM f JOIN dfq USING (gram)
+         |         WHERE df BETWEEN 2 AND 10),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM rare x JOIN rare y ON x.gram = y.gram AND x.doc_id <> y.doc_id),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz_a FROM f GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |          FROM cand c
+         |          JOIN f a ON a.doc_id = c.doc_a
+         |          JOIN f b ON b.doc_id = c.doc_b AND b.gram = a.gram
+         |          GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.n_shared, s.sz_a,
+         | i.n_shared * 1.0 / s.sz_a AS containment
+         |FROM inter i JOIN sz s ON s.doc_id = i.doc_a
+         |WHERE i.n_shared * 2 >= s.sz_a
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q75 reuses q41's unrolled k-means cell CTEs; epochs is an exact
+    // integer ceiling (// in DuckDB == div in Spark).
+    "q75_cluster_balance" ->
+      s"""WITH $ivfCellCtes,
+         |g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM cellf GROUP BY cell),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM cellf)
+         |SELECT g.cell, g.n_vecs, tot.n_total,
+         | n_vecs * 1.0 / n_total AS share,
+         | n_total * 1.0 / (4 * n_vecs) AS weight,
+         | CAST((n_total + 4 * n_vecs - 1) // (4 * n_vecs) AS BIGINT) AS epochs
+         |FROM g, tot ORDER BY cell""".stripMargin,
+
+    "q76_drift_report" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket FROM documents),
+         |cells AS (SELECT lang, bucket,
+         |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM d GROUP BY lang, bucket),
+         |tot AS (SELECT
+         |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+         |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tot_b
+         |  FROM d)
+         |SELECT lang, bucket, n_a, n_b,
+         | ${pr6("n_a * 1.0 / tot_a")} AS share_a,
+         | ${pr6("n_b * 1.0 / tot_b")} AS share_b,
+         | ${pr6("(n_b * 1.0 / tot_b) - (n_a * 1.0 / tot_a)")} AS share_delta,
+         | CASE WHEN n_a > 0 THEN ${pr6(
+           "(n_b - n_a * tot_b / tot_a) * (n_b - n_a * tot_b / tot_a) / (n_a * tot_b / tot_a)")}
+         |   END AS chi2_term
+         |FROM cells, tot ORDER BY lang, bucket""".stripMargin,
+
+    "q77_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t),
+        |tok AS (SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos, toks[i + 1] AS tok FROM ix),
+        |b AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN CAST(CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) AS BIGINT) % 16 = 0
+        |      THEN 1 ELSE 0 END AS boundary FROM tok),
+        |c AS (SELECT doc_id, pos, tok, COALESCE(SUM(boundary) OVER
+        |    (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id FROM b),
+        |ch AS (SELECT doc_id, chunk_id,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        |  FROM c GROUP BY doc_id, chunk_id),
+        |hdf AS (SELECT chunk_hash, COUNT(*) AS cdf FROM ch GROUP BY chunk_hash)
+        |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        | CAST(SUM(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        | SUM(CASE WHEN cdf >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS dup_ratio
+        |FROM ch JOIN hdf USING (chunk_hash)
+        |GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q78: the order-sensitive float sum Σ c·ln(c) goes through fixed-point
+    // BIGINTs (the money-sum rule); ln over identical integer-valued doubles
+    // is bit-identical across engines (q43 precedent).
+    "q78_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM tok GROUP BY doc_id, tok),
+         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    CAST(SUM(CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS e6
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         | ${pr6("ln(n_tokens) - e6 / (n_tokens * 1000000.0)")} AS entropy
+         |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

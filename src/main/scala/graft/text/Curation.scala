@@ -461,4 +461,87 @@ object Curation {
         (col("n_tokens") * lit(nShards.toDouble) / col("tot_tokens")).as("token_balance"))
       .orderBy("shard")
   }
+
+  /** Q76 — corpus snapshot DRIFT report: compare two corpus snapshots
+    * (the even/odd doc_id split stands in for yesterday/today, the same
+    * convention as q64's ledger/batch) over (lang × length-bucket) cells,
+    * reporting per-cell counts, share deltas, and the chi-square
+    * contribution — the distribution-shift monitor a recurring crawl
+    * pipeline runs before admitting a new snapshot. Shape: ONE map pass
+    * over the corpus, one small keyed aggregate (both snapshot counts come
+    * from conditional sums — no outer join of two grouped sides), broadcast
+    * totals. Length bucket reuses q65's `bitlength−1` integer trick; the
+    * chi-square term `(n_b−e)²/e` is float but both engines evaluate the
+    * identical expression tree over exact integer inputs. */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.pround
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (length(bin(col("n_chars"))) - 1).cast("long").as("bucket"))
+    val isA = col("doc_id") % 2 === 0
+    val cells = d.groupBy("lang", "bucket").agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"))
+    val tot = d.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("tot_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("tot_b"))
+    val shareA = col("n_a") * lit(1.0) / col("tot_a")
+    val shareB = col("n_b") * lit(1.0) / col("tot_b")
+    // expected count of the cell in B if A's distribution held
+    val e = col("n_a") * col("tot_b") / col("tot_a")
+    cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("bucket"), col("n_a"), col("n_b"),
+        pround(shareA, 6).as("share_a"),
+        pround(shareB, 6).as("share_b"),
+        pround(shareB - shareA, 6).as("share_delta"),
+        when(col("n_a") > 0,
+          pround((col("n_b") - e) * (col("n_b") - e) / e, 6)).as("chi2_term"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Q77 — content-defined CHUNK dedup (sub-document granularity): split
+    * every doc into variable-size chunks at content-defined boundaries (a
+    * token closes a chunk when its md5-derived hash ≡ 0 mod 16 — the
+    * rolling-hash cut rule of CDC storage dedup, applied to token streams),
+    * fingerprint each chunk, and report per doc how many of its chunks also
+    * occur elsewhere — catching SHARED PASSAGES (boilerplate, quotations,
+    * licence blocks) that whole-document dedup can't see. Content-defined
+    * boundaries make chunk identity insertion-stable: editing one sentence
+    * shifts only neighbouring chunk boundaries, unlike fixed-width q52
+    * windows where one inserted token reflows every downstream chunk.
+    * Shape: one doc-keyed window (bounded by doc length — never
+    * partitionless), one (doc, chunk) aggregate, one chunk-hash-keyed
+    * aggregate joined back: every shuffle keyed, partitions bounded. The
+    * per-chunk sort-and-concat lambda is interpreted but runs over
+    * chunk-sized arrays (E[len] = 16), off the corpus-scan hot path. */
+  def chunkDedup(spark: SparkSession, dir: String, mod: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("boundary",
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % mod === 0)
+          .cast("long"))
+    val chunks = toks
+      // a boundary token ENDS its chunk: the chunk id is the number of
+      // boundaries strictly before this row
+      .withColumn("chunk_id", coalesce(
+        sum(col("boundary")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(collect_list(struct(col("pos"), col("tok"))).as("pt"))
+      // collect_list order is nondeterministic — array_sort on the (pos, tok)
+      // struct restores token order before hashing
+      .select(col("doc_id"), col("chunk_id"),
+        md5(concat_ws(" ",
+          transform(array_sort(col("pt")), s => s.getField("tok")))).as("chunk_hash"))
+    val hdf = chunks.groupBy("chunk_hash").agg(count(lit(1)).as("cdf"))
+    chunks.join(hdf, Seq("chunk_hash"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks") * lit(1.0) / col("n_chunks")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
 }

@@ -44,16 +44,18 @@ object Dedup {
     * interpreted per-gram lambda costs ~3× more than the keyed shuffle it
     * avoids, so the shuffle stays. */
   def explodedGrams(spark: SparkSession, dir: String,
-      distinctPerDoc: Boolean = false): DataFrame = {
+      distinctPerDoc: Boolean = false, n: Int = 3): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(byDoc))
-      .withColumn("t2", lead(col("tok"), 2).over(byDoc))
-      .filter(col("t2").isNotNull)
+    val grams = (1 until n).foldLeft(base) { (df, i) =>
+        df.withColumn(s"t$i", lead(col("tok"), i).over(byDoc))
+      }
+      .filter(col(s"t${n - 1}").isNotNull)
       .select(col("doc_id"), col("lang"), col("source"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+        concat_ws(" ",
+          col("tok") +: (1 until n).map(i => col(s"t$i")): _*).as("gram"))
     if (distinctPerDoc) grams.distinct() else grams
   }
 
@@ -473,6 +475,43 @@ object Dedup {
           col("n_unique") * lit(1.0) / col("n_grams"))
           .otherwise(lit(0.0)).as("novelty"))
       .orderBy("doc_id")
+  }
+
+  /** Q74 — asymmetric CONTAINMENT detection: find docs whose shingle set is
+    * mostly a subset of another doc's (boilerplate, quoted articles, subset
+    * re-crawls) — the directional signal the symmetric Jaccard family
+    * can't express (a short doc inside a long one has low Jaccard but
+    * containment ≈ 1). Candidate pairs are blocked on RARE shingles: a pair
+    * is considered only if it shares a 5-gram whose corpus document
+    * frequency is in [2, maxDf] — true containments share many rare grams,
+    * while df-capped blocking keys bound every join partition (the hot-gram
+    * problem of blocking on ALL grams never appears). Verification counts
+    * shared grams only for surviving candidates — q55's sketch-then-verify
+    * shape. The ≥½ threshold is an exact integer cross-multiply
+    * (2·|A∩B| ≥ |A|), so no float boundary can disagree with the oracle.
+    * Reference has only exact-match dedup (expectations.py:239); this is
+    * the containment extension of U6. */
+  def containment(spark: SparkSession, dir: String,
+      maxDf: Int = 10, shingle: Int = 5): DataFrame = {
+    val grams = explodedGrams(spark, dir, distinctPerDoc = true, n = shingle)
+      .select("doc_id", "gram").localCheckpoint()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz_a"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val rare = grams.join(
+      dfreq.filter(col("df").between(2, maxDf)).select("gram"), Seq("gram"))
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand.join(grams.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(grams.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.gram") === col("b.gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    inter.join(sizes.as("s"), col("doc_a") === col("s.doc_id"))
+      .filter(col("n_shared") * 2 >= col("sz_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("sz_a"),
+        (col("n_shared") * lit(1.0) / col("sz_a")).as("containment"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash (16-bit, md5-derived per-token hashes): per token-hash bit,

@@ -185,6 +185,33 @@ object TextOps {
         (count(when(col("bucket") === 0, 1)) * lit(1.0) / count(lit(1))).as("sample_rate"))
       .orderBy("lang")
 
+  /** Q78 — token ENTROPY scoring: per-doc unigram Shannon entropy
+    * `ln(n) − Σ c·ln(c) / n` — the gibberish/keyboard-mash filter signal
+    * (near-zero entropy = one token repeated; high entropy = diverse
+    * vocabulary) used alongside the q27 heuristics in quality filtering.
+    * Shape: one (doc, token) count aggregate + one doc-keyed reduce, both
+    * map-side combined.
+    *
+    * Determinism: the only order-sensitive float sum, Σ c·ln(c), is taken
+    * over FIXED-POINT `floor(c·ln(c)·10⁶ + 0.5)` BIGINTs (the money-sum
+    * rule) — `ln` over the same integer-valued double is bit-identical
+    * across engines (the q43 tf-idf precedent), so each summand is exact
+    * and the sum is order-independent. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tokc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    tokc.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(col("c") * log(col("c")) * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("e6"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        pround(log(col("n_tokens")) -
+          col("e6") / (col("n_tokens") * lit(1000000.0)), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus length distribution (north star): exact linear-interpolated
     * percentiles of document length per language. */
   def lengthStats(spark: SparkSession, dir: String): DataFrame =

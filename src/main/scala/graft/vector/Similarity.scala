@@ -218,6 +218,36 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** Q75 — embedding-space CLUSTER BALANCE + inverse-propensity resample
+    * weights: assign every vector to its trained IVF cell
+    * ([[trainIvfCodebook]] — the SAME codebook q41 searches with), then
+    * report per-cell population, corpus share, and the inverse-frequency
+    * weight `N/(k·n_cell)` a balanced sampler would apply — the
+    * embedding-space analogue of q53's domain-mix reweighting, used to keep
+    * over-crawled semantic regions from dominating a training mix. Plan
+    * shape: one broadcast-literal map pass (cell assignment), one tiny
+    * k-row aggregate joined back by broadcast — the corpus is scanned once
+    * and nothing wider than k rows ever reaches the driver besides the
+    * codebook training itself. `epochs` (how many passes of a cell fill the
+    * uniform quota) is an exact integer ceiling, so the only floats are
+    * single divisions of exact integers. */
+  def clusterBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir).localCheckpoint()
+    val k = 4
+    val cb = trainIvfCodebook(e, k = k)
+    val assigned = assignCells(e, cb)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"), col("n_total"),
+        (col("n_vecs") * lit(1.0) / col("n_total")).as("share"),
+        (col("n_total") * lit(1.0) / (lit(k) * col("n_vecs"))).as("weight"),
+        expr(s"(n_total + $k * n_vecs - 1) div ($k * n_vecs)").as("epochs"))
+      .orderBy("cell")
+  }
+
   /** Hybrid retrieval (multimodal join): filter the document corpus by a
     * metadata predicate (lang), join to the embedding store on
     * doc_id = vec_id, then exact cosine top-k against the probe — the

@@ -214,6 +214,40 @@ class CurationSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("drift report: share deltas and chi-square terms from the even/odd split") {
+    val dir = docsDir(Seq(
+      (0L, "x", "en", "s", 10L),   // snapshot A, bucket 3 (bin(10) = 4 digits)
+      (2L, "x", "en", "s", 10L),   // snapshot A, bucket 3
+      (1L, "x", "en", "s", 10L),   // snapshot B, bucket 3
+      (3L, "x", "en", "s", 100L))) // snapshot B, bucket 6 (bin(100) = 7 digits)
+    val r = Curation.driftReport(spark, dir).collect()
+    assert(r.length == 2)
+    val b3 = r(0)
+    assert(b3.getLong(1) == 3L && b3.getLong(2) == 2L && b3.getLong(3) == 1L)
+    assert(b3.getDouble(4) == 1.0 && b3.getDouble(5) == 0.5)
+    assert(b3.getDouble(6) == -0.5)
+    assert(b3.getDouble(7) == 0.5) // e = 2·2/2 = 2 → (1−2)²/2
+    val b6 = r(1)
+    assert(b6.getLong(1) == 6L && b6.getLong(2) == 0L && b6.getLong(3) == 1L)
+    assert(b6.getDouble(6) == 0.5)
+    assert(b6.isNullAt(7)) // no A mass in the cell → chi² undefined, not ∞
+  }
+
+  test("chunk dedup: duplicated docs share every chunk; unique docs share none") {
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val other = (1 to 30).map(i => s"u$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, text, "en", "s", text.length.toLong),
+      (2L, text, "en", "s", text.length.toLong),
+      (3L, other, "en", "s", other.length.toLong)))
+    val r = Curation.chunkDedup(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == r(2L))                 // identical docs chunk identically
+    assert(r(1L)._1 == r(1L)._2 && r(1L)._3 == 1.0) // every chunk duplicated
+    assert(r(3L)._2 == 0L && r(3L)._3 == 0.0)       // unique doc shares none
+    assert(r(3L)._1 >= 1L)
+  }
+
   test("pii redaction: lexicon and pattern hits are masked and counted") {
     val dir = docsDir(Seq(
       (1L, "customer wrote to test@example.com from +1 (555) 123-4567 as user", "en", "s", 60L)))

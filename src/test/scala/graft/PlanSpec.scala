@@ -175,6 +175,37 @@ class PlanSpec extends SparkSpec {
     assert(knn.contains("band_val"))
   }
 
+  test("round-4b operators keep their scale shapes") {
+    import graft.text.{Curation, Dedup, TextOps}
+    import graft.vector.Similarity
+    // q74: rare-gram blocking and verification are keyed equi-joins — no
+    // cross join anywhere, every shuffle on gram or the pair key
+    val cont = explain(Dedup.containment(spark, sf0001))
+    assert(!cont.contains("CartesianProduct") && !cont.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay blocked on rare grams:\n$cont")
+    assert(cont.contains("hashpartitioning(gram"), s"expected gram-keyed work:\n$cont")
+    // q75: one map pass + a k-row aggregate; the totals side comes in as a
+    // 1-row broadcast, never a shuffled join of the corpus
+    val bal = explain(Similarity.clusterBalance(spark, sf0001))
+    assert(!bal.contains("SortMergeJoin") && !bal.contains("ShuffledHashJoin"),
+      s"cluster balance must not shuffle a join side:\n$bal")
+    // q76: both snapshot counts come from ONE conditional aggregate — the
+    // plan has no join of two grouped corpus passes (broadcast totals only)
+    val drift = explain(Curation.driftReport(spark, sf0001))
+    assert(!drift.contains("SortMergeJoin") && !drift.contains("ShuffledHashJoin"),
+      s"drift cells/totals must not shuffle-join:\n$drift")
+    assert(drift.contains("partial_sum"), "drift counts must map-side combine")
+    // q77: chunk identity work is keyed by doc / chunk hash; the per-doc
+    // window is doc-keyed (global sweep guards partitionless windows)
+    val chunk = explain(Curation.chunkDedup(spark, sf0001))
+    assert(!chunk.contains("CartesianProduct"))
+    assert(chunk.contains("hashpartitioning(doc_id"), s"expected doc-keyed window:\n$chunk")
+    // q78: two map-side-combined keyed aggregates, no join at all
+    val ent = explain(TextOps.tokenEntropy(spark, sf0001))
+    assert(!ent.contains("Join"), s"entropy must not join:\n$ent")
+    assert(ent.contains("partial_"), "entropy aggregates must map-side combine")
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -371,6 +371,48 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("containment: a doc embedded in a longer one is flagged one-way") {
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (11 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 12).map(i => s"z$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, short, "en", "s", short.length.toLong),
+      (2L, long, "en", "s", long.length.toLong),
+      (3L, other, "en", "s", other.length.toLong)))
+    val r = Dedup.containment(spark, dir).collect()
+    // doc 1's six 5-grams all occur in doc 2 (df=2 → rare → candidates);
+    // the reverse direction fails the ≥½ cut (6 of 16), doc 3 pairs nothing
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 2L)
+    assert(r.head.getLong(2) == 6L && r.head.getLong(3) == 6L)
+    assert(r.head.getDouble(4) == 1.0)
+  }
+
+  test("token entropy: repeated-token doc scores 0, all-distinct scores ln(n)") {
+    val dir = docsDir(Seq(
+      (1L, "a a a a", "en", "s", 7L),
+      (2L, "a b c d", "en", "s", 7L)))
+    val r = TextOps.tokenEntropy(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((4L, 1L, 0.0)))
+    val ln4 = math.floor(math.log(4) * 1000000.0 + 0.5) / 1000000.0
+    assert(r(2L) == ((4L, 4L, ln4)))
+  }
+
+  test("cluster balance: populations partition the corpus, weights invert shares") {
+    val r = Similarity.clusterBalance(spark, sf0001).collect()
+    assert(r.nonEmpty && r.length <= 4)
+    val tot = r.head.getLong(2)
+    assert(r.forall(_.getLong(2) == tot))
+    assert(r.map(_.getLong(1)).sum == tot)
+    r.foreach { x =>
+      val n = x.getLong(1)
+      assert(math.abs(x.getDouble(3) - n.toDouble / tot) < 1e-12)
+      assert(math.abs(x.getDouble(4) - tot.toDouble / (4 * n)) < 1e-12)
+      assert(x.getLong(5) == (tot + 4 * n - 1) / (4 * n)) // exact int ceiling
+    }
+  }
+
   test("wordNgrams (array form) and explodedGrams (flat form) agree") {
     import org.apache.spark.sql.functions._
     val dir = docsDir(Seq(
