@@ -99,6 +99,9 @@ object SparkEntry {
     "q76_drift_report"    -> (Curation.driftReport _),
     "q77_chunk_dedup"     -> ((s: SparkSession, d: String) => Curation.chunkDedup(s, d)),
     "q78_token_entropy"   -> (TextOps.tokenEntropy _),
+    "q79_principal_direction" -> ((s: SparkSession, d: String) => Similarity.principalDirection(s, d)),
+    "q80_split_leakage"   -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d)),
+    "q81_unigram_logprob" -> (TextOps.unigramLogprob _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -274,6 +277,43 @@ object SparkEntry {
        |rk AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
        |         vec_id, cell, cos_sim FROM sc)
        |SELECT rnk, vec_id, cell, cos_sim FROM rk WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+  }
+
+  /** Oracle for q79: replicates the distributed power iteration
+    * (Similarity.principalDirection — init [0.125]⁶⁴, 3 rounds, fixed-point
+    * 10⁻⁶ accumulations, centering by linearity) with unrolled round CTEs,
+    * then the same projection + Rayleigh-λ outlier cut. */
+  private lazy val principalOracle: String = {
+    val dim = Similarity.EmbeddingDim
+    val iters = 3
+    val w0Lit = Array.fill(dim)("0.125").mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m0 AS (SELECT t.i AS i, SUM(CAST(floor(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS s, COUNT(*) AS cnt
+         | FROM e, range($dim) t(i) GROUP BY t.i),
+         |mean AS (SELECT list(CAST(s AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0) ORDER BY i) AS mv FROM m0),
+         |w0 AS (SELECT $w0Lit::DOUBLE[] AS wv),
+         |""".stripMargin)
+    for (it <- 1 to iters) {
+      val prev = s"w${it - 1}"
+      sb.append(
+        s"""d$it AS (SELECT vec_id, v, ${dotD("v", "wv")} - ${dotD("mv", "wv")} AS d FROM e, $prev, mean),
+           |s$it AS (SELECT t.i AS i, SUM(CAST(floor(d * v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS s
+           | FROM d$it, range($dim) t(i) GROUP BY t.i),
+           |t$it AS (SELECT SUM(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) AS t FROM d$it),
+           |u$it AS (SELECT list(CAST(s AS DOUBLE) / 1000000.0 - mv[i + 1] * (CAST(t AS DOUBLE) / 1000000.0) ORDER BY i) AS uv
+           | FROM s$it, t$it, mean),
+           |w$it AS (SELECT list_transform(uv, x -> x / sqrt(${dotD("uv", "uv")})) AS wv FROM u$it),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""df AS (SELECT vec_id, ${dotD("v", "wv")} - ${dotD("mv", "wv")} AS d FROM e, w$iters, mean),
+         |lam AS (SELECT SUM(CAST(floor(d * d * 1000000.0 + 0.5) AS BIGINT)) AS l2, COUNT(*) AS cnt FROM df)
+         |SELECT vec_id, ${pr6("d")} AS proj,
+         | CAST(CASE WHEN abs(d) > 2.0 * sqrt(CAST(l2 AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0)) THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+         |FROM df, lam ORDER BY vec_id""".stripMargin)
+    sb.toString
   }
 
   /** Oracle for q73: replicates the greedy MMR selection with one unrolled
@@ -1162,5 +1202,43 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, n_distinct,
          | ${pr6("ln(n_tokens) - e6 / (n_tokens * 1000000.0)")} AS entropy
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q79_principal_direction" -> principalOracle,
+
+    // q80: q30's banded candidates + the md5 split coin; est_jaccard is an
+    // exact multiple of 1/8, so the ≥0.5 cut has no float boundary.
+    "q80_split_leakage" ->
+      s"""WITH $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
+         |          WHERE $estJaccard >= 0.5),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN coin < 8 THEN 'train' WHEN coin = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST(CAST('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 6) AS INTEGER) AS BIGINT) % 10 AS coin
+         |    FROM documents)),
+         |g AS (SELECT LEAST(sa.split, sb.split) AS split_lo,
+         |        GREATEST(sa.split, sb.split) AS split_hi
+         |      FROM pairs JOIN sp sa ON doc_a = sa.doc_id JOIN sp sb ON doc_b = sb.doc_id)
+         |SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+         |FROM g GROUP BY split_lo, split_hi
+         |ORDER BY split_lo, split_hi""".stripMargin,
+
+    // q81: each summand is one ln over a long/long→double division; the
+    // signed sum goes through fixed-point BIGINTs.
+    "q81_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY tok),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM tok),
+         |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY doc_id, tok),
+         |j AS (SELECT doc_id,
+         |    CAST(SUM(CAST(floor(c * ln(cf / n_corpus) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s6,
+         |    CAST(SUM(c) AS BIGINT) AS n_tokens
+         |  FROM dt JOIN cf USING (tok), nt GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         | ${pr6("s6 / (n_tokens * 1000000.0)")} AS avg_logprob
+         |FROM j ORDER BY doc_id""".stripMargin,
   )
 }

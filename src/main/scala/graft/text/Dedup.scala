@@ -514,6 +514,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Q80 — train/val/test SPLIT LEAKAGE audit: assign every doc to a
+    * deterministic 80/10/10 split by an md5 hash coin (reproducible across
+    * runs/engines/partitionings — the q44/q63 convention), then count
+    * near-dup candidate pairs (q30's banded MinHash machinery,
+    * est_jaccard ≥ `minEst`) whose endpoints land in DIFFERENT splits —
+    * each such pair is evaluation contamination: a test doc whose
+    * near-copy was trained on. The grid of (split, split) pair counts is
+    * the audit a pipeline runs before freezing a split. Plan shape: the
+    * split map is a pure map over the scan; pairs come from the banded
+    * equi-join; two id-keyed joins attach splits; one tiny aggregate. */
+  def splitLeakage(spark: SparkSession, dir: String,
+      minEst: Double = 0.5): DataFrame = {
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 6),
+          16, 10).cast("long") % 10).as("coin"))
+      .select(col("doc_id"),
+        when(col("coin") < 8, "train")
+          .when(col("coin") === 8, "val")
+          .otherwise("test").as("split"))
+    val pairs = minhashPairsUnsorted(spark, dir)
+      .filter(col("est_jaccard") >= minEst)
+    pairs.join(splits.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(splits.as("sb"), col("doc_b") === col("sb.doc_id"))
+      // canonicalize the unordered split pair (doc order ≠ split order)
+      .select(least(col("sa.split"), col("sb.split")).as("split_lo"),
+        greatest(col("sa.split"), col("sb.split")).as("split_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", (col("split_lo") =!= col("split_hi")).cast("long"))
+      .orderBy("split_lo", "split_hi")
+  }
+
   /** SimHash (16-bit, md5-derived per-token hashes): per token-hash bit,
     * sum +1/-1 across the document's tokens; the sign vector packs into a
     * 16-bit fingerprint. Grouped by doc — one shuffle on doc_id (the

@@ -212,6 +212,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q81 — unigram language-model scoring: per doc, the mean token
+    * log-probability under the CORPUS unigram LM (`Σ c·ln(cf/N) / n`) —
+    * the cheap perplexity-proxy quality filter (very negative = tokens the
+    * corpus rarely uses = likely noise; near zero = all-boilerplate
+    * vocabulary), the first rung of the model-based-filter ladder. Shape:
+    * one token-keyed corpus-frequency aggregate joined back to the
+    * (doc, token) counts on the token key, broadcast corpus total, one
+    * doc-keyed reduce — every shuffle keyed.
+    *
+    * Determinism: each summand `c·ln(cf/N)` is a single ln over an
+    * identical long/long→double division (q43's precedent), then the
+    * order-sensitive sum goes through fixed-point `floor(·10⁶+0.5)`
+    * BIGINTs — floor rounds negatives toward −∞ identically in both
+    * engines, so the signed sum is exact. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
+    val nTotal = toks.agg(count(lit(1)).as("n_corpus"))
+    val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    dt.join(cf, Seq("tok"))
+      .crossJoin(broadcast(nTotal))
+      .groupBy("doc_id")
+      .agg(
+        sum(floor(col("c") * log(col("cf") / col("n_corpus")) * lit(1000000.0)
+          + lit(0.5)).cast("long")).as("s6"),
+        sum("c").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        pround(col("s6") / (col("n_tokens") * lit(1000000.0)), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus length distribution (north star): exact linear-interpolated
     * percentiles of document length per language. */
   def lengthStats(spark: SparkSession, dir: String): DataFrame =

@@ -271,6 +271,76 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** Q79 — dominant PRINCIPAL DIRECTION of the embedding corpus by
+    * distributed power iteration, plus per-vector projections and outlier
+    * flags: the "all-but-the-top" / dominant-axis diagnostic a curation
+    * pipeline runs on an embedding store (a single direction soaking up
+    * variance usually marks a batch effect, an encoder artifact, or an
+    * outlier cluster worth inspecting before similarity search trusts the
+    * space).
+    *
+    * Each Lloyd-style round is two corpus passes (the matvec
+    * `Σᵢ dᵢ·xᵢ` per dimension + the scalar `Σᵢ dᵢ`), with only dim-sized
+    * results reaching the driver — the same distributed-linear-algebra
+    * shape as [[trainIvfCodebook]], and at 100 TB the same story: executors
+    * do the O(n·dim) work, the driver folds a 64-float vector. Centering
+    * is applied by LINEARITY ((x−m)·w = x·w − m·w), so the centered corpus
+    * is never materialized and the hot path stays one codegen'd dot per
+    * row.
+    *
+    * Determinism: the corpus mean and every per-round accumulation go
+    * through fixed-point `floor(·10⁶+0.5)` BIGINTs (order-independent — the
+    * k-means rule); the init vector [0.125]⁶⁴ is exactly representable and
+    * exactly unit-norm; all remaining float ops are single IEEE
+    * mul/div/sqrt folds the DuckDB oracle replicates tree-for-tree in
+    * unrolled round CTEs. The outlier cut `|d| > 2·√λ` (λ = the Rayleigh
+    * mean Σd²/n, fixed-point) compares identically-derived doubles. */
+  def principalDirection(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val dim = EmbeddingDim
+    val e = withNorm(spark, dir).select(col("vec_id"), col("v")).localCheckpoint()
+    val fix = lit(1000000.0)
+    val meanRows = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(sum(floor(col("x") * fix + lit(0.5))).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val mean = Array.tabulate(dim) { j =>
+      val row = meanRows.find(_._1 == j).get
+      row._2.toDouble / (row._3.toDouble * 1000000.0)
+    }
+    // sequential fold == list_dot_product evaluation order (oracle parity)
+    def seqDot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j) * b(j); j += 1 }
+      acc
+    }
+    var w = Array.fill(dim)(0.125)
+    for (_ <- 0 until iters) {
+      val mw = seqDot(mean, w)
+      val d = dot_product(col("v"), lit(w)) - lit(mw)
+      val sRows = e.select(d.as("d"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i")
+        .agg(sum(floor(col("d") * col("x") * fix + lit(0.5))).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val t = e.agg(sum(floor(d * fix + lit(0.5))).as("t")).head().getLong(0)
+      val u = Array.tabulate(dim) { j =>
+        sRows(j).toDouble / 1000000.0 - mean(j) * (t.toDouble / 1000000.0)
+      }
+      val norm = math.sqrt(seqDot(u, u))
+      w = u.map(_ / norm)
+    }
+    val dCol = dot_product(col("v"), lit(w)) - lit(seqDot(mean, w))
+    val lam = e.agg(
+      sum(floor(dCol * dCol * fix + lit(0.5))).as("l2"),
+      count(lit(1)).as("cnt"))
+    e.crossJoin(broadcast(lam))
+      .select(col("vec_id"), pround(dCol, 6).as("proj"),
+        (abs(dCol) > lit(2.0) *
+          sqrt(col("l2").cast("double") / (col("cnt").cast("double") * fix)))
+          .cast("long").as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   // ---- Banded sign-LSH near-dup --------------------------------------------
 
   /** Random-hyperplane count / band width for near-dup blocking: 8 bands of

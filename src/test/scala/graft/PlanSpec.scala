@@ -204,6 +204,16 @@ class PlanSpec extends SparkSpec {
     val ent = explain(TextOps.tokenEntropy(spark, sf0001))
     assert(!ent.contains("Join"), s"entropy must not join:\n$ent")
     assert(ent.contains("partial_"), "entropy aggregates must map-side combine")
+    // q80: pairs from the banded equi-join; split attachment is id-keyed
+    val leak = explain(Dedup.splitLeakage(spark, sf0001))
+    assert(!leak.contains("CartesianProduct"),
+      s"leakage audit must stay banded + id-keyed:\n$leak")
+    assert(leak.contains("band_val") || leak.contains("pos"),
+      s"expected the banded candidate join:\n$leak")
+    // q81: corpus-frequency join keyed by token, no cross join of doc sides
+    val lm = explain(TextOps.unigramLogprob(spark, sf0001))
+    assert(lm.contains("hashpartitioning(tok"), s"expected token-keyed work:\n$lm")
+    assert(!lm.contains("CartesianProduct"))
   }
 
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {

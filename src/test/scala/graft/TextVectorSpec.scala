@@ -413,6 +413,78 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("principal direction: recovers a planted dominant axis, flags the outlier") {
+    val dir = java.nio.file.Files.createTempDirectory("pdir").toString
+    val rnd = new scala.util.Random(5)
+    // spread a1..a20 along axis 0 (plus tiny noise), one far outlier at 100
+    def vec(a: Float): Seq[Float] = {
+      val v = Array.fill(64)((0.01 * rnd.nextGaussian()).toFloat); v(0) = a; v.toSeq
+    }
+    val rows = (1 to 20).map(i => (i.toLong, vec(i.toFloat), "x")) :+
+      ((99L, vec(100.0f), "x"))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.principalDirection(spark, dir).collect()
+    assert(r.length == 21)
+    val byId = r.map(x => x.getLong(0) -> ((x.getDouble(1), x.getLong(2)))).toMap
+    // only the planted outlier exceeds the 2·√λ cut
+    assert(byId(99L)._2 == 1L, s"outlier not flagged: ${byId(99L)}")
+    assert((1 to 20).forall(i => byId(i.toLong)._2 == 0L))
+    // projections along the recovered axis are monotone in the planted a_i
+    // (up to the global sign ambiguity of power iteration)
+    val projs = (1 to 20).map(i => byId(i.toLong)._1)
+    assert(projs == projs.sorted || projs == projs.sorted.reverse,
+      s"projections not monotone in the planted axis: $projs")
+    // mean-centering: projections sum to ~0 over the corpus
+    val total = r.map(_.getDouble(1)).sum
+    assert(math.abs(total) < 1e-3, s"centered projections must sum to ~0: $total")
+  }
+
+  test("split leakage: clone pairs land in the md5-coin grid cells") {
+    import org.apache.commons.codec.digest.DigestUtils
+    // three clone PAIRS at hand-picked ids; each pair is a near-dup edge
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "an entirely different sentence with its own tokens here",
+      "yet another unrelated document body for the third pair")
+    val ids = Seq(1L -> 2L, 3L -> 4L, 5L -> 6L)
+    val rows = ids.zip(texts).flatMap { case ((a, b), t) =>
+      Seq((a, t, "en", "s", t.length.toLong), (b, t, "en", "s", t.length.toLong))
+    }
+    val dir = docsDir(rows)
+    def split(id: Long): String = {
+      val coin = java.lang.Long.parseLong(
+        DigestUtils.md5Hex(s"split:$id").substring(0, 6), 16) % 10
+      if (coin < 8) "train" else if (coin == 8) "val" else "test"
+    }
+    val expected = ids.map { case (a, b) =>
+      val (x, y) = (split(a), split(b))
+      (if (x <= y) x else y, if (x <= y) y else x)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r = Dedup.splitLeakage(spark, dir).collect()
+    val got = r.map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(got == expected, s"grid $got != expected $expected")
+    r.foreach(x => assert(x.getLong(3) ==
+      (if (x.getString(0) != x.getString(1)) 1L else 0L)))
+  }
+
+  test("unigram logprob: hand-computed fixed-point means match") {
+    val dir = docsDir(Seq(
+      (1L, "a a", "en", "s", 3L),
+      (2L, "a b", "en", "s", 3L)))
+    // corpus: a×3, b×1, N=4
+    def fix(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    def pr6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val s1 = fix(2 * math.log(3.0 / 4))              // doc1: c(a)=2
+    val s2 = fix(1 * math.log(3.0 / 4)) + fix(1 * math.log(1.0 / 4))
+    val r = TextOps.unigramLogprob(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((2L, pr6(s1.toDouble / (2 * 1000000.0)))))
+    assert(r(2L) == ((2L, pr6(s2.toDouble / (2 * 1000000.0)))))
+    // boilerplate-vocabulary doc scores closer to zero than the rarer one
+    assert(r(1L)._2 > r(2L)._2)
+  }
+
   test("wordNgrams (array form) and explodedGrams (flat form) agree") {
     import org.apache.spark.sql.functions._
     val dir = docsDir(Seq(
