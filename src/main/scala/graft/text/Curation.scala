@@ -482,9 +482,11 @@ object Curation {
     val cells = d.groupBy("lang", "bucket").agg(
       sum(when(isA, 1L).otherwise(0L)).as("n_a"),
       sum(when(!isA, 1L).otherwise(0L)).as("n_b"))
-    val tot = d.agg(
-      sum(when(isA, 1L).otherwise(0L)).as("tot_a"),
-      sum(when(!isA, 1L).otherwise(0L)).as("tot_b"))
+    // totals re-aggregate the tiny cells frame, sharing its exchange
+    // (ReuseExchange) — an independent d.agg would rescan the corpus
+    val tot = cells.agg(
+      sum("n_a").as("tot_a"),
+      sum("n_b").as("tot_b"))
     val shareA = col("n_a") * lit(1.0) / col("tot_a")
     val shareB = col("n_b") * lit(1.0) / col("tot_b")
     // expected count of the cell in B if A's distribution held

@@ -305,9 +305,17 @@ object Dedup {
         .filter(col("doc_a") =!= col("doc_b")).distinct()
     def smallStar(e: DataFrame): DataFrame = {
       val s = sym(e)
-      withMin(s).filter(col("doc_b") <= col("doc_a"))
+      // one min aggregate serves both branches: the (u, m) attachment rows
+      // ARE the aggregate's output (the old per-edge projection + distinct
+      // reduced to the same set), so the join runs once per round, and the
+      // branches share the aggregate's exchange
+      val mins = s.groupBy(col("doc_a").as("u"))
+        .agg(min(col("doc_b")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      s.join(mins, col("doc_a") === col("u"))
+        .filter(col("doc_b") <= col("doc_a"))
         .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
-        .unionByName(withMin(s).select(col("u").as("doc_a"), col("m").as("doc_b")))
+        .unionByName(mins.select(col("u").as("doc_a"), col("m").as("doc_b")))
         .filter(col("doc_a") =!= col("doc_b")).distinct()
     }
     // two-generation checkpoint management: the convergence check reads BOTH
@@ -332,6 +340,9 @@ object Dedup {
       cur = next
       curIds = nextIds
     }
+    // the final min-over-neighbors labeling is only correct on a converged
+    // star forest — a silent cap exit would mislabel interior nodes
+    require(stable, "large-star/small-star did not converge within 64 rounds")
     val labels = sym(cur).groupBy(col("doc_a").as("doc_id"))
       .agg(min(col("doc_b")).as("mn"))
       .select(col("doc_id"), least(col("mn"), col("doc_id")).as("label"))

@@ -229,9 +229,12 @@ object TextOps {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val cf = toks.groupBy("tok").agg(count(lit(1)).as("cf"))
-    val nTotal = toks.agg(count(lit(1)).as("n_corpus"))
+    // cf and the corpus total both re-aggregate dt, so all three frames
+    // share dt's exchange (ReuseExchange) and the corpus is tokenized ONCE —
+    // independent toks.agg/groupBy formulations would each rescan it
     val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val cf = dt.groupBy("tok").agg(sum("c").as("cf"))
+    val nTotal = cf.agg(sum("cf").as("n_corpus"))
     dt.join(cf, Seq("tok"))
       .crossJoin(broadcast(nTotal))
       .groupBy("doc_id")

@@ -512,13 +512,15 @@ object Similarity {
     val e = withNorm(spark, dir).localCheckpoint()
     // score each undirected pair ONCE (cosine is symmetric), then mirror the
     // scored rows — half the join probes and dot products of scoring both
-    // directions independently
+    // directions independently. The checkpoint is what realizes "once":
+    // a lazy frame under union would re-execute the joins per branch.
     val scoredPairs = bandedCandidates(e)
       .join(e.as("a"), col("vec_a") === col("a.vec_id"))
       .join(e.as("b"), col("vec_b") === col("b.vec_id"))
       .select(col("vec_a"), col("vec_b"),
         pround(dot_product(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
           .as("cos_sim"))
+      .localCheckpoint()
     val sym = scoredPairs
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
       .union(scoredPairs

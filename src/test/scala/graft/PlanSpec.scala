@@ -167,12 +167,13 @@ class PlanSpec extends SparkSpec {
     val nov = explain(Dedup.gramNovelty(spark, sf0001))
     assert(nov.contains("hashpartitioning(gram"), s"expected gram-keyed work:\n$nov")
     assert(!nov.contains("CartesianProduct") && !nov.contains("BroadcastNestedLoopJoin"))
-    // q72: candidates from the banded equi-join, per-vector top-k pushed
-    // down as WindowGroupLimit (only k rows per src cross the final shuffle)
+    // q72: per-vector top-k pushed down as WindowGroupLimit (only k rows
+    // per src cross the final shuffle). The banded candidate join itself
+    // sits behind the score-once checkpoint, so it no longer shows in this
+    // explain — its keyed shape is guarded by the q34 test above.
     val knn = explain(Similarity.knnGraph(spark, sf0001))
     assert(knn.contains("WindowGroupLimit"), s"rank filter must push down:\n$knn")
     assert(!knn.contains("CartesianProduct"))
-    assert(knn.contains("band_val"))
   }
 
   test("round-4b operators keep their scale shapes") {
