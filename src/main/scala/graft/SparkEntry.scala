@@ -102,6 +102,7 @@ object SparkEntry {
     "q79_principal_direction" -> ((s: SparkSession, d: String) => Similarity.principalDirection(s, d)),
     "q80_split_leakage"   -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d)),
     "q81_unigram_logprob" -> (TextOps.unigramLogprob _),
+    "q82_centroid_drift"  -> (Similarity.centroidDrift _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1240,5 +1241,36 @@ object SparkEntry {
          |SELECT doc_id, n_tokens,
          | ${pr6("s6 / (n_tokens * 1000000.0)")} AS avg_logprob
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    // q82: centroids via fixed-point component sums (order-free integer
+    // adds); the cross-snapshot delta is the exact integer sa·n_cur −
+    // sb·n_base, and every Σ-of-products is list_dot_product over an
+    // i-ordered list — the same sequential fold as the DotProduct
+    // expression (q79 precedent).
+    "q82_centroid_drift" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |comp AS (SELECT label, t.i AS i,
+         |    SUM(CASE WHEN vec_id % 2 = 0
+         |      THEN CAST(floor(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS sa,
+         |    SUM(CASE WHEN vec_id % 2 = 1
+         |      THEN CAST(floor(v[t.i + 1] * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS sb,
+         |    SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+         |    SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+         |  FROM e, range(${Similarity.EmbeddingDim}) t(i) GROUP BY label, t.i),
+         |nlab AS (SELECT label, CAST(MAX(na) AS BIGINT) AS n_base,
+         |    CAST(MAX(nb) AS BIGINT) AS n_cur FROM comp GROUP BY label),
+         |per AS (SELECT c.label, n_base, n_cur,
+         |    list(CAST(sa AS DOUBLE) ORDER BY i) AS la,
+         |    list(CAST(sb AS DOUBLE) ORDER BY i) AS lb,
+         |    list(CAST(sa * n_cur - sb * n_base AS DOUBLE) ORDER BY i) AS lnum
+         |  FROM comp c JOIN nlab USING (label) GROUP BY c.label, n_base, n_cur)
+         |SELECT label, n_base, n_cur,
+         | CASE WHEN n_base > 0 AND n_cur > 0 THEN ${pr6(
+           "sqrt(list_dot_product(lnum, lnum)) / (n_base * n_cur * 1000000.0)")}
+         |   END AS l2_drift,
+         | CASE WHEN n_base > 0 AND n_cur > 0 THEN ${pr6(
+           "list_dot_product(la, lb) / (sqrt(list_dot_product(la, la)) * sqrt(list_dot_product(lb, lb)))")}
+         |   END AS cos_centroid
+         |FROM per ORDER BY label""".stripMargin,
   )
 }

@@ -620,6 +620,72 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q82: per-label embedding centroid drift between two corpus snapshots
+    * (vec_id parity split — the same snapshot convention as q64/q76). The
+    * embedding-space drift monitor a training pipeline runs between data
+    * refreshes: for each label, the L2 distance and cosine between the
+    * base-snapshot and current-snapshot centroids, flagging labels whose
+    * semantic center moved.
+    *
+    * Determinism (engine parity): per-component sums go through the
+    * fixed-point 10⁻⁶ rule — integer adds commute, so shuffle order can't
+    * perturb a centroid. The cross-snapshot difference is kept as the
+    * EXACT integer sₐ·n_b − s_b·nₐ (common-denominator form — no double
+    * subtraction of two roundings), and every Σ-of-products runs as a
+    * sequential fold over an i-ordered array via [[graft.functions.DotProduct]]
+    * — the same left-to-right association as the oracle's list_dot_product.
+    * Cosine is computed directly on the fixed-point sums (scale-invariant).
+    *
+    * Scale: one shuffle to (label, i) with map-side combine — partial
+    * state is labels×dims integer cells regardless of corpus size — then a
+    * per-label reshape of those tiny aggregates. At 100 TB the cost is the
+    * corpus scan; the reduce side is ~640 rows.
+    *
+    * Reference: data/quality/expectations.py's distribution-drift checks,
+    * lifted to embedding space. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    centroidDriftOn(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v")))
+  }
+
+  /** Seam for [[centroidDrift]]: input needs (vec_id, label, v: array<double>). */
+  private[graft] def centroidDriftOn(e: DataFrame): DataFrame = {
+    val fix = 1000000.0
+    val comp = e
+      .select(col("label"), (col("vec_id") % 2).as("snap"),
+        posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(
+        sum(when(col("snap") === 0, floor(col("x") * fix + lit(0.5)))
+          .otherwise(lit(0L))).as("sa"),
+        sum(when(col("snap") === 1, floor(col("x") * fix + lit(0.5)))
+          .otherwise(lit(0L))).as("sb"),
+        sum(when(col("snap") === 0, lit(1L)).otherwise(lit(0L))).as("na"),
+        sum(when(col("snap") === 1, lit(1L)).otherwise(lit(0L))).as("nb"))
+    val per = comp
+      .groupBy("label")
+      .agg(
+        sort_array(collect_list(struct(col("i"), col("sa"), col("sb")))).as("arr"),
+        max(col("na")).as("n_base"), max(col("nb")).as("n_cur"))
+      .withColumn("la", expr("transform(arr, t -> CAST(t.sa AS DOUBLE))"))
+      .withColumn("lb", expr("transform(arr, t -> CAST(t.sb AS DOUBLE))"))
+      .withColumn("lnum",
+        expr("transform(arr, t -> CAST(t.sa * n_cur - t.sb * n_base AS DOUBLE))"))
+    val populated = col("n_base") > 0 && col("n_cur") > 0
+    per.select(
+      col("label"), col("n_base"), col("n_cur"),
+      when(populated,
+        pround(sqrt(dot_product(col("lnum"), col("lnum"))) /
+          (col("n_base") * col("n_cur") * lit(fix)), 6)).as("l2_drift"),
+      when(populated,
+        pround(dot_product(col("la"), col("lb")) /
+          (sqrt(dot_product(col("la"), col("la"))) *
+            sqrt(dot_product(col("lb"), col("lb")))), 6)).as("cos_centroid"))
+      .orderBy("label")
+  }
+
   /** Exact embedding near-dup: all-pairs top-k — O(n²), intentionally only
     * the small-corpus ground truth the blocked path is measured against. */
   def nearDupPairsExact(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {

@@ -440,6 +440,28 @@ class TextVectorSpec extends SparkSpec {
     assert(math.abs(total) < 1e-3, s"centered projections must sum to ~0: $total")
   }
 
+  test("centroid drift: identical snapshots drift 0/cos 1, orthogonal drift √2, single-parity nulls") {
+    // parity split: even vec_id = base snapshot, odd = current
+    val rows = Seq(
+      // label 1: both snapshots centered on e0 → no drift
+      (0L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, 1, Seq(1.0, 0.0, 0.0, 0.0)),
+      // label 2: base on e0, current on e1 → l2 √2, cos 0
+      (2L, 2, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, 2, Seq(0.0, 1.0, 0.0, 0.0)),
+      // label 3: base snapshot only → drift undefined
+      (4L, 3, Seq(1.0, 1.0, 0.0, 0.0)))
+    val e = rows.toDF("vec_id", "label", "v")
+    val r = Similarity.centroidDriftOn(e).collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val byLabel = r.map(x => x.getInt(0) -> x).toMap
+    assert(byLabel(1).getDouble(3) == 0.0 && byLabel(1).getDouble(4) == 1.0)
+    assert(math.abs(byLabel(2).getDouble(3) - math.sqrt(2.0)) < 1e-5)
+    assert(byLabel(2).getDouble(4) == 0.0)
+    assert((byLabel(3).getLong(1), byLabel(3).getLong(2)) == ((1L, 0L)))
+    assert(byLabel(3).isNullAt(3) && byLabel(3).isNullAt(4))
+  }
+
   test("split leakage: clone pairs land in the md5-coin grid cells") {
     import org.apache.commons.codec.digest.DigestUtils
     // three clone PAIRS at hand-picked ids; each pair is a near-dup edge
