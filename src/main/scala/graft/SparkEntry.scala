@@ -103,6 +103,9 @@ object SparkEntry {
     "q80_split_leakage"   -> ((s: SparkSession, d: String) => Dedup.splitLeakage(s, d)),
     "q81_unigram_logprob" -> (TextOps.unigramLogprob _),
     "q82_centroid_drift"  -> (Similarity.centroidDrift _),
+    "q83_cluster_split"   -> ((s: SparkSession, d: String) => Dedup.clusterSafeSplit(s, d)),
+    "q84_oov_rate"        -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
+    "q85_dim_stats"       -> (Similarity.dimStats _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -143,6 +146,11 @@ object SparkEntry {
   // portable round (see graft.functions.Portable): floor(x*10^n + 0.5)/10^n
   private def pr4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000.0"
   private def pr6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000.0"
+  // the md5 split coin + 80/10/10 bucketing (q80/q83 convention)
+  private def coinSql(x: String) =
+    s"CAST(CAST('0x' || substr(md5('split:' || $x::VARCHAR), 1, 6) AS INTEGER) AS BIGINT) % 10"
+  private def splitSql(x: String) =
+    s"CASE WHEN ${coinSql(x)} < 8 THEN 'train' WHEN ${coinSql(x)} = 8 THEN 'val' ELSE 'test' END"
 
   /** ±1 sign array as a DuckDB DOUBLE[] literal (same constants the Spark
     * plan embeds via lit(...) — see Similarity.signHyperplanes). */
@@ -1272,5 +1280,61 @@ object SparkEntry {
            "list_dot_product(la, lb) / (sqrt(list_dot_product(la, la)) * sqrt(list_dot_product(lb, lb)))")}
          |   END AS cos_centroid
          |FROM per ORDER BY label""".stripMargin,
+
+    // q83: q49's recursive cluster closure + the split coin thrown on the
+    // cluster representative instead of the doc itself.
+    "q83_cluster_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |edges AS (SELECT doc_a, doc_b
+         |          FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
+         |          WHERE $estJaccard >= 0.5),
+         |sym AS (SELECT doc_a, doc_b FROM edges
+         |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id),
+         |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id)
+         |SELECT doc_id, cluster_rep,
+         | ${splitSql("cluster_rep")} AS split,
+         | ${splitSql("doc_id")} AS solo_split,
+         | CAST((${splitSql("cluster_rep")}) <> (${splitSql("doc_id")}) AS BIGINT) AS moved
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // q84: vocab truncation boundary is (cf DESC, tok) — deterministic
+    // tie-break, so the top-K set is engine-exact; OOV occurrences counted
+    // from the shared (doc, token) count table.
+    "q84_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY doc_id, tok),
+         |voc AS (SELECT tok FROM (SELECT tok, CAST(SUM(c) AS BIGINT) AS cf
+         |                         FROM dt GROUP BY tok) t
+         |        ORDER BY cf DESC, tok LIMIT 500),
+         |j AS (SELECT doc_id, c, CASE WHEN v.tok IS NULL THEN c ELSE 0 END AS oovc
+         |      FROM dt LEFT JOIN voc v ON dt.tok = v.tok)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         | CAST(SUM(oovc) AS BIGINT) AS n_oov,
+         | ${pr6("SUM(oovc) * 1.0 / SUM(c)")} AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q85: fixed-point first/second moments per dimension; the variance is
+    // assembled from the two integer sums with the same expression shape on
+    // both engines, so the derived doubles match bit-for-bit.
+    "q85_dim_stats" ->
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT t.i AS i, v[t.i + 1] AS x
+         |      FROM e, range(${Similarity.EmbeddingDim}) t(i)),
+         |a AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         |    CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2,
+         |    MIN(x) AS mn, MAX(x) AS mx
+         |  FROM x GROUP BY i)
+         |SELECT CAST(i AS BIGINT) AS dim, n,
+         | ${pr6("s1 / (n * 1000000.0)")} AS mean,
+         | ${pr6("sqrt(s2 / (n * 1000000.0) - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)))")} AS std,
+         | ${pr6("mn")} AS dim_min,
+         | ${pr6("mx")} AS dim_max
+         |FROM a ORDER BY dim""".stripMargin,
   )
 }

@@ -558,6 +558,42 @@ object Dedup {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** Q83 — leakage-SAFE split assignment: the FIX for the contamination
+    * [[splitLeakage]] audits. The naive per-doc hash coin can strand two
+    * near-copies on opposite sides of the train/test fence; here the coin
+    * is thrown on each doc's near-dup CLUSTER REPRESENTATIVE (q49's CC
+    * labels), so a whole near-dup cluster lands in ONE split and the q80
+    * off-diagonal is zero by construction. Emits the naive solo split too,
+    * and a `moved` flag marking the assignments the cluster rule changed —
+    * exactly the leakage repaired. Plan shape: q49's candidate-subgraph CC
+    * (the singleton majority never enters the loop) + one pure-map coin;
+    * the md5 coin is the engine-portable q44/q63 convention. */
+  def clusterSafeSplit(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = minhashPairsUnsorted(spark, dir)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val mine = graft.Checkpoints.pinnedSince(sc, before)
+    val (labels, _) = connectedComponents(edges)
+    graft.Checkpoints.release(sc, mine)
+    def splitOf(id: Column): Column = {
+      val coin = conv(substring(md5(concat(lit("split:"), id.cast("string"))), 1, 6),
+        16, 10).cast("long") % 10
+      when(coin < 8, "train").when(coin === 8, "val").otherwise("test")
+    }
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+      .withColumn("split", splitOf(col("cluster_rep")))
+      .withColumn("solo_split", splitOf(col("doc_id")))
+      .withColumn("moved", (col("split") =!= col("solo_split")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (16-bit, md5-derived per-token hashes): per token-hash bit,
     * sum +1/-1 across the document's tokens; the sign vector packs into a
     * 16-bit fingerprint. Grouped by doc — one shuffle on doc_id (the

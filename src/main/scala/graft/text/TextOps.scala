@@ -247,6 +247,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q84 — tokenizer COVERAGE / OOV profile under a truncated top-K
+    * vocabulary: the feasibility check run before freezing a tokenizer's
+    * vocab size — per doc, how many token occurrences fall outside the
+    * top-`vocabSize` corpus tokens. Vocab selection is (frequency desc,
+    * token) — the deterministic tie-break makes the truncation boundary
+    * engine-exact. Plan shape: the (doc, token) counts and the
+    * corpus-frequency pass share one exchange (ReuseExchange — the corpus
+    * is tokenized once, the q81 pattern); the K-row vocab broadcasts, so
+    * the per-doc OOV aggregate adds no corpus shuffle beyond doc_id. */
+  def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 500): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val vocab = dt.groupBy("tok").agg(sum("c").as("cf"))
+      .orderBy(desc("cf"), col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    dt.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        pround(col("n_oov") * lit(1.0) / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus length distribution (north star): exact linear-interpolated
     * percentiles of document length per language. */
   def lengthStats(spark: SparkSession, dir: String): DataFrame =

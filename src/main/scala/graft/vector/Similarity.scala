@@ -686,6 +686,34 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Q85 — per-dimension embedding feature profile: mean / population-std /
+    * min / max per coordinate — the embedding-QA pass that catches dead
+    * dimensions (std ≈ 0), saturated ones (extreme min/max), and
+    * mean-offset drift before vectors feed ANN indexing or training.
+    * Fixed-point 10⁻⁶ first and second moments (order-free integer adds);
+    * the variance is assembled from the two integer sums with the SAME
+    * expression shape as the oracle, so the doubles agree bit-for-bit.
+    * Plan shape: one map-side-combined aggregate keyed by dimension —
+    * reduce state is `dim` cells regardless of corpus size. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val fix = 1000000.0
+    Tables.embeddings(spark, dir)
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * fix + lit(0.5))).as("s1"),
+        sum(floor(col("x") * col("x") * fix + lit(0.5))).as("s2"),
+        min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("mean_raw", col("s1") / (col("n") * lit(fix)))
+      .select(col("i").cast("long").as("dim"), col("n"),
+        pround(col("mean_raw"), 6).as("mean"),
+        pround(sqrt(col("s2") / (col("n") * lit(fix)) -
+          col("mean_raw") * col("mean_raw")), 6).as("std"),
+        pround(col("mn"), 6).as("dim_min"),
+        pround(col("mx"), 6).as("dim_max"))
+      .orderBy("dim")
+  }
+
   /** Exact embedding near-dup: all-pairs top-k — O(n²), intentionally only
     * the small-corpus ground truth the blocked path is measured against. */
   def nearDupPairsExact(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {

@@ -217,6 +217,26 @@ class PlanSpec extends SparkSpec {
     assert(!lm.contains("CartesianProduct"))
   }
 
+  test("round-4c operators keep their scale shapes") {
+    import graft.text.TextOps
+    import graft.vector.Similarity
+    // q82: two keyed aggregates, zero joins — centroid state is labels×dims
+    val cd = explain(Similarity.centroidDrift(spark, sf0001))
+    assert(!cd.contains("Join"), s"centroid drift must not join:\n$cd")
+    assert(cd.contains("partial_sum"), "centroid sums must map-side combine")
+    // q84: the K-row vocab reaches the corpus via broadcast — the (doc,tok)
+    // counts never shuffle for the membership join
+    val oov = explain(TextOps.oovRate(spark, sf0001))
+    assert(oov.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$oov")
+    assert(!oov.contains("SortMergeJoin") && !oov.contains("ShuffledHashJoin"),
+      s"oov membership join must not shuffle the corpus:\n$oov")
+    // q85: one map-side-combined aggregate keyed by dimension, no join
+    val ds = explain(Similarity.dimStats(spark, sf0001))
+    assert(!ds.contains("Join"), s"dim stats must not join:\n$ds")
+    assert(ds.contains("partial_sum") && ds.contains("partial_min"),
+      "dim moments/extremes must map-side combine")
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -490,6 +490,56 @@ class TextVectorSpec extends SparkSpec {
       (if (x.getString(0) != x.getString(1)) 1L else 0L)))
   }
 
+  test("cluster-safe split: clones collapse onto the rep's split, moved flags the repair") {
+    import org.apache.commons.codec.digest.DigestUtils
+    def split(id: Long): String = {
+      val coin = java.lang.Long.parseLong(
+        DigestUtils.md5Hex(s"split:$id").substring(0, 6), 16) % 10
+      if (coin < 8) "train" else if (coin == 8) "val" else "test"
+    }
+    // find a clone pair whose SOLO splits disagree — the case the operator fixes
+    val a = 1L
+    val b = (2L to 60L).find(split(_) != split(a)).get
+    val solo = (2L to 60L).find(i => i != b && split(i) == split(a)).get
+    val clone = "the quick brown fox jumps over the lazy dog"
+    val other = "an entirely different sentence with its own tokens here"
+    val dir = docsDir(Seq(
+      (a, clone, "en", "s", clone.length.toLong),
+      (b, clone, "en", "s", clone.length.toLong),
+      (solo, other, "en", "s", other.length.toLong)))
+    val r = Dedup.clusterSafeSplit(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2), x.getString(3), x.getLong(4))))
+      .toMap
+    // both clones take the representative's (= min doc_id's) split
+    assert(r(a) == ((a, split(a), split(a), 0L)))
+    assert(r(b) == ((a, split(a), split(b), 1L)), s"clone must move: ${r(b)}")
+    // the singleton keeps its own coin
+    assert(r(solo) == ((solo, split(solo), split(solo), 0L)))
+  }
+
+  test("oov rate: truncated vocab counts out-of-vocab occurrences per doc") {
+    val dir = docsDir(Seq(
+      (1L, "a a b", "en", "s", 5L),
+      (2L, "c d", "en", "s", 3L)))
+    // K=2 vocab by (cf desc, tok): {a(2), b(1)} — ties broken by token
+    val r = TextOps.oovRate(spark, dir, vocabSize = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((3L, 0L, 0.0)))
+    assert(r(2L) == ((2L, 2L, 1.0)))
+  }
+
+  test("dim stats: per-dimension moments and extremes are exact") {
+    val dir = java.nio.file.Files.createTempDirectory("dstats").toString
+    Seq((1L, Seq(0.0f, 1.0f), 0), (2L, Seq(0.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.dimStats(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r(0L) == ((2L, 0.0, 0.0, 0.0, 0.0)))
+    assert(r(1L) == ((2L, 2.0, 1.0, 1.0, 3.0)))
+  }
+
   test("unigram logprob: hand-computed fixed-point means match") {
     val dir = docsDir(Seq(
       (1L, "a a", "en", "s", 3L),
