@@ -106,6 +106,8 @@ object SparkEntry {
     "q83_cluster_split"   -> ((s: SparkSession, d: String) => Dedup.clusterSafeSplit(s, d)),
     "q84_oov_rate"        -> ((s: SparkSession, d: String) => TextOps.oovRate(s, d)),
     "q85_dim_stats"       -> (Similarity.dimStats _),
+    "q86_zipf_fit"        -> (TextOps.zipfFit _),
+    "q87_vocab_growth"    -> ((s: SparkSession, d: String) => TextOps.vocabGrowth(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1336,5 +1338,44 @@ object SparkEntry {
          | ${pr6("mn")} AS dim_min,
          | ${pr6("mx")} AS dim_max
          |FROM a ORDER BY dim""".stripMargin,
+
+    // q86: every ln is over an exact BIGINT; per-bin products through
+    // fixed-point BIGINTs; the least-squares slope assembled from integer
+    // sums in double arithmetic with the same expression shape as Spark.
+    "q86_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY tok),
+         |spec AS (SELECT cf, CAST(COUNT(*) AS BIGINT) AS n_types FROM cf GROUP BY cf),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |    CAST(SUM(cf * n_types) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_types) AS BIGINT) AS n_types_total,
+         |    CAST(SUM(CAST(floor(ln(cf) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+         |    CAST(SUM(CAST(floor(ln(n_types) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         |    CAST(SUM(CAST(floor(ln(cf) * ln(n_types) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+         |    CAST(SUM(CAST(floor(ln(cf) * ln(cf) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+         |  FROM spec),
+         |d AS (SELECT *, sx / 1000000.0 AS dx, sy / 1000000.0 AS dy,
+         |    n_bins * (sxx / 1000000.0) - (sx / 1000000.0) * (sx / 1000000.0) AS den
+         |  FROM s),
+         |r AS (SELECT *,
+         |    (n_bins * (sxy / 1000000.0) - dx * dy) / den AS slope_raw FROM d)
+         |SELECT n_tokens, n_types_total, n_bins,
+         | CASE WHEN den <> 0.0 THEN ${pr6("slope_raw")} END AS zipf_slope,
+         | CASE WHEN den <> 0.0 THEN ${pr6("(dy - slope_raw * dx) / n_bins")} END AS zipf_intercept
+         |FROM r""".stripMargin,
+
+    // q87: first-occurrence via MIN(doc_id) per token; decile banding is
+    // exact integer division against the max id (// == Spark div, q52
+    // convention); cumulative sum over the ≤10-row band frame.
+    "q87_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok),
+        |m AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |b AS (SELECT CAST((first_doc * 10) // (mx + 1) AS BIGINT) AS decile,
+        |        CAST(COUNT(*) AS BIGINT) AS n_new_types
+        |      FROM f, m GROUP BY 1)
+        |SELECT decile, n_new_types,
+        | CAST(SUM(n_new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types
+        |FROM b ORDER BY decile""".stripMargin,
   )
 }

@@ -272,6 +272,77 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q86 — Zipf-law corpus-health fit over the token FREQUENCY SPECTRUM:
+    * regress ln(n_types) on ln(cf) across frequency bins (how many distinct
+    * tokens occur exactly cf times). A healthy natural-language corpus is
+    * near-linear in ln-ln; boilerplate floods or synthetic text bend the
+    * tail, so the slope is the one-number drift alarm a corpus refresh
+    * checks. The spectrum formulation is the 100 TB shape: a per-RANK fit
+    * would need a global ordering of the vocabulary (billions of rows
+    * through one sort), while the spectrum collapses the vocabulary to
+    * O(distinct cf) ≈ O(√N) bins — two keyed map-side-combined aggregates
+    * and a one-row reduce, no window at all.
+    *
+    * Determinism: every ln is taken over an exact BIGINT (cf or n_types) —
+    * identical doubles on both engines; per-bin products go through the
+    * fixed-point 10⁻⁶ rule, and the closed-form least-squares slope is
+    * assembled from those integer sums with the same expression shape as
+    * the oracle. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val fix = 1000000.0
+    val cf = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cf"))
+    val spec = cf.groupBy("cf").agg(count(lit(1)).as("n_types"))
+    val x = log(col("cf"))
+    val y = log(col("n_types"))
+    val agg = spec.agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("cf") * col("n_types")).as("n_tokens"),
+      sum(col("n_types")).as("n_types_total"),
+      sum(floor(x * fix + lit(0.5))).as("sx"),
+      sum(floor(y * fix + lit(0.5))).as("sy"),
+      sum(floor(x * y * fix + lit(0.5))).as("sxy"),
+      sum(floor(x * x * fix + lit(0.5))).as("sxx"))
+    agg
+      .withColumn("dx", col("sx") / lit(fix))
+      .withColumn("dy", col("sy") / lit(fix))
+      .withColumn("den",
+        col("n_bins") * (col("sxx") / lit(fix)) - col("dx") * col("dx"))
+      .withColumn("slope_raw",
+        (col("n_bins") * (col("sxy") / lit(fix)) - col("dx") * col("dy")) / col("den"))
+      .select(
+        col("n_tokens"), col("n_types_total"), col("n_bins"),
+        when(col("den") =!= 0.0, pround(col("slope_raw"), 6)).as("zipf_slope"),
+        when(col("den") =!= 0.0,
+          pround((col("dy") - col("slope_raw") * col("dx")) / col("n_bins"), 6))
+          .as("zipf_intercept"))
+  }
+
+  /** Q87 — Heaps-law vocabulary GROWTH curve: distinct-token count after
+    * each decile of the corpus in doc_id order — the companion to
+    * [[zipfFit]] a corpus refresh watches (a flattening curve means new
+    * data adds no new vocabulary; a spike means a contamination/encoding
+    * break). Scale shape: "first time each token appears" is one
+    * token-keyed min aggregate (map-side combined — never a sort of the
+    * corpus); decile banding is integer math against the broadcast max id,
+    * and the cumulative sum runs over the ≤10-row band frame under the
+    * bounded constant-partition window (q59's block-offset trick). */
+  def vocabGrowth(spark: SparkSession, dir: String, bands: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val first = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+    val byBand = first.crossJoin(broadcast(maxId))
+      .select(expr(s"(first_doc * $bands) div (mx + 1)").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_new_types"))
+    val wCum = Window.partitionBy(spark_partition_id()).orderBy("decile")
+    byBand.coalesce(1)
+      .withColumn("cum_types", sum("n_new_types").over(wCum))
+      .orderBy("decile")
+  }
+
   /** Corpus length distribution (north star): exact linear-interpolated
     * percentiles of document length per language. */
   def lengthStats(spark: SparkSession, dir: String): DataFrame =

@@ -540,6 +540,28 @@ class TextVectorSpec extends SparkSpec {
     assert(r(1L) == ((2L, 2.0, 1.0, 1.0, 3.0)))
   }
 
+  test("zipf fit: hand-computed spectrum regression matches") {
+    // cf: a=4 b=2 c=1 d=1 → spectrum (1,2) (2,1) (4,1) → 3 bins
+    val dir = docsDir(Seq((1L, "a a a a b b c d", "en", "s", 15L)))
+    val r = TextOps.zipfFit(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((8L, 4L, 3L)))
+    // least squares over {(0, ln2), (ln2, 0), (ln4, 0)}: slope −0.5
+    assert(math.abs(row.getDouble(3) - (-0.5)) < 1e-3, s"slope ${row.getDouble(3)}")
+    assert(math.abs(row.getDouble(4) - 0.57765) < 1e-3, s"intercept ${row.getDouble(4)}")
+  }
+
+  test("vocab growth: first-occurrence deciles accumulate") {
+    val dir = docsDir(Seq(
+      (0L, "a b", "en", "s", 3L),
+      (5L, "a c", "en", "s", 3L),
+      (9L, "d", "en", "s", 1L)))
+    val r = TextOps.vocabGrowth(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((0L, 2L, 2L), (5L, 1L, 3L), (9L, 1L, 4L)))
+  }
+
   test("unigram logprob: hand-computed fixed-point means match") {
     val dir = docsDir(Seq(
       (1L, "a a", "en", "s", 3L),
