@@ -108,6 +108,9 @@ object SparkEntry {
     "q85_dim_stats"       -> (Similarity.dimStats _),
     "q86_zipf_fit"        -> (TextOps.zipfFit _),
     "q87_vocab_growth"    -> ((s: SparkSession, d: String) => TextOps.vocabGrowth(s, d)),
+    "q88_mix_resample"    -> (Curation.mixResample _),
+    "q89_norm_dedup"      -> (Dedup.normalizedDedup _),
+    "q90_whiten"          -> (Similarity.whiten _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1377,5 +1380,62 @@ object SparkEntry {
         |SELECT decile, n_new_types,
         | CAST(SUM(n_new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types
         |FROM b ORDER BY decile""".stripMargin,
+
+    // q88: the q63 coin/cross-multiply conventions, with the repeat count
+    // split into an exact integer floor (tot // den) + a coin-decided
+    // fractional extra — HUGEINT vs decimal(38,0) on the cross-multiply.
+    "q88_mix_resample" ->
+      """WITH ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |            FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+        |               CAST(COUNT(*) AS BIGINT) AS n_sources FROM ps),
+        |d AS (SELECT doc_id, d.source, n_sources * n_docs AS den, tot_docs,
+        |        CAST(CAST('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 6) AS INTEGER) AS BIGINT) AS h
+        |      FROM documents d JOIN ps ON d.source = ps.source, tot)
+        |SELECT doc_id, source,
+        | floor((CAST(tot_docs AS DOUBLE) / CAST(den AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS weight,
+        | CAST(tot_docs // den AS BIGINT) +
+        |   CAST(CAST(h AS HUGEINT) * den < CAST(tot_docs % den AS HUGEINT) * 16777216 AS BIGINT) AS n_repeats
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q89: ASCII-explicit char classes so Java regex (Spark) and RE2
+    // (DuckDB) agree; DuckDB needs the 'g' flag for replace-all.
+    "q89_norm_dedup" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g'))) AS norm_hash,
+        |    md5(text) AS raw_hash
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    MIN(doc_id) OVER (PARTITION BY norm_hash) AS canon_id,
+        |    MIN(doc_id) OVER (PARTITION BY raw_hash) AS raw_canon
+        |  FROM h)
+        |SELECT doc_id, canon_id,
+        | CAST(doc_id <> canon_id AS BIGINT) AS is_dup_norm,
+        | CAST(doc_id <> raw_canon AS BIGINT) AS is_dup_raw
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // q90: q85's fixed-point moments feed the z-transform; z-codes are
+    // fixed-point BIGINTs behind an order-free SUM checksum and an
+    // i-ordered md5 fingerprint (integer-to-string only — no float
+    // formatting crosses engines).
+    "q90_whiten" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT vec_id, t.i AS i, v[t.i + 1] AS x
+         |      FROM e, range(${Similarity.EmbeddingDim}) t(i)),
+         |st AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         |    CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+         |  FROM x GROUP BY i),
+         |sd AS (SELECT i, s1 / (n * 1000000.0) AS mean_raw,
+         |    sqrt(s2 / (n * 1000000.0) - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0))) AS std_raw
+         |  FROM st),
+         |c AS (SELECT vec_id, x.i,
+         |    CASE WHEN std_raw = 0 THEN 0
+         |         ELSE CAST(floor((x - mean_raw) / std_raw * 1000000.0 + 0.5) AS BIGINT) END AS code
+         |  FROM x JOIN sd ON x.i = sd.i)
+         |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS z_checksum,
+         | md5(string_agg(code::VARCHAR, ',' ORDER BY i)) AS z_fp
+         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
 }

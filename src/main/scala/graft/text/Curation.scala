@@ -326,6 +326,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Q88 — domain-mix RESAMPLING execution: materialize the uniform-mix
+    * rebalance that q53 weighs and q70 schedules — per doc, the exact copy
+    * count (`n_repeats`) the resampled corpus carries: floor(wₛ) base
+    * copies plus one extra with probability frac(wₛ), decided by the md5
+    * coin (q63's convention; "mix:" salt keeps it independent of q63's
+    * keep coin). wₛ = tot/(k·nₛ) stays RATIONAL end-to-end: base =
+    * tot div (k·nₛ), extra ⟺ h·k·nₛ < (tot mod (k·nₛ))·2²⁴ — exact
+    * integer cross-multiplies, no float boundary to disagree on. In
+    * expectation each source contributes tot/k copies: downsampled sources
+    * get n_repeats ∈ {0,1}, rare sources get repeat factors > 1. Plan: two
+    * tiny broadcast aggregates over a pure map of the corpus. */
+  def mixResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = perSource.agg(
+      sum("n_docs").as("tot_docs"), count(lit(1)).as("n_sources"))
+    docs
+      .withColumn("h",
+        conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6),
+          16, 10).cast("long"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("den", col("n_sources") * col("n_docs"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.Portable.pround(
+          col("tot_docs").cast("double") / col("den").cast("double"), 6).as("weight"),
+        (expr("tot_docs div den") +
+          (col("h").cast("decimal(38,0)") * col("den") <
+            (col("tot_docs") % col("den")).cast("decimal(38,0)") * lit(16777216L))
+            .cast("long")).as("n_repeats"))
+      .orderBy("doc_id")
+  }
+
   /** Q65 — power-of-2 length bucketing (the batching layout step before
     * training: sequences padded to their bucket boundary): bucket b holds
     * docs with n_tokens in [2^b, 2^(b+1)), pad target 2^(b+1), and the

@@ -594,6 +594,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q89 — NORMALIZE-then-dedup (the CCNet/C4 canonicalization pass):
+    * lowercase, strip non-alphanumerics, collapse whitespace — then exact
+    * dedup on the canonical form. Catches the formatting variants
+    * (case, punctuation, spacing) that raw-text md5 dedup misses; the
+    * output carries both flags so the delta IS the measure of what
+    * normalization bought. Plan: the canonical form and both hashes are a
+    * pure map over the scan; group-min per hash is one keyed window each —
+    * same shape as [[exactDedup]]. The char classes are ASCII-explicit so
+    * Java and RE2 regex engines agree. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val byNorm = Window.partitionBy("norm_hash")
+    val byRaw = Window.partitionBy("raw_hash")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(norm).as("norm_hash"), md5(col("text")).as("raw_hash"))
+      .withColumn("canon_id", min("doc_id").over(byNorm))
+      .withColumn("is_dup_norm", (col("doc_id") =!= col("canon_id")).cast("long"))
+      .withColumn("is_dup_raw",
+        (col("doc_id") =!= min("doc_id").over(byRaw)).cast("long"))
+      .select("doc_id", "canon_id", "is_dup_norm", "is_dup_raw")
+      .orderBy("doc_id")
+  }
+
   /** SimHash (16-bit, md5-derived per-token hashes): per token-hash bit,
     * sum +1/-1 across the document's tokens; the sign vector packs into a
     * 16-bit fingerprint. Grouped by doc — one shuffle on doc_id (the

@@ -714,6 +714,44 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Q90 — embedding WHITENING (per-dimension standardization): z =
+    * (x − μᵢ)/σᵢ — the preprocessing that equalizes dimension scales
+    * before cosine ANN or clustering. The per-dim stats come from the same
+    * fixed-point moments as [[dimStats]] and stay IN-PLAN: packed into one
+    * i-ordered array row and broadcast, so the transform is a pure map
+    * over the corpus (no driver action, no second scan). Emitted as the
+    * q57 pattern: fixed-point 10⁻⁶ z-codes behind an order-free integer
+    * checksum + an md5 fingerprint of the i-ordered code string — exact
+    * cross-engine equality without float-formatting hazards. Dead
+    * dimensions (σ = 0) code to 0 by definition. */
+  def whiten(spark: SparkSession, dir: String): DataFrame = {
+    val fix = 1000000.0
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * fix + lit(0.5))).as("s1"),
+        sum(floor(col("x") * col("x") * fix + lit(0.5))).as("s2"))
+      .withColumn("mean_raw", col("s1") / (col("n") * lit(fix)))
+      .withColumn("std_raw", sqrt(col("s2") / (col("n") * lit(fix)) -
+        col("mean_raw") * col("mean_raw")))
+    val packed = stats.agg(
+      sort_array(collect_list(struct(col("i"), col("mean_raw"), col("std_raw"))))
+        .as("ms"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("codes", expr(
+        """transform(v, (x, j) ->
+          |  CASE WHEN ms[j].std_raw = 0D THEN 0L
+          |       ELSE floor((x - ms[j].mean_raw) / ms[j].std_raw * 1000000.0 + 0.5)
+          |  END)""".stripMargin))
+      .select(col("vec_id"),
+        expr("aggregate(codes, 0L, (acc, c) -> acc + c)").as("z_checksum"),
+        md5(concat_ws(",", expr("transform(codes, c -> CAST(c AS STRING))")))
+          .as("z_fp"))
+      .orderBy("vec_id")
+  }
+
   /** Exact embedding near-dup: all-pairs top-k — O(n²), intentionally only
     * the small-corpus ground truth the blocked path is measured against. */
   def nearDupPairsExact(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {

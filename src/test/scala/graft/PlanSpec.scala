@@ -235,6 +235,17 @@ class PlanSpec extends SparkSpec {
     assert(!ds.contains("Join"), s"dim stats must not join:\n$ds")
     assert(ds.contains("partial_sum") && ds.contains("partial_min"),
       "dim moments/extremes must map-side combine")
+    // q88: both the per-source table and the 1-row totals reach the corpus
+    // via broadcast — the resample decision is a pure map over the scan
+    val mix = explain(graft.text.Curation.mixResample(spark, sf0001))
+    assert(!mix.contains("SortMergeJoin") && !mix.contains("ShuffledHashJoin"),
+      s"mix resample must not shuffle a join side:\n$mix")
+    assert(mix.contains("BroadcastHashJoin"), s"per-source stats must broadcast:\n$mix")
+    // q90: the packed stats row broadcasts; the z-transform is a map —
+    // the corpus is never shuffled (only scanned twice: moments + codes)
+    val wh = explain(Similarity.whiten(spark, sf0001))
+    assert(!wh.contains("SortMergeJoin") && !wh.contains("ShuffledHashJoin"),
+      s"whitening stats must broadcast:\n$wh")
   }
 
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {

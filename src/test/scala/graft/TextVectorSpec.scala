@@ -562,6 +562,51 @@ class TextVectorSpec extends SparkSpec {
     assert(r == Seq((0L, 2L, 2L), (5L, 1L, 3L), (9L, 1L, 4L)))
   }
 
+  test("mix resample: repeat counts follow the exact rational weights") {
+    import org.apache.commons.codec.digest.DigestUtils
+    // source a: 4 docs (w = 5/8 → 0 or 1 copy); source b: 1 doc (w = 5/2 → 2 or 3)
+    val rows = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"))
+    val dir = docsDir(rows.map { case (id, s) => (id, s"text $id", "en", s, 7L) })
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      DigestUtils.md5Hex(s"mix:$id").substring(0, 6), 16)
+    def expected(id: Long, den: Long): Long =
+      5L / den + (if (BigInt(h(id)) * den < BigInt(5 % den) * 16777216L) 1L else 0L)
+    val r = graft.text.Curation.mixResample(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    rows.foreach { case (id, s) =>
+      val den = if (s == "a") 8L else 2L
+      assert(r(id) == expected(id, den), s"doc $id: ${r(id)} != ${expected(id, den)}")
+    }
+    // upweighted source always gets at least its floor
+    assert(r(5L) >= 2L)
+  }
+
+  test("normalized dedup catches case/punct/space variants raw md5 misses") {
+    val dir = docsDir(Seq(
+      (1L, "Hello, World!", "en", "s", 13L),
+      (2L, "hello world", "en", "s", 11L),
+      (3L, "hello  world ", "en", "s", 13L),
+      (4L, "different", "en", "s", 9L)))
+    val r = Dedup.normalizedDedup(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((1L, 0L, 0L)))
+    assert(r(2L) == ((1L, 1L, 0L))) // norm-dup of 1, but not a raw dup
+    assert(r(3L) == ((1L, 1L, 0L)))
+    assert(r(4L) == ((4L, 0L, 0L)))
+  }
+
+  test("whitening: z-codes standardize dims, dead dims code to zero") {
+    val dir = java.nio.file.Files.createTempDirectory("wh").toString
+    Seq((1L, Seq(0.0f, 1.0f), 0), (2L, Seq(0.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // dim0: σ=0 → code 0; dim1: μ=2 σ=1 → z = ∓1 → codes ∓10⁶
+    val r = Similarity.whiten(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == -1000000L && r(2L) == 1000000L, s"checksums $r")
+  }
+
   test("unigram logprob: hand-computed fixed-point means match") {
     val dir = docsDir(Seq(
       (1L, "a a", "en", "s", 3L),
