@@ -1281,7 +1281,9 @@ object SparkEntry {
          | CASE WHEN n_base > 0 AND n_cur > 0 THEN ${pr6(
            "sqrt(list_dot_product(lnum, lnum)) / (n_base * n_cur * 1000000.0)")}
          |   END AS l2_drift,
-         | CASE WHEN n_base > 0 AND n_cur > 0 THEN ${pr6(
+         | CASE WHEN n_base > 0 AND n_cur > 0
+         |       AND list_dot_product(la, la) > 0 AND list_dot_product(lb, lb) > 0
+         |   THEN ${pr6(
            "list_dot_product(la, lb) / (sqrt(list_dot_product(la, la)) * sqrt(list_dot_product(lb, lb)))")}
          |   END AS cos_centroid
          |FROM per ORDER BY label""".stripMargin,
@@ -1337,7 +1339,7 @@ object SparkEntry {
          |  FROM x GROUP BY i)
          |SELECT CAST(i AS BIGINT) AS dim, n,
          | ${pr6("s1 / (n * 1000000.0)")} AS mean,
-         | ${pr6("sqrt(s2 / (n * 1000000.0) - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)))")} AS std,
+         | ${pr6("sqrt(GREATEST(s2 / (n * 1000000.0) - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)), 0.0))")} AS std,
          | ${pr6("mn")} AS dim_min,
          | ${pr6("mx")} AS dim_max
          |FROM a ORDER BY dim""".stripMargin,
@@ -1428,7 +1430,7 @@ object SparkEntry {
          |    CAST(SUM(CAST(floor(x * x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
          |  FROM x GROUP BY i),
          |sd AS (SELECT i, s1 / (n * 1000000.0) AS mean_raw,
-         |    sqrt(s2 / (n * 1000000.0) - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0))) AS std_raw
+         |    sqrt(GREATEST(s2 / (n * 1000000.0) - (s1 / (n * 1000000.0)) * (s1 / (n * 1000000.0)), 0.0)) AS std_raw
          |  FROM st),
          |c AS (SELECT vec_id, x.i,
          |    CASE WHEN std_raw = 0 THEN 0

@@ -349,6 +349,35 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Shared CC-label stage for q49/q61/q83: est-Jaccard edges above the
+    * threshold → checkpoint → [[connectedComponents]] → release of every
+    * intermediate block (signatures + edge list) once the labels frame is
+    * an eagerly-materialized checkpoint. ONE definition so the delicate
+    * pin/release discipline can't drift between consumers. Returns
+    * (doc_id, label) for candidate-subgraph nodes only — callers re-attach
+    * the singleton majority with a left join. */
+  private def ccLabels(spark: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = minhashPairsUnsorted(spark, dir)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val mine = graft.Checkpoints.pinnedSince(sc, before)
+    val (labels, _) = connectedComponents(edges)
+    graft.Checkpoints.release(sc, mine)
+    labels
+  }
+
+  /** The md5 split coin + 80/10/10 bucketing (q80/q83 convention — one
+    * definition on the Spark side, mirrored by SparkEntry's splitSql). */
+  private[graft] def splitOf(id: Column): Column = {
+    val coin = conv(substring(md5(concat(lit("split:"), id.cast("string"))), 1, 6),
+      16, 10).cast("long") % 10
+    when(coin < 8, "train").when(coin === 8, "val").otherwise("test")
+  }
+
   /** Near-dup RESOLUTION on top of [[minhashPairs]] — the operator a
     * training pipeline actually runs: candidate pairs above `minJaccard`
     * become edges, connected components are resolved by
@@ -360,20 +389,7 @@ object Dedup {
     * the end. */
   def nearDupClusters(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val edges = minhashPairsUnsorted(spark, dir)
-      .filter(col("est_jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    // everything pinned so far (the signature table inside
-    // minhashPairsUnsorted + the edge list) is an intermediate: once the CC
-    // loop returns, `labels` is an eagerly-materialized checkpoint and the
-    // output plan below reads only documents + labels — release the rest so
-    // library callers don't accumulate pinned blocks across operators
-    val mine = graft.Checkpoints.pinnedSince(sc, before)
-    val (labels, _) = connectedComponents(edges)
-    graft.Checkpoints.release(sc, mine)
+    val labels = ccLabels(spark, dir, minJaccard)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -394,17 +410,7 @@ object Dedup {
     * with cluster_rep = doc_id and are trivially their own canonical. */
   def canonicalDocs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val edges = minhashPairsUnsorted(spark, dir)
-      .filter(col("est_jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    // same release discipline as nearDupClusters: signatures + edges are
-    // dead once the CC labels are materialized
-    val mine = graft.Checkpoints.pinnedSince(sc, before)
-    val (labels, _) = connectedComponents(edges)
-    graft.Checkpoints.release(sc, mine)
+    val labels = ccLabels(spark, dir, minJaccard)
     val byRichness = Window.partitionBy("cluster_rep")
       .orderBy(desc("n_chars"), col("doc_id"))
     val wholeCluster = Window.partitionBy("cluster_rep")
@@ -538,13 +544,7 @@ object Dedup {
   def splitLeakage(spark: SparkSession, dir: String,
       minEst: Double = 0.5): DataFrame = {
     val splits = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        (conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 6),
-          16, 10).cast("long") % 10).as("coin"))
-      .select(col("doc_id"),
-        when(col("coin") < 8, "train")
-          .when(col("coin") === 8, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
     val pairs = minhashPairsUnsorted(spark, dir)
       .filter(col("est_jaccard") >= minEst)
     pairs.join(splits.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -570,20 +570,7 @@ object Dedup {
     * the md5 coin is the engine-portable q44/q63 convention. */
   def clusterSafeSplit(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val edges = minhashPairsUnsorted(spark, dir)
-      .filter(col("est_jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val mine = graft.Checkpoints.pinnedSince(sc, before)
-    val (labels, _) = connectedComponents(edges)
-    graft.Checkpoints.release(sc, mine)
-    def splitOf(id: Column): Column = {
-      val coin = conv(substring(md5(concat(lit("split:"), id.cast("string"))), 1, 6),
-        16, 10).cast("long") % 10
-      when(coin < 8, "train").when(coin === 8, "val").otherwise("test")
-    }
+    val labels = ccLabels(spark, dir, minJaccard)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

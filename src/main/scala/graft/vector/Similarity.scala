@@ -652,6 +652,7 @@ object Similarity {
 
   /** Seam for [[centroidDrift]]: input needs (vec_id, label, v: array<double>). */
   private[graft] def centroidDriftOn(e: DataFrame): DataFrame = {
+    VectorExpressions.register(e.sparkSession)
     val fix = 1000000.0
     val comp = e
       .select(col("label"), (col("vec_id") % 2).as("snap"),
@@ -674,12 +675,18 @@ object Similarity {
       .withColumn("lnum",
         expr("transform(arr, t -> CAST(t.sa * n_cur - t.sb * n_base AS DOUBLE))"))
     val populated = col("n_base") > 0 && col("n_cur") > 0
+    // an all-zero centroid (padding vectors) makes the cosine 0/0: Spark
+    // would fold the NaN to 0.0 under pround while DuckDB's /0 yields NULL
+    // — guard both engines to NULL on zero-norm centroids
+    val cosDefined = populated &&
+      dot_product(col("la"), col("la")) > 0.0 &&
+      dot_product(col("lb"), col("lb")) > 0.0
     per.select(
       col("label"), col("n_base"), col("n_cur"),
       when(populated,
         pround(sqrt(dot_product(col("lnum"), col("lnum"))) /
           (col("n_base") * col("n_cur") * lit(fix)), 6)).as("l2_drift"),
-      when(populated,
+      when(cosDefined,
         pround(dot_product(col("la"), col("lb")) /
           (sqrt(dot_product(col("la"), col("la"))) *
             sqrt(dot_product(col("lb"), col("lb")))), 6)).as("cos_centroid"))
@@ -695,47 +702,52 @@ object Similarity {
     * expression shape as the oracle, so the doubles agree bit-for-bit.
     * Plan shape: one map-side-combined aggregate keyed by dimension —
     * reduce state is `dim` cells regardless of corpus size. */
-  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared q85/q90 per-dimension fixed-point moments: (i, n, s1, s2, mn,
+    * mx, mean_raw, std_raw). ONE definition so the oracle-parity expression
+    * shape can never drift between the two consumers. The variance is
+    * clamped at 0 before the sqrt: fixed-point rounding can push a
+    * constant dimension's `s2/(n·10⁶) − mean²` to ≈ −10⁻¹², where Spark's
+    * sqrt returns NaN but DuckDB's ABORTS the query — the clamp (mirrored
+    * as GREATEST in the oracle) makes dead dims a clean σ = 0 everywhere. */
+  private def perDimMoments(e: DataFrame): DataFrame = {
     val fix = 1000000.0
-    Tables.embeddings(spark, dir)
-      .select(posexplode(asDouble(col("embedding"))).as(Seq("i", "x")))
+    e.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i")
       .agg(count(lit(1)).as("n"),
         sum(floor(col("x") * fix + lit(0.5))).as("s1"),
         sum(floor(col("x") * col("x") * fix + lit(0.5))).as("s2"),
         min(col("x")).as("mn"), max(col("x")).as("mx"))
       .withColumn("mean_raw", col("s1") / (col("n") * lit(fix)))
+      .withColumn("std_raw", sqrt(greatest(
+        col("s2") / (col("n") * lit(fix)) - col("mean_raw") * col("mean_raw"),
+        lit(0.0))))
+  }
+
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    perDimMoments(
+      Tables.embeddings(spark, dir).select(asDouble(col("embedding")).as("v")))
       .select(col("i").cast("long").as("dim"), col("n"),
         pround(col("mean_raw"), 6).as("mean"),
-        pround(sqrt(col("s2") / (col("n") * lit(fix)) -
-          col("mean_raw") * col("mean_raw")), 6).as("std"),
+        pround(col("std_raw"), 6).as("std"),
         pround(col("mn"), 6).as("dim_min"),
         pround(col("mx"), 6).as("dim_max"))
       .orderBy("dim")
-  }
 
   /** Q90 — embedding WHITENING (per-dimension standardization): z =
     * (x − μᵢ)/σᵢ — the preprocessing that equalizes dimension scales
     * before cosine ANN or clustering. The per-dim stats come from the same
     * fixed-point moments as [[dimStats]] and stay IN-PLAN: packed into one
     * i-ordered array row and broadcast, so the transform is a pure map
-    * over the corpus (no driver action, no second scan). Emitted as the
+    * over the corpus (no driver action — two scans total: moments, then
+    * codes). Emitted as the
     * q57 pattern: fixed-point 10⁻⁶ z-codes behind an order-free integer
     * checksum + an md5 fingerprint of the i-ordered code string — exact
     * cross-engine equality without float-formatting hazards. Dead
     * dimensions (σ = 0) code to 0 by definition. */
   def whiten(spark: SparkSession, dir: String): DataFrame = {
-    val fix = 1000000.0
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("i")
-      .agg(count(lit(1)).as("n"),
-        sum(floor(col("x") * fix + lit(0.5))).as("s1"),
-        sum(floor(col("x") * col("x") * fix + lit(0.5))).as("s2"))
-      .withColumn("mean_raw", col("s1") / (col("n") * lit(fix)))
-      .withColumn("std_raw", sqrt(col("s2") / (col("n") * lit(fix)) -
-        col("mean_raw") * col("mean_raw")))
+    val stats = perDimMoments(e)
     val packed = stats.agg(
       sort_array(collect_list(struct(col("i"), col("mean_raw"), col("std_raw"))))
         .as("ms"))

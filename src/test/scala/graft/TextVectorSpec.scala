@@ -462,6 +462,16 @@ class TextVectorSpec extends SparkSpec {
     assert(byLabel(3).isNullAt(3) && byLabel(3).isNullAt(4))
   }
 
+  test("centroid drift: zero-norm centroid leaves cosine null, not 0/0") {
+    val rows = Seq(
+      (0L, 1, Seq(0.0, 0.0)), // base snapshot: the zero vector
+      (1L, 1, Seq(1.0, 0.0)))
+    val r = Similarity.centroidDriftOn(rows.toDF("vec_id", "label", "v")).collect()
+    assert(r.length == 1)
+    assert(r.head.getDouble(3) == 1.0, s"l2 drift ${r.head}") // |0 − e0| = 1
+    assert(r.head.isNullAt(4), s"cosine must be NULL on a zero-norm centroid: ${r.head}")
+  }
+
   test("split leakage: clone pairs land in the md5-coin grid cells") {
     import org.apache.commons.codec.digest.DigestUtils
     // three clone PAIRS at hand-picked ids; each pair is a near-dup edge
@@ -598,13 +608,19 @@ class TextVectorSpec extends SparkSpec {
 
   test("whitening: z-codes standardize dims, dead dims code to zero") {
     val dir = java.nio.file.Files.createTempDirectory("wh").toString
-    Seq((1L, Seq(0.0f, 1.0f), 0), (2L, Seq(0.0f, 3.0f), 0))
+    // dim0 is constant at 1.49e-6: fixed-point rounding drives its raw
+    // variance to ≈ −1e-12 — the clamp must yield a clean σ=0 dead dim
+    // (pre-clamp this was NaN in Spark and a hard error in DuckDB)
+    Seq((1L, Seq(1.49e-6f, 1.0f), 0), (2L, Seq(1.49e-6f, 3.0f), 0))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // dim0: σ=0 → code 0; dim1: μ=2 σ=1 → z = ∓1 → codes ∓10⁶
     val r = Similarity.whiten(spark, dir).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r(1L) == -1000000L && r(2L) == 1000000L, s"checksums $r")
+    val st = Similarity.dimStats(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(st(0L) == 0.0, s"clamped dead dim must report σ=0: $st")
   }
 
   test("unigram logprob: hand-computed fixed-point means match") {
