@@ -111,6 +111,8 @@ object SparkEntry {
     "q88_mix_resample"    -> (Curation.mixResample _),
     "q89_norm_dedup"      -> (Dedup.normalizedDedup _),
     "q90_whiten"          -> (Similarity.whiten _),
+    "q91_length_trim"     -> (Curation.lengthTrim _),
+    "q92_burst_detect"    -> (Enrich.burstDetect _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1439,5 +1441,32 @@ object SparkEntry {
          |SELECT vec_id, CAST(SUM(code) AS BIGINT) AS z_checksum,
          | md5(string_agg(code::VARCHAR, ',' ORDER BY i)) AS z_fp
          |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // q91: exact interpolated percentiles (quantile_cont == Spark
+    // percentile, q45 parity); flags compare integer n_chars to the RAW
+    // shared double — no rounding at the boundary.
+    "q91_length_trim" ->
+      """WITH p AS (SELECT lang, quantile_cont(n_chars, 0.99) AS p99_raw,
+        |             quantile_cont(n_chars, 0.01) AS p01_raw
+        |           FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars,
+        | floor(p99_raw * 10000 + 0.5) / 10000.0 AS p99_chars,
+        | CAST(n_chars > p99_raw AS BIGINT) AS trim_high,
+        | CAST(n_chars < p01_raw AS BIGINT) AS trim_low
+        |FROM documents d JOIN p ON d.lang = p.lang ORDER BY doc_id""".stripMargin,
+
+    // q92: gaps are exact micros BIGINTs off the normalized event clock
+    // (epoch_us == Tables.events' ns div 1000); the median is the q45
+    // percentile parity; ties broken by event_id in the lag window.
+    "q92_burst_detect" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT user_id, ts_us - lag(ts_us) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        | CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+        | floor(quantile_cont(gap, 0.5) * 10000 + 0.5) / 10000.0 AS median_gap_us,
+        | CAST(SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sub_second,
+        | CAST(SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END) >= 3 AS BIGINT) AS burst_flag
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

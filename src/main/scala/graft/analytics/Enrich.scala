@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ingest.Validation
 import graft.sources.Tables
 
@@ -145,5 +146,34 @@ object Enrich {
           lit("device_type"), col("device_type")).as("raw_payload"),
         col("has_missing_fields"),
         col("quality_score"))
+  }
+
+  /** Q92 — BURST detection by inter-event arrival gaps: the behavioral
+    * bot/scraper signal the rule-based `is_bot` hint can't see — per user,
+    * the gap distribution (min / exact interpolated median) and a
+    * sub-second-gap count whose threshold (≥ 3) raises the burst flag.
+    * Gaps are exact micros LONGs (integer subtraction of the normalized
+    * event clock — engine-identical); the median is the q45-proved
+    * percentile == quantile_cont parity. Plan shape: one user-keyed window
+    * for the lag + one user-keyed aggregate — a single shuffle on
+    * user_id, partitions bounded by per-user event counts. Reference:
+    * events.py:243's "ML model prediction" placeholder, replaced by a
+    * deterministic behavioral rule. */
+  def burstDetect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.pround
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap").as("min_gap_us"),
+        pround(expr("percentile(gap, 0.5)"), 4).as("median_gap_us"),
+        sum(when(col("gap") < 1000000L, lit(1L)).otherwise(lit(0L)))
+          .as("n_sub_second"))
+      .withColumn("burst_flag", (col("n_sub_second") >= 3).cast("long"))
+      .orderBy("user_id")
   }
 }

@@ -359,6 +359,29 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Q91 — percentile-based length TRIM flags: per-language p01/p99
+    * document-length fences, each doc flagged against its language's
+    * fences — the outlier-trimming pass that removes truncated fragments
+    * and runaway concatenations before training. Exact interpolated
+    * percentiles (Spark `percentile` == DuckDB `quantile_cont`, the q45
+    * parity); the flag compares the integer n_chars against the RAW shared
+    * double, so no rounding crosses the decision boundary. Plan: one tiny
+    * per-lang aggregate broadcast back over the corpus map. */
+  def lengthTrim(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.pround
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val pct = docs.groupBy("lang").agg(
+      expr("percentile(n_chars, 0.99)").as("p99_raw"),
+      expr("percentile(n_chars, 0.01)").as("p01_raw"))
+    docs.join(broadcast(pct), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        pround(col("p99_raw"), 4).as("p99_chars"),
+        (col("n_chars") > col("p99_raw")).cast("long").as("trim_high"),
+        (col("n_chars") < col("p01_raw")).cast("long").as("trim_low"))
+      .orderBy("doc_id")
+  }
+
   /** Q65 — power-of-2 length bucketing (the batching layout step before
     * training: sequences padded to their bucket boundary): bucket b holds
     * docs with n_tokens in [2^b, 2^(b+1)), pad target 2^(b+1), and the

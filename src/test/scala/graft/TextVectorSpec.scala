@@ -623,6 +623,36 @@ class TextVectorSpec extends SparkSpec {
     assert(st(0L) == 0.0, s"clamped dead dim must report σ=0: $st")
   }
 
+  test("length trim: per-lang percentile fences flag both tails") {
+    val dir = docsDir(Seq(
+      (1L, "t", "en", "s", 10L),
+      (2L, "t", "en", "s", 20L),
+      (3L, "t", "en", "s", 30L),
+      (4L, "t", "en", "s", 40L),
+      (5L, "t", "en", "s", 1000L)))
+    // p99 = 40 + 0.96·960 = 961.6, p01 = 10 + 0.04·10 = 10.4
+    val r = graft.text.Curation.lengthTrim(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r(5L) == ((961.6, 1L, 0L)), s"upper-tail doc: ${r(5L)}")
+    assert(r(1L) == ((961.6, 0L, 1L)), s"lower-tail doc: ${r(1L)}")
+    assert(r(3L) == ((961.6, 0L, 0L)))
+  }
+
+  test("burst detect: sub-second gap runs raise the flag, paced users don't") {
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val rows =
+      (1 to 4).map(i => (i.toLong, ts(i * 500L), 1L, "click", 1.0, "{}")) ++
+        (1 to 4).map(i => (10L + i, ts(i * 10000L), 2L, "click", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.analytics.Enrich.burstDetect(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getLong(4), x.getLong(5)))).toMap
+    assert(r(1L) == ((3L, 500000L, 500000.0, 3L, 1L)), s"burst user: ${r(1L)}")
+    assert(r(2L) == ((3L, 10000000L, 10000000.0, 0L, 0L)), s"paced user: ${r(2L)}")
+  }
+
   test("unigram logprob: hand-computed fixed-point means match") {
     val dir = docsDir(Seq(
       (1L, "a a", "en", "s", 3L),
