@@ -113,6 +113,7 @@ object SparkEntry {
     "q90_whiten"          -> (Similarity.whiten _),
     "q91_length_trim"     -> (Curation.lengthTrim _),
     "q92_burst_detect"    -> (Enrich.burstDetect _),
+    "q93_curation_manifest" -> (Curation.curationManifest _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -148,6 +149,49 @@ object SparkEntry {
        |           ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id)""".stripMargin
   private val estJaccard =
     "len(list_filter(list_transform(range(8), i -> a.sig[i+1] = b.sig[i+1]), v -> v)) * 1.0 / 8"
+  // est-Jaccard ≥ ½ edges + recursive closure to min-label clusters —
+  // shared by q49/q61/q83/q93 (needs WITH RECURSIVE and minhashCtes ahead)
+  private lazy val ccClusterCtes =
+    s"""edges AS (SELECT doc_a, doc_b
+       |          FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
+       |          WHERE $estJaccard >= 0.5),
+       |sym AS (SELECT doc_a, doc_b FROM edges
+       |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id),
+       |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id)""".stripMargin
+  // q62's per-doc rule predicates, shared with the q93 manifest
+  // (f-prefixed names so they compose beside minhashCtes' t/u/sig)
+  private lazy val funnelFlagCtes =
+    """ft AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |fm AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+      |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS nl,
+      |        CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+      |        (list_contains(toks, 'the') OR list_contains(toks, 'a')) AS has_stop
+      |      FROM ft),
+      |ff AS (SELECT doc_id, (nt >= 20) AS p1, (nt <= 80) AS p2,
+      |        (nl >= nt*4 AND nl <= nt*6) AS p3, has_stop AS p4,
+      |        (nd*10 >= nt*4) AS p5 FROM fm)""".stripMargin
+  // q50's contamination screen down to the per-doc overlap row `crep`
+  // (non-bench docs only), shared with the q93 manifest
+  private lazy val contaminationCtes =
+    s"""ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |cg0 AS (SELECT doc_id, $grams AS grams FROM ct),
+       |cg AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM cg0),
+       |cbench AS (SELECT DISTINCT gram FROM cg WHERE doc_id % 20 = 0),
+       |ccand AS (SELECT doc_id, gram FROM cg WHERE doc_id % 20 <> 0),
+       |cshared AS (SELECT doc_id, COUNT(*) AS n_shared FROM ccand JOIN cbench USING (gram) GROUP BY doc_id),
+       |csizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM ccand GROUP BY doc_id),
+       |crep AS (SELECT d.doc_id,
+       |        COALESCE(s.n_grams, 0) AS n_grams, COALESCE(sh.n_shared, 0) AS n_shared,
+       |        CASE WHEN COALESCE(s.n_grams, 0) > 0
+       |          THEN COALESCE(sh.n_shared, 0) * 1.0 / s.n_grams ELSE 0.0 END AS overlap
+       |      FROM documents d
+       |      LEFT JOIN csizes s ON d.doc_id = s.doc_id
+       |      LEFT JOIN cshared sh ON d.doc_id = sh.doc_id
+       |      WHERE d.doc_id % 20 <> 0)""".stripMargin
   private def cosD(a: String, b: String) =
     s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
   // portable round (see graft.functions.Portable): floor(x*10^n + 0.5)/10^n
@@ -741,38 +785,16 @@ object SparkEntry {
 
     "q49_neardup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
-        |edges AS (SELECT doc_a, doc_b
-        |          FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
-        |          WHERE $estJaccard >= 0.5),
-        |sym AS (SELECT doc_a, doc_b FROM edges
-        |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
-        |reach(doc_id, label) AS (
-        |  SELECT doc_id, doc_id AS label FROM documents
-        |  UNION
-        |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id)
-        |SELECT doc_id, MIN(label) AS cluster_rep,
-        | CAST(doc_id = MIN(label) AS BIGINT) AS keep
-        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |$ccClusterCtes
+        |SELECT doc_id, cluster_rep,
+        | CAST(doc_id = cluster_rep AS BIGINT) AS keep
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     "q50_contamination" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |g0 AS (SELECT doc_id, $grams AS grams FROM t),
-         |g AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g0),
-         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
-         |candg AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0),
-         |shared AS (SELECT doc_id, COUNT(*) AS n_shared FROM candg JOIN bench USING (gram) GROUP BY doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM candg GROUP BY doc_id),
-         |r AS (SELECT d.doc_id,
-         |        COALESCE(s.n_grams, 0) AS n_grams, COALESCE(sh.n_shared, 0) AS n_shared,
-         |        CASE WHEN COALESCE(s.n_grams, 0) > 0
-         |          THEN COALESCE(sh.n_shared, 0) * 1.0 / s.n_grams ELSE 0.0 END AS overlap
-         |      FROM documents d
-         |      LEFT JOIN sizes s ON d.doc_id = s.doc_id
-         |      LEFT JOIN shared sh ON d.doc_id = sh.doc_id
-         |      WHERE d.doc_id % 20 <> 0)
+      s"""WITH $contaminationCtes
          |SELECT doc_id, n_grams, n_shared, overlap,
          | CAST(overlap >= 0.5 AS BIGINT) AS contaminated
-         |FROM r ORDER BY doc_id""".stripMargin,
+         |FROM crep ORDER BY doc_id""".stripMargin,
 
     "q51_repetition" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -905,16 +927,7 @@ object SparkEntry {
     // decision: canonical member = max n_chars, ties to smallest doc_id.
     "q61_canonical_docs" ->
       s"""WITH RECURSIVE $minhashCtes,
-        |edges AS (SELECT doc_a, doc_b
-        |          FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
-        |          WHERE $estJaccard >= 0.5),
-        |sym AS (SELECT doc_a, doc_b FROM edges
-        |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
-        |reach(doc_id, label) AS (
-        |  SELECT doc_id, doc_id AS label FROM documents
-        |  UNION
-        |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id),
-        |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id),
+        |$ccClusterCtes,
         |c AS (SELECT d.doc_id, d.n_chars, l.cluster_rep
         |      FROM documents d JOIN lab l ON d.doc_id = l.doc_id)
         |SELECT doc_id, cluster_rep,
@@ -924,22 +937,14 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q62_filter_funnel" ->
-      """WITH t AS (SELECT text, string_split(text, ' ') AS toks FROM documents),
-        |m AS (SELECT CAST(len(toks) AS BIGINT) AS nt,
-        |        CAST(length(replace(text, ' ', '')) AS BIGINT) AS nl,
-        |        CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
-        |        (list_contains(toks, 'the') OR list_contains(toks, 'a')) AS has_stop
-        |      FROM t),
-        |f AS (SELECT (nt >= 20) AS p1, (nt <= 80) AS p2,
-        |        (nl >= nt*4 AND nl <= nt*6) AS p3, has_stop AS p4,
-        |        (nd*10 >= nt*4) AS p5 FROM m),
+      s"""WITH $funnelFlagCtes,
         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
         |  CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
         |  CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS o2,
         |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS o3,
         |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS o4,
         |  CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1 ELSE 0 END) AS BIGINT) AS o5
-        | FROM f)
+        | FROM ff)
         |SELECT * FROM (
         | SELECT CAST(1 AS BIGINT) AS rule_idx, 'min_tokens' AS rule,
         |        total AS n_in, total - o1 AS n_dropped, o1 AS n_out FROM a
@@ -1294,16 +1299,7 @@ object SparkEntry {
     // cluster representative instead of the doc itself.
     "q83_cluster_split" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |edges AS (SELECT doc_a, doc_b
-         |          FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
-         |          WHERE $estJaccard >= 0.5),
-         |sym AS (SELECT doc_a, doc_b FROM edges
-         |        UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges),
-         |reach(doc_id, label) AS (
-         |  SELECT doc_id, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id),
-         |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id)
+         |$ccClusterCtes
          |SELECT doc_id, cluster_rep,
          | ${splitSql("cluster_rep")} AS split,
          | ${splitSql("doc_id")} AS solo_split,
@@ -1458,6 +1454,33 @@ object SparkEntry {
     // q92: gaps are exact micros BIGINTs off the normalized event clock
     // (epoch_us == Tables.events' ns div 1000); the median is the q45
     // percentile parity; ties broken by event_id in the lag window.
+    // q93: the capstone manifest — every CTE block is the SAME shared
+    // fragment its standalone query uses (minhash+CC clusters, funnel
+    // flags, contamination screen, split coin), composed by doc_id joins.
+    "q93_curation_manifest" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$ccClusterCtes,
+         |$funnelFlagCtes,
+         |$contaminationCtes,
+         |mf AS (SELECT d.doc_id, l.cluster_rep,
+         |    (ff.p1 AND ff.p2 AND ff.p3 AND ff.p4 AND ff.p5) AS passed,
+         |    CAST(d.doc_id = l.cluster_rep AS BIGINT) AS keep_cluster,
+         |    COALESCE(CAST(cr.overlap >= 0.5 AS BIGINT), 0) AS contaminated,
+         |    (d.doc_id % 20 = 0) AS is_bench
+         |  FROM documents d
+         |  JOIN lab l ON d.doc_id = l.doc_id
+         |  JOIN ff ON d.doc_id = ff.doc_id
+         |  LEFT JOIN crep cr ON d.doc_id = cr.doc_id)
+         |SELECT doc_id, cluster_rep, ${splitSql("cluster_rep")} AS split,
+         | CAST(passed AS BIGINT) AS passed_filters, keep_cluster, contaminated,
+         | CASE WHEN is_bench THEN 'benchmark'
+         |      WHEN NOT passed THEN 'filtered'
+         |      WHEN keep_cluster = 0 THEN 'near_dup'
+         |      WHEN contaminated = 1 THEN 'contaminated'
+         |      ELSE 'kept' END AS reason,
+         | CAST(NOT is_bench AND passed AND keep_cluster = 1 AND contaminated = 0 AS BIGINT) AS in_corpus
+         |FROM mf ORDER BY doc_id""".stripMargin,
+
     "q92_burst_detect" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |g AS (SELECT user_id, ts_us - lag(ts_us) OVER

@@ -256,20 +256,26 @@ object Curation {
     * computing all five predicates, ONE aggregate of the cumulative
     * survival flags (map-side combined), then a 1-row→5-row inline explode
     * — per-rule rescans would read the corpus five times. */
-  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The q62 per-doc rule predicates (p1..p5) — ONE definition shared by
+    * the funnel report and the q93 manifest so the rule set can't drift. */
+  private def funnelFlags(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val flags = Tables.documents(spark, dir)
-      .select(
+    docs
+      .select(col("doc_id"),
         size(toks).cast("long").as("nt"),
         length(translate(col("text"), " ", "")).cast("long").as("nl"),
         size(array_distinct(toks)).cast("long").as("nd"),
         (array_contains(toks, "the") || array_contains(toks, "a")).as("has_stop"))
-      .select(
+      .select(col("doc_id"),
         (col("nt") >= 20).as("p1"),
         (col("nt") <= 80).as("p2"),
         (col("nl") >= col("nt") * 4 && col("nl") <= col("nt") * 6).as("p3"),
         col("has_stop").as("p4"),
         (col("nd") * 10 >= col("nt") * 4).as("p5"))
+  }
+
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val flags = funnelFlags(Tables.documents(spark, dir))
     def surv(ps: Column*): Column =
       sum(when(ps.reduce(_ && _), 1L).otherwise(0L))
     val agg = flags.agg(
@@ -356,6 +362,44 @@ object Curation {
           (col("h").cast("decimal(38,0)") * col("den") <
             (col("tot_docs") % col("den")).cast("decimal(38,0)") * lit(16777216L))
             .cast("long")).as("n_repeats"))
+      .orderBy("doc_id")
+  }
+
+  /** Q93 — the curation MANIFEST: the capstone composition a corpus
+    * release actually ships — per doc, the final in/out decision and WHY.
+    * Conjunction of the pipeline's stages: q62's rule filters, q49's
+    * near-dup cluster keep, q50's benchmark-contamination screen, and
+    * q83's cluster-safe split assignment, with a single `reason` column
+    * resolving precedence (benchmark > filtered > near_dup > contaminated
+    * > kept). A user of the library runs THIS to materialize the training
+    * corpus; every ingredient is itself oracle-checked standalone. Plan:
+    * each stage keeps its own scale shape (broadcast/banded/CC as
+    * documented on the ingredient operators); composition is three
+    * doc_id-keyed joins. */
+  def curationManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Dedup
+    val flags = funnelFlags(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        (col("p1") && col("p2") && col("p3") && col("p4") && col("p5")).as("passed"))
+    val clusters = Dedup.nearDupClusters(spark, dir) // doc_id, cluster_rep, keep
+    val cont = contamination(spark, dir).select(col("doc_id"), col("contaminated"))
+    val isBench = col("doc_id") % 20 === 0
+    clusters
+      .join(flags, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left") // bench docs have no screen row
+      .withColumn("cont", coalesce(col("contaminated"), lit(0L)))
+      .select(col("doc_id"), col("cluster_rep"),
+        Dedup.splitOf(col("cluster_rep")).as("split"),
+        col("passed").cast("long").as("passed_filters"),
+        col("keep").as("keep_cluster"),
+        col("cont").as("contaminated"),
+        when(isBench, "benchmark")
+          .when(!col("passed"), "filtered")
+          .when(col("keep") === 0, "near_dup")
+          .when(col("cont") === 1, "contaminated")
+          .otherwise("kept").as("reason"),
+        (!isBench && col("passed") && col("keep") === 1 && col("cont") === 0)
+          .cast("long").as("in_corpus"))
       .orderBy("doc_id")
   }
 

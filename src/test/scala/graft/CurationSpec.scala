@@ -26,6 +26,33 @@ class CurationSpec extends SparkSpec {
     assert(!r.contains(0L)) // benchmark docs are not judged
   }
 
+  test("curation manifest: every stage's reason surfaces with right precedence") {
+    val w = (0 until 40).map(i => f"tok$i%02d")
+    val doc0 = w.mkString(" ")                                     // benchmark
+    val doc1 = "the " + (100 until 124).map(i => s"ab$i").mkString(" ") // clean keeper
+    val doc3 = "the " + (200 until 224).map(i => s"cd$i").mkString(" ") // clone pair 3/4
+    // doc5: 15 consecutive benchmark tokens (13 shared 3-grams of its 23
+    // → overlap 0.57 ≥ ½) + unique tail; Jaccard vs doc0 only 0.27, so it
+    // stays OUT of doc0's near-dup cluster and the screen decides
+    val doc5 = (w.slice(2, 17) ++ Seq("the") ++ (300 until 309).map(i => s"ef$i"))
+      .mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, doc0, "en", "s", doc0.length.toLong),
+      (1L, doc1, "en", "s", doc1.length.toLong),
+      (2L, "tiny text", "en", "s", 9L),
+      (3L, doc3, "en", "s", doc3.length.toLong),
+      (4L, doc3, "en", "s", doc3.length.toLong),
+      (5L, doc5, "en", "s", doc5.length.toLong)))
+    val r = Curation.curationManifest(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getString(6), x.getLong(7)))).toMap
+    assert(r(0L) == (("benchmark", 0L)))
+    assert(r(1L) == (("kept", 1L)))
+    assert(r(2L) == (("filtered", 0L)))
+    assert(r(3L) == (("kept", 1L)))
+    assert(r(4L) == (("near_dup", 0L)), s"clone must lose to its rep: ${r(4L)}")
+    assert(r(5L) == (("contaminated", 0L)), s"screened doc: ${r(5L)}")
+  }
+
   test("repetition: dominant and duplicate tokens drive the fractions") {
     val dir = docsDir(Seq((1L, "a a a a b", "en", "s", 9L)))
     val r = Curation.repetition(spark, dir).head()
