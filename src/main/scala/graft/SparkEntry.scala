@@ -114,6 +114,7 @@ object SparkEntry {
     "q91_length_trim"     -> (Curation.lengthTrim _),
     "q92_burst_detect"    -> (Enrich.burstDetect _),
     "q93_curation_manifest" -> (Curation.curationManifest _),
+    "q94_lang_consistency" -> (TextOps.langConsistency _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -162,6 +163,26 @@ object SparkEntry {
        |  UNION
        |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id),
        |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id)""".stripMargin
+  // q26's marker-profile language-ID down to per-doc lr(doc_id, lang,
+  // pred_lang), shared with the q94 consistency audit (l-prefixed names)
+  private lazy val langIdCtes =
+    """lt AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |ls AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(toks, x -> x IN ('table','row'))) AS BIGINT) AS s_de,
+      |  CAST(len(list_filter(toks, x -> x IN ('key','value'))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(toks, x -> x IN ('scan','merge'))) AS BIGINT) AS s_es,
+      |  CAST(len(list_filter(toks, x -> x IN ('join','query'))) AS BIGINT) AS s_fr,
+      |  CAST(len(list_filter(toks, x -> x IN ('spark','batch'))) AS BIGINT) AS s_zh
+      | FROM lt),
+      |lm AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM ls),
+      |lr AS (SELECT doc_id, lang,
+      |  CASE WHEN s_de = best AND best > 0 THEN 'de'
+      |       WHEN s_en = best AND best > 0 THEN 'en'
+      |       WHEN s_es = best AND best > 0 THEN 'es'
+      |       WHEN s_fr = best AND best > 0 THEN 'fr'
+      |       WHEN s_zh = best AND best > 0 THEN 'zh'
+      |       ELSE 'und' END AS pred_lang
+      | FROM lm)""".stripMargin
   // q62's per-doc rule predicates, shared with the q93 manifest
   // (f-prefixed names so they compose beside minhashCtes' t/u/sig)
   private lazy val funnelFlagCtes =
@@ -600,25 +621,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q26_lang_id" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, lang,
-        |  CAST(len(list_filter(toks, x -> x IN ('table','row'))) AS BIGINT) AS s_de,
-        |  CAST(len(list_filter(toks, x -> x IN ('key','value'))) AS BIGINT) AS s_en,
-        |  CAST(len(list_filter(toks, x -> x IN ('scan','merge'))) AS BIGINT) AS s_es,
-        |  CAST(len(list_filter(toks, x -> x IN ('join','query'))) AS BIGINT) AS s_fr,
-        |  CAST(len(list_filter(toks, x -> x IN ('spark','batch'))) AS BIGINT) AS s_zh
-        | FROM t),
-        |m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s),
-        |r AS (SELECT doc_id, lang,
-        |  CASE WHEN s_de = best AND best > 0 THEN 'de'
-        |       WHEN s_en = best AND best > 0 THEN 'en'
-        |       WHEN s_es = best AND best > 0 THEN 'es'
-        |       WHEN s_fr = best AND best > 0 THEN 'fr'
-        |       WHEN s_zh = best AND best > 0 THEN 'zh'
-        |       ELSE 'und' END AS pred_lang
-        | FROM m)
+      s"""WITH $langIdCtes
         |SELECT doc_id, lang, pred_lang, CAST(pred_lang = lang AS BIGINT) AS correct
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |FROM lr ORDER BY doc_id""".stripMargin,
 
     "q27_text_quality" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, CAST(length(text) AS BIGINT) AS n_chars_m FROM documents),
@@ -1491,5 +1496,15 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sub_second,
         | CAST(SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END) >= 3 AS BIGINT) AS burst_flag
         |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q94: q26's shared language-ID CTEs + one (source, lang) aggregate.
+    "q94_lang_consistency" ->
+      s"""WITH $langIdCtes,
+         |lj AS (SELECT lr.doc_id, lr.lang, lr.pred_lang, d.source
+         |       FROM lr JOIN documents d ON lr.doc_id = d.doc_id)
+         |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         | ${pr6("SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")} AS mismatch_rate
+         |FROM lj GROUP BY source, lang ORDER BY source, lang""".stripMargin,
   )
 }

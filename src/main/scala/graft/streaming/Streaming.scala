@@ -220,6 +220,23 @@ object Streaming {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"), col("n_events"))
 
+  /** Streaming counterpart of `Enrich.burstDetect` (q92): per-user event
+    * counts over short sliding windows; any (user, window) reaching
+    * `threshold` events emits a burst alert — the live bot/scraper signal,
+    * where the batch form is the forensic one. Watermark bounds state to
+    * (active users × open windows) counters; the filter runs AFTER the
+    * windowed aggregate, so alerts are final per closed window (append
+    * mode), never partial counts. */
+  def burstAlerts(df: DataFrame, tsCol: String = "timestamp",
+      width: String = "30 seconds", slide: String = "10 seconds",
+      watermark: String = "2 minutes", threshold: Long = 4): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= threshold)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("user_id"), col("n_events"))
+
   // ---- J5/T5: CDC latest-state upsert --------------------------------------
 
   /** Current inventory row state, reconstructed per product key. */

@@ -84,6 +84,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q94 — declared-language CONSISTENCY audit: the metadata-QA pass that
+    * catches a mislabeled upstream feed — per (source, declared lang), how
+    * often the n-gram profiler ([[langId]], a pure map) disagrees with the
+    * metadata. A source×lang cell with a high mismatch rate is a feed
+    * whose `lang` tag can't be trusted. One (source, lang) keyed aggregate
+    * over the langId map — a single shuffle with map-side combine. */
+  def langConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val nMismatch = sum(when(col("correct") === 0, lit(1L)).otherwise(lit(0L)))
+    langId(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        nMismatch.as("n_mismatch"),
+        pround(nMismatch * lit(1.0) / count(lit(1)), 6).as("mismatch_rate"))
+      .orderBy("source", "lang")
+  }
+
   /** q27's [0,1] quality score as a FIXED-POINT integer (score·10⁴) column
     * expression — the reusable form downstream operators (q68 calibration)
     * aggregate over: integer inputs make interpolated percentiles exact in

@@ -130,6 +130,28 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("n_events") == 1))
   }
 
+  test("burst alerts fire only for users crossing the windowed threshold") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val alerts = Streaming.burstAlerts(
+      in.toDF().toDF("user_id", "timestamp"), "timestamp",
+      width = "30 seconds", slide = "30 seconds", watermark = "1 minute",
+      threshold = 4)
+    val q = alerts.writeStream.format("memory").queryName("burst_out")
+      .outputMode("append").start()
+    // user 1: 5 events in 4 s (burst); user 2: 2 paced events
+    in.addData((1 to 5).map(i => (1L, ts(s"2024-01-01T10:00:0${i}Z"))): _*)
+    in.addData((2L, ts("2024-01-01T10:00:01Z")), (2L, ts("2024-01-01T10:00:25Z")))
+    q.processAllAvailable()
+    in.addData((9L, ts("2024-01-01T10:10:00Z"))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("burst_out").collect()
+    assert(rows.length == 1, s"exactly one alert expected: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("user_id") == 1L &&
+      rows.head.getAs[Long]("n_events") == 5L)
+  }
+
   test("unionTopics merges heterogenous topic frames by name — O3") {
     val clicks = Seq(("e1", "user_click", "https://x.com")).toDF("event_id", "event_type", "page_url")
     val orders = Seq(("e2", "order", "ORD-1")).toDF("event_id", "event_type", "order_id")

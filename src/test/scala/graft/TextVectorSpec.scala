@@ -653,6 +653,18 @@ class TextVectorSpec extends SparkSpec {
     assert(r(2L) == ((3L, 10000000L, 10000000.0, 0L, 0L)), s"paced user: ${r(2L)}")
   }
 
+  test("lang consistency: mislabeled feed shows up as its source's mismatch rate") {
+    val dir = docsDir(Seq(
+      (1L, "key value key value", "en", "good", 19L),  // profiler agrees
+      (2L, "key value key value", "fr", "mislabeled", 19L), // says en, tagged fr
+      (3L, "join query join", "fr", "mislabeled", 15L))) // profiler agrees
+    val r = TextOps.langConsistency(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r(("good", "en")) == ((1L, 0L, 0.0)))
+    assert(r(("mislabeled", "fr")) == ((2L, 1L, 0.5)))
+  }
+
   test("unigram logprob: hand-computed fixed-point means match") {
     val dir = docsDir(Seq(
       (1L, "a a", "en", "s", 3L),
