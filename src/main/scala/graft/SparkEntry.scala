@@ -205,14 +205,15 @@ object SparkEntry {
        |ccand AS (SELECT doc_id, gram FROM cg WHERE doc_id % 20 <> 0),
        |cshared AS (SELECT doc_id, COUNT(*) AS n_shared FROM ccand JOIN cbench USING (gram) GROUP BY doc_id),
        |csizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM ccand GROUP BY doc_id),
-       |crep AS (SELECT d.doc_id,
+       |cre AS (SELECT d.doc_id,
        |        COALESCE(s.n_grams, 0) AS n_grams, COALESCE(sh.n_shared, 0) AS n_shared,
        |        CASE WHEN COALESCE(s.n_grams, 0) > 0
        |          THEN COALESCE(sh.n_shared, 0) * 1.0 / s.n_grams ELSE 0.0 END AS overlap
        |      FROM documents d
        |      LEFT JOIN csizes s ON d.doc_id = s.doc_id
        |      LEFT JOIN cshared sh ON d.doc_id = sh.doc_id
-       |      WHERE d.doc_id % 20 <> 0)""".stripMargin
+       |      WHERE d.doc_id % 20 <> 0),
+       |crep AS (SELECT *, CAST(overlap >= 0.5 AS BIGINT) AS contaminated FROM cre)""".stripMargin
   private def cosD(a: String, b: String) =
     s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
   // portable round (see graft.functions.Portable): floor(x*10^n + 0.5)/10^n
@@ -797,8 +798,7 @@ object SparkEntry {
 
     "q50_contamination" ->
       s"""WITH $contaminationCtes
-         |SELECT doc_id, n_grams, n_shared, overlap,
-         | CAST(overlap >= 0.5 AS BIGINT) AS contaminated
+         |SELECT doc_id, n_grams, n_shared, overlap, contaminated
          |FROM crep ORDER BY doc_id""".stripMargin,
 
     "q51_repetition" ->
@@ -1447,11 +1447,11 @@ object SparkEntry {
     // percentile, q45 parity); flags compare integer n_chars to the RAW
     // shared double — no rounding at the boundary.
     "q91_length_trim" ->
-      """WITH p AS (SELECT lang, quantile_cont(n_chars, 0.99) AS p99_raw,
+      s"""WITH p AS (SELECT lang, quantile_cont(n_chars, 0.99) AS p99_raw,
         |             quantile_cont(n_chars, 0.01) AS p01_raw
         |           FROM documents GROUP BY lang)
         |SELECT doc_id, d.lang, n_chars,
-        | floor(p99_raw * 10000 + 0.5) / 10000.0 AS p99_chars,
+        | ${pr4("p99_raw")} AS p99_chars,
         | CAST(n_chars > p99_raw AS BIGINT) AS trim_high,
         | CAST(n_chars < p01_raw AS BIGINT) AS trim_low
         |FROM documents d JOIN p ON d.lang = p.lang ORDER BY doc_id""".stripMargin,
@@ -1470,7 +1470,7 @@ object SparkEntry {
          |mf AS (SELECT d.doc_id, l.cluster_rep,
          |    (ff.p1 AND ff.p2 AND ff.p3 AND ff.p4 AND ff.p5) AS passed,
          |    CAST(d.doc_id = l.cluster_rep AS BIGINT) AS keep_cluster,
-         |    COALESCE(CAST(cr.overlap >= 0.5 AS BIGINT), 0) AS contaminated,
+         |    COALESCE(cr.contaminated, 0) AS contaminated,
          |    (d.doc_id % 20 = 0) AS is_bench
          |  FROM documents d
          |  JOIN lab l ON d.doc_id = l.doc_id
@@ -1487,12 +1487,12 @@ object SparkEntry {
          |FROM mf ORDER BY doc_id""".stripMargin,
 
     "q92_burst_detect" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |g AS (SELECT user_id, ts_us - lag(ts_us) OVER
         |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap FROM e)
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
         | CAST(MIN(gap) AS BIGINT) AS min_gap_us,
-        | floor(quantile_cont(gap, 0.5) * 10000 + 0.5) / 10000.0 AS median_gap_us,
+        | ${pr4("quantile_cont(gap, 0.5)")} AS median_gap_us,
         | CAST(SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sub_second,
         | CAST(SUM(CASE WHEN gap < 1000000 THEN 1 ELSE 0 END) >= 3 AS BIGINT) AS burst_flag
         |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -207,6 +207,17 @@ object Streaming {
       .select(col("session_id"), col("session_window.start").as("window_start"),
         col("event_count"), col("session_start"), col("session_end"))
 
+  /** Shared watermarked sliding-window count skeleton for [[windowedCounts]]
+    * and [[burstAlerts]] — one copy of the watermark/window/projection
+    * handling, parameterized on the grouping key. */
+  private def slidingCounts(df: DataFrame, tsCol: String, keyCol: String,
+      width: String, slide: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n_events"))
+
   /** T9 — tumbling / sliding event-time windows (the declared hourly batch
     * cadence, expectations.py:187-194, and the dashboard's sliding view):
     * counts + value totals per (window, event_type). Pass slide == width
@@ -214,11 +225,7 @@ object Streaming {
   def windowedCounts(df: DataFrame, tsCol: String = "timestamp",
       width: String = "1 hour", slide: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
-    df.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), width, slide), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"), col("event_type"), col("n_events"))
+    slidingCounts(df, tsCol, "event_type", width, slide, watermark)
 
   /** Streaming counterpart of `Enrich.burstDetect` (q92): per-user event
     * counts over short sliding windows; any (user, window) reaching
@@ -230,12 +237,8 @@ object Streaming {
   def burstAlerts(df: DataFrame, tsCol: String = "timestamp",
       width: String = "30 seconds", slide: String = "10 seconds",
       watermark: String = "2 minutes", threshold: Long = 4): DataFrame =
-    df.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), width, slide), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
+    slidingCounts(df, tsCol, "user_id", width, slide, watermark)
       .filter(col("n_events") >= threshold)
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"), col("user_id"), col("n_events"))
 
   // ---- J5/T5: CDC latest-state upsert --------------------------------------
 

@@ -247,15 +247,6 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** Q62 — quality-filter FUNNEL (the C4/RefinedWeb cascade report): five
-    * document-level rules applied in order, with per-rule in/dropped/out
-    * counts — the artifact a curation run publishes so reviewers see where
-    * the corpus went. Rules are integer/boolean-exact (mean-word-length is
-    * the cross-multiplied `4·nt ≤ letters ≤ 6·nt`, never a float divide) so
-    * any engine lands on identical counts. Plan: one pass over the corpus
-    * computing all five predicates, ONE aggregate of the cumulative
-    * survival flags (map-side combined), then a 1-row→5-row inline explode
-    * — per-rule rescans would read the corpus five times. */
   /** The q62 per-doc rule predicates (p1..p5) — ONE definition shared by
     * the funnel report and the q93 manifest so the rule set can't drift. */
   private def funnelFlags(docs: DataFrame): DataFrame = {
@@ -274,6 +265,15 @@ object Curation {
         (col("nd") * 10 >= col("nt") * 4).as("p5"))
   }
 
+  /** Q62 — quality-filter FUNNEL (the C4/RefinedWeb cascade report): five
+    * document-level rules applied in order, with per-rule in/dropped/out
+    * counts — the artifact a curation run publishes so reviewers see where
+    * the corpus went. Rules are integer/boolean-exact (mean-word-length is
+    * the cross-multiplied `4·nt ≤ letters ≤ 6·nt`, never a float divide) so
+    * any engine lands on identical counts. Plan: one pass over the corpus
+    * computing all five predicates, ONE aggregate of the cumulative
+    * survival flags (map-side combined), then a 1-row→5-row inline explode
+    * — per-rule rescans would read the corpus five times. */
   def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
     val flags = funnelFlags(Tables.documents(spark, dir))
     def surv(ps: Column*): Column =

@@ -78,4 +78,17 @@ class EnrichSpec extends SparkSpec {
     assert(byId("e3").getAs[String]("user_segment") == "anonymous")
     assert(byId("e3").getAs[String]("geo_region") == "OTHER")
   }
+
+  test("burst detect: sub-second gap runs raise the flag, paced users don't") {
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val rows =
+      (1 to 4).map(i => (i.toLong, ts(i * 500L), 1L, "click", 1.0, "{}")) ++
+        (1 to 4).map(i => (10L + i, ts(i * 10000L), 2L, "click", 1.0, "{}"))
+    val dir = eventsDir(rows)
+    val r = graft.analytics.Enrich.burstDetect(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getLong(4), x.getLong(5)))).toMap
+    assert(r(1L) == ((3L, 500000L, 500000.0, 3L, 1L)), s"burst user: ${r(1L)}")
+    assert(r(2L) == ((3L, 10000000L, 10000000.0, 0L, 0L)), s"paced user: ${r(2L)}")
+  }
 }

@@ -246,6 +246,22 @@ class PlanSpec extends SparkSpec {
     val wh = explain(Similarity.whiten(spark, sf0001))
     assert(!wh.contains("SortMergeJoin") && !wh.contains("ShuffledHashJoin"),
       s"whitening stats must broadcast:\n$wh")
+    // q91: the per-lang percentile fence table broadcasts over the corpus map
+    val lt = explain(graft.text.Curation.lengthTrim(spark, sf0001))
+    assert(lt.contains("BroadcastHashJoin") && !lt.contains("SortMergeJoin"),
+      s"percentile fences must broadcast:\n$lt")
+    // q92: one user-keyed shuffle (window + aggregate), no join at all
+    val bd = explain(graft.analytics.Enrich.burstDetect(spark, sf0001))
+    assert(!bd.contains("Join"), s"burst detect must not join:\n$bd")
+    assert(bd.contains("hashpartitioning(user_id"), s"expected user-keyed work:\n$bd")
+    // q94: langId is a pure map; the audit is one (source, lang) aggregate
+    val lc = explain(graft.text.TextOps.langConsistency(spark, sf0001))
+    assert(!lc.contains("CartesianProduct"))
+    assert(lc.contains("hashpartitioning(source"), s"expected source-keyed reduce:\n$lc")
+    // q93: the manifest composes by keyed joins only — never a cross join
+    val mf = explain(graft.text.Curation.curationManifest(spark, sf0001))
+    assert(!mf.contains("CartesianProduct") && !mf.contains("BroadcastNestedLoopJoin"),
+      s"manifest joins must stay keyed:\n$mf")
   }
 
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {

@@ -34,9 +34,7 @@ class RelationalSpec extends SparkSpec {
     val rows = Seq(0L, 600L, 1201L).zipWithIndex.map { case (off, i) =>
       (i.toLong, java.sql.Timestamp.from(base.plusSeconds(off)), 1L, "click", 1.0, "{}")
     }
-    val dir = java.nio.file.Files.createTempDirectory("q09").toString
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val dir = eventsDir(rows)
     val sessions = Relational.q09(spark, dir).collect()
     // events at t=0 and t=600 share session 1; t=1201 (gap 601) opens session 2
     assert(sessions.length == 2)

@@ -9,6 +9,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sf0001 = "/root/testdata/sf0.001"
   val sf001  = "/root/testdata/sf0.01"
+
+  /** Shared events.parquet fixture writer — the one copy of the events
+    * schema test tables are built from.
+    * Rows: (event_id, ts, user_id, event_type, value, props). */
+  def eventsDir(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
 }
 
 object SparkSpec {
