@@ -115,6 +115,8 @@ object SparkEntry {
     "q92_burst_detect"    -> (Enrich.burstDetect _),
     "q93_curation_manifest" -> (Curation.curationManifest _),
     "q94_lang_consistency" -> (TextOps.langConsistency _),
+    "q95_event_pivot"     -> (Relational.eventPivot _),
+    "q96_frame_dedup"     -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -163,6 +165,16 @@ object SparkEntry {
        |  UNION
        |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id),
        |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id)""".stripMargin
+  // q56's declarative frame sampler down to per-frame frh rows, shared
+  // with the q96 frame-dedup
+  private lazy val frameCtes =
+    """fr AS (SELECT doc_id AS asset_id, text,
+      |         unnest(range((length(text) - 1) // 32 + 1)) AS frame_id
+      |       FROM documents),
+      |frh AS (SELECT asset_id, CAST(frame_id AS BIGINT) AS frame_id,
+      |         CAST(length(substring(text, frame_id * 32 + 1, 16)) AS BIGINT) AS frame_len,
+      |         md5(substring(text, frame_id * 32 + 1, 16)) AS frame_md5
+      |       FROM fr)""".stripMargin
   // q26's marker-profile language-ID down to per-doc lr(doc_id, lang,
   // pred_lang), shared with the q94 consistency audit (l-prefixed names)
   private lazy val langIdCtes =
@@ -866,13 +878,9 @@ object SparkEntry {
         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
 
     "q56_frame_sample" ->
-      """WITH t AS (SELECT doc_id AS asset_id, text,
-        |             unnest(range((length(text) - 1) // 32 + 1)) AS frame_id
-        |           FROM documents)
-        |SELECT asset_id, CAST(frame_id AS BIGINT) AS frame_id,
-        | CAST(length(substring(text, frame_id * 32 + 1, 16)) AS BIGINT) AS frame_len,
-        | md5(substring(text, frame_id * 32 + 1, 16)) AS frame_md5
-        |FROM t ORDER BY asset_id, frame_id""".stripMargin,
+      s"""WITH $frameCtes
+        |SELECT asset_id, frame_id, frame_len, frame_md5
+        |FROM frh ORDER BY asset_id, frame_id""".stripMargin,
 
     "q57_embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1506,5 +1514,26 @@ object SparkEntry {
          | CAST(SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
          | ${pr6("SUM(CASE WHEN pred_lang <> lang THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")} AS mismatch_rate
          |FROM lj GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    // q95: explicit-value pivot == one conditional aggregate per type.
+    "q95_event_pivot" ->
+      s"""SELECT user_id,
+         |${Relational.EventTypes.map(t =>
+           s" CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,")
+           .mkString("\n")}
+         | CAST(SUM(CASE WHEN event_type IN (${Relational.EventTypes
+           .map(t => s"'$t'").mkString(", ")}) THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q96: q56's shared frame CTEs + a hash-keyed spread aggregate.
+    "q96_frame_dedup" ->
+      s"""WITH $frameCtes,
+         |sp AS (SELECT frame_md5, COUNT(DISTINCT asset_id) AS n_assets
+         |       FROM frh GROUP BY frame_md5)
+         |SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         | CAST(SUM(CASE WHEN n_assets >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         | ${pr6("SUM(CASE WHEN n_assets >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")} AS shared_ratio
+         |FROM frh JOIN sp USING (frame_md5)
+         |GROUP BY asset_id ORDER BY asset_id""".stripMargin,
   )
 }

@@ -440,4 +440,26 @@ object Relational {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
       .orderBy("event_type")
+
+  /** The event-type vocabulary the producer emits (event_producer.py's
+    * weighted event mix) — the explicit pivot column list (an implicit
+    * pivot would scan the data twice to discover values). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Q95 — PIVOT / wide reshape: per-user event-type count matrix (the
+    * user-activity feature table a segmentation model consumes). The pivot
+    * value list is explicit — Spark's implicit pivot runs an extra
+    * distinct scan to discover values, the classic 2-pass trap — so the
+    * plan is ONE user-keyed aggregate with 5 conditional counts.
+    * Absent combinations fill 0 (dense features). */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .select(col("user_id") +:
+        EventTypes.map(t => col(t).as(s"n_$t")) :+
+        EventTypes.map(t => col(t)).reduce(_ + _).as("n_total"): _*)
+      .orderBy("user_id")
 }

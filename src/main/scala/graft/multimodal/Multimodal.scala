@@ -111,6 +111,29 @@ object Multimodal {
           .as("frame_md5"))
       .orderBy("asset_id", "frame_id")
 
+  /** Q96 — FRAME-level dedup across assets: a frame hash appearing in ≥2
+    * distinct assets is SHARED content (opening/closing boilerplate, test
+    * cards, repeated stock footage — the video analogue of text
+    * boilerplate). Per asset: frame count, shared-frame count, ratio.
+    * Composes [[frameSampleQuery]]'s zero-shuffle declarative sampler with
+    * one hash-keyed spread aggregate and one asset-keyed reduce — at scale
+    * the hash key is uniform by construction, no skew. */
+  def frameDedup(spark: SparkSession, dir: String, frameSize: Int = 16,
+      stride: Int = 32): DataFrame = {
+    import graft.functions.Portable.pround
+    val frames = frameSampleQuery(spark, dir, frameSize, stride)
+      .select(col("asset_id"), col("frame_md5"))
+    val spread = frames.groupBy("frame_md5")
+      .agg(countDistinct("asset_id").as("n_assets"))
+    val nShared = sum(when(col("n_assets") >= 2, lit(1L)).otherwise(lit(0L)))
+    frames.join(spread, Seq("frame_md5"))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_frames"),
+        nShared.as("n_shared"),
+        pround(nShared * lit(1.0) / count(lit(1)), 6).as("shared_ratio"))
+      .orderBy("asset_id")
+  }
+
   /** Oracle-checkable metadata pass: treats document text bytes as the
     * binary payload (the test corpus has no real media) and computes the
     * metadata a media lake tracks — byte length, content hash, head-bytes

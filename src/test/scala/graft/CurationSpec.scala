@@ -53,6 +53,19 @@ class CurationSpec extends SparkSpec {
     assert(r(5L) == (("contaminated", 0L)), s"screened doc: ${r(5L)}")
   }
 
+  test("frame dedup: assets sharing an aligned frame are flagged, unique frames aren't") {
+    // docs 1/2 share their first 16-char frame; second frames differ
+    val dir = docsDir(Seq(
+      (1L, "A" * 16 + "x" * 16 + "BBBB", "en", "s", 36L),
+      (2L, "A" * 16 + "y" * 16 + "CCCC", "en", "s", 36L),
+      (3L, "D" * 36, "en", "s", 36L)))
+    val r = graft.multimodal.Multimodal.frameDedup(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 0.5)), s"asset 1: ${r(1L)}")
+    assert(r(2L) == ((2L, 1L, 0.5)))
+    assert(r(3L) == ((2L, 0L, 0.0)), s"unique-content asset: ${r(3L)}")
+  }
+
   test("repetition: dominant and duplicate tokens drive the fractions") {
     val dir = docsDir(Seq((1L, "a a a a b", "en", "s", 9L)))
     val r = Curation.repetition(spark, dir).head()

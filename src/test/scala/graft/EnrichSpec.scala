@@ -91,4 +91,18 @@ class EnrichSpec extends SparkSpec {
     assert(r(1L) == ((3L, 500000L, 500000.0, 3L, 1L)), s"burst user: ${r(1L)}")
     assert(r(2L) == ((3L, 10000000L, 10000000.0, 0L, 0L)), s"paced user: ${r(2L)}")
   }
+
+  test("event pivot: wide per-user counts fill absent types with 0") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val dir = eventsDir(Seq(
+      (1L, ts(1), 1L, "click", 1.0, "{}"),
+      (2L, ts(2), 1L, "click", 1.0, "{}"),
+      (3L, ts(3), 1L, "view", 1.0, "{}"),
+      (4L, ts(4), 2L, "purchase", 1.0, "{}")))
+    val r = graft.analytics.Relational.eventPivot(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.toSeq.drop(1)).toMap
+    // columns: n_click, n_error, n_purchase, n_signup, n_view, n_total
+    assert(r(1L) == Seq(2L, 0L, 0L, 0L, 1L, 3L), s"user 1: ${r(1L)}")
+    assert(r(2L) == Seq(0L, 0L, 1L, 0L, 0L, 1L), s"user 2: ${r(2L)}")
+  }
 }
