@@ -117,6 +117,7 @@ object SparkEntry {
     "q94_lang_consistency" -> (TextOps.langConsistency _),
     "q95_event_pivot"     -> (Relational.eventPivot _),
     "q96_frame_dedup"     -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
+    "q97_event_melt"      -> (Relational.eventMelt _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -165,6 +166,16 @@ object SparkEntry {
        |  UNION
        |  SELECT s.doc_b AS doc_id, r.label FROM reach r JOIN sym s ON s.doc_a = r.doc_id),
        |lab AS (SELECT doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY doc_id)""".stripMargin
+  // q95's wide conditional-aggregate body (no ORDER BY), shared with the
+  // q97 melt
+  private lazy val pivotSelect =
+    s"""SELECT user_id,
+       |${Relational.EventTypes.map(t =>
+         s" CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,")
+         .mkString("\n")}
+       | CAST(SUM(CASE WHEN event_type IN (${Relational.EventTypes
+         .map(t => s"'$t'").mkString(", ")}) THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+       |FROM events GROUP BY user_id""".stripMargin
   // q56's declarative frame sampler down to per-frame frh rows, shared
   // with the q96 frame-dedup
   private lazy val frameCtes =
@@ -1517,13 +1528,17 @@ object SparkEntry {
 
     // q95: explicit-value pivot == one conditional aggregate per type.
     "q95_event_pivot" ->
-      s"""SELECT user_id,
+      s"$pivotSelect ORDER BY user_id",
+
+    // q97: the melt back to tidy triples — one UNION ALL arm per metric
+    // over the shared pivot body.
+    "q97_event_melt" ->
+      s"""WITH p AS ($pivotSelect)
+         |SELECT user_id, metric, n FROM (
          |${Relational.EventTypes.map(t =>
-           s" CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,")
-           .mkString("\n")}
-         | CAST(SUM(CASE WHEN event_type IN (${Relational.EventTypes
-           .map(t => s"'$t'").mkString(", ")}) THEN 1 ELSE 0 END) AS BIGINT) AS n_total
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+           s" SELECT user_id, 'n_$t' AS metric, n_$t AS n FROM p")
+           .mkString(" UNION ALL\n")}
+         |) ORDER BY user_id, metric""".stripMargin,
 
     // q96: q56's shared frame CTEs + a hash-keyed spread aggregate.
     "q96_frame_dedup" ->

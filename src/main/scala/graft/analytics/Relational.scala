@@ -462,4 +462,16 @@ object Relational {
         EventTypes.map(t => col(t).as(s"n_$t")) :+
         EventTypes.map(t => col(t)).reduce(_ + _).as("n_total"): _*)
       .orderBy("user_id")
+
+  /** Q97 — UNPIVOT / melt (the inverse of [[eventPivot]]): the wide
+    * feature matrix back to tidy (user, metric, n) triples — the reshape a
+    * metrics store or long-format plotting layer ingests. Spark's native
+    * `unpivot` is a zero-shuffle row expansion; the only exchange is
+    * inherited from the pivot aggregate itself. */
+  def eventMelt(spark: SparkSession, dir: String): DataFrame =
+    eventPivot(spark, dir)
+      .drop("n_total")
+      .unpivot(Array(col("user_id")),
+        EventTypes.map(t => col(s"n_$t")).toArray, "metric", "n")
+      .orderBy("user_id", "metric")
 }

@@ -104,5 +104,11 @@ class EnrichSpec extends SparkSpec {
     // columns: n_click, n_error, n_purchase, n_signup, n_view, n_total
     assert(r(1L) == Seq(2L, 0L, 0L, 0L, 1L, 3L), s"user 1: ${r(1L)}")
     assert(r(2L) == Seq(0L, 0L, 1L, 0L, 0L, 1L), s"user 2: ${r(2L)}")
+    // melt inverts the reshape: 5 tidy rows per user, values preserved
+    val m = graft.analytics.Relational.eventMelt(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(m.size == 10)
+    assert(m((1L, "n_click")) == 2L && m((1L, "n_view")) == 1L)
+    assert(m((2L, "n_purchase")) == 1L && m((2L, "n_click")) == 0L)
   }
 }
