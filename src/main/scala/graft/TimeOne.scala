@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev loop: time a named subset of SparkEntry.queries under the exact
+  * Bench session config (`runMain graft.TimeOne q77_chunk_dedup q79_...`).
+  * Bench times the full suite; this times one change's targets. */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.names.filterNot(_ == "events").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
+    }
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[timeone] $name $sec%.3f s")
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    spark.stop()
+  }
+}

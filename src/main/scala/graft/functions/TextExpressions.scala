@@ -124,6 +124,93 @@ case class MinHashHex(child: Expression, numHashes: Int = 8, ngram: Int = 3)
     copy(child = newChild)
 }
 
+/** The per-row content-defined-chunking loop, callable from generated code:
+  * stream the token array once, cutting a chunk AFTER every token whose
+  * md5's first two bytes (= first 4 hex chars, as an unsigned int) are
+  * ≡ 0 mod `mod` — the rolling-hash cut rule of CDC storage dedup applied
+  * to token streams — and emit md5Hex of each chunk's space-joined tokens.
+  * Byte-identical to the exploded window formulation it replaces
+  * ([[graft.text.Curation.chunkDedupExploded]], kept as the differential
+  * reference): the chunk text is the tokens joined by 0x20 with null
+  * tokens skipped (concat_ws semantics), the boundary value equals
+  * `conv(substring(md5(tok),1,4),16,10)`, and a trailing run of tokens
+  * (even all-null/empty) still closes a final chunk because chunk
+  * membership is positional. */
+object CdcChunkHelper {
+
+  def compute(tokens: ArrayData, mod: Int): ArrayData = {
+    val n = tokens.numElements()
+    // one digest instance per concern, both reused across the row: tokMd
+    // one-shots each token (boundary test), chunkMd streams the joined
+    // chunk text (digest() resets it at each cut)
+    val chunkMd = java.security.MessageDigest.getInstance("MD5")
+    val tokMd = java.security.MessageDigest.getInstance("MD5")
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var inChunk = 0   // positions since the last cut (null positions count)
+    var wrote = false // a non-null token was streamed (separator rule)
+    var t = 0
+    while (t < n) {
+      var boundary = false
+      if (!tokens.isNullAt(t)) {
+        val b = tokens.getUTF8String(t).getBytes
+        if (wrote) chunkMd.update(' '.toByte)
+        chunkMd.update(b)
+        wrote = true
+        val d = tokMd.digest(b)
+        boundary = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % mod == 0
+      }
+      inChunk += 1
+      if (boundary) {
+        out += UTF8String.fromString(
+          org.apache.commons.codec.binary.Hex.encodeHexString(chunkMd.digest()))
+        inChunk = 0
+        wrote = false
+      }
+      t += 1
+    }
+    if (inChunk > 0)
+      out += UTF8String.fromString(
+        org.apache.commons.codec.binary.Hex.encodeHexString(chunkMd.digest()))
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** Content-defined chunk hashes as ONE map-side expression (the q77 scale
+  * fix, same move that took the MinHash signature zero-shuffle): the
+  * exploded formulation shuffles every token row by doc_id for the
+  * boundary-prefix window and again for the (doc, chunk) aggregate — at
+  * 100 TB that is two shuffles of the tokenized corpus. This expression
+  * keeps the whole boundary→join→hash loop inside the row, so chunk-hash
+  * arrays come straight off the parquet scan with NO shuffle; the only
+  * remaining exchanges are the chunk-hash df aggregate and the final
+  * per-doc rollup, both keyed and corpus/16-sized. */
+case class CdcChunks(child: Expression, mod: Int = 16)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    CdcChunkHelper.compute(t.asInstanceOf[ArrayData], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.CdcChunkHelper.compute($c, $mod);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Shared builder (registry + extensions): 1 arg, fixed 8×trigram shape —
@@ -134,13 +221,28 @@ object TextExpressions {
     MinHashHex(exprs.head)
   }
 
-  /** Register `graft_minhash` on the session (idempotent; public-API route,
-    * same rationale as [[VectorExpressions.register]]). */
-  def register(spark: SparkSession): Unit =
+  /** 1 arg, fixed mod=16 cut rate — the Curation.chunkDedup contract. */
+  val cdcChunksBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"graft_cdc_chunks requires exactly 1 argument, got ${exprs.length}")
+    CdcChunks(exprs.head)
+  }
+
+  /** Register `graft_minhash` + `graft_cdc_chunks` on the session
+    * (idempotent; public-API route, same rationale as
+    * [[VectorExpressions.register]]). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_chunks", cdcChunksBuilder, "built-in")
+  }
 
   /** 8-hash trigram MinHash signature of a token-array column (null when
     * under 3 tokens). Callers must [[register]] first. */
   def minhash_hex(tokens: Column): Column = call_function("graft_minhash", tokens)
+
+  /** Content-defined chunk md5s of a token-array column (empty array for
+    * empty docs). Callers must [[register]] first. */
+  def cdc_chunks(tokens: Column): Column = call_function("graft_cdc_chunks", tokens)
 }

@@ -611,12 +611,41 @@ object Curation {
     * boundaries make chunk identity insertion-stable: editing one sentence
     * shifts only neighbouring chunk boundaries, unlike fixed-width q52
     * windows where one inserted token reflows every downstream chunk.
-    * Shape: one doc-keyed window (bounded by doc length — never
-    * partitionless), one (doc, chunk) aggregate, one chunk-hash-keyed
-    * aggregate joined back: every shuffle keyed, partitions bounded. The
-    * per-chunk sort-and-concat lambda is interpreted but runs over
-    * chunk-sized arrays (E[len] = 16), off the corpus-scan hot path. */
+    * Shape (round-5 scale fix): the whole boundary→group→hash loop runs
+    * inside the codegen'd [[graft.functions.CdcChunks]] expression, so
+    * chunk-hash arrays come straight off the parquet scan with ZERO
+    * shuffle — no token-level explode, no doc-keyed window, no
+    * (doc, chunk) collect_list. The only exchanges left are the chunk-hash
+    * df aggregate and the final per-doc rollup, both keyed and
+    * corpus/16-sized (E[chunk len] = 16 tokens). The window formulation it
+    * replaced is kept as [[chunkDedupExploded]] — the differential
+    * reference a spec compares bit-for-bit. */
   def chunkDedup(spark: SparkSession, dir: String, mod: Int = 16): DataFrame = {
+    require(mod == 16, "graft_cdc_chunks is registered at the contract cut rate mod=16")
+    graft.functions.TextExpressions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.cdc_chunks(TextOps.tokens(col("text"))).as("hs"))
+    // duplicate hashes WITHIN a doc stay distinct rows, matching the
+    // (doc, chunk_id) granularity of the exploded formulation
+    val ex = docs.select(col("doc_id"), explode(col("hs")).as("chunk_hash"))
+    val hdf = ex.groupBy("chunk_hash").agg(count(lit(1)).as("cdf"))
+    ex.join(hdf, Seq("chunk_hash"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks") * lit(1.0) / col("n_chunks")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The round-4 exploded/windowed formulation of [[chunkDedup]], retained
+    * ONLY as the differential-test reference (ChunkDedupEquivalenceSpec
+    * asserts bit-identical output): posexplode to token level → doc-keyed
+    * boundary-prefix window → (doc, chunk) collect_list — two shuffles of
+    * the tokenized corpus that the codegen'd expression eliminates. */
+  private[graft] def chunkDedupExploded(spark: SparkSession, dir: String,
+      mod: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val toks = Tables.documents(spark, dir)

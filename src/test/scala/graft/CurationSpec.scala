@@ -288,6 +288,24 @@ class CurationSpec extends SparkSpec {
     assert(r(3L)._1 >= 1L)
   }
 
+  test("chunk dedup: codegen'd expression is bit-identical to the exploded window reference") {
+    // real corpus (sf0.001, 500 docs) — the differential check that licensed
+    // deleting the window formulation from the hot path (CC-spec pattern)
+    val fast = Curation.chunkDedup(spark, sf0001).collect()
+    val ref = Curation.chunkDedupExploded(spark, sf0001).collect()
+    assert(fast.length == ref.length && fast.length > 0)
+    fast.zip(ref).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    // edge rows the corpus can't produce: empty text (one empty-string
+    // token) and multi-space runs (empty tokens inside a chunk)
+    val edge = docsDir(Seq(
+      (1L, "", "en", "s", 0L),
+      (2L, "a  b", "en", "s", 4L),
+      (3L, "solo", "en", "s", 4L)))
+    val fe = Curation.chunkDedup(spark, edge).collect()
+    val re = Curation.chunkDedupExploded(spark, edge).collect()
+    assert(fe.toSeq == re.toSeq)
+  }
+
   test("pii redaction: lexicon and pattern hits are masked and counted") {
     val dir = docsDir(Seq(
       (1L, "customer wrote to test@example.com from +1 (555) 123-4567 as user", "en", "s", 60L)))

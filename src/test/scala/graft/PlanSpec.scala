@@ -196,11 +196,17 @@ class PlanSpec extends SparkSpec {
     assert(!drift.contains("SortMergeJoin") && !drift.contains("ShuffledHashJoin"),
       s"drift cells/totals must not shuffle-join:\n$drift")
     assert(drift.contains("partial_sum"), "drift counts must map-side combine")
-    // q77: chunk identity work is keyed by doc / chunk hash; the per-doc
-    // window is doc-keyed (global sweep guards partitionless windows)
+    // q77 (round-5 shape): chunk hashes come out of the codegen'd
+    // expression with zero shuffle — NO window, NO token-level exchange;
+    // the only exchanges are the chunk-hash df aggregate + per-doc rollup
     val chunk = explain(Curation.chunkDedup(spark, sf0001))
     assert(!chunk.contains("CartesianProduct"))
-    assert(chunk.contains("hashpartitioning(doc_id"), s"expected doc-keyed window:\n$chunk")
+    assert(!chunk.contains("Window"),
+      s"chunk hashes must be computed in-expression, not via a window:\n$chunk")
+    assert(chunk.contains("graft_cdc_chunks"), s"expected the codegen'd chunker:\n$chunk")
+    assert(chunk.contains("hashpartitioning(chunk_hash") &&
+      chunk.contains("hashpartitioning(doc_id"),
+      s"remaining exchanges must be chunk_hash + doc_id keyed:\n$chunk")
     // q78: two map-side-combined keyed aggregates, no join at all
     val ent = explain(TextOps.tokenEntropy(spark, sf0001))
     assert(!ent.contains("Join"), s"entropy must not join:\n$ent")
