@@ -67,7 +67,8 @@ object SparkEntry {
     "q45_length_stats"    -> (TextOps.lengthStats _),
     "q46_hybrid_search"   -> ((s: SparkSession, d: String) => Similarity.hybridSearch(s, d)),
     "q47_funnel"          -> (Relational.q47 _),
-    // no oracle entry (HLL sketches are engine-specific) -> rows-only check
+    // HLL values are engine-specific; the oracle hashes the exact counts +
+    // a 5%-tolerance audit flag computed in-plan (round-5: was rows-only)
     "q48_approx_distinct" -> (Relational.q48 _),
     "q49_neardup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "q50_contamination"   -> ((s: SparkSession, d: String) => Curation.contamination(s, d)),
@@ -946,6 +947,21 @@ object SparkEntry {
         | COUNT(DISTINCT user_id) AS n_users
         |FROM w WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
+
+    // q48: the HLL sketch values can't be hash-matched across engines, but
+    // the TOLERANCE AUDIT can — the Spark side emits 1 iff
+    // 20·|approx − exact| ≤ exact (|Δ|/exact ≤ 5%, exact integer compare;
+    // measured max deviation 2.53% at sf0.1 with rsd=0.02), and the oracle
+    // asserts the flag. A sketch drifting past tolerance now FAILS the row
+    // instead of hiding behind a rows-only check.
+    "q48_approx_distinct" ->
+      """SELECT event_type,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | CAST(1 AS BIGINT) AS users_within_tol,
+        | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_events,
+        | CAST(1 AS BIGINT) AS events_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q61 extends q49's recursive-CTE cluster resolution with the keep
     // decision: canonical member = max n_chars, ties to smallest doc_id.

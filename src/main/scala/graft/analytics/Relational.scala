@@ -429,17 +429,41 @@ object Relational {
   /** Q48 — approximate distinct counts (A6's scale path): HyperLogLog++
     * per event type at 2% relative error. The 100 TB dashboard variant of
     * q10 — constant memory per group instead of an exact distinct
-    * expansion. HLL sketches are engine-specific, so this query has no
-    * DuckDB oracle (driver records a rows-only check); q10 pins the exact
-    * semantics. */
-  def q48(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+    * expansion. Round 5: the output now carries exact counts + in-plan
+    * tolerance flags so the DuckDB oracle hash-checks the sketch AUDIT
+    * (previously rows-only — the one non-green correctness row). */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    // HLL sketch values are engine-specific, so the approx counts
+    // themselves can't be oracle-hashed; what CAN be is the tolerance
+    // AUDIT: |approx − exact| ≤ 5% · exact, compared in exact integer
+    // arithmetic (20·|Δ| ≤ exact ⇔ |Δ|/exact ≤ 0.05 — no doubles, no
+    // rounding hazard; measured max HLL deviation 2.53% at sf0.1 with
+    // rsd=0.02). The oracle asserts the flags are 1, so a sketch drifting
+    // past tolerance FAILS the row. The exact distincts exist only to
+    // ground the audit — and come from two map-side-combined
+    // distinct-then-count aggregates rather than one agg mixing two
+    // COUNT(DISTINCT) columns: the mixed form plans an Expand (3× the
+    // scan mass through the HLL partials) and measured 2.3× slower.
+    val ev = Tables.events(spark, dir)
+    val base = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+    val eu = ev.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
+    val ee = ev.select("event_type", "event_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("exact_events"))
+    base.join(eu, Seq("event_type")).join(ee, Seq("event_type"))
+      .select(col("event_type"),
+        col("n_events").cast("long").as("n_events"),
+        col("exact_users").cast("long").as("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) * lit(20L) <=
+          col("exact_users")).cast("long").as("users_within_tol"),
+        col("exact_events").cast("long").as("exact_events"),
+        (abs(col("approx_events") - col("exact_events")) * lit(20L) <=
+          col("exact_events")).cast("long").as("events_within_tol"))
       .orderBy("event_type")
+  }
 
   /** The event-type vocabulary the producer emits (event_producer.py's
     * weighted event mix) — the explicit pivot column list (an implicit

@@ -279,9 +279,10 @@ object Similarity {
     * outlier cluster worth inspecting before similarity search trusts the
     * space).
     *
-    * Each Lloyd-style round is two corpus passes (the matvec
-    * `Σᵢ dᵢ·xᵢ` per dimension + the scalar `Σᵢ dᵢ`), with only dim-sized
-    * results reaching the driver — the same distributed-linear-algebra
+    * Each Lloyd-style round is ONE corpus pass — the matvec `Σᵢ dᵢ·xᵢ`
+    * per dimension and the scalar `Σᵢ dᵢ` ride the same keyed aggregate
+    * (any dimension group sums every vector's d exactly once) — with only
+    * dim-sized results reaching the driver — the same distributed-linear-algebra
     * shape as [[trainIvfCodebook]], and at 100 TB the same story: executors
     * do the O(n·dim) work, the driver folds a 64-float vector. Centering
     * is applied by LINEARITY ((x−m)·w = x·w − m·w), so the centered corpus
@@ -318,11 +319,18 @@ object Similarity {
     for (_ <- 0 until iters) {
       val mw = seqDot(mean, w)
       val d = dot_product(col("v"), lit(w)) - lit(mw)
-      val sRows = e.select(d.as("d"), posexplode(col("v")).as(Seq("i", "x")))
+      // ONE corpus action per round (round-5: was matvec + a separate
+      // scalar-t job): every exploded group i holds each vector exactly
+      // once, so Σ floor(d·fix+0.5) within ANY group equals the global t —
+      // the scalar rides along in the same keyed aggregate, same
+      // fixed-point order-independent sum, identical value.
+      val rows = e.select(d.as("d"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("i")
-        .agg(sum(floor(col("d") * col("x") * fix + lit(0.5))).as("s"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val t = e.agg(sum(floor(d * fix + lit(0.5))).as("t")).head().getLong(0)
+        .agg(sum(floor(col("d") * col("x") * fix + lit(0.5))).as("s"),
+          sum(floor(col("d") * fix + lit(0.5))).as("t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val sRows = rows.map(r => r._1 -> r._2).toMap
+      val t = rows.head._3
       val u = Array.tabulate(dim) { j =>
         sRows(j).toDouble / 1000000.0 - mean(j) * (t.toDouble / 1000000.0)
       }
