@@ -37,10 +37,14 @@ object ScaleJoins {
     * rows × saltFactor, fine for dimension-sized tables). Result equals the
     * plain join, but the shuffle key is (key, salt) so hot keys spread over
     * saltFactor reducers. */
+  /** The fact-side salting expression of [[saltedJoin]], exposed so the
+    * skew spec measures the EXACT salt the join shuffles on. */
+  def withSalt(facts: DataFrame, saltFactor: Int): DataFrame =
+    facts.withColumn("_salt", (rand(seed = 42) * saltFactor).cast("int"))
+
   def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
-    val salted = facts.withColumn("_salt",
-      (rand(seed = 42) * saltFactor).cast("int"))
+    val salted = withSalt(facts, saltFactor)
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -59,6 +59,11 @@ object IngestJob {
 
     val raw = spark.readStream
       .format("text")
+      // S4 count cap (lake_writer.py:111's flush-at-100-OR-30s): with the
+      // 30 s trigger below, a micro-batch closes at 100 input files or the
+      // interval, whichever first (the Kafka binding's analogue is
+      // maxOffsetsPerTrigger, Streaming.kafkaSourceOptions)
+      .option("maxFilesPerTrigger", 100)
       .load(inDir)
       .select(col("value").cast("binary").as("value"))
 

@@ -34,13 +34,42 @@ object Streaming {
     * `startingOffsets=earliest` mirrors `auto.offset.reset=earliest`
     * (event_consumer.py:136); offset commits are subsumed by checkpointing
     * (T1/T4). */
-  def kafkaSource(spark: SparkSession, brokers: String, topic: String): DataFrame =
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String,
+      maxEvents: Option[Long] = Some(100L)): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
+      .options(kafkaSourceOptions(brokers, topic, maxEvents = maxEvents))
       .load()
+
+  /** The S1 source option surface as a pure, spec-testable map (the
+    * consumer config of event_consumer.py:125-147 — no broker needed to
+    * assert the wiring): `subscribe`, `startingOffsets=earliest`
+    * (auto.offset.reset), fail-fast on data loss (the reference treats a
+    * lost offset as a hard error), and `maxOffsetsPerTrigger` — the S4
+    * COUNT cap. With it, a micro-batch closes at `maxEvents` events OR the
+    * trigger interval, whichever comes first: both halves of
+    * lake_writer.py:111's 100-events-or-30-seconds flush duality are now
+    * mechanical, not approximated. */
+  def kafkaSourceOptions(brokers: String, topic: String,
+      startingOffsets: String = "earliest",
+      failOnDataLoss: Boolean = true,
+      maxEvents: Option[Long] = Some(100L)): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
+      maxEvents.map(n => "maxOffsetsPerTrigger" -> n.toString)
+
+  /** The S2 sink option surface (event_producer.py:264-275): target topic +
+    * the exactly-once checkpoint. Spec-testable without a broker, same
+    * rationale as [[kafkaSourceOptions]]. */
+  def kafkaSinkOptions(brokers: String, topic: String,
+      checkpoint: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "topic" -> topic,
+      "checkpointLocation" -> checkpoint)
 
   /** Parse a Kafka-shaped stream (key/value binary columns) for `topic`
     * using the fixed TOPIC_SCHEMA_MAP binding (events.py:260-265).
@@ -125,9 +154,7 @@ object Streaming {
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     toKafkaShape(df).writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaSinkOptions(brokers, topic, checkpoint))
       .trigger(trigger)
       .start()
 
@@ -144,8 +171,10 @@ object Streaming {
 
   /** Bronze sink: gzip JSON lines, Hive-partitioned, 30 s micro-batches.
     * The reference's flush-at-100-events-OR-30 s duality (lake_writer.py:111)
-    * maps to a time trigger (+ `maxOffsetsPerTrigger` for the size cap) —
-    * the documented semantic delta (SURVEY S4). */
+    * is bounded on BOTH sides: this trigger is the time half; the count
+    * half is the source admission cap (`maxOffsetsPerTrigger` in
+    * [[kafkaSourceOptions]]; `maxFilesPerTrigger` on the file binding —
+    * spec-asserted on a real bounded stream). */
   def bronzeSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     withHivePartitions(df).writeStream

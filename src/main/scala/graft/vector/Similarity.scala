@@ -137,6 +137,28 @@ object Similarity {
     * their previous centroid. Centroids are k×dim tiny, so the per-round
     * driver collect is the standard distributed-k-means shape (assignment
     * itself never leaves the executors). */
+  /** Session-scoped memo for [[trainIvfCodebook]]: the training is fully
+    * deterministic in (corpus dir, k, iters) — fixed seedless init,
+    * fixed-point order-independent updates — so q41/q67/q75 sharing one
+    * session (the bench, the verify run, a user notebook) train ONCE
+    * instead of three times. Keyed by the session reference itself (weakly
+    * held, so a stopped session's entries are collectable and can never
+    * serve a new one); assumes a dir's parquet is immutable within a
+    * session (the repo's testdata contract). Values are k×dim driver-side
+    * floats — bytes, never corpus-sized. */
+  private val codebookCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Int, Int), Seq[(Int, Seq[Double])]]]()
+
+  private[graft] def cachedCodebook(spark: SparkSession, dir: String,
+      e: DataFrame, k: Int = 4, iters: Int = 3): Seq[(Int, Seq[Double])] = {
+    val perSession = codebookCache.synchronized {
+      codebookCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate((dir, k, iters), trainIvfCodebook(e, k, iters))
+  }
+
   private[graft] def trainIvfCodebook(e: DataFrame, k: Int = 4,
       iters: Int = 3): Seq[(Int, Seq[Double])] = {
     var cb: Seq[(Int, Seq[Double])] = e.filter(col("vec_id").between(1, k))
@@ -180,7 +202,7 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, k: Int = 10,
       nprobe: Int = 2): DataFrame = {
     val e = withNorm(spark, dir).localCheckpoint()
-    val cb = trainIvfCodebook(e)
+    val cb = cachedCodebook(spark, dir, e)
     val assigned = assignCells(e, cb)
       .select(col("vec_id"), col("v"), col("norm"), col("cell").cast("long").as("cell"))
     val probeRows = e.filter(col("vec_id") === 0).select(col("v"), col("norm"))
@@ -234,7 +256,7 @@ object Similarity {
   def clusterBalance(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(spark, dir).localCheckpoint()
     val k = 4
-    val cb = trainIvfCodebook(e, k = k)
+    val cb = cachedCodebook(spark, dir, e, k = k)
     val assigned = assignCells(e, cb)
       .select(col("vec_id"), col("cell").cast("long").as("cell"))
     val tot = assigned.agg(count(lit(1)).as("n_total"))

@@ -43,6 +43,39 @@ class ScaleJoinsSpec extends SparkSpec {
       plain.groupBy("k", "attr").count().orderBy("k").collect().toSeq)
   }
 
+  test("salting bounds the max reducer partition under 100x key skew") {
+    // one hot custkey carries 100× the mass of each of 50 uniform keys —
+    // the pathological shape AQE's skew split mitigates but salting solves
+    // deliberately. Reducer assignment is simulated with Spark's own
+    // murmur3 `hash()` (the HashPartitioning function), so the counts are
+    // exactly what the exchange would place on each of the P reducers.
+    val p = 32
+    val saltFactor = 8
+    val facts = ((1 to 5000).map(_ => 1L) ++
+      (2L to 51L).flatMap(k => Seq.fill(50)(k.toLong))).toDF("k")
+    val total = 5000 + 50 * 50
+    val uniform = total.toDouble / p
+    def maxReducerRows(df: org.apache.spark.sql.DataFrame,
+        keys: org.apache.spark.sql.Column*): Long =
+      df.groupBy(pmod(hash(keys: _*), lit(p)).as("reducer"))
+        .count().agg(max("count")).head().getLong(0)
+    // unsalted: the hot key pins ONE reducer with its whole 5000-row mass
+    val unsaltedMax = maxReducerRows(facts, col("k"))
+    assert(unsaltedMax >= 5000, s"hot key should pin a reducer: $unsaltedMax")
+    assert(unsaltedMax > saltFactor * uniform,
+      f"unsalted max $unsaltedMax should exceed saltFactor×uniform (${saltFactor * uniform}%.0f)")
+    // salted with the join's exact salt: the hot key spreads over
+    // saltFactor sub-keys and the max reducer stays near uniform
+    val salted = ScaleJoins.withSalt(facts, saltFactor)
+    val saltedMax = maxReducerRows(salted, col("k"), col("_salt"))
+    assert(saltedMax <= saltFactor * uniform,
+      f"salted max $saltedMax must stay within saltFactor×uniform (${saltFactor * uniform}%.0f)")
+    // two hot sub-keys (625 rows each) can still hash-collide onto one
+    // reducer, so the guaranteed cut is saltFactor/2, not saltFactor
+    assert(saltedMax < unsaltedMax / 3,
+      s"salting should cut the max reducer at least 3×: $saltedMax vs $unsaltedMax")
+  }
+
   test("q03SkewSafe is row-identical to q03 and shuffles on (key, salt)") {
     import graft.analytics.Relational
     val plain = Relational.q03(spark, sf0001).collect().toSeq

@@ -257,6 +257,92 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.topicStream(spark, Streaming.FrameSource(raw), "nope").isEmpty)
   }
 
+  test("S4 count cap: source admission bounds every micro-batch's size") {
+    // the count half of lake_writer.py's 100-events-OR-30s flush duality,
+    // proven on a real bounded stream: 6 one-line files, cap 2 per
+    // trigger → at least 3 micro-batches, none above the cap
+    val inDir = java.nio.file.Files.createTempDirectory("s4in").toString
+    (1 to 6).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inDir/f$i.jsonl"), s"""{"n":$i}""")
+    }
+    val raw = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", 2)
+      .load(inDir)
+    val q = raw.writeStream.format("memory").queryName("s4_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(spark.table("s4_out").count() == 6)
+    assert(batches.length >= 3, s"expected >=3 capped batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 2),
+      s"batch exceeded the cap: ${batches.map(_.numInputRows).mkString(",")}")
+  }
+
+  test("kafka source/sink option wiring matches the reference consumer/producer config — S1/S2") {
+    // the config surface of event_consumer.py:125-147 / event_producer.py:
+    // 264-275, asserted broker-free on the pure option builders the
+    // readStream/writeStream builders consume verbatim
+    val src = Streaming.kafkaSourceOptions("k1:9092,k2:9092", "ecommerce.user_clicks")
+    assert(src("kafka.bootstrap.servers") == "k1:9092,k2:9092")
+    assert(src("subscribe") == "ecommerce.user_clicks")
+    assert(src("startingOffsets") == "earliest") // auto.offset.reset=earliest
+    assert(src("failOnDataLoss") == "true")
+    assert(src("maxOffsetsPerTrigger") == "100") // S4 count cap
+    // the cap is optional — uncapped sources omit the option entirely
+    assert(!Streaming.kafkaSourceOptions("b", "t", maxEvents = None)
+      .contains("maxOffsetsPerTrigger"))
+    val snk = Streaming.kafkaSinkOptions("k1:9092", "ecommerce.enriched", "/tmp/cp")
+    assert(snk == Map(
+      "kafka.bootstrap.servers" -> "k1:9092",
+      "topic" -> "ecommerce.enriched",
+      "checkpointLocation" -> "/tmp/cp"))
+  }
+
+  test("stateful operators run green under the RocksDB state store — T5/SURVEY 7.4.6") {
+    // the provider Jobs.session configures for the 100 TB state path,
+    // exercised for real: session windows + CDC upsert both keep their
+    // semantics with state in RocksDB instead of the default HDFS-backed map
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, java.sql.Timestamp)]
+      val sessions = Streaming.sessionWindows(
+        in.toDF().toDF("session_id", "timestamp"), "timestamp", "10 minutes", "30 minutes")
+      val q = sessions.writeStream.format("memory").queryName("rocks_sess")
+        .outputMode("append").start()
+      in.addData(("s1", ts("2024-01-01T00:00:00Z")), ("s1", ts("2024-01-01T00:05:00Z")))
+      q.processAllAvailable()
+      in.addData(("s1", ts("2024-01-01T02:00:00Z"))) // advance watermark, close
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("rocks_sess").orderBy("window_start").collect()
+      assert(rows.nonEmpty && rows.head.getAs[Long]("event_count") == 2)
+
+      val cdcIn = MemoryStream[CdcInput]
+      val cq = Streaming.cdcUpsert(cdcIn.toDS()).writeStream.format("memory")
+        .queryName("rocks_cdc").outputMode("update").start()
+      cdcIn.addData(
+        CdcInput("P1", "INSERT", "0/01", Some(100), Some(10)),
+        CdcInput("P1", "UPDATE", "0/03", Some(42), Some(10)))
+      cq.processAllAvailable()
+      cq.stop()
+      val last = spark.table("rocks_cdc").groupBy("product_id")
+        .agg(max(struct($"lsn", $"stock_quantity")).as("s"))
+        .select($"s.stock_quantity").head().getInt(0)
+      assert(last == 42)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("query listener observes lifecycle; gracefulStop drains in-flight work — T6") {
     implicit val sc = spark.sqlContext
     val listener = new Streaming.GraftQueryListener(_ => ())

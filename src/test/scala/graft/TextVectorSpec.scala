@@ -212,6 +212,12 @@ class TextVectorSpec extends SparkSpec {
     // after 3 Lloyd rounds every centroid is a cell mean, not a data point
     assert(trained.keySet == Set(1, 2, 3, 4))
     assert(trained.forall { case (cid, cv) => cv != init(cid) })
+    // the session memo returns the identical codebook without retraining —
+    // the q41/q67/q75 amortization is value-transparent
+    val m1 = Similarity.cachedCodebook(spark, sf0001, e)
+    val m2 = Similarity.cachedCodebook(spark, sf0001,
+      e.limit(0) /* ignored on a cache hit — training must not rerun */ )
+    assert(m1.toMap == trained && (m2 eq m1))
   }
 
   test("near-dup banded LSH: planted near-identical pairs are all recalled") {
