@@ -27,14 +27,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
     }
     try graft.sources.Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
-    // exercise the hot codegen paths once (json/regex/hash/window JIT)
+    // exercise the hot codegen paths once (json/regex/hash/string/window JIT).
+    // 400k rows, not 10k: C2 promotion of the UTF8String/Jackson/regex paths
+    // needs ~10^5 invocations — at 10k the one-time compile cost floated onto
+    // whichever early timed query first hit those paths (measured: a 3–6 s
+    // blob landing on q15 or q19 at random between otherwise-identical runs)
     try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
-      spark.range(10000)
+      spark.range(400000)
+        .withColumn("s", md5(col("id").cast("string")))
         .withColumn("j", get_json_object(concat(lit("{\"k\":"), col("id"), lit("}")), "$.k"))
-        .withColumn("m", md5(col("id").cast("string")))
-        .withColumn("r", regexp_extract_all(col("m"), lit("[a-f]+"), lit(0)))
+        .withColumn("r", regexp_extract_all(col("s"), lit("[a-f]+"), lit(0)))
+        .withColumn("u", upper(substring(concat(col("s"), lit("#"), col("s")), 1, 8)))
+        .withColumn("lk", col("s").like("%ab%"))
+        .withColumn("sp", split(col("s"), "a"))
         .withColumn("w", row_number().over(Window.partitionBy(col("id") % 7).orderBy("id")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
@@ -56,6 +63,10 @@ object Bench {
       // timing and re-introduce the cross-query pollution this prevents
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // pay accumulated GC debt here, outside any timed region — otherwise a
+      // major collection strikes inside whichever query tips the heap over
+      // (measured as a 3–9 s blob landing on a random early query)
+      System.gc()
       (name, elapsed, failed)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
