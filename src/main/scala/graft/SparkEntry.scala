@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{Enrich, Relational}
+import graft.analytics.{Enrich, Relational, ScaleJoins}
 import graft.multimodal.Multimodal
+import graft.sources.Catalog
 import graft.text.{Curation, Dedup, TextOps}
 import graft.vector.Similarity
 
@@ -119,6 +120,12 @@ object SparkEntry {
     "q95_event_pivot"     -> (Relational.eventPivot _),
     "q96_frame_dedup"     -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
     "q97_event_melt"      -> (Relational.eventMelt _),
+    "q98_bloom_join"      -> ((s: SparkSession, d: String) => ScaleJoins.bloomPrefilterJoin(s, d)),
+    "q99_quantile_audit"  -> (TextOps.quantileAudit _),
+    "q100_epoch_shuffle"  -> ((s: SparkSession, d: String) => Curation.epochShuffle(s, d)),
+    "q101_schema_evolution" -> (Catalog.snapshotMerge _),
+    "q102_scd2_ranges"    -> (Relational.q102 _),
+    "q103_event_bigrams"  -> (Relational.q103 _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1566,5 +1573,81 @@ object SparkEntry {
          | ${pr6("SUM(CASE WHEN n_assets >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")} AS shared_ratio
          |FROM frh JOIN sp USING (frame_md5)
          |GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+
+    // q98: the bloom sketch only PREFILTERS the scan; false positives die in
+    // the verify join, so the oracle is the plain sketch-free join.
+    "q98_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q99: exact quantiles hash-check against quantile_cont (q45 parity);
+    // the approx_percentile sketch is engine-specific, so the oracle
+    // asserts its tolerance FLAGS — a drifting sketch fails the row (q48
+    // convention).
+    "q99_quantile_audit" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         | ${pr4("quantile_cont(n_chars, 0.5)")} AS exact_p50,
+         | CAST(1 AS BIGINT) AS p50_within_tol,
+         | ${pr4("quantile_cont(n_chars, 0.95)")} AS exact_p95,
+         | CAST(1 AS BIGINT) AS p95_within_tol
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q100: the q63/q44 md5-prefix integer convention keys both the batch
+    // assignment and the intra-batch order.
+    "q100_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5('epoch1:' || doc_id::VARCHAR), 1, 6) AS INTEGER) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 16 AS batch,
+        | CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos_in_batch
+        |FROM h ORDER BY batch, pos_in_batch""".stripMargin,
+
+    // q101: union BY NAME with per-side null fill — the v1 arm predates
+    // source/n_chars, the v2 arm dropped lang.
+    "q101_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+        | CAST(NULL AS BIGINT) AS n_chars, 'v1' AS snapshot
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR), source, n_chars, 'v2'
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // q102: gaps-and-islands to SCD2 ranges; run_id = running count of
+    // type-change flags, valid_to = next run's valid_from (NULL while open).
+    "q102_scd2_ranges" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT user_id, event_id, event_type, ts_us,
+        |        CASE WHEN lag(event_type) OVER w IS NULL
+        |               OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS changed
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |ri AS (SELECT user_id, event_type, ts_us,
+        |         CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |       FROM r),
+        |runs AS (SELECT user_id, run_id, MIN(event_type) AS event_type,
+        |           MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+        |         FROM ri GROUP BY user_id, run_id)
+        |SELECT user_id, run_id, event_type, valid_from_us,
+        | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+        | n_events
+        |FROM runs ORDER BY user_id, run_id""".stripMargin,
+
+    // q103: first-order Markov transition counts; p is the same
+    // double-over-double division both engines evaluate identically.
+    "q103_event_bigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |      FROM e),
+        |c AS (SELECT prev_type, event_type, COUNT(*) AS n,
+        |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM p WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+        |SELECT prev_type, event_type, n, n_users,
+        | CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prev_total,
+        | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
   )
 }

@@ -498,4 +498,57 @@ object Relational {
       .unpivot(Array(col("user_id")),
         EventTypes.map(t => col(s"n_$t")).toArray, "metric", "n")
       .orderBy("user_id", "metric")
+
+  /** Q102 — SCD2 / temporal effective-dated ranges (gaps-and-islands): each
+    * user's event stream collapses to contiguous runs of the same
+    * event_type as (valid_from_us, valid_to_us] rows, the
+    * slowly-changing-dimension type-2 shape a warehouse keeps for
+    * point-in-time joins (the batch dual of the streaming CDC upsert, J5).
+    * The open current run has valid_to_us NULL. All three window passes
+    * share ONE user_id shuffle partitioning; run lengths bound every
+    * per-key computation, so skew follows user activity, not corpus size. */
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val runs = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("changed",
+        (lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type")).cast("long"))
+      .withColumn("run_id",
+        sum(col("changed")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "run_id")
+      .agg(first(col("event_type")).as("event_type"),
+        min("ts_us").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byFrom = Window.partitionBy("user_id").orderBy("valid_from_us")
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byFrom))
+      .select("user_id", "run_id", "event_type", "valid_from_us",
+        "valid_to_us", "n_events")
+      .orderBy("user_id", "run_id")
+  }
+
+  /** Q103 — behavioral sequence mining: the event-type TRANSITION MATRIX
+    * (first-order Markov counts) across all user streams — n(prev → curr),
+    * distinct users making the transition, and the row-normalized
+    * probability in exact rational form (share numerator/denominator stay
+    * longs; the double is derived last, q63's exactness discipline). One
+    * user-keyed window shuffle + one (prev, curr)-keyed aggregate over at
+    * most |event_types|² = 25 groups. */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+    val byPrev = Window.partitionBy("prev_type")
+    counts
+      .withColumn("prev_total", sum(col("n")).over(byPrev))
+      .withColumn("p", col("n").cast("double") / col("prev_total").cast("double"))
+      .select("prev_type", "event_type", "n", "n_users", "prev_total", "p")
+      .orderBy("prev_type", "event_type")
+  }
 }

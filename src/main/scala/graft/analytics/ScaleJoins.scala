@@ -50,6 +50,36 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Q98 — bloom-prefiltered join (the manual InjectRuntimeFilter): revenue
+    * of lineitems belonging to top-price orders. The qualifying orders
+    * aggregate to a bloom sketch (bounded: numBits/8 = 128 KB regardless of
+    * corpus size — a codebook-class driver collect, like q41's IVF
+    * centroids); the sketch probes the lineitem SCAN inside whole-stage
+    * codegen, so at 100 TB only the ~10% of fact rows that can possibly
+    * match reach the join exchange. The equi-join after the probe removes
+    * bloom false positives — the output is EXACT and the oracle is the
+    * plain join, sketch-free (q55's sketch-then-verify contract). */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String,
+      priceFloor: Double = 450000.0): DataFrame = {
+    import graft.functions.BloomExpressions
+    import graft.sources.Tables
+    BloomExpressions.register(spark)
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > priceFloor)
+      .select("o_orderkey")
+    val sketch: Array[Byte] = hot
+      .agg(BloomExpressions.bloom_agg(
+        col("o_orderkey"), lit(1000000L), lit(1048576L * 8)))
+      .head.getAs[Array[Byte]](0)
+    val pre = Tables.lineitem(spark, dir)
+      .filter(BloomExpressions.bloom_contains(lit(sketch), col("l_orderkey")))
+    pre.join(hot, pre("l_orderkey") === hot("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Count Exchange operators in a plan — the unit tests' shuffle meter. */
   def exchangeCount(df: DataFrame): Int =
     df.queryExecution.executedPlan.collect {

@@ -97,4 +97,26 @@ object Catalog {
     df.repartition(nOut.toInt).write.mode("overwrite").format(format).save(dst)
     (flatFiles, nOut)
   }
+
+  /** Q101 — SCHEMA-EVOLUTION merge across lake snapshots: a v1 snapshot
+    * written before `source`/`n_chars` existed unions with the current
+    * shape via `unionByName(allowMissingColumns = true)` — absent columns
+    * null-fill per side, matched BY NAME not position (the positional-union
+    * trap when snapshots disagree on column order). Zero-shuffle: unions
+    * concatenate partitions; the only exchange is the presentation sort.
+    * At lake scale this is how a reader spans old and new partitions of an
+    * evolving table without rewriting history. The two snapshots here are
+    * disjoint projections of `documents` (doc_id parity stands in for
+    * "written before/after the schema change"). */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("snapshot", lit("v1"))
+    val v2 = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("snapshot", lit("v2"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("doc_id")
+  }
 }

@@ -675,4 +675,30 @@ object Curation {
         (col("n_dup_chunks") * lit(1.0) / col("n_chunks")).as("dup_ratio"))
       .orderBy("doc_id")
   }
+
+  /** Q100 — deterministic EPOCH SHUFFLE: the training-order permutation a
+    * data loader consumes, reproducible across runs/engines/restarts (the
+    * property `rand()` shuffles lack). Each doc hashes to a batch via the
+    * q63/q44 md5-prefix convention; order WITHIN a batch is the hash order.
+    *
+    * Scale contract: there is deliberately NO global row_number — the only
+    * window is partitioned by batch, and nBatches is chosen so a batch is
+    * loader-shard-sized (corpus/nBatches ≈ 10⁵ docs), so every window
+    * partition stays bounded BY CONSTRUCTION as the corpus grows: shuffling
+    * 100 TB means more batches, never bigger ones. A different seed
+    * re-permutes everything — epoch 2 is `seed = "epoch2"`. */
+  def epochShuffle(spark: SparkSession, dir: String,
+      nBatches: Int = 16, seed: String = "epoch1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 6),
+      16, 10).cast("long")
+    val byBatch = Window.partitionBy("batch").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("batch", col("h") % nBatches)
+      .withColumn("pos_in_batch", row_number().over(byBatch).cast("long"))
+      .select("doc_id", "batch", "pos_in_batch")
+      .orderBy("batch", "pos_in_batch")
+  }
 }

@@ -373,4 +373,32 @@ object TextOps {
         pround(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
         max("n_chars").as("max_chars"))
       .orderBy("lang")
+
+  /** Q99 — percentile-sketch tolerance audit (q48's pattern applied to
+    * quantiles): at 100 TB the exact `percentile` (which buffers every
+    * value per group) is replaced by `approx_percentile`'s constant-memory
+    * KLL-style sketch; this audit proves, in-plan, that the sketch stays
+    * within 5% of the exact interpolated quantile. Exact values hash-check
+    * against DuckDB `quantile_cont` (the q45/q91 parity); the sketch
+    * values are engine-specific, so what the oracle asserts is the audit
+    * flag — a drifting sketch FAILS the row rather than hiding. Tolerance
+    * compares on longs scaled by 100 (n_chars is integral, the interpolated
+    * exact quantile has at most .5 fractions at worst ×100 stays exact). */
+  def quantileAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("exact_p50"),
+        expr("percentile(n_chars, 0.95)").as("exact_p95"),
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(n_chars, 0.95, 1000)").as("a95"))
+      .select(col("lang"), col("n_docs"),
+        pround(col("exact_p50"), 4).as("exact_p50"),
+        (abs(col("a50") * 100 - col("exact_p50") * 100).cast("long") * lit(20L) <=
+          (col("exact_p50") * 100).cast("long")).cast("long").as("p50_within_tol"),
+        pround(col("exact_p95"), 4).as("exact_p95"),
+        (abs(col("a95") * 100 - col("exact_p95") * 100).cast("long") * lit(20L) <=
+          (col("exact_p95") * 100).cast("long")).cast("long").as("p95_within_tol"))
+      .orderBy("lang")
 }

@@ -270,6 +270,39 @@ class PlanSpec extends SparkSpec {
       s"manifest joins must stay keyed:\n$mf")
   }
 
+  test("round-5 operators keep their scale shapes") {
+    // q99: ONE lang-keyed aggregate carrying both exact and sketch
+    // percentiles, no join anywhere
+    val qa = explain(graft.text.TextOps.quantileAudit(spark, sf0001))
+    assert(!qa.contains("Join"), s"quantile audit must not join:\n$qa")
+    assert(qa.contains("hashpartitioning(lang"), s"expected lang-keyed agg:\n$qa")
+    // q100: the only window is batch-keyed (bounded partitions by
+    // construction) — exchanges are exactly window-hash + presentation sort
+    val es = explain(graft.text.Curation.epochShuffle(spark, sf0001))
+    assert("Exchange".r.findAllIn(es).length == 2,
+      s"epoch shuffle must be map + one keyed window + sort:\n$es")
+    assert(es.contains("hashpartitioning(batch"), s"window must key on batch:\n$es")
+    // q101: unionByName concatenates partitions — the single exchange is
+    // the presentation sort
+    val sm = explain(graft.sources.Catalog.snapshotMerge(spark, sf0001))
+    assert("Exchange".r.findAllIn(sm).length == 1,
+      s"schema-evolution union must not shuffle:\n$sm")
+    assert(sm.contains("Union"), s"expected a Union node:\n$sm")
+    // q102: both window passes and the run aggregate ride ONE user_id
+    // partitioning (hashpartitioning(user_id) satisfies the coarser
+    // (user_id, run_id) clustering) — exchanges = user hash + sort
+    val sc = explain(Relational.q102(spark, sf0001))
+    assert("Exchange".r.findAllIn(sc).length == 2,
+      s"SCD2 must reuse one user_id partitioning across its windows:\n$sc")
+    assert(sc.contains("hashpartitioning(user_id"), s"expected user-keyed runs:\n$sc")
+    // q103: keyed windows/aggregates only; transition matrix is ≤ |types|²
+    // rows before its normalizing window
+    val bg = explain(Relational.q103(spark, sf0001))
+    assert(!bg.contains("CartesianProduct") && !bg.contains("BroadcastNestedLoopJoin"),
+      s"bigram counts must stay keyed:\n$bg")
+    assert(bg.contains("hashpartitioning(user_id"), s"expected user-keyed lag:\n$bg")
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

