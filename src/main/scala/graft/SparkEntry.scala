@@ -126,6 +126,7 @@ object SparkEntry {
     "q101_schema_evolution" -> (Catalog.snapshotMerge _),
     "q102_scd2_ranges"    -> (Relational.q102 _),
     "q103_event_bigrams"  -> (Relational.q103 _),
+    "q104_heavy_hitters"  -> ((s: SparkSession, d: String) => Relational.q104(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1649,5 +1650,15 @@ object SparkEntry {
         | CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prev_total,
         | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin,
+
+    // q104: exact top-k hash-checks; the CMS estimate is engine-specific, so
+    // the oracle asserts its guarantees as flags (q48/q99 convention):
+    // never-underestimate, and ≤ 1% of total mass over.
+    "q104_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
+        |SELECT user_id, n, CAST(1 AS BIGINT) AS cms_ge_exact,
+        | CAST(1 AS BIGINT) AS cms_within_tol
+        |FROM r WHERE rk <= 20 ORDER BY n DESC, user_id""".stripMargin,
   )
 }

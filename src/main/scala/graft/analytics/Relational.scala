@@ -551,4 +551,35 @@ object Relational {
       .select("prev_type", "event_type", "n", "n_users", "prev_total", "p")
       .orderBy("prev_type", "event_type")
   }
+
+  /** Q104 — heavy-hitter audit via COUNT-MIN SKETCH, completing the sketch
+    * suite (q48 HLL distinct, q98 bloom membership, q99 percentile): the
+    * 100 TB hot-key detector that finds skewed keys in one pass with
+    * constant memory, feeding the q60 salting decision. Build side is
+    * Spark's own `count_min_sketch` aggregate (seeded → deterministic);
+    * probe side is the codegen'd [[graft.functions.CmsEstimate]] since
+    * Spark gives SQL no way to query the sketch. The sketch collect is
+    * bounded (depth×width ≈ 100 KB, a codebook-class driver collect). The
+    * oracle asserts CMS's two guarantees on the exact top-k rows: never
+    * underestimates (deterministic), and overestimates ≤ 1% of total mass
+    * (10× the sketch's ε=0.001 — Markov headroom ~e⁻ᵈᵉᵖᵗʰ per key, and
+    * the fixed seed makes the estimate reproducible besides). */
+  def q104(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    graft.functions.SketchExpressions.register(spark)
+    val ev = Tables.events(spark, dir)
+    val sketchBytes = ev
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("tot"))
+    counts.orderBy(col("n").desc, col("user_id")).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("est",
+        graft.functions.SketchExpressions.cms_estimate(lit(sketchBytes), col("user_id")))
+      .select(col("user_id"), col("n"),
+        (col("est") >= col("n")).cast("long").as("cms_ge_exact"),
+        ((col("est") - col("n")).cast("double") <=
+          col("tot").cast("double") * lit(0.01)).cast("long").as("cms_within_tol"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
 }

@@ -360,6 +360,33 @@ object Streaming {
   def eventMix(df: DataFrame): DataFrame =
     df.groupBy("event_type").count()
 
+  // ---- T-series: stream-stream interval join -------------------------------
+
+  /** Stream-stream INTERVAL JOIN — purchase attribution: each purchase
+    * pairs with same-user clicks at most `window` BEFORE it (the funnel
+    * J2/q47 computed batch-side, expressed on live streams). Both sides are
+    * watermarked and the join condition bounds event time in BOTH
+    * directions, which is what lets Spark expire join state: a click older
+    * than watermark + window can never match again and is dropped, so
+    * state stays proportional to the window, not the stream — the
+    * requirement for running this against the 100 TB/day clickstream.
+    * Inner join, so matches emit immediately (no watermark wait). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("click_id"), col("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("purchase_id"), col("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // ---- T6: observability + graceful shutdown -------------------------------
 
   /** T6 — operational observability: start/progress/termination events from

@@ -28,6 +28,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == Seq("e1", "e2", "e3"))
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val joined = Streaming.attributionJoin(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts"))
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    clicks.addData((1L, "c1", ts("2024-01-01T00:00:00Z")),
+      (2L, "c2", ts("2024-01-01T00:00:00Z")))
+    q.processAllAvailable()
+    purchases.addData(
+      (1L, "p1", ts("2024-01-01T00:10:00Z")), // 10 min after c1 → attributed
+      (2L, "p2", ts("2024-01-01T02:00:00Z")), // 2 h after c2 → outside window
+      (3L, "p3", ts("2024-01-01T00:10:00Z"))) // no click at all
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_out").select("click_id", "purchase_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("c1", "p1")))
+  }
+
   test("session windows close after the 10-minute gap — W1/T5") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, java.sql.Timestamp)]
