@@ -110,5 +110,25 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashHex].getName, "graft_minhash"),
       TextExpressions.minhashBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      TextExpressions.cdcChunksBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      BloomExpressions.aggBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      BloomExpressions.containsBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      SketchExpressions.cmsEstimateBuilder))
   }
 }
