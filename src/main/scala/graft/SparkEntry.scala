@@ -127,6 +127,9 @@ object SparkEntry {
     "q102_scd2_ranges"    -> (Relational.q102 _),
     "q103_event_bigrams"  -> (Relational.q103 _),
     "q104_heavy_hitters"  -> ((s: SparkSession, d: String) => Relational.q104(s, d)),
+    "q105_dedup_summary"  -> (Dedup.dedupSummary _),
+    "q106_token_budget"   -> ((s: SparkSession, d: String) => Curation.tokenBudget(s, d)),
+    "q107_fertility"      -> (TextOps.fertility _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1660,5 +1663,42 @@ object SparkEntry {
         |SELECT user_id, n, CAST(1 AS BIGINT) AS cms_ge_exact,
         | CAST(1 AS BIGINT) AS cms_within_tol
         |FROM r WHERE rk <= 20 ORDER BY n DESC, user_id""".stripMargin,
+
+    // q105: the q49 cluster fragment grouped twice — sizes, then the
+    // histogram; n_dropped is the keep-one-representative saving.
+    "q105_dedup_summary" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |$ccClusterCtes,
+        |sz AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY cluster_rep)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        | CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+        | CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_dropped
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // q106: largest-remainder apportionment in exact integers — base floor
+    // shares plus one for the top `leftover` remainders (ties to source).
+    "q106_token_budget" ->
+      """WITH tok AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |             FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot FROM tok),
+        |b AS (SELECT source, n_tok, (1000000 * n_tok) // tot AS base,
+        |        (1000000 * n_tok) % tot AS rem FROM tok, t),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b),
+        |l AS (SELECT 1000000 - SUM(base) AS leftover FROM b)
+        |SELECT source, n_tok,
+        | CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |FROM r, l ORDER BY source""".stripMargin,
+
+    // q107: two exact long sums per lang; the ratio is one double division
+    // at the end, and the median token count keeps q45's integer parity.
+    "q107_fertility" ->
+      s"""WITH d AS (SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tok FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         | CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         | CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS chars_per_token,
+         | ${pr4("quantile_cont(n_tok, 0.5)")} AS median_tokens
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -676,6 +676,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Q106 — TOKEN-BUDGET APPORTIONMENT by largest remainder (Hamilton's
+    * method): split a global training budget across sources proportionally
+    * to token mass so the allocations sum EXACTLY to the budget — floor
+    * division leaves `budget − Σ base` tokens, handed one each to the
+    * largest remainders (ties to source name). All arithmetic stays in
+    * exact integers (q63/q88 discipline); the only window ranks the
+    * per-source rows, a source-count-sized frame under the q59
+    * coalesce(1) + spark_partition_id pattern — corpus token counting is
+    * the scan, everything after is dashboard-sized. */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tok"))
+    val tot = tok.agg(sum("n_tok").as("tot"))
+    val based = tok.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * n_tok) div tot"))
+      .withColumn("rem", (lit(budget) * col("n_tok")) % col("tot"))
+    val leftover = based.agg((lit(budget) - sum("base")).as("leftover"))
+    val wRk = Window.partitionBy(spark_partition_id())
+      .orderBy(desc("rem"), col("source"))
+    based.coalesce(1)
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("n_tok"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy("source")
+  }
+
   /** Q100 — deterministic EPOCH SHUFFLE: the training-order permutation a
     * data loader consumes, reproducible across runs/engines/restarts (the
     * property `rand()` shuffles lack). Each doc hashes to a batch via the

@@ -426,6 +426,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q105 — DEDUP SAVINGS REPORT: the cluster-size histogram every dedup
+    * run publishes — how many clusters of each size, how many docs they
+    * hold, and how many get dropped (size − 1 per cluster under
+    * keep-one-representative). The "was the near-dup pass worth its cost"
+    * number and the dashboard row a 100 TB curation run is judged by.
+    * Shape: [[nearDupClusters]]' labels → one cluster_rep-keyed count →
+    * one size-keyed count; output is bounded by the largest cluster size,
+    * rows shrink by orders of magnitude at each step. */
+  def dedupSummary(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(spark, dir)
+      .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+      .orderBy("cluster_size")
+
   /** Q64 — incremental (cross-snapshot) FUZZY dedup: the ledger pattern a
     * corpus that GROWS needs — yesterday's accepted corpus publishes a
     * SKETCH ledger (full 8-hash MinHash signature; exact md5 fallback for

@@ -401,4 +401,28 @@ object TextOps {
         (abs(col("a95") * 100 - col("exact_p95") * 100).cast("long") * lit(20L) <=
           (col("exact_p95") * 100).cast("long")).cast("long").as("p95_within_tol"))
       .orderBy("lang")
+
+  /** Q107 — TOKENIZER FERTILITY per language: chars-per-token is the
+    * compression a tokenizer achieves on each language (the metric that
+    * decides per-lang token budgets and flags scripts a BPE vocab handles
+    * poorly). Whitespace tokens stand in for the trained tokenizer; the
+    * global ratio divides two exact long sums (one double division at the
+    * end, q63 discipline), and the median token count keeps the q45
+    * integer-percentile parity. ONE map-side-combined lang-keyed
+    * aggregate — linear scan at any scale. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tok").as("total_tokens"),
+        pround(expr("percentile(n_tok, 0.5)"), 4).as("median_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        (col("total_chars").cast("double") / col("total_tokens").cast("double"))
+          .as("chars_per_token"),
+        col("median_tokens"))
+      .orderBy("lang")
 }

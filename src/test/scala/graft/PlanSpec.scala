@@ -301,6 +301,18 @@ class PlanSpec extends SparkSpec {
     assert(!bg.contains("CartesianProduct") && !bg.contains("BroadcastNestedLoopJoin"),
       s"bigram counts must stay keyed:\n$bg")
     assert(bg.contains("hashpartitioning(user_id"), s"expected user-keyed lag:\n$bg")
+    // q106: corpus work is the source-keyed token aggregate (map-side
+    // combined); the apportionment window ranks source-count rows inside
+    // the coalesce(1) + spark_partition_id pattern, never the corpus
+    val tb = explain(graft.text.Curation.tokenBudget(spark, sf0001))
+    assert(tb.contains("partial_sum"), s"token mass must map-side combine:\n$tb")
+    assert(tb.contains("SPARK_PARTITION_ID"), s"rank must ride the q59 pattern:\n$tb")
+    assert(tb.contains("Coalesce 1") || tb.contains("coalesce"),
+      s"apportionment operates on the dashboard-sized aggregate:\n$tb")
+    // q107: ONE lang-keyed aggregate, no join
+    val fr = explain(graft.text.TextOps.fertility(spark, sf0001))
+    assert(!fr.contains("Join"), s"fertility must not join:\n$fr")
+    assert(fr.contains("hashpartitioning(lang"), s"expected lang-keyed agg:\n$fr")
   }
 
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
