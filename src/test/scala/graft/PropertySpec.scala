@@ -128,6 +128,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CMS estimates never undercount and are exact for unique keys — q104 guarantee") {
+    import spark.implicits._
+    import graft.functions.SketchExpressions
+    SketchExpressions.register(spark)
+    (1 to 5).foreach { i =>
+      // skewed multiset: a few hot keys, a tail of singletons
+      val keys = Gen.listOfN(300, Gen.frequency(
+        (3, Gen.choose(0L, 4L)), (1, Gen.choose(100L, 2000L))))
+        .pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val df = keys.toDF("k")
+      val sketch = df
+        .agg(org.apache.spark.sql.functions.expr("count_min_sketch(k, 0.001d, 0.99d, 42)"))
+        .head.getAs[Array[Byte]](0)
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = df.distinct()
+        .withColumn("est", SketchExpressions.cms_estimate(
+          org.apache.spark.sql.functions.lit(sketch), org.apache.spark.sql.functions.col("k")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      est.foreach { case (k, e) =>
+        assert(e >= exact(k), s"CMS undercounted key $k: $e < ${exact(k)}")
+      }
+    }
+    // non-foldable sketch must fail analysis, not crash a task at runtime
+    import graft.functions.CmsEstimate
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val attr = AttributeReference("b", BinaryType)()
+    assert(!CmsEstimate(attr, Literal(1L)).checkInputDataTypes().isSuccess)
+    assert(CmsEstimate(Literal(Array[Byte](1, 2)), Literal(1L))
+      .checkInputDataTypes().isSuccess)
+  }
+
+  test("bloom probe admits every member for any key set — q98 guarantee") {
+    import spark.implicits._
+    import graft.functions.BloomExpressions
+    BloomExpressions.register(spark)
+    (1 to 5).foreach { i =>
+      val keys = Gen.listOfN(200, Gen.choose(Long.MinValue, Long.MaxValue))
+        .pureApply(Gen.Parameters.default, Seed(i.toLong)).distinct
+      val df = keys.toDF("k")
+      val sketch = df.agg(BloomExpressions.bloom_agg(
+          org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.lit(10000L),
+          org.apache.spark.sql.functions.lit(80000L)))
+        .head.getAs[Array[Byte]](0)
+      val misses = df.withColumn("hit", BloomExpressions.bloom_contains(
+          org.apache.spark.sql.functions.lit(sketch),
+          org.apache.spark.sql.functions.col("k")))
+        .filter(!org.apache.spark.sql.functions.col("hit")).count()
+      assert(misses == 0, s"bloom false negative on sample $i")
+    }
+  }
+
   test("stratified sample is invariant to partitioning and shuffle-partition count") {
     // THE property that makes hash-coin sampling auditable at 100 TB: the
     // keep set depends only on data, never on layout. rand()-based sampling
