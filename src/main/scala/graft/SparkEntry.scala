@@ -130,6 +130,8 @@ object SparkEntry {
     "q105_dedup_summary"  -> (Dedup.dedupSummary _),
     "q106_token_budget"   -> ((s: SparkSession, d: String) => Curation.tokenBudget(s, d)),
     "q107_fertility"      -> (TextOps.fertility _),
+    "q108_length_quartiles" -> (TextOps.lengthQuartiles _),
+    "q109_moment_corr"    -> (TextOps.momentCorr _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1700,5 +1702,34 @@ object SparkEntry {
          | CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS chars_per_token,
          | ${pr4("quantile_cont(n_tok, 0.5)")} AS median_tokens
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q108: rank arithmetic is integral; the two ratios are single double
+    // divisions of those integers — bit-identical across engines.
+    "q108_length_quartiles" ->
+      """SELECT doc_id, lang, n_chars,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q109: Pearson r from five exact integer moments with ONE shared final
+    // double expression — engine corr() aggregates accumulate
+    // partitioning-dependent FP error and can never hash-match.
+    "q109_moment_corr" ->
+      """WITH d AS (SELECT source, n_chars AS x,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS y FROM documents),
+        |m AS (SELECT source, COUNT(*) AS n,
+        |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |        CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+        |        CAST(SUM(x*y) AS BIGINT) AS sxy
+        |      FROM d GROUP BY source)
+        |SELECT source, n AS n_docs,
+        | CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |      THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+        |           sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+        |      ELSE NULL END AS corr_len_tok
+        |FROM m ORDER BY source""".stripMargin,
   )
 }

@@ -425,4 +425,60 @@ object TextOps {
           .as("chars_per_token"),
         col("median_tokens"))
       .orderBy("lang")
+
+  /** Q108 — distribution-position windows (the W-family's remaining
+    * members): per-language length QUARTILE (`ntile`), `percent_rank`, and
+    * `cume_dist` for every doc — the length-stratification labels a
+    * curriculum sampler or balanced shard assignment consumes. Rank
+    * arithmetic is integer, the two ratios are single double divisions of
+    * those integers, so both engines evaluate bit-identically (q103's
+    * discipline).
+    *
+    * Scale note, stated plainly: lang is LOW-cardinality, so these window
+    * partitions grow with the corpus — this query exists to pin the exact
+    * ntile/percent_rank/cume_dist semantics against the oracle. The 100 TB
+    * form of the same labels is q91's broadcast pattern: exact (or q99
+    * sketched) p25/p50/p75 fences per lang — a lang-count-sized table —
+    * compared against each doc in a pure map, no per-lang global sort. */
+  def lengthQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("doc_id")
+  }
+
+  /** Q109 — PORTABLE EXACT-MOMENT CORRELATION: Pearson r between document
+    * length and token count per source, built from five exact long sums
+    * (n, Σx, Σy, Σx², Σy², Σxy) with ONE shared final double expression —
+    * not the engines' `corr()` aggregates, whose streaming co-moment
+    * updates accumulate different FP error on different partitionings.
+    * This is the only corr formulation that hash-matches across engines
+    * AND across partition layouts (the determinism bar every oracle row
+    * here clears). Degenerate variance → NULL in both engines. Longs hold
+    * the moments at this corpus; a 100 TB run upgrades the sums to
+    * decimal(38,0) — same plan shape, one map-side-combined aggregate. */
+  def momentCorr(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("x"),
+        size(tokens(col("text"))).cast("long").as("y"))
+    d.groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("source"), col("n").as("n_docs"),
+        when(
+          (col("n") * col("sxx") - col("sx") * col("sx") > 0) &&
+          (col("n") * col("syy") - col("sy") * col("sy") > 0),
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("corr_len_tok"))
+      .orderBy("source")
+  }
 }
