@@ -313,6 +313,15 @@ class PlanSpec extends SparkSpec {
     val fr = explain(graft.text.TextOps.fertility(spark, sf0001))
     assert(!fr.contains("Join"), s"fertility must not join:\n$fr")
     assert(fr.contains("hashpartitioning(lang"), s"expected lang-keyed agg:\n$fr")
+    // the gram substrate feeding q31/q50/q51/q55/q69/q74/q80/q93: grams are
+    // built and per-doc-deduped INSIDE the token array — a pure map over
+    // the scan, ZERO exchanges (the windowed form shuffled the tokenized
+    // corpus twice)
+    Seq(true, false).foreach { d =>
+      val eg = explain(graft.text.Dedup.explodedGrams(spark, sf0001, distinctPerDoc = d))
+      assert(!eg.contains("Exchange"),
+        s"explodedGrams(distinct=$d) must be a zero-shuffle map:\n$eg")
+    }
   }
 
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
