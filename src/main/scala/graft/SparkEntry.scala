@@ -1637,7 +1637,7 @@ object SparkEntry {
         |           MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
         |         FROM ri GROUP BY user_id, run_id)
         |SELECT user_id, run_id, event_type, valid_from_us,
-        | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+        | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
         | n_events
         |FROM runs ORDER BY user_id, run_id""".stripMargin,
 

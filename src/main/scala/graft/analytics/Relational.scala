@@ -520,9 +520,13 @@ object Relational {
       .agg(first(col("event_type")).as("event_type"),
         min("ts_us").as("valid_from_us"),
         count(lit(1)).as("n_events"))
-    val byFrom = Window.partitionBy("user_id").orderBy("valid_from_us")
+    // lead orders by run_id, not valid_from_us: run_id is unique per user
+    // and time-ordered by construction, so tied run-start timestamps (two
+    // runs opening in the same microsecond) can't make the successor
+    // ambiguous between engines
+    val byRun = Window.partitionBy("user_id").orderBy("run_id")
     runs
-      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byFrom))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byRun))
       .select("user_id", "run_id", "event_type", "valid_from_us",
         "valid_to_us", "n_events")
       .orderBy("user_id", "run_id")
@@ -571,15 +575,16 @@ object Relational {
       .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)"))
       .head.getAs[Array[Byte]](0)
     val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum("n").as("tot"))
+    // total mass = plain event count: a metadata-cheap scan, instead of
+    // re-executing the per-user aggregate a second time for its sum
+    val total = ev.count()
     counts.orderBy(col("n").desc, col("user_id")).limit(k)
-      .crossJoin(broadcast(total))
       .withColumn("est",
         graft.functions.SketchExpressions.cms_estimate(lit(sketchBytes), col("user_id")))
       .select(col("user_id"), col("n"),
         (col("est") >= col("n")).cast("long").as("cms_ge_exact"),
         ((col("est") - col("n")).cast("double") <=
-          col("tot").cast("double") * lit(0.01)).cast("long").as("cms_within_tol"))
+          lit(total.toDouble * 0.01)).cast("long").as("cms_within_tol"))
       .orderBy(col("n").desc, col("user_id"))
   }
 }

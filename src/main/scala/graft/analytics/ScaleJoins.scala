@@ -52,13 +52,14 @@ object ScaleJoins {
 
   /** Q98 — bloom-prefiltered join (the manual InjectRuntimeFilter): revenue
     * of lineitems belonging to top-price orders. The qualifying orders
-    * aggregate to a bloom sketch (bounded: numBits/8 = 128 KB regardless of
-    * corpus size — a codebook-class driver collect, like q41's IVF
-    * centroids); the sketch probes the lineitem SCAN inside whole-stage
-    * codegen, so at 100 TB only the ~10% of fact rows that can possibly
-    * match reach the join exchange. The equi-join after the probe removes
-    * bloom false positives — the output is EXACT and the oracle is the
-    * plain join, sketch-free (q55's sketch-then-verify contract). */
+    * aggregate to a bloom sketch (bounded: numBits/8 = 1 MB regardless of
+    * corpus size — sized m/n = 8 bits per item at the 1M-item capacity for
+    * ~2% FPR; a codebook-class driver collect, like q41's IVF centroids);
+    * the sketch probes the lineitem SCAN inside whole-stage codegen, so at
+    * 100 TB only the ~10% of fact rows that can possibly match reach the
+    * join exchange. The equi-join after the probe removes bloom false
+    * positives — the output is EXACT and the oracle is the plain join,
+    * sketch-free (q55's sketch-then-verify contract). */
   def bloomPrefilterJoin(spark: SparkSession, dir: String,
       priceFloor: Double = 450000.0): DataFrame = {
     import graft.functions.BloomExpressions

@@ -59,10 +59,13 @@ object IngestJob {
 
     val raw = spark.readStream
       .format("text")
-      // S4 count cap (lake_writer.py:111's flush-at-100-OR-30s): with the
-      // 30 s trigger below, a micro-batch closes at 100 input files or the
-      // interval, whichever first (the Kafka binding's analogue is
-      // maxOffsetsPerTrigger, Streaming.kafkaSourceOptions)
+      // S4 count cap, precisely: bounds how many files a micro-batch ADMITS
+      // (excess defers to the next batch) — the latency bound is the 30 s
+      // trigger; Spark has no count-triggered early flush, so this is a
+      // batch-SIZE guarantee, not lake_writer.py:111's flush-at-100. Here
+      // on the file-replay source a size cap is the right default: replay
+      // of a deep backlog proceeds in bounded bites instead of one giant
+      // first batch. (Kafka analogue: maxOffsetsPerTrigger, opt-in.)
       .option("maxFilesPerTrigger", 100)
       .load(inDir)
       .select(col("value").cast("binary").as("value"))

@@ -35,7 +35,7 @@ object Streaming {
     * (event_consumer.py:136); offset commits are subsumed by checkpointing
     * (T1/T4). */
   def kafkaSource(spark: SparkSession, brokers: String, topic: String,
-      maxEvents: Option[Long] = Some(100L)): DataFrame =
+      maxEvents: Option[Long] = None): DataFrame =
     spark.readStream
       .format("kafka")
       .options(kafkaSourceOptions(brokers, topic, maxEvents = maxEvents))
@@ -45,15 +45,21 @@ object Streaming {
     * consumer config of event_consumer.py:125-147 — no broker needed to
     * assert the wiring): `subscribe`, `startingOffsets=earliest`
     * (auto.offset.reset), fail-fast on data loss (the reference treats a
-    * lost offset as a hard error), and `maxOffsetsPerTrigger` — the S4
-    * COUNT cap. With it, a micro-batch closes at `maxEvents` events OR the
-    * trigger interval, whichever comes first: both halves of
-    * lake_writer.py:111's 100-events-or-30-seconds flush duality are now
-    * mechanical, not approximated. */
+    * lost offset as a hard error), and optionally `maxOffsetsPerTrigger` —
+    * the S4 COUNT cap, stated precisely: it bounds how many offsets a
+    * micro-batch ADMITS (memory/backpressure; the excess defers to the next
+    * batch) — it does NOT close a batch early the way lake_writer.py:111's
+    * flush-at-100 does. The reference's 100-OR-30 s duality therefore maps
+    * as: trigger interval = the latency bound (exact), admission cap = the
+    * batch-SIZE bound (a different guarantee — Spark has no count-triggered
+    * early flush). The cap defaults OFF: a standing cap of 100 under a 30 s
+    * trigger would bound throughput to ~3 events/s and grow the backlog
+    * without bound at any real rate. Opt in per deployment, sized to
+    * rate × interval. */
   def kafkaSourceOptions(brokers: String, topic: String,
       startingOffsets: String = "earliest",
       failOnDataLoss: Boolean = true,
-      maxEvents: Option[Long] = Some(100L)): Map[String, String] =
+      maxEvents: Option[Long] = None): Map[String, String] =
     Map(
       "kafka.bootstrap.servers" -> brokers,
       "subscribe" -> topic,
@@ -170,11 +176,13 @@ object Streaming {
       .withColumn("hour", hour(col(tsCol)))
 
   /** Bronze sink: gzip JSON lines, Hive-partitioned, 30 s micro-batches.
-    * The reference's flush-at-100-events-OR-30 s duality (lake_writer.py:111)
-    * is bounded on BOTH sides: this trigger is the time half; the count
-    * half is the source admission cap (`maxOffsetsPerTrigger` in
-    * [[kafkaSourceOptions]]; `maxFilesPerTrigger` on the file binding —
-    * spec-asserted on a real bounded stream). */
+    * vs the reference's flush-at-100-events-OR-30 s (lake_writer.py:111):
+    * the trigger reproduces the 30 s latency half exactly; the 100-count
+    * half has no Spark analogue as a latency trigger — what exists is the
+    * source ADMISSION cap (`maxOffsetsPerTrigger` in [[kafkaSourceOptions]],
+    * `maxFilesPerTrigger` on the file binding — spec-asserted on a real
+    * bounded stream), which bounds batch size and defers the excess. An
+    * accepted, documented semantic delta (SURVEY S4). */
   def bronzeSink(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
     withHivePartitions(df).writeStream

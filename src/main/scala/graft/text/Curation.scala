@@ -620,8 +620,10 @@ object Curation {
     * corpus/16-sized (E[chunk len] = 16 tokens). The window formulation it
     * replaced is kept as [[chunkDedupExploded]] — the differential
     * reference a spec compares bit-for-bit. */
-  def chunkDedup(spark: SparkSession, dir: String, mod: Int = 16): DataFrame = {
-    require(mod == 16, "graft_cdc_chunks is registered at the contract cut rate mod=16")
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the cut rate is fixed at the registered expression's mod=16 — no
+    // parameter pretending otherwise ([[CdcChunks]] itself is generic; a
+    // different rate means registering a second function, not a knob here)
     graft.functions.TextExpressions.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -640,8 +642,8 @@ object Curation {
   }
 
   /** The round-4 exploded/windowed formulation of [[chunkDedup]], retained
-    * ONLY as the differential-test reference (ChunkDedupEquivalenceSpec
-    * asserts bit-identical output): posexplode to token level → doc-keyed
+    * ONLY as the differential-test reference (CurationSpec's "chunk dedup:
+    * codegen'd expression is bit-identical" case): posexplode to token level → doc-keyed
     * boundary-prefix window → (doc, chunk) collect_list — two shuffles of
     * the tokenized corpus that the codegen'd expression eliminates. */
   private[graft] def chunkDedupExploded(spark: SparkSession, dir: String,

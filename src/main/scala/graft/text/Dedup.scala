@@ -45,25 +45,22 @@ object Dedup {
     * avoids, so the shuffle stays. */
   def explodedGrams(spark: SparkSession, dir: String,
       distinctPerDoc: Boolean = false, n: Int = 3): DataFrame = {
-    // Grams are built INSIDE the token array (transform over indices, short
-    // docs yield empty arrays) and per-doc distinct is array_distinct BEFORE
-    // the explode — the whole producer is a pure MAP over the scan. The
-    // round-1..4 form shuffled the tokenized corpus twice (doc-keyed lead
-    // window, then a row-level distinct): at 100 TB those two exchanges
-    // dominated every gram-based query (q31/q50/q51/q55/q69/q74/q80/q93...),
-    // the same scale bug the codegen'd MinHashHex/CdcChunks moves fixed for
-    // q29/q77. Row sets are identical to the windowed form: same grams,
-    // same multiplicity (non-distinct mode), same short-doc drops.
-    val gram = (0 until n).map(j => s"toks[i + $j]")
-      .mkString("concat_ws(' ', ", ", ", ")")
-    val gramArr = s"filter(transform(toks, (x, i) -> " +
-      s"CASE WHEN i + ${n - 1} < size(toks) THEN $gram END), g -> g IS NOT NULL)"
-    val arr = if (distinctPerDoc) s"array_distinct($gramArr)" else gramArr
+    // Grams are built INSIDE the token array ([[TextOps.wordNgrams]], the
+    // same expression the minhash path shingles with — one gram rule, one
+    // place) and per-doc distinct is array_distinct BEFORE the explode —
+    // the whole producer is a pure MAP over the scan. The round-1..4 form
+    // shuffled the tokenized corpus twice (doc-keyed lead window, then a
+    // row-level distinct): at 100 TB those two exchanges dominated every
+    // gram-based query (q31/q50/q51/q55/q69/q74/q80/q93...), the same scale
+    // bug the codegen'd MinHashHex/CdcChunks moves fixed for q29/q77. Row
+    // sets are identical to the windowed form: same grams, same
+    // multiplicity (non-distinct mode), same short-doc drops (empty array
+    // explodes to no rows).
+    val gramArr = TextOps.wordNgrams(TextOps.tokens(col("text")), n)
+    val arr = if (distinctPerDoc) array_distinct(gramArr) else gramArr
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(expr(arr)).as("gram"))
+        explode(arr).as("gram"))
   }
 
   /** MinHash signatures: doc_id + 8 minhash columns. Per-seed minhash is

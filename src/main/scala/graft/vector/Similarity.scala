@@ -352,7 +352,14 @@ object Similarity {
           sum(floor(col("d") * fix + lit(0.5))).as("t"))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       val sRows = rows.map(r => r._1 -> r._2).toMap
-      val t = rows.head._3
+      // t is identical in every group ONLY under the fixed-dim contract
+      // (each vector appears in each group exactly once) — assert it, so a
+      // ragged corpus fails loudly instead of silently skewing w via
+      // whichever group collect() happened to order first
+      val ts = rows.map(_._3).distinct
+      require(ts.length == 1,
+        s"ragged embedding dims: per-group scalar t differs across ${ts.length} values")
+      val t = ts.head
       val u = Array.tabulate(dim) { j =>
         sRows(j).toDouble / 1000000.0 - mean(j) * (t.toDouble / 1000000.0)
       }

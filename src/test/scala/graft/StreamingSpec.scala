@@ -307,14 +307,16 @@ class StreamingSpec extends SparkSpec {
     // the config surface of event_consumer.py:125-147 / event_producer.py:
     // 264-275, asserted broker-free on the pure option builders the
     // readStream/writeStream builders consume verbatim
-    val src = Streaming.kafkaSourceOptions("k1:9092,k2:9092", "ecommerce.user_clicks")
+    val src = Streaming.kafkaSourceOptions("k1:9092,k2:9092", "ecommerce.user_clicks",
+      maxEvents = Some(100L))
     assert(src("kafka.bootstrap.servers") == "k1:9092,k2:9092")
     assert(src("subscribe") == "ecommerce.user_clicks")
     assert(src("startingOffsets") == "earliest") // auto.offset.reset=earliest
     assert(src("failOnDataLoss") == "true")
-    assert(src("maxOffsetsPerTrigger") == "100") // S4 count cap
-    // the cap is optional — uncapped sources omit the option entirely
-    assert(!Streaming.kafkaSourceOptions("b", "t", maxEvents = None)
+    assert(src("maxOffsetsPerTrigger") == "100") // S4 admission cap (opt-in)
+    // the cap defaults OFF: a standing 100-offset cap under a 30 s trigger
+    // would bound throughput, not latency — uncapped sources omit the option
+    assert(!Streaming.kafkaSourceOptions("b", "t")
       .contains("maxOffsetsPerTrigger"))
     val snk = Streaming.kafkaSinkOptions("k1:9092", "ecommerce.enriched", "/tmp/cp")
     assert(snk == Map(
