@@ -72,7 +72,10 @@ object IngestJob {
 
     val (valid, dead) = Streaming.splitParsed(raw, "ecommerce.user_clicks").get
 
-    val bronze = Streaming.bronzeSink(valid, bronzeDir, s"$checkpointDir/bronze")
+    // in-stream counters (T6+): every micro-batch's row/null-id/ts-span
+    // metrics ride the bronze plan itself and surface through the listener
+    val bronze = Streaming.bronzeSink(Streaming.withIngestMetrics(valid),
+      bronzeDir, s"$checkpointDir/bronze")
     val quarantine = dead.writeStream
       .format("json")
       .option("path", quarantineDir)

@@ -181,6 +181,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("wordNgrams matches the brute-force sliding window for any token list") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val tokGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d", "e"))
+    (1 to 50).foreach { i =>
+      val toks = tokGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val expected = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(graft.text.TextOps.wordNgrams(
+          graft.text.TextOps.tokens(col("text"))).as("g"))
+        .head.getSeq[String](0)
+      // split(" ") of "" yields [""], whose trigram set is empty either way
+      val exp = if (toks.isEmpty) Seq.empty else expected
+      assert(got == exp, s"sample $i: $toks")
+    }
+  }
+
   test("stratified sample is invariant to partitioning and shuffle-partition count") {
     // THE property that makes hash-coin sampling auditable at 100 TB: the
     // keep set depends only on data, never on layout. rand()-based sampling

@@ -28,6 +28,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == Seq("e1", "e2", "e3"))
   }
 
+  test("observe metrics ride each micro-batch without an extra pass") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val observed = Streaming.withIngestMetrics(
+      in.toDF().toDF("event_id", "timestamp"))
+    val q = observed.writeStream.format("memory").queryName("obs_out")
+      .outputMode("append").start()
+    in.addData(("e1", ts("2024-01-01T00:00:00Z")), ("e2", ts("2024-01-01T00:05:00Z")),
+      ((null: String), ts("2024-01-01T00:01:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val metrics = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("graft_ingest"))).last
+    assert(metrics.getAs[Long]("n_rows") == 3)
+    assert(metrics.getAs[Long]("n_null_id") == 1)
+    assert(metrics.getAs[java.sql.Timestamp]("max_ts") == ts("2024-01-01T00:05:00Z"))
+  }
+
   test("stream-stream interval join attributes purchases to preceding clicks") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Long, String, java.sql.Timestamp)]
