@@ -295,6 +295,21 @@ object Streaming {
     case _ => java.lang.Long.parseLong(lsn, 16)
   }
 
+  /** The one CDC fold both state APIs share (single-sourced so the
+    * flatMapGroupsWithState and transformWithState forms can never drift):
+    * LSN-ordered apply with monotonicity (events at or before the applied
+    * lsn are ignored), INSERT/UPDATE take `after`, DELETE tombstones. */
+  private[streaming] def applyCdcBatch(key: String, init: Option[CdcState],
+      rows: Iterator[CdcInput]): Option[CdcState] =
+    rows.toSeq.sortBy(e => lsnValue(e.lsn)).foldLeft(init) { (cur, ev) =>
+      if (cur.exists(c => lsnValue(c.lsn) >= lsnValue(ev.lsn))) cur
+      else ev.operation match {
+        case "DELETE" => Some(CdcState(key, ev.lsn, deleted = true, 0, 0))
+        case _ => Some(CdcState(key, ev.lsn, deleted = false,
+          ev.stock_quantity.getOrElse(0), ev.reorder_level.getOrElse(0)))
+      }
+    }
+
   /** flatMapGroupsWithState upsert keyed by product_id, ordered by `lsn`
     * (the reference's Postgres WAL ordering, events.py:213): INSERT/UPDATE
     * apply `after`, DELETE tombstones. Emits the post-batch state per key
@@ -305,20 +320,40 @@ object Streaming {
       .flatMapGroupsWithState[CdcState, CdcState](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[CdcInput], state: GroupState[CdcState]) =>
-          val sorted = rows.toSeq.sortBy(e => lsnValue(e.lsn))
-          val init = state.getOption
-          val next = sorted.foldLeft(init) { (cur, ev) =>
-            // lsn monotonicity: ignore events at or before the applied lsn
-            if (cur.exists(c => lsnValue(c.lsn) >= lsnValue(ev.lsn))) cur
-            else ev.operation match {
-              case "DELETE" => Some(CdcState(key, ev.lsn, deleted = true, 0, 0))
-              case _ => Some(CdcState(key, ev.lsn, deleted = false,
-                ev.stock_quantity.getOrElse(0), ev.reorder_level.getOrElse(0)))
-            }
-          }
+          val next = applyCdcBatch(key, state.getOption, rows)
           next.foreach(state.update)
           next.iterator
       }
+  }
+
+  /** [[cdcUpsert]] on Spark 4's `transformWithState` — the arbitrary-state
+    * API superseding flatMapGroupsWithState (named typed state handles,
+    * timers, per-state TTL, RocksDB-native layout). Same [[applyCdcBatch]]
+    * fold, same outputs; a differential spec runs both APIs over the same
+    * input and asserts identical results. Requires the RocksDB state store
+    * provider (a TWS constraint — already the configured 100 TB state path
+    * in app/Jobs.scala). */
+  class CdcTwsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, CdcInput, CdcState] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[CdcState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CdcState]("cdc",
+        org.apache.spark.sql.Encoders.product[CdcState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[CdcInput],
+        timerValues: TimerValues): Iterator[CdcState] = {
+      val init = if (state.exists()) Some(state.get()) else None
+      val next = applyCdcBatch(key, init, rows)
+      next.foreach(state.update)
+      next.iterator
+    }
+  }
+
+  def cdcUpsertTws(ds: Dataset[CdcInput]): Dataset[CdcState] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.product_id)
+      .transformWithState(new CdcTwsProcessor(), TimeMode.None(), OutputMode.Update())
   }
 
   /** J7 — reorder alert: stock below reorder level ("Alert when stock drops

@@ -343,6 +343,48 @@ class StreamingSpec extends SparkSpec {
       "checkpointLocation" -> "/tmp/cp"))
   }
 
+  test("transformWithState CDC twin matches flatMapGroupsWithState — T5 modern API") {
+    // same input through both state APIs → identical final state per key
+    // (TWS requires the RocksDB provider, which is also the 100 TB config)
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Seq(
+        CdcInput("P1", "INSERT", "0/01", Some(100), Some(10)),
+        CdcInput("P1", "UPDATE", "0/03", Some(42), Some(10)),
+        CdcInput("P1", "UPDATE", "0/02", Some(77), Some(10)), // stale lsn
+        CdcInput("P2", "INSERT", "0/01", Some(5), Some(3)),
+        CdcInput("P2", "DELETE", "0/04", None, None))
+      def run(name: String,
+          f: org.apache.spark.sql.Dataset[CdcInput] => org.apache.spark.sql.Dataset[CdcState]) = {
+        val in = MemoryStream[CdcInput]
+        val q = f(in.toDS()).writeStream.format("memory")
+          .queryName(name).outputMode("update").start()
+        in.addData(events: _*)
+        q.processAllAvailable()
+        q.stop()
+        // last emitted state per key = max lsn row
+        spark.table(name).groupBy("product_id")
+          .agg(max(struct($"lsn", $"deleted", $"stock_quantity", $"reorder_level")).as("s"))
+          .select($"product_id", $"s.*").collect()
+          .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      }
+      val old = run("cdc_fmgws", Streaming.cdcUpsert)
+      val tws = run("cdc_tws", Streaming.cdcUpsertTws)
+      assert(old == tws)
+      assert(tws("P1")(2) == 42)            // stale lsn ignored
+      assert(tws("P2")(1) == true)          // tombstoned
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful operators run green under the RocksDB state store — T5/SURVEY 7.4.6") {
     // the provider Jobs.session configures for the 100 TB state path,
     // exercised for real: session windows + CDC upsert both keep their
