@@ -36,13 +36,14 @@ object Dedup {
   }
 
   /** Word-trigram shingles as flat (doc_id, gram) rows — the single pass
-    * every near-dup operator is built on. Formulated as posexplode +
-    * window lead (all codegen'd) rather than an interpreted `transform`
-    * lambda: one keyed shuffle on doc_id, then tight generated code.
-    * A/B-measured twice (sf0.1, local[32], steady state): this form ~1.5 s
-    * vs ~4.7 s for the wordNgrams-array + posexplode variant — the
-    * interpreted per-gram lambda costs ~3× more than the keyed shuffle it
-    * avoids, so the shuffle stays. */
+    * every near-dup operator is built on. Since round 5 this is a pure
+    * zero-shuffle MAP: the earlier A/B that kept a posexplode + window-lead
+    * shuffle form ("HOF lambda ~3× slower") was measuring expression
+    * duplication, not the lambda — with the token array projected ONCE and
+    * the lambda reading the resolved attribute, the in-array form matches
+    * the windowed form's wall time at sf0.1 AND drops both corpus-mass
+    * exchanges (the window hash and the row-level distinct), which is the
+    * part that matters at 100 TB. */
   def explodedGrams(spark: SparkSession, dir: String,
       distinctPerDoc: Boolean = false, n: Int = 3): DataFrame = {
     // Grams are built INSIDE the token array ([[TextOps.wordNgrams]], the
@@ -56,9 +57,15 @@ object Dedup {
     // sets are identical to the windowed form: same grams, same
     // multiplicity (non-distinct mode), same short-doc drops (empty array
     // explodes to no rows).
-    val gramArr = TextOps.wordNgrams(TextOps.tokens(col("text")), n)
+    // tokenize in ITS OWN projection so the gram lambda reads a resolved
+    // attribute: passing split(text) straight into wordNgrams re-evaluates
+    // the split per element access inside the lambda (no CSE across lambda
+    // bodies) — measured 4× slower on the gram-heavy queries
+    val gramArr = TextOps.wordNgrams(col("toks"), n)
     val arr = if (distinctPerDoc) array_distinct(gramArr) else gramArr
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), col("source"),
         explode(arr).as("gram"))
   }
@@ -172,9 +179,8 @@ object Dedup {
     // beats re-exploding the corpus into flat gram rows (and mirrors the
     // oracle's list_intersect/list_distinct(list_concat) one-to-one).
     // Candidates always have ≥1 gram (null-signature docs never band).
-    // The interpreted wordNgrams lambda runs ONLY on docs that survived
-    // the prefilter (semi-join first) — building arrays for the whole
-    // corpus would reintroduce the measured-3×-slower HOF path.
+    // The gram lambda runs ONLY on docs that survived the prefilter
+    // (semi-join first) — survivor-sized work, not corpus-sized.
     // no broadcast hint: the survivor set is small here but unbounded at
     // corpus scale — size-based planning picks broadcast when it fits and
     // a shuffled semi-join when it doesn't
@@ -182,8 +188,9 @@ object Dedup {
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val docGrams = Tables.documents(spark, dir)
       .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(TextOps.wordNgrams(TextOps.tokens(col("text")))).as("grams"))
+        array_distinct(TextOps.wordNgrams(col("toks"))).as("grams"))
     cand.join(docGrams.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(docGrams.as("gb"), col("doc_b") === col("gb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),

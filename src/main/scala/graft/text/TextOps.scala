@@ -22,7 +22,13 @@ object TextOps {
 
   /** Word n-grams (default 3) over the token array, as a single
     * higher-order expression — no explode, no shuffle. Empty array when the
-    * document is shorter than n tokens. */
+    * document is shorter than n tokens.
+    *
+    * Caller contract: pass a RESOLVED attribute (project `tokens(...)` into
+    * its own column first), not the split expression itself — each of the
+    * n element accesses inside the lambda re-evaluates whatever expression
+    * `toks` is (no CSE across lambda bodies), measured 4× slower on the
+    * gram-heavy queries when handed a raw `split`. */
   def wordNgrams(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n), i =>
