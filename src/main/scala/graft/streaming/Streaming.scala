@@ -356,6 +356,66 @@ object Streaming {
       .transformWithState(new CdcTwsProcessor(), TimeMode.None(), OutputMode.Update())
   }
 
+  case class SessionEvent(session_id: String, ts: java.sql.Timestamp)
+  case class SessionSummary(session_id: String, n_events: Long,
+      start_ms: Long, end_ms: Long)
+  private[streaming] case class SessionAgg(n: Long, start: Long, end: Long)
+
+  /** W1/T9 on the modern state API: TIMER-BASED session tracking — the
+    * capability `transformWithState` adds over flatMapGroupsWithState
+    * (which can only time out between batches) and over `session_window`
+    * (which fixes the output to window aggregates). Each event extends the
+    * session and MOVES the key's single event-time timer to last-event +
+    * gap; when the watermark passes the deadline, `handleExpiredTimer`
+    * emits the closed session and clears state — the reference's
+    * SessionTracker expiry rule (strictly > gap, event_producer.py:92-93)
+    * with state that a watermark provably bounds. */
+  class SessionTwsProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SessionEvent, SessionSummary] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessionAgg] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionAgg]("sess",
+        org.apache.spark.sql.Encoders.product[SessionAgg], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      val ms = rows.map(_.ts.getTime).toSeq
+      val cur = if (state.exists()) Some(state.get()) else None
+      val next = cur match {
+        case Some(s) => SessionAgg(s.n + ms.size,
+          math.min(s.start, ms.min), math.max(s.end, ms.max))
+        case None => SessionAgg(ms.size.toLong, ms.min, ms.max)
+      }
+      // exactly one live timer per key: slide it to the new gap deadline
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(next.end + gapMs)
+      state.update(next)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val out = if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(SessionSummary(key, s.n, s.start, s.end))
+      } else Iterator.empty
+      out
+    }
+  }
+
+  /** [[SessionTwsProcessor]] over a watermarked event stream (the input
+    * MUST carry a watermark on `ts` — EventTime timers fire on watermark
+    * advance). Strict-gap default matches q09/sessionWindows (600 s). */
+  def sessionTrackerTws(ds: Dataset[SessionEvent],
+      gapMs: Long = 600000L): Dataset[SessionSummary] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ds.groupByKey(_.session_id)
+      .transformWithState(new SessionTwsProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** J7 — reorder alert: stock below reorder level ("Alert when stock drops
     * below this", events.py:196). */
   def reorderAlerts(state: Dataset[CdcState]): Dataset[CdcState] =

@@ -385,6 +385,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer-based TWS session tracker closes sessions on watermark advance") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, java.sql.Timestamp)]
+      val events = in.toDF().toDF("session_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[Streaming.SessionEvent]
+      val q = Streaming.sessionTrackerTws(events).writeStream.format("memory")
+        .queryName("tws_sess").outputMode("append").start()
+      // two events 5 min apart: one open session, timer at end+10min
+      in.addData(("s1", ts("2024-01-01T00:00:00Z")), ("s1", ts("2024-01-01T00:05:00Z")))
+      q.processAllAvailable()
+      assert(spark.table("tws_sess").isEmpty) // gap not yet elapsed
+      // another session's event pushes the watermark past s1's deadline
+      in.addData(("s2", ts("2024-01-01T01:00:00Z")))
+      q.processAllAvailable()
+      in.addData(("s3", ts("2024-01-01T03:00:00Z"))) // closes s2; s3 opens
+      q.processAllAvailable()
+      q.stop()
+      // s3 correctly stays OPEN: the watermark stalls at its own last event,
+      // so its gap can never elapse until later input arrives — exactly the
+      // bounded-state semantics a watermark guarantees
+      val rows = spark.table("tws_sess").orderBy("session_id").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+      val s1 = rows.head
+      assert(s1.getAs[Long]("n_events") == 2)
+      assert(s1.getAs[Long]("end_ms") - s1.getAs[Long]("start_ms") == 300000L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful operators run green under the RocksDB state store — T5/SURVEY 7.4.6") {
     // the provider Jobs.session configures for the 100 TB state path,
     // exercised for real: session windows + CDC upsert both keep their
