@@ -132,6 +132,7 @@ object SparkEntry {
     "q107_fertility"      -> (TextOps.fertility _),
     "q108_length_quartiles" -> (TextOps.lengthQuartiles _),
     "q109_moment_corr"    -> (TextOps.momentCorr _),
+    "q110_grouping_sets"  -> (Relational.q110 _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1731,5 +1732,15 @@ object SparkEntry {
         |           sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
         |      ELSE NULL END AS corr_len_tok
         |FROM m ORDER BY source""".stripMargin,
+
+    // q110: GROUPING() flags lead the sort (q11 convention), so each
+    // grouping set orders among itself and null ordering never differs.
+    "q110_grouping_sets" ->
+      """SELECT CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        | CAST(GROUPING(source) AS BIGINT) AS g_source,
+        | lang, source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
   )
 }

@@ -221,6 +221,25 @@ object Relational {
         |ORDER BY g_brand, g_type, p_brand, p_type""".stripMargin)
   }
 
+  /** Q110 — explicit GROUPING SETS (the general form q11's rollup and
+    * q12's cube are shorthands for): per-lang totals, per-source totals,
+    * and the grand total in ONE aggregate pass — Spark plans one Expand +
+    * hash aggregate, not three scans with a union. GROUPING() flags lead
+    * the sort (the q11 convention) so each set's rows order among
+    * themselves and engine null-ordering differences can never bite. */
+  def q110(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"))
+      .select(col("g_lang"), col("g_source"), col("lang"), col("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("g_lang", "g_source", "lang", "source")
+
   /** Q12 — CUBE(l_returnflag, l_linestatus). */
   def q12(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
