@@ -1733,14 +1733,15 @@ object SparkEntry {
         |      ELSE NULL END AS corr_len_tok
         |FROM m ORDER BY source""".stripMargin,
 
-    // q110: GROUPING() flags lead the sort (q11 convention), so each
-    // grouping set orders among itself and null ordering never differs.
+    // q110: GROUPING() flags lead the sort (q11 convention) to separate the
+    // sets; NULLS FIRST pins the within-set order to Spark's default for
+    // any data-NULL grouped values (DuckDB defaults to NULLS LAST).
     "q110_grouping_sets" ->
       """SELECT CAST(GROUPING(lang) AS BIGINT) AS g_lang,
         | CAST(GROUPING(source) AS BIGINT) AS g_source,
         | lang, source, COUNT(*) AS n_docs,
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
-        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+        |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
   )
 }

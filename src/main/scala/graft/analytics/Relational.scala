@@ -225,8 +225,10 @@ object Relational {
     * q12's cube are shorthands for): per-lang totals, per-source totals,
     * and the grand total in ONE aggregate pass — Spark plans one Expand +
     * hash aggregate, not three scans with a union. GROUPING() flags lead
-    * the sort (the q11 convention) so each set's rows order among
-    * themselves and engine null-ordering differences can never bite. */
+    * the sort (the q11 convention) separating the sets; within a set the
+    * grouped column itself could still carry data-NULLs, where Spark sorts
+    * NULLS FIRST and DuckDB NULLS LAST — the oracle pins NULLS FIRST
+    * explicitly so the orders agree for any data. */
   def q110(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),

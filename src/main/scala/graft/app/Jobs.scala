@@ -72,11 +72,16 @@ object IngestJob {
 
     val (valid, dead) = Streaming.splitParsed(raw, "ecommerce.user_clicks").get
 
-    // in-stream counters (T6+): every micro-batch's row/null-id/ts-span
-    // metrics ride the bronze plan itself and surface through the listener
+    // in-stream counters (T6+): per-batch rows + event-time span ride the
+    // bronze plan; the ERROR tally (the reference's consumer error counter)
+    // rides the quarantine plan — valid rows are post-split, so counting
+    // nulls there would be a permanently-green metric while quarantine
+    // silently fills
     val bronze = Streaming.bronzeSink(Streaming.withIngestMetrics(valid),
       bronzeDir, s"$checkpointDir/bronze")
-    val quarantine = dead.writeStream
+    val quarantine = dead
+      .observe("graft_quarantine", count(lit(1)).as("n_rows"))
+      .writeStream
       .format("json")
       .option("path", quarantineDir)
       .option("checkpointLocation", s"$checkpointDir/quarantine")

@@ -380,18 +380,26 @@ object Streaming {
         org.apache.spark.sql.Encoders.product[SessionAgg], TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[SessionEvent],
         timerValues: TimerValues): Iterator[SessionSummary] = {
-      val ms = rows.map(_.ts.getTime).toSeq
-      val cur = if (state.exists()) Some(state.get()) else None
-      val next = cur match {
-        case Some(s) => SessionAgg(s.n + ms.size,
-          math.min(s.start, ms.min), math.max(s.end, ms.max))
-        case None => SessionAgg(ms.size.toLong, ms.min, ms.max)
+      // the gap rule applies WITHIN a batch too: a backfilled day of one
+      // key's events must come out as its real sessions, not one merged
+      // blob — fold the sorted timestamps into segments split at strictly
+      // > gap (the reference's expiry rule, same as q09), emit every
+      // closed internal segment now, keep only the trailing one open
+      val ms = rows.map(_.ts.getTime).toSeq.sorted
+      var open = if (state.exists()) state.get() else null
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionAgg]
+      ms.foreach { t =>
+        if (open == null) open = SessionAgg(1L, t, t)
+        else if (t - open.end > gapMs) { closed += open; open = SessionAgg(1L, t, t) }
+        else open = SessionAgg(open.n + 1L,
+          math.min(open.start, t), math.max(open.end, t))
       }
-      // exactly one live timer per key: slide it to the new gap deadline
+      // exactly one live timer per key: slide it to the open segment's
+      // gap deadline
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(next.end + gapMs)
-      state.update(next)
-      Iterator.empty
+      getHandle.registerTimer(open.end + gapMs)
+      state.update(open)
+      closed.iterator.map(s => SessionSummary(key, s.n, s.start, s.end))
     }
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
@@ -472,7 +480,12 @@ object Streaming {
     * the existing plan as accumulator-backed aggregates with ZERO extra
     * passes or shuffles. Surfaces in every QueryProgress under `name` (and
     * through [[GraftQueryListener]]), which is what a lake operator
-    * actually graphs at 100 TB/day — no second job re-counting the stream. */
+    * actually graphs at 100 TB/day — no second job re-counting the stream.
+    *
+    * Placement matters: attach the null-id tally to a frame where nulls can
+    * still occur. On a post-validation stream it is a tautological zero —
+    * there, pair this with a count-only `observe` on the dead-letter side
+    * (as IngestJob does) so the error tally measures what was rejected. */
   def withIngestMetrics(df: DataFrame, name: String = "graft_ingest",
       idCol: String = "event_id", tsCol: String = "timestamp"): DataFrame =
     df.observe(name,

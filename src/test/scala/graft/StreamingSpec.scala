@@ -398,22 +398,34 @@ class StreamingSpec extends SparkSpec {
         .as[Streaming.SessionEvent]
       val q = Streaming.sessionTrackerTws(events).writeStream.format("memory")
         .queryName("tws_sess").outputMode("append").start()
-      // two events 5 min apart: one open session, timer at end+10min
-      in.addData(("s1", ts("2024-01-01T00:00:00Z")), ("s1", ts("2024-01-01T00:05:00Z")))
+      // s1: two events 5 min apart (one open session, timer at end+10min)
+      // PLUS a backfill-style burst for s0 with an internal 1 h gap — the
+      // gap rule applies within a single batch, so s0's first session
+      // closes immediately without waiting for any watermark
+      in.addData(("s1", ts("2024-01-01T00:00:00Z")), ("s1", ts("2024-01-01T00:05:00Z")),
+        ("s0", ts("2024-01-01T00:00:00Z")), ("s0", ts("2024-01-01T00:01:00Z")),
+        ("s0", ts("2024-01-01T01:01:00Z")))
       q.processAllAvailable()
-      assert(spark.table("tws_sess").isEmpty) // gap not yet elapsed
-      // another session's event pushes the watermark past s1's deadline
-      in.addData(("s2", ts("2024-01-01T01:00:00Z")))
+      // s0's first session closes IN-BATCH (gap split, no watermark needed);
+      // s1 closes too because s0's 01:01 event advanced the watermark past
+      // s1's 00:15 deadline; s0's post-gap session (deadline 01:11) is open
+      val immediate = spark.table("tws_sess").orderBy("session_id").collect()
+      assert(immediate.map(_.getString(0)).toSeq == Seq("s0", "s1"))
+      assert(immediate.head.getAs[Long]("n_events") == 2) // the pre-gap burst
+      // s2 must arrive AFTER the current watermark (01:01) or the event-time
+      // mode drops it as late
+      in.addData(("s2", ts("2024-01-01T02:00:00Z")))
       q.processAllAvailable()
       in.addData(("s3", ts("2024-01-01T03:00:00Z"))) // closes s2; s3 opens
       q.processAllAvailable()
       q.stop()
       // s3 correctly stays OPEN: the watermark stalls at its own last event,
       // so its gap can never elapse until later input arrives — exactly the
-      // bounded-state semantics a watermark guarantees
-      val rows = spark.table("tws_sess").orderBy("session_id").collect()
-      assert(rows.map(_.getString(0)).toSeq == Seq("s1", "s2"))
-      val s1 = rows.head
+      // bounded-state semantics a watermark guarantees. s0's post-gap
+      // session closed when the watermark passed its deadline.
+      val rows = spark.table("tws_sess").orderBy("session_id", "start_ms").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("s0", "s0", "s1", "s2"))
+      val s1 = rows.filter(_.getString(0) == "s1").head
       assert(s1.getAs[Long]("n_events") == 2)
       assert(s1.getAs[Long]("end_ms") - s1.getAs[Long]("start_ms") == 300000L)
     } finally {
