@@ -28,6 +28,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == Seq("e1", "e2", "e3"))
   }
 
+  test("restart from checkpoint resumes without reprocessing — T1 exactly-once") {
+    // the real recovery proof, not just option wiring: run a checkpointed
+    // query to completion, stop it, add new input, restart with the SAME
+    // checkpoint — the sink must hold every row exactly once (the committed
+    // offsets keep the first batch from replaying)
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = java.nio.file.Files.createTempDirectory("t1in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("t1out").toString + "/sink"
+    val ckpt = java.nio.file.Files.createTempDirectory("t1ck").toString
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inDir/$name"), lines.mkString("\n"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("text").load(inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    writeFile("f1.txt", Seq("a", "b"))
+    writeFile("f2.txt", Seq("c"))
+    runOnce()
+    writeFile("f3.txt", Seq("d", "e"))
+    runOnce() // restart: must pick up ONLY f3
+    val got = spark.read.parquet(outDir).collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("a", "b", "c", "d", "e")) // every row exactly once
+  }
+
   test("observe metrics ride each micro-batch without an extra pass") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, java.sql.Timestamp)]
