@@ -133,6 +133,8 @@ object SparkEntry {
     "q108_length_quartiles" -> (TextOps.lengthQuartiles _),
     "q109_moment_corr"    -> (TextOps.momentCorr _),
     "q110_grouping_sets"  -> (Relational.q110 _),
+    "q111_merge_upsert"   -> (Catalog.mergeUpsert _),
+    "q112_snapshot_diff"  -> (Catalog.snapshotDiff _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1743,5 +1745,35 @@ object SparkEntry {
         | CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // q111: MERGE INTO semantics — matched upserts update, unmatched
+    // insert, deletes drop (absent-key delete is a no-op).
+    "q111_merge_upsert" ->
+      """WITH base AS (SELECT doc_id, n_chars AS v FROM documents WHERE doc_id % 3 <> 2),
+        |u AS (SELECT doc_id, n_chars + 1000 AS u_v,
+        |        CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |      FROM documents WHERE doc_id % 2 = 0)
+        |SELECT COALESCE(u.doc_id, base.doc_id) AS doc_id,
+        | CASE WHEN u.op = 'upsert' THEN u.u_v ELSE base.v END AS v,
+        | CASE WHEN u.doc_id IS NULL THEN 'kept'
+        |      WHEN base.doc_id IS NULL THEN 'inserted'
+        |      ELSE 'updated' END AS action
+        |FROM base FULL OUTER JOIN u ON base.doc_id = u.doc_id
+        |WHERE COALESCE(u.op, '') <> 'delete'
+        |ORDER BY doc_id""".stripMargin,
+
+    // q112: change-data-feed diff — added/removed/changed only, the
+    // delta-sized output incrementals consume.
+    "q112_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, n_chars AS old_v FROM documents WHERE doc_id % 5 <> 0),
+        |c AS (SELECT doc_id, n_chars + doc_id % 3 AS new_v FROM documents WHERE doc_id % 7 <> 0),
+        |d AS (SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id, old_v, new_v,
+        |        CASE WHEN o.doc_id IS NULL THEN 'added'
+        |             WHEN c.doc_id IS NULL THEN 'removed'
+        |             WHEN old_v <> new_v THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id)
+        |SELECT doc_id, old_v, new_v, status FROM d
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
   )
 }

@@ -119,4 +119,56 @@ object Catalog {
     v1.unionByName(v2, allowMissingColumns = true)
       .orderBy("doc_id")
   }
+
+  /** Q111 — MERGE upsert (the lakehouse `MERGE INTO` semantics, engine-
+    * side): a base snapshot merged with a change set carrying
+    * upsert/delete ops — matched upserts UPDATE, unmatched upserts INSERT,
+    * deletes drop the row (delete of an absent key is a no-op). ONE
+    * doc_id-keyed full-outer join — exactly the merge-on-read shape; at
+    * 100 TB both sides shuffle once on the merge key and AQE handles the
+    * change-set-much-smaller-than-base asymmetry. The base/changes here
+    * are deterministic projections of `documents` standing in for two
+    * table states. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 3 =!= 2)
+      .select(col("doc_id"), col("n_chars").as("v"))
+    val changes = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (col("n_chars") + 1000).as("u_v"),
+        when(col("doc_id") % 10 === 0, "delete").otherwise("upsert").as("op"))
+    base.as("b").join(changes.as("u"),
+        col("b.doc_id") === col("u.doc_id"), "full_outer")
+      .filter(coalesce(col("u.op"), lit("")) =!= "delete")
+      .select(
+        coalesce(col("u.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("u.op") === "upsert", col("u.u_v")).otherwise(col("b.v")).as("v"),
+        when(col("u.doc_id").isNull, "kept")
+          .when(col("b.doc_id").isNull, "inserted")
+          .otherwise("updated").as("action"))
+      .orderBy("doc_id")
+  }
+
+  /** Q112 — SNAPSHOT DIFF (change-data-feed between two table states):
+    * which rows were added, removed, or changed — the audit a lake emits
+    * so downstream incrementals consume deltas instead of full rescans.
+    * Same single keyed full-outer join shape as [[mergeUpsert]]; unchanged
+    * rows are filtered out, so the output is delta-sized, not
+    * snapshot-sized. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("n_chars").as("old_v"))
+    val cur = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), (col("n_chars") + col("doc_id") % 3).as("new_v"))
+    old.as("o").join(cur.as("c"), col("o.doc_id") === col("c.doc_id"), "full_outer")
+      .select(
+        coalesce(col("o.doc_id"), col("c.doc_id")).as("doc_id"),
+        col("old_v"), col("new_v"),
+        when(col("o.doc_id").isNull, "added")
+          .when(col("c.doc_id").isNull, "removed")
+          .when(col("old_v") =!= col("new_v"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id")
+  }
 }
