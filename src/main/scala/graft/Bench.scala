@@ -60,8 +60,11 @@ object Bench {
       // Release everything between queries so each timing is the query's own.
       // blocking: the sweep runs OUTSIDE the timed region, so waiting here
       // costs no query time — async eviction could overlap the next query's
-      // timing and re-introduce the cross-query pollution this prevents
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // timing and re-introduce the cross-query pollution this prevents.
+      // Memo-retained blocks (ccLabels label table, see Checkpoints.retain)
+      // survive the sweep: their lineage is truncated, so releasing them
+      // would fail every later cache hit instead of recomputing it.
+      Checkpoints.sweepExceptRetained(spark.sparkContext)
       spark.catalog.clearCache()
       // pay accumulated GC debt here, outside any timed region — otherwise a
       // major collection strikes inside whichever query tips the heap over

@@ -38,4 +38,37 @@ object Checkpoints {
     * checkpoints when `before` was snapshotted at entry. */
   def pinnedSince(sc: SparkContext, before: scala.collection.Set[Int]): Set[Int] =
     (sc.getPersistentRDDs.keySet -- before).toSet
+
+  /** Blocks that session-scoped memos (e.g. `Dedup.ccLabels`) keep pinned for
+    * the life of the session ON PURPOSE: a memoized frame's localCheckpoint
+    * has truncated lineage, so releasing its blocks would make every later
+    * cache hit fail, not recompute. Harness sweeps ([[sweepExceptRetained]])
+    * must skip these ids. Keyed weakly by context so a stopped session's
+    * entries are collectable. Retained state is bounded by construction:
+    * memos register only final, heavily-reduced tables (a CC label table, a
+    * k×dim codebook), never corpus-sized intermediates. */
+  private val retainedByCtx =
+    new java.util.WeakHashMap[SparkContext, scala.collection.mutable.Set[Int]]()
+
+  /** Register memo-owned block ids as off-limits to harness sweeps. */
+  def retain(sc: SparkContext, ids: Set[Int]): Unit = retainedByCtx.synchronized {
+    val set = retainedByCtx.computeIfAbsent(sc,
+      _ => scala.collection.mutable.Set.empty[Int])
+    set ++= ids
+  }
+
+  /** Ids currently registered as memo-owned for this context. */
+  def retainedIds(sc: SparkContext): Set[Int] = retainedByCtx.synchronized {
+    Option(retainedByCtx.get(sc)).map(_.toSet).getOrElse(Set.empty)
+  }
+
+  /** The inter-query hygiene sweep (Bench's form): blocking-unpersist every
+    * pinned RDD EXCEPT memo-retained ones — their blocks are irreplaceable
+    * (truncated lineage) and deliberately session-lived. */
+  def sweepExceptRetained(sc: SparkContext): Unit = {
+    val keep = retainedIds(sc)
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id)) rdd.unpersist(blocking = true)
+    }
+  }
 }

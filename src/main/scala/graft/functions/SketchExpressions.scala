@@ -28,7 +28,14 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, LongType) if left.foldable => TypeCheckResult.TypeCheckSuccess
+      // a foldable NULL (lit(null).cast("binary")) must fail ANALYSIS, not
+      // surface later as an opaque NPE from CountMinSketch.readFrom(null)
+      // when the lazy sketch is first forced at codegen/eval time
+      case (BinaryType, LongType) if left.foldable =>
+        if (left.eval(InternalRow.empty) == null)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a non-null sketch literal — got NULL")
+        else TypeCheckResult.TypeCheckSuccess
       case (BinaryType, LongType) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable (literal) sketch — got a non-constant binary")
       case (l, r) => TypeCheckResult.TypeCheckFailure(

@@ -382,23 +382,38 @@ object Streaming {
         timerValues: TimerValues): Iterator[SessionSummary] = {
       // the gap rule applies WITHIN a batch too: a backfilled day of one
       // key's events must come out as its real sessions, not one merged
-      // blob — fold the sorted timestamps into segments split at strictly
-      // > gap (the reference's expiry rule, same as q09), emit every
-      // closed internal segment now, keep only the trailing one open
-      val ms = rows.map(_.ts.getTime).toSeq.sorted
-      var open = if (state.exists()) state.get() else null
+      // blob. The restored open segment is NOT an anchor the batch folds
+      // onto — a nonzero watermark delay admits late events EARLIER than
+      // the open segment's start, and folding those forward would merge two
+      // real sessions into one with a wrong start. Instead the open segment
+      // enters the sorted timeline as one more segment and gap-splitting
+      // runs positionally over all of them: segments (restored + each event
+      // as a singleton) sorted by start, adjacent ones merged when
+      // separated by ≤ gap (strictly > gap splits — the reference's expiry
+      // rule, same as q09). Every closed internal segment is emitted now;
+      // only the trailing one stays open.
+      val segs = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+      if (state.exists()) segs += state.get()
+      rows.foreach(r => segs += SessionAgg(1L, r.ts.getTime, r.ts.getTime))
+      var open: SessionAgg = null
       val closed = scala.collection.mutable.ListBuffer.empty[SessionAgg]
-      ms.foreach { t =>
-        if (open == null) open = SessionAgg(1L, t, t)
-        else if (t - open.end > gapMs) { closed += open; open = SessionAgg(1L, t, t) }
-        else open = SessionAgg(open.n + 1L,
-          math.min(open.start, t), math.max(open.end, t))
+      segs.sortInPlaceBy(s => (s.start, s.end))
+      segs.foreach { s =>
+        if (open == null) open = s
+        else if (s.start - open.end > gapMs) { closed += open; open = s }
+        else open = SessionAgg(open.n + s.n,
+          math.min(open.start, s.start), math.max(open.end, s.end))
       }
-      // exactly one live timer per key: slide it to the open segment's
-      // gap deadline
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(open.end + gapMs)
-      state.update(open)
+      // exactly one live timer per key: slide it to the open segment's gap
+      // deadline. open is null only on an empty batch for a stateless key —
+      // the runtime contract says that doesn't happen, but a timer
+      // registration off a null segment must not be the failure mode if it
+      // ever does
+      if (open != null) {
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(open.end + gapMs)
+        state.update(open)
+      }
       closed.iterator.map(s => SessionSummary(key, s.n, s.start, s.end))
     }
     override def handleExpiredTimer(key: String, timerValues: TimerValues,

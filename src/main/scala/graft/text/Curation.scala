@@ -694,9 +694,16 @@ object Curation {
       .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("source").agg(sum("n_tok").as("n_tok"))
     val tot = tok.agg(sum("n_tok").as("tot"))
+    // the budget·n_tok product runs in decimal(38,0), not Long: one source
+    // past ~9.2e12 tokens (plausible at the 100 TB target with the default
+    // 1M budget) would silently overflow a BIGINT product — the same scale
+    // upgrade momentCorr (q109) documents. `div`/`%` on decimal operands
+    // keep exactness; `div` returns BIGINT so base/alloc stay long.
     val based = tok.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"($budget * n_tok) div tot"))
-      .withColumn("rem", (lit(budget) * col("n_tok")) % col("tot"))
+      .withColumn("base",
+        expr(s"(cast($budget as decimal(38,0)) * n_tok) div tot"))
+      .withColumn("rem",
+        expr(s"(cast($budget as decimal(38,0)) * n_tok) % tot"))
     val leftover = based.agg((lit(budget) - sum("base")).as("leftover"))
     val wRk = Window.partitionBy(spark_partition_id())
       .orderBy(desc("rem"), col("source"))

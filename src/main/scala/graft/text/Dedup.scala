@@ -369,15 +369,49 @@ object Dedup {
     * the singleton majority with a left join. */
   private def ccLabels(spark: SparkSession, dir: String,
       minJaccard: Double): DataFrame = {
+    val perSession = ccLabelCache.synchronized {
+      ccLabelCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate((dir, minJaccard),
+      computeCcLabels(spark, dir, minJaccard))
+  }
+
+  /** Session-scoped memo for [[ccLabels]], mirroring
+    * [[graft.vector.Similarity]]'s `codebookCache` lifecycle: the resolution
+    * is fully deterministic in (corpus dir, minJaccard) — seedless MinHash,
+    * min-label CC fixed point — so q49/q61/q83/q93/q105 sharing one session
+    * (the bench, the verify run, a user notebook) resolve ONCE instead of
+    * five times. Keyed by the session reference itself (weakly held, so a
+    * stopped session's entries are collectable and can never serve a new
+    * one); assumes a dir's parquet is immutable within a session (the repo's
+    * testdata contract). The cached value is a re-checkpointed label table
+    * whose blocks are [[graft.Checkpoints.retain]]ed — candidate-subgraph
+    * nodes only (docs that banded into ≥1 near-dup pair above threshold),
+    * a small fraction of the corpus, never corpus mass. */
+  private val ccLabelCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Double), DataFrame]]()
+
+  private def computeCcLabels(spark: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val edges = minhashPairsUnsorted(spark, dir)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    val mine = graft.Checkpoints.pinnedSince(sc, before)
-    val (labels, _) = connectedComponents(edges)
-    graft.Checkpoints.release(sc, mine)
+    val (labels0, _) = connectedComponents(edges)
+    // re-checkpoint the label table onto its OWN blocks so every
+    // intermediate (signatures, edge list, the CC loop's last round) can be
+    // released now; the memo keeps only this final table pinned, registered
+    // with Checkpoints.retain so harness sweeps don't free a frame whose
+    // truncated lineage could never recompute it
+    val preLabel = sc.getPersistentRDDs.keySet
+    val labels = labels0.localCheckpoint()
+    val labelIds = graft.Checkpoints.pinnedSince(sc, preLabel)
+    graft.Checkpoints.release(sc, (preLabel.toSet -- before))
+    graft.Checkpoints.retain(sc, labelIds)
     labels
   }
 

@@ -158,6 +158,10 @@ class PropertySpec extends SparkSpec {
     assert(!CmsEstimate(attr, Literal(1L)).checkInputDataTypes().isSuccess)
     assert(CmsEstimate(Literal(Array[Byte](1, 2)), Literal(1L))
       .checkInputDataTypes().isSuccess)
+    // a foldable NULL sketch must also fail analysis cleanly — not NPE out
+    // of CountMinSketch.readFrom(null) when the lazy sketch is forced
+    assert(!CmsEstimate(Literal(null, BinaryType), Literal(1L))
+      .checkInputDataTypes().isSuccess)
   }
 
   test("bloom probe admits every member for any key set — q98 guarantee") {

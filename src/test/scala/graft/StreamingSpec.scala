@@ -466,6 +466,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("TWS session tracker: a late earlier event splits into its own session, never merges backwards") {
+    // a NONZERO watermark delay admits events EARLIER than the restored
+    // open segment's start; the gap rule must hold on that side too — a
+    // late event more than a gap BEFORE the open session is its own
+    // session, not a backwards extension that rewrites start_ms. (The
+    // 0-second-watermark specs never reach this path: late rows are
+    // dropped before the processor sees them.)
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, java.sql.Timestamp)]
+      val events = in.toDF().toDF("session_id", "ts")
+        .withWatermark("ts", "2 hours") // late-admission window
+        .as[Streaming.SessionEvent]
+      val q = Streaming.sessionTrackerTws(events).writeStream.format("memory")
+        .queryName("tws_late").outputMode("append").start()
+      // batch 1: open sA at 01:00 (watermark after batch: 01:00 − 2 h)
+      in.addData(("sA", ts("2024-01-01T01:00:00Z")))
+      q.processAllAvailable()
+      // batch 2: a late event a full HOUR before the open segment (> 10 min
+      // gap, admitted by the 2 h delay). It must close as its own earlier
+      // session in-batch; sA's open session keeps start 01:00.
+      in.addData(("sA", ts("2024-01-01T00:00:00Z")))
+      q.processAllAvailable()
+      val early = spark.table("tws_late").collect()
+      assert(early.length == 1)
+      assert(early.head.getAs[Long]("start_ms") == ts("2024-01-01T00:00:00Z").getTime)
+      assert(early.head.getAs[Long]("end_ms") == ts("2024-01-01T00:00:00Z").getTime)
+      assert(early.head.getAs[Long]("n_events") == 1)
+      // batch 3: another key far ahead advances the watermark past sA's
+      // deadline (01:10) → the open session closes with its TRUE start
+      in.addData(("sZ", ts("2024-01-01T04:00:00Z")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_late").filter($"session_id" === "sA")
+        .orderBy("start_ms").collect()
+      assert(rows.length == 2)
+      assert(rows(1).getAs[Long]("start_ms") == ts("2024-01-01T01:00:00Z").getTime)
+      assert(rows(1).getAs[Long]("n_events") == 1)
+      // a late event INSIDE the admission window but within the gap of the
+      // open segment must still merge (the fix may not over-split): rerun
+      // shape is covered by the in-gap event in the base tracker spec
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful operators run green under the RocksDB state store — T5/SURVEY 7.4.6") {
     // the provider Jobs.session configures for the 100 TB state path,
     // exercised for real: session windows + CDC upsert both keep their
