@@ -6,14 +6,17 @@ import graft.sources.Tables
 
 /** Multimodal-column plumbing (north star): media as opaque `binary`
   * columns + typed metadata, with decode / feature-extract / frame-sample
-  * stages whose Spark-side shape (schema, batching, partition-local
-  * processing) is real while the codec itself is a clearly-marked
-  * deterministic stub (no image/audio libs in this environment).
+  * stages. The Spark-side shape (schema, batching, partition-local
+  * processing) is real, and so is the image path: [[ImageIoCodec]] decodes
+  * and resamples PNG/BMP/GIF/JPEG with the JDK's built-in readers (no new
+  * dependency). Non-image payloads (audio/video — no JDK codec exists)
+  * fall back to the deterministic [[FakeCodec]], which doubles as the
+  * spec fixture.
   *
   * Scale design: decode runs via `mapPartitions` — one iterator pass per
-  * partition, no per-row task overhead, no shuffle; a real codec slots into
-  * [[FakeCodec.decode]] without touching the plan shape. Binary payloads
-  * never enter a shuffle key.
+  * partition, no per-row task overhead, no shuffle; any [[Codec]] slots in
+  * without touching the plan shape. Binary payloads never enter a shuffle
+  * key.
   */
 object Multimodal {
 
@@ -25,27 +28,94 @@ object Multimodal {
   case class MediaFeatures(asset_id: Long, kind: String, byte_len: Long,
     sha_prefix: String, width: Int, height: Int, mean_intensity: Double)
 
-  /** STUB codec — deterministic fake in place of a real image/audio decode.
-    * A production build replaces `decode` with the actual library call; the
-    * signature (bytes in, fixed-shape features out) is the contract. */
-  object FakeCodec {
+  /** Codec contract: bytes in, (width, height, mean intensity) out; resample
+    * returns the re-encoded smaller payload, or None when the payload isn't
+    * a decodable image (callers fall back to stride decimation). Must be
+    * Serializable — instances ship inside `mapPartitions` closures. */
+  trait Codec extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Double)
+    def resample(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]]
+  }
+
+  /** STUB codec — deterministic fake for payloads that aren't real media
+    * (the test corpus's text-bytes stand-ins) and the fixture the
+    * deterministic specs pin. The signature is the real contract. */
+  object FakeCodec extends Codec {
     def decode(payload: Array[Byte]): (Int, Int, Double) = {
-      // ??? real codec goes here; deterministic fake below keeps tests real
       val n = payload.length
       val w = 16 + (n % 64)
       val h = 16 + ((n / 64) % 64)
       val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toDouble).sum / n
       (w, h, mean)
     }
+    def resample(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = None
   }
 
-  /** Decode + feature-extract over a binary column, partition-local. */
-  def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+  /** REAL codec on the JDK's built-in image IO (PNG/BMP/GIF/JPEG readers
+    * ship with every JRE — no new dependency): a decodable payload reports
+    * its true dimensions and mean Rec.601 luma; anything ImageIO can't
+    * parse (audio, video, the test corpus's text bytes) falls back to
+    * [[FakeCodec]] so the plumbing keeps its deterministic shape on
+    * non-image rows instead of failing the task. Per-row cost is one
+    * decode + one O(w·h) pixel pass — partition-local, no shuffle impact;
+    * the int-ARGB row buffer is bounded by one frame, not the partition. */
+  object ImageIoCodec extends Codec {
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      val img = read(payload)
+      if (img == null) FakeCodec.decode(payload)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sum = 0.0
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)
+          i += 1
+        }
+        (w, h, sum / (w.toLong * h))
+      }
+    }
+
+    /** Real resampling: decode → bilinear Graphics2D scale → PNG re-encode
+      * (PNG: lossless and always writable by the JDK). None for
+      * non-image payloads. */
+    def resample(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+      val img = read(payload)
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        Some(buf.toByteArray)
+      }
+    }
+  }
+
+  /** Decode + feature-extract over a binary column, partition-local. The
+    * default codec is the real [[ImageIoCodec]] (JDK decode for real image
+    * bytes, deterministic fake for everything else); specs that pin the
+    * fake's arithmetic pass [[FakeCodec]] explicitly. */
+  def extractFeatures(assets: Dataset[MediaAsset],
+      codec: Codec = ImageIoCodec): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
-        val (w, h, mean) = FakeCodec.decode(a.payload)
+        val (w, h, mean) = codec.decode(a.payload)
         val sha = digest.digest(a.payload).map("%02x".format(_)).mkString.take(8)
         digest.reset()
         MediaFeatures(a.asset_id, a.kind, a.payload.length.toLong, sha, w, h,
@@ -66,21 +136,25 @@ object Multimodal {
     }.toDF("asset_id", "frame_no", "frame")
   }
 
-  /** Resize: partition-local stub in place of a real image resampler — a
-    * deterministic stride-decimation of the payload to ceil(len·(tw·th)/
-    * (w·h)) bytes, keeping the real contract (bytes + target dims in,
-    * smaller bytes + recorded dims out). A real library call slots in
-    * without touching the plan. */
-  def resize(assets: Dataset[MediaAsset], targetW: Int, targetH: Int): DataFrame = {
+  /** Resize, partition-local: real image payloads go through the codec's
+    * resampler ([[ImageIoCodec.resample]] — bilinear scale + PNG re-encode);
+    * payloads the codec can't decode fall back to deterministic
+    * stride-decimation to ceil(len·(tw·th)/(w·h)) bytes, keeping the same
+    * contract (bytes + target dims in, smaller bytes + recorded dims out)
+    * for the non-media stand-ins the test corpus carries. */
+  def resize(assets: Dataset[MediaAsset], targetW: Int, targetH: Int,
+      codec: Codec = ImageIoCodec): DataFrame = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val (w, h, _) = FakeCodec.decode(a.payload)
-        val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
-        val outLen = math.max(1, math.ceil(a.payload.length * ratio).toInt)
-        val stride = math.max(1, a.payload.length / outLen)
-        val resized = a.payload.indices.by(stride).map(a.payload).toArray
-        (a.asset_id, a.kind, targetW, targetH, resized)
+        val payload = codec.resample(a.payload, targetW, targetH).getOrElse {
+          val (w, h, _) = codec.decode(a.payload)
+          val ratio = math.min(1.0, (targetW.toLong * targetH).toDouble / (w.toLong * h))
+          val outLen = math.max(1, math.ceil(a.payload.length * ratio).toInt)
+          val stride = math.max(1, a.payload.length / outLen)
+          a.payload.indices.by(stride).map(a.payload).toArray
+        }
+        (a.asset_id, a.kind, targetW, targetH, payload)
       }
     }.toDF("asset_id", "kind", "out_w", "out_h", "payload")
   }

@@ -144,11 +144,41 @@ class TextVectorSpec extends SparkSpec {
     assert(r(0).getString(3) == exp)
   }
 
+  test("multimodal: real PNG bytes decode to true dims/mean and resample for real") {
+    // a real 8×4 PNG, generated in-memory: left half black, right half white
+    // → mean Rec.601 luma exactly 127.5
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    val assets = Seq(MediaAsset(10L, "image", png)).toDS()
+    // the default (real) codec reports the TRUE dimensions, not the fake's
+    // length-derived ones, and the exact two-tone mean
+    val f = Multimodal.extractFeatures(assets).collect().head
+    assert(f.width == 8 && f.height == 4)
+    assert(f.mean_intensity == 127.5)
+    // resample path: output payload is itself a decodable 2×2 PNG
+    val resized = Multimodal.resize(assets, 2, 2).collect().head
+    val outBytes = resized.getAs[Array[Byte]]("payload")
+    val reread = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(reread != null && reread.getWidth == 2 && reread.getHeight == 2)
+    // non-image bytes under the SAME default codec fall back to the fake —
+    // the deterministic stand-in contract the corpus queries rely on
+    val fake = Multimodal.extractFeatures(
+      Seq(MediaAsset(11L, "audio", "not an image".getBytes("UTF-8"))).toDS())
+      .collect().head
+    assert(fake.width == 16 + 12 % 64)
+  }
+
   test("multimodal: stub decode features are deterministic and fixed-shape") {
     val assets = Seq(
       MediaAsset(1L, "image", "some fake image payload bytes".getBytes("UTF-8")),
       MediaAsset(2L, "audio", Array[Byte]())).toDS()
-    val f = Multimodal.extractFeatures(assets).collect().sortBy(_.asset_id)
+    val f = Multimodal.extractFeatures(assets, Multimodal.FakeCodec)
+      .collect().sortBy(_.asset_id)
     assert(f(0).byte_len == 29 && f(0).width == 16 + 29 % 64)
     assert(f(1).byte_len == 0 && f(1).mean_intensity == 0.0)
     val frames = Multimodal.sampleFrames(assets.filter(_.asset_id == 1), 4, 2).collect()
