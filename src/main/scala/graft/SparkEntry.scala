@@ -135,6 +135,7 @@ object SparkEntry {
     "q110_grouping_sets"  -> (Relational.q110 _),
     "q111_merge_upsert"   -> (Catalog.mergeUpsert _),
     "q112_snapshot_diff"  -> (Catalog.snapshotDiff _),
+    "q113_merge_evolved"  -> (Catalog.mergeUpsertEvolved _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1775,5 +1776,25 @@ object SparkEntry {
         |      FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id)
         |SELECT doc_id, old_v, new_v, status FROM d
         |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+
+    // q113: schema-evolved MERGE — base-only column `src` survives updates
+    // and NULLs on insert; change-only column `lang` arrives on upserts and
+    // NULL-backfills kept rows. Same single full-outer join as q111.
+    "q113_merge_evolved" ->
+      """WITH base AS (SELECT doc_id, n_chars AS v, source AS src
+        |              FROM documents WHERE doc_id % 3 <> 2),
+        |u AS (SELECT doc_id, n_chars + 1000 AS v, lang,
+        |        CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |      FROM documents WHERE doc_id % 2 = 0)
+        |SELECT COALESCE(u.doc_id, base.doc_id) AS doc_id,
+        | CASE WHEN u.op = 'upsert' THEN u.v ELSE base.v END AS v,
+        | base.src AS src,
+        | CASE WHEN u.op = 'upsert' THEN u.lang ELSE NULL END AS lang,
+        | CASE WHEN u.doc_id IS NULL THEN 'kept'
+        |      WHEN base.doc_id IS NULL THEN 'inserted'
+        |      ELSE 'updated' END AS action
+        |FROM base FULL OUTER JOIN u ON base.doc_id = u.doc_id
+        |WHERE COALESCE(u.op, '') <> 'delete'
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -148,6 +148,60 @@ object Catalog {
       .orderBy("doc_id")
   }
 
+  /** SCHEMA-EVOLVED MERGE — [[mergeUpsert]]'s semantics when the change set
+    * and the base DISAGREE on schema, the way real lakehouse merges do once
+    * a table evolves (q101's `unionByName(allowMissingColumns)` rule
+    * composed into the merge itself). Per-column resolution, computed by
+    * NAME over the union of both sides' value columns:
+    *
+    *  - column on both sides: upsert takes the change value, otherwise base
+    *  - column only on the base (the change set predates it or dropped it):
+    *    unchanged for kept/updated rows, NULL for inserts
+    *  - column only on the change set (added after the base was written):
+    *    change value for upserts, NULL-backfilled for kept rows — the
+    *    evolve-on-merge behavior, no history rewrite
+    *
+    * Still ONE key-keyed full-outer join — schema evolution costs no extra
+    * shuffle; the column arithmetic is projection-only. */
+  def mergeEvolved(base: DataFrame, changes: DataFrame,
+      keyCol: String = "doc_id", opCol: String = "op"): DataFrame = {
+    val baseCols = base.columns.filterNot(_ == keyCol).toSeq
+    val chCols = changes.columns.filterNot(c => c == keyCol || c == opCol).toSeq
+    val outCols = baseCols ++ chCols.filterNot(baseCols.contains)
+    val chTypes = changes.schema.map(f => f.name -> f.dataType).toMap
+    val upsert = col(s"u.$opCol") === "upsert"
+    val vals = outCols.map { c =>
+      (baseCols.contains(c), chCols.contains(c)) match {
+        case (true, true) => when(upsert, col(s"u.$c")).otherwise(col(s"b.$c")).as(c)
+        case (true, false) => col(s"b.$c").as(c)
+        case _ => when(upsert, col(s"u.$c")).otherwise(lit(null).cast(chTypes(c))).as(c)
+      }
+    }
+    val action = when(col(s"u.$keyCol").isNull, "kept")
+      .when(col(s"b.$keyCol").isNull, "inserted")
+      .otherwise("updated").as("action")
+    base.as("b").join(changes.as("u"),
+        col(s"b.$keyCol") === col(s"u.$keyCol"), "full_outer")
+      .filter(coalesce(col(s"u.$opCol"), lit("")) =!= "delete")
+      .select((coalesce(col(s"u.$keyCol"), col(s"b.$keyCol")).as(keyCol) +: vals)
+        :+ action: _*)
+  }
+
+  /** Q113 — [[mergeEvolved]] over the standard snapshot stand-ins, covering
+    * BOTH evolution directions at once: the base carries `src` (missing
+    * from the change set — updates leave it alone, inserts NULL it) and the
+    * change set carries `lang` (new since the base was written — kept rows
+    * backfill NULL). */
+  def mergeUpsertEvolved(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 3 =!= 2)
+      .select(col("doc_id"), col("n_chars").as("v"), col("source").as("src"))
+    val changes = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (col("n_chars") + 1000).as("v"), col("lang"),
+        when(col("doc_id") % 10 === 0, "delete").otherwise("upsert").as("op"))
+    mergeEvolved(base, changes).orderBy("doc_id")
+  }
+
   /** Q112 — SNAPSHOT DIFF (change-data-feed between two table states):
     * which rows were added, removed, or changed — the audit a lake emits
     * so downstream incrementals consume deltas instead of full rescans.

@@ -45,6 +45,32 @@ class CatalogSpec extends SparkSpec {
     assert(r("s2") == 0.0)                  // both clamped to 0
   }
 
+  test("mergeEvolved resolves schema drift per column in both directions") {
+    // base predates `lang`; the change set postdates `src` — the merge must
+    // hold BOTH rules at once without an extra shuffle's worth of plumbing
+    val base = Seq((1L, 10L, "web"), (2L, 20L, "pdf"), (3L, 30L, "web"))
+      .toDF("doc_id", "v", "src")
+    val changes = Seq(
+      (2L, 2000L, "en", "upsert"),  // matched update
+      (4L, 4000L, "fr", "upsert"),  // unmatched insert
+      (3L, 0L, "de", "delete"))     // matched delete
+      .toDF("doc_id", "v", "lang", "op")
+    val out = Catalog.mergeEvolved(base, changes).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    // kept row: base values survive, the NEW column backfills NULL
+    assert(byId(1L) == ((10L, "web", null, "kept")))
+    // updated row: shared column takes the change value, the base-only
+    // column is UNCHANGED (missing from source ≠ set to NULL)
+    assert(byId(2L) == ((2000L, "pdf", "en", "updated")))
+    // inserted row: base-only column has no value to inherit → NULL
+    assert(byId(4L) == ((4000L, null, "fr", "inserted")))
+    // output schema is the BY-NAME union, base columns first
+    assert(Catalog.mergeEvolved(base, changes).columns.toSeq ==
+      Seq("doc_id", "v", "src", "lang", "action"))
+  }
+
   test("compact rewrites a many-small-files directory into few target files") {
     val src = java.nio.file.Files.createTempDirectory("small").toString
     val dst = java.nio.file.Files.createTempDirectory("compacted").toString
