@@ -599,7 +599,13 @@ object Relational {
     // total mass = plain event count: a metadata-cheap scan, instead of
     // re-executing the per-user aggregate a second time for its sum
     val total = ev.count()
-    counts.orderBy(col("n").desc, col("user_id")).limit(k)
+    // probe BEFORE the top-k, not after: the codegen'd estimate is a
+    // map-only projection over the count aggregate (no shuffle), and the
+    // sort+limit then fuses into TakeOrderedAndProject — a limit placed
+    // between sort and projection instead floats up and leaves a full
+    // range-partitioned global sort of every distinct key underneath
+    // (caught by the round-6 plan pin)
+    counts
       .withColumn("est",
         graft.functions.SketchExpressions.cms_estimate(lit(sketchBytes), col("user_id")))
       .select(col("user_id"), col("n"),
@@ -607,5 +613,6 @@ object Relational {
         ((col("est") - col("n")).cast("double") <=
           lit(total.toDouble * 0.01)).cast("long").as("cms_within_tol"))
       .orderBy(col("n").desc, col("user_id"))
+      .limit(k)
   }
 }

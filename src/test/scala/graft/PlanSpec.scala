@@ -324,6 +324,63 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-6 operators keep their scale shapes") {
+    // q98: the bloom probe filters the FACT SCAN before any exchange — in
+    // the printed tree, the lineitem scan follows the probe filter with no
+    // Exchange between them (probe above a shuffle would mean the sketch
+    // saved nothing)
+    // (bloom_contains builds Spark's BloomFilterMightContain, which prints
+    // as `might_contain`; the giant sketch literal makes full-plan dumps
+    // unreadable, so failure messages print a literal-stripped plan)
+    val bj = explain(graft.analytics.ScaleJoins.bloomPrefilterJoin(spark, sf0001))
+      .replaceAll("0x[0-9A-Fa-f]{32,}", "0x<sketch>")
+    assert(bj.contains("might_contain"), s"expected bloom probe:\n$bj")
+    val lines = bj.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("lineitem.parquet"))
+    assert(scanIdx > 0, s"expected a lineitem scan:\n$bj")
+    val above = lines.take(scanIdx).reverse
+    val probeUp = above.indexWhere(_.contains("might_contain"))
+    val exUp = above.indexWhere(_.contains("Exchange"))
+    assert(probeUp >= 0 && (exUp < 0 || probeUp < exUp),
+      s"bloom probe must sit directly over the scan, not above a shuffle:\n$bj")
+    // q104: the CMS estimate is a PROJECTION over the top-k rows (the
+    // sketch rides the references array), never a second corpus aggregate —
+    // one count-agg exchange, top-k via TakeOrderedAndProject
+    val hhDf = Relational.q104(spark, sf0001)
+    val hh = explain(hhDf).replaceAll("0x[0-9A-Fa-f]{32,}", "0x<sketch>")
+    // the probe expression is asserted structurally — the sketch literal
+    // inflates the plan string past Spark's print budget, which elides the
+    // projection's expression text
+    assert(hhDf.queryExecution.optimizedPlan.exists(
+        _.expressions.exists(_.exists(_.isInstanceOf[graft.functions.CmsEstimate]))),
+      s"expected in-plan CMS probe:\n$hh")
+    assert(hh.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$hh")
+    assert("Exchange".r.findAllIn(hh).length == 1,
+      s"CMS audit must add no exchange beyond the count agg:\n$hh")
+    // q110: GROUPING SETS is ONE Expand + one aggregate pass, not three
+    // scans with a union
+    val gs = explain(Relational.q110(spark, sf0001))
+    assert("Expand".r.findAllIn(gs).length == 1,
+      s"grouping sets must plan a single Expand:\n$gs")
+    assert(!gs.contains("Union"), s"grouping sets must not union scans:\n$gs")
+    // q111/q112/q113: each lakehouse merge/diff is ONE full-outer
+    // sort-merge join — two key exchanges + the presentation sort, nothing
+    // else (full outer cannot broadcast; a second join would double-shuffle
+    // the snapshot)
+    Seq(
+      "q111" -> graft.sources.Catalog.mergeUpsert(spark, sf0001),
+      "q112" -> graft.sources.Catalog.snapshotDiff(spark, sf0001),
+      "q113" -> graft.sources.Catalog.mergeUpsertEvolved(spark, sf0001)
+    ).foreach { case (name, df) =>
+      val m = explain(df)
+      assert(m.contains("FullOuter"), s"$name must full-outer join:\n$m")
+      assert("SortMergeJoin".r.findAllIn(m).length == 1,
+        s"$name must resolve in ONE merge join:\n$m")
+      assert("Exchange".r.findAllIn(m).length == 3,
+        s"$name must shuffle exactly (left key, right key, final sort):\n$m")
+    }
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
