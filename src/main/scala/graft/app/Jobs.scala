@@ -112,6 +112,119 @@ object IngestJob {
   }
 }
 
+/** Streaming session/alert processor — the declared-but-empty
+  * `spark/streaming/stream_processor.py` slot (0 bytes), implemented on the
+  * modern state API: clicks → timer-based `transformWithState` session
+  * tracker → date-partitioned session gold + sliding-window burst alerts;
+  * inventory CDC → TWS latest-state upsert → state changelog + reorder
+  * alerts (J7). RocksDB state store via [[Jobs.session]] — the TWS
+  * operators REQUIRE it, which is why these pipelines live here and not in
+  * IngestJob.
+  *
+  * Usage: StreamProcessorJob <clicksInDir> <cdcInDir> <outRoot> <checkpointRoot>
+  * (file-replay drop-dirs as the Kafka stand-in, same contract as
+  * IngestJob; dead-letter routing is IngestJob's concern — this job reads
+  * the same raw feed and drops unparseable rows).
+  *
+  * Every pipeline is built by a `wire*` seam taking the parsed stream, so
+  * the end-to-end spec drives the job's OWN plumbing through MemoryStream.
+  */
+object StreamProcessorJob {
+  import org.apache.spark.sql.Dataset
+  import org.apache.spark.sql.streaming.StreamingQuery
+
+  /** Clicks (session_id, timestamp) → TWS session summaries → append-mode
+    * parquet gold partitioned by session-start date (S6's layout for the
+    * session table). */
+  def wireSessions(clicks: DataFrame, outDir: String, checkpoint: String,
+      gapMs: Long = 600000L, lateness: String = "10 minutes"): StreamingQuery = {
+    val spark = clicks.sparkSession
+    import spark.implicits._
+    val sess = clicks
+      .select(col("session_id").cast("string").as("session_id"),
+        col("timestamp").cast("timestamp").as("ts"))
+      .withWatermark("ts", lateness)
+      .as[Streaming.SessionEvent]
+    Streaming.sessionTrackerTws(sess, gapMs)
+      .withColumn("date", to_date(timestamp_millis(col("start_ms"))))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("date")
+      .outputMode("append")
+      .start()
+  }
+
+  /** Clicks → sliding-window burst alerts (the live bot signal, q92's
+    * streaming twin) → append-mode parquet. */
+  def wireBurstAlerts(clicks: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery =
+    Streaming.burstAlerts(clicks)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** Parsed CDC envelopes → typed [[Streaming.CdcInput]] → TWS latest-state
+    * upsert. Update-mode states flow through foreachBatch (columnar sinks
+    * have no native update): each micro-batch appends its state deltas to
+    * the changelog and its below-reorder-level rows to the alerts dir. */
+  def wireInventory(cdc: DataFrame, changelogDir: String, alertsDir: String,
+      checkpoint: String): StreamingQuery = {
+    val spark = cdc.sparkSession
+    import spark.implicits._
+    val typed = cdc.select(
+        coalesce(col("after.product_id"), col("before.product_id")).as("product_id"),
+        col("operation"), col("lsn"),
+        col("after.stock_quantity").as("stock_quantity"),
+        col("after.reorder_level").as("reorder_level"))
+      .as[Streaming.CdcInput]
+    Streaming.cdcUpsertTws(typed)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Streaming.CdcState], _: Long) =>
+        val b = batch.persist()
+        b.write.mode("append").parquet(changelogDir)
+        Streaming.reorderAlerts(b).write.mode("append").parquet(alertsDir)
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: StreamProcessorJob <clicksInDir> <cdcInDir> <outRoot> <checkpointRoot>")
+      sys.exit(2)
+    }
+    val Array(clicksIn, cdcIn, outRoot, ckRoot) = args.take(4)
+    val spark = Jobs.session("graft-stream-processor")
+    spark.streams.addListener(new Streaming.GraftQueryListener())
+    def raw(dir: String): DataFrame = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", 100).load(dir)
+      .select(col("value").cast("binary").as("value"))
+    val (clicks, _) =
+      Streaming.splitParsed(raw(clicksIn), "ecommerce.user_clicks").get
+    val (cdcRows, _) =
+      Streaming.splitParsed(raw(cdcIn), "ecommerce.inventory_cdc").get
+    val queries = Seq(
+      wireSessions(clicks, s"$outRoot/sessions", s"$ckRoot/sessions"),
+      wireBurstAlerts(clicks, s"$outRoot/burst_alerts", s"$ckRoot/burst_alerts"),
+      wireInventory(cdcRows, s"$outRoot/inventory_changelog",
+        s"$outRoot/reorder_alerts", s"$ckRoot/inventory"))
+    // same drain-then-stop shutdown contract as IngestJob (priority above
+    // Spark's own hook, budget sized for the per-query drain)
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit = queries.foreach(q => Streaming.gracefulStop(q))
+      }, 60, 150, java.util.concurrent.TimeUnit.SECONDS)
+    spark.streams.awaitAnyTermination()
+  }
+}
+
 /** Hourly batch: bronze clicks → quality gate (≥0.95, expectations.py:437)
   * → silver (validated+deduplicated parquet) + gold (aggregations
   * partitioned by date, lake_writer.py:18-21) + ProcessedEvent output.

@@ -582,4 +582,143 @@ class StreamingSpec extends SparkSpec {
       assert(evs.exists(e => e.startsWith("terminated") && e.endsWith("none")))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("foreachBatch sink failure: restart from checkpoint redelivers the batch with no loss or duplication") {
+    // T1 hardening beyond the file-sink restart proof: a TRANSACTIONAL
+    // foreachBatch sink that dies mid-batch. The failed attempt commits
+    // nothing (the reference's no-commit-on-error, event_consumer.py:
+    // 209-212); the restarted query replays the SAME batch from the
+    // checkpoint and the batchId-keyed commit makes redelivery idempotent —
+    // the exactly-once recipe for sinks without native transactions (Kafka
+    // producers, JDBC upserts).
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ck = java.nio.file.Files.createTempDirectory("faultck").toString
+      val in = MemoryStream[Int]
+      FaultSink.clear()
+      def startQ() = in.toDS().writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Int], id: Long) =>
+          val rows = b.collect().toSeq // bounded: the micro-batch, not a corpus
+          if (FaultSink.failNext.compareAndSet(true, false))
+            throw new RuntimeException("injected sink failure")
+          FaultSink.commit(id, rows)
+        }.start()
+      FaultSink.failNext.set(true)
+      val q1 = startQ()
+      in.addData(1, 2, 3)
+      val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(failed.getMessage.contains("injected sink failure") ||
+        Option(failed.getCause).exists(_.getMessage.contains("injected sink failure")))
+      // the poisoned attempt committed NOTHING
+      assert(FaultSink.isEmpty)
+      // restart against the same checkpoint: the uncommitted batch replays,
+      // then new data flows — every row lands exactly once
+      val q2 = startQ()
+      in.addData(4, 5)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(FaultSink.all.sorted == Seq(1, 2, 3, 4, 5))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("StreamProcessorJob: sessions, burst alerts, and inventory end-to-end through the job's own seams") {
+    import graft.app.StreamProcessorJob
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("spj").toString
+      // one click feed drives BOTH pipelines, exactly as the job wires it
+      val clicksIn = MemoryStream[(String, String, java.sql.Timestamp)]
+      val clicks = clicksIn.toDF().toDF("user_id", "session_id", "timestamp")
+      val sessQ = StreamProcessorJob.wireSessions(
+        clicks, s"$root/sessions", s"$root/ck/sess")
+      val burstQ = StreamProcessorJob.wireBurstAlerts(
+        clicks, s"$root/bursts", s"$root/ck/burst")
+      // s1: two events 5 min apart (one session); u2: a 4-event burst
+      // inside one 30 s window (the alert threshold)
+      clicksIn.addData(
+        ("u1", "s1", ts("2024-01-01T00:00:00Z")),
+        ("u1", "s1", ts("2024-01-01T00:05:00Z")),
+        ("u2", "s2", ts("2024-01-01T00:00:01Z")),
+        ("u2", "s2", ts("2024-01-01T00:00:02Z")),
+        ("u2", "s2", ts("2024-01-01T00:00:03Z")),
+        ("u2", "s2", ts("2024-01-01T00:00:04Z")))
+      sessQ.processAllAvailable(); burstQ.processAllAvailable()
+      // far-future row pushes the watermark past s1's gap deadline and
+      // past the burst windows' close
+      clicksIn.addData(("u9", "s9", ts("2024-01-01T02:00:00Z")))
+      sessQ.processAllAvailable(); burstQ.processAllAvailable()
+      sessQ.stop(); burstQ.stop()
+      val sessions = spark.read.parquet(s"$root/sessions")
+      val s1 = sessions.filter($"session_id" === "s1").collect()
+      assert(s1.length == 1 && s1.head.getAs[Long]("n_events") == 2L)
+      // gold layout: partitioned by session-start date
+      assert(s1.head.getAs[java.sql.Date]("date").toString == "2024-01-01")
+      val bursts = spark.read.parquet(s"$root/bursts")
+      assert(bursts.filter($"user_id" === "u2").count() >= 1)
+      assert(bursts.filter($"user_id" === "u1").count() == 0)
+
+      // inventory: CDC envelopes (the parsed topic shape) through the TWS
+      // upsert — changelog carries per-batch state, alerts only below-level
+      val cdcIn = MemoryStream[SpjCdcEnv]
+      val invQ = StreamProcessorJob.wireInventory(cdcIn.toDF(),
+        s"$root/changelog", s"$root/alerts", s"$root/ck/inv")
+      cdcIn.addData(
+        SpjCdcEnv("INSERT", "0/01", null, SpjInv("P1", 100, 10)),
+        SpjCdcEnv("UPDATE", "0/02", null, SpjInv("P1", 5, 10)),
+        SpjCdcEnv("INSERT", "0/03", null, SpjInv("P2", 50, 10)))
+      invQ.processAllAvailable(); invQ.stop()
+      val latest = spark.read.parquet(s"$root/changelog")
+        .groupBy("product_id")
+        .agg(max(struct($"lsn", $"stock_quantity")).as("s"))
+        .select($"product_id", $"s.stock_quantity")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(latest("P1") == 5 && latest("P2") == 50)
+      val alerts = spark.read.parquet(s"$root/alerts")
+        .select("product_id").collect().map(_.getString(0)).toSet
+      assert(alerts == Set("P1")) // only the below-reorder-level product
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
+
+// top-level so Spark can derive product encoders (a nested-in-class case
+// class has no stable TypeTag for the encoder derivation)
+case class SpjInv(product_id: String, stock_quantity: Int, reorder_level: Int)
+case class SpjCdcEnv(operation: String, lsn: String,
+  before: SpjInv, after: SpjInv)
+
+/** Driver-side transactional-sink stand-in for the fault-injection spec:
+  * commits are keyed by batchId (idempotent overwrite — the same batch
+  * redelivered after a failure REPLACES, never appends), and one injected
+  * failure fires before any commit of the poisoned attempt, mirroring the
+  * reference's no-commit-on-error path (event_consumer.py:209-212). */
+object FaultSink {
+  import scala.jdk.CollectionConverters._
+  private val committed =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[Int]]()
+  val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def commit(batchId: Long, rows: Seq[Int]): Unit = committed.put(batchId, rows)
+  def clear(): Unit = { committed.clear(); failNext.set(false) }
+  def isEmpty: Boolean = committed.isEmpty
+  def all: Seq[Int] = committed.values.asScala.toSeq.flatten
 }
