@@ -28,10 +28,15 @@ object Checkpoints {
   /** Unpersist the given pinned RDD ids (ids already gone are a no-op).
     * Non-blocking: callers release mid-operator, where waiting for eviction
     * would serialize against the next stage; the bench harness does its own
-    * blocking sweep between queries. */
+    * blocking sweep between queries. Memo-retained ids are always excluded:
+    * an operator that builds a memo under another operator's
+    * snapshot-before/release-after window (e.g. the pairs memo first
+    * populated inside the CC resolution) must not see its irreplaceable
+    * blocks freed by the outer window's cleanup. */
   def release(sc: SparkContext, ids: Set[Int]): Unit = {
+    val keep = retainedIds(sc)
     val live = sc.getPersistentRDDs
-    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+    (ids -- keep).foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** Ids pinned now that were not pinned in `before` — the operator's own

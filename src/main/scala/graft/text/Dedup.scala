@@ -98,8 +98,43 @@ object Dedup {
     // that re-shuffle anyway (q49 clustering) take the unsorted form
     minhashPairsUnsorted(spark, dir).orderBy("doc_a", "doc_b")
 
-  /** [[minhashPairs]] without the final global sort. */
+  /** [[minhashPairs]] without the final global sort — memoized per
+    * (session, dir), the [[ccLabels]]/codebook lifecycle: the signature
+    * build + banded candidate join is deterministic in the corpus (seedless
+    * MinHash, fixed bands), and FOUR query families consume the identical
+    * pair table (q30 presentation, q55 prefiltered verify, q80 leakage
+    * audit, and the q49/q61/q83/q93/q105 CC resolution through
+    * [[ccLabels]]) — one session computes it once. The cached value is a
+    * re-checkpointed (doc_a, doc_b, est_jaccard) frame whose blocks are
+    * [[graft.Checkpoints.retain]]ed; its size is bounded by band
+    * COLLISIONS (docs that share a signature band), a small fraction of
+    * the corpus, never corpus mass. The signature intermediate is released
+    * once the pair table materializes. */
   def minhashPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = pairsCache.synchronized {
+      pairsCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate(dir, {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val pairs0 = computeMinhashPairs(spark, dir)
+      val preFinal = sc.getPersistentRDDs.keySet
+      val pairs = pairs0.localCheckpoint()
+      val pairIds = graft.Checkpoints.pinnedSince(sc, preFinal)
+      graft.Checkpoints.release(sc, (preFinal.toSet -- before))
+      graft.Checkpoints.retain(sc, pairIds)
+      pairs
+    })
+  }
+
+  private val pairsCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  // private[graft] so PlanSpec can pin the banded-join shape on the
+  // builder itself — consumer plans only show the memoized pair table
+  private[graft] def computeMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // materialize once: the signature table feeds three consumers (bands +
     // both pair sides); without the checkpoint the shingle->minhash
     // pipeline would be recomputed per consumer

@@ -211,12 +211,17 @@ class PlanSpec extends SparkSpec {
     val ent = explain(TextOps.tokenEntropy(spark, sf0001))
     assert(!ent.contains("Join"), s"entropy must not join:\n$ent")
     assert(ent.contains("partial_"), "entropy aggregates must map-side combine")
-    // q80: pairs from the banded equi-join; split attachment is id-keyed
+    // q80: pairs from the banded equi-join; split attachment is id-keyed.
+    // The banded shape is pinned on the memo BUILDER (consumer plans show
+    // the session-memoized pair table, not the join that built it).
+    val pairsPlan = explain(Dedup.computeMinhashPairs(spark, sf0001))
+    assert(pairsPlan.contains("band_val") || pairsPlan.contains("pos"),
+      s"expected the banded candidate join:\n$pairsPlan")
+    assert(!pairsPlan.contains("CartesianProduct"),
+      s"candidate pairs must come from the banded equi-join:\n$pairsPlan")
     val leak = explain(Dedup.splitLeakage(spark, sf0001))
     assert(!leak.contains("CartesianProduct"),
       s"leakage audit must stay banded + id-keyed:\n$leak")
-    assert(leak.contains("band_val") || leak.contains("pos"),
-      s"expected the banded candidate join:\n$leak")
     // q81: corpus-frequency join keyed by token, no cross join of doc sides
     val lm = explain(TextOps.unigramLogprob(spark, sf0001))
     assert(lm.contains("hashpartitioning(tok"), s"expected token-keyed work:\n$lm")
