@@ -136,6 +136,8 @@ object SparkEntry {
     "q111_merge_upsert"   -> (Catalog.mergeUpsert _),
     "q112_snapshot_diff"  -> (Catalog.snapshotDiff _),
     "q113_merge_evolved"  -> (Catalog.mergeUpsertEvolved _),
+    "q114_skipping_stats" -> ((s: SparkSession, d: String) => Catalog.skippingStats(s, d)),
+    "q115_zorder_layout"  -> ((s: SparkSession, d: String) => Catalog.zorderLayout(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1796,5 +1798,39 @@ object SparkEntry {
         |FROM base FULL OUTER JOIN u ON base.doc_id = u.doc_id
         |WHERE COALESCE(u.op, '') <> 'delete'
         |ORDER BY doc_id""".stripMargin,
+
+    // q114: per-file min/max/null manifest + the skip verdict for
+    // "n_chars >= 900" (skip iff max < 900) — files = 250-doc_id ranges.
+    "q114_skipping_stats" ->
+      """SELECT doc_id // 250 AS file_id,
+        | COUNT(*) AS n_rows,
+        | MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars,
+        | MIN(lang) AS min_lang, MAX(lang) AS max_lang,
+        | CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+        | CAST(MAX(n_chars) < 900 AS BIGINT) AS skip_long_docs
+        |FROM documents GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    // q115: bit-interleaved z-value of min-max-normalized (capped n_chars
+    // bucket, md5 coin of lang:source) — exact integer arithmetic both
+    // sides; z_file boxes 4096 consecutive z-values.
+    "q115_zorder_layout" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    LEAST(255, n_chars // 16) AS zx,
+        |    CAST(CAST('0x' || substr(md5(lang || ':' || source), 1, 2) AS INTEGER) AS BIGINT) AS zy
+        |  FROM documents),
+        |b AS (SELECT MIN(zx) minx, MAX(zx) maxx, MIN(zy) miny, MAX(zy) maxy FROM d),
+        |nd AS (
+        |  SELECT doc_id, zx, zy,
+        |    CASE WHEN maxx = minx THEN 0 ELSE ((zx - minx) * 255) // (maxx - minx) END AS nx,
+        |    CASE WHEN maxy = miny THEN 0 ELSE ((zy - miny) * 255) // (maxy - miny) END AS ny
+        |  FROM d CROSS JOIN b),
+        |z AS (
+        |  SELECT doc_id, zx, zy,
+        |    CAST(list_sum([((nx >> i) & 1) * (1 << (2*i))
+        |                 + ((ny >> i) & 1) * (1 << (2*i + 1)) FOR i IN range(8)]) AS BIGINT) AS zval
+        |  FROM nd)
+        |SELECT doc_id, zx, zy, zval, zval // 4096 AS z_file
+        |FROM z ORDER BY zval, doc_id""".stripMargin,
   )
 }

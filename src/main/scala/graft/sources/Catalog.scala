@@ -148,6 +148,82 @@ object Catalog {
       .orderBy("doc_id")
   }
 
+  /** Q114 — DATA-SKIPPING MANIFEST: the per-file column statistics a
+    * lakehouse table format keeps (min/max/null-count per pruning column)
+    * plus the skip verdict for a concrete predicate — the mechanism behind
+    * "read 3 of 40,000 files" at 100 TB, where partition pruning alone is
+    * too coarse. Files are simulated as fixed doc_id ranges (`fileRows`
+    * rows per file — the stand-in for real file boundaries, which the test
+    * corpus's single parquet file can't provide). ONE aggregate pass keyed
+    * by file_id builds the whole manifest; the skip flag
+    * (`max_n_chars < threshold` ⇒ no row can match `n_chars ≥ threshold`)
+    * is a projection over the manifest, the exact evaluation a reader runs
+    * per file before opening it. Manifest size = file count, orders of
+    * magnitude below row count. */
+  def skippingStats(spark: SparkSession, dir: String,
+      fileRows: Long = 250, nCharsThreshold: Long = 900): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(expr(s"doc_id div $fileRows").as("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("n_chars").as("min_n_chars"),
+        max("n_chars").as("max_n_chars"),
+        min("lang").as("min_lang"),
+        max("lang").as("max_lang"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("null_source"))
+      .withColumn("skip_long_docs",
+        (col("max_n_chars") < nCharsThreshold).cast("long"))
+      .orderBy("file_id")
+
+  /** Q115 — Z-ORDER LAYOUT KEY: multi-dimensional clustering for the
+    * data-skipping manifest ([[skippingStats]]) — interleave the bits of
+    * two pruning dimensions so rows near each other in (x, y) land in the
+    * same output file, making BOTH columns' min/max ranges tight per file
+    * (a lexicographic sort gets one column tight, the other spans
+    * everything). x = capped n_chars bucket (range dimension), y = md5 coin
+    * of (lang, source) (the q44/q63 hash convention — categorical
+    * dimension).
+    *
+    * Dimensions are min-max NORMALIZED to the full 8-bit range before
+    * interleaving (exact integer arithmetic): raw interleave degenerates
+    * whenever one dimension uses fewer bits than the other — with zx ≤ 34
+    * (6 bits) the unnormalized z-value is dominated by zy's high bits and
+    * the "z-order" collapses to a plain zy sort (measured on the test
+    * corpus: per-file zx extent ≈ global). Normalization is what real
+    * z-order implementations do (rank or min-max scale per dimension).
+    *
+    * Plan shape: one tiny bounds aggregate broadcast back (scalar idiom),
+    * then a pure map — the 8-round HOF fold is codegen'd, zero shuffle;
+    * the presentation sort at write time IS the z-order
+    * `repartitionByRange(zval)`. `z_file` boxes `fileSpan` consecutive
+    * z-values into one target file. */
+  def zorderLayout(spark: SparkSession, dir: String,
+      fileSpan: Long = 4096): DataFrame = {
+    val dims = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        least(lit(255L), expr("n_chars div 16")).cast("long").as("zx"),
+        expr("cast(conv(substring(md5(concat(lang, ':', source)), 1, 2), 16, 10) as bigint)")
+          .as("zy"))
+    val bounds = dims.agg(
+      min("zx").as("min_zx"), max("zx").as("max_zx"),
+      min("zy").as("min_zy"), max("zy").as("max_zy"))
+    dims.crossJoin(broadcast(bounds))
+      .withColumn("nx", expr(
+        "CASE WHEN max_zx = min_zx THEN cast(0 as bigint) " +
+          "ELSE ((zx - min_zx) * 255) div (max_zx - min_zx) END"))
+      .withColumn("ny", expr(
+        "CASE WHEN max_zy = min_zy THEN cast(0 as bigint) " +
+          "ELSE ((zy - min_zy) * 255) div (max_zy - min_zy) END"))
+      .withColumn("zval", expr(
+        """aggregate(sequence(0, 7), cast(0 as bigint), (acc, i) -> acc
+          | + (shiftright(nx, i) % 2) * shiftleft(cast(1 as bigint), 2*i)
+          | + (shiftright(ny, i) % 2) * shiftleft(cast(1 as bigint), 2*i + 1))"""
+          .stripMargin))
+      .withColumn("z_file", expr(s"zval div $fileSpan"))
+      .select("doc_id", "zx", "zy", "zval", "z_file")
+      .orderBy("zval", "doc_id")
+  }
+
   /** SCHEMA-EVOLVED MERGE — [[mergeUpsert]]'s semantics when the change set
     * and the base DISAGREE on schema, the way real lakehouse merges do once
     * a table evolves (q101's `unionByName(allowMissingColumns)` rule

@@ -71,6 +71,69 @@ class CatalogSpec extends SparkSpec {
       Seq("doc_id", "v", "src", "lang", "action"))
   }
 
+  test("skippingStats manifest: exhaustive row coverage and sound skip verdicts") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val stats = Catalog.skippingStats(spark, sf0001).collect()
+    // the manifest covers every row exactly once
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == docs.count())
+    // skip soundness: a skipped file must contain NO row matching the
+    // predicate (n_chars >= 900) — the property the reader relies on
+    val skipped = stats.filter(_.getAs[Long]("skip_long_docs") == 1L)
+      .map(_.getAs[Long]("file_id")).toSet
+    if (skipped.nonEmpty) {
+      val matches = docs.filter(col("n_chars") >= 900)
+        .select((col("doc_id") / 250).cast("long").as("file_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(matches.intersect(skipped).isEmpty)
+    }
+    // flag consistency with the manifest's own max
+    stats.foreach { r =>
+      assert((r.getAs[Long]("skip_long_docs") == 1L) ==
+        (r.getAs[Long]("max_n_chars") < 900L))
+    }
+  }
+
+  test("zorderLayout: exact normalized interleave; BOTH dimensions prunable per file") {
+    val rows = Catalog.zorderLayout(spark, sf0001).collect()
+    // the z-value is the exact bit interleave of the min-max-normalized
+    // dimensions (recomputed independently here)
+    val (xs0, ys0) = (rows.map(_.getAs[Long]("zx")), rows.map(_.getAs[Long]("zy")))
+    val (minX, maxX, minY, maxY) = (xs0.min, xs0.max, ys0.min, ys0.max)
+    def norm(v: Long, lo: Long, hi: Long): Long =
+      if (hi == lo) 0L else (v - lo) * 255 / (hi - lo)
+    def interleave(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("zval") == interleave(
+        norm(r.getAs[Long]("zx"), minX, maxX),
+        norm(r.getAs[Long]("zy"), minY, maxY)))
+    }
+    // the skipping property: group rows into equal-count files under (a)
+    // z-order and (b) a lexicographic zx-then-zy sort; a predicate prunes
+    // by ONE column's per-file extent, so the z-order must bound BOTH
+    // dimensions at once where lex leaves the trailing one unbounded
+    val perFile = math.max(1, rows.length / 16)
+    def meanExtents(sorted: Seq[(Long, Long)]): (Double, Double) = {
+      val boxes = sorted.grouped(perFile).map { g =>
+        val (xs, ys) = g.unzip
+        ((xs.max - xs.min + 1).toDouble, (ys.max - ys.min + 1).toDouble)
+      }.toSeq
+      (boxes.map(_._1).sum / boxes.length, boxes.map(_._2).sum / boxes.length)
+    }
+    val byZ = rows.sortBy(r => (r.getAs[Long]("zval"), r.getAs[Long]("doc_id")))
+      .map(r => (r.getAs[Long]("zx"), r.getAs[Long]("zy"))).toSeq
+    val byLex = rows.sortBy(r => (r.getAs[Long]("zx"), r.getAs[Long]("zy")))
+      .map(r => (r.getAs[Long]("zx"), r.getAs[Long]("zy"))).toSeq
+    val (zEx, zEy) = meanExtents(byZ)
+    val (_, lexEy) = meanExtents(byLex)
+    // trailing (zy) dimension: z-order files must be far tighter than lex
+    assert(zEy < 0.5 * lexEy, s"z-order zy extent $zEy vs lex $lexEy")
+    // leading (zx) dimension: still bounded well below its global range
+    assert(zEx < 0.5 * (maxX - minX + 1).toDouble,
+      s"z-order zx extent $zEx vs global ${maxX - minX + 1}")
+  }
+
   test("compact rewrites a many-small-files directory into few target files") {
     val src = java.nio.file.Files.createTempDirectory("small").toString
     val dst = java.nio.file.Files.createTempDirectory("compacted").toString
