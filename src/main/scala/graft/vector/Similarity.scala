@@ -422,16 +422,63 @@ object Similarity {
       .distinct()
   }
 
-  /** Embedding near-dup, LSH-blocked (the 100 TB-shaped pipeline): banded
-    * candidates → exact cosine verification → top-k pairs. The corpus is
-    * checkpointed once and feeds three keyed consumers (bands + both pair
-    * sides); the only non-equi work is the per-candidate dot product. The
-    * exact quadratic form survives as [[nearDupPairsExact]] for
-    * small-corpus reference and the recall spec. */
-  def nearDupPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val e = withNorm(spark, dir).localCheckpoint()
-    nearDupPairsOn(e, k)
+  /** Session-scoped memo for the SCORED banded candidate pairs — the shape
+    * q34 (near-dup top-k), q66 (semantic clusters), and q72 (kNN graph)
+    * all start from: `bandedCandidates` over the corpus, both vector sides
+    * joined back, one RAW-double cosine per pair. Deterministic in the
+    * corpus dir (seedless md5 hyperplanes, fixed bands), so one session
+    * computes it once — the ccLabels/pairs/codebook lifecycle: the
+    * (vec_a, vec_b, cos_raw) table re-checkpoints onto retained blocks
+    * (bounded by band collisions, never corpus mass) and the corpus-vector
+    * intermediate is released once it materializes. Consumers derive their
+    * own views: q34/q72 apply `pround(cos_raw, 4)` (bit-identical to
+    * rounding inline), q66 thresholds the raw double. */
+  private val scoredPairsCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private[vector] def scoredBandedPairs(spark: SparkSession,
+      dir: String): DataFrame = {
+    val perSession = scoredPairsCache.synchronized {
+      scoredPairsCache.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate(dir, {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val scored0 = computeScoredBandedPairs(spark, dir)
+      val preFinal = sc.getPersistentRDDs.keySet
+      val scored = scored0.localCheckpoint()
+      graft.Checkpoints.retain(sc, graft.Checkpoints.pinnedSince(sc, preFinal))
+      graft.Checkpoints.release(sc, (preFinal.toSet -- before))
+      scored
+    })
   }
+
+  // private[graft] so PlanSpec pins the banded-join shape on the builder —
+  // consumer plans only show the memoized scored-pair table
+  private[graft] def computeScoredBandedPairs(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = withNorm(spark, dir).localCheckpoint()
+    bandedCandidates(e)
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot_product(col("a.v"), col("b.v")) /
+          (col("a.norm") * col("b.norm"))).as("cos_raw"))
+  }
+
+  /** Embedding near-dup, LSH-blocked (the 100 TB-shaped pipeline): banded
+    * candidates → exact cosine verification → top-k pairs, reading the
+    * session-memoized [[scoredBandedPairs]]. The exact quadratic form
+    * survives as [[nearDupPairsExact]] for small-corpus reference and the
+    * recall spec. */
+  def nearDupPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    scoredBandedPairs(spark, dir)
+      .select(col("vec_a"), col("vec_b"),
+        pround(col("cos_raw"), 4).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_a"), col("vec_b"))
+      .limit(k)
 
   /** [[nearDupPairs]] over an arbitrary (vec_id, v, norm) frame — reused by
     * the planted-near-dup recall spec. */
@@ -490,16 +537,26 @@ object Similarity {
       minCos: Double = 0.4): DataFrame = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val e = withNorm(spark, dir).localCheckpoint()
-    val eIds = graft.Checkpoints.pinnedSince(sc, before)
-    // node list from a fresh vec_id-only scan (column-pruned parquet read)
-    // rather than from `e`: the corpus checkpoint's last consumer is then
-    // the edge build inside semanticClustersOn, so its full-vector blocks
-    // can be released here instead of staying pinned behind the result
+    // edges from the session-memoized scored candidates: the banded join +
+    // per-pair cosine is shared with q34/q72; only the threshold filter,
+    // the CC resolution, and the label windows are this query's own work
+    val edges = scoredBandedPairs(spark, dir)
+      .filter(col("cos_raw") >= minCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint()
+    val mine = graft.Checkpoints.pinnedSince(sc, before)
+    val (labels, _) = graft.text.Dedup.connectedComponents(edges)
+    graft.Checkpoints.release(sc, mine)
     val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
-    val out = semanticClustersOn(e, minCos, nodes = Some(nodes))
-    graft.Checkpoints.release(sc, eIds)
-    out
+    val wholeCluster = Window.partitionBy("cluster_rep")
+    nodes
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_rep"))
+      .withColumn("cluster_size", count(lit(1)).over(wholeCluster))
+      .select(col("vec_id"), col("cluster_rep"), col("cluster_size"),
+        (col("vec_id") === col("cluster_rep")).cast("long").as("keep"))
+      .orderBy("vec_id")
   }
 
   /** [[semanticClusters]] over an arbitrary (vec_id, v, norm) frame —
@@ -546,18 +603,13 @@ object Similarity {
     * final shuffle. Vectors with no band-mates have no neighbors and are
     * absent, as in any LSH-bucketed kNN build. */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val e = withNorm(spark, dir).localCheckpoint()
-    // score each undirected pair ONCE (cosine is symmetric), then mirror the
-    // scored rows — half the join probes and dot products of scoring both
-    // directions independently. The checkpoint is what realizes "once":
-    // a lazy frame under union would re-execute the joins per branch.
-    val scoredPairs = bandedCandidates(e)
-      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
-      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+    // each undirected pair is scored ONCE (cosine is symmetric) by the
+    // session-memoized scored-candidates table, then mirrored — half the
+    // join probes of scoring both directions, and the memo's checkpoint is
+    // what keeps the union from re-executing the joins per branch
+    val scoredPairs = scoredBandedPairs(spark, dir)
       .select(col("vec_a"), col("vec_b"),
-        pround(dot_product(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
-          .as("cos_sim"))
-      .localCheckpoint()
+        pround(col("cos_raw"), 4).as("cos_sim"))
     val sym = scoredPairs
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
       .union(scoredPairs

@@ -97,10 +97,16 @@ class PlanSpec extends SparkSpec {
 
   test("q34 near-dup candidates come from a keyed join, not a cross join") {
     import graft.vector.Similarity
-    val s = explain(Similarity.nearDupPairs(spark, sf0001))
-    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+    // the banded shape lives in the memo BUILDER (consumer plans read the
+    // session-memoized scored-pair table)
+    val b = explain(Similarity.computeScoredBandedPairs(spark, sf0001))
+    assert(!b.contains("CartesianProduct") && !b.contains("BroadcastNestedLoopJoin"),
       "blocked near-dup must join on (band_id, band_val), never cross-join")
-    assert(s.contains("band_val"))
+    assert(b.contains("band_val"))
+    // and the consumer itself stays cross-join-free with a fused top-k
+    val s = explain(Similarity.nearDupPairs(spark, sf0001))
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("TakeOrderedAndProject"))
   }
 
   test("minhash signatures are a pure map: no shuffle before the presentation sort") {
@@ -384,6 +390,22 @@ class PlanSpec extends SparkSpec {
       assert("Exchange".r.findAllIn(m).length == 3,
         s"$name must shuffle exactly (left key, right key, final sort):\n$m")
     }
+    // q114: the manifest is ONE file-keyed aggregate — no join, map-side
+    // combined, exchanges = file_id hash + presentation sort
+    val sk = explain(graft.sources.Catalog.skippingStats(spark, sf0001))
+    assert(!sk.contains("Join"), s"skipping manifest must not join:\n$sk")
+    assert(sk.contains("partial_"), s"manifest agg must map-side combine:\n$sk")
+    assert("Exchange".r.findAllIn(sk).length == 2,
+      s"manifest = one keyed agg + presentation sort:\n$sk")
+    // q115: bounds come in as a 1-row broadcast (scalar idiom); the
+    // interleave is a pure map — no shuffled join, and the only real
+    // exchanges are the bounds aggregate's single-partition gather + the
+    // ordering that IS the layout
+    val zo = explain(graft.sources.Catalog.zorderLayout(spark, sf0001))
+    assert(!zo.contains("SortMergeJoin") && !zo.contains("ShuffledHashJoin"),
+      s"z-order must not shuffle a join side:\n$zo")
+    assert(zo.contains("BroadcastNestedLoopJoin") || zo.contains("BroadcastExchange"),
+      s"bounds must broadcast:\n$zo")
   }
 
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
