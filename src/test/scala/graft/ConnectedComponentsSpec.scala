@@ -106,4 +106,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     // other suites, whose cached state a blanket sweep could clobber
     graft.Checkpoints.release(spark.sparkContext, added.toSet)
   }
+
+  test("session memos survive the harness sweep and keep serving correct results") {
+    // the round-6 mechanism end-to-end: a memoized resolution's retained
+    // blocks must outlive Bench's inter-query sweep (their lineage is
+    // truncated — a swept memo would FAIL, not recompute), and the memo
+    // hit must return the same rows as the first computation
+    val sc = spark.sparkContext
+    val first = Dedup.nearDupClusters(spark, sf001).collect()
+    // the harness hygiene pass between queries
+    graft.Checkpoints.sweepExceptRetained(sc)
+    spark.catalog.clearCache()
+    // memo hit AFTER the sweep: same labels, no recompute failure
+    val second = Dedup.nearDupClusters(spark, sf001).collect()
+    assert(first.map(_.toSeq).toSeq == second.map(_.toSeq).toSeq)
+    // a consumer of the same underlying pair memo agrees on the clusters
+    val canon = Dedup.canonicalDocs(spark, sf001)
+      .select("doc_id", "cluster_rep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    first.foreach { r =>
+      assert(canon(r.getLong(0)) == r.getLong(1),
+        s"q61 disagrees with q49 on doc ${r.getLong(0)}")
+    }
+    // explicit release must NOT free retained blocks either
+    val retained = graft.Checkpoints.retainedIds(sc)
+    graft.Checkpoints.release(sc, retained)
+    assert(retained.subsetOf(sc.getPersistentRDDs.keySet),
+      "release() must skip memo-retained ids")
+  }
 }
