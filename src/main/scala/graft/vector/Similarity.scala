@@ -390,30 +390,27 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane signs: sign(j,i) = +1 iff the first hex
     * nibble of md5("h<j>:<i>") is even — seedless and reproducible in any
-    * engine (the oracle embeds the same literals). */
+    * engine (the oracle embeds the same literals). One rule, owned by
+    * [[VectorExpressions.signMatrix]] so the fused expression and any
+    * composed-form consumer can never drift. */
   def signHyperplanes(nbits: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(nbits, dim) { (j, i) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"h$j:$i".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
-    }
+    VectorExpressions.signMatrix(nbits, dim)
 
   /** Banded sign-LSH candidate pairs over a (vec_id, v, …) frame: project
     * each vector onto `nbits` fixed hyperplanes, pack sign bits into
     * nbits/bandSize band values, equi-join on (band_id, band_val) — the
     * shuffle is keyed by band bucket, the pair count is bounded by bucket
-    * sizes, and no cross join ever materializes. */
+    * sizes, and no cross join ever materializes. The whole nbits×dim
+    * multiply-add grid + bit packing is ONE codegen'd expression
+    * ([[graft.functions.LshBands]], bit-identical to the former composed
+    * `graft_dot`-per-hyperplane form — its scaladoc carries the proof
+    * obligations; a differential spec pins them). */
   def bandedCandidates(e: DataFrame, nbits: Int = NearDupBits,
       bandSize: Int = NearDupBandSize, dim: Int = EmbeddingDim): DataFrame = {
-    val signs = signHyperplanes(nbits, dim)
-    val bits = (0 until nbits).map { j =>
-      when(dot_product(col("v"), lit(signs(j))) > 0, 1L).otherwise(0L)
-    }
-    val bandVals = (0 until nbits / bandSize).map { b =>
-      (0 until bandSize).map(k => bits(b * bandSize + k) * (1L << k)).reduce(_ + _)
-    }
+    VectorExpressions.register(e.sparkSession)
     val bands = e.select(col("vec_id"),
-      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+      posexplode(VectorExpressions.lsh_bands(col("v"), nbits, bandSize, dim))
+        .as(Seq("band_id", "band_val")))
     bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&

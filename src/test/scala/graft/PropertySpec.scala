@@ -164,6 +164,44 @@ class PropertySpec extends SparkSpec {
       .checkInputDataTypes().isSuccess)
   }
 
+  test("fused LSH banding is bit-identical to the composed per-hyperplane form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExpressions
+    import graft.functions.VectorExpressions.dot_product
+    VectorExpressions.register(spark)
+    val (nbits, bandSize, dim) = (16, 4, 8)
+    val signs = VectorExpressions.signMatrix(nbits, dim)
+    // vectors incl. negatives, zeros (sign boundary), and a SHORT vector
+    // (the min(len, dim) bound both forms share)
+    val vecGen = Gen.choose(3, dim).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000000, 1000000).map(_ / 1000.0)))
+    (1 to 25).foreach { seed =>
+      val vecs = Gen.listOfN(40, vecGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val df = vecs.toDF("v")
+      val fused = df.select(
+          VectorExpressions.lsh_bands(col("v"), nbits, bandSize, dim).as("b"))
+        .collect().map(_.getSeq[Long](0))
+      // the composed reference: nbits dot products against sign literals,
+      // strict > 0, Σ bit·2^k packing — exactly the pre-round-6 band build
+      val bits = (0 until nbits).map { j =>
+        when(dot_product(col("v"), lit(signs(j))) > 0, 1L).otherwise(0L)
+      }
+      val bandVals = (0 until nbits / bandSize).map { b =>
+        (0 until bandSize).map(k => bits(b * bandSize + k) * (1L << k)).reduce(_ + _)
+      }
+      val composed = df.select(array(bandVals: _*).as("b"))
+        .collect().map(_.getSeq[Long](0))
+      assert(fused.toSeq == composed.toSeq)
+    }
+    // null vector → null bands (both forms)
+    val nulls = Seq((1L, null: Seq[Double])).toDF("id", "v")
+      .select(VectorExpressions.lsh_bands(col("v"), nbits, bandSize, dim))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("bloom probe admits every member for any key set — q98 guarantee") {
     import spark.implicits._
     import graft.functions.BloomExpressions
