@@ -138,6 +138,7 @@ object SparkEntry {
     "q113_merge_evolved"  -> (Catalog.mergeUpsertEvolved _),
     "q114_skipping_stats" -> ((s: SparkSession, d: String) => Catalog.skippingStats(s, d)),
     "q115_zorder_layout"  -> ((s: SparkSession, d: String) => Catalog.zorderLayout(s, d)),
+    "q116_purge_audit"    -> ((s: SparkSession, d: String) => Curation.purgeAudit(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1832,5 +1833,33 @@ object SparkEntry {
         |  FROM nd)
         |SELECT doc_id, zx, zy, zval, zval // 4096 AS z_file
         |FROM z ORDER BY zval, doc_id""".stripMargin,
+
+    // q116: purge cascade audit — the engine counts over the REAL derived
+    // artifacts (q52 chunks / q56 frames / q29 signatures); the oracle
+    // recomputes each artifact's cardinality in closed form from the
+    // corpus (chunks: (len-1)//24+1 per doc; frames: (chars-1)//32+1 for
+    // non-empty; signatures: one per doc), so the row also cross-checks
+    // the artifact generators' declared per-doc cardinality rules.
+    "q116_purge_audit" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'chunks' AS artifact,
+        |    CAST(SUM((len(toks) - 1) // 24 + 1) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN (len(toks) - 1) // 24 + 1 ELSE 0 END) AS BIGINT) AS n_purged
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'documents', COUNT(*),
+        |    CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'frames',
+        |    CAST(SUM(CASE WHEN len(text) > 0 THEN (len(text) - 1) // 32 + 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN doc_id % 17 = 0 AND len(text) > 0 THEN (len(text) - 1) // 32 + 1 ELSE 0 END) AS BIGINT)
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'signatures', COUNT(*),
+        |    CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM t
+        |) ORDER BY artifact""".stripMargin,
   )
 }

@@ -716,6 +716,36 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Q116 — RIGHT-TO-BE-FORGOTTEN PURGE AUDIT: given a tombstone predicate
+    * (here the doc_id % 17 stand-in for a deletion list), report per
+    * derived ARTIFACT how many rows exist and how many must cascade-delete
+    * — the governance sweep a training-data lake runs before certifying a
+    * removal request, because deleting the source doc is NOT enough: its
+    * chunks (q52), sampled frames (q56), and dedup signatures (q29) all
+    * carry the content too. Counts aggregate over the REAL derived
+    * artifacts (the same frames the pipeline materializes), while the
+    * oracle recomputes them in closed form from the corpus — so this row
+    * also cross-checks that artifact generation matches its declared
+    * per-doc cardinality rule. Four keyed aggregates, dashboard-sized
+    * output; at 100 TB each audit leg is one map-side-combined count over
+    * an artifact table. */
+  def purgeAudit(spark: SparkSession, dir: String,
+      modulus: Long = 17): DataFrame = {
+    def audit(name: String, df: DataFrame, idCol: String): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum((col(idCol) % modulus === 0).cast("long")), lit(0L))
+            .as("n_purged"))
+        .select(lit(name).as("artifact"), col("n_rows"), col("n_purged"))
+    audit("chunks", chunk(spark, dir), "doc_id")
+      .unionByName(audit("documents", Tables.documents(spark, dir), "doc_id"))
+      .unionByName(audit("frames",
+        graft.multimodal.Multimodal.frameSampleQuery(spark, dir), "asset_id"))
+      .unionByName(audit("signatures",
+        Dedup.minhashSignatures(spark, dir), "doc_id"))
+      .orderBy("artifact")
+  }
+
   /** Q100 — deterministic EPOCH SHUFFLE: the training-order permutation a
     * data loader consumes, reproducible across runs/engines/restarts (the
     * property `rand()` shuffles lack). Each doc hashes to a batch via the

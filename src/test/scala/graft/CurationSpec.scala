@@ -306,6 +306,21 @@ class CurationSpec extends SparkSpec {
     assert(fe.toSeq == re.toSeq)
   }
 
+  test("purge audit: cascade counts cover every artifact and match direct recounts") {
+    val rows = graft.text.Curation.purgeAudit(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("chunks", "documents", "frames", "signatures"))
+    // direct recount on the source table
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val nDocs = docs.count()
+    val nTomb = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 17 === 0).count()
+    assert(rows("documents") == ((nDocs, nTomb)))
+    assert(rows("signatures") == ((nDocs, nTomb))) // one signature row per doc
+    // derived artifacts fan out: more rows than docs, purge share similar
+    assert(rows("chunks")._1 > nDocs && rows("frames")._1 > nDocs)
+    assert(rows("chunks")._2 > 0 && rows("frames")._2 > 0)
+  }
+
   test("pii redaction: lexicon and pattern hits are masked and counted") {
     val dir = docsDir(Seq(
       (1L, "customer wrote to test@example.com from +1 (555) 123-4567 as user", "en", "s", 60L)))
