@@ -69,6 +69,17 @@ class CatalogSpec extends SparkSpec {
     // output schema is the BY-NAME union, base columns first
     assert(Catalog.mergeEvolved(base, changes).columns.toSeq ==
       Seq("doc_id", "v", "src", "lang", "action"))
+
+    // edge: a change set whose VALUE columns are entirely disjoint from the
+    // base's — updates must keep every base value and only attach the new
+    // columns; inserts carry only the new columns
+    val disjoint = Seq((2L, "x", "upsert"), (9L, "y", "upsert"))
+      .toDF("doc_id", "tag", "op")
+    val d = Catalog.mergeEvolved(base, disjoint).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.get(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(d(2L) == ((20L, "pdf", "x", "updated"))) // base values untouched
+    assert(d(9L) == ((null, null, "y", "inserted")))
+    assert(d(1L) == ((10L, "web", null, "kept")))
   }
 
   test("skippingStats manifest: exhaustive row coverage and sound skip verdicts") {

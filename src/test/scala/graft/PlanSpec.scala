@@ -406,6 +406,12 @@ class PlanSpec extends SparkSpec {
       s"z-order must not shuffle a join side:\n$zo")
     assert(zo.contains("BroadcastNestedLoopJoin") || zo.contains("BroadcastExchange"),
       s"bounds must broadcast:\n$zo")
+    // q116: four map-side-combined aggregate legs under one union — no
+    // join anywhere (each audit leg is a count over its artifact)
+    val pa = explain(graft.text.Curation.purgeAudit(spark, sf0001))
+    assert(!pa.contains("Join"), s"purge audit must not join:\n$pa")
+    assert(pa.contains("Union"), s"expected the four-leg union:\n$pa")
+    assert(pa.contains("partial_"), s"audit counts must map-side combine:\n$pa")
   }
 
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
