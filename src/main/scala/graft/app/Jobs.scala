@@ -46,17 +46,16 @@ object Jobs {
   * Usage: IngestJob <inDir> <bronzeDir> <quarantineDir> <checkpointDir>
   */
 object IngestJob {
-  def main(args: Array[String]): Unit = {
-    if (args.length < 4) {
-      System.err.println("usage: IngestJob <inDir> <bronzeDir> <quarantineDir> <checkpointDir>")
-      sys.exit(2)
-    }
-    val Array(inDir, bronzeDir, quarantineDir, checkpointDir) = args.take(4)
-    val spark = Jobs.session("graft-ingest")
 
-    // T6 observability: lifecycle + progress of both sinks to the job log
-    spark.streams.addListener(new Streaming.GraftQueryListener())
-
+  /** The job's full pipeline from a drop-dir to (bronze, quarantine)
+    * queries — the testable seam (the end-to-end spec calls this with temp
+    * dirs and real files; main adds only session + lifecycle). A short
+    * `trigger` keeps the spec fast; production keeps the 30 s default. */
+  def wire(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      bronzeDir: String, quarantineDir: String, checkpointDir: String,
+      trigger: String = "30 seconds"):
+      (org.apache.spark.sql.streaming.StreamingQuery,
+       org.apache.spark.sql.streaming.StreamingQuery) = {
     val raw = spark.readStream
       .format("text")
       // S4 count cap, precisely: bounds how many files a micro-batch ADMITS
@@ -78,15 +77,32 @@ object IngestJob {
     // nulls there would be a permanently-green metric while quarantine
     // silently fills
     val bronze = Streaming.bronzeSink(Streaming.withIngestMetrics(valid),
-      bronzeDir, s"$checkpointDir/bronze")
+      bronzeDir, s"$checkpointDir/bronze",
+      trigger = Trigger.ProcessingTime(trigger))
     val quarantine = dead
       .observe("graft_quarantine", count(lit(1)).as("n_rows"))
       .writeStream
       .format("json")
       .option("path", quarantineDir)
       .option("checkpointLocation", s"$checkpointDir/quarantine")
-      .trigger(Trigger.ProcessingTime("30 seconds"))
+      .trigger(Trigger.ProcessingTime(trigger))
       .start()
+    (bronze, quarantine)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: IngestJob <inDir> <bronzeDir> <quarantineDir> <checkpointDir>")
+      sys.exit(2)
+    }
+    val Array(inDir, bronzeDir, quarantineDir, checkpointDir) = args.take(4)
+    val spark = Jobs.session("graft-ingest")
+
+    // T6 observability: lifecycle + progress of both sinks to the job log
+    spark.streams.addListener(new Streaming.GraftQueryListener())
+
+    val (bronze, quarantine) =
+      wire(spark, inDir, bronzeDir, quarantineDir, checkpointDir)
 
     // T6 graceful shutdown: SIGTERM drains in-flight batches, then stops —
     // the reference's final-flush/close path (event_consumer.py:216-220).

@@ -633,6 +633,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("IngestJob wiring end-to-end: drop-dir files to Hive-partitioned gzip bronze + quarantine") {
+    // the FULL file-replay path through the job's own wire seam: real files
+    // in a drop dir, the text source, parse/dead-letter split, the gzip
+    // JSON bronze sink with y/m/d/h partitions, and the quarantine sink
+    import graft.app.IngestJob
+    val root = java.nio.file.Files.createTempDirectory("ingest").toString
+    val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+    val valid =
+      """{"event_id":"e1","event_type":"user_click","timestamp":"2024-03-05T07:30:00.000000",""" +
+        """"session_id":"s1","user_id":"u1","click_type":"product_view",""" +
+        """"page_url":"https://shop.example.com/products/P001","device_type":"mobile"}"""
+    val malformed = """{"this is not json"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(inDir.getPath, "batch1.jsonl"),
+      (valid + "\n" + malformed + "\n").getBytes("UTF-8"))
+    val (bronze, quarantine) = IngestJob.wire(spark, inDir.getPath,
+      s"$root/bronze", s"$root/quarantine", s"$root/ck", trigger = "0 seconds")
+    try {
+      bronze.processAllAvailable(); quarantine.processAllAvailable()
+    } finally { bronze.stop(); quarantine.stop() }
+    // bronze: the valid row landed, gzip-compressed, under its event-time
+    // Hive partition (the S3 layout lake_writer.py:118-141 declares)
+    val partDir = new java.io.File(s"$root/bronze/year=2024/month=3/day=5/hour=7")
+    assert(partDir.isDirectory, s"expected Hive partition dir, got ${partDir.getPath}")
+    assert(partDir.listFiles().exists(_.getName.endsWith(".json.gz")),
+      "bronze files must be gzip JSON")
+    val b = spark.read.json(s"$root/bronze")
+    assert(b.count() == 1)
+    assert(b.select("event_id").head().getString(0) == "e1")
+    // quarantine: the malformed line, with its raw payload for replay
+    val q = spark.read.json(s"$root/quarantine")
+    assert(q.count() == 1)
+    assert(q.select("raw").head().getString(0).contains("not json"))
+  }
+
   test("StreamProcessorJob: sessions, burst alerts, and inventory end-to-end through the job's own seams") {
     import graft.app.StreamProcessorJob
     implicit val sc = spark.sqlContext
