@@ -115,7 +115,10 @@ object Dedup {
       pairsCache.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty)
     }
-    perSession.getOrElseUpdate(dir, {
+    // builds serialize per session: TrieMap.getOrElseUpdate is not
+    // atomic, and a racing double-build would leak the loser's
+    // retained checkpoint blocks for the session's lifetime
+    perSession.synchronized { perSession.getOrElseUpdate(dir, {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val pairs0 = computeMinhashPairs(spark, dir)
@@ -125,7 +128,7 @@ object Dedup {
       graft.Checkpoints.release(sc, (preFinal.toSet -- before))
       graft.Checkpoints.retain(sc, pairIds)
       pairs
-    })
+    }) }
   }
 
   private val pairsCache =
@@ -408,8 +411,12 @@ object Dedup {
       ccLabelCache.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty)
     }
-    perSession.getOrElseUpdate((dir, minJaccard),
-      computeCcLabels(spark, dir, minJaccard))
+    // synchronized: see the pairs memo — a racing double-build leaks
+    // retained blocks
+    perSession.synchronized {
+      perSession.getOrElseUpdate((dir, minJaccard),
+        computeCcLabels(spark, dir, minJaccard))
+    }
   }
 
   /** Session-scoped memo for [[ccLabels]], mirroring

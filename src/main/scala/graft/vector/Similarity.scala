@@ -156,7 +156,12 @@ object Similarity {
       codebookCache.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty)
     }
-    perSession.getOrElseUpdate((dir, k, iters), trainIvfCodebook(e, k, iters))
+    // synchronized: getOrElseUpdate is not atomic on TrieMap; a racing
+    // double-train only wastes work here (driver-side value), but the
+    // serialization keeps all four memos on one discipline
+    perSession.synchronized {
+      perSession.getOrElseUpdate((dir, k, iters), trainIvfCodebook(e, k, iters))
+    }
   }
 
   private[graft] def trainIvfCodebook(e: DataFrame, k: Int = 4,
@@ -440,7 +445,8 @@ object Similarity {
       scoredPairsCache.computeIfAbsent(spark,
         _ => scala.collection.concurrent.TrieMap.empty)
     }
-    perSession.getOrElseUpdate(dir, {
+    // synchronized: a racing double-build would leak retained blocks
+    perSession.synchronized { perSession.getOrElseUpdate(dir, {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val scored0 = computeScoredBandedPairs(spark, dir)
@@ -449,7 +455,7 @@ object Similarity {
       graft.Checkpoints.retain(sc, graft.Checkpoints.pinnedSince(sc, preFinal))
       graft.Checkpoints.release(sc, (preFinal.toSet -- before))
       scored
-    })
+    }) }
   }
 
   // private[graft] so PlanSpec pins the banded-join shape on the builder —
