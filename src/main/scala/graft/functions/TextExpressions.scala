@@ -211,6 +211,88 @@ case class CdcChunks(child: Expression, mod: Int = 16)
     copy(child = newChild)
 }
 
+/** The per-row word-ngram loop, callable from generated code: the sliding
+  * window of `n` tokens joined by a single space, optionally first-
+  * occurrence-deduplicated — bit-identical to the HOF form it replaces
+  * (`transform(sequence(...), i -> concat_ws(" ", ...))`, optionally under
+  * `array_distinct`): concat_ws SKIPS null tokens (they vanish from the
+  * join, they don't null the gram), a doc shorter than `n` tokens yields
+  * an EMPTY array (not null), and `array_distinct` keeps first-occurrence
+  * order — all three behaviors reproduced here and pinned by a
+  * differential property spec. */
+object WordNgramHelper {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val window = new Array[UTF8String](n)
+    if (!distinct) {
+      val out = new Array[Any](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        var k = 0
+        while (k < n) {
+          window(k) = if (tokens.isNullAt(i + k)) null
+            else tokens.getUTF8String(i + k)
+          k += 1
+        }
+        out(i) = UTF8String.concatWs(Space, window: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= len - n) {
+        var k = 0
+        while (k < n) {
+          window(k) = if (tokens.isNullAt(i + k)) null
+            else tokens.getUTF8String(i + k)
+          k += 1
+        }
+        seen.add(UTF8String.concatWs(Space, window: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+    }
+  }
+}
+
+/** Word n-grams as ONE codegen'd expression — the substrate under every
+  * gram-based query (q31/q50/q51/q55/q69/q74/q80/q93...). The HOF form
+  * (`transform` + `concat_ws` lambda) evaluates interpretively per element;
+  * this keeps the whole sliding-window join (and the per-doc distinct,
+  * when asked) in a compiled loop inside whole-stage codegen. */
+case class WordNgrams(child: Expression, n: Int = 3, distinct: Boolean = false)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires n > 0")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    WordNgramHelper.compute(t.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.WordNgramHelper.compute($c, $n, $distinct);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Shared builder (registry + extensions): 1 arg, fixed 8×trigram shape —
@@ -228,14 +310,30 @@ object TextExpressions {
     CdcChunks(exprs.head)
   }
 
-  /** Register `graft_minhash` + `graft_cdc_chunks` on the session
-    * (idempotent; public-API route, same rationale as
+  /** graft_word_ngrams(toks, n, distinct) — shape args must be literals
+    * (they parameterize the generated loop). */
+  val wordNgramsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"graft_word_ngrams requires (toks, n, distinct), got ${exprs.length} args")
+    def evalLit(e: Expression, name: String): Any = {
+      require(e.foldable, s"graft_word_ngrams: $name must be a literal")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    WordNgrams(exprs(0),
+      evalLit(exprs(1), "n").asInstanceOf[Number].intValue(),
+      evalLit(exprs(2), "distinct").asInstanceOf[Boolean])
+  }
+
+  /** Register `graft_minhash` + `graft_cdc_chunks` + `graft_word_ngrams`
+    * on the session (idempotent; public-API route, same rationale as
     * [[VectorExpressions.register]]). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cdc_chunks", cdcChunksBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_ngrams", wordNgramsBuilder, "built-in")
   }
 
   /** 8-hash trigram MinHash signature of a token-array column (null when
@@ -245,4 +343,12 @@ object TextExpressions {
   /** Content-defined chunk md5s of a token-array column (empty array for
     * empty docs). Callers must [[register]] first. */
   def cdc_chunks(tokens: Column): Column = call_function("graft_cdc_chunks", tokens)
+
+  /** Compiled word n-grams over a token-array column (empty array when
+    * under `n` tokens; optional first-occurrence dedup). Callers must
+    * [[register]] first. */
+  def word_ngrams(tokens: Column, n: Int = 3, distinct: Boolean = false): Column =
+    call_function("graft_word_ngrams", tokens,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(distinct))
 }

@@ -260,5 +260,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_lsh_bands"),
       new ExpressionInfo(classOf[LshBands].getName, "graft_lsh_bands"),
       VectorExpressions.lshBandsBuilder))
+    e.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      TextExpressions.wordNgramsBuilder))
   }
 }

@@ -57,12 +57,13 @@ object Dedup {
     // sets are identical to the windowed form: same grams, same
     // multiplicity (non-distinct mode), same short-doc drops (empty array
     // explodes to no rows).
-    // tokenize in ITS OWN projection so the gram lambda reads a resolved
-    // attribute: passing split(text) straight into wordNgrams re-evaluates
-    // the split per element access inside the lambda (no CSE across lambda
-    // bodies) — measured 4× slower on the gram-heavy queries
-    val gramArr = TextOps.wordNgrams(col("toks"), n)
-    val arr = if (distinctPerDoc) array_distinct(gramArr) else gramArr
+    // gram building + optional per-doc distinct run in the compiled
+    // [[graft.functions.WordNgrams]] expression since round 6 — the HOF
+    // transform/concat_ws form evaluated its lambda interpretively per
+    // element (kept as TextOps.wordNgrams, the differential reference)
+    graft.functions.TextExpressions.register(spark)
+    val arr = graft.functions.TextExpressions.word_ngrams(
+      col("toks"), n, distinctPerDoc)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.tokens(col("text")).as("toks"))
@@ -224,11 +225,13 @@ object Dedup {
     // a shuffled semi-join when it doesn't
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    graft.functions.TextExpressions.register(spark)
     val docGrams = Tables.documents(spark, dir)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(TextOps.wordNgrams(col("toks"))).as("grams"))
+        graft.functions.TextExpressions.word_ngrams(col("toks"), 3, distinct = true)
+          .as("grams"))
     cand.join(docGrams.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(docGrams.as("gb"), col("doc_b") === col("gb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),

@@ -164,6 +164,40 @@ class PropertySpec extends SparkSpec {
       .checkInputDataTypes().isSuccess)
   }
 
+  test("compiled word ngrams are bit-identical to the HOF form, both distinct modes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextExpressions
+    TextExpressions.register(spark)
+    // token lists over a SMALL alphabet (forces duplicate grams so the
+    // distinct path is exercised), with occasional nulls (concat_ws skips
+    // them) and lengths straddling the n=3 boundary (empty-array edge)
+    val tokGen = Gen.choose(0, 9).flatMap(len =>
+      Gen.listOfN(len, Gen.frequency(
+        (9, Gen.oneOf("a", "b", "c").map(Option(_))),
+        (1, Gen.const(Option.empty[String])))))
+    (1 to 25).foreach { seed =>
+      val rows = Gen.listOfN(60, tokGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val df = rows.map(ts => Tuple1(ts.map(_.orNull))).toDF("toks")
+      Seq(false, true).foreach { distinct =>
+        val fused = df.select(
+            TextExpressions.word_ngrams(col("toks"), 3, distinct).as("g"))
+          .collect().map(_.getSeq[String](0))
+        val hofArr = graft.text.TextOps.wordNgrams(col("toks"), 3)
+        val ref = df.select(
+            (if (distinct) array_distinct(hofArr) else hofArr).as("g"))
+          .collect().map(_.getSeq[String](0))
+        assert(fused.toSeq == ref.toSeq, s"distinct=$distinct seed=$seed")
+      }
+    }
+    // null token-array → null out, both forms
+    val n0 = Seq(Tuple1(null: Seq[String])).toDF("toks")
+      .select(TextExpressions.word_ngrams(col("toks"), 3, distinct = false))
+      .collect()
+    assert(n0.head.isNullAt(0))
+  }
+
   test("fused LSH banding is bit-identical to the composed per-hyperplane form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
