@@ -139,6 +139,9 @@ object SparkEntry {
     "q114_skipping_stats" -> ((s: SparkSession, d: String) => Catalog.skippingStats(s, d)),
     "q115_zorder_layout"  -> ((s: SparkSession, d: String) => Catalog.zorderLayout(s, d)),
     "q116_purge_audit"    -> ((s: SparkSession, d: String) => Curation.purgeAudit(s, d)),
+    "q117_bpe_pairs"      -> ((s: SparkSession, d: String) => TextOps.bpePairs(s, d)),
+    "q118_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
+    "q119_embed_outliers" -> (Similarity.embedOutliers _),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1861,5 +1864,59 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         |  FROM t
         |) ORDER BY artifact""".stripMargin,
+
+    // q117: one BPE-trainer iteration — adjacent char-pair counts weighted
+    // by word frequency, extracted over the DISTINCT-WORD table (the
+    // vocabulary-≪-corpus trick). range(1, len) is empty for 1-char words,
+    // matching the Spark side's explicit length guard.
+    "q117_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS wcnt FROM w GROUP BY word),
+        |p0 AS (SELECT word, wcnt, unnest(range(1, length(word))) AS i FROM wc),
+        |p AS (SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, wcnt FROM p0)
+        |SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS pair_count
+        |FROM p GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+
+    // q118: cross-source near-dup overlap matrix over the same
+    // est-Jaccard ≥ 0.5 edges as the q49 clusters; n_pairs = exploded
+    // rows / 2 exactly (each edge contributes both endpoints).
+    "q118_source_overlap" ->
+      s"""WITH $minhashCtes,
+        |edges AS (SELECT doc_a, doc_b
+        |          FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id
+        |          WHERE $estJaccard >= 0.5),
+        |e2 AS (SELECT least(da.source, db.source) AS source_a,
+        |              greatest(da.source, db.source) AS source_b,
+        |              unnest([doc_a, doc_b]) AS d
+        |       FROM edges
+        |       JOIN documents da ON doc_a = da.doc_id
+        |       JOIN documents db ON doc_b = db.doc_id)
+        |SELECT source_a, source_b,
+        |  CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+        |FROM e2 GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // q119: exact-integer centroid distances — q_j = 10⁻⁶ fixed-point
+    // coordinate, d2 = Σ(n·q_j − s_j)² (distance² scaled by n²·10¹²,
+    // HUGEINT); outlier bit compares n_vec·d2 > 4·Σd2 exactly. The one
+    // float is the presentation divide, mirrored as pround(…, 6).
+    "q119_embed_outliers" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, unnest(q) AS qi, generate_subscripts(q, 1) AS i FROM e),
+        |s AS (SELECT i, CAST(SUM(qi) AS HUGEINT) AS s1, COUNT(*) AS n FROM x GROUP BY i),
+        |d AS (SELECT vec_id,
+        |        SUM(CAST(n * qi - s1 AS HUGEINT) * CAST(n * qi - s1 AS HUGEINT)) AS d2,
+        |        MAX(n) AS n
+        |      FROM x JOIN s USING (i) GROUP BY vec_id),
+        |t AS (SELECT SUM(d2) AS sum_d2, COUNT(*) AS n_vec FROM d)
+        |SELECT vec_id,
+        |  floor(CAST(d2 AS DOUBLE) / (n * n * 1e12) * 1000000 + 0.5) / 1000000.0 AS dist2,
+        |  CAST(n_vec * d2 > 4 * sum_d2 AS BIGINT) AS is_outlier
+        |FROM d, t ORDER BY vec_id""".stripMargin,
   )
 }

@@ -533,6 +533,36 @@ object Dedup {
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
       .orderBy("cluster_size")
 
+  /** Q118 — CROSS-SOURCE NEAR-DUP OVERLAP MATRIX: for every unordered pair
+    * of ingestion sources, how many near-dup edges cross them and how many
+    * distinct documents those edges touch — the provenance question a
+    * curation run answers before dropping a redundant feed (two crawls
+    * mirroring each other show up as one hot off-diagonal cell). Edges are
+    * the same est_jaccard ≥ minJaccard criterion the q49 clusters use, and
+    * the edge table is the session-memoized [[minhashPairsUnsorted]] — in a
+    * session that already deduped, this matrix costs two dimension joins
+    * and one aggregate. Scale: the pair side is bounded by band collisions
+    * (a small fraction of corpus mass), so AQE broadcasts it against the
+    * 2-column doc→source projection; the explode doubles only the edge
+    * rows (n_pairs = rows/2 exactly), and the output is bounded by
+    * |sources|². */
+  def sourceOverlap(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashPairsUnsorted(spark, dir)
+      .filter(col("est_jaccard") >= minJaccard)
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("source_a", "source_b")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Q64 — incremental (cross-snapshot) FUZZY dedup: the ledger pattern a
     * corpus that GROWS needs — yesterday's accepted corpus publishes a
     * SKETCH ledger (full 8-hash MinHash signature; exact md5 fallback for

@@ -171,6 +171,32 @@ object TextOps {
       .limit(k)
   }
 
+  /** Q117 — BPE MERGE-PAIR COUNTS (one tokenizer-training iteration): the
+    * corpus-weighted frequency of every adjacent character pair, the
+    * statistic a byte-pair-encoding trainer maximizes to pick its next
+    * merge (Sennrich et al. 2016's core loop). Two-level aggregation is
+    * the whole scale story: the corpus-sized explode collapses to the
+    * DISTINCT-WORD table first (vocabulary ≪ corpus — the classic BPE
+    * implementation trick), so the per-word pair extraction and the
+    * second aggregate run over vocabulary mass, not corpus mass. Word
+    * tokens are the q25 `[a-z]+` runs; pairs of 1-char words are empty by
+    * the explicit length guard (Spark's `sequence(1,0)` would descend,
+    * DuckDB's `range(1,1)` is empty — the guard pins both to empty). */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val wordCounts = Tables.documents(spark, dir)
+      .select(explode(
+        regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    wordCounts
+      .select(col("wc"), explode(when(length(col("word")) >= 2,
+          transform(sequence(lit(1), length(col("word")) - 1), i =>
+            col("word").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(sum("wc").as("pair_count"))
+      .orderBy(desc("pair_count"), col("pair"))
+      .limit(k)
+  }
+
   /** TF-IDF relevance (north star): per document, the top-3 tokens by
     * tf·ln(N/df). Exact integer tf/df/N keep the only float op one ln and
     * one multiply — engine-deterministic, pround(4) for presentation. */

@@ -856,6 +856,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Q119 — EMBEDDING OUTLIER FLAGS: per-vector squared L2 distance to the
+    * corpus centroid, with an outlier bit at dist² > 4·mean(dist²) (2× the
+    * RMS radius) — the curation pass that catches mis-embedded or
+    * out-of-domain vectors before they poison ANN cells or k-means
+    * codebooks. Exactness discipline: coordinates quantize to 10⁻⁶
+    * fixed-point longs q_j (the q57/q90 pattern); the centroid division
+    * never happens — distances are computed as Σ(n·q_j − s_j)² in
+    * decimal(38,0), exact integers multiplied through by n², and the
+    * outlier comparison n_vec·d2 > 4·Σd2 is again exact-integer, so the
+    * flag is bit-identical cross-engine with zero float ops. The only
+    * float is the presentation column (one decimal→double cast + one
+    * divide, IEEE-deterministic, pround 6). Headroom: n·q fits a long past
+    * 10¹² vectors; the squared terms run in decimal(38,0) (~10³⁸ ≫ the
+    * ~10³² worst case at 10⁹ vectors). Plan shape: one per-dim moment
+    * aggregate packed + broadcast (the q90 idiom), then a pure map over
+    * the corpus; the 1-row total re-derives the map once more (two
+    * column-pruned scans total, no driver action). */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val packed = perDimMoments(e).agg(
+      sort_array(collect_list(struct(col("i"), col("s1")))).as("ss"),
+      max(col("n")).as("n"))
+    val d2 = e
+      .withColumn("q", expr("transform(v, x -> floor(x * 1000000.0 + 0.5))"))
+      .crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("n"),
+        expr("""aggregate(
+          |  transform(q, (x, j) ->
+          |    CAST(n * x - ss[j].s1 AS DECIMAL(19,0)) *
+          |    CAST(n * x - ss[j].s1 AS DECIMAL(19,0))),
+          |  CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + t)""".stripMargin)
+          .as("d2"))
+    val tot = d2.agg(sum(col("d2")).as("sum_d2"), count(lit(1)).as("n_vec"))
+    d2.crossJoin(broadcast(tot))
+      .select(col("vec_id"),
+        pround(col("d2").cast("double") /
+          (col("n") * col("n") * lit(1e12)), 6).as("dist2"),
+        (col("n_vec") * col("d2") > lit(4) * col("sum_d2"))
+          .cast("long").as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Exact embedding near-dup: all-pairs top-k — O(n²), intentionally only
     * the small-corpus ground truth the blocked path is measured against. */
   def nearDupPairsExact(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {

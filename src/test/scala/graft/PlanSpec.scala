@@ -414,6 +414,36 @@ class PlanSpec extends SparkSpec {
     assert(pa.contains("partial_"), s"audit counts must map-side combine:\n$pa")
   }
 
+  test("round-6b operators keep their scale shapes") {
+    // q117: the pair explode runs over the DISTINCT-WORD aggregate, never
+    // the corpus — exactly two keyed aggregates (word count, pair sum),
+    // both map-side combined, and the top-20 is TakeOrderedAndProject,
+    // not a global sort
+    val bp = explain(graft.text.TextOps.bpePairs(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(bp).length == 2,
+      s"bpe pairs = word agg + pair agg, nothing more:\n$bp")
+    assert(bp.contains("partial_"), s"bpe aggs must map-side combine:\n$bp")
+    assert(bp.contains("TakeOrderedAndProject"),
+      s"top-20 must not global-sort:\n$bp")
+    // q118: the edge side is the session-memoized pair table — the
+    // consumer plan scans the checkpointed RDD and never rebuilds
+    // signatures (no minhash expression in-plan)
+    val so = explain(graft.text.Dedup.sourceOverlap(spark, sf0001))
+    assert(so.contains("ExistingRDD") || so.contains("Scan ExistingRDD"),
+      s"source overlap must ride the memoized pair table:\n$so")
+    assert(!so.toLowerCase.contains("minhash"),
+      s"source overlap must not rebuild signatures:\n$so")
+    assert(!so.contains("CartesianProduct"), s"no cartesian:\n$so")
+    // q119: centroid sums and the grand total enter as 1-row broadcasts
+    // (scalar idiom); the distance pass is a pure map — no shuffled join
+    val eo = explain(graft.vector.Similarity.embedOutliers(spark, sf0001))
+    assert(!eo.contains("SortMergeJoin") && !eo.contains("ShuffledHashJoin"),
+      s"outlier pass must not shuffle a join side:\n$eo")
+    assert(eo.contains("BroadcastNestedLoopJoin") || eo.contains("BroadcastExchange"),
+      s"moments must broadcast:\n$eo")
+    assert(!eo.contains("CartesianProduct"), s"no cartesian:\n$eo")
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -718,4 +718,44 @@ class TextVectorSpec extends SparkSpec {
     assert(viaArray == viaFlat)
     assert(viaArray == Set((1L, "a b c"), (1L, "b c d"), (1L, "c d e"), (3L, "p q r")))
   }
+
+  test("bpe pairs: corpus-weighted adjacent-char counts; 1-char words contribute nothing") {
+    val dir = docsDir(Seq(
+      (1L, "ab ab ba a", "en", "s", 10L),
+      (2L, "abc", "en", "s", 3L)))
+    // words: ab×2, ba×1, a×1, abc×1 → pairs: ab = 2 (word ab) + 1 (abc),
+    // ba = 1, bc = 1; "a" has no pairs; tie ba/bc breaks on pair asc
+    val r = TextOps.bpePairs(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("ab", 3L), ("ba", 1L), ("bc", 1L)))
+  }
+
+  test("source overlap: near-dup edges aggregate to an unordered source matrix") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    val dir = docsDir(Seq(
+      (1L, t, "en", "s1", 43L),
+      (2L, t, "en", "s2", 43L),
+      (3L, t, "en", "s1", 43L),
+      (4L, "completely different words appear in this document here", "en", "s3", 55L)))
+    // edges (1,2),(1,3),(2,3): (s1,s1) ← (1,3) [docs 1,3];
+    // (s1,s2) ← (1,2),(2,3) [docs 1,2,3]; s3 pairs with nothing
+    val r = Dedup.sourceOverlap(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(("s1", "s1", 1L, 2L), ("s1", "s2", 2L, 3L)))
+  }
+
+  test("embed outliers: exact integer distances, flag at 4x mean dist2") {
+    val dir = java.nio.file.Files.createTempDirectory("outl").toString
+    // 9 vectors at the origin + 1 at (1,0): centroid (0.1, 0);
+    // dist2 = 0.01 for the cluster, 0.81 for the far point;
+    // n_vec·d2 > 4·Σd2 ⇔ 10·0.81 > 4·0.9 — only the far point flags
+    ((1L to 9L).map(i => (i, Array(0.0f, 0.0f), "x")) :+
+      ((10L, Array(1.0f, 0.0f), "x")))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.embedOutliers(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getLong(2)))).toMap
+    assert(r(10L) == ((0.81, 1L)))
+    (1L to 9L).foreach(i => assert(r(i) == ((0.01, 0L))))
+  }
 }
