@@ -197,6 +197,74 @@ object TextOps {
       .limit(k)
   }
 
+  /** Full BPE TRAINER (the iterative closure of [[bpePairs]]): `nMerges`
+    * rounds of count-argmax-merge over the distinct-word table, returning
+    * the learned merge list (rank, left, right, pair_count) — Sennrich et
+    * al. 2016's algorithm as a Spark loop. Argmax ties break on (left,
+    * right) ascending, so training is deterministic.
+    *
+    * Scale shape mirrors the CC loop ([[Dedup]]): all per-round work runs
+    * on the vocabulary-sized word table (corpus mass is touched ONCE, in
+    * the initial wordcount); the only driver-side data movement is the
+    * 1-row argmax collect per round (bounded by construction, the loop's
+    * control decision). Each round localCheckpoints the re-segmented
+    * table — without it the merge lambda nests `nMerges` deep and analysis
+    * cost goes quadratic. The merge application is the textbook greedy
+    * left-to-right non-overlapping fold: a merged symbol is strictly
+    * longer than its left part, so it can never re-match the same pair's
+    * left side within the fold. */
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    var before = sc.getPersistentRDDs.keySet
+    var words = Tables.documents(spark, dir)
+      .select(explode(
+        regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .select(split(col("word"), "").as("syms"), col("wc"))
+      .localCheckpoint()
+    var curIds = graft.Checkpoints.pinnedSince(sc, before)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val top = words
+        .select(col("wc"), col("syms"), posexplode(col("syms")).as(Seq("i", "l")))
+        // pos is 0-based, element_at 1-based: i+2 is the RIGHT neighbor;
+        // try_ keeps the last position null instead of an ANSI range error
+        .withColumn("r", try_element_at(col("syms"), col("i") + lit(2)))
+        .filter(col("r").isNotNull)
+        .groupBy("l", "r").agg(sum("wc").as("pair_count"))
+        .orderBy(desc("pair_count"), col("l"), col("r"))
+        .limit(1).collect() // 1 row: the round's merge decision
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, c))
+        before = sc.getPersistentRDDs.keySet
+        words = words
+          .select(expr(
+            s"""aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) ->
+               |  CASE WHEN size(acc) > 0 AND try_element_at(acc, -1) = ${sqlStr(l)}
+               |            AND s = ${sqlStr(r)}
+               |       THEN concat(slice(acc, 1, size(acc) - 1),
+               |                   array(${sqlStr(l + r)}))
+               |       ELSE concat(acc, array(s)) END)""".stripMargin).as("syms"),
+            col("wc"))
+          .localCheckpoint()
+        val nextIds = graft.Checkpoints.pinnedSince(sc, before)
+        graft.Checkpoints.release(sc, curIds)
+        curIds = nextIds
+      }
+    }
+    // the merge list left the cluster at each round's 1-row collect — the
+    // last word-table generation has no further reader
+    graft.Checkpoints.release(sc, curIds)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** TF-IDF relevance (north star): per document, the top-3 tokens by
     * tf·ln(N/df). Exact integer tf/df/N keep the only float op one ln and
     * one multiply — engine-deterministic, pround(4) for presentation. */

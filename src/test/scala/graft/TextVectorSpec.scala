@@ -730,6 +730,31 @@ class TextVectorSpec extends SparkSpec {
     assert(r == Seq(("ab", 3L), ("ba", 1L), ("bc", 1L)))
   }
 
+  test("bpe trainer: merge ranks follow argmax pair counts on the classic corpus") {
+    val dir = docsDir(Seq(
+      (1L, "low lower lowest low low", "en", "s", 24L)))
+    // words: low×3, lower×1, lowest×1. Round 1: (l,o)=5 ties (o,w)=5,
+    // breaks to (l,o) → "lo". Round 2: (lo,w)=5 → "low". Round 3:
+    // (low,e)=2 → "lowe". Greedy fold re-segments between rounds.
+    val r = TextOps.bpeTrain(spark, dir, nMerges = 3).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getLong(3))).toSeq
+    assert(r == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L)))
+  }
+
+  test("bpe trainer round 1 agrees with q117's pair counts; merges exhaust") {
+    val dir = docsDir(Seq(
+      (1L, "ab ab ba a", "en", "s", 10L),
+      (2L, "abc", "en", "s", 3L)))
+    val first = TextOps.bpeTrain(spark, dir, nMerges = 1).collect().head
+    val top117 = TextOps.bpePairs(spark, dir).collect().head
+    assert(first.getString(1) + first.getString(2) == top117.getString(0))
+    assert(first.getLong(3) == top117.getLong(1))
+    // every word fuses to a single symbol in ≤3 merges; the trainer then
+    // stops early instead of fabricating a 4th merge
+    val all = TextOps.bpeTrain(spark, dir, nMerges = 10).collect()
+    assert(all.length <= 4 && all.map(_.getInt(0)).toSeq == (1 to all.length))
+  }
+
   test("source overlap: near-dup edges aggregate to an unordered source matrix") {
     val t = "the quick brown fox jumps over the lazy dog"
     val dir = docsDir(Seq(
