@@ -262,6 +262,47 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** TOKENIZER APPLY (the serving half of [[bpeTrain]]): segment every word
+    * with the learned merge list and report per-source compression — the
+    * "how many tokens is this corpus under MY tokenizer" question (q107
+    * answers it for a fixed heuristic; this answers it for the trained
+    * vocab). The merge list is bounded by nMerges, so it rides into the
+    * plan as a LITERAL array of (l, r) structs applied in rank order by a
+    * nested fold — the corpus side is a single map pass over the
+    * per-source word table (vocabulary mass, map-side combined), no joins,
+    * no shuffles beyond the two aggregates. */
+  def bpeSegment(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    val merges = bpeTrain(spark, dir, nMerges).collect() // ≤ nMerges rows
+    val mergeLit =
+      if (merges.isEmpty) array().cast("array<struct<l:string,r:string>>")
+      else array(merges.map(m =>
+        struct(lit(m.getString(1)).as("l"), lit(m.getString(2)).as("r"))): _*)
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(
+        regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("wc"))
+      .withColumn("ms", mergeLit)
+      .select(col("source"), col("wc"),
+        length(col("word")).cast("long").as("n_chars"),
+        expr(
+          """size(aggregate(ms, split(word, ''), (acc, m) ->
+            |  aggregate(acc, CAST(array() AS ARRAY<STRING>), (a2, s) ->
+            |    CASE WHEN size(a2) > 0 AND try_element_at(a2, -1) = m.l
+            |              AND s = m.r
+            |         THEN concat(slice(a2, 1, size(a2) - 1),
+            |                     array(concat(m.l, m.r)))
+            |         ELSE concat(a2, array(s)) END)))""".stripMargin)
+          .as("n_subwords"))
+      .groupBy("source")
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * col("n_subwords")).as("n_subwords"),
+        sum(col("wc") * col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_subwords"),
+        pround(col("n_subwords") / col("n_words"), 4).as("subw_per_word"),
+        pround(col("n_chars") / col("n_subwords"), 4).as("chars_per_subw"))
+      .orderBy("source")
+  }
+
   private def sqlStr(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 

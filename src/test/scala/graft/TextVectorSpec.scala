@@ -755,6 +755,18 @@ class TextVectorSpec extends SparkSpec {
     assert(all.length <= 4 && all.map(_.getInt(0)).toSeq == (1 to all.length))
   }
 
+  test("bpe segmentation: learned merges compress the classic corpus; zero merges = chars") {
+    val dir = docsDir(Seq(
+      (1L, "low lower lowest low low", "en", "s", 24L)))
+    // 2 merges (lo, low): low=[low]×3, lower=[low,e,r], lowest=[low,e,s,t]
+    val r = TextOps.bpeSegment(spark, dir, nMerges = 2).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("s", 5L, 10L)))
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 2.0)
+    // untrained tokenizer degenerates to character segmentation
+    val r0 = TextOps.bpeSegment(spark, dir, nMerges = 0).collect().head
+    assert(r0.getLong(2) == 20L && r0.getDouble(4) == 1.0)
+  }
+
   test("source overlap: near-dup edges aggregate to an unordered source matrix") {
     val t = "the quick brown fox jumps over the lazy dog"
     val dir = docsDir(Seq(
