@@ -332,3 +332,47 @@ object BatchJob {
     spark.stop()
   }
 }
+
+/** Deployable LLM-data CURATION run — documents in, curated corpus out.
+  * The q93 manifest is the DECISION record; this job executes it: the kept
+  * documents land as a split-partitioned parquet corpus (the layout a
+  * training loader reads), the manifest lands beside it as the audit
+  * trail, and a per-reason summary makes the run's yield inspectable.
+  * Downstream joins read the manifest AS PERSISTED (the BatchJob
+  * warehouse rule): re-deriving it for the corpus join could diverge from
+  * the audit trail a later purge request replays against. */
+object CurationJob {
+  final case class Report(total: Long, kept: Long, byReason: Map[String, Long])
+
+  def run(spark: SparkSession, dir: String, outDir: String): Report = {
+    graft.text.Curation.curationManifest(spark, dir)
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    val manifest = spark.read.parquet(s"$outDir/manifest")
+    graft.sources.Tables.documents(spark, dir)
+      .join(manifest.filter(col("in_corpus") === 1)
+        .select(col("doc_id"), col("split")), "doc_id")
+      .write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/corpus")
+    val byReason = manifest.groupBy("reason")
+      .agg(count(lit(1)).as("n")) // ≤5 reason rows: a bounded collect
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val report = Report(byReason.values.sum, byReason.getOrElse("kept", 0L), byReason)
+    spark.createDataFrame(Seq(
+        (report.total, report.kept, report.byReason.toSeq.sorted.mkString(";"))))
+      .toDF("total_docs", "kept_docs", "by_reason")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/report")
+    report
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: CurationJob <sfDir> <outDir>")
+      sys.exit(2)
+    }
+    val spark = Jobs.session("graft-curation")
+    val r = run(spark, args(0), args(1))
+    println(s"[curation] kept ${r.kept}/${r.total} docs; reasons: " +
+      r.byReason.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(", "))
+    spark.stop()
+  }
+}

@@ -332,4 +332,31 @@ class CurationSpec extends SparkSpec {
       "[REDACTED] wrote to [EMAIL] from [PHONE] as [REDACTED]")
     assert(r.getString(4) == expected)
   }
+
+  test("CurationJob end-to-end: corpus layout, manifest audit, and report agree") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    val report = graft.app.CurationJob.run(spark, sf0001, out)
+    val manifest = spark.read.parquet(s"$out/manifest")
+    val corpus = spark.read.parquet(s"$out/corpus")
+    // every doc decided exactly once; the reasons partition the corpus
+    assert(report.total == manifest.count())
+    assert(report.total == spark.read.parquet(s"$sf0001/documents.parquet").count())
+    assert(report.byReason.values.sum == report.total)
+    // the written corpus IS the manifest's keep set, with text intact
+    assert(corpus.count() == report.kept)
+    assert(report.kept == manifest.filter(col("in_corpus") === 1).count())
+    assert(corpus.columns.contains("text") && corpus.columns.contains("split"))
+    // split partitioning: on-disk dirs are exactly the splits the
+    // manifest assigned to kept docs
+    val keptSplits = manifest.filter(col("in_corpus") === 1)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    val dirs = new java.io.File(s"$out/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("split="))
+      .map(_.stripPrefix("split=")).toSet
+    assert(dirs == keptSplits)
+    // report row round-trips
+    val rep = spark.read.parquet(s"$out/report").head()
+    assert(rep.getLong(0) == report.total && rep.getLong(1) == report.kept)
+  }
 }
