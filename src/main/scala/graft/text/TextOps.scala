@@ -242,14 +242,7 @@ object TextOps {
         merges += ((rank, l, r, c))
         before = sc.getPersistentRDDs.keySet
         words = words
-          .select(expr(
-            s"""aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) ->
-               |  CASE WHEN size(acc) > 0 AND try_element_at(acc, -1) = ${sqlStr(l)}
-               |            AND s = ${sqlStr(r)}
-               |       THEN concat(slice(acc, 1, size(acc) - 1),
-               |                   array(${sqlStr(l + r)}))
-               |       ELSE concat(acc, array(s)) END)""".stripMargin).as("syms"),
-            col("wc"))
+          .select(mergePairExpr("syms", l, r).as("syms"), col("wc"))
           .localCheckpoint()
         val nextIds = graft.Checkpoints.pinnedSince(sc, before)
         graft.Checkpoints.release(sc, curIds)
@@ -302,6 +295,21 @@ object TextOps {
         pround(col("n_chars") / col("n_subwords"), 4).as("chars_per_subw"))
       .orderBy("source")
   }
+
+  /** One greedy left-to-right non-overlapping (l, r) merge pass over a
+    * symbol-array column — the single-pair fold [[bpeTrain]] applies each
+    * round ([[bpeSegment]] runs the same fold body over a literal merge
+    * LIST). `private[graft]` so PropertySpec can pin its invariants
+    * (concatenation preserved, no (l, r) adjacency survives, segments
+    * nonempty) against a reference implementation. */
+  private[graft] def mergePairExpr(symsCol: String, l: String, r: String): Column =
+    expr(
+      s"""aggregate($symsCol, CAST(array() AS ARRAY<STRING>), (acc, s) ->
+         |  CASE WHEN size(acc) > 0 AND try_element_at(acc, -1) = ${sqlStr(l)}
+         |            AND s = ${sqlStr(r)}
+         |       THEN concat(slice(acc, 1, size(acc) - 1),
+         |                   array(${sqlStr(l + r)}))
+         |       ELSE concat(acc, array(s)) END)""".stripMargin)
 
   private def sqlStr(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -289,4 +289,32 @@ class PropertySpec extends SparkSpec {
       assert(reshaped == base)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("BPE merge fold: matches reference greedy, preserves concat, kills the pair") {
+    import spark.implicits._
+    import graft.text.TextOps
+    def refMerge(syms: List[String], l: String, r: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    val symGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba")))
+    val rows = (1 to 100).map(i =>
+      symGen.pureApply(Gen.Parameters.default, Seed(i.toLong))).toVector
+    val df = rows.map(Tuple1(_)).toDF("syms")
+    val toks = Seq("a", "b", "ab", "ba")
+    for (l <- toks; r <- toks) {
+      val out = df.select(TextOps.mergePairExpr("syms", l, r)).collect()
+        .map(_.getSeq[String](0).toList)
+      out.zip(rows).foreach { case (got, in) =>
+        assert(got == refMerge(in, l, r), s"pair ($l,$r) on $in")
+        assert(got.mkString == in.mkString)            // segmentation, not edit
+        assert(got.forall(_.nonEmpty))
+        assert(!got.iterator.sliding(2).withPartial(false)
+          .exists(w => w.head == l && w(1) == r),      // greedy pass is complete
+          s"surviving ($l,$r) adjacency in $got")
+      }
+    }
+  }
 }
