@@ -1915,7 +1915,7 @@ object SparkEntry {
         |      FROM x JOIN s USING (i) GROUP BY vec_id),
         |t AS (SELECT SUM(d2) AS sum_d2, COUNT(*) AS n_vec FROM d)
         |SELECT vec_id,
-        |  floor(CAST(d2 AS DOUBLE) / (n * n * 1e12) * 1000000 + 0.5) / 1000000.0 AS dist2,
+        |  floor(CAST(d2 AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12) * 1000000 + 0.5) / 1000000.0 AS dist2,
         |  CAST(n_vec * d2 > 4 * sum_d2 AS BIGINT) AS is_outlier
         |FROM d, t ORDER BY vec_id""".stripMargin,
   )

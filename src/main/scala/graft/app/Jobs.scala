@@ -357,9 +357,10 @@ object CurationJob {
       .agg(count(lit(1)).as("n")) // ≤5 reason rows: a bounded collect
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val report = Report(byReason.values.sum, byReason.getOrElse("kept", 0L), byReason)
-    spark.createDataFrame(Seq(
-        (report.total, report.kept, report.byReason.toSeq.sorted.mkString(";"))))
-      .toDF("total_docs", "kept_docs", "by_reason")
+    // self-describing audit rows (reason, n_docs) — totals are derivable,
+    // no consumer-side string parsing
+    spark.createDataFrame(report.byReason.toSeq.sorted)
+      .toDF("reason", "n_docs")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/report")
     report
   }

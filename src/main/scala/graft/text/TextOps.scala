@@ -240,13 +240,17 @@ object TextOps {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, c))
-        before = sc.getPersistentRDDs.keySet
-        words = words
-          .select(mergePairExpr("syms", l, r).as("syms"), col("wc"))
-          .localCheckpoint()
-        val nextIds = graft.Checkpoints.pinnedSince(sc, before)
-        graft.Checkpoints.release(sc, curIds)
-        curIds = nextIds
+        // the last round's merge needs no re-segmentation — nothing reads
+        // the table after the final argmax
+        if (rank < nMerges) {
+          before = sc.getPersistentRDDs.keySet
+          words = words
+            .select(mergePairExpr("syms", l, r).as("syms"), col("wc"))
+            .localCheckpoint()
+          val nextIds = graft.Checkpoints.pinnedSince(sc, before)
+          graft.Checkpoints.release(sc, curIds)
+          curIds = nextIds
+        }
       }
     }
     // the merge list left the cluster at each round's 1-row collect — the
@@ -278,13 +282,8 @@ object TextOps {
       .select(col("source"), col("wc"),
         length(col("word")).cast("long").as("n_chars"),
         expr(
-          """size(aggregate(ms, split(word, ''), (acc, m) ->
-            |  aggregate(acc, CAST(array() AS ARRAY<STRING>), (a2, s) ->
-            |    CASE WHEN size(a2) > 0 AND try_element_at(a2, -1) = m.l
-            |              AND s = m.r
-            |         THEN concat(slice(a2, 1, size(a2) - 1),
-            |                     array(concat(m.l, m.r)))
-            |         ELSE concat(a2, array(s)) END)))""".stripMargin)
+          s"""size(aggregate(ms, split(word, ''), (acc, m) ->
+             |  ${greedyFoldSql("acc", "m.l", "m.r", "concat(m.l, m.r)")}))""".stripMargin)
           .as("n_subwords"))
       .groupBy("source")
       .agg(sum(col("wc")).as("n_words"),
@@ -296,20 +295,28 @@ object TextOps {
       .orderBy("source")
   }
 
-  /** One greedy left-to-right non-overlapping (l, r) merge pass over a
-    * symbol-array column — the single-pair fold [[bpeTrain]] applies each
-    * round ([[bpeSegment]] runs the same fold body over a literal merge
-    * LIST). `private[graft]` so PropertySpec can pin its invariants
-    * (concatenation preserved, no (l, r) adjacency survives, segments
-    * nonempty) against a reference implementation. */
+  /** The greedy left-to-right non-overlapping merge-fold BODY, shared
+    * verbatim between [[bpeTrain]] (literal l/r per round) and
+    * [[bpeSegment]] (struct-field l/r from the merge-list array) — one
+    * template, so the tokenizer can never segment differently from how the
+    * trainer counted. Parameterized on SQL fragments for the input array
+    * and the pair's left/right/merged forms. */
+  private def greedyFoldSql(inArr: String, lSql: String, rSql: String,
+      mergedSql: String): String =
+    s"""aggregate($inArr, CAST(array() AS ARRAY<STRING>), (a2, s) ->
+       |  CASE WHEN size(a2) > 0 AND try_element_at(a2, -1) = $lSql
+       |            AND s = $rSql
+       |       THEN concat(slice(a2, 1, size(a2) - 1),
+       |                   array($mergedSql))
+       |       ELSE concat(a2, array(s)) END)""".stripMargin
+
+  /** One (l, r) merge pass over a symbol-array column — [[greedyFoldSql]]
+    * with literal operands. `private[graft]` so PropertySpec can pin the
+    * fold's invariants (concatenation preserved, no (l, r) adjacency
+    * survives, segments nonempty) against a reference implementation —
+    * coverage that extends to [[bpeSegment]] through the shared body. */
   private[graft] def mergePairExpr(symsCol: String, l: String, r: String): Column =
-    expr(
-      s"""aggregate($symsCol, CAST(array() AS ARRAY<STRING>), (acc, s) ->
-         |  CASE WHEN size(acc) > 0 AND try_element_at(acc, -1) = ${sqlStr(l)}
-         |            AND s = ${sqlStr(r)}
-         |       THEN concat(slice(acc, 1, size(acc) - 1),
-         |                   array(${sqlStr(l + r)}))
-         |       ELSE concat(acc, array(s)) END)""".stripMargin)
+    expr(greedyFoldSql(symsCol, sqlStr(l), sqlStr(r), sqlStr(l + r)))
 
   private def sqlStr(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

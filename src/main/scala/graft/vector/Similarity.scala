@@ -867,12 +867,21 @@ object Similarity {
     * outlier comparison n_vec·d2 > 4·Σd2 is again exact-integer, so the
     * flag is bit-identical cross-engine with zero float ops. The only
     * float is the presentation column (one decimal→double cast + one
-    * divide, IEEE-deterministic, pround 6). Headroom: n·q fits a long past
-    * 10¹² vectors; the squared terms run in decimal(38,0) (~10³⁸ ≫ the
-    * ~10³² worst case at 10⁹ vectors). Plan shape: one per-dim moment
-    * aggregate packed + broadcast (the q90 idiom), then a pure map over
-    * the corpus; the 1-row total re-derives the map once more (two
-    * column-pruned scans total, no driver action). */
+    * divide, IEEE-deterministic, pround 6; the n² divisor is computed in
+    * double — exact for any n below 2²⁶ — so no long product can wrap).
+    * Headroom: the binding term is the GRAND TOTAL and the n_vec·d2
+    * comparison, ~n³·q²·dims ≤ 10³⁸ ⇒ exact to ~10⁸ vectors per
+    * partition-of-analysis; past that, rescale the fixed point (10⁻³
+    * coordinates buy 10² more corpus) or shard the audit per cell — the
+    * q106/q109 documented-upgrade discipline. Plan shape: one per-dim
+    * moment aggregate packed + broadcast (the q90 idiom), then the
+    * distance map runs TWICE — once under the grand-total aggregate, once
+    * for the output — three column-pruned corpus passes total. Measured
+    * choice, not an oversight: checkpointing the narrow (vec_id, n, d2)
+    * intermediate to share it was 65% slower at sf0.1 AND at 10× (block
+    * write+read beats re-running a fused codegen map only when the scan
+    * dominates — at 100 TB with a wide embedding column, flip to
+    * persisting the intermediate). */
   def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -893,7 +902,7 @@ object Similarity {
     d2.crossJoin(broadcast(tot))
       .select(col("vec_id"),
         pround(col("d2").cast("double") /
-          (col("n") * col("n") * lit(1e12)), 6).as("dist2"),
+          (col("n").cast("double") * col("n") * lit(1e12)), 6).as("dist2"),
         (col("n_vec") * col("d2") > lit(4) * col("sum_d2"))
           .cast("long").as("is_outlier"))
       .orderBy("vec_id")

@@ -355,8 +355,11 @@ class CurationSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("split="))
       .map(_.stripPrefix("split=")).toSet
     assert(dirs == keptSplits)
-    // report row round-trips
-    val rep = spark.read.parquet(s"$out/report").head()
-    assert(rep.getLong(0) == report.total && rep.getLong(1) == report.kept)
+    // report rows round-trip: reasons partition the total, "kept" = corpus
+    val rep = spark.read.parquet(s"$out/report").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == report.byReason)
+    assert(rep.values.sum == report.total)
+    assert(rep.getOrElse("kept", 0L) == report.kept)
   }
 }
