@@ -142,6 +142,8 @@ object SparkEntry {
     "q117_bpe_pairs"      -> ((s: SparkSession, d: String) => TextOps.bpePairs(s, d)),
     "q118_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     "q119_embed_outliers" -> (Similarity.embedOutliers _),
+    "q120_vocab_coverage" -> ((s: SparkSession, d: String) => TextOps.vocabCoverage(s, d)),
+    "q121_cluster_purity" -> ((s: SparkSession, d: String) => Dedup.clusterPurity(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1918,5 +1920,40 @@ object SparkEntry {
         |  floor(CAST(d2 AS DOUBLE) / (CAST(n AS DOUBLE) * n * 1e12) * 1000000 + 0.5) / 1000000.0 AS dist2,
         |  CAST(n_vec * d2 > 4 * sum_d2 AS BIGINT) AS is_outlier
         |FROM d, t ORDER BY vec_id""".stripMargin,
+
+    // q120: coverage@k per lang — all-integer threshold compares
+    // (cum·100 ≥ p·tot), ranking deterministic on (cnt desc, token).
+    "q120_vocab_coverage" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT lang, token, COUNT(*) AS cnt FROM t GROUP BY lang, token),
+        |r AS (SELECT lang, cnt,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rk,
+        |        SUM(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, token
+        |                       ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM c),
+        |g AS (SELECT lang, SUM(cnt) AS tot FROM c GROUP BY lang)
+        |SELECT r.lang,
+        |  MIN(CASE WHEN cum * 100 >= tot * 90 THEN rk END) AS k90,
+        |  MIN(CASE WHEN cum * 100 >= tot * 95 THEN rk END) AS k95,
+        |  MIN(CASE WHEN cum * 100 >= tot * 99 THEN rk END) AS k99,
+        |  MAX(rk) AS vocab_size
+        |FROM r JOIN g USING (lang) GROUP BY r.lang ORDER BY lang""".stripMargin,
+
+    // q121: multi-doc cluster (size, langs, sources) histogram over the
+    // same recursive closure as q49.
+    "q121_cluster_purity" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |$ccClusterCtes,
+        |cl AS (SELECT l.cluster_rep,
+        |         CAST(COUNT(*) AS BIGINT) AS cluster_size,
+        |         CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+        |         CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+        |       FROM lab l JOIN documents d USING (doc_id)
+        |       GROUP BY l.cluster_rep)
+        |SELECT cluster_size, n_langs, n_sources,
+        |  CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM cl WHERE cluster_size >= 2
+        |GROUP BY cluster_size, n_langs, n_sources
+        |ORDER BY cluster_size, n_langs, n_sources""".stripMargin,
   )
 }

@@ -563,6 +563,29 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Q121 — NEAR-DUP CLUSTER PURITY: for every multi-doc cluster, how many
+    * distinct languages and sources its members span, summarized as a
+    * (size, n_langs, n_sources) histogram — the audit that tells a
+    * curation run whether its near-dups are translations/mirrors
+    * (cross-lang, cross-source: dedup may be destroying parallel data) or
+    * plain re-crawls (same-source: safe to drop). Rides the session-
+    * memoized CC labels; cluster populations are bounded by construction
+    * (near-dup clusters are small), and the histogram output is bounded by
+    * the largest cluster's shape, not the corpus. */
+  def clusterPurity(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame =
+    nearDupClusters(spark, dir, minJaccard)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("cluster_size") >= 2)
+      .groupBy("cluster_size", "n_langs", "n_sources")
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size", "n_langs", "n_sources")
+
   /** Q64 — incremental (cross-snapshot) FUZZY dedup: the ledger pattern a
     * corpus that GROWS needs — yesterday's accepted corpus publishes a
     * SKETCH ledger (full 8-hash MinHash signature; exact md5 fallback for

@@ -259,6 +259,35 @@ object TextOps {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Q120 — VOCABULARY COVERAGE CURVE: per language, the smallest top-k
+    * vocabulary covering 90/95/99% of token occurrences — the statistic
+    * that sizes a tokenizer's vocab (and exposes long-tail languages where
+    * k99 ≫ k90). All-integer decisions: cum·100 ≥ p·total compares exact
+    * longs, so the chosen k never wobbles on float rounding. Scale: both
+    * aggregates shuffle on (lang, token) / lang; the ranking window is
+    * partitioned by lang over VOCABULARY-sized partitions (the corpus
+    * collapsed to distinct tokens first) — never corpus mass. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
+    val cum = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cnts.groupBy("lang").agg(sum("cnt").as("tot"))
+    cnts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cnt").over(cum))
+      .join(tot, Seq("lang"))
+      .groupBy("lang")
+      .agg(
+        min(when(col("cum") * 100 >= col("tot") * 90, col("rk"))).as("k90"),
+        min(when(col("cum") * 100 >= col("tot") * 95, col("rk"))).as("k95"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("rk"))).as("k99"),
+        max(col("rk")).as("vocab_size"))
+      .orderBy("lang")
+  }
+
   /** TOKENIZER APPLY (the serving half of [[bpeTrain]]): segment every word
     * with the learned merge list and report per-source compression — the
     * "how many tokens is this corpus under MY tokenizer" question (q107

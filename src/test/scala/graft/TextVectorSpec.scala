@@ -781,6 +781,34 @@ class TextVectorSpec extends SparkSpec {
     assert(r == Seq(("s1", "s1", 1L, 2L), ("s1", "s2", 2L, 3L)))
   }
 
+  test("vocab coverage: integer thresholds pick exact k per lang") {
+    val dir = docsDir(Seq(
+      (1L, "a a a a a a a a a b", "en", "s", 19L),
+      (2L, "x y z w", "de", "s", 7L)))
+    // en: a=9 b=1, tot=10 → cum(a)·100=900 ≥ 900 ⇒ k90=1; 900 < 950 ⇒
+    // k95=2; k99=2. de: uniform 4 → k90=4 (cum 3·100=300 < 360), k95=4,
+    // k99=4
+    val r = TextOps.vocabCoverage(spark, dir).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("en") == ((1L, 2L, 2L, 2L)))
+    assert(r("de") == ((4L, 4L, 4L, 4L)))
+  }
+
+  test("cluster purity: cross-lang cross-source cluster shows in the histogram") {
+    val t = "the quick brown fox jumps over the lazy dog"
+    val dir = docsDir(Seq(
+      (1L, t, "en", "s1", 43L),
+      (2L, t, "en", "s2", 43L),
+      (3L, t, "de", "s1", 43L),
+      (4L, "completely different words appear in this document here", "en", "s3", 55L)))
+    // one cluster {1,2,3}: size 3, 2 langs, 2 sources; the singleton is
+    // filtered out
+    val r = Dedup.clusterPurity(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq((3L, 2L, 2L, 1L)))
+  }
+
   test("embed outliers: exact integer distances, flag at 4x mean dist2") {
     val dir = java.nio.file.Files.createTempDirectory("outl").toString
     // 9 vectors at the origin + 1 at (1,0): centroid (0.1, 0);
