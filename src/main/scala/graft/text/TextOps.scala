@@ -272,13 +272,14 @@ object TextOps {
       .select(col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
-    val cum = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = cnts.groupBy("lang").agg(sum("cnt").as("tot"))
+    // cum derives from w so rk and cum can never order differently; the
+    // per-lang total rides the SAME exchange as a whole-partition window
+    // sum (a separate aggregate + join would re-shuffle the vocab table)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cnts
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("cum", sum("cnt").over(cum))
-      .join(tot, Seq("lang"))
+      .withColumn("tot", sum("cnt").over(Window.partitionBy("lang")))
       .groupBy("lang")
       .agg(
         min(when(col("cum") * 100 >= col("tot") * 90, col("rk"))).as("k90"),
