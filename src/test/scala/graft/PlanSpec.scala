@@ -442,6 +442,21 @@ class PlanSpec extends SparkSpec {
     assert(eo.contains("BroadcastNestedLoopJoin") || eo.contains("BroadcastExchange"),
       s"moments must broadcast:\n$eo")
     assert(!eo.contains("CartesianProduct"), s"no cartesian:\n$eo")
+    // q120: no join — rk/cum/tot all ride the ONE lang exchange (the
+    // whole-partition total must not re-aggregate); exchanges = vocab agg
+    // + lang window + presentation sort
+    val vc = explain(graft.text.TextOps.vocabCoverage(spark, sf0001))
+    assert(!vc.contains("Join"), s"coverage must not join a totals side:\n$vc")
+    assert("Exchange".r.findAllIn(vc).length <= 3,
+      s"coverage = vocab agg + lang window + sort:\n$vc")
+    // q121: the cluster base is the memoized CC label table (no minhash
+    // rebuild), and both aggregates are keyed
+    val cp = explain(graft.text.Dedup.clusterPurity(spark, sf0001))
+    assert(cp.contains("ExistingRDD"),
+      s"purity must ride the memoized labels:\n$cp")
+    assert(!cp.toLowerCase.contains("minhash"),
+      s"purity must not rebuild signatures:\n$cp")
+    assert(!cp.contains("CartesianProduct"), s"no cartesian:\n$cp")
   }
 
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
