@@ -144,6 +144,10 @@ object SparkEntry {
     "q119_embed_outliers" -> (Similarity.embedOutliers _),
     "q120_vocab_coverage" -> ((s: SparkSession, d: String) => TextOps.vocabCoverage(s, d)),
     "q121_cluster_purity" -> ((s: SparkSession, d: String) => Dedup.clusterPurity(s, d)),
+    "q122_compaction_plan" -> ((s: SparkSession, d: String) => Catalog.compactionPlan(s, d)),
+    "q123_skew_advisor"   -> ((s: SparkSession, d: String) => Relational.q123(s, d)),
+    "q124_incremental_agg" -> (Relational.q124 _),
+    "q125_vacuum_audit"   -> ((s: SparkSession, d: String) => Catalog.vacuumAudit(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -1955,5 +1959,69 @@ object SparkEntry {
         |FROM cl WHERE cluster_size >= 2
         |GROUP BY cluster_size, n_langs, n_sources
         |ORDER BY cluster_size, n_langs, n_sources""".stripMargin,
+
+    // q122: small-file bin packing per (lang) partition — sequential
+    // first-fit by layout order, bin = (inclusive cumsum - 1) // target;
+    // files already >= target are excluded from the plan.
+    "q122_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT lang, doc_id // 50 AS file_id,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2
+        |  HAVING CAST(SUM(n_chars) AS BIGINT) < 10000),
+        |c AS (
+        |  SELECT lang, file_id, bytes,
+        |    SUM(bytes) OVER (PARTITION BY lang ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f)
+        |SELECT lang, (cum - 1) // 10000 AS bin_id,
+        |  COUNT(*) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+        |  MIN(file_id) AS first_file,
+        |  MAX(file_id) AS last_file
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin,
+
+    // q123: key histogram + integer-ppm share + recommended salt factor
+    // ((cnt*parts + total - 1) // total), top-15 by count.
+    "q123_skew_advisor" ->
+      """WITH kc AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM kc)
+        |SELECT user_id, cnt,
+        |  cnt * 1000000 // total AS share_ppm,
+        |  (cnt * 32 + total - 1) // total AS salt,
+        |  CAST((cnt * 32 + total - 1) // total > 1 AS BIGINT) AS hot
+        |FROM kc CROSS JOIN t
+        |ORDER BY cnt DESC, user_id LIMIT 15""".stripMargin,
+
+    // q124: the oracle does the FULL recompute the incremental merge must
+    // equal — merge(partial(base), partial(delta)) == aggregate(all).
+    // Money in exact integer cents (the ROUND(value*100) rule).
+    "q124_incremental_agg" ->
+      """SELECT event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | MIN(CAST(ROUND(value*100, 0) AS BIGINT)) AS min_cents,
+        | MAX(CAST(ROUND(value*100, 0) AS BIGINT)) AS max_cents,
+        | CAST(SUM(CAST(ROUND(value*100, 0) AS BIGINT)) AS BIGINT)
+        |   / COUNT(*) / 100.0 AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q125: copy-on-write vacuum audit — a touched file (sparse change
+    // feed doc_id % 97 == 0; alternate touches % 194 are deletes) is
+    // rewritten wholesale, so its FULL byte size is reclaimable.
+    "q125_vacuum_audit" ->
+      """SELECT doc_id // 25 AS file_id,
+        | COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN doc_id % 97 = 0 AND doc_id % 194 <> 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+        | CAST(SUM(CASE WHEN doc_id % 194 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_deletes,
+        | COUNT(*) - CAST(SUM(CASE WHEN doc_id % 194 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_carried,
+        | CASE WHEN SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) > 0
+        |   THEN 'reclaim' ELSE 'keep' END AS status,
+        | CASE WHEN SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) > 0
+        |   THEN CAST(SUM(n_chars) AS BIGINT) ELSE 0 END AS reclaim_bytes
+        |FROM documents GROUP BY 1 ORDER BY file_id""".stripMargin,
   )
 }

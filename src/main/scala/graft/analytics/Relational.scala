@@ -615,4 +615,73 @@ object Relational {
       .orderBy(col("n").desc, col("user_id"))
       .limit(k)
   }
+
+  /** Q123 — JOIN-SKEW ADVISOR: the key histogram a planner (or an
+    * engineer staring at one straggler task) consults before shuffling
+    * 100 TB on a join key. Per key: exact count, share of total rows in
+    * integer ppm, and the recommended salt factor — the number of
+    * partition-sized chunks this one key fills,
+    * `ceil(cnt / ceil(total/parts))`-style as `(cnt·parts + total - 1)
+    * div total` in exact integer arithmetic — i.e. how many salt
+    * buckets the q60 salted-join pattern should spread it over. A key
+    * is `hot` when its salt factor exceeds 1 (it alone overflows an
+    * average partition).
+    *
+    * Scale shape: one map-side-combined count by key, a 2-column scalar
+    * aggregate broadcast back (the q115 bounds idiom), then
+    * TakeOrderedAndProject for the top-k — the advisor output is
+    * dashboard-sized no matter the corpus. This is the MEASUREMENT half
+    * of the skew story whose MITIGATION half is q60's salted join. */
+  def q123(spark: SparkSession, dir: String,
+      parts: Int = 32, k: Int = 15): DataFrame = {
+    val keyCounts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val tot = keyCounts.agg(sum("cnt").as("total"))
+    keyCounts.crossJoin(broadcast(tot))
+      .select(
+        col("user_id"), col("cnt"),
+        expr("cnt * 1000000 div total").as("share_ppm"),
+        expr(s"(cnt * $parts + total - 1) div total").as("salt"))
+      .withColumn("hot", (col("salt") > 1).cast("long"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Q124 — INCREMENTAL AGGREGATE MAINTENANCE: merge a stored gold
+    * table's PARTIAL aggregates with a freshly-computed delta batch
+    * instead of rescanning history — the pattern that turns a daily
+    * 100 TB gold rebuild into a delta-sized merge. Each side carries
+    * the mergeable partial state (count, sum, min, max — all
+    * associative+commutative, summed/min'd/max'd across sides); the
+    * non-mergeable avg is DERIVED from merged partials at the end,
+    * never averaged across sides (the avg-of-avgs trap). Money sums run
+    * in exact integer cents ([[fixed]]) so the merge is bit-identical
+    * to the oracle's full recompute — which is precisely the claim this
+    * query verifies: merge(partial(base), partial(delta)) ≡
+    * aggregate(base ∪ delta). The base/delta split (`event_id % 10 <
+    * 8`) stands in for "yesterday's stored gold" vs "today's arrivals";
+    * at 100 TB the base side is a READ of the stored partial table
+    * (delta-sized work total), not the scan performed here. */
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        fixed(col("value"), 2).as("cents"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("pc"),
+        sum("cents").as("ps"),
+        min("cents").as("pmin"),
+        max("cents").as("pmax"))
+    val base  = partial(ev.filter(col("event_id") % 10 < 8))
+    val delta = partial(ev.filter(col("event_id") % 10 >= 8))
+    base.unionByName(delta)
+      .groupBy("event_type")
+      .agg(
+        sum("pc").as("n_events"),
+        sum("ps").as("sum_cents"),
+        min("pmin").as("min_cents"),
+        max("pmax").as("max_cents"))
+      .withColumn("avg_value", col("sum_cents") / col("n_events") / 100.0)
+      .orderBy("event_type")
+  }
 }

@@ -301,4 +301,81 @@ object Catalog {
       .filter(col("status") =!= "unchanged")
       .orderBy("doc_id")
   }
+
+  /** Q122 — COMPACTION PLAN (the planning half of [[compact]], as a
+    * declarative query): given the per-file manifest (files simulated as
+    * `(lang, doc_id div fileRows)` groups, byte size proxied by
+    * `sum(n_chars)` — same stand-in convention as [[skippingStats]]),
+    * bin-pack small files into target-size rewrite groups the way a
+    * lakehouse OPTIMIZE does: within each partition (`lang`), files in
+    * layout order accumulate into a bin until the running total crosses
+    * `targetBytes`, then a new bin starts — `bin_id = (inclusive_cumsum
+    * - 1) div target`, the sequential first-fit rule (files already
+    * ≥ target are excluded up front; they are not small-file debris).
+    * Output is one row per planned rewrite group with its file span, so
+    * the executor of the plan knows exactly which contiguous files each
+    * output object replaces.
+    *
+    * Scale shape: the window runs over the FILE MANIFEST (one row per
+    * file, orders of magnitude below row count — same argument as
+    * q114), partitioned by the table partition key, so no global sort
+    * and no skew: each lake partition's plan is independent. At 100 TB
+    * this is a metadata-only query; the expensive part (the rewrite)
+    * is [[compact]]. */
+  def compactionPlan(spark: SparkSession, dir: String,
+      fileRows: Long = 50, targetBytes: Long = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.documents(spark, dir)
+      .groupBy(col("lang"), expr(s"doc_id div $fileRows").as("file_id"))
+      .agg(sum("n_chars").as("bytes"))
+      .filter(col("bytes") < targetBytes)
+    val w = Window.partitionBy("lang").orderBy("file_id")
+    files
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin_id", expr(s"(cum - 1) div $targetBytes"))
+      .groupBy("lang", "bin_id")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("bytes").as("bin_bytes"),
+        min("file_id").as("first_file"),
+        max("file_id").as("last_file"))
+      .orderBy("lang", "bin_id")
+  }
+
+  /** Q125 — VACUUM / RETENTION AUDIT under copy-on-write semantics: a
+    * change feed touching ANY row of a file forces that file's rewrite,
+    * after which the ENTIRE old object is dead weight, reclaimable once
+    * past the retention window — untouched files are kept as-is. The
+    * audit reports, per old-layout file, how many rows the change feed
+    * updates vs deletes, how many rows the rewrite must carry forward
+    * (everything except deletes), and the bytes the vacuum will free
+    * (the whole file when touched: COW reclaims old OBJECTS, not rows —
+    * the row-level purge view is q116's job). Change feed is a sparse
+    * deterministic stand-in: `doc_id % touchMod == 0` touches,
+    * alternate touches (`% (2·touchMod)`) are deletes.
+    *
+    * Scale shape: one keyed aggregate over the corpus → manifest-sized
+    * output; at 100 TB the change-feed membership test rides the scan
+    * (it is a pure predicate), so the audit costs one map-side-combined
+    * pass, no join — the reason real table formats can answer "what
+    * will VACUUM free" without touching data files. */
+  def vacuumAudit(spark: SparkSession, dir: String,
+      fileRows: Long = 25, touchMod: Long = 97): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(expr(s"doc_id div $fileRows").as("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum((col("doc_id") % touchMod === 0 &&
+             col("doc_id") % (2 * touchMod) =!= 0).cast("long")).as("n_updates"),
+        sum((col("doc_id") % (2 * touchMod) === 0).cast("long")).as("n_deletes"),
+        sum("n_chars").as("file_bytes"))
+      .withColumn("n_carried", col("n_rows") - col("n_deletes"))
+      .withColumn("status",
+        when(col("n_updates") + col("n_deletes") > 0, "reclaim")
+          .otherwise("keep"))
+      .withColumn("reclaim_bytes",
+        when(col("status") === "reclaim", col("file_bytes")).otherwise(0L))
+      .select("file_id", "n_rows", "n_updates", "n_deletes", "n_carried",
+        "status", "reclaim_bytes")
+      .orderBy("file_id")
 }

@@ -163,6 +163,52 @@ class CatalogSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() == 10000)
   }
 
+  test("compactionPlan: bins partition the small files, in order, under 2x target") {
+    val target = 10000L
+    val plan = Catalog.compactionPlan(spark, sf0001).collect()
+    val smallFiles = graft.sources.Tables.documents(spark, sf0001)
+      .groupBy($"lang", org.apache.spark.sql.functions.expr("doc_id div 50").as("file_id"))
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("bytes"))
+      .filter($"bytes" < target).collect()
+    // conservation: every small file lands in exactly one bin
+    assert(plan.map(_.getAs[Long]("n_files")).sum == smallFiles.length)
+    assert(plan.map(_.getAs[Long]("bin_bytes")).sum ==
+      smallFiles.map(_.getAs[Long]("bytes")).sum)
+    // first-fit bound: a bin holds at most target + one crossing file
+    assert(plan.forall(_.getAs[Long]("bin_bytes") < 2 * target))
+    // packing actually happens (multi-file bins exist at this scale)
+    assert(plan.exists(_.getAs[Long]("n_files") > 1))
+    // within a partition, bins are ascending with non-overlapping file spans
+    plan.groupBy(_.getAs[String]("lang")).foreach { case (lang, bins) =>
+      val ordered = bins.sortBy(_.getAs[Long]("bin_id"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_file") < b.getAs[Long]("first_file"),
+            s"$lang: overlapping spans")
+        case _ =>
+      }
+    }
+  }
+
+  test("vacuumAudit: COW semantics — touched files reclaim whole objects, untouched keep") {
+    val out = Catalog.vacuumAudit(spark, sf0001).collect()
+    val statuses = out.map(_.getAs[String]("status")).toSet
+    assert(statuses == Set("keep", "reclaim"), s"both statuses must appear: $statuses")
+    out.foreach { r =>
+      val touched = r.getAs[Long]("n_updates") + r.getAs[Long]("n_deletes") > 0
+      assert((r.getAs[String]("status") == "reclaim") == touched)
+      // COW reclaims the whole old object or nothing
+      if (touched) assert(r.getAs[Long]("reclaim_bytes") > 0)
+      else assert(r.getAs[Long]("reclaim_bytes") == 0L)
+      // the rewrite carries everything except deletes
+      assert(r.getAs[Long]("n_carried") ==
+        r.getAs[Long]("n_rows") - r.getAs[Long]("n_deletes"))
+    }
+    // file accounting covers the corpus exactly once
+    assert(out.map(_.getAs[Long]("n_rows")).sum ==
+      graft.sources.Tables.documents(spark, sf0001).count())
+  }
+
   test("LoadGen mix matches the producer's 70/20/10 roll thresholds") {
     import graft.streaming.LoadGen
     val rate = spark.range(1000)

@@ -459,6 +459,40 @@ class PlanSpec extends SparkSpec {
     assert(!cp.contains("CartesianProduct"), s"no cartesian:\n$cp")
   }
 
+  test("round-6c operators keep their scale shapes") {
+    // q122: a metadata-only plan — the window runs over the file manifest
+    // partitioned by the table partition key (lang), never a global sort
+    // of files; exchanges = file agg + lang window + bin agg + sort
+    val cpn = explain(graft.sources.Catalog.compactionPlan(spark, sf0001))
+    assert(!cpn.contains("Join"), s"compaction plan must not join:\n$cpn")
+    assert(cpn.contains("hashpartitioning(lang"),
+      s"bin window must key on the lake partition:\n$cpn")
+    assert("Exchange".r.findAllIn(cpn).length <= 4,
+      s"plan = file agg + lang window + bin agg + sort:\n$cpn")
+    // q123: count-by-key map-side combines, the scalar total enters as a
+    // 1-row broadcast, and the top-15 is TakeOrderedAndProject
+    val sa = explain(graft.analytics.Relational.q123(spark, sf0001))
+    assert(sa.contains("partial_count") || sa.contains("partial_"),
+      s"key histogram must map-side combine:\n$sa")
+    assert(sa.contains("BroadcastNestedLoopJoin") || sa.contains("BroadcastExchange"),
+      s"total must broadcast, not shuffle:\n$sa")
+    assert(sa.contains("TakeOrderedAndProject"),
+      s"top-15 must not global-sort every key:\n$sa")
+    assert(!sa.contains("CartesianProduct"), s"no cartesian:\n$sa")
+    // q124: the merge is union + re-aggregate — NO join anywhere, and the
+    // partial sides map-side combine before their one exchange each
+    val ia = explain(graft.analytics.Relational.q124(spark, sf0001))
+    assert(!ia.contains("Join"), s"partial-agg merge must not join:\n$ia")
+    assert(ia.contains("Union"), s"merge = union of partial sides:\n$ia")
+    assert(ia.contains("partial_"), s"partials must map-side combine:\n$ia")
+    // q125: one keyed aggregate pass over the corpus, no join — the audit
+    // is manifest-sized by construction
+    val va = explain(graft.sources.Catalog.vacuumAudit(spark, sf0001))
+    assert(!va.contains("Join"), s"vacuum audit must not join:\n$va")
+    assert("Exchange".r.findAllIn(va).length <= 2,
+      s"audit = one keyed agg + presentation sort:\n$va")
+  }
+
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

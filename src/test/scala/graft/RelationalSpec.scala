@@ -61,6 +61,51 @@ class RelationalSpec extends SparkSpec {
     assert(prices == prices.sorted.reverse)
   }
 
+  test("q123 skew advisor: salt factor is the exact partition-fill ceiling") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val total = ev.count()
+    val counts = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Relational.q123(spark, sf0001).collect()
+    assert(out.length == 15)
+    // descending by count with user_id tiebreak — a total order
+    val keys = out.map(r => (r.getAs[Long]("cnt"), r.getAs[Long]("user_id")))
+    assert(keys.sortBy { case (c, u) => (-c, u) }.sameElements(keys))
+    // the top row IS the global max
+    assert(out.head.getAs[Long]("cnt") == counts.values.max)
+    out.foreach { r =>
+      val cnt = r.getAs[Long]("cnt")
+      assert(cnt == counts(r.getAs[Long]("user_id")))
+      val salt = (cnt * 32 + total - 1) / total
+      assert(r.getAs[Long]("salt") == salt)
+      assert(r.getAs[Long]("share_ppm") == cnt * 1000000L / total)
+      assert(r.getAs[Long]("hot") == (if (salt > 1) 1L else 0L))
+    }
+  }
+
+  test("q124: merged partials equal the full recompute exactly") {
+    val merged = Relational.q124(spark, sf0001).collect()
+    // the claim q124 exists to verify, computed the direct way
+    val full = graft.sources.Tables.events(spark, sf0001)
+      .select($"event_type",
+        org.apache.spark.sql.functions.round($"value" * 100, 0).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        min($"cents").as("lo"), max($"cents").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(merged.length == full.size)
+    merged.foreach { r =>
+      val (n, s, lo, hi) = full(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("sum_cents") == s)
+      assert(r.getAs[Long]("min_cents") == lo)
+      assert(r.getAs[Long]("max_cents") == hi)
+      // avg derived from merged partials, never averaged across sides
+      assert(r.getAs[Double]("avg_value") == s.toDouble / n / 100.0)
+    }
+  }
+
   test("q20 counts match a correlated recount for a sample order") {
     val r = Relational.q20(spark, sf0001)
     val some = r.filter($"n_shipped_30d" > 0).head()
