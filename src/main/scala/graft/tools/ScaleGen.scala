@@ -41,6 +41,9 @@ object ScaleGen {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS); read it as raw long nanos
+      // and write it back unchanged so Tables.events normalizes either way
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,7 +77,21 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
-    println(s"[scalegen] wrote ${factor}x documents+embeddings to $dst")
+    // events: replicas shift both ids by the replica offset — per-key
+    // counts (and so the skew profile q123 measures) are preserved while
+    // the key population and total mass grow ×factor, which is how real
+    // event traffic scales (more users, not deeper per-user history)
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("rep") * 10000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    println(s"[scalegen] wrote ${factor}x documents+embeddings+events to $dst")
     spark.stop()
   }
 }
