@@ -1960,9 +1960,12 @@ object SparkEntry {
         |GROUP BY cluster_size, n_langs, n_sources
         |ORDER BY cluster_size, n_langs, n_sources""".stripMargin,
 
-    // q122: small-file bin packing per (lang) partition — sequential
-    // first-fit by layout order, bin = (inclusive cumsum - 1) // target;
-    // files already >= target are excluded from the plan.
+    // q122: small-file bin packing per (lang) partition — offset-
+    // quantized by layout order, bin = (inclusive cumsum - 1) // target
+    // (boundaries at fixed multiples of target, not greedy reset); files
+    // already >= target are excluded from the plan. cum is cast back to
+    // BIGINT: DuckDB types a windowed SUM as HUGEINT, and bin_id must
+    // come out BIGINT like every other oracle output column.
     "q122_compaction_plan" ->
       """WITH f AS (
         |  SELECT lang, doc_id // 50 AS file_id,
@@ -1974,7 +1977,7 @@ object SparkEntry {
         |    SUM(bytes) OVER (PARTITION BY lang ORDER BY file_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM f)
-        |SELECT lang, (cum - 1) // 10000 AS bin_id,
+        |SELECT lang, (CAST(cum AS BIGINT) - 1) // 10000 AS bin_id,
         |  COUNT(*) AS n_files,
         |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
         |  MIN(file_id) AS first_file,

@@ -307,11 +307,18 @@ object Catalog {
     * `(lang, doc_id div fileRows)` groups, byte size proxied by
     * `sum(n_chars)` — same stand-in convention as [[skippingStats]]),
     * bin-pack small files into target-size rewrite groups the way a
-    * lakehouse OPTIMIZE does: within each partition (`lang`), files in
-    * layout order accumulate into a bin until the running total crosses
-    * `targetBytes`, then a new bin starts — `bin_id = (inclusive_cumsum
-    * - 1) div target`, the sequential first-fit rule (files already
-    * ≥ target are excluded up front; they are not small-file debris).
+    * lakehouse OPTIMIZE does. The packing rule is OFFSET-QUANTIZED, not
+    * greedy first-fit: within each partition (`lang`), `bin_id =
+    * (inclusive_cumsum - 1) div target` assigns a file to the bin its
+    * cumulative END offset falls in, so bin boundaries are fixed
+    * multiples of `targetBytes` rather than resetting per bin (files
+    * already ≥ target are excluded up front; they are not small-file
+    * debris). Quantization is the price of a single window pass — true
+    * greedy reset-per-bin is non-associative and needs a sequential
+    * fold — and its known wart is an occasional undersized bin when a
+    * large file crosses a boundary (its successor slice may hold little
+    * mass); bins still never exceed target + one crossing file, and a
+    * residual small bin is simply input to the next OPTIMIZE round.
     * Output is one row per planned rewrite group with its file span, so
     * the executor of the plan knows exactly which contiguous files each
     * output object replaces.

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *    norms and per-dim distributions survive, autocorrelation at lag 7k is
   *    noise for these vectors, so shifted copies don't collide in sign-LSH
   *    bands the way an ε-perturbation would.
+  *  - events: replicas offset BOTH event_id and user_id — each key keeps
+  *    its exact per-key count (the skew profile q123 measures survives
+  *    1:1) while the key population and total mass grow ×factor, which is
+  *    how real event traffic scales (more users, not deeper history).
+  *    ts/value/props are carried unchanged.
   *
   * ID spacing: originals keep their ids; replica k offsets by k·10⁷,
   * far above any SF's id range.

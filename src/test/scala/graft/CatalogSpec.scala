@@ -174,7 +174,7 @@ class CatalogSpec extends SparkSpec {
     assert(plan.map(_.getAs[Long]("n_files")).sum == smallFiles.length)
     assert(plan.map(_.getAs[Long]("bin_bytes")).sum ==
       smallFiles.map(_.getAs[Long]("bytes")).sum)
-    // first-fit bound: a bin holds at most target + one crossing file
+    // quantization bound: a bin holds at most target + one crossing file
     assert(plan.forall(_.getAs[Long]("bin_bytes") < 2 * target))
     // packing actually happens (multi-file bins exist at this scale)
     assert(plan.exists(_.getAs[Long]("n_files") > 1))
