@@ -186,17 +186,22 @@ object StreamProcessorJob {
     * upsert. Update-mode states flow through foreachBatch (columnar sinks
     * have no native update): each micro-batch appends its state deltas to
     * the changelog and its below-reorder-level rows to the alerts dir. */
-  def wireInventory(cdc: DataFrame, changelogDir: String, alertsDir: String,
-      checkpoint: String): StreamingQuery = {
+  /** Parsed CDC envelope → typed [[Streaming.CdcInput]] (shared by the
+    * changelog and lakehouse-table pipelines). */
+  def typedCdc(cdc: DataFrame): Dataset[Streaming.CdcInput] = {
     val spark = cdc.sparkSession
     import spark.implicits._
-    val typed = cdc.select(
+    cdc.select(
         coalesce(col("after.product_id"), col("before.product_id")).as("product_id"),
         col("operation"), col("lsn"),
         col("after.stock_quantity").as("stock_quantity"),
         col("after.reorder_level").as("reorder_level"))
       .as[Streaming.CdcInput]
-    Streaming.cdcUpsertTws(typed)
+  }
+
+  def wireInventory(cdc: DataFrame, changelogDir: String, alertsDir: String,
+      checkpoint: String): StreamingQuery = {
+    Streaming.cdcUpsertTws(typedCdc(cdc))
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -209,6 +214,15 @@ object StreamProcessorJob {
       }
       .start()
   }
+
+  /** CDC → TWS latest-state → [[Streaming.lakehouseMergeSink]]: the
+    * live MERGE INTO the versioned inventory table (same mergeEvolved
+    * operator q111/q113 verify; read back via
+    * [[Streaming.readMergedTable]], optionally as-of a batch id). */
+  def wireInventoryTable(cdc: DataFrame, tableRoot: String,
+      checkpoint: String): StreamingQuery =
+    Streaming.lakehouseMergeSink(
+      Streaming.cdcUpsertTws(typedCdc(cdc)), tableRoot, checkpoint)
 
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
@@ -230,7 +244,9 @@ object StreamProcessorJob {
       wireSessions(clicks, s"$outRoot/sessions", s"$ckRoot/sessions"),
       wireBurstAlerts(clicks, s"$outRoot/burst_alerts", s"$ckRoot/burst_alerts"),
       wireInventory(cdcRows, s"$outRoot/inventory_changelog",
-        s"$outRoot/reorder_alerts", s"$ckRoot/inventory"))
+        s"$outRoot/reorder_alerts", s"$ckRoot/inventory"),
+      wireInventoryTable(cdcRows, s"$outRoot/inventory_table",
+        s"$ckRoot/inventory_table"))
     // same drain-then-stop shutdown contract as IngestJob (priority above
     // Spark's own hook, budget sized for the per-query drain)
     org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(

@@ -479,6 +479,87 @@ object Streaming {
       .trigger(trigger)
       .start()
 
+  // ---- T1+lakehouse: streaming MERGE INTO a versioned parquet table --------
+
+  /** Streaming MERGE INTO a versioned parquet lakehouse table: each
+    * micro-batch of latest-state CDC deltas ([[cdcUpsertTws]] output)
+    * merges into the current snapshot via the SAME
+    * [[graft.sources.Catalog.mergeEvolved]] operator q111/q113 verify —
+    * matched upserts update, unmatched insert, deletes drop the key —
+    * writing `snapshot_<batchId>` under `tableRoot`. Readers resolve the
+    * table as the highest-numbered snapshot (merge-on-read's
+    * copy-on-write cousin; the snapshot chain doubles as q112-style time
+    * travel until vacuumed — q125's audit shape).
+    *
+    * Exactly-once without a transaction log: the base for batch N is the
+    * highest snapshot with id < N — never "the latest" — so a retry of
+    * batch N after a crash re-reads the SAME base (N's own half-written
+    * output is ineligible by construction) and `overwrite` makes the
+    * rewrite idempotent. Combined with the checkpoint's batch tracking,
+    * duplicate delivery collapses to byte-identical rewrites (the
+    * foreachBatch fault-injection spec's argument, applied to MERGE). */
+  def lakehouseMergeSink(state: Dataset[CdcState], tableRoot: String,
+      checkpoint: String): StreamingQuery =
+    state.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[CdcState], batchId: Long) =>
+        mergeSnapshot(batch.toDF(), tableRoot, batchId)
+      }
+      .start()
+
+  /** One batch of [[lakehouseMergeSink]], factored out as the testable
+    * seam (the wire-seam convention): deterministic in (prior snapshots
+    * below `batchId`, batch content), so at-least-once delivery yields
+    * exactly-once table state. */
+  def mergeSnapshot(batch: DataFrame, tableRoot: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base: Option[String] =
+      if (!fs.exists(root)) None
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("snapshot_"))
+        .map(_.stripPrefix("snapshot_").toLong)
+        .filter(_ < batchId)
+        .sorted.lastOption.map(v => s"$tableRoot/snapshot_$v")
+    // TWS emits ONE latest state per key per batch, so the change set is
+    // already key-unique — mergeEvolved's full-outer join needs no
+    // pre-dedup; `deleted` maps onto its op column contract
+    val changes = batch.select(
+      col("product_id"), col("lsn"),
+      col("stock_quantity"), col("reorder_level"),
+      when(col("deleted"), "delete").otherwise("upsert").as("op"))
+    val merged = base match {
+      case Some(dir) =>
+        graft.sources.Catalog.mergeEvolved(
+            spark.read.parquet(dir), changes,
+            keyCol = "product_id", opCol = "op")
+          .drop("action")
+      case None =>
+        changes.filter(col("op") =!= "delete").drop("op")
+    }
+    merged.write.mode("overwrite")
+      .parquet(s"$tableRoot/snapshot_$batchId")
+  }
+
+  /** The read side of [[lakehouseMergeSink]]'s versioning: the table IS
+    * its highest-numbered snapshot (or an earlier `asOf` batch id — the
+    * time-travel read the retained chain supports). */
+  def readMergedTable(spark: SparkSession, tableRoot: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("snapshot_"))
+      .map(_.stripPrefix("snapshot_").toLong)
+      .filter(_ <= asOf)
+    require(versions.nonEmpty, s"no snapshot at or before $asOf under $tableRoot")
+    spark.read.parquet(s"$tableRoot/snapshot_${versions.max}")
+  }
+
   // ---- A12: streaming event-mix counters -----------------------------------
 
   /** Running counts per event type (producer stats every 50 events,

@@ -734,6 +734,57 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming MERGE maintains a versioned table: latest state, time travel, idempotent retry") {
+    import graft.app.StreamProcessorJob
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("mrgtbl").toString
+      val cdcIn = MemoryStream[SpjCdcEnv]
+      val q = StreamProcessorJob.wireInventoryTable(
+        cdcIn.toDF(), s"$root/table", s"$root/ck")
+      // batch 0: two inserts
+      cdcIn.addData(
+        SpjCdcEnv("INSERT", "0/01", null, SpjInv("P1", 100, 10)),
+        SpjCdcEnv("INSERT", "0/01", null, SpjInv("P2", 5, 3)))
+      q.processAllAvailable()
+      // batch 1: update P1, delete P2, insert P3
+      cdcIn.addData(
+        SpjCdcEnv("UPDATE", "0/02", null, SpjInv("P1", 42, 10)),
+        SpjCdcEnv("DELETE", "0/03", SpjInv("P2", 0, 0), null),
+        SpjCdcEnv("INSERT", "0/02", null, SpjInv("P3", 7, 2)))
+      q.processAllAvailable(); q.stop()
+      def state(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+        df.select("product_id", "stock_quantity").collect()
+          .map(r => r.getString(0) -> r.getInt(1)).toMap
+      // the table IS its highest snapshot: upsert applied, delete dropped
+      val cur = state(Streaming.readMergedTable(spark, s"$root/table"))
+      assert(cur == Map("P1" -> 42, "P3" -> 7), s"latest state: $cur")
+      // time travel: as-of batch 0 shows the pre-merge state
+      val v0 = state(Streaming.readMergedTable(spark, s"$root/table", asOf = 0))
+      assert(v0 == Map("P1" -> 100, "P2" -> 5), s"as-of 0: $v0")
+      // retry idempotency: redeliver batch 1's exact deltas — the rewrite
+      // re-reads snapshot_0 (never its own output) and reproduces the
+      // same state, so at-least-once delivery collapses to exactly-once
+      val replay = Seq(
+        Streaming.CdcState("P1", "0/02", deleted = false, 42, 10),
+        Streaming.CdcState("P2", "0/03", deleted = true, 0, 0),
+        Streaming.CdcState("P3", "0/02", deleted = false, 7, 2)).toDF()
+      Streaming.mergeSnapshot(replay, s"$root/table", 1)
+      val v1 = state(Streaming.readMergedTable(spark, s"$root/table", asOf = 1))
+      assert(v1 == Map("P1" -> 42, "P3" -> 7), s"replayed snapshot 1: $v1")
+      assert(state(Streaming.readMergedTable(spark, s"$root/table")) == cur)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 // top-level so Spark can derive product encoders (a nested-in-class case
