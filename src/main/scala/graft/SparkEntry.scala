@@ -148,6 +148,7 @@ object SparkEntry {
     "q123_skew_advisor"   -> ((s: SparkSession, d: String) => Relational.q123(s, d)),
     "q124_incremental_agg" -> (Relational.q124 _),
     "q125_vacuum_audit"   -> ((s: SparkSession, d: String) => Catalog.vacuumAudit(s, d)),
+    "q126_log_replay"     -> ((s: SparkSession, d: String) => Catalog.logReplay(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -2026,5 +2027,31 @@ object SparkEntry {
         | CASE WHEN SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) > 0
         |   THEN CAST(SUM(n_chars) AS BIGINT) ELSE 0 END AS reclaim_bytes
         |FROM documents GROUP BY 1 ORDER BY file_id""".stripMargin,
+
+    // q126: merge-on-read log replay — latest op per key among versions
+    // <= 2 wins, surviving deletes erase the key. The log mirrors the
+    // engine's deterministic stand-in version by version.
+    "q126_log_replay" ->
+      """WITH log AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS version,
+        |    CAST(n_chars AS BIGINT) AS value,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT),
+        |    CAST(n_chars + 100 AS BIGINT),
+        |    CASE WHEN (doc_id + 1) % 7 = 0 THEN 'delete' ELSE 'upsert' END
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT),
+        |    CAST(n_chars + 200 AS BIGINT),
+        |    CASE WHEN (doc_id + 2) % 7 = 0 THEN 'delete' ELSE 'upsert' END
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC) AS rn
+        |  FROM log WHERE version <= 2)
+        |SELECT doc_id, version, value FROM r
+        |WHERE rn = 1 AND op = 'upsert' ORDER BY doc_id""".stripMargin,
   )
 }

@@ -349,6 +349,39 @@ object Catalog {
       .orderBy("lang", "bin_id")
   }
 
+  /** Q126 — CHANGE-LOG REPLAY (the merge-on-read READ path): resolve
+    * the table state as of version `asOf` from an ordered change log in
+    * ONE pass — latest op per key among versions ≤ asOf wins, a
+    * surviving delete erases the key — instead of folding N sequential
+    * [[mergeEvolved]] merges (the copy-on-write path q111/q113 take and
+    * the streaming sink materializes). CatalogSpec proves the
+    * equivalence: this replay ≡ the iterated merge fold over the same
+    * log. The log is a deterministic stand-in (version v touches
+    * `doc_id % (v+2) == 0`, value = n_chars + 100v, every 7th touch a
+    * delete); a real lakehouse reads it from delta files.
+    *
+    * Scale shape: union concatenates the per-version delta scans (no
+    * shuffle), then ONE doc_id-keyed window picks winners — at 100 TB
+    * the cost is delta mass + one shuffle, which is exactly why
+    * merge-on-read reads beat rewriting the base per change set. */
+  def logReplay(spark: SparkSession, dir: String, asOf: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val log = (0L to 3L).map { v =>
+      docs.filter(col("doc_id") % (v + 2) === 0)
+        .select(col("doc_id"), lit(v).as("version"),
+          (col("n_chars") + v * 100).as("value"),
+          when((col("doc_id") + v) % 7 === 0, "delete")
+            .otherwise("upsert").as("op"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("doc_id").orderBy(desc("version"))
+    log.filter(col("version") <= asOf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "upsert")
+      .select("doc_id", "version", "value")
+      .orderBy("doc_id")
+  }
+
   /** Q125 — VACUUM / RETENTION AUDIT under copy-on-write semantics: a
     * change feed touching ANY row of a file forces that file's rewrite,
     * after which the ENTIRE old object is dead weight, reclaimable once

@@ -514,16 +514,9 @@ object Streaming {
     * exactly-once table state. */
   def mergeSnapshot(batch: DataFrame, tableRoot: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    import org.apache.hadoop.fs.Path
-    val root = new Path(tableRoot)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base: Option[String] =
-      if (!fs.exists(root)) None
-      else fs.listStatus(root).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("snapshot_"))
-        .map(_.stripPrefix("snapshot_").toLong)
-        .filter(_ < batchId)
-        .sorted.lastOption.map(v => s"$tableRoot/snapshot_$v")
+    val base = committedSnapshots(spark, tableRoot)
+      .filter(_ < batchId)
+      .sorted.lastOption.map(v => s"$tableRoot/snapshot_$v")
     // TWS emits ONE latest state per key per batch, so the change set is
     // already key-unique — mergeEvolved's full-outer join needs no
     // pre-dedup; `deleted` maps onto its op column contract
@@ -544,18 +537,29 @@ object Streaming {
       .parquet(s"$tableRoot/snapshot_$batchId")
   }
 
-  /** The read side of [[lakehouseMergeSink]]'s versioning: the table IS
-    * its highest-numbered snapshot (or an earlier `asOf` batch id — the
-    * time-travel read the retained chain supports). */
-  def readMergedTable(spark: SparkSession, tableRoot: String,
-      asOf: Long = Long.MaxValue): DataFrame = {
+  /** Snapshot ids under `tableRoot` whose write COMMITTED (`_SUCCESS`
+    * present — Spark's committer drops it last, so a crash mid-write
+    * leaves a dir without it). Both the merge base and the read path
+    * resolve only committed snapshots: a half-written `snapshot_N` from
+    * a crashed batch is invisible until its retry overwrites it. */
+  private def committedSnapshots(spark: SparkSession,
+      tableRoot: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("snapshot_"))
+      .filter(n => fs.exists(new Path(root, s"$n/_SUCCESS")))
       .map(_.stripPrefix("snapshot_").toLong)
-      .filter(_ <= asOf)
+  }
+
+  /** The read side of [[lakehouseMergeSink]]'s versioning: the table IS
+    * its highest-numbered committed snapshot (or an earlier `asOf`
+    * batch id — the time-travel read the retained chain supports). */
+  def readMergedTable(spark: SparkSession, tableRoot: String,
+      asOf: Long = Long.MaxValue): DataFrame = {
+    val versions = committedSnapshots(spark, tableRoot).filter(_ <= asOf)
     require(versions.nonEmpty, s"no snapshot at or before $asOf under $tableRoot")
     spark.read.parquet(s"$tableRoot/snapshot_${versions.max}")
   }

@@ -209,6 +209,32 @@ class CatalogSpec extends SparkSpec {
       graft.sources.Tables.documents(spark, sf0001).count())
   }
 
+  test("logReplay (merge-on-read) equals the iterated copy-on-write merge fold") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def changeSet(v: Long) =
+      docs.filter(col("doc_id") % (v + 2) === 0)
+        .select(col("doc_id"), (col("n_chars") + v * 100).as("value"),
+          when((col("doc_id") + v) % 7 === 0, "delete")
+            .otherwise("upsert").as("op"))
+    // copy-on-write: fold the same log through mergeEvolved one version
+    // at a time, starting from an empty base with the target schema
+    val empty = docs.limit(0).select(col("doc_id"), lit(0L).as("value"))
+    val cow = (0L to 2L).foldLeft(empty) { (base, v) =>
+      Catalog.mergeEvolved(base, changeSet(v), keyCol = "doc_id").drop("action")
+    }.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merge-on-read: one-pass latest-wins replay of the identical log
+    val mor = Catalog.logReplay(spark, sf0001, asOf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mor.map(t => t._1 -> t._3).toMap == cow,
+      "replay state must equal the iterated merge state")
+    // the reported version really is the winning (latest touching) one
+    mor.foreach { case (id, v, _) =>
+      val touches = (0L to 2L).filter(w => id % (w + 2) == 0)
+      assert(v == touches.max, s"doc $id: version $v vs touches $touches")
+    }
+  }
+
   test("LoadGen mix matches the producer's 70/20/10 roll thresholds") {
     import graft.streaming.LoadGen
     val rate = spark.range(1000)

@@ -491,6 +491,15 @@ class PlanSpec extends SparkSpec {
     assert(!va.contains("Join"), s"vacuum audit must not join:\n$va")
     assert("Exchange".r.findAllIn(va).length <= 2,
       s"audit = one keyed agg + presentation sort:\n$va")
+    // q126: merge-on-read replay — union concatenates the delta scans
+    // (no join), then exactly ONE doc_id-keyed window picks winners
+    val lr = explain(graft.sources.Catalog.logReplay(spark, sf0001))
+    assert(!lr.contains("Join"), s"log replay must not join versions:\n$lr")
+    assert(lr.contains("Union"), s"delta scans concatenate:\n$lr")
+    assert(lr.contains("hashpartitioning(doc_id"),
+      s"winner window must key on doc_id:\n$lr")
+    assert("Exchange".r.findAllIn(lr).length <= 2,
+      s"replay = one keyed window + presentation sort:\n$lr")
   }
 
   test("bronze hive layout prunes partitions at the scan — S3/100TB read path") {
