@@ -330,14 +330,21 @@ object Catalog {
     * this is a metadata-only query; the expensive part (the rewrite)
     * is [[compact]]. */
   def compactionPlan(spark: SparkSession, dir: String,
-      fileRows: Long = 50, targetBytes: Long = 10000): DataFrame = {
+      fileRows: Long = 50, targetBytes: Long = 10000): DataFrame =
+    binPack(
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"), expr(s"doc_id div $fileRows").as("file_id"))
+        .agg(sum("n_chars").as("bytes")),
+      targetBytes)
+
+  /** [[compactionPlan]]'s packing rule over any `(lang, file_id, bytes)`
+    * manifest — the seam PropertySpec differentials against a scalar
+    * fold of the same quantized rule. */
+  def binPack(files: DataFrame, targetBytes: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val files = Tables.documents(spark, dir)
-      .groupBy(col("lang"), expr(s"doc_id div $fileRows").as("file_id"))
-      .agg(sum("n_chars").as("bytes"))
-      .filter(col("bytes") < targetBytes)
     val w = Window.partitionBy("lang").orderBy("file_id")
     files
+      .filter(col("bytes") < targetBytes)
       .withColumn("cum", sum("bytes").over(w))
       .withColumn("bin_id", expr(s"(cum - 1) div $targetBytes"))
       .groupBy("lang", "bin_id")

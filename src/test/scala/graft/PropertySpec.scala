@@ -317,4 +317,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("binPack matches the scalar quantized-packing fold for any manifest") {
+    import graft.sources.Catalog
+    import spark.implicits._
+    val target = 10000L
+    // sizes straddle the target so large-file exclusion is exercised;
+    // two langs prove partition independence
+    val manifestGen = for {
+      n <- Gen.choose(1, 40)
+      sizes <- Gen.listOfN(n, Gen.choose(1L, 15000L))
+      langs <- Gen.listOfN(n, Gen.oneOf("en", "de"))
+    } yield langs.zip(sizes)
+    // 25 seeded samples: each runs a real Spark window+agg job
+    (1 to 25).foreach { i =>
+      val manifest = manifestGen
+        .pureApply(Gen.Parameters.default, Seed(i.toLong))
+        .zipWithIndex.map { case ((l, b), id) => (l, id.toLong, b) }
+      val got = Catalog.binPack(manifest.toDF("lang", "file_id", "bytes"), target)
+        .collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin_id"),
+          r.getAs[Long]("n_files"), r.getAs[Long]("bin_bytes"),
+          r.getAs[Long]("first_file"), r.getAs[Long]("last_file")))
+        .toSeq
+      // scalar reference: per lang, cumsum in file order, bin = (cum-1)/T
+      val expect = manifest.filter(_._3 < target).groupBy(_._1).toSeq
+        .flatMap { case (lang, fs) =>
+          var cum = 0L
+          fs.sortBy(_._2)
+            .map { case (_, id, b) => cum += b; ((cum - 1) / target, id, b) }
+            .groupBy(_._1).toSeq
+            .map { case (bin, g) =>
+              (lang, bin, g.size.toLong, g.map(_._3).sum,
+                g.map(_._2).min, g.map(_._2).max)
+            }
+        }
+        .sortBy(t => (t._1, t._2))
+      assert(got == expect, s"seed $i")
+      // the documented quantization bound holds for every bin
+      got.foreach { case (_, _, _, bytes, _, _) =>
+        assert(bytes < 2 * target)
+      }
+    }
+  }
 }
