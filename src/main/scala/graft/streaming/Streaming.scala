@@ -564,6 +564,27 @@ object Streaming {
     spark.read.parquet(s"$tableRoot/snapshot_${versions.max}")
   }
 
+  /** VACUUM for the snapshot chain — the action whose planning view is
+    * q125's audit: drop committed snapshots beyond the newest `keepLast`
+    * (time-travel depth traded for storage). The newest committed
+    * snapshot is never deletable, and an uncommitted (crashed-write)
+    * dir is left alone — it is a pending retry's overwrite target, not
+    * garbage. Returns the deleted batch ids. Each old snapshot is a
+    * whole-object delete, the COW reclamation q125 prices. */
+  def vacuumSnapshots(spark: SparkSession, tableRoot: String,
+      keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = committedSnapshots(spark, tableRoot)
+      .sorted.dropRight(keepLast)
+    doomed.foreach { v =>
+      fs.delete(new Path(root, s"snapshot_$v"), true)
+    }
+    doomed
+  }
+
   // ---- A12: streaming event-mix counters -----------------------------------
 
   /** Running counts per event type (producer stats every 50 events,

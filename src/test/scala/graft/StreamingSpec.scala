@@ -778,6 +778,14 @@ class StreamingSpec extends SparkSpec {
       val v1 = state(Streaming.readMergedTable(spark, s"$root/table", asOf = 1))
       assert(v1 == Map("P1" -> 42, "P3" -> 7), s"replayed snapshot 1: $v1")
       assert(state(Streaming.readMergedTable(spark, s"$root/table")) == cur)
+      // vacuum: drop history, keep the latest — time travel to batch 0 is
+      // gone, the current table is untouched (q125's audit, executed)
+      val dropped = Streaming.vacuumSnapshots(spark, s"$root/table")
+      assert(dropped.nonEmpty && dropped.contains(0L), s"dropped: $dropped")
+      assert(state(Streaming.readMergedTable(spark, s"$root/table")) == cur)
+      intercept[IllegalArgumentException] {
+        Streaming.readMergedTable(spark, s"$root/table", asOf = 0)
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
