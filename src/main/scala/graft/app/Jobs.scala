@@ -200,15 +200,20 @@ object StreamProcessorJob {
   }
 
   def wireInventory(cdc: DataFrame, changelogDir: String, alertsDir: String,
-      checkpoint: String): StreamingQuery = {
+      tableRoot: String, checkpoint: String): StreamingQuery = {
     Streaming.cdcUpsertTws(typedCdc(cdc))
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Streaming.CdcState], _: Long) =>
+      .foreachBatch { (batch: Dataset[Streaming.CdcState], batchId: Long) =>
         val b = batch.persist()
         b.write.mode("append").parquet(changelogDir)
         Streaming.reorderAlerts(b).write.mode("append").parquet(alertsDir)
+        // the versioned MERGE table rides the SAME stateful pipeline —
+        // one CDC read, one TWS state store, three sinks (running it as
+        // its own query would double the source consumption and RocksDB
+        // state for identical deltas)
+        Streaming.mergeSnapshot(b.toDF(), tableRoot, batchId)
         b.unpersist()
         ()
       }
@@ -216,9 +221,14 @@ object StreamProcessorJob {
   }
 
   /** CDC → TWS latest-state → [[Streaming.lakehouseMergeSink]]: the
-    * live MERGE INTO the versioned inventory table (same mergeEvolved
-    * operator q111/q113 verify; read back via
-    * [[Streaming.readMergedTable]], optionally as-of a batch id). */
+    * table-only wiring (same mergeEvolved operator q111/q113 verify;
+    * read back via [[Streaming.readMergedTable]], optionally as-of a
+    * batch id). Production `main` does NOT run this alongside
+    * [[wireInventory]] — that would consume the CDC source and hold the
+    * TWS state twice for identical deltas; the combined pipeline's
+    * foreachBatch writes the table instead. This seam exists for
+    * deployments that want ONLY the table, and for the focused
+    * MERGE-lifecycle spec. */
   def wireInventoryTable(cdc: DataFrame, tableRoot: String,
       checkpoint: String): StreamingQuery =
     Streaming.lakehouseMergeSink(
@@ -244,9 +254,8 @@ object StreamProcessorJob {
       wireSessions(clicks, s"$outRoot/sessions", s"$ckRoot/sessions"),
       wireBurstAlerts(clicks, s"$outRoot/burst_alerts", s"$ckRoot/burst_alerts"),
       wireInventory(cdcRows, s"$outRoot/inventory_changelog",
-        s"$outRoot/reorder_alerts", s"$ckRoot/inventory"),
-      wireInventoryTable(cdcRows, s"$outRoot/inventory_table",
-        s"$ckRoot/inventory_table"))
+        s"$outRoot/reorder_alerts", s"$outRoot/inventory_table",
+        s"$ckRoot/inventory"))
     // same drain-then-stop shutdown contract as IngestJob (priority above
     // Spark's own hook, budget sized for the per-query drain)
     org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(

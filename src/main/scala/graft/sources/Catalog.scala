@@ -371,16 +371,21 @@ object Catalog {
     * shuffle), then ONE doc_id-keyed window picks winners — at 100 TB
     * the cost is delta mass + one shuffle, which is exactly why
     * merge-on-read reads beat rewriting the base per change set. */
+  /** One version of q126's deterministic change-log stand-in, shared
+    * with CatalogSpec's iterated-merge differential so both replay the
+    * IDENTICAL log (the binPack-seam convention: never hand-sync the
+    * premise of an equivalence proof). */
+  def logVersion(docs: DataFrame, v: Long): DataFrame =
+    docs.filter(col("doc_id") % (v + 2) === 0)
+      .select(col("doc_id"), lit(v).as("version"),
+        (col("n_chars") + v * 100).as("value"),
+        when((col("doc_id") + v) % 7 === 0, "delete")
+          .otherwise("upsert").as("op"))
+
   def logReplay(spark: SparkSession, dir: String, asOf: Long = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val log = (0L to 3L).map { v =>
-      docs.filter(col("doc_id") % (v + 2) === 0)
-        .select(col("doc_id"), lit(v).as("version"),
-          (col("n_chars") + v * 100).as("value"),
-          when((col("doc_id") + v) % 7 === 0, "delete")
-            .otherwise("upsert").as("op"))
-    }.reduce(_ unionByName _)
+    val log = (0L to 3L).map(v => logVersion(docs, v)).reduce(_ unionByName _)
     val w = Window.partitionBy("doc_id").orderBy(desc("version"))
     log.filter(col("version") <= asOf)
       .withColumn("rn", row_number().over(w))

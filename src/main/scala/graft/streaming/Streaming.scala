@@ -566,19 +566,30 @@ object Streaming {
 
   /** VACUUM for the snapshot chain — the action whose planning view is
     * q125's audit: drop committed snapshots beyond the newest `keepLast`
-    * (time-travel depth traded for storage). The newest committed
-    * snapshot is never deletable, and an uncommitted (crashed-write)
-    * dir is left alone — it is a pending retry's overwrite target, not
-    * garbage. Returns the deleted batch ids. Each old snapshot is a
-    * whole-object delete, the COW reclamation q125 prices. */
+    * (time-travel depth traded for storage), FLOORED AT TWO retained.
+    * The floor is load-bearing, not caution: foreachBatch is
+    * at-least-once, so the newest snapshot N may have committed while
+    * its checkpoint entry did not — the stream will then REPLAY batch N,
+    * and the replay's base is the newest snapshot BELOW N. Deleting
+    * that base in the crash window would make the retry resolve an
+    * empty base and silently truncate the table to one batch's deltas.
+    * An uncommitted (crashed-write) dir is likewise left alone — it is
+    * a pending retry's overwrite target, not garbage. Returns the
+    * deleted batch ids; each is a whole-object delete, the COW
+    * reclamation q125 prices.
+    *
+    * Concurrency caveat: a time-travel read that resolved a snapshot id
+    * races a concurrent vacuum of that id (this API pins nothing);
+    * readers of vacuumed history must tolerate a missing-file failure
+    * and re-resolve. The LIVE table is never affected — the newest two
+    * committed snapshots are untouchable. */
   def vacuumSnapshots(spark: SparkSession, tableRoot: String,
-      keepLast: Int = 1): Seq[Long] = {
-    require(keepLast >= 1, "must keep at least the latest snapshot")
+      keepLast: Int = 2): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tableRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val doomed = committedSnapshots(spark, tableRoot)
-      .sorted.dropRight(keepLast)
+      .sorted.dropRight(math.max(keepLast, 2))
     doomed.foreach { v =>
       fs.delete(new Path(root, s"snapshot_$v"), true)
     }

@@ -210,13 +210,10 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("logReplay (merge-on-read) equals the iterated copy-on-write merge fold") {
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.{col, lit}
     val docs = graft.sources.Tables.documents(spark, sf0001)
-    def changeSet(v: Long) =
-      docs.filter(col("doc_id") % (v + 2) === 0)
-        .select(col("doc_id"), (col("n_chars") + v * 100).as("value"),
-          when((col("doc_id") + v) % 7 === 0, "delete")
-            .otherwise("upsert").as("op"))
+    // the SAME log generator logReplay unions — shared seam, no hand-sync
+    def changeSet(v: Long) = Catalog.logVersion(docs, v).drop("version")
     // copy-on-write: fold the same log through mergeEvolved one version
     // at a time, starting from an empty base with the target schema
     val empty = docs.limit(0).select(col("doc_id"), lit(0L).as("value"))

@@ -712,7 +712,8 @@ class StreamingSpec extends SparkSpec {
       // upsert — changelog carries per-batch state, alerts only below-level
       val cdcIn = MemoryStream[SpjCdcEnv]
       val invQ = StreamProcessorJob.wireInventory(cdcIn.toDF(),
-        s"$root/changelog", s"$root/alerts", s"$root/ck/inv")
+        s"$root/changelog", s"$root/alerts", s"$root/invtable",
+        s"$root/ck/inv")
       cdcIn.addData(
         SpjCdcEnv("INSERT", "0/01", null, SpjInv("P1", 100, 10)),
         SpjCdcEnv("UPDATE", "0/02", null, SpjInv("P1", 5, 10)),
@@ -727,6 +728,11 @@ class StreamingSpec extends SparkSpec {
       val alerts = spark.read.parquet(s"$root/alerts")
         .select("product_id").collect().map(_.getString(0)).toSet
       assert(alerts == Set("P1")) // only the below-reorder-level product
+      // the versioned table rode the same pipeline: latest state matches
+      val table = Streaming.readMergedTable(spark, s"$root/invtable")
+        .select("product_id", "stock_quantity").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(table == Map("P1" -> 5, "P2" -> 50), s"table: $table")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -778,11 +784,23 @@ class StreamingSpec extends SparkSpec {
       val v1 = state(Streaming.readMergedTable(spark, s"$root/table", asOf = 1))
       assert(v1 == Map("P1" -> 42, "P3" -> 7), s"replayed snapshot 1: $v1")
       assert(state(Streaming.readMergedTable(spark, s"$root/table")) == cur)
-      // vacuum: drop history, keep the latest — time travel to batch 0 is
-      // gone, the current table is untouched (q125's audit, executed)
-      val dropped = Streaming.vacuumSnapshots(spark, s"$root/table")
-      assert(dropped.nonEmpty && dropped.contains(0L), s"dropped: $dropped")
+      // an empty delta batch carries the state forward into snapshot 2
+      // (the shape an idle trigger produces)
+      Streaming.mergeSnapshot(replay.limit(0), s"$root/table", 2)
       assert(state(Streaming.readMergedTable(spark, s"$root/table")) == cur)
+      // vacuum: drop history behind the two-retained floor — batch 0's
+      // snapshot goes, the retry-base (1) and live table (2) stay
+      // (q125's audit, executed)
+      val dropped = Streaming.vacuumSnapshots(spark, s"$root/table")
+      assert(dropped.nonEmpty && dropped.min == 0L, s"dropped: $dropped")
+      val kept = new java.io.File(s"$root/table").listFiles()
+        .map(_.getName).filter(_.startsWith("snapshot_"))
+        .map(_.stripPrefix("snapshot_").toLong).sorted
+      assert(kept.length == 2, s"kept: ${kept.toSeq}")
+      assert(state(Streaming.readMergedTable(spark, s"$root/table")) == cur)
+      // the retained retry base still resolves
+      assert(state(Streaming.readMergedTable(spark, s"$root/table",
+        asOf = kept.min)) == cur)
       intercept[IllegalArgumentException] {
         Streaming.readMergedTable(spark, s"$root/table", asOf = 0)
       }
