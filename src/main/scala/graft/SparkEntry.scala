@@ -149,6 +149,7 @@ object SparkEntry {
     "q124_incremental_agg" -> (Relational.q124 _),
     "q125_vacuum_audit"   -> ((s: SparkSession, d: String) => Catalog.vacuumAudit(s, d)),
     "q126_log_replay"     -> ((s: SparkSession, d: String) => Catalog.logReplay(s, d)),
+    "q127_importance_weights" -> ((s: SparkSession, d: String) => TextOps.importanceWeights(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -2053,5 +2054,29 @@ object SparkEntry {
         |  FROM log WHERE version <= 2)
         |SELECT doc_id, version, value FROM r
         |WHERE rn = 1 AND op = 'upsert' ORDER BY doc_id""".stripMargin,
+
+    // q127: DSIR importance = sum of c*(ln p_target - ln p_proposal)
+    // under add-1 unigram LMs (target = src0 slice, proposal = corpus),
+    // q81's fixed-point 1e-6 discipline on the order-sensitive sum.
+    "q127_importance_weights" ->
+      s"""WITH tok AS (SELECT doc_id, source,
+         |        unnest(string_split(text, ' ')) AS tok FROM documents),
+         |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY doc_id, tok),
+         |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS np FROM tok GROUP BY tok),
+         |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nt
+         |       FROM tok WHERE source = 'src0' GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS np_tot,
+         |          CAST(COUNT(*) AS BIGINT) AS v FROM cf),
+         |ttot AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS nt_tot FROM tf),
+         |j AS (SELECT doc_id,
+         |    CAST(SUM(CAST(floor(c *
+         |        (ln((COALESCE(nt, 0) + 1) / (nt_tot + v))
+         |       - ln((np + 1) / (np_tot + v))) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s6,
+         |    CAST(SUM(c) AS BIGINT) AS n_tokens
+         |  FROM dt JOIN cf USING (tok) LEFT JOIN tf USING (tok), tot, ttot
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, ${pr6("s6 / 1000000.0")} AS importance
+         |FROM j ORDER BY doc_id""".stripMargin,
   )
 }

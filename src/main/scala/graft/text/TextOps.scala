@@ -451,6 +451,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q127 — DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): per doc,
+    * the log importance ratio Σ c·[ln p_target(w) − ln p_proposal(w)]
+    * under two add-1-smoothed unigram LMs — target = one source's slice
+    * (the "high-quality corpus" stand-in), proposal = the whole corpus.
+    * High weight = looks like the target; resampling by these weights is
+    * the published recipe for tilting a web-scale mix toward a target
+    * domain. Composes q81's LM machinery with a second, FILTERED model.
+    *
+    * Shape: the (doc, token) counts and the proposal frequencies share
+    * one exchange (q81's ReuseExchange pattern); the target counts ride
+    * a PUSHED source predicate — at 100 TB the target slice is a small
+    * pruned partition, not a full-corpus carry. Scalars (totals, vocab
+    * size) broadcast. Determinism: each summand is lns over identical
+    * long/long→double divisions, differenced (IEEE-exact), then the
+    * order-sensitive sum runs in fixed-point 10⁻⁶ BIGINTs — q81's
+    * discipline verbatim. */
+  def importanceWeights(spark: SparkSession, dir: String,
+      targetSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val cf = dt.groupBy("tok").agg(sum("c").as("np"))
+    val tf = docs.filter(col("source") === targetSource)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("nt"))
+    val totals = cf.agg(sum("np").as("np_tot"), count(lit(1)).as("v"))
+      .crossJoin(tf.agg(coalesce(sum("nt"), lit(0L)).as("nt_tot")))
+    dt.join(cf, Seq("tok"))
+      .join(tf, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        sum(floor(col("c") *
+            (log((coalesce(col("nt"), lit(0L)) + lit(1L)) /
+                 (col("nt_tot") + col("v"))) -
+             log((col("np") + lit(1L)) / (col("np_tot") + col("v")))) *
+            lit(1000000.0) + lit(0.5)).cast("long")).as("s6"),
+        sum("c").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        pround(col("s6") / lit(1000000.0), 6).as("importance"))
+      .orderBy("doc_id")
+  }
+
   /** Q84 — tokenizer COVERAGE / OOV profile under a truncated top-K
     * vocabulary: the feasibility check run before freezing a tokenizer's
     * vocab size — per doc, how many token occurrences fall outside the

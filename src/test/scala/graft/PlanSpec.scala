@@ -491,6 +491,14 @@ class PlanSpec extends SparkSpec {
     assert(!va.contains("Join"), s"vacuum audit must not join:\n$va")
     assert("Exchange".r.findAllIn(va).length <= 2,
       s"audit = one keyed agg + presentation sort:\n$va")
+    // q127: the target LM rides a PUSHED source predicate (small pruned
+    // slice, not a full-corpus carry), scalars broadcast, no cartesian
+    val iw = explain(graft.text.TextOps.importanceWeights(spark, sf0001))
+    assert(iw.contains("EqualTo(source,src0)"),
+      s"target filter must reach the scan:\n$iw")
+    assert(iw.contains("BroadcastNestedLoopJoin") || iw.contains("BroadcastExchange"),
+      s"LM totals must broadcast:\n$iw")
+    assert(!iw.contains("CartesianProduct"), s"no cartesian:\n$iw")
     // q126: merge-on-read replay — union concatenates the delta scans
     // (no join), then exactly ONE doc_id-keyed window picks winners
     val lr = explain(graft.sources.Catalog.logReplay(spark, sf0001))

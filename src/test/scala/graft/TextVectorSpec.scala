@@ -823,4 +823,46 @@ class TextVectorSpec extends SparkSpec {
     assert(r(10L) == ((0.81, 1L)))
     (1L to 9L).foreach(i => assert(r(i) == ((0.01, 0L))))
   }
+
+  test("q127 importance weights match a local DSIR recompute for every doc") {
+    // split(" ", -1) mirrors Spark's split(c, " ") (limit -1: trailing
+    // empties kept) and DuckDB's string_split
+    def toksOf(t: String): Seq[String] = t.split(" ", -1).toSeq
+    val rows = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    val np = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val nt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    rows.foreach { case (_, src, text) =>
+      toksOf(text).foreach { w =>
+        np(w) += 1
+        if (src == "src0") nt(w) += 1
+      }
+    }
+    val (npTot, v, ntTot) = (np.values.sum, np.size.toLong, nt.values.sum)
+    val expect = rows.map { case (id, _, text) =>
+      val toks = toksOf(text)
+      val s6 = toks.groupBy(identity).map { case (w, ws) =>
+        // the engine's exact IEEE op sequence: two lns over long/long
+        // divisions, differenced, fixed-point floored per summand
+        math.floor(ws.size.toLong *
+          (math.log((nt(w) + 1).toDouble / (ntTot + v)) -
+           math.log((np(w) + 1).toDouble / (npTot + v))) * 1e6 + 0.5).toLong
+      }.sum
+      id -> ((toks.size.toLong, math.floor(s6 / 1e6 * 1e6 + 0.5) / 1e6))
+    }.toMap
+    val got = TextOps.importanceWeights(spark, sf0001).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, out) =>
+      assert(out == expect(id), s"doc $id: $out vs ${expect(id)}")
+    }
+    // the DSIR direction check: target-slice docs score above the rest on
+    // average (their tokens are relatively overrepresented in the target LM)
+    val bySrc = rows.map { case (id, src, _) => src -> got(id)._2 }
+    val tgt = bySrc.collect { case ("src0", w) => w }
+    val rest = bySrc.collect { case (s, w) if s != "src0" => w }
+    assert(tgt.sum / tgt.length > rest.sum / rest.length,
+      "target docs must carry higher importance on average")
+  }
 }
