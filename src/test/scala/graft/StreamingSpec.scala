@@ -804,6 +804,13 @@ class StreamingSpec extends SparkSpec {
       intercept[IllegalArgumentException] {
         Streaming.readMergedTable(spark, s"$root/table", asOf = 0)
       }
+      // the retry-base floor's reason to exist: if the NEWEST batch's
+      // checkpoint commit was lost, the stream replays it AFTER a vacuum
+      // — the rewrite must resolve the retained base below it, not an
+      // empty table (which would truncate state to one batch's deltas)
+      Streaming.mergeSnapshot(replay.limit(0), s"$root/table", kept.max)
+      assert(state(Streaming.readMergedTable(spark, s"$root/table")) == cur,
+        "post-vacuum retry of the newest batch must not truncate the table")
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
