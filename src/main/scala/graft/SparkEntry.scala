@@ -150,6 +150,7 @@ object SparkEntry {
     "q125_vacuum_audit"   -> ((s: SparkSession, d: String) => Catalog.vacuumAudit(s, d)),
     "q126_log_replay"     -> ((s: SparkSession, d: String) => Catalog.logReplay(s, d)),
     "q127_importance_weights" -> ((s: SparkSession, d: String) => TextOps.importanceWeights(s, d)),
+    "q128_importance_resample" -> ((s: SparkSession, d: String) => TextOps.importanceResample(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -274,6 +275,29 @@ object SparkEntry {
   // portable round (see graft.functions.Portable): floor(x*10^n + 0.5)/10^n
   private def pr4(x: String) = s"floor(($x) * 10000 + 0.5) / 10000.0"
   private def pr6(x: String) = s"floor(($x) * 1000000 + 0.5) / 1000000.0"
+  // q127/q128 shared: DSIR importance weights down to per-doc
+  // dw(doc_id, n_tokens, importance) — target = src0 slice, proposal =
+  // corpus, add-1 smoothing, fixed-point 1e-6 sums (q81 discipline)
+  private lazy val dsirWeightCtes: String =
+    s"""tok AS (SELECT doc_id, source,
+       |        unnest(string_split(text, ' ')) AS tok FROM documents),
+       |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM tok GROUP BY doc_id, tok),
+       |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS np FROM tok GROUP BY tok),
+       |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nt
+       |       FROM tok WHERE source = 'src0' GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS np_tot,
+       |          CAST(COUNT(*) AS BIGINT) AS v FROM cf),
+       |ttot AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS nt_tot FROM tf),
+       |j AS (SELECT doc_id,
+       |    CAST(SUM(CAST(floor(c *
+       |        (ln((COALESCE(nt, 0) + 1) / (nt_tot + v))
+       |       - ln((np + 1) / (np_tot + v))) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s6,
+       |    CAST(SUM(c) AS BIGINT) AS n_tokens
+       |  FROM dt JOIN cf USING (tok) LEFT JOIN tf USING (tok), tot, ttot
+       |  GROUP BY doc_id),
+       |dw AS (SELECT doc_id, n_tokens, ${pr6("s6 / 1000000.0")} AS importance
+       |       FROM j)""".stripMargin
   // the md5 split coin + 80/10/10 bucketing (q80/q83 convention)
   private def coinSql(x: String) =
     s"CAST(CAST('0x' || substr(md5('split:' || $x::VARCHAR), 1, 6) AS INTEGER) AS BIGINT) % 10"
@@ -2059,24 +2083,21 @@ object SparkEntry {
     // under add-1 unigram LMs (target = src0 slice, proposal = corpus),
     // q81's fixed-point 1e-6 discipline on the order-sensitive sum.
     "q127_importance_weights" ->
-      s"""WITH tok AS (SELECT doc_id, source,
-         |        unnest(string_split(text, ' ')) AS tok FROM documents),
-         |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
-         |       FROM tok GROUP BY doc_id, tok),
-         |cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS np FROM tok GROUP BY tok),
-         |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS nt
-         |       FROM tok WHERE source = 'src0' GROUP BY tok),
-         |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS np_tot,
-         |          CAST(COUNT(*) AS BIGINT) AS v FROM cf),
-         |ttot AS (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS nt_tot FROM tf),
-         |j AS (SELECT doc_id,
-         |    CAST(SUM(CAST(floor(c *
-         |        (ln((COALESCE(nt, 0) + 1) / (nt_tot + v))
-         |       - ln((np + 1) / (np_tot + v))) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s6,
-         |    CAST(SUM(c) AS BIGINT) AS n_tokens
-         |  FROM dt JOIN cf USING (tok) LEFT JOIN tf USING (tok), tot, ttot
-         |  GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, ${pr6("s6 / 1000000.0")} AS importance
-         |FROM j ORDER BY doc_id""".stripMargin,
+      s"""WITH $dsirWeightCtes
+         |SELECT doc_id, n_tokens, importance
+         |FROM dw ORDER BY doc_id""".stripMargin,
+
+    // q128: Gumbel-top-k resample over the SAME weights — u from a 48-bit
+    // md5 coin mapped into (0,1) exclusive, g = -ln(-ln u), top-k by
+    // (importance + g). The two oracles share dsirWeightCtes verbatim.
+    "q128_importance_resample" ->
+      s"""WITH $dsirWeightCtes,
+         |g AS (SELECT doc_id, importance,
+         |    importance - ln(-ln(
+         |      (CAST(CAST('0x' || substr(md5('gumbel:' || doc_id::VARCHAR), 1, 12) AS BIGINT) AS BIGINT) + 1)
+         |        / 281474976710657.0)) AS score
+         |  FROM dw)
+         |SELECT doc_id, importance, ${pr6("score")} AS score FROM g
+         |ORDER BY g.score DESC, doc_id LIMIT 100""".stripMargin,
   )
 }

@@ -495,6 +495,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q128 — GUMBEL-TOP-K IMPORTANCE RESAMPLE: DSIR's second half — turn
+    * [[importanceWeights]] into an actual k-doc sample, drawn WITHOUT
+    * replacement with probability ∝ exp(importance), via the Gumbel-top-k
+    * trick (Kool et al. 2019): score = importance + Gumbel(0,1) noise,
+    * take the global top-k. The noise is DETERMINISTIC — u comes from a
+    * 48-bit md5 coin on doc_id mapped into (0,1) exclusive (the q44/q63
+    * hash-coin convention widened to 48 bits so the double is dense),
+    * g = −ln(−ln u) — so the "random" sample is reproducible across
+    * engines and runs, which is exactly what a curation pipeline wants
+    * from a sampling step it may need to re-derive.
+    *
+    * Shape: the weight computation's plan (see q127) plus a pure-map
+    * noise column and TakeOrderedAndProject for the top-k — sampling
+    * adds ZERO shuffles beyond the weights. */
+  def importanceResample(spark: SparkSession, dir: String, k: Int = 100,
+      targetSource: String = "src0"): DataFrame =
+    importanceWeights(spark, dir, targetSource)
+      .withColumn("score",
+        col("importance") - log(-log(
+          (expr("cast(conv(substring(md5(concat('gumbel:', doc_id)), 1, 12), 16, 10) as bigint)")
+            + lit(1L)) / lit(281474976710657.0))))   // (x+1)/(2^48+1) ∈ (0,1)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      // rank on the raw score; OUTPUT it pround-6 — Math.log and libm ln
+      // can disagree by 1 ulp, which the q81 fixed-point discipline
+      // absorbs for importance but would surface in a raw score column
+      .select(col("doc_id"), col("importance"),
+        pround(col("score"), 6).as("score"))
+
   /** Q84 — tokenizer COVERAGE / OOV profile under a truncated top-K
     * vocabulary: the feasibility check run before freezing a tokenizer's
     * vocab size — per doc, how many token occurrences fall outside the

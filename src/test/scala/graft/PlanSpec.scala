@@ -499,6 +499,12 @@ class PlanSpec extends SparkSpec {
     assert(iw.contains("BroadcastNestedLoopJoin") || iw.contains("BroadcastExchange"),
       s"LM totals must broadcast:\n$iw")
     assert(!iw.contains("CartesianProduct"), s"no cartesian:\n$iw")
+    // q128: the resample adds only a map (noise) + TakeOrderedAndProject
+    // on top of the q127 plan — no new shuffle for the sampling step
+    val ir = explain(graft.text.TextOps.importanceResample(spark, sf0001))
+    assert(ir.contains("TakeOrderedAndProject"),
+      s"top-k sample must not global-sort:\n$ir")
+    assert(!ir.contains("CartesianProduct"), s"no cartesian:\n$ir")
     // q126: merge-on-read replay — union concatenates the delta scans
     // (no join), then exactly ONE doc_id-keyed window picks winners
     val lr = explain(graft.sources.Catalog.logReplay(spark, sf0001))

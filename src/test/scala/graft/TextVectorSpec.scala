@@ -865,4 +865,32 @@ class TextVectorSpec extends SparkSpec {
     assert(tgt.sum / tgt.length > rest.sum / rest.length,
       "target docs must carry higher importance on average")
   }
+
+  test("q128 resample: deterministic Gumbel-top-k, biased toward high importance") {
+    val w = TextOps.importanceWeights(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sel = TextOps.importanceResample(spark, sf0001).collect()
+    assert(sel.length == 100)
+    val ids = sel.map(_.getLong(0))
+    assert(ids.distinct.length == 100) // without replacement by construction
+    // exact recompute of every selected score: 48-bit md5 coin → u ∈ (0,1)
+    // exclusive → Gumbel; the engine uses the same JVM ops, so equality
+    // is exact (the oracle's libm-ln 1-ulp wiggle is absorbed by pround-6)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    sel.foreach { r =>
+      val id = r.getLong(0)
+      val x = java.lang.Long.parseLong(md5hex(s"gumbel:$id").take(12), 16)
+      val u = (x + 1).toDouble / 281474976710657.0
+      val score = w(id) - math.log(-math.log(u))
+      assert(r.getDouble(1) == w(id), s"doc $id importance")
+      assert(r.getDouble(2) == math.floor(score * 1e6 + 0.5) / 1e6,
+        s"doc $id score")
+    }
+    // sampling ∝ exp(importance) tilts the selection upward vs the corpus
+    val selMean = ids.map(w).sum / ids.length
+    val allMean = w.values.sum / w.size
+    assert(selMean > allMean, s"sample mean $selMean vs corpus $allMean")
+  }
 }
