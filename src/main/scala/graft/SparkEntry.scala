@@ -2094,7 +2094,7 @@ object SparkEntry {
       s"""WITH $dsirWeightCtes,
          |g AS (SELECT doc_id, importance,
          |    importance - ln(-ln(
-         |      (CAST(CAST('0x' || substr(md5('gumbel:' || doc_id::VARCHAR), 1, 12) AS BIGINT) AS BIGINT) + 1)
+         |      (CAST('0x' || substr(md5('gumbel:' || doc_id::VARCHAR), 1, 12) AS BIGINT) + 1)
          |        / 281474976710657.0)) AS score
          |  FROM dw)
          |SELECT doc_id, importance, ${pr6("score")} AS score FROM g

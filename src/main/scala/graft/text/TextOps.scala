@@ -467,7 +467,12 @@ object TextOps {
     * size) broadcast. Determinism: each summand is lns over identical
     * long/long→double divisions, differenced (IEEE-exact), then the
     * order-sensitive sum runs in fixed-point 10⁻⁶ BIGINTs — q81's
-    * discipline verbatim. */
+    * discipline verbatim. The fixed-point floor makes the SUM order-free
+    * and bit-exact; ln parity itself is empirical, not guaranteed —
+    * Spark executes StrictMath.log, DuckDB libm ln, which may disagree
+    * by 1 ulp, and a flip needs that ulp to straddle a ·10⁶ floor
+    * boundary (observed zero times across the contract's ln queries;
+    * same standing caveat as q81/q43). */
   def importanceWeights(spark: SparkSession, dir: String,
       targetSource: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -843,11 +843,12 @@ class TextVectorSpec extends SparkSpec {
     val expect = rows.map { case (id, _, text) =>
       val toks = toksOf(text)
       val s6 = toks.groupBy(identity).map { case (w, ws) =>
-        // the engine's exact IEEE op sequence: two lns over long/long
-        // divisions, differenced, fixed-point floored per summand
+        // the engine's exact op sequence — Spark's log() executes
+        // StrictMath.log (not Math.log, whose HotSpot intrinsic is
+        // licensed to differ by 1 ulp), so the recompute must too
         math.floor(ws.size.toLong *
-          (math.log((nt(w) + 1).toDouble / (ntTot + v)) -
-           math.log((np(w) + 1).toDouble / (npTot + v))) * 1e6 + 0.5).toLong
+          (StrictMath.log((nt(w) + 1).toDouble / (ntTot + v)) -
+           StrictMath.log((np(w) + 1).toDouble / (npTot + v))) * 1e6 + 0.5).toLong
       }.sum
       id -> ((toks.size.toLong, math.floor(s6 / 1e6 * 1e6 + 0.5) / 1e6))
     }.toMap
@@ -874,8 +875,10 @@ class TextVectorSpec extends SparkSpec {
     val ids = sel.map(_.getLong(0))
     assert(ids.distinct.length == 100) // without replacement by construction
     // exact recompute of every selected score: 48-bit md5 coin → u ∈ (0,1)
-    // exclusive → Gumbel; the engine uses the same JVM ops, so equality
-    // is exact (the oracle's libm-ln 1-ulp wiggle is absorbed by pround-6)
+    // exclusive → Gumbel. Spark's log() is StrictMath.log — platform-pinned
+    // by spec, unlike Math.log's 1-ulp-licensed intrinsic — so recomputing
+    // with StrictMath makes the equality exact on every JVM (the oracle's
+    // libm-ln 1-ulp wiggle is separately absorbed by pround-6)
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -883,7 +886,7 @@ class TextVectorSpec extends SparkSpec {
       val id = r.getLong(0)
       val x = java.lang.Long.parseLong(md5hex(s"gumbel:$id").take(12), 16)
       val u = (x + 1).toDouble / 281474976710657.0
-      val score = w(id) - math.log(-math.log(u))
+      val score = w(id) - StrictMath.log(-StrictMath.log(u))
       assert(r.getDouble(1) == w(id), s"doc $id importance")
       assert(r.getDouble(2) == math.floor(score * 1e6 + 0.5) / 1e6,
         s"doc $id score")
