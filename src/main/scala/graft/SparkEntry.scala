@@ -151,6 +151,7 @@ object SparkEntry {
     "q126_log_replay"     -> ((s: SparkSession, d: String) => Catalog.logReplay(s, d)),
     "q127_importance_weights" -> ((s: SparkSession, d: String) => TextOps.importanceWeights(s, d)),
     "q128_importance_resample" -> ((s: SparkSession, d: String) => TextOps.importanceResample(s, d)),
+    "q129_contamination_spans" -> ((s: SparkSession, d: String) => Curation.contaminationSpans(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -2099,5 +2100,29 @@ object SparkEntry {
          |  FROM dw)
          |SELECT doc_id, importance, ${pr6("score")} AS score FROM g
          |ORDER BY g.score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // q129: span-level decontamination — positional trigrams, hits where
+    // the gram occurs in the benchmark slice, covered positions i..i+2
+    // de-duplicated per doc. Same bench stand-in (doc_id % 20) as q50.
+    "q129_contamination_spans" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (SELECT doc_id, CAST(unnest(range(len(toks) - 2)) AS BIGINT) AS i, toks
+        |        FROM ct WHERE len(toks) >= 3),
+        |pg AS (SELECT doc_id, i,
+        |         toks[CAST(i AS INTEGER) + 1] || ' ' ||
+        |         toks[CAST(i AS INTEGER) + 2] || ' ' ||
+        |         toks[CAST(i AS INTEGER) + 3] AS gram
+        |       FROM pos),
+        |bench AS (SELECT DISTINCT gram FROM pg WHERE doc_id % 20 = 0),
+        |hits AS (SELECT doc_id, i FROM pg
+        |         WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM bench)),
+        |cov0 AS (SELECT doc_id, unnest(range(i, i + 3)) AS p FROM hits),
+        |cov AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_flagged
+        |        FROM cov0 GROUP BY doc_id)
+        |SELECT ct.doc_id, CAST(len(ct.toks) AS BIGINT) AS n_tokens,
+        |  COALESCE(cov.n_flagged, 0) AS n_flagged,
+        |  COALESCE(cov.n_flagged, 0) * 1.0 / len(ct.toks) AS flagged_ratio
+        |FROM ct LEFT JOIN cov ON ct.doc_id = cov.doc_id
+        |WHERE ct.doc_id % 20 <> 0 ORDER BY ct.doc_id""".stripMargin,
   )
 }

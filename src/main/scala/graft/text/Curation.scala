@@ -55,6 +55,46 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Q129 — SPAN-LEVEL DECONTAMINATION: [[contamination]] (q50) flags
+    * whole docs; real pipelines LOCALIZE the overlap and excise spans
+    * (the n-gram-collision removal the GPT-3 appendix describes) so a
+    * long doc with one quoted benchmark line loses a sentence, not its
+    * place in the corpus. Per non-benchmark doc: the count of token
+    * POSITIONS covered by any benchmark-colliding trigram (each hit at
+    * start i covers i..i+2; overlapping hits de-duplicate by position)
+    * and the flagged fraction — exactly what the excision step consumes.
+    *
+    * Shape: positional grams explode once, the hit join is gram-keyed
+    * (benchmark side is eval-suite-sized), and the covered-position
+    * explode is bounded by 3× hit count, not corpus mass. CurationSpec
+    * cross-checks against q50: a doc has flagged positions iff q50
+    * counts a shared distinct gram. */
+  def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val posGrams = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(TextOps.wordNgrams(col("toks"))))
+      .toDF("doc_id", "i", "gram")
+    val bench = posGrams.filter(col("doc_id") % 20 === 0)
+      .select("gram").distinct()
+    val hits = posGrams.filter(col("doc_id") % 20 =!= 0)
+      .join(bench, Seq("gram"))
+      .select(col("doc_id"), col("i"))
+    val covered = hits
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 2)).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+    docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_flagged", coalesce(col("n_flagged"), lit(0L)))
+      .withColumn("flagged_ratio",
+        col("n_flagged") * lit(1.0) / col("n_tokens"))
+      .select("doc_id", "n_tokens", "n_flagged", "flagged_ratio")
+      .orderBy("doc_id")
+  }
+
   /** Q51 — repetition quality signals (the Gopher repetition filters'
     * shape): duplicate-token fraction, dominant-token fraction, and
     * dominant-trigram fraction per doc. Two keyed aggregates (token level,

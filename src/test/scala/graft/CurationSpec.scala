@@ -362,4 +362,22 @@ class CurationSpec extends SparkSpec {
     assert(rep.values.sum == report.total)
     assert(rep.getOrElse("kept", 0L) == report.kept)
   }
+
+  test("q129 span flags are consistent with q50's doc flags and span geometry") {
+    val spans = Curation.contaminationSpans(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val q50 = Curation.contamination(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> n_shared
+    assert(spans.keySet == q50.keySet) // same non-benchmark population
+    spans.foreach { case (id, (nTok, nFlagged)) =>
+      // a doc has flagged POSITIONS iff q50 counts a shared distinct gram
+      assert((nFlagged > 0) == (q50(id) > 0), s"doc $id vs q50")
+      // one trigram hit covers exactly 3 positions; overlaps only shrink
+      // the union, and coverage never exceeds the doc
+      assert(nFlagged == 0 || nFlagged >= 3, s"doc $id: $nFlagged")
+      assert(nFlagged <= nTok, s"doc $id: $nFlagged > $nTok")
+    }
+    // the fixture actually exercises both sides
+    assert(spans.values.exists(_._2 > 0) && spans.values.exists(_._2 == 0))
+  }
 }

@@ -505,6 +505,11 @@ class PlanSpec extends SparkSpec {
     assert(ir.contains("TakeOrderedAndProject"),
       s"top-k sample must not global-sort:\n$ir")
     assert(!ir.contains("CartesianProduct"), s"no cartesian:\n$ir")
+    // q129: the hit join is gram-keyed, never a cartesian; the covered-
+    // position explode rides the hit rows (bounded by 3x hits)
+    val cs = explain(graft.text.Curation.contaminationSpans(spark, sf0001))
+    assert(!cs.contains("CartesianProduct"), s"no cartesian:\n$cs")
+    assert(cs.contains("Generate"), s"positional explode expected:\n$cs")
     // q126: merge-on-read replay — union concatenates the delta scans
     // (no join), then exactly ONE doc_id-keyed window picks winners
     val lr = explain(graft.sources.Catalog.logReplay(spark, sf0001))
