@@ -318,6 +318,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeEvolved matches a scalar reference merge for any base/changes") {
+    import graft.sources.Catalog
+    import spark.implicits._
+    // base carries (v, src); changes carry (v, lang) — both evolution
+    // directions live in every sample, like q113
+    val baseGen = Gen.someOf(0L to 30L).map(_.toList.map(id => (id, id * 7 + 1, s"s$id")))
+    val chGen = Gen.someOf(0L to 30L).flatMap { ids =>
+      Gen.listOfN(ids.size, Gen.oneOf("upsert", "delete"))
+        .map(ops => ids.toList.zip(ops).map { case (id, op) =>
+          (id, id * 13 + 2, s"l$id", op)
+        })
+    }
+    (1 to 25).foreach { i =>
+      val baseRows = baseGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val chRows = chGen.pureApply(Gen.Parameters.default, Seed(i.toLong + 500))
+      val base = baseRows.toDF("doc_id", "v", "src")
+      val changes = chRows.toDF("doc_id", "v", "lang", "op")
+      val got = Catalog.mergeEvolved(base, changes).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.getString(2)), Option(r.getString(3)), r.getString(4)))
+        .sortBy(_._1)
+      // scalar reference: upserts update/insert, deletes drop, kept rows
+      // null-fill the change-only column, inserts null-fill the base-only
+      val baseMap = baseRows.map(t => t._1 -> t).toMap
+      val chMap = chRows.map(t => t._1 -> t).toMap
+      val keys = (baseMap.keySet ++ chMap.filter(_._2._4 == "upsert").keySet)
+        .filterNot(k => chMap.get(k).exists(_._4 == "delete"))
+      val expect = keys.toSeq.sorted.map { k =>
+        (baseMap.get(k), chMap.get(k)) match {
+          case (Some(b), Some(c)) => // matched upsert: change value wins,
+            // base-only src survives, change-only lang fills
+            (k, Some(c._2), Some(b._3), Some(c._3), "updated")
+          case (None, Some(c)) =>
+            (k, Some(c._2), None, Some(c._3), "inserted")
+          case (Some(b), None) =>
+            (k, Some(b._2), Some(b._3), None, "kept")
+          case (None, None) => fail(s"impossible key $k")
+        }
+      }
+      assert(got.toSeq == expect, s"seed $i")
+    }
+  }
+
   test("binPack matches the scalar quantized-packing fold for any manifest") {
     import graft.sources.Catalog
     import spark.implicits._
