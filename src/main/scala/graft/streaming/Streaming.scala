@@ -653,6 +653,33 @@ object Streaming {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Left-outer twin of [[attributionJoin]], purchases-side: UNATTRIBUTED
+    * purchases (organic conversions — the rows the inner join can never
+    * surface) emit with null click columns once the watermark proves no
+    * qualifying click can still arrive. Spark holds the outer row in
+    * state until then, so emission is late by design — the price of a
+    * correct null, not a bug. Same two-sided event-time bound, so state
+    * on both sides still expires with the watermark; the global
+    * watermark is the MIN across input streams, so a quiet clicks
+    * stream delays outer emission (the operational reason attribution
+    * pipelines keep heartbeats on both topics). */
+  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("click_id"), col("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("purchase_id"), col("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+        col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"),
+        "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   // ---- T6: observability + graceful shutdown -------------------------------
 
   /** T6 — operational observability: start/progress/termination events from

@@ -99,6 +99,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("c1", "p1")))
   }
 
+  test("left-outer interval join surfaces unattributed purchases after the watermark") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val joined = Streaming.attributionJoinOuter(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts"))
+    val q = joined.writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    clicks.addData((1L, "c1", ts("2024-01-01T00:00:00Z")),
+      (2L, "c2", ts("2024-01-01T00:00:00Z")))
+    purchases.addData(
+      (1L, "p1", ts("2024-01-01T00:10:00Z")), // attributed to c1
+      (2L, "p2", ts("2024-01-01T02:00:00Z")), // outside the 30 min window
+      (3L, "p3", ts("2024-01-01T00:10:00Z"))) // organic: no click at all
+    q.processAllAvailable()
+    // outer rows emit only once the GLOBAL watermark (min across both
+    // streams) proves no qualifying click can still arrive — advance both
+    clicks.addData((9L, "c9", ts("2024-01-02T00:00:00Z")))
+    purchases.addData((9L, "p9", ts("2024-01-02T00:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_outer")
+      .select("purchase_id", "click_id").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("p1") == Some("c1"))        // matched, same as inner
+    assert(got("p2") == None)              // window miss → null click
+    assert(got("p3") == None)              // organic → null click
+  }
+
   test("session windows close after the 10-minute gap — W1/T5") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(String, java.sql.Timestamp)]
