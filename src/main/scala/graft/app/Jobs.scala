@@ -402,3 +402,60 @@ object CurationJob {
     spark.stop()
   }
 }
+
+/** Target-domain SELECTION as a deployable job — the DSIR pair (q127
+  * weights → q128 Gumbel-top-k resample) plus the q129 span screen,
+  * composed the way a targeted-pretraining run consumes them: select k
+  * docs that look like the target domain, refuse the ones whose
+  * benchmark overlap exceeds the span budget (selection must never
+  * launder contamination in), and write the selected corpus with its
+  * per-doc provenance (importance, score, flagged span fraction) so the
+  * training run can re-weigh or audit later.
+  *
+  * Usage: SelectionJob <sfDir> <outDir> [k=100] [maxFlaggedRatio=0.2]
+  * Outputs: `<out>/selection` (per-doc provenance for the k candidates,
+  * admitted flag), `<out>/corpus` (admitted docs, full text).
+  */
+object SelectionJob {
+  final case class Report(candidates: Long, admitted: Long, refused: Long)
+
+  def run(spark: SparkSession, dir: String, outDir: String,
+      k: Int = 100, maxFlaggedRatio: Double = 0.2): Report = {
+    import graft.text.{Curation, TextOps}
+    val picked = TextOps.importanceResample(spark, dir, k)
+    // spans cover only non-benchmark docs; benchmark docs themselves are
+    // never candidates for a TRAINING corpus — refuse them outright
+    val spans = Curation.contaminationSpans(spark, dir)
+      .select(col("doc_id"), col("n_flagged"), col("flagged_ratio"))
+    val selection = picked
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("is_benchmark", col("flagged_ratio").isNull)
+      .withColumn("admitted",
+        (!col("is_benchmark") && col("flagged_ratio") <= maxFlaggedRatio)
+          .cast("long"))
+      .select("doc_id", "importance", "score", "n_flagged", "flagged_ratio",
+        "is_benchmark", "admitted")
+    selection.write.mode("overwrite").parquet(s"$outDir/selection")
+    val sel = spark.read.parquet(s"$outDir/selection")
+    graft.sources.Tables.documents(spark, dir)
+      .join(sel.filter(col("admitted") === 1).select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/corpus")
+    val admitted = sel.filter(col("admitted") === 1).count()
+    Report(k.toLong, admitted, k - admitted)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: SelectionJob <sfDir> <outDir> [k] [maxFlaggedRatio]")
+      sys.exit(2)
+    }
+    val spark = Jobs.session("graft-selection")
+    val r = run(spark, args(0), args(1),
+      args.lift(2).map(_.toInt).getOrElse(100),
+      args.lift(3).map(_.toDouble).getOrElse(0.2))
+    println(s"[selection] admitted ${r.admitted}/${r.candidates} " +
+      s"(refused ${r.refused} on contamination/benchmark)")
+    spark.stop()
+  }
+}

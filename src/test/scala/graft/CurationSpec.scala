@@ -380,4 +380,33 @@ class CurationSpec extends SparkSpec {
     // the fixture actually exercises both sides
     assert(spans.values.exists(_._2 > 0) && spans.values.exists(_._2 == 0))
   }
+
+  test("SelectionJob: DSIR pick minus contamination, with full provenance") {
+    val out = java.nio.file.Files.createTempDirectory("seljob").toString
+    val r = graft.app.SelectionJob.run(spark, sf0001, out, k = 50)
+    assert(r.candidates == 50 && r.admitted + r.refused == 50)
+    val sel = spark.read.parquet(s"$out/selection").collect()
+    assert(sel.length == 50)
+    val admittedIds = sel.filter(_.getAs[Long]("admitted") == 1)
+      .map(_.getAs[Long]("doc_id")).toSet
+    sel.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val isBench = id % 20 == 0
+      assert(row.getAs[Boolean]("is_benchmark") == isBench, s"doc $id")
+      if (row.getAs[Long]("admitted") == 1) {
+        assert(!isBench && row.getAs[Double]("flagged_ratio") <= 0.2, s"doc $id")
+      } else {
+        assert(isBench || row.getAs[Double]("flagged_ratio") > 0.2, s"doc $id")
+      }
+    }
+    // the written corpus is exactly the admitted docs, with text attached
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() == r.admitted)
+    assert(corpus.columns.contains("text"))
+    assert(corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == admittedIds)
+    // the job actually filters something on this fixture (benchmark docs
+    // land in the pick because the resample is corpus-wide)
+    assert(r.admitted > 0)
+  }
 }
