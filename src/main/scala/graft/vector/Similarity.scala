@@ -919,4 +919,159 @@ object Similarity {
       .orderBy(desc("cos_sim"), col("vec_a"), col("vec_b"))
       .limit(k)
   }
+
+  // ---- Product quantization (Jégou, Douze, Schmid — TPAMI 2011) ----------
+
+  /** PQ assignment: per (vector, subspace), the nearest sub-centroid by
+    * squared L2, ties to the lowest centroid id (min-struct ordering).
+    * Centroids broadcast as a literal m×k table; the candidate explode is
+    * n·m·k rows of SUBVECTOR arithmetic — the standard PQ encode cost,
+    * map-side after the broadcast, reduced by one (vec_id, s) keyed
+    * min-aggregate. */
+  private def pqAssign(e: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head.length
+    val cents = codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, cid) => (s, cid, c) }
+    }
+    val centDf = broadcast(
+      e.sparkSession.createDataFrame(cents).toDF("s", "cid", "c"))
+    val subs = e.select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> struct(s as s, slice(v, s * $subDim + 1, $subDim) as sub))"))
+          .as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+    subs.join(centDf, Seq("s"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0.0 as double), (acc, z) -> acc + z)"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.cid").as("code"),
+        col("best.d2").as("d2"))
+  }
+
+  /** Deterministic PQ training: per subspace, k L2 sub-centroids — init
+    * from vec_ids 1..k's subvectors (the [[trainIvfCodebook]] convention),
+    * then `iters` Lloyd rounds with fixed-point 10⁻⁶ means. Codebook size
+    * m·k·(dim/m) doubles (1 KB-class) — a bounded driver value, like the
+    * IVF codebook. */
+  def pqTrain(spark: SparkSession, dir: String, m: Int = 4, k: Int = 16,
+      iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val e = withNorm(spark, dir).select(col("vec_id"), col("v"))
+    val subDim = EmbeddingDim / m
+    var cbs: Seq[Seq[Seq[Double]]] = {
+      val init = e.filter(col("vec_id").between(1, k))
+        .select(col("vec_id").cast("int"), col("v")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      (0 until m).map(s => init.map(_._2.slice(s * subDim, (s + 1) * subDim)).toSeq)
+    }
+    for (_ <- 0 until iters) {
+      val sums = pqAssign(e, cbs)
+        .join(e, Seq("vec_id"))
+        .select(col("s"), col("code"),
+          posexplode(expr(s"slice(v, s * $subDim + 1, $subDim)")).as(Seq("i", "x")))
+        .groupBy("s", "code", "i")
+        .agg(sum(floor(col("x") * lit(1000000.0) + lit(0.5))).as("sm"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1)
+      cbs = cbs.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (prev, cid) =>
+          sums.get((s, cid)) match {
+            case Some(rows) =>
+              val byDim = rows.map(_._2).map(t => t._1 -> (t._2, t._3)).toMap
+              prev.indices.map { i =>
+                val (sm, n) = byDim(i)
+                sm.toDouble / (n.toDouble * 1000000.0)
+              }
+            case None => prev // empty cell keeps its centroid (IVF rule)
+          }
+        }
+      }
+    }
+    cbs
+  }
+
+  /** PQ encode: vec_id → m byte-sized codes (64 floats → m codes, a 64×
+    * compression at m=4). One [[pqAssign]] pass reduced to a code array
+    * ordered by subspace. */
+  def pqEncode(spark: SparkSession, dir: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val e = withNorm(spark, dir).select(col("vec_id"), col("v"))
+    pqAssign(e, codebooks)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), p -> p.code)")
+        .as("codes"))
+      .orderBy("vec_id")
+  }
+
+  /** PQ ADC search: asymmetric distance computation — the query stays
+    * exact, the corpus is its codes. The per-subspace distance TABLE
+    * (m·k doubles) is computed driver-side from the collected query (a
+    * 1-row collect) and enters the plan as a literal; per vector the
+    * approximate distance is m table lookups + a sum, no vector
+    * arithmetic at all — the reason PQ serves billion-vector corpora
+    * from RAM. Top-k via TakeOrderedAndProject (distance asc). */
+  def pqSearch(spark: SparkSession, dir: String,
+      codebooks: Seq[Seq[Seq[Double]]], queryVecId: Long = 0,
+      topK: Int = 10): DataFrame =
+    pqAdcScores(spark, dir, codebooks, queryVecId)
+      .orderBy(col("approx_d2").asc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), pround(col("approx_d2"), 6).as("approx_d2"))
+
+  /** The ADC score pass shared by [[pqSearch]] and [[pqSearchRerank]]:
+    * every corpus vector's approximate distance to the query, m table
+    * lookups each. */
+  private def pqAdcScores(spark: SparkSession, dir: String,
+      codebooks: Seq[Seq[Seq[Double]]], queryVecId: Long): DataFrame = {
+    val m = codebooks.length
+    val subDim = EmbeddingDim / m
+    val q = withNorm(spark, dir).filter(col("vec_id") === queryVecId)
+      .select(col("v")).head.getSeq[Double](0)
+    val tables: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
+      val qs = q.slice(s * subDim, (s + 1) * subDim)
+      cb.map(c => qs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    pqEncode(spark, dir, codebooks)
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("tbl", typedLit(tables))
+      .withColumn("approx_d2", expr(
+        "aggregate(transform(sequence(0, " + (m - 1) + "), " +
+          "s -> element_at(element_at(tbl, s + 1), codes[s] + 1)), " +
+          "cast(0.0 as double), (acc, z) -> acc + z)"))
+      .select(col("vec_id"), col("approx_d2"))
+  }
+
+  /** PQ with EXACT RERANK — the production PQ serving shape: the lossy
+    * codes cut the corpus to an ADC shortlist (cheap: table lookups),
+    * then the true vectors of ONLY the shortlist are fetched and ranked
+    * by exact L2. On distance-concentrated embeddings (this fixture:
+    * 10th-neighbor d² 1.66 vs median 1.98) raw ADC ordering is noise —
+    * recall@10 ≈ 0.2 — because quantization error exceeds the
+    * neighbor gaps; the shortlist+rerank recovers the true neighborhood
+    * while touching `shortlist` exact vectors instead of the corpus.
+    * The rerank join is vec_id-keyed and shortlist-bounded. */
+  def pqSearchRerank(spark: SparkSession, dir: String,
+      codebooks: Seq[Seq[Seq[Double]]], queryVecId: Long = 0,
+      topK: Int = 10, shortlist: Int = 100): DataFrame = {
+    val q = withNorm(spark, dir).filter(col("vec_id") === queryVecId)
+      .select(col("v")).head.getSeq[Double](0)
+    val short = pqAdcScores(spark, dir, codebooks, queryVecId)
+      .orderBy(col("approx_d2").asc, col("vec_id"))
+      .limit(shortlist)
+    short
+      .join(withNorm(spark, dir).select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("qv", typedLit(q))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0.0 as double), (acc, z) -> acc + z)"))
+      .orderBy(col("d2").asc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), pround(col("d2"), 6).as("d2"),
+        pround(col("approx_d2"), 6).as("approx_d2"))
+  }
 }
