@@ -429,7 +429,9 @@ object SelectionJob {
       .select(col("doc_id"), col("n_flagged"), col("flagged_ratio"))
     val selection = picked
       .join(spans, Seq("doc_id"), "left")
-      .withColumn("is_benchmark", col("flagged_ratio").isNull)
+      // the DEFINITION, not an inference from span-join nullness (a
+      // null flagged_ratio must never silently reclassify a doc)
+      .withColumn("is_benchmark", col("doc_id") % 20 === 0)
       .withColumn("admitted",
         (!col("is_benchmark") && col("flagged_ratio") <= maxFlaggedRatio)
           .cast("long"))
@@ -440,8 +442,11 @@ object SelectionJob {
     graft.sources.Tables.documents(spark, dir)
       .join(sel.filter(col("admitted") === 1).select("doc_id"), "doc_id")
       .write.mode("overwrite").parquet(s"$outDir/corpus")
+    // derive ALL counts from the persisted selection (the CurationJob
+    // rule): a corpus smaller than k must not invent phantom refusals
+    val candidates = sel.count()
     val admitted = sel.filter(col("admitted") === 1).count()
-    Report(k.toLong, admitted, k - admitted)
+    Report(candidates, admitted, candidates - admitted)
   }
 
   def main(args: Array[String]): Unit = {

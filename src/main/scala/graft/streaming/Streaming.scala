@@ -637,21 +637,31 @@ object Streaming {
     * state stays proportional to the window, not the stream — the
     * requirement for running this against the 100 TB/day clickstream.
     * Inner join, so matches emit immediately (no watermark wait). */
-  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      window: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+  /** The watermark prep + interval condition both attribution joins
+    * share — one copy, so a window/watermark fix can't diverge the
+    * twins (the applyCdcBatch seam rule). */
+  private def attributionJoined(clicks: DataFrame, purchases: DataFrame,
+      window: String, watermark: String, joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("click_id"), col("click_ts"))
       .withWatermark("click_ts", watermark)
     val p = purchases
       .select(col("user_id").as("p_user"), col("purchase_id"), col("purchase_ts"))
       .withWatermark("purchase_ts", watermark)
-    c.join(p,
-        col("c_user") === col("p_user") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+    // left side = purchases so the leftOuter variant emits UNMATCHED
+    // purchases; the inner variant is side-symmetric
+    p.join(c,
+      col("c_user") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"),
+      joinType)
+  }
+
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    attributionJoined(clicks, purchases, window, watermark, "inner")
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
-  }
 
   /** Left-outer twin of [[attributionJoin]], purchases-side: UNATTRIBUTED
     * purchases (organic conversions — the rows the inner join can never
@@ -664,21 +674,10 @@ object Streaming {
     * stream delays outer emission (the operational reason attribution
     * pipelines keep heartbeats on both topics). */
   def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame,
-      window: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
-    val c = clicks
-      .select(col("user_id").as("c_user"), col("click_id"), col("click_ts"))
-      .withWatermark("click_ts", watermark)
-    val p = purchases
-      .select(col("user_id").as("p_user"), col("purchase_id"), col("purchase_ts"))
-      .withWatermark("purchase_ts", watermark)
-    p.join(c,
-        col("c_user") === col("p_user") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"),
-        "leftOuter")
+      window: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    attributionJoined(clicks, purchases, window, watermark, "leftOuter")
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"))
-  }
 
   // ---- T6: observability + graceful shutdown -------------------------------
 

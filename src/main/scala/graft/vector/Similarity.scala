@@ -186,7 +186,7 @@ object Similarity {
             val byDim = rows.map(t => t._2 -> (t._3, t._4)).toMap
             (cid, prev.indices.map { i =>
               val (s, n) = byDim(i)
-              s.toDouble / (n.toDouble * 1000000.0)
+              fixedMean(s, n)
             })
           case None => (cid, prev)
         }
@@ -928,6 +928,17 @@ object Similarity {
     * n·m·k rows of SUBVECTOR arithmetic — the standard PQ encode cost,
     * map-side after the broadcast, reduced by one (vec_id, s) keyed
     * min-aggregate. */
+  /** Squared-L2 between two double-array columns, as the one SQL string
+    * every PQ distance shares (assignment, rerank) — the fold order is
+    * part of the determinism contract, so it lives in one place. */
+  private def sqDistSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0.0 as double), (acc, z) -> acc + z)"
+
+  /** The shared fixed-point 10⁻⁶ mean (the trainIvfCodebook convention). */
+  private def fixedMean(s: Long, n: Long): Double =
+    s.toDouble / (n.toDouble * 1000000.0)
+
   private def pqAssign(e: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = codebooks.length
@@ -943,9 +954,7 @@ object Similarity {
           .as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
     subs.join(centDf, Seq("s"))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0.0 as double), (acc, z) -> acc + z)"))
+      .withColumn("d2", expr(sqDistSql("sub", "c")))
       .groupBy("vec_id", "s")
       .agg(min(struct(col("d2"), col("cid"))).as("best"))
       .select(col("vec_id"), col("s"), col("best.cid").as("code"),
@@ -959,6 +968,9 @@ object Similarity {
     * IVF codebook. */
   def pqTrain(spark: SparkSession, dir: String, m: Int = 4, k: Int = 16,
       iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(EmbeddingDim % m == 0,
+      s"m=$m must divide dim=$EmbeddingDim — a remainder would silently " +
+        "drop trailing dimensions from codes while the exact rerank keeps them")
     val e = withNorm(spark, dir).select(col("vec_id"), col("v"))
     val subDim = EmbeddingDim / m
     var cbs: Seq[Seq[Seq[Double]]] = {
@@ -985,7 +997,7 @@ object Similarity {
               val byDim = rows.map(_._2).map(t => t._1 -> (t._2, t._3)).toMap
               prev.indices.map { i =>
                 val (sm, n) = byDim(i)
-                sm.toDouble / (n.toDouble * 1000000.0)
+                fixedMean(sm, n)
               }
             case None => prev // empty cell keeps its centroid (IVF rule)
           }
@@ -1015,28 +1027,51 @@ object Similarity {
     * approximate distance is m table lookups + a sum, no vector
     * arithmetic at all — the reason PQ serves billion-vector corpora
     * from RAM. Top-k via TakeOrderedAndProject (distance asc). */
+  /** The collected query vector, or None when `queryVecId` is absent —
+    * the annIvf missing-probe convention: degrade to an empty
+    * contract-schema result, never a NoSuchElementException. */
+  private def pqQuery(spark: SparkSession, dir: String,
+      queryVecId: Long): Option[Seq[Double]] =
+    withNorm(spark, dir).filter(col("vec_id") === queryVecId)
+      .select(col("v")).collect().headOption.map(_.getSeq[Double](0))
+
+  private def pqEmpty(spark: SparkSession, cols: (String, String)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t match {
+          case "long" => org.apache.spark.sql.types.LongType
+          case _ => org.apache.spark.sql.types.DoubleType
+        })
+      }))
+
   def pqSearch(spark: SparkSession, dir: String,
       codebooks: Seq[Seq[Seq[Double]]], queryVecId: Long = 0,
-      topK: Int = 10): DataFrame =
-    pqAdcScores(spark, dir, codebooks, queryVecId)
-      .orderBy(col("approx_d2").asc, col("vec_id"))
-      .limit(topK)
-      .select(col("vec_id"), pround(col("approx_d2"), 6).as("approx_d2"))
+      topK: Int = 10, codes: Option[DataFrame] = None): DataFrame =
+    pqQuery(spark, dir, queryVecId) match {
+      case None => pqEmpty(spark, "vec_id" -> "long", "approx_d2" -> "double")
+      case Some(q) =>
+        pqAdcScores(spark, dir, codebooks, queryVecId, q, codes)
+          .orderBy(col("approx_d2").asc, col("vec_id"))
+          .limit(topK)
+          .select(col("vec_id"), pround(col("approx_d2"), 6).as("approx_d2"))
+    }
 
   /** The ADC score pass shared by [[pqSearch]] and [[pqSearchRerank]]:
-    * every corpus vector's approximate distance to the query, m table
-    * lookups each. */
+    * every corpus vector's approximate distance to the collected query,
+    * m table lookups each. Pass a precomputed [[pqEncode]] result as
+    * `codes` when serving multiple queries — re-encoding the corpus per
+    * query is exactly the cost PQ pays once at INDEX time. */
   private def pqAdcScores(spark: SparkSession, dir: String,
-      codebooks: Seq[Seq[Seq[Double]]], queryVecId: Long): DataFrame = {
+      codebooks: Seq[Seq[Seq[Double]]], queryVecId: Long,
+      q: Seq[Double], codes: Option[DataFrame]): DataFrame = {
     val m = codebooks.length
     val subDim = EmbeddingDim / m
-    val q = withNorm(spark, dir).filter(col("vec_id") === queryVecId)
-      .select(col("v")).head.getSeq[Double](0)
     val tables: Seq[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, s) =>
       val qs = q.slice(s * subDim, (s + 1) * subDim)
       cb.map(c => qs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
     }
-    pqEncode(spark, dir, codebooks)
+    codes.getOrElse(pqEncode(spark, dir, codebooks))
       .filter(col("vec_id") =!= queryVecId)
       .withColumn("tbl", typedLit(tables))
       .withColumn("approx_d2", expr(
@@ -1057,21 +1092,23 @@ object Similarity {
     * The rerank join is vec_id-keyed and shortlist-bounded. */
   def pqSearchRerank(spark: SparkSession, dir: String,
       codebooks: Seq[Seq[Seq[Double]]], queryVecId: Long = 0,
-      topK: Int = 10, shortlist: Int = 100): DataFrame = {
-    val q = withNorm(spark, dir).filter(col("vec_id") === queryVecId)
-      .select(col("v")).head.getSeq[Double](0)
-    val short = pqAdcScores(spark, dir, codebooks, queryVecId)
-      .orderBy(col("approx_d2").asc, col("vec_id"))
-      .limit(shortlist)
-    short
-      .join(withNorm(spark, dir).select(col("vec_id"), col("v")), Seq("vec_id"))
-      .withColumn("qv", typedLit(q))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), " +
-          "cast(0.0 as double), (acc, z) -> acc + z)"))
-      .orderBy(col("d2").asc, col("vec_id"))
-      .limit(topK)
-      .select(col("vec_id"), pround(col("d2"), 6).as("d2"),
-        pround(col("approx_d2"), 6).as("approx_d2"))
-  }
+      topK: Int = 10, shortlist: Int = 100,
+      codes: Option[DataFrame] = None): DataFrame =
+    pqQuery(spark, dir, queryVecId) match {
+      case None => pqEmpty(spark, "vec_id" -> "long",
+        "d2" -> "double", "approx_d2" -> "double")
+      case Some(q) =>
+        val short = pqAdcScores(spark, dir, codebooks, queryVecId, q, codes)
+          .orderBy(col("approx_d2").asc, col("vec_id"))
+          .limit(shortlist)
+        short
+          .join(withNorm(spark, dir).select(col("vec_id"), col("v")),
+            Seq("vec_id"))
+          .withColumn("qv", typedLit(q))
+          .withColumn("d2", expr(sqDistSql("v", "qv")))
+          .orderBy(col("d2").asc, col("vec_id"))
+          .limit(topK)
+          .select(col("vec_id"), pround(col("d2"), 6).as("d2"),
+            pround(col("approx_d2"), 6).as("approx_d2"))
+    }
 }

@@ -922,8 +922,12 @@ class TextVectorSpec extends SparkSpec {
         assert(cs(s) == best, s"vec $id subspace $s: ${cs(s)} vs $best")
       }
     }
-    // ADC search: distances recompute exactly from the codes + tables
-    val got = Similarity.pqSearch(spark, sf0001, cbs, queryVecId = 0).collect()
+    // ADC search over the PRECOMPUTED index (the serving shape — the
+    // corpus is encoded once, not per query); distances recompute
+    // exactly from the codes + tables
+    val index = Similarity.pqEncode(spark, sf0001, cbs)
+    val got = Similarity.pqSearch(spark, sf0001, cbs, queryVecId = 0,
+      codes = Some(index)).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
     assert(got.length == 10)
     val q = vecs(0L)
@@ -941,8 +945,8 @@ class TextVectorSpec extends SparkSpec {
       .sorted.take(10).map(_._2)
     val adcRecall = got.map(_._1).count(exact.toSet) / 10.0
     val reranked = Similarity.pqSearchRerank(spark, sf0001, cbs,
-      queryVecId = 0, topK = 10, shortlist = 100).collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
+      queryVecId = 0, topK = 10, shortlist = 100, codes = Some(index))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(reranked.length == 10)
     // exact distances really are exact (and ascending)
     reranked.foreach { case (id, dd) =>
@@ -951,5 +955,14 @@ class TextVectorSpec extends SparkSpec {
     val rerankRecall = reranked.map(_._1).count(exact.toSet) / 10.0
     assert(rerankRecall >= 0.6, s"rerank recall@10 $rerankRecall (ADC alone: $adcRecall)")
     assert(rerankRecall > adcRecall, "rerank must beat raw ADC here")
+    // missing probe degrades to an empty contract-schema result
+    assert(Similarity.pqSearch(spark, sf0001, cbs, queryVecId = -1,
+      codes = Some(index)).isEmpty)
+    assert(Similarity.pqSearchRerank(spark, sf0001, cbs, queryVecId = -1,
+      codes = Some(index)).isEmpty)
+    // m must divide the dimension — a remainder would silently drop dims
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(spark, sf0001, m = 3)
+    }
   }
 }
