@@ -70,10 +70,14 @@ object Curation {
     * cross-checks against q50: a doc has flagged positions iff q50
     * counts a shared distinct gram. */
   def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
     val docs = Tables.documents(spark, dir)
     val posGrams = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), posexplode(TextOps.wordNgrams(col("toks"))))
+      // the compiled gram expression (bit-identical to the HOF form by
+      // the differential property spec) — posexplode keeps start indexes
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), 3, distinct = false)))
       .toDF("doc_id", "i", "gram")
     val bench = posGrams.filter(col("doc_id") % 20 === 0)
       .select("gram").distinct()
