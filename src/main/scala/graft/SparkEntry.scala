@@ -1230,8 +1230,10 @@ object SparkEntry {
         |SELECT src, rnk, dst, cos_sim FROM r WHERE rnk <= 3
         |ORDER BY src, rnk""".stripMargin,
 
-    // q74: rare-5-gram blocked containment; the ≥½ cut is an exact integer
-    // cross-multiply in both engines (no float boundary).
+    // q74: rare-5-gram blocked containment with a bottom-32 est-containment
+    // prefilter between blocking and verify (Dedup.containment's round-7
+    // shape); both threshold cuts are exact integer cross-multiplies in
+    // both engines (no float boundary). 'g' > every lowercase-hex digest.
     "q74_containment" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |g AS (SELECT doc_id, list_distinct(${gramsN(5)}) AS grams FROM t),
@@ -1239,11 +1241,23 @@ object SparkEntry {
          |dfq AS (SELECT gram, COUNT(*) AS df FROM f GROUP BY gram),
          |rare AS (SELECT f.doc_id, f.gram FROM f JOIN dfq USING (gram)
          |         WHERE df BETWEEN 2 AND 10),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM rare x JOIN rare y ON x.gram = y.gram AND x.doc_id <> y.doc_id),
+         |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM rare x JOIN rare y ON x.gram = y.gram AND x.doc_id <> y.doc_id
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz_a FROM f GROUP BY doc_id),
+         |sk AS (SELECT doc_id, list_slice(list_sort(list(md5(gram))), 1, 32) AS sk
+         |       FROM f GROUP BY doc_id),
+         |skj AS (SELECT c.doc_a, c.doc_b, a.sk AS sk_a, b.sk AS sk_b,
+         |          CASE WHEN len(b.sk) < 32 THEN 'g' ELSE b.sk[32] END AS tb
+         |        FROM cand c JOIN sk a ON a.doc_id = c.doc_a
+         |                    JOIN sk b ON b.doc_id = c.doc_b),
+         |el AS (SELECT doc_a, doc_b, sk_b,
+         |         list_filter(sk_a, h -> h <= tb) AS elig FROM skj),
+         |pre AS (SELECT doc_a, doc_b FROM el
+         |        WHERE len(elig) > 0
+         |          AND len(list_intersect(elig, sk_b)) * 100 >= len(elig) * 20),
          |inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-         |          FROM cand c
+         |          FROM pre c
          |          JOIN f a ON a.doc_id = c.doc_a
          |          JOIN f b ON b.doc_id = c.doc_b AND b.gram = a.gram
          |          GROUP BY c.doc_a, c.doc_b)

@@ -667,21 +667,82 @@ object Dedup {
     * shape. The ≥½ threshold is an exact integer cross-multiply
     * (2·|A∩B| ≥ |A|), so no float boundary can disagree with the oracle.
     * Reference has only exact-match dedup (expectations.py:239); this is
-    * the containment extension of U6. */
+    * the containment extension of U6.
+    *
+    * Between blocking and verification sits a BOTTOM-K est-containment
+    * prefilter (round-7, the SCALING.md q74 fix): per doc, the `sketchK`
+    * lexicographically smallest md5(gram) values form a bottom-k sketch
+    * (Cohen & Kaplan's bottom-k; unlike k-independent MinHash, it
+    * estimates the ASYMMETRIC containment |A∩B|/|A| directly). For a
+    * candidate (a, b): t_b = b's k-th smallest hash (or a sentinel above
+    * every hex digest when b's sketch is complete); a's sketch entries
+    * ≤ t_b are the eligible sample — membership of an eligible hash in
+    * b's sketch is EXACT (b's sketch holds all of b's hashes ≤ t_b), so
+    * hits/eligible estimates containment with ~1/√k error and no
+    * small-in-large blind spot (a Jaccard sketch would estimate ~|A|/|B|
+    * ≈ 0 there and drop true containments). Only pairs whose estimate
+    * clears minEstPct% pay the shared-gram verify join. Why this tames
+    * the superlinear mass: candidate enumeration stays collision-bounded
+    * (narrow id pairs), but each surviving pre-round-7 candidate paid a
+    * gram-mass join; the sketch check is O(k) per pair, so verify mass
+    * now tracks TRUE containments, not blocking collisions. The estimate
+    * is a deterministic function of the corpus (seedless md5), mirrored
+    * exactly by the oracle; the threshold compare is an integer
+    * cross-multiply (hits·100 ≥ eligible·minEstPct). Empty eligible
+    * sample ⇒ no information ⇒ the pair is dropped (oracle mirrors). */
   def containment(spark: SparkSession, dir: String,
-      maxDf: Int = 10, shingle: Int = 5): DataFrame = {
+      maxDf: Int = 10, shingle: Int = 5,
+      sketchK: Int = 32, minEstPct: Int = 20, minRareHits: Int = 2): DataFrame = {
     val grams = explodedGrams(spark, dir, distinctPerDoc = true, n = shingle)
       .select("doc_id", "gram").localCheckpoint()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz_a"))
     val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     val rare = grams.join(
       dfreq.filter(col("df").between(2, maxDf)).select("gram"), Seq("gram"))
+    // multiple-witness blocking: a candidate must share ≥ minRareHits rare
+    // grams, not just one — a single shared rare gram means the overlap is
+    // mostly common text (weak containment evidence), while every measured
+    // true containment shares ≥6 rare witnesses (3× margin over the cut at
+    // sf0.01/sf0.1). Same pair-keyed shuffle as the old DISTINCT; on the
+    // salted 10× fixture the cut alone thins collisions 14× (2.38M→168k)
+    // before any sketch is consulted.
     val cand = rare.as("x").join(rare.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") =!= col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val inter = cand.join(grams.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(grams.as("b"),
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_rare"))
+      .filter(col("n_rare") >= minRareHits)
+      .select("doc_a", "doc_b")
+    // bottom-k sketch: one more keyed agg over the already-checkpointed
+    // gram rows (rides the same doc_id shuffle shape as `sizes`); per-doc
+    // state is capped at k hashes so the agg buffer never tracks doc size
+    val sk = grams.groupBy("doc_id")
+      .agg(slice(sort_array(collect_list(md5(col("gram")))), 1, sketchK).as("sk"))
+    // 'g' sorts above every lowercase-hex digest — the "sketch is the
+    // whole set, every hash of a is eligible" sentinel
+    val pre = cand
+      .join(sk.as("ska"), col("doc_a") === col("ska.doc_id"))
+      .join(sk.as("skb"), col("doc_b") === col("skb.doc_id"))
+      .withColumn("tb", when(size(col("skb.sk")) < sketchK, lit("g"))
+        .otherwise(element_at(col("skb.sk"), sketchK)))
+      .withColumn("elig", filter(col("ska.sk"), h => h <= col("tb")))
+      .filter(size(col("elig")) > 0 &&
+        size(array_intersect(col("elig"), col("skb.sk"))) * 100 >=
+          size(col("elig")) * minEstPct)
+      .select("doc_a", "doc_b")
+      // checkpointed: feeds the verify join AND the survivor-doc semi below;
+      // bounded by surviving pairs (~true containments), not collisions
+      .localCheckpoint()
+    // survivor-sized verify: restrict the gram table to docs that survived
+    // the prefilter BEFORE the pair joins (the jaccardPrefiltered shape) —
+    // the survivor list is small enough to broadcast, so the corpus-mass
+    // gram table never shuffles for verification; only survivors' grams do.
+    // sz_a is only ever read for surviving doc_a's (inner join), so sizing
+    // the reduced table is semantics-identical to sizing the full one.
+    val preDocs = pre.select(col("doc_a").as("doc_id"))
+      .union(pre.select(col("doc_b").as("doc_id"))).distinct()
+    val pg = grams.join(preDocs, Seq("doc_id"), "left_semi").localCheckpoint()
+    val sizes = pg.groupBy("doc_id").agg(count(lit(1)).as("sz_a"))
+    val inter = pre.join(pg.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(pg.as("b"),
         col("doc_b") === col("b.doc_id") && col("a.gram") === col("b.gram"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
     inter.join(sizes.as("s"), col("doc_a") === col("s.doc_id"))
