@@ -152,6 +152,8 @@ object SparkEntry {
     "q127_importance_weights" -> ((s: SparkSession, d: String) => TextOps.importanceWeights(s, d)),
     "q128_importance_resample" -> ((s: SparkSession, d: String) => TextOps.importanceResample(s, d)),
     "q129_contamination_spans" -> ((s: SparkSession, d: String) => Curation.contaminationSpans(s, d)),
+    "q130_duplicated_spans" -> ((s: SparkSession, d: String) => Dedup.duplicatedSpans(s, d)),
+    "q131_bpe_segment"    -> ((s: SparkSession, d: String) => TextOps.bpeSegment(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -2138,5 +2140,101 @@ object SparkEntry {
         |  COALESCE(cov.n_flagged, 0) * 1.0 / len(ct.toks) AS flagged_ratio
         |FROM ct LEFT JOIN cov ON ct.doc_id = cov.doc_id
         |WHERE ct.doc_id % 20 <> 0 ORDER BY ct.doc_id""".stripMargin,
+
+    // q130: exact-substring dedup audit at 5-gram resolution — a position
+    // is duplicated iff its 5-gram occurs >1 time in the corpus
+    // (occurrences, not docs: within-doc repeats count); spans are
+    // islands of consecutive duplicated positions (i - ROW_NUMBER), and
+    // coverage is the q129 distinct-window union rule.
+    "q130_duplicated_spans" ->
+      s"""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos AS (SELECT doc_id, CAST(unnest(range(len(toks) - 4)) AS BIGINT) AS i, toks
+         |        FROM ct WHERE len(toks) >= 5),
+         |pg AS (SELECT doc_id, i,
+         |         toks[CAST(i AS INTEGER) + 1] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 2] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 3] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 4] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 5] AS gram
+         |       FROM pos),
+         |dfq AS (SELECT gram, COUNT(*) AS df FROM pg GROUP BY gram),
+         |dup AS (SELECT doc_id, i FROM pg JOIN dfq USING (gram) WHERE df > 1),
+         |rn_ AS (SELECT doc_id, i,
+         |          i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS run
+         |        FROM dup),
+         |rl AS (SELECT doc_id, run, CAST(COUNT(*) AS BIGINT) AS run_len
+         |       FROM rn_ GROUP BY 1, 2),
+         |sp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |         CAST(MAX(run_len) + 4 AS BIGINT) AS max_span_tokens
+         |       FROM rl GROUP BY doc_id),
+         |cov0 AS (SELECT doc_id, unnest(range(i, i + 5)) AS p FROM dup),
+         |cov AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS covered_tokens
+         |        FROM cov0 GROUP BY doc_id),
+         |nd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pos
+         |       FROM dup GROUP BY doc_id)
+         |SELECT ct.doc_id, CAST(len(ct.toks) AS BIGINT) AS n_tokens,
+         |  COALESCE(nd.n_dup_pos, 0) AS n_dup_pos,
+         |  COALESCE(sp.n_spans, 0) AS n_spans,
+         |  COALESCE(sp.max_span_tokens, 0) AS max_span_tokens,
+         |  COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+         |  COALESCE(cov.covered_tokens, 0) * 1.0 / len(ct.toks) AS dup_fraction
+         |FROM ct LEFT JOIN nd USING (doc_id) LEFT JOIN sp USING (doc_id)
+         |        LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q131: the trained tokenizer APPLIED — TextOps.bpeSegment. The trainer
+    // is unrolled as 10 literal (pair-count → argmax → greedy-merge) rounds
+    // (the q41/q73 unrolling pattern): w{k} re-segments the vocabulary table
+    // by round k's argmax pair, so w10 IS the segmentation the merge-list
+    // fold produces — per-(source, word) stats just join against it. Greedy
+    // left-to-right non-overlap is islands-and-parity: among consecutive
+    // matching positions, the 1st/3rd/5th… merge (identical to the Spark
+    // fold — a merged symbol can't re-match its own left side). CTEs are
+    // MATERIALIZED: each round reads the previous 3×, and DuckDB's default
+    // inlining would expand the corpus scan 3^10 times. Argmax ties break on
+    // (count desc, l, r) in both engines; symbols are [a-z]+ so binary
+    // string order agrees. Assumes ≥10 nonempty rounds (holds at every SF;
+    // the Spark trainer stops early only on degenerate corpora).
+    "q131_bpe_segment" -> bpeSegmentOracle,
   )
+
+  private lazy val bpeSegmentOracle: String = {
+    val rounds = (1 to 10).map { k =>
+      val p = k - 1
+      s"""m$k AS MATERIALIZED (SELECT word, wcnt, syms, unnest(range(1, len(syms)+1)) AS i FROM w$p),
+         |pc$k AS MATERIALIZED (SELECT m.syms[m.i] AS l, m.syms[m.i+1] AS r, SUM(m.wcnt) AS pair_count
+         |         FROM m$k m WHERE m.i < len(m.syms) GROUP BY 1, 2),
+         |am$k AS MATERIALIZED (SELECT l, r FROM pc$k ORDER BY pair_count DESC, l, r LIMIT 1),
+         |mm$k AS MATERIALIZED (SELECT word, i,
+         |           (ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i) % 2) = 1 AS merged
+         |          FROM (SELECT m.word, m.i, ROW_NUMBER() OVER (PARTITION BY m.word ORDER BY m.i) AS rn
+         |                FROM m$k m, am$k am
+         |                WHERE m.i < len(m.syms) AND m.syms[m.i] = am.l AND m.syms[m.i+1] = am.r)),
+         |w$k AS MATERIALIZED (SELECT m.word, MIN(m.wcnt) AS wcnt,
+         |           list(CASE WHEN COALESCE(a.merged, FALSE) THEN m.syms[m.i] || m.syms[m.i+1]
+         |                     ELSE m.syms[m.i] END ORDER BY m.i) AS syms
+         |         FROM m$k m
+         |         LEFT JOIN mm$k a ON a.word = m.word AND a.i = m.i
+         |         LEFT JOIN mm$k p ON p.word = m.word AND p.i = m.i - 1 AND p.merged
+         |         WHERE p.word IS NULL
+         |         GROUP BY m.word)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wx AS (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word FROM documents),
+       |w0 AS MATERIALIZED (SELECT word, COUNT(*) AS wcnt,
+       |         list_transform(range(length(word)), i -> word[i+1]) AS syms
+       |       FROM wx GROUP BY word),
+       |$rounds,
+       |sg AS (SELECT source, unnest(regexp_extract_all(text, '[a-z]+')) AS word FROM documents),
+       |sc_ AS (SELECT source, word, COUNT(*) AS wc FROM sg GROUP BY 1, 2),
+       |j AS (SELECT s.source, s.wc, CAST(length(s.word) AS BIGINT) AS n_chars,
+       |        CAST(len(w.syms) AS BIGINT) AS n_subwords
+       |      FROM sc_ s JOIN w10 w ON w.word = s.word),
+       |ag AS (SELECT source, CAST(SUM(wc) AS BIGINT) AS n_words,
+       |         CAST(SUM(wc * n_subwords) AS BIGINT) AS n_subwords,
+       |         CAST(SUM(wc * n_chars) AS BIGINT) AS n_chars FROM j GROUP BY source)
+       |SELECT source, n_words, n_subwords,
+       |  ${pr4("n_subwords * 1.0 / n_words")} AS subw_per_word,
+       |  ${pr4("n_chars * 1.0 / n_subwords")} AS chars_per_subw
+       |FROM ag ORDER BY source""".stripMargin
+  }
 }

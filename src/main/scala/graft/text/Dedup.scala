@@ -752,6 +752,64 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Q130 — EXACT SUBSTRING dedup audit (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better…": corpus-internal
+    * duplicated substrings, the ExactSubstr criterion). Suffix arrays
+    * don't distribute; the equivalent signal at n-gram resolution does: a
+    * token position is DUPLICATED iff the n-gram starting there occurs
+    * more than once in the corpus (any substring dup of length ≥ n marks
+    * its positions; within-doc repeats count, as in the paper). Maximal
+    * runs of consecutive duplicated positions are the duplicated SPANS —
+    * a run i..j certifies a repeated substring of j−i+n tokens. Per doc:
+    * span count/geometry and the covered-token fraction (union of the
+    * n-token windows, the q129 coverage rule — runs whose windows overlap
+    * through a short gap are not double-counted).
+    *
+    * Scale shape: one corpus-mass gram aggregate (map-side combined) and
+    * one gram-keyed join (each position matches its gram's df row at most
+    * once — no fan on hot grams); everything downstream — islands window,
+    * span/coverage aggregates — is keyed by doc_id over DUPLICATED
+    * positions only. The duplicated-position table feeds three consumers,
+    * so it is checkpointed (bounded by dup mass, ≤ corpus positions).
+    * q77's CDC chunks approximate this signal at chunk granularity; this
+    * is the position-exact form. */
+  def duplicatedSpans(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val posGrams = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), n, distinct = false)))
+      .toDF("doc_id", "i", "gram")
+    val dfreq = posGrams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val dup = posGrams
+      .join(dfreq.filter(col("df") > 1).select("gram"), Seq("gram"))
+      .select(col("doc_id"), col("i")).localCheckpoint()
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val runs = dup.withColumn("run", col("i") - row_number().over(w))
+      .groupBy("doc_id", "run").agg(count(lit(1)).as("run_len"))
+    val spans = runs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      (max("run_len") + lit(n - 1)).cast("long").as("max_span_tokens"))
+    val cov = dup
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered_tokens"))
+    val nd = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_pos"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(nd, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"))
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Q80 — train/val/test SPLIT LEAKAGE audit: assign every doc to a
     * deterministic 80/10/10 split by an md5 hash coin (reproducible across
     * runs/engines/partitionings — the q44/q63 convention), then count

@@ -424,6 +424,29 @@ class TextVectorSpec extends SparkSpec {
     assert(r.head.getDouble(4) == 1.0)
   }
 
+  test("duplicated spans: cross-doc copy and within-doc repeat, exact geometry") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val doc1 = "p1 p2 p3 " + shared + " q1 q2 q3"          // S at tokens 3..10
+    val doc2 = "r1 r2 " + shared + " t1 t2 t3 t4"          // S at tokens 2..9
+    val doc3 = "u1 u2 u3 u4 u5 x1 u1 u2 u3 u4 u5"          // within-doc repeat
+    val dir = docsDir(Seq(
+      (1L, doc1, "en", "s", doc1.length.toLong),
+      (2L, doc2, "en", "s", doc2.length.toLong),
+      (3L, doc3, "en", "s", doc3.length.toLong)))
+    val r = Dedup.duplicatedSpans(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: the 8-token shared block yields 4 consecutive duplicated
+    // 5-gram positions (3..6) = one span of 8 tokens covering tokens 3..10
+    assert(r(1L).getLong(1) == 14L && r(1L).getLong(2) == 4L)
+    assert(r(1L).getLong(3) == 1L && r(1L).getLong(4) == 8L)
+    assert(r(1L).getLong(5) == 8L)
+    assert(math.abs(r(1L).getDouble(6) - 8.0 / 14.0) < 1e-12)
+    // doc 3: "u1..u5" occurs at positions 0 and 6 — two 1-gram-long spans,
+    // coverage 10 of 11 tokens (x1 at position 5 is the only clean token)
+    assert(r(3L).getLong(2) == 2L && r(3L).getLong(3) == 2L)
+    assert(r(3L).getLong(4) == 5L && r(3L).getLong(5) == 10L)
+  }
+
   test("token entropy: repeated-token doc scores 0, all-distinct scores ln(n)") {
     val dir = docsDir(Seq(
       (1L, "a a a a", "en", "s", 7L),
