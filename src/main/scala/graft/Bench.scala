@@ -7,8 +7,23 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced through full materialization with a noop sink
   * (counts would let Catalyst prune the projections we want measured).
+  *
+  * Since round 7 the suite runs THREE full passes and reports the
+  * per-query MEDIAN (plus min/max spread): this box's measured ±14%
+  * same-binary jitter (BENCH_NOTES.md) made single-run per-query deltas
+  * unjudgeable two rounds in a row. Within a pass, suite order and the
+  * session-memo lifecycle are exactly the round-6 protocol (memo builders
+  * pay the build, consumers ride it); BETWEEN passes every memo is
+  * evicted (cache maps + retained blocks), so each pass replays the same
+  * cold-build-then-ride shape rather than riding the previous pass's
+  * state. Passes 2–3 run on a warmer JIT than a single-pass round-6 run —
+  * medians land slightly below r6 numbers for that reason alone; the
+  * per-pass totals are recorded in the JSON so the protocol shift stays
+  * visible.
   */
 object Bench {
+  private val Passes = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,40 +60,63 @@ object Bench {
         .withColumn("w", row_number().over(Window.partitionBy(col("id") % 7).orderBy("id")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val failed =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); true
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // session hygiene: queries that localCheckpoint pin RDD blocks for the
-      // life of the session; across ~60 queries that accumulates into
-      // storage-memory pressure + GC thrash that taxes every LATER query
-      // (measured round 2: q48 1.3s isolated vs 11.2s late in the run).
-      // Release everything between queries so each timing is the query's own.
-      // blocking: the sweep runs OUTSIDE the timed region, so waiting here
-      // costs no query time — async eviction could overlap the next query's
-      // timing and re-introduce the cross-query pollution this prevents.
-      // Memo-retained blocks (ccLabels label table, see Checkpoints.retain)
-      // survive the sweep: their lineage is truncated, so releasing them
-      // would fail every later cache hit instead of recomputing it.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val passes: Seq[Map[String, (Double, Boolean)]] = (1 to Passes).map { _ =>
+      val pass = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val failed =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); true
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // session hygiene: queries that localCheckpoint pin RDD blocks for the
+        // life of the session; across ~60 queries that accumulates into
+        // storage-memory pressure + GC thrash that taxes every LATER query
+        // (measured round 2: q48 1.3s isolated vs 11.2s late in the run).
+        // Release everything between queries so each timing is the query's own.
+        // blocking: the sweep runs OUTSIDE the timed region, so waiting here
+        // costs no query time — async eviction could overlap the next query's
+        // timing and re-introduce the cross-query pollution this prevents.
+        // Memo-retained blocks (ccLabels label table, see Checkpoints.retain)
+        // survive the sweep: their lineage is truncated, so releasing them
+        // would fail every later cache hit instead of recomputing it.
+        Checkpoints.sweepExceptRetained(spark.sparkContext)
+        spark.catalog.clearCache()
+        // pay accumulated GC debt here, outside any timed region — otherwise a
+        // major collection strikes inside whichever query tips the heap over
+        // (measured as a 3–9 s blob landing on a random early query)
+        System.gc()
+        (name, (elapsed, failed))
+      }.toMap
+      // between passes: full memo eviction (cache maps + retained blocks),
+      // so the next pass pays the same cold memo builds this one did
+      graft.text.Dedup.evictMemos(spark)
+      graft.vector.Similarity.evictMemos(spark)
+      Checkpoints.evictSessionMemos(spark)
       Checkpoints.sweepExceptRetained(spark.sparkContext)
-      spark.catalog.clearCache()
-      // pay accumulated GC debt here, outside any timed region — otherwise a
-      // major collection strikes inside whichever query tips the heap over
-      // (measured as a 3–9 s blob landing on a random early query)
       System.gc()
-      (name, elapsed, failed)
+      pass
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
+    def med3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = names.map { name =>
+      val samples = passes.map(_(name)._1)
+      val failed = passes.exists(_(name)._2)
+      (name, med3(samples), samples.min, samples.max, failed)
+    }
+    val qs = results.map { case (k, m, _, _, _) => "\"" + k + f"""":$m%.3f""" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val spread = results
+      .map { case (k, _, lo, hi, _) =>
+        "\"" + k + f"""":{"min":$lo%.3f,"max":$hi%.3f}""" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val passTotals = passes.map(p => f"${p.values.map(_._1).sum}%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"median-of-$Passes","pass_totals":$passTotals,"spread":$spread}"""
     println(line)
     // belt-and-braces delivery: build.sbt's `outputStrategy := StdoutOutput`
     // keeps the stdout line unprefixed under `sbt runMain`, but a consumer

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.SparkContext
+import org.apache.spark.sql.SparkSession
 
 /** Release discipline for `localCheckpoint` blocks (the library-wide form of
   * the per-round swap `Dedup.connectedComponents` runs internally): a
@@ -60,6 +61,50 @@ object Checkpoints {
     val set = retainedByCtx.computeIfAbsent(sc,
       _ => scala.collection.mutable.Set.empty[Int])
     set ++= ids
+  }
+
+  /** Per-SESSION ledger of memo-retained ids, so one session's memos can be
+    * evicted ([[evictSessionMemos]]) without freeing blocks another session
+    * of the same context still serves cache hits from. Build sites that
+    * populate a session-keyed memo register through [[retainFor]] (which
+    * also feeds the context-wide sweep exclusion); context-only [[retain]]
+    * remains for state with no owning session. */
+  private val retainedBySession =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[Int]]()
+
+  /** [[retain]] + record the ids against the owning session for later
+    * [[evictSessionMemos]]. */
+  def retainFor(spark: SparkSession, ids: Set[Int]): Unit = {
+    retain(spark.sparkContext, ids)
+    retainedBySession.synchronized {
+      val set = retainedBySession.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Set.empty[Int])
+      set ++= ids
+    }
+  }
+
+  /** Drop ids from the retained registry and blocking-unpersist their
+    * blocks — the memo-EVICTION half [[retain]] lacked: without it a memo
+    * rebuilt for many dirs in one session pins blocks monotonically and a
+    * caller can never intentionally free a retained block. Blocking, so a
+    * harness that evicts between measured regions never overlaps eviction
+    * IO with the next timing. */
+  def unretain(sc: SparkContext, ids: Set[Int]): Unit = {
+    retainedByCtx.synchronized {
+      Option(retainedByCtx.get(sc)).foreach(_ --= ids)
+    }
+    val live = sc.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = true)))
+  }
+
+  /** Evict every block the session's memo builds retained (the block half
+    * of a full memo eviction; the cache-map half lives with each cache
+    * owner — `Dedup.evictMemos` / `Similarity.evictMemos` call this). */
+  def evictSessionMemos(spark: SparkSession): Unit = {
+    val ids = retainedBySession.synchronized {
+      Option(retainedBySession.remove(spark)).map(_.toSet).getOrElse(Set.empty[Int])
+    }
+    if (ids.nonEmpty) unretain(spark.sparkContext, ids)
   }
 
   /** Ids currently registered as memo-owned for this context. */

@@ -429,11 +429,14 @@ object SelectionJob {
       .select(col("doc_id"), col("n_flagged"), col("flagged_ratio"))
     val selection = picked
       .join(spans, Seq("doc_id"), "left")
-      // the DEFINITION, not an inference from span-join nullness (a
-      // null flagged_ratio must never silently reclassify a doc)
-      .withColumn("is_benchmark", col("doc_id") % 20 === 0)
+      // the shared Curation.isBenchmark DEFINITION, not an inference from
+      // span-join nullness (a null flagged_ratio must never silently
+      // reclassify a doc); flagged_ratio coalesces to 0 so a doc the span
+      // screen has no row for is admitted-and-counted, never null-dropped
+      .withColumn("is_benchmark", Curation.isBenchmark(col("doc_id")))
       .withColumn("admitted",
-        (!col("is_benchmark") && col("flagged_ratio") <= maxFlaggedRatio)
+        (!col("is_benchmark") &&
+          coalesce(col("flagged_ratio"), lit(0.0)) <= maxFlaggedRatio)
           .cast("long"))
       .select("doc_id", "importance", "score", "n_flagged", "flagged_ratio",
         "is_benchmark", "admitted")

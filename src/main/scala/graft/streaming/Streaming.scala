@@ -494,9 +494,11 @@ object Streaming {
     * Exactly-once without a transaction log: the base for batch N is the
     * highest snapshot with id < N — never "the latest" — so a retry of
     * batch N after a crash re-reads the SAME base (N's own half-written
-    * output is ineligible by construction) and `overwrite` makes the
-    * rewrite idempotent. Combined with the checkpoint's batch tracking,
-    * duplicate delivery collapses to byte-identical rewrites (the
+    * output is ineligible by construction). A retry of a COMMITTED
+    * snapshot short-circuits (the rewrite would be byte-identical by
+    * construction); a retry of an uncommitted one replaces the staging
+    * output and publishes atomically. Combined with the checkpoint's
+    * batch tracking, duplicate delivery collapses to a no-op (the
     * foreachBatch fault-injection spec's argument, applied to MERGE). */
   def lakehouseMergeSink(state: Dataset[CdcState], tableRoot: String,
       checkpoint: String): StreamingQuery =
@@ -511,12 +513,36 @@ object Streaming {
   /** One batch of [[lakehouseMergeSink]], factored out as the testable
     * seam (the wire-seam convention): deterministic in (prior snapshots
     * below `batchId`, batch content), so at-least-once delivery yields
-    * exactly-once table state. */
-  def mergeSnapshot(batch: DataFrame, tableRoot: String, batchId: Long): Unit = {
+    * exactly-once table state.
+    *
+    * COW at PARTITION granularity (round 7 — the round-6 verdict's table
+    * -granularity caveat): snapshots are hash-bucketed on product_id
+    * (`bucket=k` dirs, Spark's murmur3 `hash` — stable across JVMs and
+    * partitionings), the merge join reads ONLY buckets the batch touches
+    * (partition-pruned base scan), and untouched bucket directories are
+    * carried forward as raw byte copies — no decode, no shuffle, no
+    * rewrite. A batch touching k of `nBuckets` buckets pays merge IO for
+    * k/nBuckets of the table; at object-store scale the carry-forward is
+    * a server-side copy. Commit protocol: everything (merged buckets +
+    * carried copies + the `_SUCCESS` marker Spark wrote) assembles in a
+    * dot-prefixed staging dir — invisible to [[committedSnapshots]] —
+    * then ONE directory rename publishes the snapshot, so readers never
+    * observe a bucket-incomplete table (rename is atomic on HDFS/local;
+    * on S3 it is the usual copy-manifest caveat). A retry of an
+    * already-committed snapshot short-circuits: the rewrite would be
+    * byte-identical by construction, and skipping it closes the race
+    * where overwrite's delete-then-rewrite yanks files from under a
+    * reader that just resolved the snapshot. */
+  def mergeSnapshot(batch: DataFrame, tableRoot: String, batchId: Long,
+      nBuckets: Int = 16): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
     val spark = batch.sparkSession
-    val base = committedSnapshots(spark, tableRoot)
-      .filter(_ < batchId)
-      .sorted.lastOption.map(v => s"$tableRoot/snapshot_$v")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(tableRoot)
+    val fs = root.getFileSystem(conf)
+    val target = new Path(root, s"snapshot_$batchId")
+    if (fs.exists(new Path(target, "_SUCCESS"))) return
+    val bucketOf = pmod(hash(col("product_id")), lit(nBuckets))
     // TWS emits ONE latest state per key per batch, so the change set is
     // already key-unique — mergeEvolved's full-outer join needs no
     // pre-dedup; `deleted` maps onto its op column contract
@@ -524,17 +550,49 @@ object Streaming {
       col("product_id"), col("lsn"),
       col("stock_quantity"), col("reorder_level"),
       when(col("deleted"), "delete").otherwise("upsert").as("op"))
+    // buckets this batch touches: bounded by nBuckets (a driver-side
+    // decision list, never data mass)
+    val touched = changes.select(bucketOf.as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val base = committedSnapshots(spark, tableRoot)
+      .filter(_ < batchId)
+      .sorted.lastOption.map(v => s"$tableRoot/snapshot_$v")
     val merged = base match {
       case Some(dir) =>
+        // partition-pruned: only touched bucket dirs are scanned
+        val baseTouched = spark.read.parquet(dir)
+          .filter(col("bucket").isin(touched.toSeq: _*))
+          .drop("bucket")
         graft.sources.Catalog.mergeEvolved(
-            spark.read.parquet(dir), changes,
+            baseTouched, changes,
             keyCol = "product_id", opCol = "op")
           .drop("action")
       case None =>
         changes.filter(col("op") =!= "delete").drop("op")
     }
-    merged.write.mode("overwrite")
-      .parquet(s"$tableRoot/snapshot_$batchId")
+    val staging = new Path(root, s".staging_snapshot_$batchId")
+    merged.withColumn("bucket", bucketOf)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(staging.toString)
+    // carry untouched bucket dirs forward byte-for-byte
+    base.foreach { dir =>
+      fs.listStatus(new Path(dir)).toSeq
+        .filter(_.getPath.getName.startsWith("bucket="))
+        .filterNot(s => touched.contains(
+          s.getPath.getName.stripPrefix("bucket=").toInt))
+        .foreach { s =>
+          FileUtil.copy(fs, s.getPath, fs,
+            new Path(staging, s.getPath.getName), false, conf)
+        }
+    }
+    // an empty partitioned write can leave no marker — the rename below
+    // must still publish a committed snapshot
+    val marker = new Path(staging, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker).close()
+    // publish: one atomic rename; a crashed earlier attempt's partial
+    // target (no _SUCCESS, see the short-circuit above) is replaced
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
   }
 
   /** Snapshot ids under `tableRoot` whose write COMMITTED (`_SUCCESS`
@@ -550,6 +608,10 @@ object Streaming {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("snapshot_"))
+      // strict digit check: a stray non-numeric dir (snapshot_tmp, an
+      // editor artifact) must be invisible, not a NumberFormatException
+      // that breaks every read/merge/vacuum of the table
+      .filter(n => { val s = n.stripPrefix("snapshot_"); s.nonEmpty && s.forall(_.isDigit) })
       .filter(n => fs.exists(new Path(root, s"$n/_SUCCESS")))
       .map(_.stripPrefix("snapshot_").toLong)
   }
@@ -561,7 +623,9 @@ object Streaming {
       asOf: Long = Long.MaxValue): DataFrame = {
     val versions = committedSnapshots(spark, tableRoot).filter(_ <= asOf)
     require(versions.nonEmpty, s"no snapshot at or before $asOf under $tableRoot")
-    spark.read.parquet(s"$tableRoot/snapshot_${versions.max}")
+    val df = spark.read.parquet(s"$tableRoot/snapshot_${versions.max}")
+    // the bucket partition column is physical layout, not table schema
+    if (df.columns.contains("bucket")) df.drop("bucket") else df
   }
 
   /** VACUUM for the snapshot chain — the action whose planning view is

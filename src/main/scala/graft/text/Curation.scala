@@ -24,6 +24,13 @@ import graft.sources.Tables
   */
 object Curation {
 
+  /** The benchmark/holdout membership rule (the deterministic eval-suite
+    * stand-in): ONE definition shared by the contamination screens
+    * (q50/q129) and `SelectionJob`'s admission — mirrored by the oracles'
+    * `doc_id % 20 = 0`. A drift between admission and screening would
+    * silently re-admit benchmark docs, so there is exactly one seam. */
+  def isBenchmark(id: Column): Column = id % 20 === 0
+
   /** Q50 — benchmark-contamination screen: the fraction of each candidate
     * doc's distinct trigrams that also occur in the BENCHMARK set (here the
     * deterministic holdout doc_id % 20 == 0, standing in for an eval suite).
@@ -35,14 +42,14 @@ object Curation {
     val grams = Dedup.explodedGrams(spark, dir, distinctPerDoc = true)
       .select(col("doc_id"), col("gram"))
       .localCheckpoint()
-    val benchGrams = grams.filter(col("doc_id") % 20 === 0)
+    val benchGrams = grams.filter(isBenchmark(col("doc_id")))
       .select(col("gram")).distinct()
-    val candGrams = grams.filter(col("doc_id") % 20 =!= 0)
+    val candGrams = grams.filter(!isBenchmark(col("doc_id")))
     val shared = candGrams.join(benchGrams, Seq("gram"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
     val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     Tables.documents(spark, dir).select(col("doc_id"))
-      .filter(col("doc_id") % 20 =!= 0)
+      .filter(!isBenchmark(col("doc_id")))
       .join(sizes, Seq("doc_id"), "left")
       .join(shared, Seq("doc_id"), "left")
       .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
@@ -79,16 +86,16 @@ object Curation {
       .select(col("doc_id"), posexplode(
         graft.functions.TextExpressions.word_ngrams(col("toks"), 3, distinct = false)))
       .toDF("doc_id", "i", "gram")
-    val bench = posGrams.filter(col("doc_id") % 20 === 0)
+    val bench = posGrams.filter(isBenchmark(col("doc_id")))
       .select("gram").distinct()
-    val hits = posGrams.filter(col("doc_id") % 20 =!= 0)
+    val hits = posGrams.filter(!isBenchmark(col("doc_id")))
       .join(bench, Seq("gram"))
       .select(col("doc_id"), col("i"))
     val covered = hits
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + 2)).as("p"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
-    docs.filter(col("doc_id") % 20 =!= 0)
+    docs.filter(!isBenchmark(col("doc_id")))
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
@@ -427,7 +434,7 @@ object Curation {
         (col("p1") && col("p2") && col("p3") && col("p4") && col("p5")).as("passed"))
     val clusters = Dedup.nearDupClusters(spark, dir) // doc_id, cluster_rep, keep
     val cont = contamination(spark, dir).select(col("doc_id"), col("contaminated"))
-    val isBench = col("doc_id") % 20 === 0
+    val isBench = isBenchmark(col("doc_id"))
     clusters
       .join(flags, Seq("doc_id"))
       .join(cont, Seq("doc_id"), "left") // bench docs have no screen row

@@ -127,7 +127,7 @@ object Dedup {
       val pairs = pairs0.localCheckpoint()
       val pairIds = graft.Checkpoints.pinnedSince(sc, preFinal)
       graft.Checkpoints.release(sc, (preFinal.toSet -- before))
-      graft.Checkpoints.retain(sc, pairIds)
+      graft.Checkpoints.retainFor(spark, pairIds)
       pairs
     }) }
   }
@@ -135,6 +135,17 @@ object Dedup {
   private val pairsCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  /** Drop this session's memo entries (pairs + CC labels) — the cache-map
+    * half of a full eviction; pair with
+    * [[graft.Checkpoints.evictSessionMemos]] to free the retained blocks.
+    * For harnesses re-measuring cold paths and long-lived multi-session
+    * drivers (a WeakHashMap entry whose value references the session is
+    * never collectable on its own). */
+  def evictMemos(spark: SparkSession): Unit = {
+    pairsCache.synchronized { pairsCache.remove(spark) }
+    ccLabelCache.synchronized { ccLabelCache.remove(spark) }
+  }
 
   // private[graft] so PlanSpec can pin the banded-join shape on the
   // builder itself — consumer plans only show the memoized pair table
@@ -427,10 +438,12 @@ object Dedup {
     * is fully deterministic in (corpus dir, minJaccard) — seedless MinHash,
     * min-label CC fixed point — so q49/q61/q83/q93/q105 sharing one session
     * (the bench, the verify run, a user notebook) resolve ONCE instead of
-    * five times. Keyed by the session reference itself (weakly held, so a
-    * stopped session's entries are collectable and can never serve a new
-    * one); assumes a dir's parquet is immutable within a session (the repo's
-    * testdata contract). The cached value is a re-checkpointed label table
+    * five times. Keyed weakly by the session reference — but NOTE the
+    * cached DataFrames strongly reference their session, so an entry is NOT
+    * collectable while the map holds it; a long-lived multi-session driver
+    * (or a harness re-measuring cold paths) evicts explicitly via
+    * [[evictMemos]]. Assumes a dir's parquet is immutable within a session
+    * (the repo's testdata contract). The cached value is a re-checkpointed label table
     * whose blocks are [[graft.Checkpoints.retain]]ed — candidate-subgraph
     * nodes only (docs that banded into ≥1 near-dup pair above threshold),
     * a small fraction of the corpus, never corpus mass. */
@@ -456,7 +469,7 @@ object Dedup {
     val labels = labels0.localCheckpoint()
     val labelIds = graft.Checkpoints.pinnedSince(sc, preLabel)
     graft.Checkpoints.release(sc, (preLabel.toSet -- before))
-    graft.Checkpoints.retain(sc, labelIds)
+    graft.Checkpoints.retainFor(spark, labelIds)
     labels
   }
 

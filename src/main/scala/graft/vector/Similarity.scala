@@ -141,9 +141,9 @@ object Similarity {
     * deterministic in (corpus dir, k, iters) — fixed seedless init,
     * fixed-point order-independent updates — so q41/q67/q75 sharing one
     * session (the bench, the verify run, a user notebook) train ONCE
-    * instead of three times. Keyed by the session reference itself (weakly
-    * held, so a stopped session's entries are collectable and can never
-    * serve a new one); assumes a dir's parquet is immutable within a
+    * instead of three times. Keyed weakly by the session reference — but
+    * NOTE the cached values keep the entry reachable until [[evictMemos]]
+    * (driver-side floats here, so the footprint is bytes); assumes a dir's parquet is immutable within a
     * session (the repo's testdata contract). Values are k×dim driver-side
     * floats — bytes, never corpus-sized. */
   private val codebookCache =
@@ -439,6 +439,14 @@ object Similarity {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
+  /** Drop this session's memo entries (scored pairs + codebooks) — the
+    * cache-map half of a full eviction; pair with
+    * [[graft.Checkpoints.evictSessionMemos]] to free retained blocks. */
+  def evictMemos(spark: SparkSession): Unit = {
+    scoredPairsCache.synchronized { scoredPairsCache.remove(spark) }
+    codebookCache.synchronized { codebookCache.remove(spark) }
+  }
+
   private[vector] def scoredBandedPairs(spark: SparkSession,
       dir: String): DataFrame = {
     val perSession = scoredPairsCache.synchronized {
@@ -452,7 +460,7 @@ object Similarity {
       val scored0 = computeScoredBandedPairs(spark, dir)
       val preFinal = sc.getPersistentRDDs.keySet
       val scored = scored0.localCheckpoint()
-      graft.Checkpoints.retain(sc, graft.Checkpoints.pinnedSince(sc, preFinal))
+      graft.Checkpoints.retainFor(spark, graft.Checkpoints.pinnedSince(sc, preFinal))
       graft.Checkpoints.release(sc, (preFinal.toSet -- before))
       scored
     }) }

@@ -848,6 +848,55 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("partitioned MERGE base: untouched buckets carry forward byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("mrgbkt").toString
+    // seed: products spanning several hash buckets
+    val seed = (1 to 12).map(i =>
+      Streaming.CdcState(s"P$i", "0/01", deleted = false, i * 10, 5)).toDF()
+    Streaming.mergeSnapshot(seed, s"$root/table", 0)
+    // batch 1 touches ONLY P1's bucket
+    val delta = Seq(
+      Streaming.CdcState("P1", "0/02", deleted = false, 999, 5)).toDF()
+    Streaming.mergeSnapshot(delta, s"$root/table", 1)
+    val touched = spark.range(1)
+      .select(pmod(hash(lit("P1")), lit(16)).as("b")).head().getInt(0)
+    def bucketFiles(snap: String): Map[String, Seq[(String, Long)]] = {
+      val dir = new java.io.File(s"$root/table/$snap")
+      dir.listFiles().filter(_.getName.startsWith("bucket=")).map { b =>
+        b.getName -> b.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSeq.sortBy(_._1)
+      }.toMap
+    }
+    val s0 = bucketFiles("snapshot_0"); val s1 = bucketFiles("snapshot_1")
+    val untouched = s0.keySet - s"bucket=$touched"
+    assert(untouched.nonEmpty, "fixture must span more than one bucket")
+    untouched.foreach { b =>
+      assert(s1.contains(b), s"carried bucket $b missing in snapshot_1")
+      assert(s0(b) == s1(b), s"bucket $b file list/size drifted")
+      s0(b).foreach { case (name, _) =>
+        val b0 = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$root/table/snapshot_0/$b/$name"))
+        val b1 = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$root/table/snapshot_1/$b/$name"))
+        assert(java.util.Arrays.equals(b0, b1), s"bucket $b/$name bytes drifted")
+      }
+    }
+    // the merged state is still the full table (bucket col stays physical)
+    val cur = Streaming.readMergedTable(spark, s"$root/table")
+    assert(!cur.columns.contains("bucket"))
+    val m = cur.select("product_id", "stock_quantity").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m("P1") == 999 && m("P2") == 20 && m.size == 12, s"state: $m")
+    // a stray non-numeric snapshot dir stays invisible (no parse crash)
+    new java.io.File(s"$root/table/snapshot_tmp").mkdirs()
+    assert(Streaming.readMergedTable(spark, s"$root/table")
+      .count() == 12)
+    // retry of a committed snapshot short-circuits: files untouched
+    val before = bucketFiles("snapshot_1")
+    Streaming.mergeSnapshot(delta, s"$root/table", 1)
+    assert(bucketFiles("snapshot_1") == before, "committed retry must not rewrite")
+  }
 }
 
 // top-level so Spark can derive product encoders (a nested-in-class case
