@@ -173,6 +173,37 @@ class TextVectorSpec extends SparkSpec {
     assert(fake.width == 16 + 12 % 64)
   }
 
+  test("multimodal: real WAV bytes parse to true audio metadata; non-WAV falls back") {
+    import javax.sound.sampled._
+    // 1 s of stereo 44.1 kHz PCM16, every sample = +1000 — written through
+    // the JDK's own WAVE writer, so the fixture is a REAL .wav byte stream
+    val fmt = new AudioFormat(44100f, 16, 2, true, false) // signed, little-endian
+    val pcm = new Array[Byte](44100 * 2 * 2)
+    var i = 0
+    while (i < pcm.length) { pcm(i) = 0xE8.toByte; pcm(i + 1) = 0x03; i += 2 }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 44100)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+    val feats = Multimodal.extractAudioFeatures(Seq(
+        MediaAsset(20L, "audio", wav),
+        MediaAsset(21L, "audio", "definitely not audio".getBytes("UTF-8")),
+        MediaAsset(22L, "audio", wav.take(30))). // truncated header
+      toDS()).collect().sortBy(_.asset_id)
+    val w = feats(0)
+    assert(w.is_wav && w.channels == 2 && w.sample_rate_hz == 44100 &&
+      w.bits_per_sample == 16, s"wav meta: $w")
+    assert(w.n_samples == 44100L && w.duration_ms == 1000.0)
+    assert(w.mean_abs_amplitude == 1000.0) // constant-amplitude PCM16
+    // non-WAV payload: deterministic fallback shape, honestly flagged
+    val t = feats(1)
+    assert(!t.is_wav && t.channels == 1 && t.sample_rate_hz == 8000 &&
+      t.n_samples == t.byte_len)
+    // truncated bytes must fall back, never throw a task
+    assert(!feats(2).is_wav)
+  }
+
   test("multimodal: stub decode features are deterministic and fixed-shape") {
     val assets = Seq(
       MediaAsset(1L, "image", "some fake image payload bytes".getBytes("UTF-8")),
