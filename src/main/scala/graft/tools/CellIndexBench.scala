@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** SCALING.md meter for the partition-by-cell vector index: times the
+  * one-off index build, then indexed vs ad-hoc ANN and semantic-cluster
+  * queries on the same dir (`runMain graft.tools.CellIndexBench <sfDir>
+  * <indexPath> [k]`). Same session shape as ScaleBench. */
+object CellIndexBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0); val idx = args(1)
+    val k = args.lift(2).map(_.toInt).getOrElse(16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.vector.{CellIndex, Similarity}
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
+      spark.catalog.clearCache(); System.gc()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$dir/embeddings.parquet").count() // footer warmup
+    val probe = Similarity.probeVector(spark, dir)
+    // run everything twice, report the second (JIT-warm — the ScaleBench
+    // repeat convention); memos are evicted so ad-hoc passes stay cold
+    var out = Map.empty[String, Double]
+    for (round <- 1 to 2) {
+      val r = Seq(
+        "index_build" -> time(CellIndex.write(spark, dir, idx, k = k)),
+        "ann_indexed" -> time(noop(CellIndex.annIvfIndexed(spark, idx, probe))),
+        "ann_adhoc" -> time(noop(Similarity.annIvf(spark, dir))),
+        "clusters_indexed" -> time(noop(CellIndex.semanticClustersIndexed(spark, idx))),
+        "clusters_adhoc" -> time(noop(Similarity.semanticClusters(spark, dir)))
+      ).toMap
+      graft.text.Dedup.evictMemos(spark)
+      graft.vector.Similarity.evictMemos(spark)
+      graft.Checkpoints.evictSessionMemos(spark)
+      if (round == 2) out = r
+    }
+    val qs = out.toSeq.sortBy(_._1)
+      .map { case (n, s) => "\"" + n + f"""":$s%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"cellindex","queries":$qs,"dir":"$dir","k":$k}""")
+    spark.stop()
+  }
+}

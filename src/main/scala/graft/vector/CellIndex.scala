@@ -1,0 +1,139 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable.pround
+import graft.functions.VectorExpressions
+import graft.functions.VectorExpressions.dot_product
+
+/** Partition-by-cell vector index — the AT-REST layout the 100 TB vector
+  * path runs on (the shape [[Similarity.annIvf]]'s scaladoc names:
+  * "partition-by-cell layout with per-cell scans").
+  *
+  * The ad-hoc queries (q41/q66) pay a full normalize + assign/signature
+  * map pass over every vector on every run — correct, but linear in the
+  * corpus per query (SCALING.md's q66/q72 finding). This index pays that
+  * pass ONCE at write time: vectors land parquet-partitioned by their
+  * trained IVF cell (`cell=k/` directories) with norms precomputed, the
+  * codebook persisted beside them. Readers then get:
+  *
+  *  - [[annIvfIndexed]]: probe-cell resolution against the k-row codebook
+  *    (driver-side), then a PARTITION-PRUNED scan of only the `nprobe`
+  *    probed cell directories — per-query IO is cell-sized, not
+  *    corpus-sized, and grows with cell population, not corpus count.
+  *  - [[semanticClustersIndexed]]: SemDeDup-style sharded near-dup
+  *    clustering — banded sign-LSH candidates WITHIN each cell (the join
+  *    key is (cell, band_id, band_val), so blocks are bounded by
+  *    cell × band collision, and the trained quantizer keeps semantically
+  *    distant vectors out of each other's blocks entirely). The explicit
+  *    trade vs the global-banded q66: cross-cell near-dups are not
+  *    candidates (standard for sharded semantic dedup; cell count tunes
+  *    the recall/cost point).
+  *
+  * Layout over `bucketBy`: directory partitioning gives PartitionFilters
+  * pruning on any reader with zero session/catalog setup (bucketBy needs
+  * a saved table + matching bucket specs); the within-cell joins still
+  * key on cell, so no shuffle carries more than a cell's band block. */
+object CellIndex {
+
+  /** Build the index under `indexPath`: train a `k`-cell codebook
+    * ([[Similarity.trainIvfCodebook]] — deterministic Lloyd), assign every
+    * vector, write `vectors/` partitioned by cell and `codebook/` beside
+    * it. One corpus pass beyond training; amortized across every indexed
+    * query that follows. */
+  def write(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 16, iters: Int = 3): Unit = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val e = Similarity.withNorm(spark, dir).localCheckpoint()
+    val cb = Similarity.trainIvfCodebook(e, k, iters)
+    cb.toDF("cell", "centroid")
+      .coalesce(1) // k rows — codebook, not data
+      .write.mode("overwrite").parquet(s"$indexPath/codebook")
+    Similarity.assignCells(e, cb)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/vectors")
+    // e was an intermediate for this build only
+    graft.Checkpoints.release(sc, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  /** The persisted codebook, smallest-cell-id first (k×dim — bytes). */
+  def readCodebook(spark: SparkSession, indexPath: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(s"$indexPath/codebook").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+  /** ANN against the index: rank the k-row codebook on the driver, scan
+    * ONLY the `nprobe` winning cell directories (partition pruning — the
+    * plan shows `PartitionFilters: [cell IN …]`, and no exchange ever
+    * carries corpus mass), exact cosine + global top-k on the survivors.
+    * With the same codebook parameters this returns exactly
+    * [[Similarity.annIvf]]'s answer (differential spec) — the index
+    * changes where the work happens, not what is computed. */
+  def annIvfIndexed(spark: SparkSession, indexPath: String,
+      probe: Seq[Double], k: Int = 10, nprobe: Int = 2): DataFrame = {
+    VectorExpressions.register(spark)
+    val cb = readCodebook(spark, indexPath)
+    val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
+    // same sequential-fold arithmetic as DotProduct so probe-cell ranking
+    // matches the ad-hoc path bit for bit
+    val probeCells = cb.map { case (cid, cv) =>
+        val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) { d += probe(i) * cv(i); i += 1 }
+        (cid, d / (pnorm * cnorm))
+      }.sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1)
+    val scored = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        pround(dot_product(col("v"), lit(probe.toArray)) / (col("norm") * lit(pnorm)), 4)
+          .as("cos_sim"))
+    Similarity.rankTopK(scored, k)
+      .select("rnk", "vec_id", "cell", "cos_sim")
+      .orderBy("rnk")
+  }
+
+  /** Sharded semantic clustering over the index: within-cell banded
+    * sign-LSH candidates → exact-cosine edges ≥ `minCos` → connected
+    * components. Output contract matches [[Similarity.semanticClusters]]
+    * (vec_id, cluster_rep, cluster_size, keep; min-id representative). */
+  def semanticClustersIndexed(spark: SparkSession, indexPath: String,
+      minCos: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorExpressions.register(spark)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val e = spark.read.parquet(s"$indexPath/vectors")
+    val bands = e.select(col("vec_id"), col("cell"),
+      posexplode(VectorExpressions.lsh_bands(col("v"),
+        Similarity.NearDupBits, Similarity.NearDupBandSize,
+        Similarity.EmbeddingDim)).as(Seq("band_id", "band_val")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.cell") === col("y.cell") &&
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val edges = cand
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .filter(dot_product(col("a.v"), col("b.v")) /
+        (col("a.norm") * col("b.norm")) >= minCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint()
+    val mine = graft.Checkpoints.pinnedSince(sc, before)
+    val (labels, _) = graft.text.Dedup.connectedComponents(edges)
+    graft.Checkpoints.release(sc, mine)
+    val wholeCluster = Window.partitionBy("cluster_rep")
+    e.select(col("vec_id"))
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_rep"))
+      .withColumn("cluster_size", count(lit(1)).over(wholeCluster))
+      .select(col("vec_id"), col("cluster_rep"), col("cluster_size"),
+        (col("vec_id") === col("cluster_rep")).cast("long").as("keep"))
+      .orderBy("vec_id")
+  }
+}

@@ -38,12 +38,20 @@ object Similarity {
     dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
 
   /** Corpus with per-vector norm precomputed (one pass, no shuffle). */
-  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
+  private[vector] def withNorm(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", sqrt(dot_product(col("v"), col("v"))))
   }
+
+  /** The vec_id=0 probe embedding as driver doubles (one bounded 1-row
+    * collect — the serving-side probe shape [[CellIndex.annIvfIndexed]]
+    * takes; a real deployment receives the probe from the caller). */
+  def probeVector(spark: SparkSession, dir: String): Seq[Double] =
+    withNorm(spark, dir).filter(col("vec_id") === 0)
+      .select("v").limit(1).collect().headOption
+      .map(_.getSeq[Double](0)).getOrElse(Seq.empty)
 
   /** Global top-k of `scored` by (cos_sim desc, vec_id) with a 1-based
     * `rnk` column — WITHOUT ranking the full corpus through a partitionless
@@ -51,7 +59,7 @@ object Similarity {
     * (per-partition top-k, driver merge of k×partitions rows); only the k
     * survivors pass through the rank window, which is partitioned on a
     * constant so the single-partition stage is bounded at k rows. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[vector] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val order = Seq(desc("cos_sim"), col("vec_id"))
     // partition key: TakeOrderedAndProject emits SinglePartition, so
     // spark_partition_id() is the constant 0 — a global rank — while being

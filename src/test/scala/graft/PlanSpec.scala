@@ -182,6 +182,35 @@ class PlanSpec extends SparkSpec {
     assert(!knn.contains("CartesianProduct"))
   }
 
+  test("cell index: annIvfIndexed is a partition-pruned per-cell scan") {
+    import graft.vector.{CellIndex, Similarity}
+    val idx = java.nio.file.Files.createTempDirectory("cellidx").toString
+    CellIndex.write(spark, sf0001, idx, k = 4, iters = 3)
+    val probe = Similarity.probeVector(spark, sf0001)
+    val df = CellIndex.annIvfIndexed(spark, idx, probe)
+    val s = explain(df)
+    // the scan prunes to the probed cell directories — per-query IO is
+    // cell-sized, not corpus-sized
+    assert(s.contains("PartitionFilters:") && s.contains("cell"),
+      s"expected cell partition pruning:\n$s")
+    assert(s.contains("TakeOrderedAndProject"), s"top-k must not rank the corpus:\n$s")
+    // the only exchange is the k-row rank stage after TakeOrdered — no
+    // shuffle ever carries corpus mass
+    assert(graft.analytics.ScaleJoins.exchangeCount(df) <= 1,
+      s"indexed ANN must not shuffle the corpus:\n$s")
+    // same codebook parameters → exactly the ad-hoc annIvf answer
+    val adhoc = Similarity.annIvf(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val indexed = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(indexed.toSeq == adhoc.toSeq, "indexed ANN drifted from ad-hoc annIvf")
+    // sharded clusters: contract shape + representative invariants hold
+    val cl = CellIndex.semanticClustersIndexed(spark, idx).collect()
+    assert(cl.nonEmpty)
+    assert(cl.forall(r => r.getLong(2) >= 1L))
+    val reps = cl.filter(r => r.getLong(3) == 1L).map(_.getLong(0)).toSet
+    assert(cl.forall(r => reps.contains(r.getLong(1))), "every cluster_rep must be a kept row")
+  }
+
   test("round-4b operators keep their scale shapes") {
     import graft.text.{Curation, Dedup, TextOps}
     import graft.vector.Similarity
