@@ -154,6 +154,7 @@ object SparkEntry {
     "q129_contamination_spans" -> ((s: SparkSession, d: String) => Curation.contaminationSpans(s, d)),
     "q130_duplicated_spans" -> ((s: SparkSession, d: String) => Dedup.duplicatedSpans(s, d)),
     "q131_bpe_segment"    -> ((s: SparkSession, d: String) => TextOps.bpeSegment(s, d)),
+    "q132_bm25"           -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -2196,6 +2197,33 @@ object SparkEntry {
     // string order agrees. Assumes ≥10 nonempty rounds (holds at every SF;
     // the Spark trainer stops early only on degenerate corpora).
     "q131_bpe_segment" -> bpeSegmentOracle,
+
+    // q132: BM25 (Lucene-form idf) against the deterministic query term
+    // set (nq highest-df non-ubiquitous tokens). Expression structure
+    // mirrors the Spark side token for token; the per-doc sum runs in
+    // fixed-point 1e-6 BIGINTs and ranks sort on the INTEGER s6.
+    "q132_bm25" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+        |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+        |qt AS (SELECT tok, df FROM dfq, st WHERE df * 2 < n_docs
+        |       ORDER BY df DESC, tok LIMIT 5),
+        |sc AS (SELECT dt.doc_id,
+        |         CAST(floor(
+        |           ln((st.n_docs - qt.df + 0.5) / (qt.df + 0.5) + 1.0)
+        |           * (dt.tf * (1.2 + 1) / (dt.tf + 1.2 *
+        |               (1.0 - 0.75 + 0.75 * dl.dl / (st.n_toks / st.n_docs))))
+        |           * 1000000.0 + 0.5) AS BIGINT) AS s6
+        |       FROM dt JOIN qt USING (tok) JOIN dl USING (doc_id), st),
+        |ag AS (SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS s6,
+        |         CAST(COUNT(*) AS BIGINT) AS n_hit FROM sc GROUP BY doc_id),
+        |top AS (SELECT doc_id, s6, n_hit FROM ag ORDER BY s6 DESC, doc_id LIMIT 20)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk,
+        |  doc_id, n_hit, s6 * 1.0 / 1000000.0 AS score
+        |FROM top ORDER BY rnk""".stripMargin,
   )
 
   private lazy val bpeSegmentOracle: String = {

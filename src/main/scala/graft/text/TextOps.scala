@@ -373,6 +373,63 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** Q132 — BM25 lexical relevance (Robertson & Zaragoza's Okapi scoring,
+    * the Lucene-form lower-bounded idf `ln((N−df+½)/(df+½)+1)`): the
+    * lexical retriever complementing q46's dense hybrid and q43's tf·idf.
+    * The query is chosen DETERMINISTICALLY from the corpus — the `nq`
+    * highest-df tokens that are not corpus-ubiquitous (df·2 < N; ties on
+    * token) — so both engines score the identical term set; output is the
+    * global top-`topN` docs by summed BM25 with k1=1.2, b=0.75.
+    *
+    * Shape: the (doc, token) counts, doc lengths, and document
+    * frequencies share one tokenize pass (q81's ReuseExchange pattern);
+    * query terms are a vocabulary-sized TakeOrdered broadcast back into
+    * the scan-side join; per-doc scoring touches only (doc, query-term)
+    * rows. Determinism: every input to the float expression is an exact
+    * long (tf, df, dl, N, Σdl), the ln rides the q81/q43 standing caveat,
+    * and the order-sensitive per-doc SUM runs in fixed-point 10⁻⁶ BIGINTs
+    * (q81 discipline) — the top-N sort key is the INTEGER s6, so no float
+    * boundary can reorder ranks. */
+  def bm25(spark: SparkSession, dir: String, nq: Int = 5,
+      topN: Int = 20): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
+    val qterms = dfreq.crossJoin(broadcast(stats.select("n_docs")))
+      .filter(col("df") * 2 < col("n_docs"))
+      .orderBy(desc("df"), col("tok")).limit(nq)
+      .select("tok", "df")
+    val scored = dt.join(broadcast(qterms), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // expression structure mirrored token-for-token by the oracle SQL so
+      // association order (hence bits) agrees
+      .withColumn("idf", log(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("tfn", col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / (col("n_toks") / col("n_docs")))))
+      .withColumn("s6",
+        floor(col("idf") * col("tfn") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val agg = scored.groupBy("doc_id")
+      .agg(sum("s6").as("s6"), count(lit(1)).as("n_hit"))
+    val top = agg.orderBy(desc("s6"), col("doc_id")).limit(topN)
+    // TakeOrderedAndProject emits a single partition, so the rank window
+    // is bounded at topN rows (the rankTopK convention)
+    val w = Window.partitionBy(spark_partition_id())
+      .orderBy(desc("s6"), col("doc_id"))
+    top.orderBy(desc("s6"), col("doc_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("n_hit"),
+        (col("s6") * lit(1.0) / lit(1000000.0)).as("score"))
+      .orderBy("rnk")
+  }
+
   /** Deterministic stratified sampling (north star, training-data
     * curation): hash-mod selection — md5-derived bucket, keep bucket 0 of
     * `mod` (≈1/mod of the corpus), reported per language stratum.

@@ -36,13 +36,16 @@ import graft.functions.VectorExpressions.dot_product
   * key on cell, so no shuffle carries more than a cell's band block. */
 object CellIndex {
 
-  /** Build the index under `indexPath`: train a `k`-cell codebook
-    * ([[Similarity.trainIvfCodebook]] — deterministic Lloyd), assign every
-    * vector, write `vectors/` partitioned by cell and `codebook/` beside
-    * it. One corpus pass beyond training; amortized across every indexed
-    * query that follows. */
+  /** Build the index under `indexPath`: train a `k`-cell coarse codebook
+    * ([[Similarity.trainIvfCodebook]] — deterministic Lloyd) AND per-
+    * subspace PQ codebooks ([[Similarity.pqTrain]]), assign every vector
+    * to its cell, attach its `pqM`-code PQ encoding, write `vectors/`
+    * partitioned by cell with `codebook/` and `pq_codebook/` beside it.
+    * One corpus pass beyond training; amortized across every indexed
+    * query that follows — this is exactly the cost split FAISS's IVF-PQ
+    * pays at index time so that serving is cell-pruned table lookups. */
   def write(spark: SparkSession, dir: String, indexPath: String,
-      k: Int = 16, iters: Int = 3): Unit = {
+      k: Int = 16, iters: Int = 3, pqM: Int = 4, pqK: Int = 16): Unit = {
     import spark.implicits._
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
@@ -51,12 +54,26 @@ object CellIndex {
     cb.toDF("cell", "centroid")
       .coalesce(1) // k rows — codebook, not data
       .write.mode("overwrite").parquet(s"$indexPath/codebook")
+    val pqCbs = Similarity.pqTrain(spark, dir, m = pqM, k = pqK)
+    pqCbs.zipWithIndex.flatMap { case (sub, s) =>
+        sub.zipWithIndex.map { case (centroid, code) => (s, code, centroid) }
+      }.toDF("s", "code", "centroid")
+      .coalesce(1) // m·k rows
+      .write.mode("overwrite").parquet(s"$indexPath/pq_codebook")
     Similarity.assignCells(e, cb)
+      .join(Similarity.pqEncode(spark, dir, pqCbs), Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/vectors")
     // e was an intermediate for this build only
     graft.Checkpoints.release(sc, (sc.getPersistentRDDs.keySet -- before).toSet)
   }
+
+  /** The persisted PQ codebooks, subspace-major ([m][k][subDim]). */
+  def readPqCodebook(spark: SparkSession, indexPath: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$indexPath/pq_codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
 
   /** The persisted codebook, smallest-cell-id first (k×dim — bytes). */
   def readCodebook(spark: SparkSession, indexPath: String): Seq[(Int, Seq[Double])] =
@@ -92,6 +109,56 @@ object CellIndex {
     Similarity.rankTopK(scored, k)
       .select("rnk", "vec_id", "cell", "cos_sim")
       .orderBy("rnk")
+  }
+
+  /** IVF-PQ search — the FAISS serving composition, assembled from the
+    * index's three persisted artifacts: (1) coarse probe — rank the
+    * k-row cell codebook on the driver, keep `nprobe` cells; (2) ADC —
+    * per-subspace distance TABLE from the exact probe (m·k doubles,
+    * driver-side), approximate distance = m table lookups per vector,
+    * over a PARTITION-PRUNED scan of only the probed cells' codes;
+    * (3) exact rerank — true L2 on the `shortlist` ADC survivors only
+    * (their vectors ride the same pruned rows — no second fetch).
+    * Per-query cost: cell-fraction × table-lookup scan + shortlist exact
+    * distances; nothing corpus-sized moves. */
+  def ivfPqSearch(spark: SparkSession, indexPath: String,
+      probe: Seq[Double], k: Int = 10, nprobe: Int = 2,
+      shortlist: Int = 100): DataFrame = {
+    VectorExpressions.register(spark)
+    val cb = readCodebook(spark, indexPath)
+    val pqCbs = readPqCodebook(spark, indexPath)
+    val m = pqCbs.length
+    val subDim = probe.length / m
+    val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
+    val probeCells = cb.map { case (cid, cv) =>
+        val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) { d += probe(i) * cv(i); i += 1 }
+        (cid, d / (pnorm * cnorm))
+      }.sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1)
+    // the ADC table: same zip-square-sum arithmetic as pqAdcScores
+    val tables: Seq[Seq[Double]] = pqCbs.zipWithIndex.map { case (sub, s) =>
+      val qs = probe.slice(s * subDim, (s + 1) * subDim)
+      sub.map(c => qs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    val pruned = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cell").isin(probeCells: _*))
+    val short = pruned
+      .withColumn("tbl", typedLit(tables))
+      .withColumn("approx_d2", expr(
+        "aggregate(transform(sequence(0, " + (m - 1) + "), " +
+          "s -> element_at(element_at(tbl, s + 1), codes[s] + 1)), " +
+          "cast(0.0 as double), (acc, z) -> acc + z)"))
+      .orderBy(col("approx_d2").asc, col("vec_id"))
+      .limit(shortlist)
+    short
+      .withColumn("qv", typedLit(probe))
+      .withColumn("d2", expr(Similarity.sqDistSql("v", "qv")))
+      .orderBy(col("d2").asc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        pround(col("d2"), 6).as("d2"), pround(col("approx_d2"), 6).as("approx_d2"))
   }
 
   /** Sharded semantic clustering over the index: within-cell banded

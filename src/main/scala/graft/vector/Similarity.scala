@@ -947,7 +947,7 @@ object Similarity {
   /** Squared-L2 between two double-array columns, as the one SQL string
     * every PQ distance shares (assignment, rerank) — the fold order is
     * part of the determinism contract, so it lives in one place. */
-  private def sqDistSql(a: String, b: String): String =
+  private[vector] def sqDistSql(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
       "cast(0.0 as double), (acc, z) -> acc + z)"
 

@@ -478,6 +478,41 @@ class TextVectorSpec extends SparkSpec {
     assert(r(3L).getLong(4) == 5L && r(3L).getLong(5) == 10L)
   }
 
+  test("IVF-PQ: full probe + full shortlist equals brute force; pruned probe stays exact per row") {
+    import graft.vector.CellIndex
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    CellIndex.write(spark, dir, idx, k = 4, iters = 1)
+    val probe = Similarity.probeVector(spark, dir)
+    // ground truth: exact L2 over the whole corpus, driver-side
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def d2(v: Seq[Double]): Double =
+      v.zip(probe).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = all.map { case (id, v) => (id, d2(v)) }
+      .sortBy { case (id, d) => (d, id) }.take(5).map(_._1).toSeq
+    // nprobe = every cell, shortlist >= corpus: the composition must
+    // reproduce brute force exactly (ADC only ORDERS the shortlist cut,
+    // and here nothing is cut)
+    val full = CellIndex.ivfPqSearch(spark, idx, probe,
+      k = 5, nprobe = 4, shortlist = all.length)
+    assert(full.collect().map(_.getLong(0)).toSeq == exact,
+      "full-probe IVF-PQ must equal exact top-k")
+    // pruned serving shape: every returned row's exact distance is right
+    // (the rerank is honest), and distances ascend
+    val pruned = CellIndex.ivfPqSearch(spark, idx, probe,
+      k = 5, nprobe = 2, shortlist = 20).collect()
+    assert(pruned.length == 5)
+    val ds = pruned.map(_.getDouble(2)).toSeq
+    assert(ds == ds.sorted)
+    val byId = all.toMap
+    pruned.foreach { r =>
+      val expected = math.floor(d2(byId(r.getLong(0))) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(2) == expected, s"rerank distance drifted for ${r.getLong(0)}")
+    }
+  }
+
   test("token entropy: repeated-token doc scores 0, all-distinct scores ln(n)") {
     val dir = docsDir(Seq(
       (1L, "a a a a", "en", "s", 7L),
