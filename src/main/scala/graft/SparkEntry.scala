@@ -155,6 +155,7 @@ object SparkEntry {
     "q130_duplicated_spans" -> ((s: SparkSession, d: String) => Dedup.duplicatedSpans(s, d)),
     "q131_bpe_segment"    -> ((s: SparkSession, d: String) => TextOps.bpeSegment(s, d)),
     "q132_bm25"           -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
+    "q133_bigram_logprob" -> ((s: SparkSession, d: String) => TextOps.bigramLogprob(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -2224,6 +2225,34 @@ object SparkEntry {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk,
         |  doc_id, n_hit, s6 * 1.0 / 1000000.0 AS score
         |FROM top ORDER BY rnk""".stripMargin,
+
+    // q133: interpolated add-1 bigram LM scoring (λ=0.75 bigram +
+    // 0.25 unigram floor); every ratio long-derived, per-doc sum in
+    // fixed-point 1e-6 BIGINTs, expression structure mirrors Spark.
+    "q133_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM u GROUP BY w),
+         |sca AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_corpus,
+         |          CAST(COUNT(*) AS BIGINT) AS v_sz FROM cu),
+         |bg AS (SELECT doc_id, unnest(${gramsN(2)}) AS gram FROM t),
+         |cbg AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS cbg FROM bg GROUP BY gram),
+         |sc AS (SELECT bg.doc_id,
+         |         CAST(floor(ln(
+         |           0.75 * ((cbg.cbg + 1) * 1.0 / (c1.cu + sca.v_sz)) +
+         |           0.25 * ((c2.cu + 1) * 1.0 / (sca.n_corpus + sca.v_sz))
+         |         ) * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |       FROM bg
+         |       JOIN cbg USING (gram)
+         |       JOIN cu c1 ON c1.w = string_split(gram, ' ')[1]
+         |       JOIN cu c2 ON c2.w = string_split(gram, ' ')[2], sca),
+         |pd AS (SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS s6,
+         |         CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id)
+         |SELECT t.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN pd.n_bigrams IS NOT NULL
+         |       THEN ${pr6("pd.s6 / (pd.n_bigrams * 1000000.0)")}
+         |       ELSE 0.0 END AS avg_logprob
+         |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 
   private lazy val bpeSegmentOracle: String = {

@@ -467,3 +467,50 @@ object SelectionJob {
     spark.stop()
   }
 }
+
+/** Vector-index lifecycle as a deployable main (round 7): the OFFLINE half
+  * builds the partition-by-cell index (trained cells + PQ codes +
+  * persisted codebooks — `CellIndex.write`); the ONLINE half answers a
+  * probe two ways side by side — cell-pruned exact ANN
+  * (`annIvfIndexed`) and IVF-PQ ADC+rerank (`ivfPqSearch`) — persisting
+  * both result sets as the serving artifacts. The job report derives
+  * every count from what was PERSISTED (the CurationJob/SelectionJob
+  * rule: the audit trail is the artifact, not in-memory state).
+  *
+  * Usage: VectorIndexJob <sfDir> <indexPath> <outDir> [k=16] [nprobe=2]
+  */
+object VectorIndexJob {
+  final case class Report(nVectors: Long, nCells: Long,
+    annRows: Long, pqRows: Long)
+
+  def run(spark: SparkSession, dir: String, indexPath: String,
+      outDir: String, k: Int = 16, nprobe: Int = 2): Report = {
+    import graft.vector.{CellIndex, Similarity}
+    CellIndex.write(spark, dir, indexPath, k = k)
+    val probe = Similarity.probeVector(spark, dir)
+    require(probe.nonEmpty, s"no probe vector (vec_id=0) under $dir")
+    CellIndex.annIvfIndexed(spark, indexPath, probe, nprobe = nprobe)
+      .write.mode("overwrite").parquet(s"$outDir/ann")
+    CellIndex.ivfPqSearch(spark, indexPath, probe, nprobe = nprobe)
+      .write.mode("overwrite").parquet(s"$outDir/ivfpq")
+    val vecs = spark.read.parquet(s"$indexPath/vectors")
+    Report(vecs.count(), vecs.select("cell").distinct().count(),
+      spark.read.parquet(s"$outDir/ann").count(),
+      spark.read.parquet(s"$outDir/ivfpq").count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: VectorIndexJob <sfDir> <indexPath> <outDir> [k] [nprobe]")
+      sys.exit(2)
+    }
+    val spark = Jobs.session("graft-vector-index")
+    val r = run(spark, args(0), args(1), args(2),
+      args.lift(3).map(_.toInt).getOrElse(16),
+      args.lift(4).map(_.toInt).getOrElse(2))
+    println(s"[vectorindex] ${r.nVectors} vectors in ${r.nCells} cells; " +
+      s"ann=${r.annRows} rows, ivfpq=${r.pqRows} rows")
+    spark.stop()
+  }
+}

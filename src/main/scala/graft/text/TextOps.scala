@@ -508,6 +508,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Q133 — INTERPOLATED BIGRAM LM SCORING (the CCNet/KenLM-style
+    * perplexity filter one order up from q81's unigram): per doc, the
+    * average ln of `λ·p_add1(w_i|w_{i−1}) + (1−λ)·p_add1(w_i)` with
+    * λ=0.75 — bigram context sharpens the fluency signal while the
+    * unigram interpolation floor keeps unseen transitions finite, the
+    * standard back-off shape. A low score = improbable token transitions
+    * = the filter signal LM-based curation thresholds on.
+    *
+    * Shape: bigram and unigram corpus counts are two keyed aggregates
+    * (map-side combined); per-doc bigram rows join each count table on
+    * its gram key (no fan — one count row per key) with corpus scalars
+    * broadcast. Determinism: every ratio is long-derived (add-1 counts,
+    * vocab size, corpus total), interpolated with exact double literals,
+    * one ln per bigram under the q81/q43 standing caveat, and the
+    * order-sensitive per-doc sum runs in fixed-point 10⁻⁶ BIGINTs.
+    * Docs with <2 tokens carry n_bigrams=0 and score 0.0 (left-join
+    * coalesce, the q130 convention). */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    val lambda = 0.75
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = docs.select(col("doc_id"), explode(col("toks")).as("w"))
+    val cu = uni.groupBy("w").agg(count(lit(1)).as("cu"))
+    val scalars = cu.agg(sum("cu").as("n_corpus"),
+      count(lit(1)).as("v_sz"))
+    val bg = docs.select(col("doc_id"), explode(
+      graft.functions.TextExpressions.word_ngrams(col("toks"), 2, distinct = false))
+      .as("gram"))
+    val cbg = bg.groupBy("gram").agg(count(lit(1)).as("cbg"))
+    val scored = bg
+      .join(cbg, Seq("gram"))
+      .withColumn("w1", element_at(split(col("gram"), " "), 1))
+      .withColumn("w2", element_at(split(col("gram"), " "), 2))
+      .join(cu.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(cu.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("p",
+        lit(lambda) * ((col("cbg") + 1) * lit(1.0) / (col("cu1") + col("v_sz"))) +
+          lit(1.0 - lambda) * ((col("cu2") + 1) * lit(1.0) / (col("n_corpus") + col("v_sz"))))
+      .withColumn("s6", floor(log(col("p")) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sum("s6").as("s6"), count(lit(1)).as("n_bigrams"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNotNull,
+          pround(col("s6") / (col("n_bigrams") * lit(1000000.0)), 6))
+          .otherwise(lit(0.0)).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Q127 — DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): per doc,
     * the log importance ratio Σ c·[ln p_target(w) − ln p_proposal(w)]

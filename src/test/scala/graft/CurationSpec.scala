@@ -381,6 +381,22 @@ class CurationSpec extends SparkSpec {
     assert(spans.values.exists(_._2 > 0) && spans.values.exists(_._2 == 0))
   }
 
+  test("VectorIndexJob: build + serve end-to-end, counts from persisted artifacts") {
+    val idx = java.nio.file.Files.createTempDirectory("vijob_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("vijob_out").toString
+    val r = graft.app.VectorIndexJob.run(spark, sf0001, idx, out, k = 4)
+    val nVecs = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(r.nVectors == nVecs, s"index must carry every vector: $r")
+    assert(r.nCells >= 2 && r.nCells <= 4)
+    assert(r.annRows == 10 && r.pqRows == 10)
+    // both serving artifacts rank ascending-by-rank / ascending-by-d2
+    val ann = spark.read.parquet(s"$out/ann").orderBy("rnk").collect()
+    assert(ann.map(_.getLong(0)).toSeq == (1L to 10L))
+    val pq = spark.read.parquet(s"$out/ivfpq").collect()
+    val d2s = pq.map(_.getDouble(2)).sorted.toSeq
+    assert(pq.length == 10 && d2s.head >= 0.0)
+  }
+
   test("SelectionJob: DSIR pick minus contamination, with full provenance") {
     val out = java.nio.file.Files.createTempDirectory("seljob").toString
     val r = graft.app.SelectionJob.run(spark, sf0001, out, k = 50)
