@@ -1127,4 +1127,48 @@ object Similarity {
           .select(col("vec_id"), pround(col("d2"), 6).as("d2"),
             pround(col("approx_d2"), 6).as("approx_d2"))
     }
+
+  /** Q134 — RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009,
+    * "Reciprocal Rank Fusion outperforms Condorcet…"): fuse the DENSE
+    * retrieval list ([[cosineTopK]] against the vec_id=0 probe) with the
+    * LEXICAL list ([[graft.text.TextOps.bm25]]) by
+    * `score(d) = Σ_lists 1/(k + rank_d)` with the canonical k=60 — the
+    * standard hybrid-retrieval combiner (dense + BM25 RRF is the default
+    * in production RAG stacks precisely because it needs no score
+    * calibration, only ranks).
+    *
+    * Scale shape: both candidate lists are already global top-`m`
+    * (TakeOrderedAndProject — k×partitions rows at the driver merge), so
+    * the fusion join, scoring, and final rank all run over ≤2m rows; the
+    * corpus is touched exactly twice (once per retriever), never by the
+    * fusion itself. Determinism: each reciprocal-rank contribution is
+    * `floor(10⁶/(60+rank)+0.5)` — one IEEE division of exact longs
+    * (identical bits in both engines, the q43 standing caveat) — and the
+    * fused sort key is the INTEGER s6 sum, so no float boundary can
+    * reorder the fused ranks; docs missing from a list contribute 0 (the
+    * standard RRF convention), surfaced as rank 0 in the output. */
+  def rrfFusion(spark: SparkSession, dir: String, m: Int = 50,
+      kRrf: Int = 60, topN: Int = 20): DataFrame = {
+    val dense = cosineTopK(spark, dir, m)
+      .select(col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
+    val lex = graft.text.TextOps.bm25(spark, dir, nq = 5, topN = m)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    def contrib(rnk: Column): Column =
+      when(rnk > 0, floor(lit(1000000.0) / (lit(kRrf) + rnk) + lit(0.5))
+        .cast("long")).otherwise(lit(0L))
+    val fused = dense.join(lex, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("dense_rnk"), lit(0L)).as("dense_rnk"),
+        coalesce(col("lex_rnk"), lit(0L)).as("lex_rnk"))
+      .withColumn("s6", contrib(col("dense_rnk")) + contrib(col("lex_rnk")))
+    // ≤2m fused rows: TakeOrdered + constant-partition rank (the rankTopK
+    // convention, with the fused-score order)
+    val order = Seq(desc("s6"), col("doc_id"))
+    val w = Window.partitionBy(spark_partition_id()).orderBy(order: _*)
+    fused.orderBy(order: _*).limit(topN)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("dense_rnk"), col("lex_rnk"),
+        (col("s6") * lit(1.0) / lit(1000000.0)).as("rrf_score"))
+      .orderBy("rnk")
+  }
 }
