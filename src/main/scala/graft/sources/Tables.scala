@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Batch source layer over the driver's parquet test tables (TESTDATA.md).
   *
@@ -34,33 +34,50 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(read(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(read(spark, dir, "lineitem"), "l_shipdate")
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as a raw
-    * nanosecond LongType). Normalize to TimestampType by truncating to
-    * microseconds — the same truncation DuckDB applies, so oracle
-    * comparisons agree.
+  /** `events.parquet` has shipped `ts` under two physical types across
+    * driver data generations: parquet TIMESTAMP(NANOS), which Spark only
+    * reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as a raw
+    * nanosecond LongType), and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which reads as TIMESTAMP_NTZ. Normalize both to
+    * micro-precision `TimestampType`: nanos truncate to micros (the same
+    * truncation DuckDB applies) and NTZ casts wall-clock-preserving under
+    * the session's pinned UTC zone — so `unix_micros(ts)` yields identical
+    * values either way and oracle comparisons agree.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = read(spark, dir, "events")
-    raw.schema("ts").dataType match {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(read(spark, dir, "events"), "ts")
+
+  /** Normalize a timestamp column to micro-precision `TimestampType`
+    * regardless of on-disk physical type (applies to `lineitem.l_shipdate`
+    * and `orders.o_orderdate` too — the same driver regeneration that moved
+    * `events.ts` to NTZ micros moved them as well). Nanos-as-long uses
+    * integer `div` (double division loses micros past 2^53); NTZ casts
+    * wall-clock-preserving under the session's pinned UTC zone.
+    */
+  private def normalizeTs(raw: DataFrame, colName: String): DataFrame =
+    raw.schema(colName).dataType match {
       case LongType =>
-        // integer division — double division here loses micros (ns values
-        // exceed double's 2^53 integer range after /1000 rounding)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn(colName, col(colName).cast(TimestampType))
       case _ => raw
     }
-  }
 
-  /** Register all tables as temp views for `spark.sql` entry points. */
+  /** Register all tables as temp views for `spark.sql` entry points
+    * (through the normalizing loaders, so views see the same pinned
+    * timestamp types as the DataFrame API). */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    names.filterNot(_ == "events").foreach { n =>
-      read(spark, dir, n).createOrReplaceTempView(n)
-    }
+    names.filterNot(n => n == "events" || n == "orders" || n == "lineitem")
+      .foreach { n => read(spark, dir, n).createOrReplaceTempView(n) }
+    orders(spark, dir).createOrReplaceTempView("orders")
+    lineitem(spark, dir).createOrReplaceTempView("lineitem")
     events(spark, dir).createOrReplaceTempView("events")
   }
 }
