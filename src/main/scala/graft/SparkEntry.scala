@@ -156,6 +156,7 @@ object SparkEntry {
     "q131_bpe_segment"    -> ((s: SparkSession, d: String) => TextOps.bpeSegment(s, d)),
     "q132_bm25"           -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
     "q133_bigram_logprob" -> ((s: SparkSession, d: String) => TextOps.bigramLogprob(s, d)),
+    "q134_rrf_fusion"     -> ((s: SparkSession, d: String) => Similarity.rrfFusion(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -319,14 +320,16 @@ object SparkEntry {
     * band_val) equi-join, then exact cosine top-20 — so the hash check
     * verifies the BLOCKED pipeline, the same way q33's oracle replicates
     * its bucket pruning. */
-  /** q23's oracle — also a component of q67's recall evaluation. */
-  private lazy val cosineTopKOracle: String =
+  /** q23's oracle (k=10) — also a component of q67's recall evaluation and,
+    * at k=50, the dense arm of q134's RRF fusion. */
+  private def cosineTopNOracle(k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
        |s AS (SELECT vec_id, ${pr4(cosD("v", "pv"))} AS cos_sim FROM e, p),
        |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
        |        vec_id, cos_sim FROM s)
-       |SELECT rnk, vec_id, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+       |SELECT rnk, vec_id, cos_sim FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  private lazy val cosineTopKOracle: String = cosineTopNOracle(10)
 
   /** q33's oracle — also a component of q67's recall evaluation. */
   private lazy val annLshOracle: String =
@@ -2203,28 +2206,34 @@ object SparkEntry {
     // set (nq highest-df non-ubiquitous tokens). Expression structure
     // mirrors the Spark side token for token; the per-doc sum runs in
     // fixed-point 1e-6 BIGINTs and ranks sort on the INTEGER s6.
-    "q132_bm25" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
-        |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
-        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |         CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
-        |qt AS (SELECT tok, df FROM dfq, st WHERE df * 2 < n_docs
-        |       ORDER BY df DESC, tok LIMIT 5),
-        |sc AS (SELECT dt.doc_id,
-        |         CAST(floor(
-        |           ln((st.n_docs - qt.df + 0.5) / (qt.df + 0.5) + 1.0)
-        |           * (dt.tf * (1.2 + 1) / (dt.tf + 1.2 *
-        |               (1.0 - 0.75 + 0.75 * dl.dl / (st.n_toks / st.n_docs))))
-        |           * 1000000.0 + 0.5) AS BIGINT) AS s6
-        |       FROM dt JOIN qt USING (tok) JOIN dl USING (doc_id), st),
-        |ag AS (SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS s6,
-        |         CAST(COUNT(*) AS BIGINT) AS n_hit FROM sc GROUP BY doc_id),
-        |top AS (SELECT doc_id, s6, n_hit FROM ag ORDER BY s6 DESC, doc_id LIMIT 20)
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk,
-        |  doc_id, n_hit, s6 * 1.0 / 1000000.0 AS score
-        |FROM top ORDER BY rnk""".stripMargin,
+    "q132_bm25" -> bm25Oracle(nq = 5, topN = 20),
+
+    // q134: reciprocal rank fusion (Cormack et al. 2009) of the dense
+    // cosine top-50 (q23's oracle at k=50) with the BM25 top-50 (q132's
+    // oracle at topN=50): score = Σ 1/(60+rank), docs absent from a list
+    // contribute 0 (rank 0 in the output). The per-list contribution is
+    // fixed-pointed to 1e-6 BIGINTs (one IEEE double division of exact
+    // longs — the q43 convention), so the fused sort key is integer.
+    "q134_rrf_fusion" ->
+      s"""WITH dn AS (SELECT vec_id AS doc_id, rnk AS dense_rnk
+         |        FROM (${cosineTopNOracle(50)}) t),
+         |lx AS (SELECT doc_id, rnk AS lex_rnk FROM (${bm25Oracle(5, 50)}) t),
+         |f AS (SELECT COALESCE(dn.doc_id, lx.doc_id) AS doc_id,
+         |        CAST(COALESCE(dn.dense_rnk, 0) AS BIGINT) AS dense_rnk,
+         |        CAST(COALESCE(lx.lex_rnk, 0) AS BIGINT) AS lex_rnk
+         |      FROM dn FULL OUTER JOIN lx ON dn.doc_id = lx.doc_id),
+         |s AS (SELECT doc_id, dense_rnk, lex_rnk,
+         |        (CASE WHEN dense_rnk > 0
+         |              THEN CAST(floor(1000000.0 / (60 + dense_rnk) + 0.5) AS BIGINT)
+         |              ELSE 0 END +
+         |         CASE WHEN lex_rnk > 0
+         |              THEN CAST(floor(1000000.0 / (60 + lex_rnk) + 0.5) AS BIGINT)
+         |              ELSE 0 END) AS s6
+         |      FROM f),
+         |top AS (SELECT * FROM s ORDER BY s6 DESC, doc_id LIMIT 20)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk,
+         |  doc_id, dense_rnk, lex_rnk, s6 * 1.0 / 1000000.0 AS rrf_score
+         |FROM top ORDER BY rnk""".stripMargin,
 
     // q133: interpolated add-1 bigram LM scoring (λ=0.75 bigram +
     // 0.25 unigram floor); every ratio long-derived, per-doc sum in
@@ -2254,6 +2263,34 @@ object SparkEntry {
          |       ELSE 0.0 END AS avg_logprob
          |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
+
+  /** q132's oracle, parameterized: the BM25 (Lucene-form idf) scorer against
+    * the deterministic query term set (nq highest-df non-ubiquitous tokens).
+    * Expression structure mirrors the Spark side token for token; per-doc
+    * sums run in fixed-point 1e-6 BIGINTs and ranks sort on the INTEGER s6.
+    * Reused at topN=50 as the lexical arm of q134's RRF fusion. */
+  private def bm25Oracle(nq: Int, topN: Int): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+       |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(dl) AS BIGINT) AS n_toks FROM dl),
+       |qt AS (SELECT tok, df FROM dfq, st WHERE df * 2 < n_docs
+       |       ORDER BY df DESC, tok LIMIT $nq),
+       |sc AS (SELECT dt.doc_id,
+       |         CAST(floor(
+       |           ln((st.n_docs - qt.df + 0.5) / (qt.df + 0.5) + 1.0)
+       |           * (dt.tf * (1.2 + 1) / (dt.tf + 1.2 *
+       |               (1.0 - 0.75 + 0.75 * dl.dl / (st.n_toks / st.n_docs))))
+       |           * 1000000.0 + 0.5) AS BIGINT) AS s6
+       |       FROM dt JOIN qt USING (tok) JOIN dl USING (doc_id), st),
+       |ag AS (SELECT doc_id, CAST(SUM(s6) AS BIGINT) AS s6,
+       |         CAST(COUNT(*) AS BIGINT) AS n_hit FROM sc GROUP BY doc_id),
+       |top AS (SELECT doc_id, s6, n_hit FROM ag ORDER BY s6 DESC, doc_id LIMIT $topN)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk,
+       |  doc_id, n_hit, s6 * 1.0 / 1000000.0 AS score
+       |FROM top ORDER BY rnk""".stripMargin
 
   private lazy val bpeSegmentOracle: String = {
     val rounds = (1 to 10).map { k =>

@@ -1054,4 +1054,29 @@ class TextVectorSpec extends SparkSpec {
       Similarity.pqTrain(spark, sf0001, m = 3)
     }
   }
+
+  test("RRF fusion equals a driver-side recomputation from its two arms") {
+    val dir = "/root/testdata/sf0.001"
+    val dense = Similarity.cosineTopK(spark, dir, k = 50).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap           // vec_id -> rank
+    val lex = graft.text.TextOps.bm25(spark, dir, nq = 5, topN = 50).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap           // doc_id -> rank
+    def contrib(rnk: Long): Long =
+      if (rnk > 0) math.floor(1e6 / (60 + rnk) + 0.5).toLong else 0L
+    val expected = (dense.keySet ++ lex.keySet).toSeq
+      .map { id =>
+        val d = dense.getOrElse(id, 0L); val l = lex.getOrElse(id, 0L)
+        (id, d, l, contrib(d) + contrib(l))
+      }
+      .sortBy { case (id, _, _, s6) => (-s6, id) }.take(20)
+    val got = Similarity.rrfFusion(spark, dir).collect()
+    assert(got.length == 20)
+    got.zip(expected).zipWithIndex.foreach { case ((row, (id, d, l, s6)), i) =>
+      assert(row.getLong(0) == i + 1L, "rnk must be dense 1..20")
+      assert(row.getLong(1) == id && row.getLong(2) == d && row.getLong(3) == l)
+      assert(row.getDouble(4) == s6 * 1.0 / 1e6, s"score drift at rank ${i + 1}")
+    }
+    // both retrievers must actually contribute to the fused head
+    assert(got.exists(_.getLong(2) > 0) && got.exists(_.getLong(3) > 0))
+  }
 }
