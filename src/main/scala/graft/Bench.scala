@@ -60,7 +60,12 @@ object Bench {
         .withColumn("w", row_number().over(Window.partitionBy(col("id") % 7).orderBy("id")))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // SPARK_GRAFT_BENCH_ONLY=q74,q31 narrows the suite for local iteration
+    // (prefix match); unset = the full inventory, what the driver runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+      .filter(n => only.forall(_.exists(n.startsWith)))
     val passes: Seq[Map[String, (Double, Boolean)]] = (1 to Passes).map { _ =>
       val pass = names.map { name =>
         val fn = SparkEntry.queries(name)

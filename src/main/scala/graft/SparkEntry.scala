@@ -157,6 +157,7 @@ object SparkEntry {
     "q132_bm25"           -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
     "q133_bigram_logprob" -> ((s: SparkSession, d: String) => TextOps.bigramLogprob(s, d)),
     "q134_rrf_fusion"     -> ((s: SparkSession, d: String) => Similarity.rrfFusion(s, d)),
+    "q135_audio_features" -> ((s: SparkSession, d: String) => Multimodal.audioFeaturesQuery(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -2234,6 +2235,56 @@ object SparkEntry {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk,
          |  doc_id, dense_rnk, lex_rnk, s6 * 1.0 / 1000000.0 AS rrf_score
          |FROM top ORDER BY rnk""".stripMargin,
+
+    // q135: the audio arm end-to-end (wavWrap ∘ WavCodec.parse on %5 docs,
+    // deterministic fallback on the rest, both over the first 128 text
+    // bytes). DuckDB rebuilds every field from the hex of the same clipped
+    // bytes: WAV rows reconstruct signed little-endian PCM16 samples
+    // (lo + hi·256, minus 65536 when hi ≥ 128) and average |s|; fallback
+    // rows average unsigned bytes. All integer sums exact; the single
+    // mean division and the floor(·100+0.5)/100 rounding are the same IEEE
+    // op sequence in both engines (the money rule).
+    "q135_audio_features" ->
+      s"""WITH d AS (SELECT doc_id, substr(hex(encode(text)), 1, 256) AS hx,
+         |        least(CAST(octet_length(encode(text)) AS BIGINT), 128) AS len
+         |      FROM documents),
+         |wv AS (SELECT doc_id, hx, len // 2 * 2 AS dlen FROM d WHERE doc_id % 5 = 0),
+         |wp AS (SELECT doc_id, hx, unnest(range(dlen // 2)) AS i FROM wv),
+         |ws AS (SELECT doc_id,
+         |        CAST(SUM(ABS(CAST('0x' || substr(hx, 4*i+1, 2) AS INT)
+         |          + (CAST('0x' || substr(hx, 4*i+3, 2) AS INT)
+         |             - CASE WHEN CAST('0x' || substr(hx, 4*i+3, 2) AS INT) >= 128
+         |               THEN 256 ELSE 0 END) * 256)) AS BIGINT) AS sabs,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM wp GROUP BY doc_id),
+         |wavrows AS (SELECT wv.doc_id AS asset_id, 44 + dlen AS byte_len,
+         |        CAST(1 AS BIGINT) AS is_wav, CAST(1 AS BIGINT) AS channels,
+         |        CAST(16000 AS BIGINT) AS sample_rate_hz,
+         |        CAST(16 AS BIGINT) AS bits_per_sample,
+         |        dlen // 2 AS n_samples,
+         |        floor((dlen // 2) * 100000.0 / 16000 + 0.5) / 100 AS duration_ms,
+         |        CASE WHEN COALESCE(ws.n, 0) > 0
+         |          THEN floor((ws.sabs * 1.0 / ws.n) * 100 + 0.5) / 100
+         |          ELSE 0.0 END AS mean_abs_amplitude
+         |      FROM wv LEFT JOIN ws ON wv.doc_id = ws.doc_id),
+         |fb AS (SELECT doc_id, hx, len FROM d WHERE doc_id % 5 <> 0),
+         |fp AS (SELECT doc_id, unnest(range(len)) AS i, hx FROM fb),
+         |fs AS (SELECT doc_id,
+         |        CAST(SUM(CAST('0x' || substr(hx, 2*i+1, 2) AS INT)) AS BIGINT) AS s,
+         |        CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM fp GROUP BY doc_id),
+         |fbrows AS (SELECT fb.doc_id AS asset_id, len AS byte_len,
+         |        CAST(0 AS BIGINT) AS is_wav, CAST(1 AS BIGINT) AS channels,
+         |        CAST(8000 AS BIGINT) AS sample_rate_hz,
+         |        CAST(8 AS BIGINT) AS bits_per_sample,
+         |        len AS n_samples,
+         |        floor(len * 100000.0 / 8000 + 0.5) / 100 AS duration_ms,
+         |        CASE WHEN COALESCE(fs.n, 0) > 0
+         |          THEN floor((fs.s * 1.0 / fs.n) * 100 + 0.5) / 100
+         |          ELSE 0.0 END AS mean_abs_amplitude
+         |      FROM fb LEFT JOIN fs ON fb.doc_id = fs.doc_id)
+         |SELECT * FROM wavrows UNION ALL SELECT * FROM fbrows
+         |ORDER BY asset_id""".stripMargin,
 
     // q133: interpolated add-1 bigram LM scoring (λ=0.75 bigram +
     // 0.25 unigram floor); every ratio long-derived, per-doc sum in

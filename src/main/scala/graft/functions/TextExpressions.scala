@@ -221,7 +221,7 @@ case class CdcChunks(child: Expression, mod: Int = 16)
   * order — all three behaviors reproduced here and pinned by a
   * differential property spec. */
 object WordNgramHelper {
-  private val Space = UTF8String.fromString(" ")
+  private[functions] val Space = UTF8String.fromString(" ")
 
   def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val len = tokens.numElements()
@@ -257,6 +257,107 @@ object WordNgramHelper {
       new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
     }
   }
+}
+
+/** The per-row bottom-k sketch loop, callable from generated code: slide the
+  * `n`-token window (concat_ws semantics, same rule as [[WordNgramHelper]]),
+  * md5 each gram, and keep only the `k` lexicographically smallest DISTINCT
+  * digests in a sorted k-slot buffer — Cohen & Kaplan's bottom-k sketch
+  * (the asymmetric-containment estimator q74 prefilters with), computed in
+  * one compiled pass with per-row state capped at k 16-byte digests plus
+  * one scratch digest. Equality (same gram seen again) is detected at the
+  * insertion point, so no per-row gram set is materialized — a 10⁶-token
+  * document costs the same buffer as a 10-token one. Result is the
+  * ascending lowercase-hex array — byte-identical to the aggregate form it
+  * replaces (`slice(sort_array(collect_list(md5(gram))), 1, k)` over
+  * per-doc-distinct grams) and to DuckDB's
+  * `list_slice(list_sort(list(md5(gram))), 1, k)` over the same rows:
+  * lowercase-hex lexicographic order equals unsigned digest-byte order.
+  * (Two DISTINCT grams colliding to one md5 would appear twice in the
+  * aggregate forms but once here; a full-md5 collision between two 5-gram
+  * strings has never been exhibited and is vanishing at any corpus size.) */
+object BottomKHelper {
+
+  def compute(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val len = tokens.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Array[Byte]](k) // sorted ascending, sz live slots
+    var sz = 0
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (tokens.isNullAt(i + j)) null else tokens.getUTF8String(i + j)
+        j += 1
+      }
+      val gram = UTF8String.concatWs(WordNgramHelper.Space, window: _*)
+      val d = md.digest(gram.getBytes)
+      // admit only if it beats the current k-th smallest (or buffer has room)
+      if (sz < k || java.util.Arrays.compareUnsigned(d, buf(sz - 1)) < 0) {
+        // binary search: first slot whose digest sorts strictly above d
+        var lo = 0
+        var hi = sz
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (java.util.Arrays.compareUnsigned(buf(mid), d) <= 0) lo = mid + 1
+          else hi = mid
+        }
+        // duplicate gram ⇒ identical digest sits just left of the slot
+        val dup = lo > 0 && java.util.Arrays.compareUnsigned(buf(lo - 1), d) == 0
+        if (!dup) {
+          val newSz = math.min(sz + 1, k)
+          var p = newSz - 1
+          while (p > lo) { buf(p) = buf(p - 1); p -= 1 }
+          buf(lo) = d
+          sz = newSz
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(Array.tabulate[Any](sz)(ix => UTF8String.fromString(
+      org.apache.commons.codec.binary.Hex.encodeHexString(buf(ix)))))
+  }
+}
+
+/** Bottom-k md5 sketch of a token-array column's word `n`-grams as ONE
+  * map-side expression (the q74 scale fix, round 8): the aggregate form
+  * buffered EVERY gram hash of a document in `collect_list` and sorted
+  * after aggregation — unbounded per-doc state, a genuine long-document
+  * OOM hazard at 100 TB, plus a corpus-mass doc_id shuffle. This keeps the
+  * whole shingle→md5→bottom-k loop inside the row (state = k digests), so
+  * sketches come straight off the parquet scan with NO shuffle — the same
+  * move that made [[MinHashHex]]/[[CdcChunks]] zero-shuffle. Short docs
+  * (< n tokens) yield an EMPTY array, mirroring the aggregate form's
+  * no-gram-rows ⇒ no-sketch-row (such docs never reach a sketch consumer:
+  * candidate pairs require shared grams). */
+case class BottomKMd5(child: Expression, n: Int = 5, k: Int = 32)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bottomk_md5"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) if n > 0 && k > 0 => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires n > 0 and k > 0")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    BottomKHelper.compute(t.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.BottomKHelper.compute($c, $n, $k);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BottomKMd5 =
+    copy(child = newChild)
 }
 
 /** Word n-grams as ONE codegen'd expression — the substrate under every
@@ -324,9 +425,23 @@ object TextExpressions {
       evalLit(exprs(2), "distinct").asInstanceOf[Boolean])
   }
 
-  /** Register `graft_minhash` + `graft_cdc_chunks` + `graft_word_ngrams`
-    * on the session (idempotent; public-API route, same rationale as
-    * [[VectorExpressions.register]]). */
+  /** graft_bottomk_md5(toks, n, k) — shape args must be literals (they
+    * parameterize the generated loop). */
+  val bottomKBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"graft_bottomk_md5 requires (toks, n, k), got ${exprs.length} args")
+    def evalLit(e: Expression, name: String): Any = {
+      require(e.foldable, s"graft_bottomk_md5: $name must be a literal")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    BottomKMd5(exprs(0),
+      evalLit(exprs(1), "n").asInstanceOf[Number].intValue(),
+      evalLit(exprs(2), "k").asInstanceOf[Number].intValue())
+  }
+
+  /** Register `graft_minhash` + `graft_cdc_chunks` + `graft_word_ngrams` +
+    * `graft_bottomk_md5` on the session (idempotent; public-API route, same
+    * rationale as [[VectorExpressions.register]]). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
@@ -334,6 +449,8 @@ object TextExpressions {
       "graft_cdc_chunks", cdcChunksBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_ngrams", wordNgramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottomk_md5", bottomKBuilder, "built-in")
   }
 
   /** 8-hash trigram MinHash signature of a token-array column (null when
@@ -351,4 +468,12 @@ object TextExpressions {
     call_function("graft_word_ngrams", tokens,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(distinct))
+
+  /** Bottom-k md5 sketch over a token-array column's distinct word n-grams
+    * (ascending hex; empty array when under `n` tokens). Per-row state is
+    * capped at k digests. Callers must [[register]] first. */
+  def bottomk_md5(tokens: Column, n: Int = 5, k: Int = 32): Column =
+    call_function("graft_bottomk_md5", tokens,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(k))
 }

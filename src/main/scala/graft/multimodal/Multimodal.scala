@@ -181,22 +181,26 @@ object Multimodal {
   def extractAudioFeatures(assets: Dataset[MediaAsset]): Dataset[AudioFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
+      // 2-dp rounding is floor(x·100 + 0.5)/100 — the repo's half-up money
+      // rule, mirrored verbatim by the q135 oracle (math.rint's half-even
+      // would disagree with any SQL engine's ROUND at .5 boundaries)
+      def r2(x: Double): Double = math.floor(x * 100 + 0.5) / 100
       WavCodec.parse(a.payload) match {
         case Some(m) =>
           val blockAlign = m.channels * (m.bitsPerSample / 8)
           val n = if (blockAlign > 0) m.dataBytes / blockAlign else 0L
           AudioFeatures(a.asset_id, a.kind, a.payload.length.toLong,
             is_wav = true, m.channels, m.sampleRateHz, m.bitsPerSample, n,
-            math.rint(n * 100000.0 / m.sampleRateHz) / 100,
-            math.rint(m.meanAbsAmplitude * 100) / 100)
+            math.floor(n * 100000.0 / m.sampleRateHz + 0.5) / 100,
+            r2(m.meanAbsAmplitude))
         case None =>
           val len = a.payload.length
           val mean = if (len == 0) 0.0
             else a.payload.map(b => (b & 0xff).toDouble).sum / len
           AudioFeatures(a.asset_id, a.kind, len.toLong,
             is_wav = false, 1, 8000, 8, len.toLong,
-            math.rint(len * 100000.0 / 8000) / 100,
-            math.rint(mean * 100) / 100)
+            math.floor(len * 100000.0 / 8000 + 0.5) / 100,
+            r2(mean))
       }
     })
   }
@@ -301,6 +305,68 @@ object Multimodal {
       .agg(count(lit(1)).as("n_frames"),
         nShared.as("n_shared"),
         pround(nShared * lit(1.0) / count(lit(1)), 6).as("shared_ratio"))
+      .orderBy("asset_id")
+  }
+
+  /** Wrap PCM samples in a canonical 44-byte RIFF/WAVE header (PCM,
+    * `bits`=16) — the writer dual of [[WavCodec.parse]], used by the q135
+    * corpus stand-in to stamp deterministic REAL wav payloads (and by any
+    * pipeline materializing PCM back to the lake). Sample bytes are
+    * truncated to whole frames. */
+  def wavWrap(samples: Array[Byte], channels: Int = 1, rate: Int = 16000): Array[Byte] = {
+    val bits = 16
+    val block = channels * bits / 8
+    val dataLen = samples.length / block * block
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def u16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def u32(off: Int, v: Long): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    ascii(0, "RIFF"); u32(4, 36L + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); u32(16, 16L); u16(20, 1); u16(22, channels)
+    u32(24, rate.toLong); u32(28, rate.toLong * block); u16(32, block); u16(34, bits)
+    ascii(36, "data"); u32(40, dataLen.toLong)
+    System.arraycopy(samples, 0, out, 44, dataLen)
+    out
+  }
+
+  /** Q135 — the audio arm as an ORACLE ROW (q35's hashed-metadata move
+    * applied to [[extractAudioFeatures]]): every doc's first `clip` text
+    * bytes stand in for an audio payload; docs with doc_id % 5 == 0 are
+    * stamped into REAL RIFF/WAVE bytes by [[wavWrap]] (so the WAV parse
+    * arm — header walk, PCM16 mean-|amplitude| pass — is exercised and
+    * hash-checked), the rest stay raw bytes and take the deterministic
+    * fallback arm. Every output field is an analytically-known function of
+    * the payload bytes, so DuckDB mirrors the whole pipeline from the hex
+    * of the same clipped bytes — including the signed little-endian PCM16
+    * reconstruction. The `clip` cap bounds the oracle's per-byte unnest;
+    * the Spark side is one partition-local typed map (zero shuffle before
+    * the presentation sort). */
+  def audioFeaturesQuery(spark: SparkSession, dir: String, clip: Int = 128): DataFrame = {
+    import spark.implicits._
+    val assets = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val clipped = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(clip)
+        if (id % 5 == 0) MediaAsset(id, "audio_wav", wavWrap(clipped))
+        else MediaAsset(id, "audio_raw", clipped)
+      }
+    extractAudioFeatures(assets)
+      .toDF()
+      .select(col("asset_id"),
+        col("byte_len"),
+        col("is_wav").cast("long").as("is_wav"),
+        col("channels").cast("long").as("channels"),
+        col("sample_rate_hz").cast("long").as("sample_rate_hz"),
+        col("bits_per_sample").cast("long").as("bits_per_sample"),
+        col("n_samples"),
+        col("duration_ms"),
+        col("mean_abs_amplitude"))
       .orderBy("asset_id")
   }
 

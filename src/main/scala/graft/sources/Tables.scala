@@ -66,6 +66,15 @@ object Tables {
       case LongType =>
         raw.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
       case TimestampNTZType =>
+        // the NTZ→TimestampType cast is wall-clock-preserving ONLY under a
+        // UTC session zone; every builder in this library pins it, but a
+        // caller-built session without the pin would silently shift every
+        // normalized timestamp — fail loudly instead (ADVICE r7)
+        val tz = raw.sparkSession.sessionState.conf.sessionLocalTimeZone
+        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+          s"Tables.normalizeTs: session time zone must be UTC to cast NTZ " +
+            s"timestamps wall-clock-preserving, got '$tz' — set " +
+            "spark.sql.session.timeZone=UTC in the session builder")
         raw.withColumn(colName, col(colName).cast(TimestampType))
       case _ => raw
     }

@@ -111,15 +111,8 @@ object Dedup {
     * COLLISIONS (docs that share a signature band), a small fraction of
     * the corpus, never corpus mass. The signature intermediate is released
     * once the pair table materializes. */
-  def minhashPairsUnsorted(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = pairsCache.synchronized {
-      pairsCache.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty)
-    }
-    // builds serialize per session: TrieMap.getOrElseUpdate is not
-    // atomic, and a racing double-build would leak the loser's
-    // retained checkpoint blocks for the session's lifetime
-    perSession.synchronized { perSession.getOrElseUpdate(dir, {
+  def minhashPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionMemos.getOrBuild(spark, PairsMemo, dir) {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val pairs0 = computeMinhashPairs(spark, dir)
@@ -129,23 +122,19 @@ object Dedup {
       graft.Checkpoints.release(sc, (preFinal.toSet -- before))
       graft.Checkpoints.retainFor(spark, pairIds)
       pairs
-    }) }
-  }
+    }
 
-  private val pairsCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private val PairsMemo = "dedup.pairs"
+  private val CcLabelMemo = "dedup.ccLabels"
 
   /** Drop this session's memo entries (pairs + CC labels) — the cache-map
-    * half of a full eviction; pair with
-    * [[graft.Checkpoints.evictSessionMemos]] to free the retained blocks.
-    * For harnesses re-measuring cold paths and long-lived multi-session
-    * drivers (a WeakHashMap entry whose value references the session is
-    * never collectable on its own). */
-  def evictMemos(spark: SparkSession): Unit = {
-    pairsCache.synchronized { pairsCache.remove(spark) }
-    ccLabelCache.synchronized { ccLabelCache.remove(spark) }
-  }
+    * half of an EXPLICIT eviction (harnesses re-measuring cold paths);
+    * pair with [[graft.Checkpoints.evictSessionMemos]] to free the
+    * retained blocks. Sessions that are simply dropped no longer need
+    * this: memo carriers are session-free, so the registry's weak keys
+    * clear on GC ([[graft.SessionMemos]]). */
+  def evictMemos(spark: SparkSession): Unit =
+    graft.SessionMemos.evict(spark, PairsMemo, CcLabelMemo)
 
   // private[graft] so PlanSpec can pin the banded-join shape on the
   // builder itself — consumer plans only show the memoized pair table
@@ -419,37 +408,22 @@ object Dedup {
     * pin/release discipline can't drift between consumers. Returns
     * (doc_id, label) for candidate-subgraph nodes only — callers re-attach
     * the singleton majority with a left join. */
+  /** Session-scoped memo for the CC label table ([[graft.SessionMemos]]
+    * since round 8 — session-free carriers, so dropped sessions collect):
+    * the resolution is fully deterministic in (corpus dir, minJaccard) —
+    * seedless MinHash, min-label CC fixed point — so q49/q61/q83/q93/q105
+    * sharing one session (the bench, the verify run, a user notebook)
+    * resolve ONCE instead of five times. Assumes a dir's parquet is
+    * immutable within a session (the repo's testdata contract). The cached
+    * value is a re-checkpointed label table whose blocks are
+    * [[graft.Checkpoints.retain]]ed — candidate-subgraph nodes only (docs
+    * that banded into ≥1 near-dup pair above threshold), a small fraction
+    * of the corpus, never corpus mass. */
   private def ccLabels(spark: SparkSession, dir: String,
-      minJaccard: Double): DataFrame = {
-    val perSession = ccLabelCache.synchronized {
-      ccLabelCache.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty)
+      minJaccard: Double): DataFrame =
+    graft.SessionMemos.getOrBuild(spark, CcLabelMemo, (dir, minJaccard)) {
+      computeCcLabels(spark, dir, minJaccard)
     }
-    // synchronized: see the pairs memo — a racing double-build leaks
-    // retained blocks
-    perSession.synchronized {
-      perSession.getOrElseUpdate((dir, minJaccard),
-        computeCcLabels(spark, dir, minJaccard))
-    }
-  }
-
-  /** Session-scoped memo for [[ccLabels]], mirroring
-    * [[graft.vector.Similarity]]'s `codebookCache` lifecycle: the resolution
-    * is fully deterministic in (corpus dir, minJaccard) — seedless MinHash,
-    * min-label CC fixed point — so q49/q61/q83/q93/q105 sharing one session
-    * (the bench, the verify run, a user notebook) resolve ONCE instead of
-    * five times. Keyed weakly by the session reference — but NOTE the
-    * cached DataFrames strongly reference their session, so an entry is NOT
-    * collectable while the map holds it; a long-lived multi-session driver
-    * (or a harness re-measuring cold paths) evicts explicitly via
-    * [[evictMemos]]. Assumes a dir's parquet is immutable within a session
-    * (the repo's testdata contract). The cached value is a re-checkpointed label table
-    * whose blocks are [[graft.Checkpoints.retain]]ed — candidate-subgraph
-    * nodes only (docs that banded into ≥1 near-dup pair above threshold),
-    * a small fraction of the corpus, never corpus mass. */
-  private val ccLabelCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, Double), DataFrame]]()
 
   private def computeCcLabels(spark: SparkSession, dir: String,
       minJaccard: Double): DataFrame = {
@@ -683,7 +657,9 @@ object Dedup {
     * the containment extension of U6.
     *
     * Between blocking and verification sits a BOTTOM-K est-containment
-    * prefilter (round-7, the SCALING.md q74 fix): per doc, the `sketchK`
+    * prefilter (round-7, the SCALING.md q74 fix; since round 8 the sketch
+    * is computed map-side with per-row state capped at k digests —
+    * [[graft.functions.BottomKMd5]]): per doc, the `sketchK`
     * lexicographically smallest md5(gram) values form a bottom-k sketch
     * (Cohen & Kaplan's bottom-k; unlike k-independent MinHash, it
     * estimates the ASYMMETRIC containment |A∩B|/|A| directly). For a
@@ -706,11 +682,20 @@ object Dedup {
   def containment(spark: SparkSession, dir: String,
       maxDf: Int = 10, shingle: Int = 5,
       sketchK: Int = 32, minEstPct: Int = 20, minRareHits: Int = 2): DataFrame = {
+    // grams is a pure MAP over the scan (compiled WordNgrams explode) — it
+    // is deliberately NOT checkpointed: materializing the corpus-mass gram
+    // table to disk cost more cold than recomputing the map per consumer
+    // (round-8; the df-capped `rare` below is what's worth pinning), and
+    // the dfreq aggregate + the df join both exchange on `gram`, so the
+    // explode feeds one reusable exchange, not two scans.
     val grams = explodedGrams(spark, dir, distinctPerDoc = true, n = shingle)
-      .select("doc_id", "gram").localCheckpoint()
+      .select("doc_id", "gram")
     val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     val rare = grams.join(
       dfreq.filter(col("df").between(2, maxDf)).select("gram"), Seq("gram"))
+      // checkpointed: both sides of the candidate self-join read it; rare
+      // mass is df-capped (≤ maxDf rows per surviving gram), not corpus mass
+      .localCheckpoint()
     // multiple-witness blocking: a candidate must share ≥ minRareHits rare
     // grams, not just one — a single shared rare gram means the overlap is
     // mostly common text (weak containment evidence), while every measured
@@ -724,11 +709,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_rare"))
       .filter(col("n_rare") >= minRareHits)
       .select("doc_a", "doc_b")
-    // bottom-k sketch: one more keyed agg over the already-checkpointed
-    // gram rows (rides the same doc_id shuffle shape as `sizes`); per-doc
-    // state is capped at k hashes so the agg buffer never tracks doc size
-    val sk = grams.groupBy("doc_id")
-      .agg(slice(sort_array(collect_list(md5(col("gram")))), 1, sketchK).as("sk"))
+    // bottom-k sketch as ONE map-side compiled expression off the documents
+    // scan ([[graft.functions.BottomKMd5]], round 8): the old aggregate form
+    // buffered EVERY gram hash of a doc in collect_list and sorted after —
+    // unbounded per-doc agg state (a long-document OOM hazard) plus a
+    // corpus-mass doc_id shuffle. Here per-row state is capped at k digests
+    // and sketches come straight off the scan with no shuffle.
+    graft.functions.TextExpressions.register(spark)
+    val sk = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.TextExpressions.bottomk_md5(
+        TextOps.tokens(col("text")), shingle, sketchK).as("sk"))
     // 'g' sorts above every lowercase-hex digest — the "sketch is the
     // whole set, every hash of a is eligible" sentinel
     val pre = cand

@@ -31,25 +31,35 @@ object CellIndexBench {
       df.write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$dir/embeddings.parquet").count() // footer warmup
     val probe = Similarity.probeVector(spark, dir)
-    // run everything twice, report the second (JIT-warm — the ScaleBench
-    // repeat convention); memos are evicted so ad-hoc passes stay cold
-    var out = Map.empty[String, Double]
-    for (round <- 1 to 2) {
+    // one untimed warmup round (JIT/codegen), then THREE measured rounds
+    // with full memo eviction between them — the round-8 cold
+    // median-of-3 protocol, aligned with Bench/ScaleBench so SCALING.md
+    // rows reproduce under the driver's own numbers
+    val rounds = (0 to 3).map { _ =>
       val r = Seq(
         "index_build" -> time(CellIndex.write(spark, dir, idx, k = k)),
         "ann_indexed" -> time(noop(CellIndex.annIvfIndexed(spark, idx, probe))),
         "ann_adhoc" -> time(noop(Similarity.annIvf(spark, dir))),
         "clusters_indexed" -> time(noop(CellIndex.semanticClustersIndexed(spark, idx))),
-        "clusters_adhoc" -> time(noop(Similarity.semanticClusters(spark, dir)))
+        "clusters_adhoc" -> time(noop(Similarity.semanticClusters(spark, dir))),
+        "rrf_indexed" -> time(noop(CellIndex.rrfFusionIndexed(spark, dir, idx, probe))),
+        "rrf_adhoc" -> time(noop(Similarity.rrfFusion(spark, dir))),
+        "hybrid_indexed" -> time(noop(CellIndex.hybridSearchIndexed(spark, dir, idx, probe))),
+        "hybrid_adhoc" -> time(noop(Similarity.hybridSearch(spark, dir)))
       ).toMap
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)
       graft.Checkpoints.evictSessionMemos(spark)
-      if (round == 2) out = r
-    }
-    val qs = out.toSeq.sortBy(_._1)
+      graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
+      System.gc()
+      r
+    }.drop(1)
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val out = rounds.head.keys.toSeq.sorted
+      .map(n => n -> med(rounds.map(_(n))))
+    val qs = out
       .map { case (n, s) => "\"" + n + f"""":$s%.3f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"cellindex","queries":$qs,"dir":"$dir","k":$k}""")
+    println(s"""{"metric":"cellindex","queries":$qs,"dir":"$dir","k":$k,"protocol":"cold-median-of-3"}""")
     spark.stop()
   }
 }

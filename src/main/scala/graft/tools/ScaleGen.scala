@@ -46,8 +46,10 @@ object ScaleGen {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); read it as raw long nanos
-      // and write it back unchanged so Tables.events normalizes either way
+      // events.ts has shipped both as TIMESTAMP(NANOS) and (since the
+      // 2026-08-13 regeneration) as TIMESTAMP(MICROS) NTZ; read nanos as
+      // raw longs and pass ts through unchanged in both generations so
+      // Tables.events normalizes the scaled copy the same way
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -103,18 +105,29 @@ object ScaleGen {
 
 /** Run a named subset of SparkEntry.queries against any dir (the scale
   * rehearsal's meter — same noop-sink materialization and inter-query
-  * sweep as graft.Bench, same JSON line shape).
+  * sweep as graft.Bench, same JSON line shape). `all` runs the whole
+  * inventory (the full-suite 10× tier).
   *
-  * Usage: ScaleBench <sfDir> <q1,q2,...>
+  * Since round 8 this is the COLD median-of-3 protocol Bench runs —
+  * `SPARK_GRAFT_PASSES` (default 3) full passes with full memo eviction
+  * (cache maps + retained blocks) between them — so SCALING.md exponents
+  * and the driver's bench medians are the same protocol; the round-7 q74
+  * re-measure was warm-session and did not reproduce under Bench's
+  * eviction, which is exactly the drift this alignment removes.
+  *
+  * Usage: ScaleBench <sfDir> <q1,q2,...|all>
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: ScaleBench <sfDir> <q1,q2,...>")
+      System.err.println("usage: ScaleBench <sfDir> <q1,q2,...|all>")
       sys.exit(2)
     }
     val dir = args(0)
-    val names = args(1).split(",").toSeq
+    val names =
+      if (args(1) == "all") graft.SparkEntry.queries.keys.toSeq.sorted
+      else args(1).split(",").toSeq
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // the production scaling lever: shuffle partitions grow with data so
     // per-partition bytes stay bounded (at 100 TB nobody runs 32)
@@ -133,26 +146,44 @@ object ScaleBench {
       try spark.read.parquet(s"$dir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val failed =
-        try {
-          graft.SparkEntry.queries(name)(spark, dir)
-            .write.format("noop").mode("overwrite").save(); false
-        } catch { case e: Throwable =>
-          System.err.println(s"[scalebench] $name failed: ${e.getMessage}"); true
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9
+    val runs: Seq[Seq[(String, Double, Boolean)]] = (1 to passes).map { _ =>
+      val pass = names.map { name =>
+        val t0 = System.nanoTime()
+        val failed =
+          try {
+            graft.SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save(); false
+          } catch { case e: Throwable =>
+            System.err.println(s"[scalebench] $name failed: ${e.getMessage}"); true
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
+        spark.catalog.clearCache()
+        System.gc()
+        (name, elapsed, failed)
+      }
+      // between passes: full memo eviction, so every pass replays the same
+      // cold build-then-ride shape (the Bench protocol)
+      graft.text.Dedup.evictMemos(spark)
+      graft.vector.Similarity.evictMemos(spark)
+      graft.Checkpoints.evictSessionMemos(spark)
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
-      spark.catalog.clearCache()
       System.gc()
-      (name, elapsed, failed)
+      pass
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = names.zipWithIndex.map { case (name, i) =>
+      val samples = runs.map(_(i)._2)
+      (name, med(samples), samples.min, samples.max, runs.exists(_(i)._3))
+    }
+    val qs = results.map { case (k, m, _, _, _) => "\"" + k + f"""":$m%.3f""" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val spread = results.map { case (k, _, mn, mx, _) =>
+      "\"" + k + f"""":{"min":$mn%.3f,"max":$mx%.3f}""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(f"""{"metric":"scalebench","queries":$qs,"errors":$errs,"dir":"$dir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"scalebench","total":$total%.3f,"queries":$qs,"errors":$errs,"dir":"$dir","protocol":"cold-median-of-$passes","spread":$spread}""")
     spark.stop()
   }
 }

@@ -80,6 +80,22 @@ object CellIndex {
     spark.read.parquet(s"$indexPath/codebook").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
 
+  /** Rank the k-row codebook against the probe on the driver, return the
+    * `nprobe` highest-cosine cell ids — the coarse-probe step every indexed
+    * reader shares. Same sequential-fold arithmetic as DotProduct so
+    * probe-cell ranking matches the ad-hoc path bit for bit. */
+  private def rankProbeCells(cb: Seq[(Int, Seq[Double])],
+      probe: Seq[Double], nprobe: Int): Seq[Int] = {
+    val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
+    cb.map { case (cid, cv) =>
+        val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) { d += probe(i) * cv(i); i += 1 }
+        (cid, d / (pnorm * cnorm))
+      }.sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1)
+  }
+
   /** ANN against the index: rank the k-row codebook on the driver, scan
     * ONLY the `nprobe` winning cell directories (partition pruning — the
     * plan shows `PartitionFilters: [cell IN …]`, and no exchange ever
@@ -92,15 +108,7 @@ object CellIndex {
     VectorExpressions.register(spark)
     val cb = readCodebook(spark, indexPath)
     val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
-    // same sequential-fold arithmetic as DotProduct so probe-cell ranking
-    // matches the ad-hoc path bit for bit
-    val probeCells = cb.map { case (cid, cv) =>
-        val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
-        var d = 0.0
-        var i = 0
-        while (i < cv.length) { d += probe(i) * cv(i); i += 1 }
-        (cid, d / (pnorm * cnorm))
-      }.sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1)
+    val probeCells = rankProbeCells(cb, probe, nprobe)
     val scored = spark.read.parquet(s"$indexPath/vectors")
       .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
@@ -129,14 +137,7 @@ object CellIndex {
     val pqCbs = readPqCodebook(spark, indexPath)
     val m = pqCbs.length
     val subDim = probe.length / m
-    val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
-    val probeCells = cb.map { case (cid, cv) =>
-        val cnorm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
-        var d = 0.0
-        var i = 0
-        while (i < cv.length) { d += probe(i) * cv(i); i += 1 }
-        (cid, d / (pnorm * cnorm))
-      }.sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1)
+    val probeCells = rankProbeCells(cb, probe, nprobe)
     // the ADC table: same zip-square-sum arithmetic as pqAdcScores
     val tables: Seq[Seq[Double]] = pqCbs.zipWithIndex.map { case (sub, s) =>
       val qs = probe.slice(s * subDim, (s + 1) * subDim)
@@ -159,6 +160,54 @@ object CellIndex {
       .limit(k)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         pround(col("d2"), 6).as("d2"), pround(col("approx_d2"), 6).as("approx_d2"))
+  }
+
+  /** Hybrid retrieval served FROM the index (the indexed form of
+    * [[Similarity.hybridSearch]]'s filter-then-ANN): metadata-filter the
+    * document corpus (lang), semi-join the PARTITION-PRUNED cell scan on
+    * doc_id = vec_id, exact cosine + global top-k on the survivors. The
+    * vector side touches only the `nprobe` probed cell directories; the
+    * metadata side only the filtered doc ids. With `nprobe` = the cell
+    * count this returns exactly the ad-hoc answer (differential spec) —
+    * pruning changes where the work happens, not what is computed. */
+  def hybridSearchIndexed(spark: SparkSession, dir: String, indexPath: String,
+      probe: Seq[Double], lang: String = "en", k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    VectorExpressions.register(spark)
+    val cb = readCodebook(spark, indexPath)
+    val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
+    val probeCells = rankProbeCells(cb, probe, nprobe)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("lang") === lang).select(col("doc_id"), col("lang"))
+    val scored = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cell").isin(probeCells: _*))
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("lang"),
+        pround(dot_product(col("v"), lit(probe.toArray)) / (col("norm") * lit(pnorm)), 4)
+          .as("cos_sim"))
+    Similarity.rankTopK(scored, k)
+      .select("rnk", "vec_id", "lang", "cos_sim")
+      .orderBy("rnk")
+  }
+
+  /** RRF hybrid fusion with the DENSE arm served FROM the index (the
+    * indexed form of [[Similarity.rrfFusion]], task "ride retrieval on the
+    * index"): dense candidates come from [[annIvfIndexed]]'s partition-
+    * pruned cell scan instead of a brute-force corpus cosine pass; the
+    * lexical BM25 arm is unchanged (term-keyed, not vector-indexed) and
+    * the fusion itself still touches ≤2m rows. With `nprobe` = the cell
+    * count the dense list equals [[Similarity.cosineTopK]]'s exactly, so
+    * the fused output matches the ad-hoc q134 verbatim (differential
+    * spec); smaller `nprobe` trades dense-arm recall for cell-sized IO —
+    * the 100 TB serving point. */
+  def rrfFusionIndexed(spark: SparkSession, dir: String, indexPath: String,
+      probe: Seq[Double], m: Int = 50, kRrf: Int = 60, topN: Int = 20,
+      nprobe: Int = 2): DataFrame = {
+    val dense = annIvfIndexed(spark, indexPath, probe, k = m, nprobe = nprobe)
+      .select(col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
+    val lex = graft.text.TextOps.bm25(spark, dir, nq = 5, topN = m)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    Similarity.rrfCombine(dense, lex, kRrf, topN)
   }
 
   /** Sharded semantic clustering over the index: within-cell banded

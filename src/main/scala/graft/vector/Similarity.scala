@@ -149,11 +149,12 @@ object Similarity {
     * deterministic in (corpus dir, k, iters) — fixed seedless init,
     * fixed-point order-independent updates — so q41/q67/q75 sharing one
     * session (the bench, the verify run, a user notebook) train ONCE
-    * instead of three times. Keyed weakly by the session reference — but
-    * NOTE the cached values keep the entry reachable until [[evictMemos]]
-    * (driver-side floats here, so the footprint is bytes); assumes a dir's parquet is immutable within a
-    * session (the repo's testdata contract). Values are k×dim driver-side
-    * floats — bytes, never corpus-sized. */
+    * instead of three times. Keyed weakly by the session reference; the
+    * values are k×dim driver-side floats (bytes, never corpus-sized) that
+    * reference no session, so a dropped session's entry IS collectable on
+    * its own — the property the DataFrame memos gained in round 8 via
+    * [[graft.SessionMemos]]. Assumes a dir's parquet is immutable within a
+    * session (the repo's testdata contract). */
   private val codebookCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, Int, Int), Seq[(Int, Seq[Double])]]]()
@@ -443,26 +444,25 @@ object Similarity {
     * intermediate is released once it materializes. Consumers derive their
     * own views: q34/q72 apply `pround(cos_raw, 4)` (bit-identical to
     * rounding inline), q66 thresholds the raw double. */
-  private val scoredPairsCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private val ScoredPairsMemo = "vector.scoredPairs"
 
   /** Drop this session's memo entries (scored pairs + codebooks) — the
-    * cache-map half of a full eviction; pair with
-    * [[graft.Checkpoints.evictSessionMemos]] to free retained blocks. */
+    * cache-map half of an EXPLICIT eviction (harnesses re-measuring cold
+    * paths); pair with [[graft.Checkpoints.evictSessionMemos]] to free
+    * retained blocks. Dropped sessions no longer need this: the scored-
+    * pairs carrier is session-free ([[graft.SessionMemos]]) and the
+    * codebook values are driver-side floats, so both registries'
+    * weak keys clear on GC. */
   def evictMemos(spark: SparkSession): Unit = {
-    scoredPairsCache.synchronized { scoredPairsCache.remove(spark) }
+    graft.SessionMemos.evict(spark, ScoredPairsMemo)
     codebookCache.synchronized { codebookCache.remove(spark) }
   }
 
+  /** Memoized via [[graft.SessionMemos]] (round 8 — session-free carrier,
+    * so a dropped session's entry is actually collectable). */
   private[vector] def scoredBandedPairs(spark: SparkSession,
-      dir: String): DataFrame = {
-    val perSession = scoredPairsCache.synchronized {
-      scoredPairsCache.computeIfAbsent(spark,
-        _ => scala.collection.concurrent.TrieMap.empty)
-    }
-    // synchronized: a racing double-build would leak retained blocks
-    perSession.synchronized { perSession.getOrElseUpdate(dir, {
+      dir: String): DataFrame =
+    graft.SessionMemos.getOrBuild(spark, ScoredPairsMemo, dir) {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val scored0 = computeScoredBandedPairs(spark, dir)
@@ -471,8 +471,7 @@ object Similarity {
       graft.Checkpoints.retainFor(spark, graft.Checkpoints.pinnedSince(sc, preFinal))
       graft.Checkpoints.release(sc, (preFinal.toSet -- before))
       scored
-    }) }
-  }
+    }
 
   // private[graft] so PlanSpec pins the banded-join shape on the builder —
   // consumer plans only show the memoized scored-pair table
@@ -1153,6 +1152,16 @@ object Similarity {
       .select(col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
     val lex = graft.text.TextOps.bm25(spark, dir, nq = 5, topN = m)
       .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    rrfCombine(dense, lex, kRrf, topN)
+  }
+
+  /** The RRF combiner shared by the ad-hoc ([[rrfFusion]]) and indexed
+    * ([[CellIndex.rrfFusionIndexed]]) arms: fuse a (doc_id, dense_rnk)
+    * list with a (doc_id, lex_rnk) list by the integer-s6 reciprocal-rank
+    * sum. Both inputs are already global top-m, so everything here runs
+    * over ≤2m rows. */
+  private[vector] def rrfCombine(dense: DataFrame, lex: DataFrame,
+      kRrf: Int, topN: Int): DataFrame = {
     def contrib(rnk: Column): Column =
       when(rnk > 0, floor(lit(1000000.0) / (lit(kRrf) + rnk) + lit(0.5))
         .cast("long")).otherwise(lit(0L))

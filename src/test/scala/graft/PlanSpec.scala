@@ -211,6 +211,37 @@ class PlanSpec extends SparkSpec {
     assert(cl.forall(r => reps.contains(r.getLong(1))), "every cluster_rep must be a kept row")
   }
 
+  test("cell index: retrieval rides the index — indexed RRF and hybrid match ad-hoc") {
+    import graft.vector.{CellIndex, Similarity}
+    val idx = java.nio.file.Files.createTempDirectory("cellidx_ret").toString
+    val cells = 4
+    CellIndex.write(spark, sf0001, idx, k = cells, iters = 3)
+    val probe = Similarity.probeVector(spark, sf0001)
+    // full probe (nprobe = cell count) ⇒ the dense arm sees every vector,
+    // so the fused output must equal the ad-hoc q134 verbatim
+    val fusedIdx = CellIndex.rrfFusionIndexed(spark, sf0001, idx, probe,
+        nprobe = cells).collect().map(_.toSeq)
+    val fusedAdhoc = graft.vector.Similarity.rrfFusion(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(fusedIdx.toSeq == fusedAdhoc.toSeq,
+      "indexed RRF fusion drifted from the ad-hoc arm at full probe")
+    // same for filter-then-ANN hybrid retrieval
+    val hybIdx = CellIndex.hybridSearchIndexed(spark, sf0001, idx, probe,
+        nprobe = cells).collect().map(_.toSeq)
+    val hybAdhoc = Similarity.hybridSearch(spark, sf0001)
+      .collect().map(_.toSeq)
+    assert(hybIdx.toSeq == hybAdhoc.toSeq,
+      "indexed hybrid search drifted from the ad-hoc arm at full probe")
+    // pruned serving: the dense arm's scan must carry cell PartitionFilters
+    // (cell-sized IO), and the fusion must still end in TakeOrdered stages
+    val prunedPlan = explain(CellIndex.hybridSearchIndexed(
+      spark, sf0001, idx, probe, nprobe = 2))
+    assert(prunedPlan.contains("PartitionFilters:") && prunedPlan.contains("cell"),
+      s"expected cell partition pruning in indexed hybrid:\n$prunedPlan")
+    assert(prunedPlan.contains("TakeOrderedAndProject"),
+      s"top-k must not rank the corpus:\n$prunedPlan")
+  }
+
   test("round-4b operators keep their scale shapes") {
     import graft.text.{Curation, Dedup, TextOps}
     import graft.vector.Similarity

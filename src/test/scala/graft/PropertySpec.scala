@@ -198,6 +198,40 @@ class PropertySpec extends SparkSpec {
     assert(n0.head.isNullAt(0))
   }
 
+  test("bottom-k md5 sketch is bit-identical to the sorted-aggregate form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextExpressions
+    TextExpressions.register(spark)
+    // small alphabet forces duplicate grams (the in-buffer dedup path);
+    // lengths straddle the n boundary (empty-sketch edge); k smaller than
+    // the gram count exercises the bounded-eviction path
+    val tokGen = Gen.choose(0, 30).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")))
+    (1 to 25).foreach { seed =>
+      val rows = Gen.listOfN(40, tokGen)
+        .pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val df = rows.map(Tuple1(_)).toDF("toks")
+      Seq(1, 4, 32).foreach { k =>
+        val fused = df.select(
+            TextExpressions.bottomk_md5(col("toks"), 5, k).as("sk"))
+          .collect().map(_.getSeq[String](0))
+        // the replaced formulation: md5 every per-doc-DISTINCT gram, sort
+        // ascending, take the first k (what collect_list+sort_array+slice
+        // aggregated per doc before round 8)
+        val ref = df.select(slice(array_sort(transform(
+            TextExpressions.word_ngrams(col("toks"), 5, distinct = true),
+            g => md5(g))), 1, k).as("sk"))
+          .collect().map(_.getSeq[String](0))
+        assert(fused.toSeq == ref.toSeq, s"k=$k seed=$seed")
+      }
+    }
+    // shape-arg validation mirrors the other compiled text expressions
+    intercept[IllegalArgumentException] {
+      graft.functions.TextExpressions.bottomKBuilder(Seq.empty)
+    }
+  }
+
   test("fused LSH banding is bit-identical to the composed per-hyperplane form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

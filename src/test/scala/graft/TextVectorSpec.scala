@@ -1056,7 +1056,7 @@ class TextVectorSpec extends SparkSpec {
   }
 
   test("RRF fusion equals a driver-side recomputation from its two arms") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sf0001
     val dense = Similarity.cosineTopK(spark, dir, k = 50).collect()
       .map(r => r.getLong(1) -> r.getLong(0)).toMap           // vec_id -> rank
     val lex = graft.text.TextOps.bm25(spark, dir, nq = 5, topN = 50).collect()
