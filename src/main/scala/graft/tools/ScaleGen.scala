@@ -84,6 +84,34 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // TPC-H relational tables (round 8 — the full-suite 10× tier needs
+    // every query's inputs): replicas offset every FACT key (orderkey,
+    // custkey, suppkey, partkey) by the same replica stride, so referential
+    // integrity holds within each replica — joins fan exactly as the
+    // original's, per-key row counts are preserved, and key populations
+    // grow ×factor (the dbgen convention: bigger SF = more keys, same
+    // per-key shape). nation/region are fixed-cardinality dims shared by
+    // all replicas and are copied once, unscaled.
+    val off = lit(10000000L)
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    def scaled(t: String, keys: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      keys.foldLeft(df.crossJoin(broadcast(reps))) { (d, k) =>
+          d.withColumn(k, col(k) + col("rep") * off)
+        }
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    scaled("customer", Seq("c_custkey"))
+    scaled("supplier", Seq("s_suppkey"))
+    scaled("part", Seq("p_partkey"))
+    scaled("orders", Seq("o_orderkey", "o_custkey"))
+    scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+
     // events: replicas shift both ids by the replica offset — per-key
     // counts (and so the skew profile q123 measures) are preserved while
     // the key population and total mass grow ×factor, which is how real

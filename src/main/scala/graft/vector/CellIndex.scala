@@ -68,6 +68,111 @@ object CellIndex {
     graft.Checkpoints.release(sc, (sc.getPersistentRDDs.keySet -- before).toSet)
   }
 
+  /** Committed vector-set versions under `indexPath`, oldest first.
+    * Version 0 is [[write]]'s base `vectors/` dir; appends publish
+    * `vectors_v<N>` dirs. Committed = `_SUCCESS` present (the snapshot
+    * convention of the lakehouse merge sink), with the same strict digit
+    * check so a stray dir is invisible, not a parse crash. */
+  private def committedVersions(spark: SparkSession, indexPath: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val versioned = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("vectors_v"))
+      .filter(n => { val s = n.stripPrefix("vectors_v"); s.nonEmpty && s.forall(_.isDigit) })
+      .filter(n => fs.exists(new Path(root, s"$n/_SUCCESS")))
+      .map(_.stripPrefix("vectors_v").toLong)
+    val base =
+      if (fs.exists(new Path(root, "vectors"))) Seq(0L) else Seq.empty
+    (base ++ versioned).sorted
+  }
+
+  private def versionPath(indexPath: String, v: Long): String =
+    if (v == 0L) s"$indexPath/vectors" else s"$indexPath/vectors_v$v"
+
+  /** The vector-set directory readers resolve: the newest committed
+    * version ([[append]] publishes monotonically), falling back to the
+    * base `vectors/`. */
+  def currentVectorsPath(spark: SparkSession, indexPath: String): String = {
+    val vs = committedVersions(spark, indexPath)
+    require(vs.nonEmpty, s"no committed vector set under $indexPath")
+    versionPath(indexPath, vs.max)
+  }
+
+  /** INCREMENTAL index maintenance (round 8 — the q64 sketch-ledger
+    * pattern lifted to vectors): fold a new batch of embeddings
+    * (`batchDir/embeddings.parquet`; vec_ids must be new — the id space
+    * is the caller's) into the index WITHOUT retraining. The new batch is
+    * assigned against the PERSISTED coarse codebook and PQ-encoded with
+    * the PERSISTED subspace codebooks — so cell geometry never moves and
+    * append-then-query ≡ indexing the union corpus under the same
+    * codebook (differential spec). Current cell files are carried forward
+    * BYTE-FOR-BYTE (append = file union inside each `cell=` dir — no
+    * decode, no shuffle, no rewrite of existing data; at object-store
+    * scale a server-side copy), only the batch pays assignment compute.
+    * Publish follows the lakehouse merge protocol: everything assembles
+    * in a dot-prefixed staging dir invisible to [[committedVersions]],
+    * then ONE rename publishes `vectors_v<N>`; readers resolving through
+    * [[currentVectorsPath]] never observe a cell-incomplete set, and a
+    * crashed attempt (no `_SUCCESS`) is invisible until retried. Old
+    * versions remain for time-travel until [[vacuumVersions]]. */
+  def append(spark: SparkSession, batchDir: String, indexPath: String): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val versions = committedVersions(spark, indexPath)
+    require(versions.nonEmpty, s"append needs an existing index at $indexPath")
+    val cur = new Path(versionPath(indexPath, versions.max))
+    val next = versions.max + 1
+    val target = new Path(root, s"vectors_v$next")
+    val staging = new Path(root, s".staging_vectors_v$next")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val cb = readCodebook(spark, indexPath)
+    val pqCbs = readPqCodebook(spark, indexPath)
+    val e = Similarity.withNorm(spark, batchDir)
+    Similarity.assignCells(e, cb)
+      .join(Similarity.pqEncode(spark, batchDir, pqCbs), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(staging.toString)
+    // carry the current version's cell files forward byte-for-byte; part
+    // file names embed a job UUID, so copies never collide with the
+    // batch's files in the same cell dir
+    fs.listStatus(cur).toSeq
+      .filter(_.getPath.getName.startsWith("cell="))
+      .foreach { s =>
+        val dstCell = new Path(staging, s.getPath.getName)
+        fs.mkdirs(dstCell)
+        fs.listStatus(s.getPath).toSeq
+          .filter(f => f.getPath.getName.startsWith("part-"))
+          .foreach(f => FileUtil.copy(fs, f.getPath, fs,
+            new Path(dstCell, f.getPath.getName), false, conf))
+      }
+    val marker = new Path(staging, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker).close()
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+
+  /** Drop committed vector-set versions beyond the newest `keepLast`
+    * (floored at one — the current set is never vacuumed). Returns the
+    * dirs removed. The base `vectors/` counts as version 0 and is
+    * vacuumable like any other once newer versions exist. */
+  def vacuumVersions(spark: SparkSession, indexPath: String,
+      keepLast: Int = 2): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committedVersions(spark, indexPath)
+    val drop = vs.dropRight(math.max(keepLast, 1))
+    drop.map { v =>
+      val p = new Path(versionPath(indexPath, v))
+      fs.delete(p, true)
+      p.toString
+    }
+  }
+
   /** The persisted PQ codebooks, subspace-major ([m][k][subDim]). */
   def readPqCodebook(spark: SparkSession, indexPath: String): Seq[Seq[Seq[Double]]] =
     spark.read.parquet(s"$indexPath/pq_codebook").collect()
@@ -109,7 +214,7 @@ object CellIndex {
     val cb = readCodebook(spark, indexPath)
     val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
     val probeCells = rankProbeCells(cb, probe, nprobe)
-    val scored = spark.read.parquet(s"$indexPath/vectors")
+    val scored = spark.read.parquet(currentVectorsPath(spark, indexPath))
       .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         pround(dot_product(col("v"), lit(probe.toArray)) / (col("norm") * lit(pnorm)), 4)
@@ -143,7 +248,7 @@ object CellIndex {
       val qs = probe.slice(s * subDim, (s + 1) * subDim)
       sub.map(c => qs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
     }
-    val pruned = spark.read.parquet(s"$indexPath/vectors")
+    val pruned = spark.read.parquet(currentVectorsPath(spark, indexPath))
       .filter(col("cell").isin(probeCells: _*))
     val short = pruned
       .withColumn("tbl", typedLit(tables))
@@ -179,7 +284,7 @@ object CellIndex {
     val probeCells = rankProbeCells(cb, probe, nprobe)
     val docs = graft.sources.Tables.documents(spark, dir)
       .filter(col("lang") === lang).select(col("doc_id"), col("lang"))
-    val scored = spark.read.parquet(s"$indexPath/vectors")
+    val scored = spark.read.parquet(currentVectorsPath(spark, indexPath))
       .filter(col("cell").isin(probeCells: _*))
       .join(docs, col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("lang"),
@@ -220,7 +325,7 @@ object CellIndex {
     VectorExpressions.register(spark)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val e = spark.read.parquet(s"$indexPath/vectors")
+    val e = spark.read.parquet(currentVectorsPath(spark, indexPath))
     val bands = e.select(col("vec_id"), col("cell"),
       posexplode(VectorExpressions.lsh_bands(col("v"),
         Similarity.NearDupBits, Similarity.NearDupBandSize,

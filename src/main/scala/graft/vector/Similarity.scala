@@ -38,7 +38,7 @@ object Similarity {
     dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b)))
 
   /** Corpus with per-vector norm precomputed (one pass, no shuffle). */
-  private[vector] def withNorm(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def withNorm(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
