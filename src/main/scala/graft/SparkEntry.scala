@@ -158,6 +158,20 @@ object SparkEntry {
     "q133_bigram_logprob" -> ((s: SparkSession, d: String) => TextOps.bigramLogprob(s, d)),
     "q134_rrf_fusion"     -> ((s: SparkSession, d: String) => Similarity.rrfFusion(s, d)),
     "q135_audio_features" -> ((s: SparkSession, d: String) => Multimodal.audioFeaturesQuery(s, d)),
+    // q136 serves q132's exact answer FROM the at-rest posting index (the
+    // oracle is q132's verbatim — what changes is where the work happens,
+    // which is precisely what this row checks). The index is built once
+    // per (layout version, dir) and reused: deterministic content under
+    // the repo's dir-immutability contract, and reuse IS the at-rest
+    // serving model the row exists to measure (bench passes 2–3 ride the
+    // artifact the way production queries ride an index).
+    "q136_bm25_indexed"   -> ((s: SparkSession, d: String) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_v1_" +
+        Integer.toHexString(d.hashCode)
+      val built = new java.io.File(s"$idx/stats/_SUCCESS")
+      if (!built.exists()) graft.text.TextIndex.write(s, d, idx)
+      graft.text.TextIndex.bm25Indexed(s, idx)
+    }),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -2208,6 +2222,12 @@ object SparkEntry {
     // mirrors the Spark side token for token; the per-doc sum runs in
     // fixed-point 1e-6 BIGINTs and ranks sort on the INTEGER s6.
     "q132_bm25" -> bm25Oracle(nq = 5, topN = 20),
+
+    // q136: the SAME oracle as q132 — the Spark side answers from the
+    // at-rest TextIndex posting layout instead of a corpus tokenize, and
+    // this row hash-checks that the indexed path changes where the work
+    // happens, not what is computed.
+    "q136_bm25_indexed" -> bm25Oracle(nq = 5, topN = 20),
 
     // q134: reciprocal rank fusion (Cormack et al. 2009) of the dense
     // cosine top-50 (q23's oracle at k=50) with the BM25 top-50 (q132's

@@ -392,8 +392,6 @@ object TextOps {
     * boundary can reorder ranks. */
   def bm25(spark: SparkSession, dir: String, nq: Int = 5,
       topN: Int = 20): DataFrame = {
-    val k1 = 1.2
-    val b = 0.75
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -407,8 +405,18 @@ object TextOps {
     val scored = dt.join(broadcast(qterms), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      // expression structure mirrored token-for-token by the oracle SQL so
-      // association order (hence bits) agrees
+    bm25RankTail(bm25S6(scored), topN)
+  }
+
+  /** The Okapi per-(doc, query-term) scoring expression shared verbatim by
+    * the ad-hoc ([[bm25]]) and indexed ([[TextIndex.bm25Indexed]]) arms —
+    * one definition so the two paths stay bit-identical. Input needs
+    * columns (tf, df, dl, n_docs, n_toks); adds the fixed-point s6
+    * contribution. Expression structure mirrored token-for-token by the
+    * q132 oracle SQL so association order (hence bits) agrees. */
+  private[graft] def bm25S6(scored: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scored
       .withColumn("idf", log(
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
       .withColumn("tfn", col("tf") * lit(k1 + 1) /
@@ -416,11 +424,14 @@ object TextOps {
           (lit(1.0) - lit(b) + lit(b) * col("dl") / (col("n_toks") / col("n_docs")))))
       .withColumn("s6",
         floor(col("idf") * col("tfn") * lit(1000000.0) + lit(0.5)).cast("long"))
+
+  /** The per-doc rollup + integer-keyed global top-N + bounded rank window
+    * shared by both BM25 arms (the rankTopK convention: TakeOrdered emits
+    * a single partition, so the rank window is bounded at topN rows). */
+  private[graft] def bm25RankTail(scored: DataFrame, topN: Int): DataFrame = {
     val agg = scored.groupBy("doc_id")
       .agg(sum("s6").as("s6"), count(lit(1)).as("n_hit"))
     val top = agg.orderBy(desc("s6"), col("doc_id")).limit(topN)
-    // TakeOrderedAndProject emits a single partition, so the rank window
-    // is bounded at topN rows (the rankTopK convention)
     val w = Window.partitionBy(spark_partition_id())
       .orderBy(desc("s6"), col("doc_id"))
     top.orderBy(desc("s6"), col("doc_id"))

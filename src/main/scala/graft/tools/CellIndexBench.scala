@@ -31,6 +31,7 @@ object CellIndexBench {
       df.write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$dir/embeddings.parquet").count() // footer warmup
     val probe = Similarity.probeVector(spark, dir)
+    val textIdx = idx + "_text"
     // one untimed warmup round (JIT/codegen), then THREE measured rounds
     // with full memo eviction between them — the round-8 cold
     // median-of-3 protocol, aligned with Bench/ScaleBench so SCALING.md
@@ -45,7 +46,12 @@ object CellIndexBench {
         "rrf_indexed" -> time(noop(CellIndex.rrfFusionIndexed(spark, dir, idx, probe))),
         "rrf_adhoc" -> time(noop(Similarity.rrfFusion(spark, dir))),
         "hybrid_indexed" -> time(noop(CellIndex.hybridSearchIndexed(spark, dir, idx, probe))),
-        "hybrid_adhoc" -> time(noop(Similarity.hybridSearch(spark, dir)))
+        "hybrid_adhoc" -> time(noop(Similarity.hybridSearch(spark, dir))),
+        "text_index_build" -> time(graft.text.TextIndex.write(spark, dir, textIdx)),
+        "bm25_indexed" -> time(noop(graft.text.TextIndex.bm25Indexed(spark, textIdx))),
+        "bm25_adhoc" -> time(noop(graft.text.TextOps.bm25(spark, dir))),
+        "rrf_fully_indexed" -> time(noop(CellIndex.rrfFusionIndexed(
+          spark, dir, idx, probe, textIndexPath = Some(textIdx))))
       ).toMap
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)

@@ -307,10 +307,15 @@ object CellIndex {
     * the 100 TB serving point. */
   def rrfFusionIndexed(spark: SparkSession, dir: String, indexPath: String,
       probe: Seq[Double], m: Int = 50, kRrf: Int = 60, topN: Int = 20,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, textIndexPath: Option[String] = None): DataFrame = {
     val dense = annIvfIndexed(spark, indexPath, probe, k = m, nprobe = nprobe)
       .select(col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
-    val lex = graft.text.TextOps.bm25(spark, dir, nq = 5, topN = m)
+    // lexical arm: from the at-rest posting index when one is given (no
+    // corpus tokenize at query time — the fully-indexed serving shape),
+    // else the ad-hoc corpus pass
+    val lex = textIndexPath
+      .map(ti => graft.text.TextIndex.bm25Indexed(spark, ti, nq = 5, topN = m))
+      .getOrElse(graft.text.TextOps.bm25(spark, dir, nq = 5, topN = m))
       .select(col("doc_id"), col("rnk").as("lex_rnk"))
     Similarity.rrfCombine(dense, lex, kRrf, topN)
   }

@@ -242,6 +242,38 @@ class PlanSpec extends SparkSpec {
       s"top-k must not rank the corpus:\n$prunedPlan")
   }
 
+  test("text index: bm25 serves from bucket-pruned postings, identical to ad-hoc") {
+    import graft.text.{TextIndex, TextOps}
+    import graft.vector.{CellIndex, Similarity}
+    val ti = java.nio.file.Files.createTempDirectory("textidx").toString
+    TextIndex.write(spark, sf0001, ti)
+    // the indexed answer is the ad-hoc q132 answer VERBATIM (shared Okapi
+    // expression + shared integer-s6 rank tail, persisted exact longs)
+    val got = TextIndex.bm25Indexed(spark, ti).collect().map(_.toSeq)
+    val want = TextOps.bm25(spark, sf0001).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "indexed BM25 drifted from ad-hoc q132")
+    // serving plan: postings scan pruned to the query terms' hash buckets
+    // (PartitionFilters on tb), no documents scan, integer-keyed TakeOrdered
+    val plan = explain(TextIndex.bm25Indexed(spark, ti))
+    assert(plan.contains("PartitionFilters:") && plan.contains("tb"),
+      s"expected term-bucket partition pruning:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"indexed BM25 must not touch the corpus at query time:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must not rank all scored docs:\n$plan")
+    // fully-indexed RRF (dense arm from the cell index + lexical arm from
+    // the posting index) still equals the ad-hoc q134 at full probe
+    val cells = 4
+    val vi = java.nio.file.Files.createTempDirectory("cellidx_ti").toString
+    CellIndex.write(spark, sf0001, vi, k = cells, iters = 3)
+    val probe = Similarity.probeVector(spark, sf0001)
+    val fused = CellIndex.rrfFusionIndexed(spark, sf0001, vi, probe,
+        nprobe = cells, textIndexPath = Some(ti)).collect().map(_.toSeq)
+    val adhoc = Similarity.rrfFusion(spark, sf0001).collect().map(_.toSeq)
+    assert(fused.toSeq == adhoc.toSeq,
+      "fully-indexed RRF drifted from the ad-hoc arm at full probe")
+  }
+
   test("round-4b operators keep their scale shapes") {
     import graft.text.{Curation, Dedup, TextOps}
     import graft.vector.Similarity
