@@ -54,9 +54,131 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$indexPath/stats")
   }
 
-  /** The corpus scalars persisted by [[write]]. */
-  def readStats(spark: SparkSession, indexPath: String): (Long, Long) = {
-    val r = spark.read.parquet(s"$indexPath/stats").collect().head
+  /** Committed index versions under `indexPath`, oldest first: version 0
+    * is [[write]]'s base layout (`postings/`+`dfreq/`+`stats/` directly
+    * under the root); appends publish `v<N>/` dirs holding the same
+    * triple. Committed = the version's `stats/_SUCCESS` present (stats is
+    * the last artifact each assembly writes), digit-checked like every
+    * snapshot resolver in this repo. */
+  private def committedVersions(spark: SparkSession, indexPath: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val versioned = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .filter(n => { val s = n.stripPrefix("v"); s.nonEmpty && s.forall(_.isDigit) })
+      .filter(n => fs.exists(new Path(root, s"$n/stats/_SUCCESS")))
+      .map(_.stripPrefix("v").toLong)
+    val base =
+      if (fs.exists(new Path(root, "stats/_SUCCESS"))) Seq(0L) else Seq.empty
+    (base ++ versioned).sorted
+  }
+
+  private def versionRoot(indexPath: String, v: Long): String =
+    if (v == 0L) indexPath else s"$indexPath/v$v"
+
+  /** The index root readers resolve: the newest committed version. */
+  def currentRoot(spark: SparkSession, indexPath: String): String = {
+    val vs = committedVersions(spark, indexPath)
+    require(vs.nonEmpty, s"no committed text index under $indexPath")
+    versionRoot(indexPath, vs.max)
+  }
+
+  /** INCREMENTAL maintenance (round 8 — [[graft.vector.CellIndex.append]]'s
+    * protocol on the lexical side, with a STRONGER equivalence: a text
+    * index carries no trained state, so append-then-query is equal to
+    * rebuilding over the union corpus EXACTLY, not just under-the-same-
+    * codebook). Per batch (`batchDir/documents.parquet`; doc_ids must be
+    * new): current posting bucket files carry forward BYTE-FOR-BYTE (a
+    * new doc never changes an old doc's postings — tf and dl are
+    * doc-local), the batch's postings append as new files in their hash
+    * buckets, the vocabulary-sized df table merges by keyed sum, and the
+    * two corpus scalars add. Publish = dot-prefixed staging + ONE atomic
+    * rename of `v<N>`; a crashed attempt is invisible. Old versions stay
+    * for time-travel until [[vacuumVersions]]. */
+  def append(spark: SparkSession, batchDir: String, indexPath: String,
+      buckets: Int = 16): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val versions = committedVersions(spark, indexPath)
+    require(versions.nonEmpty, s"append needs an existing index at $indexPath")
+    val cur = versionRoot(indexPath, versions.max)
+    val next = versions.max + 1
+    val target = new Path(root, s"v$next")
+    val staging = new Path(root, s".staging_v$next")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val toks = Tables.documents(spark, batchDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tb = pmod(hash(col("tok")), lit(buckets))
+    // batch postings into their buckets; current bucket files then copy in
+    // beside them (part names embed job UUIDs — no collisions)
+    dt.join(dl, Seq("doc_id"))
+      .withColumn("tb", tb)
+      .repartition(col("tb"))
+      .sortWithinPartitions("tok", "doc_id")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(new Path(staging, "postings").toString)
+    fs.listStatus(new Path(cur, "postings")).toSeq
+      .filter(_.getPath.getName.startsWith("tb="))
+      .foreach { s =>
+        val dstB = new Path(new Path(staging, "postings"), s.getPath.getName)
+        fs.mkdirs(dstB)
+        fs.listStatus(s.getPath).toSeq
+          .filter(f => f.getPath.getName.startsWith("part-"))
+          .foreach(f => FileUtil.copy(fs, f.getPath, fs,
+            new Path(dstB, f.getPath.getName), false, conf))
+      }
+    // df merge: vocabulary-sized keyed sum (never corpus mass)
+    spark.read.parquet(s"$cur/dfreq").select("tok", "df")
+      .unionByName(dt.groupBy("tok").agg(count(lit(1)).as("df")))
+      .groupBy("tok").agg(sum("df").as("df"))
+      .withColumn("tb", tb)
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(new Path(staging, "dfreq").toString)
+    // scalars add exactly; stats is written LAST — its _SUCCESS is the
+    // version's commit marker
+    val (nDocs, nToks) = readStatsAt(spark, cur)
+    dl.agg((count(lit(1)) + nDocs).as("n_docs"),
+        (coalesce(sum("dl"), lit(0L)) + nToks).as("n_toks")) // empty-batch-safe
+      .coalesce(1)
+      .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+
+  /** Drop committed versions beyond the newest `keepLast` (floored at
+    * one). The base layout counts as version 0; vacuuming it removes its
+    * three artifact dirs, never the version dirs beside them. */
+  def vacuumVersions(spark: SparkSession, indexPath: String,
+      keepLast: Int = 2): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committedVersions(spark, indexPath)
+    vs.dropRight(math.max(keepLast, 1)).flatMap { v =>
+      if (v == 0L)
+        Seq("postings", "dfreq", "stats").map { d =>
+          val p = new Path(root, d); fs.delete(p, true); p.toString
+        }
+      else {
+        val p = new Path(root, s"v$v"); fs.delete(p, true); Seq(p.toString)
+      }
+    }
+  }
+
+  /** The corpus scalars persisted by [[write]]/[[append]] (newest
+    * committed version). */
+  def readStats(spark: SparkSession, indexPath: String): (Long, Long) =
+    readStatsAt(spark, currentRoot(spark, indexPath))
+
+  private def readStatsAt(spark: SparkSession, root: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$root/stats").collect().head
     (r.getLong(0), r.getLong(1))
   }
 
@@ -67,7 +189,7 @@ object TextIndex {
   def deriveQueryTerms(spark: SparkSession, indexPath: String,
       nq: Int = 5): Seq[(String, Long, Int)] = {
     val (nDocs, _) = readStats(spark, indexPath)
-    spark.read.parquet(s"$indexPath/dfreq")
+    spark.read.parquet(s"${currentRoot(spark, indexPath)}/dfreq")
       .filter(col("df") * 2 < nDocs)
       .orderBy(desc("df"), col("tok")).limit(nq)
       .select(col("tok"), col("df"), col("tb").cast("int"))
@@ -89,7 +211,7 @@ object TextIndex {
     val (nDocs, nToks) = readStats(spark, indexPath)
     val qts = deriveQueryTerms(spark, indexPath, nq)
     val qterms = qts.map { case (t, df, _) => (t, df) }.toDF("tok", "df")
-    val scored = spark.read.parquet(s"$indexPath/postings")
+    val scored = spark.read.parquet(s"${currentRoot(spark, indexPath)}/postings")
       .filter(col("tb").isin(qts.map(_._3): _*))
       .join(broadcast(qterms), Seq("tok"))
       .withColumn("n_docs", lit(nDocs))
