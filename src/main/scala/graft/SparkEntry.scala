@@ -172,6 +172,7 @@ object SparkEntry {
       if (!built.exists()) graft.text.TextIndex.write(s, d, idx)
       graft.text.TextIndex.bm25Indexed(s, idx)
     }),
+    "q137_nb_quality"     -> ((s: SparkSession, d: String) => TextOps.nbQualityScore(s, d)),
   )
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
@@ -2228,6 +2229,38 @@ object SparkEntry {
     // this row hash-checks that the indexed path changes where the work
     // happens, not what is computed.
     "q136_bm25_indexed" -> bm25Oracle(nq = 5, topN = 20),
+
+    // q137: add-1 multinomial Naive Bayes quality classifier — label =
+    // source id < 5 (deterministic split both engines derive identically);
+    // per-token llr over exact long counts, per-doc sums in fixed-point
+    // 1e-6 BIGINTs, pred thresholds on the INTEGER s6. Expression
+    // structure mirrors the Spark side token for token (q81 ln/division
+    // convention).
+    "q137_nb_quality" ->
+      s"""WITH d AS (SELECT doc_id, CAST(substr(source, 4) AS BIGINT) < 5 AS pos, text
+         |      FROM documents),
+         |tok AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS tok FROM d),
+         |dt AS (SELECT doc_id, pos, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM tok GROUP BY 1, 2, 3),
+         |cls AS (SELECT tok,
+         |    CAST(SUM(CASE WHEN pos THEN c ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN NOT pos THEN c ELSE 0 END) AS BIGINT) AS c0
+         |  FROM dt GROUP BY tok),
+         |scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         |    CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c0) AS BIGINT) AS t0 FROM cls),
+         |nd AS (SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n0 FROM d),
+         |j AS (SELECT doc_id, pos,
+         |    CAST(SUM(CAST(floor(c * (ln((c1 + 1) / (t1 + v)) - ln((c0 + 1) / (t0 + v)))
+         |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS w6,
+         |    CAST(SUM(c) AS BIGINT) AS n_tokens
+         |  FROM dt JOIN cls USING (tok), scal GROUP BY doc_id, pos),
+         |p AS (SELECT CAST(floor(ln(n1 / n0) * 1000000.0 + 0.5) AS BIGINT) AS prior6 FROM nd)
+         |SELECT j.doc_id, CAST(j.pos AS BIGINT) AS is_curated_source, j.n_tokens,
+         | w6 + prior6 AS s6,
+         | (w6 + prior6) * 1.0 / 1000000.0 AS nb_score,
+         | CAST(w6 + prior6 > 0 AS BIGINT) AS pred_curated
+         |FROM j, p ORDER BY doc_id""".stripMargin,
 
     // q134: reciprocal rank fusion (Cormack et al. 2009) of the dense
     // cosine top-50 (q23's oracle at k=50) with the BM25 top-50 (q132's

@@ -441,6 +441,66 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** Q137 — NAIVE BAYES QUALITY CLASSIFIER (the GPT-3/CCNet curation
+    * move: train a cheap discriminative model to tell a "curated" slice
+    * from the rest, then rank EVERY doc by classifier score — the third
+    * rung of the model-based quality ladder after q81's unigram and
+    * q133's bigram LM). The training label is deterministic — sources
+    * src0..src{posSources−1} are the curated class — so both engines
+    * derive the identical split; the model is add-1 multinomial NB, the
+    * classic high-throughput quality filter (linear in tokens, no
+    * iterative training).
+    *
+    * Per token: llr = ln((c1+1)/(T1+V)) − ln((c0+1)/(T0+V)) over exact
+    * long counts (c=class occurrences, T=class mass, V=vocab size). Per
+    * doc: Σ count·llr + ln(N1/N0), summed as FIXED-POINT 10⁻⁶ BIGINTs
+    * (q81 discipline) so the sum is order-independent and the pred
+    * threshold (s6 > 0) is an integer compare — no float boundary.
+    *
+    * Shape: one tokenize pass shared by the (doc,tok) counts, the
+    * per-class token table, and the scalars (ReuseExchange); scoring is a
+    * no-fan tok-keyed join (each (doc,tok) row meets one llr row) + a
+    * doc-keyed reduce; scalars broadcast. Reduce state is vocab-sized,
+    * never corpus mass — the 100 TB shape of every fastText-style
+    * quality-classifier pass. Requires both classes non-empty. */
+  def nbQualityScore(spark: SparkSession, dir: String,
+      posSources: Int = 5): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"),
+      (substring(col("source"), 4, 10).cast("long") < posSources).as("pos"),
+      col("text"))
+    val tok = base.select(col("doc_id"), col("pos"),
+      explode(tokens(col("text"))).as("tok"))
+    val dt = tok.groupBy("doc_id", "pos", "tok").agg(count(lit(1)).as("c"))
+    val cls = dt.groupBy("tok").agg(
+      sum(when(col("pos"), col("c")).otherwise(lit(0L))).as("c1"),
+      sum(when(!col("pos"), col("c")).otherwise(lit(0L))).as("c0"))
+    val scal = cls.agg(count(lit(1)).as("v"),
+      sum("c1").as("t1"), sum("c0").as("t0"))
+    val nd = base.agg(
+      sum(when(col("pos"), lit(1L)).otherwise(lit(0L))).as("n1"),
+      sum(when(!col("pos"), lit(1L)).otherwise(lit(0L))).as("n0"))
+    // expression structure mirrored token-for-token by the oracle SQL so
+    // association order (hence bits) agrees
+    val llr = log((col("c1") + lit(1L)) / (col("t1") + col("v"))) -
+      log((col("c0") + lit(1L)) / (col("t0") + col("v")))
+    val prior6 = floor(log(col("n1") / col("n0")) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    dt.join(cls, Seq("tok"))
+      .crossJoin(broadcast(scal))
+      .groupBy("doc_id", "pos")
+      .agg(
+        sum(floor(col("c") * llr * lit(1000000.0) + lit(0.5)).cast("long")).as("w6"),
+        sum("c").as("n_tokens"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("is_curated_source"),
+        col("n_tokens"),
+        (col("w6") + prior6).as("s6"),
+        ((col("w6") + prior6) * lit(1.0) / lit(1000000.0)).as("nb_score"),
+        (col("w6") + prior6 > 0).cast("long").as("pred_curated"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sampling (north star, training-data
     * curation): hash-mod selection — md5-derived bucket, keep bucket 0 of
     * `mod` (≈1/mod of the corpus), reported per language stratum.

@@ -274,6 +274,19 @@ class PlanSpec extends SparkSpec {
       "fully-indexed RRF drifted from the ad-hoc arm at full probe")
   }
 
+  test("NB quality classifier keeps the token-keyed no-fan shape") {
+    import graft.text.TextOps
+    val plan = explain(TextOps.nbQualityScore(spark, sf0001))
+    // scoring is a tok-keyed join + doc-keyed reduce; scalars broadcast —
+    // never a cross join of corpus-mass sides, and the class-count
+    // aggregate must map-side combine (vocab-sized reduce state)
+    assert(!plan.contains("CartesianProduct"),
+      s"NB scoring must not cross-join corpus mass:\n$plan")
+    assert(plan.contains("hashpartitioning(tok") || plan.contains("hashpartitioning(doc_id"),
+      s"expected keyed aggregation work:\n$plan")
+    assert(plan.contains("partial_"), s"class counts must map-side combine:\n$plan")
+  }
+
   test("round-4b operators keep their scale shapes") {
     import graft.text.{Curation, Dedup, TextOps}
     import graft.vector.Similarity
