@@ -493,7 +493,8 @@ object VectorIndexJob {
       .write.mode("overwrite").parquet(s"$outDir/ann")
     CellIndex.ivfPqSearch(spark, indexPath, probe, nprobe = nprobe)
       .write.mode("overwrite").parquet(s"$outDir/ivfpq")
-    val vecs = spark.read.parquet(s"$indexPath/vectors")
+    val vecs = spark.read.parquet(
+      graft.vector.CellIndex.currentVectorsPath(spark, indexPath))
     Report(vecs.count(), vecs.select("cell").distinct().count(),
       spark.read.parquet(s"$outDir/ann").count(),
       spark.read.parquet(s"$outDir/ivfpq").count())
@@ -513,4 +514,61 @@ object VectorIndexJob {
       s"ann=${r.annRows} rows, ivfpq=${r.pqRows} rows")
     spark.stop()
   }
+}
+
+/** Streaming INDEX MAINTENANCE — the freshness half of the index story
+  * (round 8: [[graft.vector.CellIndex.append]] and
+  * [[graft.text.TextIndex.append]] as a deployable): a stream of newly
+  * ingested documents WITH their embeddings folds into BOTH at-rest
+  * indexes per micro-batch, so retrieval (q136's BM25, the cell-pruned
+  * ANN, fully-indexed RRF) always serves the current corpus without ever
+  * re-tokenizing or re-assigning old mass.
+  *
+  * Exactly-once on at-least-once foreachBatch: each batch lands under
+  * `workDir/batch_<id>` (overwrite — replays rewrite byte-identical
+  * parquet), then appends into each index with `tag = batchId`; both
+  * appends publish the tag ATOMICALLY with the version rename
+  * (`applied_tags` rides the version dir and carries the union forward),
+  * so a replayed batch short-circuits on [[graft.vector.CellIndex.appliedTags]]
+  * / [[graft.text.TextIndex.appliedTags]] instead of double-appending —
+  * the lakehouse merge sink's committed-retry rule, per index. */
+object IndexMaintenanceJob {
+
+  /** One ingested doc + its embedding (the multimodal-ingest envelope:
+    * text and vector arrive together; vec_id = doc_id). */
+  final case class IndexedDoc(doc_id: Long, text: String, lang: String,
+    source: String, n_chars: Long, embedding: Seq[Float], label: Int)
+
+  /** One batch fold, the testable seam: write the batch's two tables
+    * under `workDir/batch_<id>`, append each index that has not already
+    * folded this tag. Returns (vector appended?, text appended?). */
+  def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      workDir: String, vecIdx: String, textIdx: String): (Boolean, Boolean) = {
+    import org.apache.spark.sql.functions._
+    if (batch.isEmpty) return (false, false)
+    val tag = s"batch_$batchId"
+    val dir = s"$workDir/$tag"
+    batch.select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    batch.select(col("doc_id").as("vec_id"), col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val vecDo = !graft.vector.CellIndex.appliedTags(spark, vecIdx).contains(tag)
+    if (vecDo) graft.vector.CellIndex.append(spark, dir, vecIdx, Some(tag))
+    val txtDo = !graft.text.TextIndex.appliedTags(spark, textIdx).contains(tag)
+    if (txtDo) graft.text.TextIndex.append(spark, dir, textIdx, tag = Some(tag))
+    (vecDo, txtDo)
+  }
+
+  /** The wire: stream of [[IndexedDoc]] → per-batch index folds. */
+  def sink(docs: org.apache.spark.sql.Dataset[IndexedDoc], workDir: String,
+      vecIdx: String, textIdx: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
+        applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx); ()
+      }
+      .start()
 }

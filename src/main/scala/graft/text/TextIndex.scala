@@ -98,7 +98,7 @@ object TextIndex {
     * rename of `v<N>`; a crashed attempt is invisible. Old versions stay
     * for time-travel until [[vacuumVersions]]. */
   def append(spark: SparkSession, batchDir: String, indexPath: String,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16, tag: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(indexPath)
@@ -148,8 +148,41 @@ object TextIndex {
         (coalesce(sum("dl"), lit(0L)) + nToks).as("n_toks")) // empty-batch-safe
       .coalesce(1)
       .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    // applied-batch ledger — atomic with the publish, survives vacuum
+    // (union carried forward); the streaming sink's exactly-once guard
+    writeTags(fs, staging, readTags(fs, new Path(cur)) ++ tag)
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(staging, target)
+  }
+
+  private val TagsFile = "_applied_tags" // underscore: invisible to parquet dir scans
+
+  private def readTags(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, TagsFile)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeTags(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, tags: Set[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, TagsFile), true)
+    try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Batch tags already folded into the current committed version (the
+    * exactly-once guard for at-least-once streaming maintenance). */
+  def appliedTags(spark: SparkSession, indexPath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readTags(fs, new Path(currentRoot(spark, indexPath)))
   }
 
   /** Drop committed versions beyond the newest `keepLast` (floored at

@@ -117,7 +117,8 @@ object CellIndex {
     * [[currentVectorsPath]] never observe a cell-incomplete set, and a
     * crashed attempt (no `_SUCCESS`) is invisible until retried. Old
     * versions remain for time-travel until [[vacuumVersions]]. */
-  def append(spark: SparkSession, batchDir: String, indexPath: String): Unit = {
+  def append(spark: SparkSession, batchDir: String, indexPath: String,
+      tag: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(indexPath)
@@ -149,10 +150,47 @@ object CellIndex {
           .foreach(f => FileUtil.copy(fs, f.getPath, fs,
             new Path(dstCell, f.getPath.getName), false, conf))
       }
+    // applied-batch ledger: the union of prior tags + this batch's, riding
+    // the version dir so it publishes ATOMICALLY with the data (a marker
+    // written after the rename would leave a crash window where a replay
+    // double-appends) and survives vacuum (each version carries the full
+    // union). The streaming maintenance sink short-circuits on it.
+    writeTags(fs, staging, readTags(fs, cur) ++ tag)
     val marker = new Path(staging, "_SUCCESS")
     if (!fs.exists(marker)) fs.create(marker).close()
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(staging, target)
+  }
+
+  private val TagsFile = "_applied_tags" // underscore: invisible to parquet dir scans
+
+  private def readTags(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, TagsFile)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeTags(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, tags: Set[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, TagsFile), true)
+    try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Batch tags already folded into the current committed version — the
+    * exactly-once guard for at-least-once streaming maintenance: a
+    * replayed batch whose tag is present must be skipped, not re-appended. */
+  def appliedTags(spark: SparkSession, indexPath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readTags(fs, new Path(currentVectorsPath(spark, indexPath)))
   }
 
   /** Drop committed vector-set versions beyond the newest `keepLast`
