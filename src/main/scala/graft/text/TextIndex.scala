@@ -246,6 +246,12 @@ object TextIndex {
     val qterms = qts.map { case (t, df, _) => (t, df) }.toDF("tok", "df")
     val scored = spark.read.parquet(s"${currentRoot(spark, indexPath)}/postings")
       .filter(col("tb").isin(qts.map(_._3): _*))
+      // the term predicate as a literal FILTER, not just the join: it
+      // reaches the parquet scan as PushedFilters on `tok`, so the
+      // sortWithinPartitions layout prunes ROW GROUPS inside each bucket —
+      // the join alone would read every bucket row before dropping
+      // non-query terms
+      .filter(col("tok").isin(qts.map(_._1): _*))
       .join(broadcast(qterms), Seq("tok"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("n_toks", lit(nToks))

@@ -31,27 +31,49 @@ object CellIndexBench {
       df.write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$dir/embeddings.parquet").count() // footer warmup
     val probe = Similarity.probeVector(spark, dir)
-    val textIdx = idx + "_text"
+    // a 10%-slice ingest batch (offset ids, reversed vectors — disjoint,
+    // deterministic) for the incremental-maintenance metrics: append cost
+    // should track BATCH mass where rebuild tracks corpus mass
+    val batchDir = idx + "_batch"
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+      .select(
+        (org.apache.spark.sql.functions.col("vec_id") + 900000000L).as("vec_id"),
+        org.apache.spark.sql.functions.reverse(
+          org.apache.spark.sql.functions.col("embedding")).as("embedding"),
+        org.apache.spark.sql.functions.col("label"))
+      .write.mode("overwrite").parquet(s"$batchDir/embeddings.parquet")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + 900000000L)
+      .write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
     // one untimed warmup round (JIT/codegen), then THREE measured rounds
     // with full memo eviction between them — the round-8 cold
     // median-of-3 protocol, aligned with Bench/ScaleBench so SCALING.md
-    // rows reproduce under the driver's own numbers
-    val rounds = (0 to 3).map { _ =>
+    // rows reproduce under the driver's own numbers. Index paths are
+    // per-round: an append publishes a version that would otherwise
+    // shadow the next round's rebuilt base.
+    val rounds = (0 to 3).map { round =>
+      val rIdx = s"${idx}_r$round"
+      val textIdx = s"${idx}_text_r$round"
       val r = Seq(
-        "index_build" -> time(CellIndex.write(spark, dir, idx, k = k)),
-        "ann_indexed" -> time(noop(CellIndex.annIvfIndexed(spark, idx, probe))),
+        "index_build" -> time(CellIndex.write(spark, dir, rIdx, k = k)),
+        "ann_indexed" -> time(noop(CellIndex.annIvfIndexed(spark, rIdx, probe))),
         "ann_adhoc" -> time(noop(Similarity.annIvf(spark, dir))),
-        "clusters_indexed" -> time(noop(CellIndex.semanticClustersIndexed(spark, idx))),
+        "clusters_indexed" -> time(noop(CellIndex.semanticClustersIndexed(spark, rIdx))),
         "clusters_adhoc" -> time(noop(Similarity.semanticClusters(spark, dir))),
-        "rrf_indexed" -> time(noop(CellIndex.rrfFusionIndexed(spark, dir, idx, probe))),
+        "rrf_indexed" -> time(noop(CellIndex.rrfFusionIndexed(spark, dir, rIdx, probe))),
         "rrf_adhoc" -> time(noop(Similarity.rrfFusion(spark, dir))),
-        "hybrid_indexed" -> time(noop(CellIndex.hybridSearchIndexed(spark, dir, idx, probe))),
+        "hybrid_indexed" -> time(noop(CellIndex.hybridSearchIndexed(spark, dir, rIdx, probe))),
         "hybrid_adhoc" -> time(noop(Similarity.hybridSearch(spark, dir))),
         "text_index_build" -> time(graft.text.TextIndex.write(spark, dir, textIdx)),
         "bm25_indexed" -> time(noop(graft.text.TextIndex.bm25Indexed(spark, textIdx))),
         "bm25_adhoc" -> time(noop(graft.text.TextOps.bm25(spark, dir))),
         "rrf_fully_indexed" -> time(noop(CellIndex.rrfFusionIndexed(
-          spark, dir, idx, probe, textIndexPath = Some(textIdx))))
+          spark, dir, rIdx, probe, textIndexPath = Some(textIdx)))),
+        "vec_append" -> time(CellIndex.append(spark, batchDir, rIdx)),
+        "text_append" -> time(graft.text.TextIndex.append(spark, batchDir, textIdx))
       ).toMap
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)

@@ -257,6 +257,11 @@ class PlanSpec extends SparkSpec {
     val plan = explain(TextIndex.bm25Indexed(spark, ti))
     assert(plan.contains("PartitionFilters:") && plan.contains("tb"),
       s"expected term-bucket partition pruning:\n$plan")
+    // the term predicate must reach the parquet scan (row-group pruning
+    // inside each bucket via the sorted layout), not just the join — a
+    // single-term query folds In() to EqualTo, both are the pushed form
+    assert(plan.contains("In(tok") || plan.contains("EqualTo(tok"),
+      s"expected the query terms pushed to the postings scan:\n$plan")
     assert(!plan.contains("documents.parquet"),
       s"indexed BM25 must not touch the corpus at query time:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
