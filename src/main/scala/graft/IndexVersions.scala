@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The pieces of the versioned-artifact publish protocol shared by the
+  * at-rest indexes ([[graft.vector.CellIndex]], [[graft.text.TextIndex]]):
+  * the applied-batch tags ledger and the guarded atomic publish. Keeping
+  * them in one place holds the protocol's invariants in one definition —
+  * the two index-local copies had already drifted on the base-commit
+  * check (round-8 review finding). */
+object IndexVersions {
+
+  /** Ledger file name — underscore-prefixed so parquet directory scans
+    * ignore it. */
+  val TagsFile = "_applied_tags"
+
+  def readTags(fs: FileSystem, dir: Path): Set[String] = {
+    val p = new Path(dir, TagsFile)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  def writeTags(fs: FileSystem, dir: Path, tags: Set[String]): Unit = {
+    val out = fs.create(new Path(dir, TagsFile), true)
+    try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Atomic publish with a LOST-UPDATE guard (round-8 review finding): a
+    * target that is already COMMITTED means a concurrent publisher won the
+    * race for this version number — deleting it would silently erase that
+    * publisher's batch AND its ledger tags, so refuse instead (the caller
+    * may re-read versions and retry on the next number). Only an
+    * UNCOMMITTED leftover (a crashed earlier rename target) is replaced.
+    * The rename result is checked — a false return (possible on HDFS) must
+    * not be reported as success. */
+  def publish(fs: FileSystem, staging: Path, target: Path,
+      committed: Path => Boolean): Unit = {
+    if (fs.exists(target)) {
+      if (committed(target)) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"$target is already committed — concurrent publish detected; " +
+            "re-resolve the current version and retry")
+      }
+      fs.delete(target, true)
+    }
+    require(fs.rename(staging, target),
+      s"atomic publish failed: rename $staging -> $target returned false")
+  }
+}

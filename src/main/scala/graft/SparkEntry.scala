@@ -161,13 +161,22 @@ object SparkEntry {
     // q136 serves q132's exact answer FROM the at-rest posting index (the
     // oracle is q132's verbatim — what changes is where the work happens,
     // which is precisely what this row checks). The index is built once
-    // per (layout version, dir) and reused: deterministic content under
-    // the repo's dir-immutability contract, and reuse IS the at-rest
-    // serving model the row exists to measure (bench passes 2–3 ride the
-    // artifact the way production queries ride an index).
+    // per (layout version, dir, CONTENT STAMP) and reused — reuse IS the
+    // at-rest serving model the row exists to measure (bench passes 2–3
+    // ride the artifact the way production queries ride an index). The
+    // stamp folds the source files' mtime+length so a REGENERATED fixture
+    // (the driver rewrites testdata across rounds) gets a fresh index
+    // instead of silently serving the old corpus; a bare path-hash key
+    // would never notice (round-8 review finding).
     "q136_bm25_indexed"   -> ((s: SparkSession, d: String) => {
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_v1_" +
-        Integer.toHexString(d.hashCode)
+      val srcDir = new java.io.File(s"$d/documents.parquet")
+      val stamp = Option(srcDir.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filterNot(_.getName.startsWith("_"))
+        .map(f => f.lastModified ^ java.lang.Long.rotateLeft(f.length, 17))
+        .foldLeft(0L)(_ ^ _)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_v2_" +
+        Integer.toHexString(d.hashCode) + "_" + java.lang.Long.toHexString(stamp)
       val built = new java.io.File(s"$idx/stats/_SUCCESS")
       if (!built.exists()) graft.text.TextIndex.write(s, d, idx)
       graft.text.TextIndex.bm25Indexed(s, idx)

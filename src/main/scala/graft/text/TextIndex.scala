@@ -28,14 +28,21 @@ import graft.sources.Tables
   * further (`tok` min/max per row group). */
 object TextIndex {
 
-  /** Build the index: one tokenize pass shared by postings/df/stats (the
-    * q132 ReuseExchange shape), then three writes. Deterministic in the
-    * corpus — rebuilding is idempotent. */
+  /** Build the index: ONE tokenize pass (the (doc,tok) count table is
+    * checkpointed so the three writes below share it — three independent
+    * actions would each re-scan and re-aggregate the corpus; ReuseExchange
+    * only dedups within a single plan), then postings/df/stats writes.
+    * The bucket count is PERSISTED in stats — appends must reuse it, a
+    * different count would silently mis-prune carried-forward postings.
+    * Deterministic in the corpus — rebuilding is idempotent. */
   def write(spark: SparkSession, dir: String, indexPath: String,
       buckets: Int = 16): Unit = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
     val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
     val tb = pmod(hash(col("tok")), lit(buckets))
     dt.join(dl, Seq("doc_id"))
@@ -50,8 +57,11 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$indexPath/dfreq")
     dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
+      .withColumn("buckets", lit(buckets.toLong))
       .coalesce(1) // 1 row — corpus scalars, not data
       .write.mode("overwrite").parquet(s"$indexPath/stats")
+    // dt was an intermediate for this build only
+    graft.Checkpoints.release(sc, (sc.getPersistentRDDs.keySet -- before).toSet)
   }
 
   /** Committed index versions under `indexPath`, oldest first: version 0
@@ -98,7 +108,7 @@ object TextIndex {
     * rename of `v<N>`; a crashed attempt is invisible. Old versions stay
     * for time-travel until [[vacuumVersions]]. */
   def append(spark: SparkSession, batchDir: String, indexPath: String,
-      buckets: Int = 16, tag: Option[String] = None): Unit = {
+      tag: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(indexPath)
@@ -110,9 +120,18 @@ object TextIndex {
     val target = new Path(root, s"v$next")
     val staging = new Path(root, s".staging_v$next")
     if (fs.exists(staging)) fs.delete(staging, true)
+    // the bucket count is the INDEX'S, never a caller parameter: a count
+    // differing from the one the carried-forward posting files were
+    // written with would silently exclude them from pruned query scans
+    // (round-8 review finding)
+    val buckets = readBucketsAt(spark, cur)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val toks = Tables.documents(spark, batchDir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    // one batch tokenize shared by the three writes (the write() rule)
     val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
     val tb = pmod(hash(col("tok")), lit(buckets))
     // batch postings into their buckets; current bucket files then copy in
@@ -141,39 +160,22 @@ object TextIndex {
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(new Path(staging, "dfreq").toString)
-    // scalars add exactly; stats is written LAST — its _SUCCESS is the
-    // version's commit marker
+    // scalars add exactly (bucket count carried forward); stats is written
+    // LAST — its _SUCCESS is the version's commit marker
     val (nDocs, nToks) = readStatsAt(spark, cur)
     dl.agg((count(lit(1)) + nDocs).as("n_docs"),
         (coalesce(sum("dl"), lit(0L)) + nToks).as("n_toks")) // empty-batch-safe
+      .withColumn("buckets", lit(buckets.toLong))
       .coalesce(1)
       .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    graft.Checkpoints.release(sc, (sc.getPersistentRDDs.keySet -- before).toSet)
     // applied-batch ledger — atomic with the publish, survives vacuum
     // (union carried forward); the streaming sink's exactly-once guard
-    writeTags(fs, staging, readTags(fs, new Path(cur)) ++ tag)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(staging, target)
-  }
-
-  private val TagsFile = "_applied_tags" // underscore: invisible to parquet dir scans
-
-  private def readTags(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir, TagsFile)
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-  }
-
-  private def writeTags(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, tags: Set[String]): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, TagsFile), true)
-    try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    graft.IndexVersions.writeTags(fs, staging,
+      graft.IndexVersions.readTags(fs, new Path(cur)) ++ tag)
+    // guarded atomic publish: never replaces a COMMITTED concurrent winner
+    graft.IndexVersions.publish(fs, staging, target,
+      t => fs.exists(new Path(t, "stats/_SUCCESS")))
   }
 
   /** Batch tags already folded into the current committed version (the
@@ -182,7 +184,7 @@ object TextIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readTags(fs, new Path(currentRoot(spark, indexPath)))
+    graft.IndexVersions.readTags(fs, new Path(currentRoot(spark, indexPath)))
   }
 
   /** Drop committed versions beyond the newest `keepLast` (floored at
@@ -212,8 +214,12 @@ object TextIndex {
 
   private def readStatsAt(spark: SparkSession, root: String): (Long, Long) = {
     val r = spark.read.parquet(s"$root/stats").collect().head
-    (r.getLong(0), r.getLong(1))
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"))
   }
+
+  private def readBucketsAt(spark: SparkSession, root: String): Int =
+    spark.read.parquet(s"$root/stats").collect().head
+      .getAs[Long]("buckets").toInt
 
   /** The q132 deterministic query derivation served FROM the index's df
     * table (a vocabulary-sized scan — no corpus pass): the `nq` highest-df
@@ -221,13 +227,17 @@ object TextIndex {
     * posting scan can prune. Driver-side nq rows. */
   def deriveQueryTerms(spark: SparkSession, indexPath: String,
       nq: Int = 5): Seq[(String, Long, Int)] = {
-    val (nDocs, _) = readStats(spark, indexPath)
-    spark.read.parquet(s"${currentRoot(spark, indexPath)}/dfreq")
+    val root = currentRoot(spark, indexPath)
+    deriveQueryTermsAt(spark, root, readStatsAt(spark, root)._1, nq)
+  }
+
+  private def deriveQueryTermsAt(spark: SparkSession, root: String,
+      nDocs: Long, nq: Int): Seq[(String, Long, Int)] =
+    spark.read.parquet(s"$root/dfreq")
       .filter(col("df") * 2 < nDocs)
       .orderBy(desc("df"), col("tok")).limit(nq)
       .select(col("tok"), col("df"), col("tb").cast("int"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
-  }
 
   /** BM25 served FROM the index (the indexed form of [[TextOps.bm25]]):
     * resolve query terms against the df table, scan ONLY their hash
@@ -241,10 +251,15 @@ object TextIndex {
   def bm25Indexed(spark: SparkSession, indexPath: String, nq: Int = 5,
       topN: Int = 20): DataFrame = {
     import spark.implicits._
-    val (nDocs, nToks) = readStats(spark, indexPath)
-    val qts = deriveQueryTerms(spark, indexPath, nq)
+    // ONE version resolution for the whole query: resolving per artifact
+    // would let a concurrent append publish between reads and mix stats
+    // from vN with postings from vN+1 — scores of no committed version
+    // (round-8 review finding)
+    val root = currentRoot(spark, indexPath)
+    val (nDocs, nToks) = readStatsAt(spark, root)
+    val qts = deriveQueryTermsAt(spark, root, nDocs, nq)
     val qterms = qts.map { case (t, df, _) => (t, df) }.toDF("tok", "df")
-    val scored = spark.read.parquet(s"${currentRoot(spark, indexPath)}/postings")
+    val scored = spark.read.parquet(s"$root/postings")
       .filter(col("tb").isin(qts.map(_._3): _*))
       // the term predicate as a literal FILTER, not just the join: it
       // reaches the parquet scan as PushedFilters on `tok`, so the

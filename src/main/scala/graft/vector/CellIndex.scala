@@ -83,8 +83,11 @@ object CellIndex {
       .filter(n => { val s = n.stripPrefix("vectors_v"); s.nonEmpty && s.forall(_.isDigit) })
       .filter(n => fs.exists(new Path(root, s"$n/_SUCCESS")))
       .map(_.stripPrefix("vectors_v").toLong)
+    // the base write is committed only once ITS _SUCCESS landed — a
+    // crashed partial `vectors/` must be invisible, not served (round-8
+    // review finding; same rule the versioned dirs already follow)
     val base =
-      if (fs.exists(new Path(root, "vectors"))) Seq(0L) else Seq.empty
+      if (fs.exists(new Path(root, "vectors/_SUCCESS"))) Seq(0L) else Seq.empty
     (base ++ versioned).sorted
   }
 
@@ -155,32 +158,13 @@ object CellIndex {
     // written after the rename would leave a crash window where a replay
     // double-appends) and survives vacuum (each version carries the full
     // union). The streaming maintenance sink short-circuits on it.
-    writeTags(fs, staging, readTags(fs, cur) ++ tag)
+    graft.IndexVersions.writeTags(fs, staging,
+      graft.IndexVersions.readTags(fs, cur) ++ tag)
     val marker = new Path(staging, "_SUCCESS")
     if (!fs.exists(marker)) fs.create(marker).close()
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(staging, target)
-  }
-
-  private val TagsFile = "_applied_tags" // underscore: invisible to parquet dir scans
-
-  private def readTags(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir, TagsFile)
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-  }
-
-  private def writeTags(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, tags: Set[String]): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, TagsFile), true)
-    try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    // guarded atomic publish: never replaces a COMMITTED concurrent winner
+    graft.IndexVersions.publish(fs, staging, target,
+      t => fs.exists(new Path(t, "_SUCCESS")))
   }
 
   /** Batch tags already folded into the current committed version — the
@@ -190,7 +174,7 @@ object CellIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readTags(fs, new Path(currentVectorsPath(spark, indexPath)))
+    graft.IndexVersions.readTags(fs, new Path(currentVectorsPath(spark, indexPath)))
   }
 
   /** Drop committed vector-set versions beyond the newest `keepLast`

@@ -64,4 +64,19 @@ class TextIndexAppendSpec extends SparkSpec {
     val after = TextIndex.bm25Indexed(spark, idx).collect().map(_.toSeq)
     assert(after.toSeq == got.toSeq, "vacuum changed the served answer")
   }
+
+  test("append reuses the persisted bucket count, never a caller parameter") {
+    // an index written with a NON-default bucket count must keep it across
+    // appends — a caller-supplied count differing from the layout's would
+    // silently exclude carried-forward postings from pruned scans
+    val idx = java.nio.file.Files.createTempDirectory("textidx_b8").toString
+    TextIndex.write(spark, sf0001, idx, buckets = 8)
+    val batch = docsDirFrom(700000L)
+    TextIndex.append(spark, batch, idx)
+    val rebuilt = java.nio.file.Files.createTempDirectory("textidx_b8rb").toString
+    TextIndex.write(spark, unionDir(Seq(sf0001, batch)), rebuilt, buckets = 8)
+    assert(TextIndex.bm25Indexed(spark, idx).collect().map(_.toSeq).toSeq ==
+      TextIndex.bm25Indexed(spark, rebuilt).collect().map(_.toSeq).toSeq,
+      "8-bucket appended index drifted from an 8-bucket rebuild")
+  }
 }
