@@ -541,9 +541,17 @@ object IndexMaintenanceJob {
 
   /** One batch fold, the testable seam: write the batch's two tables
     * under `workDir/batch_<id>`, append each index that has not already
-    * folded this tag. Returns (vector appended?, text appended?). */
+    * folded this tag, then vacuum old versions down to `retainVersions`.
+    * The retention FLOOR of two is load-bearing, not caution — the merge
+    * sink's rule: foreachBatch is at-least-once, so the newest version may
+    * have committed while the checkpoint entry did not; a replay of that
+    * batch must still find its tag, and dropping below two retained
+    * versions in the crash window could vacuum the only committed set a
+    * racing reader just resolved. Returns (vector appended?, text
+    * appended?). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      workDir: String, vecIdx: String, textIdx: String): (Boolean, Boolean) = {
+      workDir: String, vecIdx: String, textIdx: String,
+      retainVersions: Int = 3): (Boolean, Boolean) = {
     import org.apache.spark.sql.functions._
     if (batch.isEmpty) return (false, false)
     val tag = s"batch_$batchId"
@@ -553,22 +561,30 @@ object IndexMaintenanceJob {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     batch.select(col("doc_id").as("vec_id"), col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val keep = math.max(retainVersions, 2)
     val vecDo = !graft.vector.CellIndex.appliedTags(spark, vecIdx).contains(tag)
-    if (vecDo) graft.vector.CellIndex.append(spark, dir, vecIdx, Some(tag))
+    if (vecDo) {
+      graft.vector.CellIndex.append(spark, dir, vecIdx, Some(tag))
+      graft.vector.CellIndex.vacuumVersions(spark, vecIdx, keepLast = keep)
+    }
     val txtDo = !graft.text.TextIndex.appliedTags(spark, textIdx).contains(tag)
-    if (txtDo) graft.text.TextIndex.append(spark, dir, textIdx, tag = Some(tag))
+    if (txtDo) {
+      graft.text.TextIndex.append(spark, dir, textIdx, tag = Some(tag))
+      graft.text.TextIndex.vacuumVersions(spark, textIdx, keepLast = keep)
+    }
     (vecDo, txtDo)
   }
 
   /** The wire: stream of [[IndexedDoc]] → per-batch index folds. */
   def sink(docs: org.apache.spark.sql.Dataset[IndexedDoc], workDir: String,
-      vecIdx: String, textIdx: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      vecIdx: String, textIdx: String, checkpoint: String,
+      retainVersions: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
-        applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx); ()
+        applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx,
+          retainVersions); ()
       }
       .start()
 }

@@ -32,8 +32,10 @@ class IndexMaintenanceSpec extends SparkSpec {
     CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 3)
     TextIndex.write(spark, sf0001, textIdx)
     val in = MemoryStream[IndexedDoc]
+    // retainVersions = 2: after the second batch the base version must be
+    // vacuumed (bounded storage) while the tag ledger carries forward
     val q = IndexMaintenanceJob.sink(in.toDS(), s"$work/batches",
-      vecIdx, textIdx, s"$work/ckpt")
+      vecIdx, textIdx, s"$work/ckpt", retainVersions = 2)
     try {
       in.addData(mkBatch(100000L, 40): _*)
       q.processAllAvailable()
@@ -45,6 +47,13 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(TextIndex.appliedTags(spark, textIdx) == Set("batch_0", "batch_1"))
     assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v2"))
     assert(TextIndex.currentRoot(spark, textIdx).endsWith("v2"))
+    // streaming retention: the base version set was vacuumed, v1+v2 remain
+    val vfs = new org.apache.hadoop.fs.Path(vecIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!vfs.exists(new org.apache.hadoop.fs.Path(vecIdx, "vectors")),
+      "retention must vacuum the base vector set after two appends")
+    assert(!vfs.exists(new org.apache.hadoop.fs.Path(textIdx, "stats")),
+      "retention must vacuum the base text-index triple after two appends")
     // the indexed corpus is base + both batches, rows intact
     val vecs = spark.read.parquet(CellIndex.currentVectorsPath(spark, vecIdx))
     assert(vecs.count() == 500 + 40 + 25)
