@@ -52,5 +52,16 @@ object IndexVersions {
     }
     require(fs.rename(staging, target),
       s"atomic publish failed: rename $staging -> $target returned false")
+    // the exists-check/rename window is not atomic, and HDFS rename into a
+    // directory that appeared in between MOVES THE SOURCE INSIDE IT and
+    // returns true — the losing publisher would report success while its
+    // data sat nested and unread. Detect that shape and fail loudly: a
+    // silent lost update is the one outcome this protocol must not allow.
+    if (fs.exists(new Path(target, staging.getName))) {
+      fs.delete(new Path(target, staging.getName), true)
+      throw new IllegalStateException(
+        s"concurrent publish raced the rename of $target — this attempt " +
+          "lost; re-resolve the current version and retry")
+    }
   }
 }

@@ -170,15 +170,30 @@ object SparkEntry {
     // would never notice (round-8 review finding).
     "q136_bm25_indexed"   -> ((s: SparkSession, d: String) => {
       val srcDir = new java.io.File(s"$d/documents.parquet")
-      val stamp = Option(srcDir.listFiles())
+      // order-insensitive MIXING fold (not XOR — XOR factors per field, so
+      // paired mtimes/lengths cancel and a regeneration could go unseen):
+      // per-file hashes combine by sorted multiplication-free mixing
+      val fileHashes = Option(srcDir.listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filterNot(_.getName.startsWith("_"))
-        .map(f => f.lastModified ^ java.lang.Long.rotateLeft(f.length, 17))
-        .foldLeft(0L)(_ ^ _)
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_textindex_v2_" +
-        Integer.toHexString(d.hashCode) + "_" + java.lang.Long.toHexString(stamp)
+        .map(f => {
+          var h = f.lastModified
+          h = h * 0x9E3779B97F4A7C15L + f.length
+          h * 0x9E3779B97F4A7C15L + f.getName.hashCode
+        }).sorted
+      val stamp = fileHashes.foldLeft(1125899906842597L)(_ * 31 + _)
+      val prefix = "graft_textindex_v2_" + Integer.toHexString(d.hashCode) + "_"
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val idx = s"${tmp.getPath}/$prefix${java.lang.Long.toHexString(stamp)}"
       val built = new java.io.File(s"$idx/stats/_SUCCESS")
-      if (!built.exists()) graft.text.TextIndex.write(s, d, idx)
+      if (!built.exists()) {
+        // evict superseded stamps for this dir first — the cache is
+        // bounded at one index per fixture, not one per regeneration
+        Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith(prefix) && f.getPath != idx)
+          .foreach(old => scala.reflect.io.Directory(old).deleteRecursively())
+        graft.text.TextIndex.write(s, d, idx)
+      }
       graft.text.TextIndex.bm25Indexed(s, idx)
     }),
     "q137_nb_quality"     -> ((s: SparkSession, d: String) => TextOps.nbQualityScore(s, d)),

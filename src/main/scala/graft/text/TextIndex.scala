@@ -61,7 +61,7 @@ object TextIndex {
       .coalesce(1) // 1 row — corpus scalars, not data
       .write.mode("overwrite").parquet(s"$indexPath/stats")
     // dt was an intermediate for this build only
-    graft.Checkpoints.release(sc, (sc.getPersistentRDDs.keySet -- before).toSet)
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
   }
 
   /** Committed index versions under `indexPath`, oldest first: version 0
@@ -123,8 +123,8 @@ object TextIndex {
     // the bucket count is the INDEX'S, never a caller parameter: a count
     // differing from the one the carried-forward posting files were
     // written with would silently exclude them from pruned query scans
-    // (round-8 review finding)
-    val buckets = readBucketsAt(spark, cur)
+    // (round-8 review finding). One stats read serves all three scalars.
+    val (nDocs, nToks, buckets) = readStatsRowAt(spark, cur)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val toks = Tables.documents(spark, batchDir)
@@ -162,13 +162,12 @@ object TextIndex {
       .parquet(new Path(staging, "dfreq").toString)
     // scalars add exactly (bucket count carried forward); stats is written
     // LAST — its _SUCCESS is the version's commit marker
-    val (nDocs, nToks) = readStatsAt(spark, cur)
     dl.agg((count(lit(1)) + nDocs).as("n_docs"),
         (coalesce(sum("dl"), lit(0L)) + nToks).as("n_toks")) // empty-batch-safe
       .withColumn("buckets", lit(buckets.toLong))
       .coalesce(1)
       .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
-    graft.Checkpoints.release(sc, (sc.getPersistentRDDs.keySet -- before).toSet)
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
     // applied-batch ledger — atomic with the publish, survives vacuum
     // (union carried forward); the streaming sink's exactly-once guard
     graft.IndexVersions.writeTags(fs, staging,
@@ -213,13 +212,18 @@ object TextIndex {
     readStatsAt(spark, currentRoot(spark, indexPath))
 
   private def readStatsAt(spark: SparkSession, root: String): (Long, Long) = {
-    val r = spark.read.parquet(s"$root/stats").collect().head
-    (r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"))
+    val (n, t, _) = readStatsRowAt(spark, root)
+    (n, t)
   }
 
-  private def readBucketsAt(spark: SparkSession, root: String): Int =
-    spark.read.parquet(s"$root/stats").collect().head
-      .getAs[Long]("buckets").toInt
+  /** One read of the 1-row stats file for all three scalars. Stats files
+    * written before the bucket column existed fall back to the historical
+    * default (16) instead of failing the append. */
+  private def readStatsRowAt(spark: SparkSession, root: String): (Long, Long, Int) = {
+    val r = spark.read.parquet(s"$root/stats").collect().head
+    val buckets = scala.util.Try(r.getAs[Long]("buckets").toInt).getOrElse(16)
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"), buckets)
+  }
 
   /** The q132 deterministic query derivation served FROM the index's df
     * table (a vocabulary-sized scan — no corpus pass): the `nq` highest-df

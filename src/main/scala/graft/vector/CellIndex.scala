@@ -65,7 +65,7 @@ object CellIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/vectors")
     // e was an intermediate for this build only
-    graft.Checkpoints.release(sc, (sc.getPersistentRDDs.keySet -- before).toSet)
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
   }
 
   /** Committed vector-set versions under `indexPath`, oldest first.
@@ -85,7 +85,10 @@ object CellIndex {
       .map(_.stripPrefix("vectors_v").toLong)
     // the base write is committed only once ITS _SUCCESS landed — a
     // crashed partial `vectors/` must be invisible, not served (round-8
-    // review finding; same rule the versioned dirs already follow)
+    // review finding; same rule the versioned dirs already follow).
+    // Operational note: tools that sync indexes between stores must
+    // PRESERVE underscore marker files (several S3 sync defaults drop
+    // them) or the copy will resolve as uncommitted.
     val base =
       if (fs.exists(new Path(root, "vectors/_SUCCESS"))) Seq(0L) else Seq.empty
     (base ++ versioned).sorted
