@@ -161,43 +161,66 @@ object SparkEntry {
     // q136 serves q132's exact answer FROM the at-rest posting index (the
     // oracle is q132's verbatim — what changes is where the work happens,
     // which is precisely what this row checks). The index is built once
-    // per (layout version, dir, CONTENT STAMP) and reused — reuse IS the
-    // at-rest serving model the row exists to measure (bench passes 2–3
-    // ride the artifact the way production queries ride an index). The
-    // stamp folds the source files' mtime+length so a REGENERATED fixture
-    // (the driver rewrites testdata across rounds) gets a fresh index
-    // instead of silently serving the old corpus; a bare path-hash key
-    // would never notice (round-8 review finding).
-    "q136_bm25_indexed"   -> ((s: SparkSession, d: String) => {
-      val srcDir = new java.io.File(s"$d/documents.parquet")
-      // order-insensitive MIXING fold (not XOR — XOR factors per field, so
-      // paired mtimes/lengths cancel and a regeneration could go unseen):
-      // per-file hashes combine by sorted multiplication-free mixing
-      val fileHashes = Option(srcDir.listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filterNot(_.getName.startsWith("_"))
-        .map(f => {
-          var h = f.lastModified
-          h = h * 0x9E3779B97F4A7C15L + f.length
-          h * 0x9E3779B97F4A7C15L + f.getName.hashCode
-        }).sorted
-      val stamp = fileHashes.foldLeft(1125899906842597L)(_ * 31 + _)
-      val prefix = "graft_textindex_v2_" + Integer.toHexString(d.hashCode) + "_"
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      val idx = s"${tmp.getPath}/$prefix${java.lang.Long.toHexString(stamp)}"
-      val built = new java.io.File(s"$idx/stats/_SUCCESS")
-      if (!built.exists()) {
-        // evict superseded stamps for this dir first — the cache is
-        // bounded at one index per fixture, not one per regeneration
-        Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.startsWith(prefix) && f.getPath != idx)
-          .foreach(old => scala.reflect.io.Directory(old).deleteRecursively())
-        graft.text.TextIndex.write(s, d, idx)
-      }
-      graft.text.TextIndex.bm25Indexed(s, idx)
-    }),
+    // per process per fixture dir and reused — reuse IS the at-rest
+    // serving model the row exists to measure (bench passes 2–3 ride the
+    // artifact the way production queries ride an index).
+    "q136_bm25_indexed"   -> ((s: SparkSession, d: String) =>
+      graft.text.TextIndex.bm25Indexed(s, cachedTextIndex(s, d))),
     "q137_nb_quality"     -> ((s: SparkSession, d: String) => TextOps.nbQualityScore(s, d)),
+    // q138/q139 (round 9): the two advertised 100 TB retrieval serving
+    // paths promoted from differential specs to oracle rows. Both run at
+    // FULL probe (nprobe = cell count) — the only setting where the
+    // IVF-pruned dense arm is exact — so the answers are verbatim q134/q46
+    // and share those oracles; what the rows check is that serving from
+    // the at-rest cell + posting layouts computes exactly what the ad-hoc
+    // corpus passes compute. Smaller nprobe is the recall/IO trade the
+    // SCALING tier measures.
+    "q138_rrf_indexed"    -> ((s: SparkSession, d: String) =>
+      graft.vector.CellIndex.rrfFusionIndexed(s, d, cachedCellIndex(s, d),
+        Similarity.probeVector(s, d), nprobe = IndexCells,
+        textIndexPath = Some(cachedTextIndex(s, d)))),
+    "q139_hybrid_indexed" -> ((s: SparkSession, d: String) =>
+      graft.vector.CellIndex.hybridSearchIndexed(s, d, cachedCellIndex(s, d),
+        Similarity.probeVector(s, d), nprobe = IndexCells)),
   )
+
+  /** Cell count for the oracle rows' cached cell index —
+    * [[cachedCellIndex]]'s `k` and the full-probe `nprobe` must agree. */
+  private val IndexCells = 16
+
+  /** tmp-dir cache for the at-rest index artifacts the indexed oracle rows
+    * (q136/q138/q139) serve from: built once per PROCESS per fixture dir,
+    * reused across bench passes. The key carries the process id, so a
+    * fresh verify/bench run always builds from the fixture as it stands —
+    * no mtime/content stamp to go stale (the round-8 stamp folded
+    * mtime+length, which 1-second mtime granularity could defeat) — and
+    * eviction never races a live concurrent process: caches left by dead
+    * processes are swept only once older than an age floor far beyond any
+    * run's duration (round-8 review finding on shared-tmpdir races). */
+  private def cachedIndex(kind: String, d: String, commitMarker: String)(
+      build: String => Unit): String = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    val idx = new java.io.File(tmp,
+      s"graft_${kind}_v3_pid${pid}_" + Integer.toHexString(d.hashCode))
+    if (!new java.io.File(idx, commitMarker).exists()) {
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith(s"graft_${kind}_") &&
+          f.getPath != idx.getPath && f.lastModified < cutoff)
+        .foreach(old => scala.reflect.io.Directory(old).deleteRecursively())
+      build(idx.getPath)
+    }
+    idx.getPath
+  }
+
+  private def cachedTextIndex(s: SparkSession, d: String): String =
+    cachedIndex("textindex", d, "stats/_SUCCESS")(p =>
+      graft.text.TextIndex.write(s, d, p))
+
+  private def cachedCellIndex(s: SparkSession, d: String): String =
+    cachedIndex("cellindex", d, "vectors/_SUCCESS")(p =>
+      graft.vector.CellIndex.write(s, d, p, k = IndexCells))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
   // Shared SQL fragments (kept as vals so Spark/DuckDB formulations stay in
@@ -905,16 +928,7 @@ object SparkEntry {
         | CAST(MAX(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "q46_hybrid_search" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
-         |d AS (SELECT doc_id, lang FROM documents WHERE lang = 'en'),
-         |p AS (SELECT v AS pv, norm AS pnorm FROM n WHERE vec_id = 0),
-         |s AS (SELECT n.vec_id, d.lang, ${pr4(s"${dotD("v", "pv")} / (norm * pnorm)")} AS cos_sim
-         |      FROM n JOIN d ON n.vec_id = d.doc_id, p),
-         |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
-         |        vec_id, lang, cos_sim FROM s)
-         |SELECT rnk, vec_id, lang, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    "q46_hybrid_search" -> hybridSearchOracle,
 
     "q49_neardup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
@@ -2292,26 +2306,15 @@ object SparkEntry {
     // contribute 0 (rank 0 in the output). The per-list contribution is
     // fixed-pointed to 1e-6 BIGINTs (one IEEE double division of exact
     // longs — the q43 convention), so the fused sort key is integer.
-    "q134_rrf_fusion" ->
-      s"""WITH dn AS (SELECT vec_id AS doc_id, rnk AS dense_rnk
-         |        FROM (${cosineTopNOracle(50)}) t),
-         |lx AS (SELECT doc_id, rnk AS lex_rnk FROM (${bm25Oracle(5, 50)}) t),
-         |f AS (SELECT COALESCE(dn.doc_id, lx.doc_id) AS doc_id,
-         |        CAST(COALESCE(dn.dense_rnk, 0) AS BIGINT) AS dense_rnk,
-         |        CAST(COALESCE(lx.lex_rnk, 0) AS BIGINT) AS lex_rnk
-         |      FROM dn FULL OUTER JOIN lx ON dn.doc_id = lx.doc_id),
-         |s AS (SELECT doc_id, dense_rnk, lex_rnk,
-         |        (CASE WHEN dense_rnk > 0
-         |              THEN CAST(floor(1000000.0 / (60 + dense_rnk) + 0.5) AS BIGINT)
-         |              ELSE 0 END +
-         |         CASE WHEN lex_rnk > 0
-         |              THEN CAST(floor(1000000.0 / (60 + lex_rnk) + 0.5) AS BIGINT)
-         |              ELSE 0 END) AS s6
-         |      FROM f),
-         |top AS (SELECT * FROM s ORDER BY s6 DESC, doc_id LIMIT 20)
-         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk,
-         |  doc_id, dense_rnk, lex_rnk, s6 * 1.0 / 1000000.0 AS rrf_score
-         |FROM top ORDER BY rnk""".stripMargin,
+    "q134_rrf_fusion" -> rrfFusionOracle,
+
+    // q138/q139 (round 9): the indexed serving paths share q134's/q46's
+    // oracles VERBATIM — at full probe the cell + posting layouts must
+    // compute exactly what the ad-hoc corpus passes compute; the rows
+    // hash-check that where the work happens never changes what is
+    // computed (the q136 convention, extended to the fused paths).
+    "q138_rrf_indexed" -> rrfFusionOracle,
+    "q139_hybrid_indexed" -> hybridSearchOracle,
 
     // q135: the audio arm end-to-end (wavWrap ∘ WavCodec.parse on %5 docs,
     // deterministic fallback on the rest, both over the first 128 text
@@ -2391,6 +2394,49 @@ object SparkEntry {
          |       ELSE 0.0 END AS avg_logprob
          |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
+
+  /** q46's oracle: metadata-filter (lang='en') then exact-cosine top-10.
+    * Shared verbatim by q139 — the indexed filter-then-ANN at full probe
+    * must return exactly this. */
+  private lazy val hybridSearchOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotD("v", "v")}) AS norm FROM e),
+       |d AS (SELECT doc_id, lang FROM documents WHERE lang = 'en'),
+       |p AS (SELECT v AS pv, norm AS pnorm FROM n WHERE vec_id = 0),
+       |s AS (SELECT n.vec_id, d.lang, ${pr4(s"${dotD("v", "pv")} / (norm * pnorm)")} AS cos_sim
+       |      FROM n JOIN d ON n.vec_id = d.doc_id, p),
+       |r AS (SELECT CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk,
+       |        vec_id, lang, cos_sim FROM s)
+       |SELECT rnk, vec_id, lang, cos_sim FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
+  /** q134's oracle: reciprocal rank fusion (Cormack et al. 2009) of the
+    * dense cosine top-50 (q23's oracle at k=50) with the BM25 top-50
+    * (q132's oracle at topN=50): score = Σ 1/(60+rank), docs absent from a
+    * list contribute 0 (rank 0 in the output). The per-list contribution
+    * is fixed-pointed to 1e-6 BIGINTs (one IEEE double division of exact
+    * longs — the q43 convention), so the fused sort key is integer.
+    * Shared verbatim by q138 — the fully-indexed RRF at full probe must
+    * return exactly this. */
+  private lazy val rrfFusionOracle: String =
+    s"""WITH dn AS (SELECT vec_id AS doc_id, rnk AS dense_rnk
+       |        FROM (${cosineTopNOracle(50)}) t),
+       |lx AS (SELECT doc_id, rnk AS lex_rnk FROM (${bm25Oracle(5, 50)}) t),
+       |f AS (SELECT COALESCE(dn.doc_id, lx.doc_id) AS doc_id,
+       |        CAST(COALESCE(dn.dense_rnk, 0) AS BIGINT) AS dense_rnk,
+       |        CAST(COALESCE(lx.lex_rnk, 0) AS BIGINT) AS lex_rnk
+       |      FROM dn FULL OUTER JOIN lx ON dn.doc_id = lx.doc_id),
+       |s AS (SELECT doc_id, dense_rnk, lex_rnk,
+       |        (CASE WHEN dense_rnk > 0
+       |              THEN CAST(floor(1000000.0 / (60 + dense_rnk) + 0.5) AS BIGINT)
+       |              ELSE 0 END +
+       |         CASE WHEN lex_rnk > 0
+       |              THEN CAST(floor(1000000.0 / (60 + lex_rnk) + 0.5) AS BIGINT)
+       |              ELSE 0 END) AS s6
+       |      FROM f),
+       |top AS (SELECT * FROM s ORDER BY s6 DESC, doc_id LIMIT 20)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk,
+       |  doc_id, dense_rnk, lex_rnk, s6 * 1.0 / 1000000.0 AS rrf_score
+       |FROM top ORDER BY rnk""".stripMargin
 
   /** q132's oracle, parameterized: the BM25 (Lucene-form idf) scorer against
     * the deterministic query term set (nq highest-df non-ubiquitous tokens).

@@ -531,7 +531,16 @@ object VectorIndexJob {
   * (`applied_tags` rides the version dir and carries the union forward),
   * so a replayed batch short-circuits on [[graft.vector.CellIndex.appliedTags]]
   * / [[graft.text.TextIndex.appliedTags]] instead of double-appending —
-  * the lakehouse merge sink's committed-retry rule, per index. */
+  * the lakehouse merge sink's committed-retry rule, per index.
+  *
+  * SINGLE LIVE WRITER per index: the publish protocol makes a concurrent
+  * publisher's lost race safe (isolated staging, guarded rename, loud
+  * failure — TextIndexAppendSpec drives the two-writer interleaving) but
+  * deliberately does not arbitrate ownership; a second live maintenance
+  * stream on the same index would fail one stream per batch. Deploy at
+  * most one of this job per (vecIdx, textIdx) pair — the failure mode is
+  * a retry signal for at-least-once delivery, not a coordination
+  * mechanism. */
 object IndexMaintenanceJob {
 
   /** One ingested doc + its embedding (the multimodal-ingest envelope:

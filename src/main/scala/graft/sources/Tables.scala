@@ -69,11 +69,17 @@ object Tables {
         // the NTZ→TimestampType cast is wall-clock-preserving ONLY under a
         // UTC session zone; every builder in this library pins it, but a
         // caller-built session without the pin would silently shift every
-        // normalized timestamp — fail loudly instead (ADVICE r7)
+        // normalized timestamp — fail loudly instead (ADVICE r7). The check
+        // resolves the zone's RULES rather than matching id strings, so
+        // every UTC-equivalent spelling (GMT, Etc/Universal, +00:00, …)
+        // passes and only a genuinely shifting zone fails (ADVICE r8).
         val tz = raw.sparkSession.sessionState.conf.sessionLocalTimeZone
-        require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
-          s"Tables.normalizeTs: session time zone must be UTC to cast NTZ " +
-            s"timestamps wall-clock-preserving, got '$tz' — set " +
+        val utcEquivalent = scala.util.Try(
+          java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS).normalized() ==
+            java.time.ZoneOffset.UTC).getOrElse(false)
+        require(utcEquivalent,
+          s"Tables.normalizeTs: session time zone must resolve to UTC to " +
+            s"cast NTZ timestamps wall-clock-preserving, got '$tz' — set " +
             "spark.sql.session.timeZone=UTC in the session builder")
         raw.withColumn(colName, col(colName).cast(TimestampType))
       case _ => raw

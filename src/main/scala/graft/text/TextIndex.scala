@@ -106,7 +106,17 @@ object TextIndex {
     * buckets, the vocabulary-sized df table merges by keyed sum, and the
     * two corpus scalars add. Publish = dot-prefixed staging + ONE atomic
     * rename of `v<N>`; a crashed attempt is invisible. Old versions stay
-    * for time-travel until [[vacuumVersions]]. */
+    * for time-travel until [[vacuumVersions]].
+    *
+    * OPERATING MODEL — SINGLE LIVE WRITER: the publish protocol makes a
+    * lost race SAFE (per-attempt staging isolation + the guarded rename —
+    * the loser throws, the committed index is never disturbed, and a
+    * retry re-resolves and lands on the next version; spec'd in
+    * TextIndexAppendSpec), but not COORDINATED: two live maintenance
+    * streams on one index would fail one stream per batch rather than
+    * take turns. Run one [[graft.app.IndexMaintenanceJob]] per index;
+    * treat the IllegalStateException as the at-least-once retry signal it
+    * is, not a liveness strategy. */
   def append(spark: SparkSession, batchDir: String, indexPath: String,
       tag: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
@@ -118,8 +128,15 @@ object TextIndex {
     val cur = versionRoot(indexPath, versions.max)
     val next = versions.max + 1
     val target = new Path(root, s"v$next")
-    val staging = new Path(root, s".staging_v$next")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    // staging path is unique PER ATTEMPT (nonce suffix): two concurrent
+    // appenders that resolve the same next version must each assemble in
+    // isolation — a shared deterministic staging dir could interleave into
+    // a mixed assembly that publishes with a valid _SUCCESS, which the
+    // target-rename guard cannot detect (round-8 review finding). The
+    // guarded rename below is now the ONLY contention point; a crashed
+    // attempt's orphan staging dir is swept by [[vacuumVersions]].
+    val staging = new Path(root,
+      s".staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
     // the bucket count is the INDEX'S, never a caller parameter: a count
     // differing from the one the carried-forward posting files were
     // written with would silently exclude them from pruned query scans
@@ -186,24 +203,48 @@ object TextIndex {
     graft.IndexVersions.readTags(fs, new Path(currentRoot(spark, indexPath)))
   }
 
+  /** Crashed staging assemblies older than this are garbage (far beyond
+    * any append's assembly time) and are swept by [[vacuumVersions]]. */
+  private val StagingTtlMs: Long = 60L * 60 * 1000
+
   /** Drop committed versions beyond the newest `keepLast` (floored at
     * one). The base layout counts as version 0; vacuuming it removes its
-    * three artifact dirs, never the version dirs beside them. */
+    * three artifact dirs, never the version dirs beside them.
+    *
+    * READ-DURATION CONTRACT: a reader that resolved a version via
+    * [[currentRoot]] holds no lease — a vacuum completing mid-scan can
+    * delete the directory under it. `keepLast >= 2` bounds the window (two
+    * whole append+vacuum cycles must complete inside one scan), and
+    * `graceMs` eliminates it: versions newer than `graceMs` (by dir
+    * modification time) are retained regardless of count, so setting it
+    * above the longest query duration makes in-flight readers safe.
+    * Orphaned `.staging_*` assemblies (crashed attempts — per-attempt
+    * nonce dirs are never reused) are swept once older than an hour. */
   def vacuumVersions(spark: SparkSession, indexPath: String,
-      keepLast: Int = 2): Seq[String] = {
+      keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = committedVersions(spark, indexPath)
-    vs.dropRight(math.max(keepLast, 1)).flatMap { v =>
-      if (v == 0L)
-        Seq("postings", "dfreq", "stats").map { d =>
-          val p = new Path(root, d); fs.delete(p, true); p.toString
+    val now = System.currentTimeMillis()
+    def oldEnough(probe: Path): Boolean = graceMs <= 0L ||
+      now - fs.getFileStatus(probe).getModificationTime >= graceMs
+    val removed = vs.dropRight(math.max(keepLast, 1))
+      .filter(v => oldEnough(new Path(root, if (v == 0L) "stats" else s"v$v")))
+      .flatMap { v =>
+        if (v == 0L)
+          Seq("postings", "dfreq", "stats").map { d =>
+            val p = new Path(root, d); fs.delete(p, true); p.toString
+          }
+        else {
+          val p = new Path(root, s"v$v"); fs.delete(p, true); Seq(p.toString)
         }
-      else {
-        val p = new Path(root, s"v$v"); fs.delete(p, true); Seq(p.toString)
       }
-    }
+    val staleStaging = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(".staging_"))
+      .filter(s => now - s.getModificationTime >= StagingTtlMs)
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+    removed ++ staleStaging
   }
 
   /** The corpus scalars persisted by [[write]]/[[append]] (newest
@@ -216,13 +257,21 @@ object TextIndex {
     (n, t)
   }
 
-  /** One read of the 1-row stats file for all three scalars. Stats files
-    * written before the bucket column existed fall back to the historical
-    * default (16) instead of failing the append. */
+  /** One read of the 1-row stats file for all three scalars. No bucket
+    * fallback: every [[write]] has persisted the `buckets` column since the
+    * layout existed, so its absence can only mean a corrupted or
+    * hand-assembled stats file — defaulting would reintroduce exactly the
+    * silent mis-pruning (carried-forward postings excluded from query
+    * scans) the persisted count exists to prevent (round-8 review finding). */
   private def readStatsRowAt(spark: SparkSession, root: String): (Long, Long, Int) = {
-    val r = spark.read.parquet(s"$root/stats").collect().head
-    val buckets = scala.util.Try(r.getAs[Long]("buckets").toInt).getOrElse(16)
-    (r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"), buckets)
+    val df = spark.read.parquet(s"$root/stats")
+    require(df.columns.contains("buckets"),
+      s"text index stats at $root/stats has no 'buckets' column — corrupted " +
+        "or hand-assembled stats; rebuild the index rather than guessing the " +
+        "bucket count (a wrong count silently mis-prunes posting scans)")
+    val r = df.collect().head
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"),
+      r.getAs[Long]("buckets").toInt)
   }
 
   /** The q132 deterministic query derivation served FROM the index's df

@@ -46,10 +46,10 @@ object ScaleGen {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts has shipped both as TIMESTAMP(NANOS) and (since the
-      // 2026-08-13 regeneration) as TIMESTAMP(MICROS) NTZ; read nanos as
-      // raw longs and pass ts through unchanged in both generations so
-      // Tables.events normalizes the scaled copy the same way
+      // events.ts has shipped under different physical types across driver
+      // data generations (see Tables.normalizeTs); read nanos as raw longs
+      // and pass ts through unchanged so Tables.events normalizes the
+      // scaled copy exactly as it does the source
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

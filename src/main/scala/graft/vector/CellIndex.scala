@@ -122,7 +122,14 @@ object CellIndex {
     * then ONE rename publishes `vectors_v<N>`; readers resolving through
     * [[currentVectorsPath]] never observe a cell-incomplete set, and a
     * crashed attempt (no `_SUCCESS`) is invisible until retried. Old
-    * versions remain for time-travel until [[vacuumVersions]]. */
+    * versions remain for time-travel until [[vacuumVersions]].
+    *
+    * OPERATING MODEL — SINGLE LIVE WRITER: a lost publish race is SAFE
+    * (isolated per-attempt staging + guarded rename — the loser throws,
+    * the committed set is untouched, a retry lands on the next version)
+    * but not COORDINATED; two live maintenance streams on one index fail
+    * one stream per batch instead of taking turns. Run one
+    * [[graft.app.IndexMaintenanceJob]] per index. */
   def append(spark: SparkSession, batchDir: String, indexPath: String,
       tag: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.{FileUtil, Path}
@@ -134,8 +141,13 @@ object CellIndex {
     val cur = new Path(versionPath(indexPath, versions.max))
     val next = versions.max + 1
     val target = new Path(root, s"vectors_v$next")
-    val staging = new Path(root, s".staging_vectors_v$next")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    // per-attempt nonce: concurrent appenders racing to the same version
+    // number must never share a staging dir (an interleaved assembly could
+    // publish a mixed batch with a valid _SUCCESS — round-8 review
+    // finding); the guarded rename is the only contention point, and
+    // [[vacuumVersions]] sweeps crashed attempts' orphan dirs
+    val staging = new Path(root,
+      s".staging_vectors_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
     val cb = readCodebook(spark, indexPath)
     val pqCbs = readPqCodebook(spark, indexPath)
     val e = Similarity.withNorm(spark, batchDir)
@@ -180,22 +192,42 @@ object CellIndex {
     graft.IndexVersions.readTags(fs, new Path(currentVectorsPath(spark, indexPath)))
   }
 
+  /** Crashed staging assemblies older than this are garbage (far beyond
+    * any append's assembly time) and are swept by [[vacuumVersions]]. */
+  private val StagingTtlMs: Long = 60L * 60 * 1000
+
   /** Drop committed vector-set versions beyond the newest `keepLast`
     * (floored at one — the current set is never vacuumed). Returns the
     * dirs removed. The base `vectors/` counts as version 0 and is
-    * vacuumable like any other once newer versions exist. */
+    * vacuumable like any other once newer versions exist.
+    *
+    * READ-DURATION CONTRACT: a reader that resolved a version via
+    * [[currentVectorsPath]] holds no lease — a vacuum completing mid-scan
+    * can delete the directory under it. `keepLast >= 2` bounds the window
+    * (two whole append+vacuum cycles must complete inside one scan);
+    * `graceMs` eliminates it — versions newer than `graceMs` (by dir
+    * modification time) are retained regardless of count, so setting it
+    * above the longest query duration makes in-flight readers safe.
+    * Orphaned `.staging_*` assemblies (crashed attempts — per-attempt
+    * nonce dirs are never reused) are swept once older than an hour. */
   def vacuumVersions(spark: SparkSession, indexPath: String,
-      keepLast: Int = 2): Seq[String] = {
+      keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = committedVersions(spark, indexPath)
-    val drop = vs.dropRight(math.max(keepLast, 1))
-    drop.map { v =>
-      val p = new Path(versionPath(indexPath, v))
-      fs.delete(p, true)
-      p.toString
-    }
+    val now = System.currentTimeMillis()
+    def oldEnough(p: Path): Boolean = graceMs <= 0L ||
+      now - fs.getFileStatus(p).getModificationTime >= graceMs
+    val removed = vs.dropRight(math.max(keepLast, 1))
+      .map(v => new Path(versionPath(indexPath, v)))
+      .filter(oldEnough)
+      .map { p => fs.delete(p, true); p.toString }
+    val staleStaging = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(".staging_"))
+      .filter(s => now - s.getModificationTime >= StagingTtlMs)
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+    removed ++ staleStaging
   }
 
   /** The persisted PQ codebooks, subspace-major ([m][k][subDim]). */
@@ -343,6 +375,47 @@ object CellIndex {
       .getOrElse(graft.text.TextOps.bm25(spark, dir, nq = 5, topN = m))
       .select(col("doc_id"), col("rnk").as("lex_rnk"))
     Similarity.rrfCombine(dense, lex, kRrf, topN)
+  }
+
+  /** MMR diversity selection with the candidate POOL served from the index
+    * (round 9 — the last retrieval-shaped query whose candidate generation
+    * was a brute-force corpus cosine pass, `Similarity.mmrSelect`):
+    * relevance-rank only the `nprobe` probed cells' vectors
+    * (partition-pruned scan; norms precomputed at write time, so no
+    * normalize pass either), collect the top-`poolSize` pool, then run the
+    * SAME driver greedy as the ad-hoc form ([[Similarity.mmrGreedy]] — one
+    * definition, so equal pools give verbatim-equal selections). At
+    * nprobe = cell count the pool is identical to the ad-hoc one and the
+    * output is verbatim q73 (differential spec); smaller nprobe trades
+    * pool recall for cell-sized IO — the 100 TB serving point, where
+    * per-query cost tracks probed-cell mass, not corpus mass. */
+  def mmrSelectIndexed(spark: SparkSession, indexPath: String,
+      probe: Seq[Double], k: Int = 5, poolSize: Int = 20,
+      lambda: Double = 0.7, nprobe: Int = 2): DataFrame = {
+    val cands = mmrPoolIndexed(spark, indexPath, probe, poolSize, nprobe)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        r.getDouble(3)))
+    Similarity.mmrGreedy(spark, cands, k, lambda)
+  }
+
+  /** The distributed half of [[mmrSelectIndexed]] — the pool plan, exposed
+    * so specs can pin its shape (partition-pruned cell scan ending in a
+    * TakeOrderedAndProject, never a corpus pass). */
+  private[graft] def mmrPoolIndexed(spark: SparkSession, indexPath: String,
+      probe: Seq[Double], poolSize: Int, nprobe: Int): DataFrame = {
+    VectorExpressions.register(spark)
+    val cb = readCodebook(spark, indexPath)
+    val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
+    val probeCells = rankProbeCells(cb, probe, nprobe)
+    spark.read.parquet(currentVectorsPath(spark, indexPath))
+      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"), col("norm"),
+        pround(dot_product(col("v"), lit(probe.toArray)) / (col("norm") * lit(pnorm)), 4)
+          .as("rel"))
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(poolSize)
   }
 
   /** Sharded semantic clustering over the index: within-cell banded

@@ -673,6 +673,19 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
         r.getDouble(3)))
+    mmrGreedy(spark, cands, k, lambda)
+  }
+
+  /** The greedy MMR rerank over a collected candidate pool — ONE
+    * definition shared by the ad-hoc q73 and
+    * [[graft.vector.CellIndex.mmrSelectIndexed]], so equal pools give
+    * verbatim-equal selections by construction. Driver-side O(k·poolSize)
+    * flops over tens of rows (the production reranker shape — see
+    * [[mmrSelect]]'s scaladoc). Pool tuples: (vec_id, vector, norm,
+    * pr4 relevance). */
+  private[vector] def mmrGreedy(spark: SparkSession,
+      cands: Array[(Long, Array[Double], Double, Double)], k: Int,
+      lambda: Double): DataFrame = {
     def pr4d(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
     def cos(a: (Long, Array[Double], Double, Double),
         b: (Long, Array[Double], Double, Double)): Double = {

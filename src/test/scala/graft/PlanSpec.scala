@@ -279,6 +279,51 @@ class PlanSpec extends SparkSpec {
       "fully-indexed RRF drifted from the ad-hoc arm at full probe")
   }
 
+  test("cell index: mmrSelectIndexed equals ad-hoc q73 at full probe; pruned pool is cell-sized") {
+    import graft.vector.{CellIndex, Similarity}
+    val idx = java.nio.file.Files.createTempDirectory("cellidx_mmr").toString
+    val cells = 4
+    CellIndex.write(spark, sf0001, idx, k = cells, iters = 3)
+    val probe = Similarity.probeVector(spark, sf0001)
+    // full probe ⇒ the candidate pool sees every vector, so the shared
+    // greedy (one definition) must select verbatim q73
+    val got = CellIndex.mmrSelectIndexed(spark, idx, probe, nprobe = cells)
+      .collect().map(_.toSeq)
+    val want = Similarity.mmrSelect(spark, sf0001).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      "indexed MMR selection drifted from the ad-hoc q73 at full probe")
+    // pruned serving: pool generation scans only the probed cell dirs and
+    // never the raw embeddings table (the greedy collects the pool, so the
+    // plan to pin is the pool's, not the 5-row local result's)
+    val plan = explain(CellIndex.mmrPoolIndexed(spark, idx, probe,
+      poolSize = 20, nprobe = 2))
+    assert(plan.contains("PartitionFilters:") && plan.contains("cell"),
+      s"expected cell partition pruning in indexed MMR pool:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"indexed MMR pool must ride the index, not the raw embeddings:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pool top-k must not rank the scanned cells through a full sort:\n$plan")
+  }
+
+  test("q138/q139 oracle rows serve from the at-rest indexes (partition filters pinned)") {
+    // the CONTRACT entries, not the library functions: the rows the driver
+    // hash-checks must themselves ride the cell + posting layouts — both
+    // arms' scans carry PartitionFilters (cell=/tb= dirs), and no plan
+    // re-tokenizes or re-normalizes the corpus at query time
+    val rrf = explain(SparkEntry.queries("q138_rrf_indexed")(spark, sf0001))
+    assert(rrf.contains("PartitionFilters:") && rrf.contains("cell"),
+      s"q138 dense arm must scan cell partitions of the index:\n$rrf")
+    assert(rrf.contains("tb"),
+      s"q138 lexical arm must scan term-bucket partitions of the index:\n$rrf")
+    assert(!rrf.contains("documents.parquet"),
+      s"q138 must not touch the document corpus at query time:\n$rrf")
+    val hyb = explain(SparkEntry.queries("q139_hybrid_indexed")(spark, sf0001))
+    assert(hyb.contains("PartitionFilters:") && hyb.contains("cell"),
+      s"q139 must scan cell partitions of the index:\n$hyb")
+    assert(!hyb.contains("embeddings.parquet"),
+      s"q139's vector side must ride the index, not the raw embeddings:\n$hyb")
+  }
+
   test("NB quality classifier keeps the token-keyed no-fan shape") {
     import graft.text.TextOps
     val plan = explain(TextOps.nbQualityScore(spark, sf0001))

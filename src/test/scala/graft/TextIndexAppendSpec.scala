@@ -65,6 +65,54 @@ class TextIndexAppendSpec extends SparkSpec {
     assert(after.toSeq == got.toSeq, "vacuum changed the served answer")
   }
 
+  test("two writers racing one version: winner commits, loser fails loudly, index stays consistent and appendable") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = java.nio.file.Files.createTempDirectory("textidx_race").toString
+    val fs = new Path(idx).getFileSystem(conf)
+    TextIndex.write(spark, sf0001, idx)
+    // writer A commits v1
+    val bA = docsDirFrom(800000L)
+    TextIndex.append(spark, bA, idx)
+    // writer B raced A for v1: it resolved the version list BEFORE A's
+    // publish and assembled its own isolated staging (per-attempt nonce
+    // dirs — the round-8 hardening — mean the assemblies never mix).
+    // Reproduce B's assembly deterministically: build the same base in a
+    // scratch index, append B's batch there, and lift its v1 payload into
+    // a staging dir beside A's committed v1.
+    val bB = docsDirFrom(900000L)
+    val scratch = java.nio.file.Files.createTempDirectory("textidx_race_b").toString
+    TextIndex.write(spark, sf0001, scratch)
+    TextIndex.append(spark, bB, scratch)
+    val staging = new Path(idx, ".staging_v1_racer")
+    assert(FileUtil.copy(fs, new Path(scratch, "v1"), fs, staging, false, conf))
+    // B's publish hits a COMMITTED concurrent winner: it must fail loudly
+    // and delete B's own staging — never replace A's version, never leave
+    // a silent mix
+    val e = intercept[IllegalStateException] {
+      IndexVersions.publish(fs, staging, new Path(idx, "v1"),
+        t => fs.exists(new Path(t, "stats/_SUCCESS")))
+    }
+    assert(e.getMessage.contains("concurrent"))
+    assert(!fs.exists(staging), "loser's staging must not linger")
+    // A's version is untouched and still serves exactly base+bA
+    assert(TextIndex.currentRoot(spark, idx).endsWith("v1"))
+    val rbA = java.nio.file.Files.createTempDirectory("textidx_race_rba").toString
+    TextIndex.write(spark, unionDir(Seq(sf0001, bA)), rbA)
+    assert(TextIndex.bm25Indexed(spark, idx).collect().map(_.toSeq).toSeq ==
+      TextIndex.bm25Indexed(spark, rbA).collect().map(_.toSeq).toSeq,
+      "winner's committed version was disturbed by the losing publish")
+    // the loser's documented recovery — re-resolve and retry — lands as v2
+    // carrying BOTH batches
+    TextIndex.append(spark, bB, idx)
+    assert(TextIndex.currentRoot(spark, idx).endsWith("v2"))
+    val rbAB = java.nio.file.Files.createTempDirectory("textidx_race_rbab").toString
+    TextIndex.write(spark, unionDir(Seq(sf0001, bA, bB)), rbAB)
+    assert(TextIndex.bm25Indexed(spark, idx).collect().map(_.toSeq).toSeq ==
+      TextIndex.bm25Indexed(spark, rbAB).collect().map(_.toSeq).toSeq,
+      "retried append after a lost race drifted from the union rebuild")
+  }
+
   test("append reuses the persisted bucket count, never a caller parameter") {
     // an index written with a NON-default bucket count must keep it across
     // appends — a caller-supplied count differing from the layout's would

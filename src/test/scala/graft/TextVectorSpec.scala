@@ -480,7 +480,7 @@ class TextVectorSpec extends SparkSpec {
 
   test("IVF-PQ: full probe + full shortlist equals brute force; pruned probe stays exact per row") {
     import graft.vector.CellIndex
-    val dir = "/root/testdata/sf0.001"
+    val dir = sf0001
     val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString
     CellIndex.write(spark, dir, idx, k = 4, iters = 1)
     val probe = Similarity.probeVector(spark, dir)
