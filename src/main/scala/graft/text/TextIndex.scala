@@ -45,13 +45,19 @@ object TextIndex {
       .localCheckpoint()
     val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
     val tb = pmod(hash(col("tok")), lit(buckets))
-    dt.join(dl, Seq("doc_id"))
+    val posts = dt.join(dl, Seq("doc_id"))
+    posts
       .withColumn("tb", tb)
       .repartition(col("tb"))
       .sortWithinPartitions("tok", "doc_id") // row-group stats prune by term
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$indexPath/postings")
-    dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    // df rides with the per-term MAX-IMPACT BOUNDS (max tf, min dl — both
+    // posting-local, so they merge exactly under append): the driver-side
+    // inputs to [[bm25Indexed]]'s MaxScore pruning. Appends keep them tight
+    // enough (max/min only widen), never stale.
+    posts.groupBy("tok")
+      .agg(count(lit(1)).as("df"), max("tf").as("max_tf"), min("dl").as("min_dl"))
       .withColumn("tb", tb)
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
@@ -169,10 +175,15 @@ object TextIndex {
           .foreach(f => FileUtil.copy(fs, f.getPath, fs,
             new Path(dstB, f.getPath.getName), false, conf))
       }
-    // df merge: vocabulary-sized keyed sum (never corpus mass)
-    spark.read.parquet(s"$cur/dfreq").select("tok", "df")
-      .unionByName(dt.groupBy("tok").agg(count(lit(1)).as("df")))
-      .groupBy("tok").agg(sum("df").as("df"))
+    // df merge: vocabulary-sized keyed sum (never corpus mass); the
+    // max-impact bounds merge exactly — max of maxes, min of mins — so
+    // MaxScore pruning stays sound across any number of appends
+    spark.read.parquet(s"$cur/dfreq").select("tok", "df", "max_tf", "min_dl")
+      .unionByName(dt.join(dl, Seq("doc_id")).groupBy("tok")
+        .agg(count(lit(1)).as("df"), max("tf").as("max_tf"),
+          min("dl").as("min_dl")))
+      .groupBy("tok").agg(sum("df").as("df"), max("max_tf").as("max_tf"),
+        min("min_dl").as("min_dl"))
       .withColumn("tb", tb)
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
@@ -274,6 +285,11 @@ object TextIndex {
       r.getAs[Long]("buckets").toInt)
   }
 
+  /** A resolved query term with its pruning inputs: document frequency,
+    * partition bucket, and the persisted per-term max-impact bounds. */
+  private[graft] final case class QTerm(tok: String, df: Long, tb: Int,
+    maxTf: Long, minDl: Long)
+
   /** The q132 deterministic query derivation served FROM the index's df
     * table (a vocabulary-sized scan — no corpus pass): the `nq` highest-df
     * non-ubiquitous terms, with each term's partition bucket so the
@@ -282,15 +298,71 @@ object TextIndex {
       nq: Int = 5): Seq[(String, Long, Int)] = {
     val root = currentRoot(spark, indexPath)
     deriveQueryTermsAt(spark, root, readStatsAt(spark, root)._1, nq)
+      .map(q => (q.tok, q.df, q.tb))
   }
 
-  private def deriveQueryTermsAt(spark: SparkSession, root: String,
-      nDocs: Long, nq: Int): Seq[(String, Long, Int)] =
+  private[graft] def deriveQueryTermsAt(spark: SparkSession, root: String,
+      nDocs: Long, nq: Int): Seq[QTerm] =
     spark.read.parquet(s"$root/dfreq")
       .filter(col("df") * 2 < nDocs)
       .orderBy(desc("df"), col("tok")).limit(nq)
-      .select(col("tok"), col("df"), col("tb").cast("int"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      .select(col("tok"), col("df"), col("tb").cast("int"),
+        col("max_tf"), col("min_dl"))
+      .collect().map(r => QTerm(r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSeq
+
+  /** The MaxScore term split for one query (Turtle & Flood 1995's
+    * MaxScore, batch-shaped): `ub6` is each term's score CEILING — the
+    * fixed-point Okapi contribution at the persisted (max tf, min dl)
+    * bounds, monotone in both, +1 ulp slack — and `theta6` is a top-k
+    * FLOOR: the topN-th best single-term contribution of the cheapest
+    * (min-df) query term, an actual score at least topN docs meet.
+    * `nonEssential` is the maximal ascending-ceiling prefix whose
+    * ceilings SUM below the floor: a doc appearing in no essential list
+    * totals strictly under theta6, hence under the true topN-th score —
+    * provably outside the topN under any tie-break. */
+  private[graft] final case class MaxScoreSplit(theta6: Long,
+    essential: Seq[String], nonEssential: Seq[String], ub6: Map[String, Long])
+
+  private[graft] def maxScoreSplitAt(spark: SparkSession, root: String,
+      nDocs: Long, nToks: Long, qts: Seq[QTerm], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): MaxScoreSplit = {
+    import spark.implicits._
+    // driver replica of bm25S6's IEEE op sequence at the bound point;
+    // the +1 fixed-point slack absorbs any residual ulp divergence
+    val avgdl = nToks.toDouble / nDocs.toDouble
+    def ub6(q: QTerm): Long = {
+      val idf = math.log(((nDocs - q.df) + 0.5) / (q.df + 0.5) + 1.0)
+      val tfn = q.maxTf * (k1 + 1) /
+        (q.maxTf + k1 * (1.0 - b + b * q.minDl / avgdl))
+      math.floor(idf * tfn * 1e6 + 0.5).toLong + 1
+    }
+    val sel = qts.minBy(q => (q.df, q.tok))
+    val selScored = TextOps.bm25S6(spark.read.parquet(s"$root/postings")
+      .filter(col("tb") === sel.tb && col("tok") === sel.tok)
+      .join(broadcast(Seq((sel.tok, sel.df)).toDF("tok", "df")), Seq("tok"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("n_toks", lit(nToks)), k1, b)
+    val partials = selScored.select("s6").orderBy(desc("s6")).limit(topN)
+      .collect().map(_.getLong(0))
+    val theta6 = if (partials.length >= topN) partials.last else 0L
+    val ubs = qts.map(q => q.tok -> ub6(q)).toMap
+    // ceilings ascending: once a prefix sum reaches the floor every longer
+    // prefix does too, so this single pass finds the maximal prefix
+    var acc = 0L
+    val ne = Seq.newBuilder[String]
+    qts.sortBy(q => (ubs(q.tok), q.tok)).foreach { q =>
+      if (theta6 > 0 && acc + ubs(q.tok) < theta6) { acc += ubs(q.tok); ne += q.tok }
+    }
+    val nonEss = ne.result()
+    MaxScoreSplit(theta6, qts.map(_.tok).filterNot(nonEss.contains), nonEss, ubs)
+  }
+
+  /** Above this many candidate docs, the non-essential lists filter via a
+    * left-semi join instead of a literal IN (a driver list must stay
+    * bounded); below it, the IN predicate reaches the parquet scan and
+    * prunes row groups of the (tok, doc_id)-sorted layout. */
+  private val CandidatePushdownLimit = 1024
 
   /** BM25 served FROM the index (the indexed form of [[TextOps.bm25]]):
     * resolve query terms against the df table, scan ONLY their hash
@@ -298,11 +370,23 @@ object TextIndex {
     * row, so scoring is join-free beyond the nq-row broadcast), score
     * with the SAME shared Okapi expression, rank with the same integer-s6
     * tail. With the same (nq, topN) this returns exactly the ad-hoc
-    * q132 answer (differential spec) — the index changes where the work
-    * happens, not what is computed. Per-query cost tracks the query
-    * terms' posting mass; the corpus is never tokenized at query time. */
+    * q132 answer (differential spec + the shared q136 oracle) — the index
+    * changes where the work happens, not what is computed. Per-query cost
+    * tracks the query terms' posting mass; the corpus is never tokenized
+    * at query time.
+    *
+    * `prune` (default on) adds MAXSCORE EARLY TERMINATION — the classic
+    * lexical lever once hot terms carry corpus-sized posting lists: from
+    * the df table's persisted (max tf, min dl) bounds and a top-k floor
+    * taken off the cheapest list, terms whose score ceilings sum below
+    * the floor become NON-ESSENTIAL ([[maxScoreSplitAt]]); their posting
+    * lists are read only FOR docs that hit an essential list (literal IN
+    * pushdown under [[CandidatePushdownLimit]] candidates — row-group
+    * pruning on the sorted layout — else a semi-join). Docs pruned this
+    * way provably cannot reach the topN, so the answer is EXACTLY the
+    * unpruned one (differential spec on a skewed fixture + q136's hash). */
   def bm25Indexed(spark: SparkSession, indexPath: String, nq: Int = 5,
-      topN: Int = 20): DataFrame = {
+      topN: Int = 20, prune: Boolean = true): DataFrame = {
     import spark.implicits._
     // ONE version resolution for the whole query: resolving per artifact
     // would let a concurrent append publish between reads and mix stats
@@ -311,16 +395,38 @@ object TextIndex {
     val root = currentRoot(spark, indexPath)
     val (nDocs, nToks) = readStatsAt(spark, root)
     val qts = deriveQueryTermsAt(spark, root, nDocs, nq)
-    val qterms = qts.map { case (t, df, _) => (t, df) }.toDF("tok", "df")
-    val scored = spark.read.parquet(s"$root/postings")
-      .filter(col("tb").isin(qts.map(_._3): _*))
-      // the term predicate as a literal FILTER, not just the join: it
-      // reaches the parquet scan as PushedFilters on `tok`, so the
-      // sortWithinPartitions layout prunes ROW GROUPS inside each bucket —
-      // the join alone would read every bucket row before dropping
-      // non-query terms
-      .filter(col("tok").isin(qts.map(_._1): _*))
-      .join(broadcast(qterms), Seq("tok"))
+    val ne =
+      if (!prune) Seq.empty[QTerm]
+      else {
+        val split = maxScoreSplitAt(spark, root, nDocs, nToks, qts, topN)
+        qts.filter(q => split.nonEssential.contains(q.tok))
+      }
+    val posts = spark.read.parquet(s"$root/postings")
+    // the term predicate as a literal FILTER, not just the join: it
+    // reaches the parquet scan as PushedFilters on `tok`, so the
+    // sortWithinPartitions layout prunes ROW GROUPS inside each bucket —
+    // the join alone would read every bucket row before dropping
+    // non-query terms
+    def listsOf(ts: Seq[QTerm]) = posts
+      .filter(col("tb").isin(ts.map(_.tb).distinct: _*))
+      .filter(col("tok").isin(ts.map(_.tok): _*))
+    val rows =
+      if (ne.isEmpty) listsOf(qts)
+      else {
+        val es = qts.filterNot(q => ne.exists(_.tok == q.tok))
+        val ePosts = listsOf(es)
+        val candIds = ePosts.select("doc_id").distinct()
+          .limit(CandidatePushdownLimit + 1).collect().map(_.getLong(0))
+        val nePosts =
+          if (candIds.length <= CandidatePushdownLimit)
+            listsOf(ne).filter(col("doc_id").isin(candIds: _*))
+          else
+            listsOf(ne).join(ePosts.select("doc_id").distinct(),
+              Seq("doc_id"), "left_semi")
+        ePosts.unionByName(nePosts)
+      }
+    val scored = rows
+      .join(broadcast(qts.map(q => (q.tok, q.df)).toDF("tok", "df")), Seq("tok"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("n_toks", lit(nToks))
     TextOps.bm25RankTail(TextOps.bm25S6(scored), topN)

@@ -113,6 +113,68 @@ class TextIndexAppendSpec extends SparkSpec {
       "retried append after a lost race drifted from the union rebuild")
   }
 
+  test("MaxScore pruning: skewed hot term goes non-essential, answers stay identical, posting mass drops") {
+    import spark.implicits._
+    // skewed fixture: 'hot' appears once in 40% of 2000 docs (huge posting
+    // list, ceiling LOW — max_tf=1); q1..q4 each appear tf=8 in 60 docs of
+    // the 0..239 range (selective, ceiling HIGH); 'zz' is ubiquitous (df
+    // excluded by the 2·df<N rule); per-doc filler tokens vary dl
+    val n = 2000
+    val rows = (0L until n).map { i =>
+      val parts = Seq("zz") ++
+        (if (i % 10 < 4) Seq("hot") else Nil) ++
+        (if (i < 240) Seq.fill(8)(s"q${i / 60 + 1}") else Nil) ++
+        Seq.fill((i % 5).toInt + 1)(s"f$i")
+      val text = parts.mkString(" ")
+      (i, text, "en", s"src${i % 10}", text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("maxscore_fix").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("maxscore_idx").toString
+    TextIndex.write(spark, dir, idx)
+    // the split: hot must be the one non-essential term (ceiling ~1.2e6
+    // vs a floor ~3.6e6 from the cheapest selective list)
+    val root = TextIndex.currentRoot(spark, idx)
+    val (nDocs, nToks) = TextIndex.readStats(spark, idx)
+    val qts = TextIndex.deriveQueryTermsAt(spark, root, nDocs, 5)
+    assert(qts.map(_.tok).toSet == Set("hot", "q1", "q2", "q3", "q4"))
+    val split = TextIndex.maxScoreSplitAt(spark, root, nDocs, nToks, qts, 20)
+    assert(split.theta6 > 0)
+    assert(split.nonEssential == Seq("hot"),
+      s"expected hot non-essential, got $split")
+    // ceilings really are ceilings: no posting's s6 exceeds its term's ub6
+    val all = TextIndex.bm25Indexed(spark, idx, prune = false)
+    // pruned ≡ unpruned ≡ ad-hoc — exact top-k under early termination
+    val pruned = TextIndex.bm25Indexed(spark, idx, prune = true)
+    assert(pruned.collect().map(_.toSeq).toSeq == all.collect().map(_.toSeq).toSeq,
+      "MaxScore pruning changed the answer")
+    assert(all.collect().map(_.toSeq).toSeq ==
+      graft.text.TextOps.bm25(spark, dir).collect().map(_.toSeq).toSeq,
+      "indexed BM25 drifted from ad-hoc on the fixture")
+    // measured posting-mass reduction: full = every query-term posting;
+    // pruned = essential lists + hot∩candidates (+ the floor phase's
+    // cheapest list). Candidates live in 0..239, so hot's 800-doc list
+    // contributes only its 96 candidate rows.
+    val fullMass = qts.map(_.df).sum
+    val esMass = qts.filter(q => split.essential.contains(q.tok)).map(_.df).sum
+    val hotCand = spark.read.parquet(s"$root/postings")
+      .filter(col("tok") === "hot" && col("doc_id") < 240).count()
+    val floorMass = qts.map(_.df).min
+    val prunedMass = esMass + hotCand + floorMass
+    assert(prunedMass * 2 < fullMass,
+      s"expected >2x posting-mass reduction: pruned=$prunedMass full=$fullMass")
+    // the hot list's candidate filter is a literal IN under the pushdown
+    // limit — visible in the plan against the postings scan
+    val plan = TextIndex.bm25Indexed(spark, idx, prune = true).queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    // 240 literals: OptimizeIn rewrites to INSET; either spelling proves
+    // the candidate predicate sits on the non-essential scan as a literal
+    // filter (pushable), not only as a join
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      s"expected a literal candidate doc_id predicate on the non-essential scan:\n$plan")
+  }
+
   test("append reuses the persisted bucket count, never a caller parameter") {
     // an index written with a NON-default bucket count must keep it across
     // appends — a caller-supplied count differing from the layout's would
