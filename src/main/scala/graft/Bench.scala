@@ -120,8 +120,14 @@ object Bench {
       .mkString("[", ",", "]")
     val passTotals = passes.map(p => f"${p.values.map(_._1).sum}%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // audit split (round 9): the known-linear auditor forms are reported
+    // as their own subtotal so the serving-path suite number reflects
+    // what production would run; `value` stays the FULL total — the
+    // driver contract is unchanged
+    val auditTotal = results.filter(r => SparkEntry.auditQueries(r._1)).map(_._2).sum
+    val servingTotal = total - auditTotal
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"median-of-$Passes","pass_totals":$passTotals,"spread":$spread}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"median-of-$Passes","pass_totals":$passTotals,"serving_total":$servingTotal%.3f,"audit_total":$auditTotal%.3f,"audit_queries":${SparkEntry.auditQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"spread":$spread}"""
     println(line)
     // belt-and-braces delivery: build.sbt's `outputStrategy := StdoutOutput`
     // keeps the stdout line unprefixed under `sbt runMain`, but a consumer

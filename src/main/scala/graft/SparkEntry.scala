@@ -184,6 +184,16 @@ object SparkEntry {
         Similarity.probeVector(s, d), nprobe = IndexCells)),
   )
 
+  /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
+    * kept in the correctness contract on purpose, with shipped scale-safe
+    * serving twins — q31's all-shared-gram exact Jaccard (scale path:
+    * q55's sketch-then-verify) and q66's globally-banded semantic
+    * clustering (serving path: CellIndex.semanticClustersIndexed). Bench
+    * tiers report them separately from the serving-path total so the
+    * sf≥1 suite number reflects what production would run, while the
+    * contract rows stay unchanged. */
+  val auditQueries: Set[String] = Set("q31_ngram_jaccard", "q66_semantic_clusters")
+
   /** Cell count for the oracle rows' cached cell index —
     * [[cachedCellIndex]]'s `k` and the full-probe `nprobe` must agree. */
   private val IndexCells = 16

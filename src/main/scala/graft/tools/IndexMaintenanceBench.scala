@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SCALING.md meter for the STEADY-STATE streaming index maintenance path
+  * (round 9): drives N consecutive micro-batches through
+  * [[graft.app.IndexMaintenanceJob.applyBatch]] — the exact per-batch seam
+  * the streaming sink runs — against both at-rest indexes, reporting
+  * per-fold seconds and after-fold storage (bytes + committed version
+  * count per index). The claims under test: per-batch cost stays flat as
+  * folds accumulate (append tracks batch + vocabulary mass, not corpus
+  * mass; the carried-forward file copy is byte-for-byte and would be a
+  * server-side copy on an object store), and storage stays bounded at the
+  * retention floor (vacuum runs inside every fold).
+  *
+  * Batches are deterministic disjoint 5% slices of the source corpus with
+  * offset ids (the CellIndexBench convention). Batch 0 doubles as the JIT
+  * warmup and is reported but flagged.
+  *
+  * Usage: IndexMaintenanceBench <sfDir> <workDir> [nBatches=5] [k=16] */
+object IndexMaintenanceBench {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: IndexMaintenanceBench <sfDir> <workDir> [nBatches] [k]")
+      sys.exit(2)
+    }
+    val dir = args(0); val work = args(1)
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(5)
+    val k = args.lift(3).map(_.toInt).getOrElse(16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecIdx = s"$work/vec"; val textIdx = s"$work/text"
+    graft.vector.CellIndex.write(spark, dir, vecIdx, k = k)
+    graft.text.TextIndex.write(spark, dir, textIdx)
+
+    def batchDf(i: Int) = {
+      val off = 900000000L + i.toLong * 10000000L
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 20 === i)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 20 === i)
+      d.join(e, col("doc_id") === col("vec_id"))
+        .select((col("doc_id") + off).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"), col("embedding"), col("label"))
+    }
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    def usage(p: String): (Long, Int) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      val bytes = fs.getContentSummary(path).getLength
+      val versions = fs.listStatus(path).count { s =>
+        val n = s.getPath.getName
+        n.startsWith("vectors") || n == "postings" || n.startsWith("v")
+      }
+      (bytes, versions)
+    }
+
+    val folds = (0 until nBatches).map { i =>
+      val t0 = System.nanoTime()
+      graft.app.IndexMaintenanceJob.applyBatch(spark, batchDf(i), i.toLong,
+        s"$work/batches", vecIdx, textIdx, retainVersions = 2)
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
+      spark.catalog.clearCache(); System.gc()
+      val (vb, vv) = usage(vecIdx)
+      val (tb, tv) = usage(textIdx)
+      (secs, vb, vv, tb, tv)
+    }
+    def arr[T](f: ((Double, Long, Int, Long, Int)) => T): String =
+      folds.map(f).mkString("[", ",", "]")
+    println(s"""{"metric":"idxmaint","batches":$nBatches,"dir":"$dir","k":$k,""" +
+      s""""fold_secs":${folds.map(f => f"${f._1}%.3f").mkString("[", ",", "]")},""" +
+      s""""vec_bytes":${arr(_._2)},"vec_versions":${arr(_._3)},""" +
+      s""""text_bytes":${arr(_._4)},"text_versions":${arr(_._5)},""" +
+      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions"}""")
+    spark.stop()
+  }
+}
