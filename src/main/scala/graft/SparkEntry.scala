@@ -182,6 +182,12 @@ object SparkEntry {
     "q139_hybrid_indexed" -> ((s: SparkSession, d: String) =>
       graft.vector.CellIndex.hybridSearchIndexed(s, d, cachedCellIndex(s, d),
         Similarity.probeVector(s, d), nprobe = IndexCells)),
+    // q140: the MMR serving path under the same convention — candidate
+    // pool from the full-probe cell scan (exact), shared greedy, so the
+    // answer is verbatim q73.
+    "q140_mmr_indexed"    -> ((s: SparkSession, d: String) =>
+      graft.vector.CellIndex.mmrSelectIndexed(s, cachedCellIndex(s, d),
+        Similarity.probeVector(s, d), nprobe = IndexCells)),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -222,6 +228,16 @@ object SparkEntry {
       build(idx.getPath)
     }
     idx.getPath
+  }
+
+  /** Pre-build the per-process index caches the indexed oracle rows serve
+    * from — bench warmup hook: the at-rest model's premise is that the
+    * index EXISTS before queries arrive, so single-pass tiers
+    * (ScaleBench) warm it outside any timed region the way Bench's pass
+    * 1 amortizes it out of the medians. Build costs are reported
+    * separately (CellIndexBench's index_build/text_index_build rows). */
+  def warmIndexes(s: SparkSession, d: String): Unit = {
+    cachedTextIndex(s, d); cachedCellIndex(s, d); ()
   }
 
   private def cachedTextIndex(s: SparkSession, d: String): String =
@@ -2325,6 +2341,7 @@ object SparkEntry {
     // computed (the q136 convention, extended to the fused paths).
     "q138_rrf_indexed" -> rrfFusionOracle,
     "q139_hybrid_indexed" -> hybridSearchOracle,
+    "q140_mmr_indexed" -> mmrOracle,
 
     // q135: the audio arm end-to-end (wavWrap ∘ WavCodec.parse on %5 docs,
     // deterministic fallback on the rest, both over the first 128 text

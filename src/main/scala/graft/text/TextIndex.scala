@@ -364,6 +364,17 @@ object TextIndex {
     * prunes row groups of the (tok, doc_id)-sorted layout. */
   private val CandidatePushdownLimit = 1024
 
+  /** COST GATE for the MaxScore probe: the floor phase and the candidate
+    * restriction pay two extra Spark actions, which only win when the
+    * query's posting mass is SKEWED — a hot term's list dwarfing the
+    * cheapest list is what non-essentiality can remove. Without at least
+    * this df ratio between the largest and smallest query-term lists (or
+    * with a single query term), the split would come back all-essential
+    * anyway, so the probe is skipped outright and the pruned path is
+    * byte-identical to the plain one — measured: the ungated probe cost
+    * ~1 s of pure overhead per query on the unskewed bench corpus. */
+  private val SkewGateRatio = 8L
+
   /** BM25 served FROM the index (the indexed form of [[TextOps.bm25]]):
     * resolve query terms against the df table, scan ONLY their hash
     * buckets' postings (PartitionFilters pruning; dl rides the posting
@@ -375,8 +386,11 @@ object TextIndex {
     * tracks the query terms' posting mass; the corpus is never tokenized
     * at query time.
     *
-    * `prune` (default on) adds MAXSCORE EARLY TERMINATION — the classic
-    * lexical lever once hot terms carry corpus-sized posting lists: from
+    * `prune` (default on) adds MAXSCORE EARLY TERMINATION behind a
+    * cost gate ([[SkewGateRatio]] — without df skew between the query
+    * terms' lists the probe is pure overhead and is skipped, leaving the
+    * plain plan untouched) — the classic lexical lever once hot terms
+    * carry corpus-sized posting lists: from
     * the df table's persisted (max tf, min dl) bounds and a top-k floor
     * taken off the cheapest list, terms whose score ceilings sum below
     * the floor become NON-ESSENTIAL ([[maxScoreSplitAt]]); their posting
@@ -395,8 +409,10 @@ object TextIndex {
     val root = currentRoot(spark, indexPath)
     val (nDocs, nToks) = readStatsAt(spark, root)
     val qts = deriveQueryTermsAt(spark, root, nDocs, nq)
+    val skewed = qts.size >= 2 &&
+      qts.map(_.df).max >= SkewGateRatio * qts.map(_.df).min
     val ne =
-      if (!prune) Seq.empty[QTerm]
+      if (!prune || !skewed) Seq.empty[QTerm]
       else {
         val split = maxScoreSplitAt(spark, root, nDocs, nToks, qts, topN)
         qts.filter(q => split.nonEssential.contains(q.tok))

@@ -67,8 +67,12 @@ object CellIndexBench {
         "rrf_adhoc" -> time(noop(Similarity.rrfFusion(spark, dir))),
         "hybrid_indexed" -> time(noop(CellIndex.hybridSearchIndexed(spark, dir, rIdx, probe))),
         "hybrid_adhoc" -> time(noop(Similarity.hybridSearch(spark, dir))),
+        "mmr_indexed" -> time(noop(CellIndex.mmrSelectIndexed(spark, rIdx, probe))),
+        "mmr_adhoc" -> time(noop(Similarity.mmrSelect(spark, dir))),
         "text_index_build" -> time(graft.text.TextIndex.write(spark, dir, textIdx)),
         "bm25_indexed" -> time(noop(graft.text.TextIndex.bm25Indexed(spark, textIdx))),
+        "bm25_indexed_unpruned" -> time(noop(graft.text.TextIndex.bm25Indexed(
+          spark, textIdx, prune = false))),
         "bm25_adhoc" -> time(noop(graft.text.TextOps.bm25(spark, dir))),
         "rrf_fully_indexed" -> time(noop(CellIndex.rrfFusionIndexed(
           spark, dir, rIdx, probe, textIndexPath = Some(textIdx)))),

@@ -174,6 +174,16 @@ object ScaleBench {
       try spark.read.parquet(s"$dir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // the indexed oracle rows serve from per-process cached indexes; build
+    // them OUTSIDE the timed region (the at-rest premise — Bench's pass 1
+    // amortizes this out of medians, a single-pass tier must not time a
+    // one-off build inside whichever query touches the cache first; build
+    // costs are CellIndexBench's index_build/text_index_build rows)
+    if (names.exists(n => n.startsWith("q136") || n.startsWith("q138") ||
+        n.startsWith("q139") || n.startsWith("q140")))
+      try graft.SparkEntry.warmIndexes(spark, dir)
+      catch { case e: Throwable =>
+        System.err.println(s"[scalebench] index warmup failed: ${e.getMessage}") }
     val runs: Seq[Seq[(String, Double, Boolean)]] = (1 to passes).map { _ =>
       val pass = names.map { name =>
         val t0 = System.nanoTime()

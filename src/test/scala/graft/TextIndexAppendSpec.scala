@@ -113,6 +113,34 @@ class TextIndexAppendSpec extends SparkSpec {
       "retried append after a lost race drifted from the union rebuild")
   }
 
+  test("vacuum: graceMs retains young versions for in-flight readers; stale staging orphans are swept") {
+    import org.apache.hadoop.fs.Path
+    val idx = java.nio.file.Files.createTempDirectory("textidx_grace").toString
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TextIndex.write(spark, sf0001, idx)
+    TextIndex.append(spark, docsDirFrom(600000L), idx)
+    TextIndex.append(spark, docsDirFrom(650000L), idx)
+    // three committed versions (base, v1, v2); keepLast=1 would drop two —
+    // but within the grace window everything is young, so nothing goes
+    assert(TextIndex.vacuumVersions(spark, idx, keepLast = 1,
+      graceMs = 24L * 3600 * 1000).isEmpty,
+      "grace window must retain versions a reader may still be scanning")
+    assert(fs.exists(new Path(idx, "stats")) && fs.exists(new Path(idx, "v1")))
+    // a crashed attempt's orphan staging dir (per-attempt nonce, never
+    // reused) is swept once old enough — age it artificially
+    val orphan = new Path(idx, ".staging_v3_deadbeef")
+    fs.mkdirs(orphan)
+    fs.setTimes(orphan, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    val dropped = TextIndex.vacuumVersions(spark, idx, keepLast = 1)
+    assert(!fs.exists(orphan), "stale staging orphan must be swept")
+    assert(dropped.exists(_.contains(".staging_v3_deadbeef")))
+    // and with the grace elapsed (graceMs=0 default) old versions drop,
+    // newest still serves
+    assert(!fs.exists(new Path(idx, "stats")) && !fs.exists(new Path(idx, "v1")))
+    assert(TextIndex.currentRoot(spark, idx).endsWith("v2"))
+    assert(TextIndex.bm25Indexed(spark, idx).count() > 0)
+  }
+
   test("MaxScore pruning: skewed hot term goes non-essential, answers stay identical, posting mass drops") {
     import spark.implicits._
     // skewed fixture: 'hot' appears once in 40% of 2000 docs (huge posting
