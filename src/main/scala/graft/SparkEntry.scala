@@ -188,6 +188,10 @@ object SparkEntry {
     "q140_mmr_indexed"    -> ((s: SparkSession, d: String) =>
       graft.vector.CellIndex.mmrSelectIndexed(s, cachedCellIndex(s, d),
         Similarity.probeVector(s, d), nprobe = IndexCells)),
+    "q141_span_rewrite"   -> ((s: SparkSession, d: String) => Dedup.spanRewrite(s, d)),
+    "q142_hll_reach"      -> (Relational.hllReach _),
+    "q143_domain_cap"     -> ((s: SparkSession, d: String) => Curation.domainCap(s, d)),
+    "q144_theta_overlap"  -> (Relational.thetaOverlap _),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -2420,6 +2424,99 @@ object SparkEntry {
          |       THEN ${pr6("pd.s6 / (pd.n_bigrams * 1000000.0)")}
          |       ELSE 0.0 END AS avg_logprob
          |FROM t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q141: ExactSubstr-style span rewrite — q130's positional-gram CTEs,
+    // then: canonical = globally-first (doc_id, i) occurrence per gram
+    // (row_number in SQL; min-struct aggregate in Spark — same total
+    // order), a position is cut iff covered and never by a canonical
+    // occurrence, and the kept tokens re-join into the rewritten text
+    // whose md5 is the contract (byte-identical rebuild in both engines).
+    "q141_span_rewrite" ->
+      s"""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos AS (SELECT doc_id, CAST(unnest(range(len(toks) - 4)) AS BIGINT) AS i, toks
+         |        FROM ct WHERE len(toks) >= 5),
+         |pg AS (SELECT doc_id, i,
+         |         toks[CAST(i AS INTEGER) + 1] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 2] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 3] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 4] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 5] AS gram
+         |       FROM pos),
+         |occ AS (SELECT doc_id, i,
+         |          ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) = 1
+         |            AS canonical
+         |        FROM pg),
+         |cov AS (SELECT doc_id, CAST(unnest(range(i, i + 5)) AS BIGINT) AS p,
+         |          canonical
+         |        FROM occ),
+         |rem AS (SELECT doc_id, p FROM cov GROUP BY doc_id, p
+         |        HAVING NOT bool_or(canonical)),
+         |tp AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS p, toks
+         |       FROM ct),
+         |tk AS (SELECT doc_id, p, toks[CAST(p AS INTEGER) + 1] AS tok FROM tp),
+         |kept AS (SELECT tk.doc_id, tk.p, tk.tok
+         |         FROM tk LEFT JOIN rem ON tk.doc_id = rem.doc_id AND tk.p = rem.p
+         |         WHERE rem.p IS NULL),
+         |rb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY p) AS new_text
+         |       FROM kept GROUP BY doc_id)
+         |SELECT ct.doc_id, CAST(len(ct.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(ct.toks) - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(rb.new_text, '')) AS rewritten_fp
+         |FROM ct LEFT JOIN rb USING (doc_id)
+         |ORDER BY ct.doc_id""".stripMargin,
+
+    // q142: the exact arm is the oracle; est_ok is the sketch-vs-truth
+    // audit the Spark side must pass (literal 1 here — the row fails if
+    // Spark's HLL estimate ever drifts past the 5% bound).
+    "q142_hll_reach" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact,
+        |  CAST(1 AS BIGINT) AS est_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '_all' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        |  CAST(1 AS BIGINT)
+        |FROM events
+        |ORDER BY event_type""".stripMargin,
+
+    // q143: per-source quality cap — q68's fixed-point score CTEs, then
+    // row_number over (score desc, doc_id) capped at 20.
+    "q143_domain_cap" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(len(list_filter(toks, x -> x = 'a')) AS BIGINT) AS sh FROM t),
+        |s AS (SELECT doc_id, source,
+        |        CAST(floor(LEAST(1.0, GREATEST(0.0,
+        |          0.25 * log10(nt + 1) + 0.5 - 0.8 * (sh * 1.0 / nt))) * 10000.0 + 0.5)
+        |          AS BIGINT) AS score_i
+        |      FROM u),
+        |r AS (SELECT source, doc_id, score_i,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |               ORDER BY score_i DESC, doc_id) AS BIGINT) AS rk
+        |      FROM s)
+        |SELECT source, rk, doc_id, score_i FROM r WHERE rk <= 20
+        |ORDER BY source, rk""".stripMargin,
+
+    // q144: pairwise audience overlap — the exact arm is the oracle
+    // (distinct (user,type) self-join on ordered type pairs); est_ok is
+    // the theta-intersection-vs-truth audit (literal 1 — the row fails if
+    // the sketch estimate drifts past 5%·min+1).
+    "q144_theta_overlap" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS users
+        |        FROM ut GROUP BY event_type),
+        |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS overlap_exact
+        |       FROM ut x JOIN ut y
+        |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |       GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.users AS users_a, cb.users AS users_b,
+        |  COALESCE(ov.overlap_exact, 0) AS overlap_exact,
+        |  CAST(1 AS BIGINT) AS est_ok
+        |FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+        |LEFT JOIN ov ON ov.type_a = ca.event_type AND ov.type_b = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 
   /** q46's oracle: metadata-filter (lang='en') then exact-cosine top-10.

@@ -616,6 +616,88 @@ object Relational {
       .limit(k)
   }
 
+  /** Q142 — MERGEABLE DISTINCT-USER REACH via DataSketches HLL
+    * (`hll_sketch_agg`/`hll_union_agg`, Spark's Apache DataSketches
+    * integration): the 100 TB way to answer "how many distinct users"
+    * at every rollup grain WITHOUT shuffling raw keys per grain. One
+    * events pass builds a (event_type, day)-grain SKETCH TABLE — the
+    * at-rest unit, a few KB per cell — and every coarser answer
+    * (per-type reach, total reach) is a UNION-MERGE over that table's
+    * sketches, never a re-scan: HLL union is commutative/associative, so
+    * the merge is partition-order-independent and the estimate is
+    * deterministic for a fixed corpus. The exact `count_distinct` arm is
+    * the AUDIT (the q104/q67 convention — measure the sketch against
+    * truth in-query); at production scale only the sketch arm runs.
+    * `est_ok` = estimate within 5% of exact — at default lgConfigK=12 the
+    * sketch is exact through ~thousands of distincts (sparse mode) and
+    * ~1.6% RSE beyond, so the bound holds deterministically at every
+    * fixture SF. */
+  def hllReach(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val daySk = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .localCheckpoint() // the sketch table: two rollups merge from it
+    def okArm(sk: Column, exact: Column): Column =
+      (abs(hll_sketch_estimate(sk) - exact) <= exact * lit(0.05)).cast("long")
+    val perType = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("users_exact"))
+      .join(daySk.groupBy("event_type").agg(hll_union_agg(col("sk")).as("sk")),
+        Seq("event_type"))
+      .select(col("event_type"), col("users_exact"),
+        okArm(col("sk"), col("users_exact")).as("est_ok"))
+    val total = ev.agg(countDistinct("user_id").as("users_exact"))
+      .crossJoin(daySk.agg(hll_union_agg(col("sk")).as("sk"))) // 1-row × 1-row
+      .select(lit("_all").as("event_type"), col("users_exact"),
+        okArm(col("sk"), col("users_exact")).as("est_ok"))
+    perType.unionByName(total).orderBy("event_type")
+  }
+
+  /** Q144 — AUDIENCE OVERLAP via theta-sketch INTERSECTION
+    * ([[graft.functions.ThetaSketchAgg]]): for every event-type pair, how
+    * many distinct users did BOTH — the set-algebra question q142's HLL
+    * family cannot answer (HLL unions only; theta sketches intersect).
+    * One events pass builds a per-type sketch row (the native
+    * `TypedImperativeAggregate` — live union object in the hash-agg
+    * buffer, compact bytes on the wire), then every pairwise estimate is
+    * driver-free set algebra over the tiny sketch table. The exact arm —
+    * a distinct (user, type) self-join — is the AUDIT (q104/q142
+    * convention); at 100 TB only the sketch arm runs, and its cost is
+    * |types|² intersections of k-bounded sketches, not a re-scan.
+    * Estimates are exact below the sketch's k=4096 retained entries and
+    * the bound `|est − exact| ≤ 5%·min(|A|,|B|) + 1` holds
+    * deterministically at every fixture SF (min-k retention is
+    * partition-order-independent). */
+  def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaExpressions
+    ThetaExpressions.register(spark)
+    val ev = Tables.events(spark, dir)
+    val sk = ev.groupBy("event_type").agg(
+      ThetaExpressions.theta_sketch_agg(col("user_id")).as("sk"),
+      countDistinct("user_id").as("users"))
+    // |types|² pair frame over the types-sized sketch table (broadcast NL
+    // on an inequality — bounded by type cardinality, never event mass)
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.users").as("users_a"), col("b.users").as("users_b"),
+        ThetaExpressions.theta_intersect_estimate(col("a.sk"), col("b.sk"))
+          .as("est"))
+    val ut = ev.select("user_id", "event_type").distinct()
+    val exact = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("overlap_exact"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        coalesce(col("overlap_exact"), lit(0L)).as("overlap_exact"),
+        (abs(col("est") - coalesce(col("overlap_exact"), lit(0L))) <=
+          least(col("users_a"), col("users_b")) * lit(0.05) + lit(1.0))
+          .cast("long").as("est_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Q123 — JOIN-SKEW ADVISOR: the key histogram a planner (or an
     * engineer staring at one straggler task) consults before shuffling
     * 100 TB on a join key. Per key: exact count, share of total rows in

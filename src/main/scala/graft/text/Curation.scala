@@ -477,6 +477,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Q143 — PER-DOMAIN QUOTA (the CommonCrawl-pipeline cap: without one,
+    * a handful of mega-domains dominate the corpus; the fix is a
+    * deterministic per-source cap keeping the top-`cap` docs by quality).
+    * Ordering is (quality desc, doc_id asc) over the shared fixed-point
+    * score ([[TextOps.qualityScoreFix4]] — integer, so the rank boundary
+    * is engine-exact), and the output IS the capped corpus: one row per
+    * kept doc with its in-domain rank.
+    *
+    * Scale shape: `row_number ≤ cap` compiles to WindowGroupLimit
+    * (PlanSpec-pinned like q07/q72) — each map task keeps at most `cap`
+    * rows per source BEFORE the shuffle, so the exchange carries
+    * O(sources × cap × tasks) rows, not the corpus; no global sort, no
+    * full per-source materialization. A skew-heavy domain costs its
+    * partial top-cap per task, nothing more. */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(desc("score_i"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScoreFix4(col("text")).as("score_i"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap) // raw int rank: the cast must come AFTER, or
+      // the Filter no longer matches the window attribute and the
+      // WindowGroupLimit pushdown is lost (the q07 lesson)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score_i"))
+      .orderBy("source", "rk")
+  }
+
   /** Q65 — power-of-2 length bucketing (the batching layout step before
     * training: sequences padded to their bucket boundary): bucket b holds
     * docs with n_tokens in [2^b, 2^(b+1)), pad target 2^(b+1), and the

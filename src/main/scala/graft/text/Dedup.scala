@@ -813,6 +813,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q141 — ExactSubstr-style SPAN REWRITE (the action q130 measures: Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * 2022, REMOVES the duplicated text rather than dropping whole docs —
+    * whole-doc removal misses the boilerplate-inside-unique-docs mass that
+    * dominates web corpora). Deterministic token-level rule: every n-gram
+    * occurrence has ONE canonical copy — the globally first by
+    * (doc_id, i) — and a token position is CUT iff it is covered by at
+    * least one gram occurrence and every covering occurrence is
+    * non-canonical. Unique grams (df = 1) are their own canonical copy, so
+    * unduplicated text is untouchable by construction, and the canonical
+    * copy of any duplicated run survives verbatim — rewriting never
+    * destroys content, only repetition. Emits per doc the token counts and
+    * the md5 of the rewritten text (the fingerprint IS the contract — the
+    * oracle must rebuild byte-identical documents).
+    *
+    * Scale shape: ONE corpus-mass gram aggregate carries both signals (df
+    * and the min-(doc_id,i) canonical occurrence — no window over gram
+    * partitions, no second shuffle), joined back gram-keyed with no fan;
+    * coverage resolution and reassembly are doc_id-keyed; the per-doc
+    * collect is bounded by document length (the same bound every per-doc
+    * rebuild in this file rides). */
+  def spanRewrite(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint() // feeds gram pass + token reassembly + final join
+    val posGrams = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), n, distinct = false)))
+      .toDF("doc_id", "i", "gram")
+    val gramInfo = posGrams.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("i"))).as("first"))
+    val occ = posGrams.join(gramInfo, Seq("gram"))
+      .select(col("doc_id"), col("i"),
+        (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
+    // a position is cut iff covered and NO covering occurrence is canonical
+    val removed = occ
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"),
+        col("canonical"))
+      .groupBy("doc_id", "p")
+      .agg(max(when(col("canonical"), 1).otherwise(0)).as("any_canon"))
+      .filter(col("any_canon") === 0)
+      .select(col("doc_id"), col("p"))
+    val kept = docs.select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "p", "tok")
+      .join(removed, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok"))).as("new_text"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        md5(coalesce(col("new_text"), lit(""))).as("rewritten_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Q80 — train/val/test SPLIT LEAKAGE audit: assign every doc to a
     * deterministic 80/10/10 split by an md5 hash coin (reproducible across
     * runs/engines/partitionings — the q44/q63 convention), then count

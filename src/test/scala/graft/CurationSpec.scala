@@ -425,4 +425,26 @@ class CurationSpec extends SparkSpec {
     // land in the pick because the resample is corpus-wide)
     assert(r.admitted > 0)
   }
+
+  test("q143 domain cap: top-cap per source by (quality desc, doc_id), overflow dropped") {
+    // longer docs score higher under fix4 (0.25·log10(nt+1) term, no 'a's)
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, doc(4), "en", "big", 10L),
+      (2L, doc(64), "en", "big", 10L),   // highest quality in 'big'
+      (3L, doc(16), "en", "big", 10L),
+      (4L, doc(8), "en", "small", 10L)))
+    val r = Curation.domainCap(spark, dir, cap = 2).collect()
+    val big = r.filter(_.getString(0) == "big").map(x => (x.getLong(1), x.getLong(2)))
+    // kept: doc 2 (rank 1), doc 3 (rank 2); doc 1 over quota
+    assert(big.toSeq == Seq((1L, 2L), (2L, 3L)))
+    val small = r.filter(_.getString(0) == "small").map(_.getLong(2))
+    assert(small.toSeq == Seq(4L) && r.length == 3)
+    // quality ties break by doc_id ascending
+    val tied = docsDir(Seq(
+      (9L, doc(8), "en", "s", 10L), (7L, doc(8), "en", "s", 10L),
+      (8L, doc(8), "en", "s", 10L)))
+    val t = Curation.domainCap(spark, tied, cap = 2).collect().map(_.getLong(2))
+    assert(t.toSeq == Seq(7L, 8L))
+  }
 }

@@ -40,6 +40,12 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Partial"))
   }
 
+  test("q143: per-domain cap pushes rank filter below the shuffle (WindowGroupLimit)") {
+    val s = explain(graft.text.Curation.domainCap(spark, sf0001))
+    assert(s.contains("WindowGroupLimit"))
+    assert(s.contains("Partial"), "map-side partial top-cap must run before the exchange")
+  }
+
   test("q14: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val s = explain(Relational.q14(spark, sf0001))
     assert(s.contains("TakeOrderedAndProject"))

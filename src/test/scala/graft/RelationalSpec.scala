@@ -120,4 +120,60 @@ class RelationalSpec extends SparkSpec {
       .count()
     assert(manual == n)
   }
+
+  test("q142 hll reach: exact distincts per type + '_all', every sketch estimate in bound") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val rows = (0 until 40).map { i =>
+      (i.toLong, ts(i), (i % 7).toLong, if (i % 2 == 0) "click" else "view",
+        1.0, "{}")
+    }
+    val dir = eventsDir(rows)
+    val r = Relational.hllReach(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // users 0..6 alternate click/view by event index parity: evens (clicks)
+    // hit users 0..6 (20 events), odds (views) hit users 0..6 too
+    assert(r("click").getLong(1) == 7L && r("view").getLong(1) == 7L)
+    assert(r("_all").getLong(1) == 7L)
+    // sparse-mode HLL is exact at this cardinality: every audit arm passes
+    assert(r.values.forall(_.getLong(2) == 1L))
+    // run on the fixture corpus too: the 5% bound must hold at sf0.001
+    val fx = Relational.hllReach(spark, sf0001).collect()
+    assert(fx.nonEmpty && fx.forall(_.getLong(2) == 1L))
+  }
+
+  test("q144 theta overlap: exact pairwise intersections below k, estimate audit green") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // users 0..9 click; users 5..14 view; users 12..14 also error
+    val rows =
+      (0 until 10).map(i => (i.toLong, ts(i), i.toLong, "click", 1.0, "{}")) ++
+      (0 until 10).map(i => (100L + i, ts(i), 5L + i, "view", 1.0, "{}")) ++
+      (0 until 3).map(i => (200L + i, ts(i), 12L + i, "error", 1.0, "{}"))
+    val dir = eventsDir(rows)
+    val r = Relational.thetaOverlap(spark, dir).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // click∩view = {5..9} (5), click∩error = ∅, view∩error = {12..14} (3)
+    assert(r(("click", "view")).getLong(4) == 5L)
+    assert(r(("click", "error")).getLong(4) == 0L)
+    assert(r(("error", "view")).getLong(4) == 3L)
+    assert(r.values.forall(_.getLong(5) == 1L), "sub-k sketches must be exact")
+    // fixture corpus: the audit bound must hold there too
+    val fx = Relational.thetaOverlap(spark, sf0001).collect()
+    assert(fx.nonEmpty && fx.forall(_.getLong(5) == 1L))
+  }
+
+  test("theta sketch agg: merge across partitions is order-independent and exact below k") {
+    import graft.functions.ThetaExpressions
+    ThetaExpressions.register(spark)
+    import spark.implicits._
+    // 2000 distinct keys scattered over 8 partitions: the TypedImperative
+    // buffers serialize at the shuffle boundary and union back; below
+    // k=4096 retained entries the estimate is the exact count however the
+    // partial merges interleave
+    val est = spark.range(0, 2000).repartition(8)
+      .select(ThetaExpressions.theta_sketch_agg(col("id")).as("sk"))
+      .select(graft.functions.ThetaExpressions.theta_intersect_estimate(
+        col("sk"), col("sk")).as("self"))
+      .head.getLong(0)
+    assert(est == 2000L, s"self-intersection of an exact sketch, got $est")
+  }
 }

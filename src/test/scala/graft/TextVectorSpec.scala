@@ -478,6 +478,43 @@ class TextVectorSpec extends SparkSpec {
     assert(r(3L).getLong(4) == 5L && r(3L).getLong(5) == 10L)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("span rewrite: canonical copy survives verbatim, non-canonical copy loses its interior") {
+    val run = (1 to 12).map(i => s"s$i").mkString(" ") // 12-token duplicated run
+    val doc1 = "u1 u2 " + run + " u3 u4"
+    val dir = docsDir(Seq(
+      (1L, run, "en", "s", run.length.toLong),
+      (2L, doc1, "en", "s", doc1.length.toLong)))
+    val r = Dedup.spanRewrite(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1 holds every shared gram's canonical occurrence → untouched
+    assert(r(1L).getLong(1) == 12L && r(1L).getLong(2) == 0L)
+    assert(r(1L).getString(3) == md5hex(run))
+    // doc 2: dup gram starts 2..9; cut = positions with NO canonical/unique
+    // cover = [2+4, 9] = tokens s5..s8 (4 removed); n-gram margins survive
+    val expected2 = "u1 u2 " + (1 to 4).map(i => s"s$i").mkString(" ") + " " +
+      (9 to 12).map(i => s"s$i").mkString(" ") + " u3 u4"
+    assert(r(2L).getLong(1) == 16L && r(2L).getLong(2) == 4L)
+    assert(r(2L).getString(3) == md5hex(expected2))
+  }
+
+  test("span rewrite: within-doc repetition collapses to its first copy's margin; short docs untouched") {
+    val rep = Seq.fill(10)("t").mkString(" ") // "t" x10: gram starts 0..5, only 0 canonical
+    val short = "a b c"                       // < n tokens: no grams, no cuts
+    val dir = docsDir(Seq(
+      (1L, rep, "en", "s", rep.length.toLong),
+      (2L, short, "en", "s", short.length.toLong)))
+    val r = Dedup.spanRewrite(spark, dir).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // cut p: covering starts all non-canonical → p in [5, 9]; 5 tokens kept
+    assert(r(1L).getLong(1) == 10L && r(1L).getLong(2) == 5L)
+    assert(r(1L).getString(3) == md5hex(Seq.fill(5)("t").mkString(" ")))
+    assert(r(2L).getLong(2) == 0L && r(2L).getString(3) == md5hex(short))
+  }
+
   test("IVF-PQ: full probe + full shortlist equals brute force; pruned probe stays exact per row") {
     import graft.vector.CellIndex
     val dir = sf0001
