@@ -857,20 +857,19 @@ object Dedup {
       .agg(max(when(col("canonical"), 1).otherwise(0)).as("any_canon"))
       .filter(col("any_canon") === 0)
       .select(col("doc_id"), col("p"))
-    val kept = docs.select(col("doc_id"), posexplode(col("toks")))
-      .toDF("doc_id", "p", "tok")
-      .join(removed, Seq("doc_id", "p"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      concat_ws(" ", transform(
-        sort_array(collect_list(struct(col("p"), col("tok")))),
-        x => x.getField("tok"))).as("new_text"))
-    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long")
-          .as("n_removed"),
-        md5(coalesce(col("new_text"), lit(""))).as("rewritten_fp"))
+    // reassembly WITHOUT a corpus-mass token shuffle: cut positions fold
+    // to one doc-keyed array (bounded by doc length, mass = dup coverage
+    // only), then a single join against docs and an index-aware array
+    // filter rebuild each document in place — the token explode + regroup
+    // alternative would shuffle every (doc, p, tok) row in the corpus
+    val remArr = removed.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("rem"))
+    docs.join(remArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", filter(col("toks"),
+          (_, i) => !coalesce(array_contains(col("rem"), i), lit(false)))))
+          .as("rewritten_fp"))
       .orderBy("doc_id")
   }
 
