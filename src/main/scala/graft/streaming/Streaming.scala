@@ -277,6 +277,27 @@ object Streaming {
     slidingCounts(df, tsCol, "user_id", width, slide, watermark)
       .filter(col("n_events") >= threshold)
 
+  /** Streaming DISTINCT-USER REACH per window via HLL sketches (the live
+    * twin of q142): `count(DISTINCT ...)` is unsupported in streaming
+    * aggregations for a reason — exact distinct state grows with KEY
+    * CARDINALITY, unbounded on a 100 TB stream. The HLL partial is a
+    * fixed-size register set per (window, group) regardless of how many
+    * users pass, merges associatively across micro-batches by
+    * construction, and the watermark expires whole windows — state is
+    * O(open windows × groups × sketch bytes), corpus-independent. Emits
+    * both the rounded estimate and the sketch itself, so a downstream
+    * consumer can KEEP MERGING (daily → weekly reach) without ever seeing
+    * raw user ids — the q142 at-rest rollup fed by a live pipeline. */
+  def distinctReach(df: DataFrame, tsCol: String = "timestamp",
+      keyCol: String = "user_id", width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sk"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        hll_sketch_estimate(col("sk")).as("reach_est"), col("sk"))
+
   // ---- J5/T5: CDC latest-state upsert --------------------------------------
 
   /** Current inventory row state, reconstructed per product key. */

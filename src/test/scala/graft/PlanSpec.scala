@@ -46,6 +46,14 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Partial"), "map-side partial top-cap must run before the exchange")
   }
 
+  test("q144: theta sketch agg runs as ObjectHashAggregate (live-object buffers), no cartesian") {
+    val s = explain(Relational.thetaOverlap(spark, sf0001))
+    // TypedImperativeAggregate must plan into the object-hash path — the
+    // sort-based fallback serializes the union per row
+    assert(s.contains("ObjectHashAggregate"))
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("q14: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val s = explain(Relational.q14(spark, sf0001))
     assert(s.contains("TakeOrderedAndProject"))

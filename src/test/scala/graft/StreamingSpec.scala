@@ -253,6 +253,44 @@ class StreamingSpec extends SparkSpec {
       rows.head.getAs[Long]("n_events") == 5L)
   }
 
+  test("distinctReach: HLL partials merge across micro-batches, duplicates counted once") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val reach = Streaming.distinctReach(
+      in.toDF().toDF("user_id", "event_type", "timestamp"), "timestamp",
+      width = "1 hour", watermark = "1 hour")
+    val q = reach.writeStream.format("memory").queryName("reach_out")
+      .outputMode("append").start()
+    // users 1,2,3 click in batch 1; users 2,3,4 click in batch 2 (2,3 are
+    // REPEATS — the sketch must merge, not add); user 9 views once
+    in.addData((1L, "click", ts("2024-01-01T10:00:01Z")),
+      (2L, "click", ts("2024-01-01T10:00:02Z")),
+      (3L, "click", ts("2024-01-01T10:00:03Z")),
+      (9L, "view", ts("2024-01-01T10:00:04Z")))
+    q.processAllAvailable()
+    in.addData((2L, "click", ts("2024-01-01T10:10:00Z")),
+      (3L, "click", ts("2024-01-01T10:20:00Z")),
+      (4L, "click", ts("2024-01-01T10:30:00Z")))
+    q.processAllAvailable()
+    in.addData((9L, "view", ts("2024-01-01T13:00:00Z"))) // close the window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("reach_out").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("reach_est"), r.getAs[Array[Byte]]("sk")))).toMap
+    // sparse-mode HLL is exact here: 4 distinct clickers across both
+    // batches (2,3 deduped by the register merge), 1 viewer
+    assert(rows("click")._1 == 4L, s"got ${rows("click")._1}")
+    assert(rows("view")._1 == 1L)
+    // the emitted sketch keeps merging downstream: union of the two
+    // groups' sketches = total reach (5 distinct users), no raw ids needed
+    import spark.implicits._
+    val total = rows.values.map(_._2).toSeq.toDF("sk")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .head.getLong(0)
+    assert(total == 5L, s"merged downstream reach, got $total")
+  }
+
   test("unionTopics merges heterogenous topic frames by name — O3") {
     val clicks = Seq(("e1", "user_click", "https://x.com")).toDF("event_id", "event_type", "page_url")
     val orders = Seq(("e2", "order", "ORD-1")).toDF("event_id", "event_type", "order_id")
