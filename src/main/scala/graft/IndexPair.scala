@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cross-index SNAPSHOT consistency for hybrid retrieval.
+  *
+  * [[graft.app.IndexMaintenanceJob]] folds each micro-batch into the
+  * vector index and the text index as two separate publishes — correct
+  * per index (each is atomic, versioned, exactly-once by tag), but a
+  * hybrid query that resolves "current" on both independently can land
+  * BETWEEN them: dense arm served from a corpus state that already
+  * contains batch N, lexical arm from one that doesn't (or, after a crash
+  * between the two folds, indefinitely until the replay). Fused ranks
+  * then compare scores computed over different document sets.
+  *
+  * The fix needs no new protocol: both indexes already publish an
+  * applied-batch tag LEDGER atomically with every version. Two versions
+  * describe the same corpus state iff their ledgers are EQUAL (same base
+  * lineage + same folded batches — tag sets only grow within a lineage,
+  * so equality is a proper synchronization point). [[consistentRoots]]
+  * resolves the NEWEST such pair; serving functions accept the pinned
+  * roots so one resolution covers the whole query (the same
+  * resolve-once rule each index applies internally).
+  *
+  * Assumes both indexes were built from the same base corpus and
+  * maintained by the same batch stream (the IndexMaintenanceJob model —
+  * base versions carry empty ledgers and therefore pair with each other).
+  */
+object IndexPair {
+
+  /** The newest (vectorsPath, textRoot) pair whose applied-batch ledgers
+    * are equal. Walks vector versions newest-first, text versions
+    * newest-first within each, so the pair maximizes the vector version
+    * and then the text version; throws if no committed pair agrees (two
+    * indexes from unrelated lineages — serving a mixed corpus would be
+    * silently wrong, the one thing this resolver exists to prevent). */
+  def consistentRoots(spark: SparkSession, cellIndexPath: String,
+      textIndexPath: String): (String, String) = {
+    val cells = graft.vector.CellIndex.versionsWithTags(spark, cellIndexPath).reverse
+    val texts = graft.text.TextIndex.versionsWithTags(spark, textIndexPath).reverse
+    val pair = for {
+      (_, cPath, cTags) <- cells.iterator
+      (_, tPath, tTags) <- texts.iterator
+      if cTags == tTags
+    } yield (cPath, tPath)
+    if (pair.hasNext) pair.next()
+    else throw new IllegalStateException(
+      s"no consistent (vector, text) index pair: applied-tag ledgers of " +
+        s"$cellIndexPath ${cells.map(_._3)} and $textIndexPath " +
+        s"${texts.map(_._3)} never agree — were these indexes maintained " +
+        "from the same batch stream?")
+  }
+}

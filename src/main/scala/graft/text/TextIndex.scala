@@ -205,6 +205,20 @@ object TextIndex {
       t => fs.exists(new Path(t, "stats/_SUCCESS")))
   }
 
+  /** Every committed version with its root and applied-tag ledger, oldest
+    * first — the input to cross-index consistent resolution
+    * ([[graft.IndexPair.consistentRoots]]). */
+  def versionsWithTags(spark: SparkSession,
+      indexPath: String): Seq[(Long, String, Set[String])] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(spark, indexPath).map { v =>
+      val p = versionRoot(indexPath, v)
+      (v, p, graft.IndexVersions.readTags(fs, new Path(p)))
+    }
+  }
+
   /** Batch tags already folded into the current committed version (the
     * exactly-once guard for at-least-once streaming maintenance). */
   def appliedTags(spark: SparkSession, indexPath: String): Set[String] = {
@@ -400,13 +414,15 @@ object TextIndex {
     * way provably cannot reach the topN, so the answer is EXACTLY the
     * unpruned one (differential spec on a skewed fixture + q136's hash). */
   def bm25Indexed(spark: SparkSession, indexPath: String, nq: Int = 5,
-      topN: Int = 20, prune: Boolean = true): DataFrame = {
+      topN: Int = 20, prune: Boolean = true,
+      pinnedRoot: Option[String] = None): DataFrame = {
     import spark.implicits._
     // ONE version resolution for the whole query: resolving per artifact
     // would let a concurrent append publish between reads and mix stats
     // from vN with postings from vN+1 — scores of no committed version
-    // (round-8 review finding)
-    val root = currentRoot(spark, indexPath)
+    // (round-8 review finding). A pinned root extends the same rule
+    // across indexes (graft.IndexPair's consistent pair).
+    val root = pinnedRoot.getOrElse(currentRoot(spark, indexPath))
     val (nDocs, nToks) = readStatsAt(spark, root)
     val qts = deriveQueryTermsAt(spark, root, nDocs, nq)
     val skewed = qts.size >= 2 &&

@@ -182,6 +182,20 @@ object CellIndex {
       t => fs.exists(new Path(t, "_SUCCESS")))
   }
 
+  /** Every committed version with its vector-set path and applied-tag
+    * ledger, oldest first — the input to cross-index consistent
+    * resolution ([[graft.IndexPair.consistentRoots]]). */
+  def versionsWithTags(spark: SparkSession,
+      indexPath: String): Seq[(Long, String, Set[String])] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(spark, indexPath).map { v =>
+      val p = versionPath(indexPath, v)
+      (v, p, graft.IndexVersions.readTags(fs, new Path(p)))
+    }
+  }
+
   /** Batch tags already folded into the current committed version — the
     * exactly-once guard for at-least-once streaming maintenance: a
     * replayed batch whose tag is present must be skipped, not re-appended. */
@@ -266,12 +280,16 @@ object CellIndex {
     * [[Similarity.annIvf]]'s answer (differential spec) — the index
     * changes where the work happens, not what is computed. */
   def annIvfIndexed(spark: SparkSession, indexPath: String,
-      probe: Seq[Double], k: Int = 10, nprobe: Int = 2): DataFrame = {
+      probe: Seq[Double], k: Int = 10, nprobe: Int = 2,
+      pinnedVectorsPath: Option[String] = None): DataFrame = {
     VectorExpressions.register(spark)
     val cb = readCodebook(spark, indexPath)
     val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
     val probeCells = rankProbeCells(cb, probe, nprobe)
-    val scored = spark.read.parquet(currentVectorsPath(spark, indexPath))
+    // pinned = a caller-resolved version (cross-index consistency,
+    // graft.IndexPair); default = the newest committed set
+    val scored = spark.read.parquet(
+        pinnedVectorsPath.getOrElse(currentVectorsPath(spark, indexPath)))
       .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         pround(dot_product(col("v"), lit(probe.toArray)) / (col("norm") * lit(pnorm)), 4)
@@ -364,14 +382,30 @@ object CellIndex {
     * the 100 TB serving point. */
   def rrfFusionIndexed(spark: SparkSession, dir: String, indexPath: String,
       probe: Seq[Double], m: Int = 50, kRrf: Int = 60, topN: Int = 20,
-      nprobe: Int = 2, textIndexPath: Option[String] = None): DataFrame = {
-    val dense = annIvfIndexed(spark, indexPath, probe, k = m, nprobe = nprobe)
+      nprobe: Int = 2, textIndexPath: Option[String] = None,
+      consistent: Boolean = false): DataFrame = {
+    // consistent = resolve ONE (vector, text) version pair with EQUAL
+    // applied-batch ledgers before either arm reads (graft.IndexPair):
+    // under live maintenance the two indexes publish a batch as two
+    // separate renames, and independent "current" resolution can fuse
+    // arms computed over different corpus states
+    val (pinVec, pinText) =
+      if (!consistent) (None, None)
+      else {
+        val ti = textIndexPath.getOrElse(throw new IllegalArgumentException(
+          "consistent pair resolution needs textIndexPath"))
+        val (v, t) = graft.IndexPair.consistentRoots(spark, indexPath, ti)
+        (Some(v), Some(t))
+      }
+    val dense = annIvfIndexed(spark, indexPath, probe, k = m, nprobe = nprobe,
+        pinnedVectorsPath = pinVec)
       .select(col("vec_id").as("doc_id"), col("rnk").as("dense_rnk"))
     // lexical arm: from the at-rest posting index when one is given (no
     // corpus tokenize at query time — the fully-indexed serving shape),
     // else the ad-hoc corpus pass
     val lex = textIndexPath
-      .map(ti => graft.text.TextIndex.bm25Indexed(spark, ti, nq = 5, topN = m))
+      .map(ti => graft.text.TextIndex.bm25Indexed(spark, ti, nq = 5, topN = m,
+        pinnedRoot = pinText))
       .getOrElse(graft.text.TextOps.bm25(spark, dir, nq = 5, topN = m))
       .select(col("doc_id"), col("rnk").as("lex_rnk"))
     Similarity.rrfCombine(dense, lex, kRrf, topN)

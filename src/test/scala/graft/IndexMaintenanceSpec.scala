@@ -85,4 +85,62 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(CellIndex.currentVectorsPath(spark, vecIdx))
       .count() == 565)
   }
+
+  private def writeBatchDir(offset: Long, n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("idxpair_b").toString
+    spark.read.parquet(s"$sf0001/documents.parquet").orderBy("doc_id").limit(n)
+      .withColumn("doc_id", col("doc_id") + offset)
+      .write.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$sf0001/embeddings.parquet").orderBy("vec_id").limit(n)
+      .withColumn("vec_id", col("vec_id") + offset)
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("consistent pair resolution declines versions the other index hasn't folded") {
+    val work = java.nio.file.Files.createTempDirectory("idxpair").toString
+    val vecIdx = s"$work/vec"
+    val textIdx = s"$work/text"
+    CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 1)
+    TextIndex.write(spark, sf0001, textIdx)
+    // fresh bases: empty ledgers on both sides pair with each other
+    val (v0, t0) = IndexPair.consistentRoots(spark, vecIdx, textIdx)
+    assert(v0.endsWith("vectors") && t0 == textIdx)
+    // batch b1 folded into BOTH → the pair advances to (v1, v1)
+    val b1 = writeBatchDir(100000L, 20)
+    CellIndex.append(spark, b1, vecIdx, Some("b1"))
+    TextIndex.append(spark, b1, textIdx, Some("b1"))
+    val (v1, t1) = IndexPair.consistentRoots(spark, vecIdx, textIdx)
+    assert(v1.endsWith("vectors_v1") && t1.endsWith("v1"))
+    // batch b2 folded into TEXT ONLY (the crash-between-folds window):
+    // independent "current" resolution would serve text v2 against vector
+    // v1 — the consistent pair must stay at (v1, v1)
+    val b2 = writeBatchDir(200000L, 15)
+    TextIndex.append(spark, b2, textIdx, Some("b2"))
+    assert(TextIndex.currentRoot(spark, textIdx).endsWith("v2"))
+    val (v2, t2) = IndexPair.consistentRoots(spark, vecIdx, textIdx)
+    assert(v2.endsWith("vectors_v1") && t2.endsWith("v1"),
+      s"pair must hold the last synchronized state, got ($v2, $t2)")
+    // the consistent hybrid serves from that pair: the lexical arm must
+    // NOT see b2's docs (text v2 would), both arms ride the v1 corpus
+    val probe = Similarity.probeVector(spark, sf0001)
+    val viaPair = CellIndex.rrfFusionIndexed(spark, sf0001, vecIdx, probe,
+      nprobe = 4, textIndexPath = Some(textIdx), consistent = true)
+      .collect().map(_.toSeq).toSeq
+    assert(viaPair.nonEmpty &&
+      viaPair.forall(r => r(1).asInstanceOf[Long] < 200000L),
+      s"consistent fusion ranked docs from the unsynchronized batch: $viaPair")
+    // vector catches up → the pair advances to (v2, v2) and consistent
+    // resolution equals plain newest-current resolution verbatim
+    CellIndex.append(spark, b2, vecIdx, Some("b2"))
+    val (v3, t3) = IndexPair.consistentRoots(spark, vecIdx, textIdx)
+    assert(v3.endsWith("vectors_v2") && t3.endsWith("v2"))
+    val after = CellIndex.rrfFusionIndexed(spark, sf0001, vecIdx, probe,
+      nprobe = 4, textIndexPath = Some(textIdx), consistent = true)
+      .collect().map(_.toSeq).toSeq
+    val plain = CellIndex.rrfFusionIndexed(spark, sf0001, vecIdx, probe,
+      nprobe = 4, textIndexPath = Some(textIdx))
+      .collect().map(_.toSeq).toSeq
+    assert(after == plain)
+  }
 }
