@@ -192,6 +192,7 @@ object SparkEntry {
     "q142_hll_reach"      -> (Relational.hllReach _),
     "q143_domain_cap"     -> ((s: SparkSession, d: String) => Curation.domainCap(s, d)),
     "q144_theta_overlap"  -> (Relational.thetaOverlap _),
+    "q145_dedup_recall"   -> ((s: SparkSession, d: String) => Dedup.dedupPairRecall(s, d)),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -202,7 +203,8 @@ object SparkEntry {
     * tiers report them separately from the serving-path total so the
     * sf≥1 suite number reflects what production would run, while the
     * contract rows stay unchanged. */
-  val auditQueries: Set[String] = Set("q31_ngram_jaccard", "q66_semantic_clusters")
+  val auditQueries: Set[String] =
+    Set("q31_ngram_jaccard", "q66_semantic_clusters", "q145_dedup_recall")
 
   /** Cell count for the oracle rows' cached cell index —
     * [[cachedCellIndex]]'s `k` and the full-probe `nprobe` must agree. */
@@ -2517,6 +2519,31 @@ object SparkEntry {
         |FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
         |LEFT JOIN ov ON ov.type_a = ca.event_type AND ov.type_b = cb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    // q145: banding recall vs exact-Jaccard truth — q30's banded-candidate
+    // CTE chain beside q31's exact pairwise form (list_distinct over the
+    // same trigram grams), hits = truth ∩ candidates.
+    "q145_dedup_recall" ->
+      s"""WITH $minhashCtes,
+         |gb AS (SELECT u.doc_id, d.lang, d.source, list_distinct(u.grams) AS dgrams
+         |       FROM u JOIN documents d USING (doc_id)),
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM gb a JOIN gb b
+         |            ON a.lang = b.lang AND a.source = b.source
+         |            AND a.doc_id < b.doc_id
+         |          WHERE len(list_distinct(list_concat(a.dgrams, b.dgrams))) > 0
+         |            AND len(list_intersect(a.dgrams, b.dgrams)) * 1.0 /
+         |                len(list_distinct(list_concat(a.dgrams, b.dgrams))) >= 0.5),
+         |hit AS (SELECT t0.doc_a FROM truth t0
+         |        JOIN cand c ON t0.doc_a = c.doc_a AND t0.doc_b = c.doc_b)
+         |SELECT 0.5 AS tau,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+         |       THEN (SELECT COUNT(*) FROM hit) * 1.0 /
+         |            (SELECT COUNT(*) FROM truth)
+         |       ELSE 1.0 END AS recall""".stripMargin,
   )
 
   /** q46's oracle: metadata-filter (lang='en') then exact-cosine top-10.

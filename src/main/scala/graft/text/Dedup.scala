@@ -240,6 +240,33 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Q145 — DEDUP-PIPELINE RECALL evaluation (measure-don't-guess, the
+    * q67 convention brought to the near-dup family): of the pairs whose
+    * TRUE n-gram Jaccard reaches `tau` (q31's exact form — the ground
+    * truth), what fraction does the banded MinHash candidate join (q30 —
+    * what the production q55/q49 paths actually enumerate) surface? A
+    * banding miss is a duplicate the pipeline can never remove, so this
+    * number IS the dedup pipeline's ceiling; it belongs in-plan, measured
+    * per corpus, not assumed from the (bands, rows) theory curve. One row:
+    * threshold, truth/candidate/hit counts, recall. Ground-truth arm is
+    * the audit-shaped exact pass (q31's cost — AUDIT-tagged in bench
+    * tiers); the candidate arm rides the session pair memo. */
+  def dedupPairRecall(spark: SparkSession, dir: String,
+      tau: Double = 0.5): DataFrame = {
+    val truth = ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= tau)
+      .select("doc_a", "doc_b")
+      .localCheckpoint() // two consumers: count + hit semi-join
+    val cand = minhashPairsUnsorted(spark, dir).select("doc_a", "doc_b")
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(lit(tau).as("tau"), col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") > 0, col("n_hit") * lit(1.0) / col("n_true"))
+          .otherwise(lit(1.0)).as("recall"))
+  }
+
   /** Connected components over an undirected edge list (columns `doc_a`,
     * `doc_b`, one row per edge) by min-label propagation WITH pointer
     * doubling: each round a node's label becomes

@@ -515,6 +515,23 @@ class TextVectorSpec extends SparkSpec {
     assert(r(2L).getLong(2) == 0L && r(2L).getString(3) == md5hex(short))
   }
 
+  test("dedup recall: planted near-dup is truth AND banded hit; disjoint docs are neither") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " zz" // Jaccard ≈ 27/31
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, nearDup, "en", "s", nearDup.length.toLong),
+      (3L, other, "en", "s", other.length.toLong)))
+    val r = Dedup.dedupPairRecall(spark, dir).head()
+    assert(r.getDouble(0) == 0.5)
+    // exactly one true pair (1,2); the shared-prefix signature bands must
+    // surface it → recall 1.0 on this fixture
+    assert(r.getLong(1) == 1L, s"n_true = ${r.getLong(1)}")
+    assert(r.getLong(3) == 1L && r.getDouble(4) == 1.0)
+    assert(r.getLong(2) >= r.getLong(3), "hits are a subset of candidates")
+  }
+
   test("IVF-PQ: full probe + full shortlist equals brute force; pruned probe stays exact per row") {
     import graft.vector.CellIndex
     val dir = sf0001
