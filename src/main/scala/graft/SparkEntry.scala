@@ -193,6 +193,7 @@ object SparkEntry {
     "q143_domain_cap"     -> ((s: SparkSession, d: String) => Curation.domainCap(s, d)),
     "q144_theta_overlap"  -> (Relational.thetaOverlap _),
     "q145_dedup_recall"   -> ((s: SparkSession, d: String) => Dedup.dedupPairRecall(s, d)),
+    "q146_theta_retention" -> (Relational.thetaRetention _),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -2544,6 +2545,24 @@ object SparkEntry {
          |       THEN (SELECT COUNT(*) FROM hit) * 1.0 /
          |            (SELECT COUNT(*) FROM truth)
          |       ELSE 1.0 END AS recall""".stripMargin,
+
+    // q146: retention/churn/new from exact cohort set arithmetic; the _ok
+    // flags audit the theta intersection and A\B estimates in-plan.
+    "q146_theta_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 <> 0),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS retained_exact
+        |      FROM a JOIN b USING (user_id))
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS users_base,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS users_cur,
+        |  r.retained_exact,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) - r.retained_exact AS churned_exact,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) - r.retained_exact AS new_exact,
+        |  CAST(1 AS BIGINT) AS retained_ok,
+        |  CAST(1 AS BIGINT) AS churned_ok,
+        |  CAST(1 AS BIGINT) AS new_ok
+        |FROM r""".stripMargin,
   )
 
   /** q46's oracle: metadata-filter (lang='en') then exact-cosine top-10.

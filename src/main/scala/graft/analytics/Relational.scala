@@ -698,6 +698,47 @@ object Relational {
       .orderBy("type_a", "type_b")
   }
 
+  /** Q146 — RETENTION / CHURN / ACQUISITION via the full theta set
+    * algebra (q144's intersection plus [[graft.functions.ThetaAnotBEstimate]]
+    * — A\B is the third operation the family needs and HLL also cannot
+    * do): base-vs-current user cohorts (even/odd event_id — the q64/q76
+    * snapshot-split convention), retained = |A∩B|, churned = |A\B|,
+    * new = |B\A|, each estimated from two per-cohort sketches and audited
+    * in-plan against exact distinct-join arithmetic. At 100 TB the two
+    * cohort sketches come from each period's ingest (or the q142 sketch
+    * table) and the whole retention report is driver-free set algebra
+    * over k-bounded bytes — no raw-key shuffle touches the question. */
+  def thetaRetention(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaExpressions
+    import graft.functions.ThetaExpressions.{theta_sketch_agg => tAgg}
+    ThetaExpressions.register(spark)
+    val ev = Tables.events(spark, dir)
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val cur = ev.filter(col("event_id") % 2 =!= 0)
+    val skA = base.agg(tAgg(col("user_id")).as("sk_a"),
+      countDistinct("user_id").as("users_base"))
+    val skB = cur.agg(tAgg(col("user_id")).as("sk_b"),
+      countDistinct("user_id").as("users_cur"))
+    val retained = base.select("user_id").distinct()
+      .join(cur.select("user_id").distinct(), Seq("user_id"))
+      .agg(count(lit(1)).as("retained_exact"))
+    def ok(est: Column, exact: Column, scaleCol: Column): Column =
+      (abs(est - exact) <= scaleCol * lit(0.05) + lit(1.0)).cast("long")
+    skA.crossJoin(skB).crossJoin(retained) // three 1-row frames
+      .select(col("users_base"), col("users_cur"), col("retained_exact"),
+        (col("users_base") - col("retained_exact")).as("churned_exact"),
+        (col("users_cur") - col("retained_exact")).as("new_exact"),
+        ok(ThetaExpressions.theta_intersect_estimate(col("sk_a"), col("sk_b")),
+          col("retained_exact"),
+          least(col("users_base"), col("users_cur"))).as("retained_ok"),
+        ok(ThetaExpressions.theta_anotb_estimate(col("sk_a"), col("sk_b")),
+          col("users_base") - col("retained_exact"), col("users_base"))
+          .as("churned_ok"),
+        ok(ThetaExpressions.theta_anotb_estimate(col("sk_b"), col("sk_a")),
+          col("users_cur") - col("retained_exact"), col("users_cur"))
+          .as("new_ok"))
+  }
+
   /** Q123 — JOIN-SKEW ADVISOR: the key histogram a planner (or an
     * engineer staring at one straggler task) consults before shuffling
     * 100 TB on a join key. Per key: exact count, share of total rows in

@@ -95,6 +95,38 @@ object ThetaOps {
 
   def estimate(a: Array[Byte]): Long =
     Math.round(Sketches.wrapSketch(Memory.wrap(a)).getEstimate)
+
+  def aNotBEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val d = SetOperation.builder().buildANotB()
+    Math.round(d.aNotB(Sketches.wrapSketch(Memory.wrap(a)),
+      Sketches.wrapSketch(Memory.wrap(b))).getEstimate)
+  }
+}
+
+/** `theta_anotb_estimate(a, b)` — rounded distinct-count estimate of the
+  * set difference A \ B of two serialized theta sketches. */
+case class ThetaAnotBEstimate(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "graft_theta_anotb_estimate"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes two serialized theta sketches (binary)")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ThetaOps.aNotBEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ThetaOps.aNotBEstimate($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaAnotBEstimate =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `theta_intersect_estimate(a, b)` — rounded distinct-count estimate of
@@ -137,11 +169,19 @@ object ThetaExpressions {
     ThetaIntersectEstimate(exprs(0), exprs(1))
   }
 
+  val anotbBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_theta_anotb_estimate requires (a, b), got ${exprs.length} args")
+    ThetaAnotBEstimate(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_sketch_agg", aggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_intersect_estimate", intersectBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_anotb_estimate", anotbBuilder, "built-in")
   }
 
   def theta_sketch_agg(key: Column): Column =
@@ -149,4 +189,7 @@ object ThetaExpressions {
 
   def theta_intersect_estimate(a: Column, b: Column): Column =
     call_function("graft_theta_intersect_estimate", a, b)
+
+  def theta_anotb_estimate(a: Column, b: Column): Column =
+    call_function("graft_theta_anotb_estimate", a, b)
 }

@@ -161,6 +161,22 @@ class RelationalSpec extends SparkSpec {
     assert(fx.nonEmpty && fx.forall(_.getLong(5) == 1L))
   }
 
+  test("q146 theta retention: exact cohort arithmetic, A\\B estimates audit green") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // even event_ids (base): users 0..5; odd event_ids (current): users 4..9
+    // → retained {4,5}=2, churned {0..3}=4, new {6..9}=4
+    val rows =
+      (0 until 6).map(i => (2L * i, ts(i), i.toLong, "click", 1.0, "{}")) ++
+      (0 until 6).map(i => (2L * i + 1, ts(i), 4L + i, "click", 1.0, "{}"))
+    val r = Relational.thetaRetention(spark, eventsDir(rows)).head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 4L && r.getLong(4) == 4L)
+    assert(r.getLong(5) == 1L && r.getLong(6) == 1L && r.getLong(7) == 1L)
+    // fixture corpus: every sketch audit must hold there too
+    val fx = Relational.thetaRetention(spark, sf0001).head()
+    assert(fx.getLong(5) == 1L && fx.getLong(6) == 1L && fx.getLong(7) == 1L)
+  }
+
   test("theta sketch agg: merge across partitions is order-independent and exact below k") {
     import graft.functions.ThetaExpressions
     ThetaExpressions.register(spark)
