@@ -653,6 +653,34 @@ object Relational {
     perType.unionByName(total).orderBy("event_type")
   }
 
+  /** The AT-REST form of q142's sketch table: persist the (event_type,
+    * day)-grain HLL sketches as a parquet table (binary sketch column —
+    * a few KB per cell at any corpus size), so later rollups merge from
+    * THIS table instead of re-scanning events. This is the claim q142's
+    * scaladoc makes, shipped: at 100 TB each ingest period appends its
+    * day's sketch rows once, and every reach question afterwards is a
+    * union-merge over cell-count rows. */
+  def writeReachSketches(spark: SparkSession, dir: String, path: String): Unit =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .withColumn("day", col("day").cast("string")) // portable partition key
+      .write.mode("overwrite").parquet(path)
+
+  /** Reach rollups served from a persisted sketch table ([[writeReachSketches]]):
+    * per-type and total distinct-user estimates without touching events.
+    * Spec-pinned equal to the direct q142 sketch arm — the parquet
+    * round-trip of the binary sketch column preserves merge semantics. */
+  def reachFromSketches(spark: SparkSession, path: String): DataFrame = {
+    val sk = spark.read.parquet(path)
+    sk.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("reach_est"))
+      .unionByName(sk.agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("reach_est"))
+        .select(lit("_all").as("event_type"), col("reach_est")))
+      .orderBy("event_type")
+  }
+
   /** Q144 — AUDIENCE OVERLAP via theta-sketch INTERSECTION
     * ([[graft.functions.ThetaSketchAgg]]): for every event-type pair, how
     * many distinct users did BOTH — the set-algebra question q142's HLL

@@ -177,6 +177,34 @@ class RelationalSpec extends SparkSpec {
     assert(fx.getLong(5) == 1L && fx.getLong(6) == 1L && fx.getLong(7) == 1L)
   }
 
+  test("reach sketches survive the parquet round-trip: at-rest rollup equals direct and exact") {
+    val path = java.nio.file.Files.createTempDirectory("reach_sk").toString
+    Relational.writeReachSketches(spark, sf0001, path)
+    val atRest = Relational.reachFromSketches(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // served WITHOUT touching events; equals exact distincts at this
+    // cardinality (sparse-exact HLL) — the same values q142 audits
+    val exact = Relational.hllReach(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(atRest.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(math.abs(atRest(t) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"type $t: at-rest ${atRest(t)} vs exact $n") }
+    // appending one more day-grain sketch row keeps merging (the ingest
+    // model): union of table + extra row = strictly larger reach
+    val before = atRest("_all")
+    import spark.implicits._
+    spark.range(900000, 900050)
+      .select(lit("click").as("event_type"), lit("2030-01-01").as("day"),
+        col("id"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("id")).as("sk"))
+      .write.mode("append").parquet(path)
+    val after = Relational.reachFromSketches(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("_all") >= before + 45, s"${after("_all")} vs $before")
+  }
+
   test("theta sketch agg: merge across partitions is order-independent and exact below k") {
     import graft.functions.ThetaExpressions
     ThetaExpressions.register(spark)
