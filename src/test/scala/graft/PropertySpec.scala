@@ -437,4 +437,64 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Independent driver-side reference of q141's span-rewrite semantics
+    * (canonical = globally-first gram occurrence; a position is cut iff
+    * covered only by non-canonical occurrences) — deliberately the naive
+    * O(occurrences × positions) formulation, nothing shared with the
+    * distributed plan. */
+  private def spanRewriteRef(docs: Seq[(Long, Array[String])],
+      n: Int): Map[Long, (Long, Long, String)] = {
+    case class Occ(doc: Long, i: Int)
+    val occ: Seq[(String, Occ)] = for {
+      (id, toks) <- docs
+      i <- 0 to toks.length - n
+    } yield (toks.slice(i, i + n).mkString(" "), Occ(id, i))
+    val first = occ.groupBy(_._1).map { case (g, os) =>
+      g -> os.map(_._2).minBy(o => (o.doc, o.i)) }
+    docs.map { case (id, toks) =>
+      val mine = occ.filter(_._2.doc == id)
+      val cut = (0 until toks.length).filter { p =>
+        val covering = mine.filter { case (_, o) => o.i <= p && p < o.i + n }
+        covering.nonEmpty && covering.forall { case (g, o) => first(g) != o }
+      }.toSet
+      val kept = toks.zipWithIndex.collect { case (t, p) if !cut(p) => t }
+      id -> ((toks.length.toLong, cut.size.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("span rewrite equals the naive reference on random gram-colliding corpora") {
+    import spark.implicits._
+    // 3-symbol alphabet: 243 possible 5-grams, so ~200 gram draws per
+    // corpus collide heavily — the regime where canonical selection and
+    // coverage resolution actually interact (plus empty/short docs)
+    val tokGen = Gen.oneOf("x", "y", "z")
+    val docGen = Gen.choose(0, 14).flatMap(len => Gen.listOfN(len, tokGen))
+    val corpusGen = Gen.listOfN(25, docGen)
+    (1 to 5).foreach { seed =>
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case (toks, i) => (i.toLong, toks.toArray) }
+      val dir = java.nio.file.Files.createTempDirectory("srprop").toString
+      corpus.map { case (id, toks) =>
+        (id, toks.mkString(" "), "en", "s", toks.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      // NOTE: split("", " ") yields [""], so an empty text is ONE empty
+      // token to the engine — mirror that in the reference input
+      val refIn = corpus.map { case (id, toks) =>
+        (id, if (toks.isEmpty) Array("") else toks) }
+      val expect = spanRewriteRef(refIn, 5)
+      val got = text.Dedup.spanRewrite(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      expect.foreach { case (id, (nt, nr, txt)) =>
+        assert(got(id) == ((nt, nr, md5hex(txt))),
+          s"seed $seed doc $id: got ${got(id)}, want ($nt, $nr, md5('$txt'))")
+      }
+    }
+  }
 }
