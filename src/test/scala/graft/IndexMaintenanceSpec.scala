@@ -143,4 +143,24 @@ class IndexMaintenanceSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(after == plain)
   }
+
+  test("consistent pair resolution fails loudly on unrelated ledgers") {
+    val work = java.nio.file.Files.createTempDirectory("idxpair_bad").toString
+    val vecIdx = s"$work/vec"
+    val textIdx = s"$work/text"
+    CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 1)
+    TextIndex.write(spark, sf0001, textIdx)
+    // two maintenance lineages that never shared a batch stream: disjoint
+    // tags, and the empty-ledger bases vacuumed away
+    CellIndex.append(spark, writeBatchDir(100000L, 10), vecIdx, Some("vec_only"))
+    TextIndex.append(spark, writeBatchDir(300000L, 10), textIdx, Some("text_only"))
+    CellIndex.vacuumVersions(spark, vecIdx, keepLast = 1)
+    TextIndex.vacuumVersions(spark, textIdx, keepLast = 1)
+    val e = intercept[IllegalStateException] {
+      IndexPair.consistentRoots(spark, vecIdx, textIdx)
+    }
+    // the error names both ledgers — serving a mixed corpus silently is
+    // the one outcome the resolver exists to prevent
+    assert(e.getMessage.contains("vec_only") && e.getMessage.contains("text_only"))
+  }
 }
