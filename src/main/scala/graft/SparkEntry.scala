@@ -194,6 +194,14 @@ object SparkEntry {
     "q144_theta_overlap"  -> (Relational.thetaOverlap _),
     "q145_dedup_recall"   -> ((s: SparkSession, d: String) => Dedup.dedupPairRecall(s, d)),
     "q146_theta_retention" -> (Relational.thetaRetention _),
+    // q147: exact phrase search served FROM the positional bigram index;
+    // the probe phrase is the index's own persisted top trigram, so the
+    // whole query path is index-resident (derivation + search).
+    "q147_phrase_search"  -> ((s: SparkSession, d: String) => {
+      val idx = cachedPhraseIndex(s, d)
+      graft.text.TextIndex.phraseSearch(s, idx,
+        graft.text.TextIndex.topPhrase(s, idx))
+    }),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -254,6 +262,10 @@ object SparkEntry {
   private def cachedCellIndex(s: SparkSession, d: String): String =
     cachedIndex("cellindex", d, "vectors/_SUCCESS")(p =>
       graft.vector.CellIndex.write(s, d, p, k = IndexCells))
+
+  private def cachedPhraseIndex(s: SparkSession, d: String): String =
+    cachedIndex("phraseindex", d, "stats/_SUCCESS")(p =>
+      graft.text.TextIndex.writePhraseIndex(s, d, p))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
   // Shared SQL fragments (kept as vals so Spark/DuckDB formulations stay in
@@ -2563,6 +2575,27 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS churned_ok,
         |  CAST(1 AS BIGINT) AS new_ok
         |FROM r""".stripMargin,
+
+    // q147: positional trigram occurrences of the corpus's rank-1 trigram
+    // ((count desc, gram) — the same derivation the index persists); the
+    // Spark side answers from the bigram index's m−1 position-joined
+    // posting lists, which must enumerate exactly these occurrences.
+    "q147_phrase_search" ->
+      s"""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos3 AS (SELECT doc_id, CAST(unnest(range(len(toks) - 2)) AS BIGINT) AS i, toks
+         |         FROM ct WHERE len(toks) >= 3),
+         |pg AS (SELECT doc_id, i,
+         |         toks[CAST(i AS INTEGER) + 1] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 2] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 3] AS gram
+         |       FROM pos3),
+         |top AS (SELECT gram FROM (SELECT gram, COUNT(*) AS n FROM pg GROUP BY gram)
+         |        ORDER BY n DESC, gram LIMIT 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(MIN(i) AS BIGINT) AS first_pos
+         |FROM pg JOIN top USING (gram)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
   )
 
   /** q46's oracle: metadata-filter (lang='en') then exact-cosine top-10.

@@ -217,4 +217,38 @@ class TextIndexAppendSpec extends SparkSpec {
       TextIndex.bm25Indexed(spark, rebuilt).collect().map(_.toSeq).toSeq,
       "8-bucket appended index drifted from an 8-bucket rebuild")
   }
+
+  private def phraseDocsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("phrase").toString
+    rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("phrase search: exact occurrences and positions, overlaps and repeats counted") {
+    val dir = phraseDocsDir(Seq(
+      (1L, "a b c d a b c"),     // "a b c" at 0 and 4
+      (2L, "x a b c y"),         // at 1
+      (3L, "a b x b c"),         // both bigrams present, never adjacent → NO match
+      (4L, "c b a"),             // reversed → no match
+      (5L, "a a a a")))          // self-overlapping bigrams, no "a b c"
+    val idx = java.nio.file.Files.createTempDirectory("phrase_idx").toString
+    TextIndex.writePhraseIndex(spark, dir, idx)
+    val r = TextIndex.phraseSearch(spark, idx, Seq("a", "b", "c")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L))),
+      s"got $r")
+    // 4-word phrase chains three bigram lists
+    val r4 = TextIndex.phraseSearch(spark, idx, Seq("a", "b", "c", "d")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r4 == Map(1L -> ((1L, 0L))))
+    // self-overlapping phrase: "a a a" occurs at 0 and 1 in doc 5
+    val rr = TextIndex.phraseSearch(spark, idx, Seq("a", "a", "a")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(rr == Map(5L -> ((2L, 0L))))
+    // the persisted top phrase is the corpus's rank-1 trigram
+    assert(TextIndex.topPhrase(spark, idx) == Seq("a", "b", "c"))
+  }
 }
