@@ -290,46 +290,162 @@ object TextIndex {
     * trigrams (count desc, gram) so the oracle row derives its probe
     * phrase FROM the index — no corpus pass at query time.
     *
-    * Positions are doc-local, so [[append]]'s carry-forward protocol
-    * extends verbatim; this artifact ships single-build (rebuild per
-    * batch fold) until a maintenance stream needs it incremental. Stats
-    * is written LAST — its _SUCCESS is the commit marker. */
+    * Positions are doc-local, so [[appendPhraseIndex]] extends the
+    * [[append]] carry-forward protocol verbatim — and with the same
+    * EXACT equivalence: no trained state, so append-then-query equals a
+    * union-corpus rebuild (spec'd). `phrases/` is therefore the FULL
+    * vocabulary-sized trigram-count table (bucket-partitioned like
+    * `dfreq`), not a top-k — counts merge by keyed sum under append,
+    * which a truncated top-k cannot. Stats is written LAST — its
+    * _SUCCESS is the commit marker; appends publish `v<N>` dirs resolved
+    * by the shared [[committedVersions]] rule. */
   def writePhraseIndex(spark: SparkSession, dir: String, indexPath: String,
-      buckets: Int = 16, topK: Int = 20): Unit = {
+      buckets: Int = 16): Unit = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .localCheckpoint() // one tokenize feeds bigram + trigram passes
+    writePhraseArtifacts(spark, toks, indexPath, buckets, nDocsBase = 0L)
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
+  }
+
+  /** The three phrase-index artifacts for one corpus slice, written under
+    * `root`: positional bigram postings, mergeable trigram counts, stats
+    * (LAST — the commit marker). Shared by build and append. */
+  private def writePhraseArtifacts(spark: SparkSession,
+      toks: DataFrame, root: String, buckets: Int, nDocsBase: Long): Unit = {
     graft.functions.TextExpressions.register(spark)
-    val big = toks.select(col("doc_id"), posexplode(
+    toks.select(col("doc_id"), posexplode(
         graft.functions.TextExpressions.word_ngrams(col("toks"), 2, distinct = false)))
       .toDF("doc_id", "i", "bigram")
-    big
       .withColumn("bb", pmod(hash(col("bigram")), lit(buckets)))
       .repartition(col("bb"))
       .sortWithinPartitions("bigram", "doc_id", "i")
       .write.mode("overwrite").partitionBy("bb")
-      .parquet(s"$indexPath/bigrams")
+      .parquet(s"$root/bigrams")
     toks.select(posexplode(
         graft.functions.TextExpressions.word_ngrams(col("toks"), 3, distinct = false)))
       .toDF("i", "gram")
       .groupBy("gram").agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("gram")).limit(topK)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/phrases")
-    toks.agg(count(lit(1)).as("n_docs"))
+      .withColumn("pb", pmod(hash(col("gram")), lit(buckets)))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(s"$root/phrases")
+    toks.agg((count(lit(1)) + nDocsBase).as("n_docs"))
       .withColumn("buckets", lit(buckets.toLong))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/stats")
+      .write.mode("overwrite").parquet(s"$root/stats")
+  }
+
+  /** The phrase-index root readers resolve — newest committed version
+    * (the [[committedVersions]] rule: stats/_SUCCESS is the marker for
+    * base and `v<N>` alike). */
+  def phraseCurrentRoot(spark: SparkSession, indexPath: String): String = {
+    val vs = committedVersions(spark, indexPath)
+    require(vs.nonEmpty, s"no committed phrase index under $indexPath")
+    versionRoot(indexPath, vs.max)
+  }
+
+  /** INCREMENTAL phrase-index maintenance — [[append]]'s protocol on the
+    * positional artifact: bigram bucket files carry forward BYTE-FOR-BYTE
+    * (positions are doc-local — a new doc never changes an old doc's
+    * rows), the batch's bigrams land as new files in their buckets, the
+    * vocabulary-sized trigram table merges by keyed sum, n_docs adds.
+    * Same staging-nonce + guarded-rename publish, same applied-tag
+    * ledger, same single-live-writer model; append-then-query equals a
+    * union-corpus rebuild EXACTLY (spec'd — no trained state anywhere). */
+  def appendPhraseIndex(spark: SparkSession, batchDir: String,
+      indexPath: String, tag: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val versions = committedVersions(spark, indexPath)
+    require(versions.nonEmpty, s"append needs an existing phrase index at $indexPath")
+    val cur = versionRoot(indexPath, versions.max)
+    val next = versions.max + 1
+    val target = new Path(root, s"v$next")
+    val staging = new Path(root,
+      s".staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val stats = spark.read.parquet(s"$cur/stats").collect().head
+    val (nDocs, buckets) =
+      (stats.getAs[Long]("n_docs"), stats.getAs[Long]("buckets").toInt)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val toks = Tables.documents(spark, batchDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    // batch artifacts first (same writer as build), then current bucket
+    // files copy in beside them and the trigram tables merge
+    writePhraseArtifacts(spark, toks, staging.toString, buckets, nDocsBase = nDocs)
+    fs.listStatus(new Path(cur, "bigrams")).toSeq
+      .filter(_.getPath.getName.startsWith("bb="))
+      .foreach { s =>
+        val dstB = new Path(new Path(staging, "bigrams"), s.getPath.getName)
+        fs.mkdirs(dstB)
+        fs.listStatus(s.getPath).toSeq
+          .filter(f => f.getPath.getName.startsWith("part-"))
+          .foreach(f => FileUtil.copy(fs, f.getPath, fs,
+            new Path(dstB, f.getPath.getName), false, conf))
+      }
+    val pb = pmod(hash(col("gram")), lit(buckets))
+    spark.read.parquet(s"$cur/phrases").select("gram", "n")
+      .unionByName(spark.read.parquet(new Path(staging, "phrases").toString)
+        .select("gram", "n"))
+      .groupBy("gram").agg(sum("n").as("n"))
+      .withColumn("pb", pb)
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(new Path(staging, "phrases_merged").toString)
+    // swap the batch-only trigram table for the merged one
+    fs.delete(new Path(staging, "phrases"), true)
+    if (!fs.rename(new Path(staging, "phrases_merged"), new Path(staging, "phrases")))
+      throw new IllegalStateException(
+        s"phrase-table swap failed in staging $staging")
     graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
+    graft.IndexVersions.writeTags(fs, staging,
+      graft.IndexVersions.readTags(fs, new Path(cur)) ++ tag)
+    graft.IndexVersions.publish(fs, staging, target,
+      t => fs.exists(new Path(t, "stats/_SUCCESS")))
+  }
+
+  /** [[vacuumVersions]] for the phrase layout (its base triple is
+    * `bigrams/`+`phrases/`+`stats/`): drop committed versions beyond the
+    * newest `keepLast`, honor the same `graceMs` read-duration contract,
+    * sweep crashed staging assemblies. */
+  def vacuumPhraseVersions(spark: SparkSession, indexPath: String,
+      keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = committedVersions(spark, indexPath)
+    val now = System.currentTimeMillis()
+    def oldEnough(probe: Path): Boolean = graceMs <= 0L ||
+      now - fs.getFileStatus(probe).getModificationTime >= graceMs
+    val removed = vs.dropRight(math.max(keepLast, 1))
+      .filter(v => oldEnough(new Path(root, if (v == 0L) "stats" else s"v$v")))
+      .flatMap { v =>
+        if (v == 0L)
+          Seq("bigrams", "phrases", "stats").map { d =>
+            val p = new Path(root, d); fs.delete(p, true); p.toString
+          }
+        else {
+          val p = new Path(root, s"v$v"); fs.delete(p, true); Seq(p.toString)
+        }
+      }
+    val staleStaging = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(".staging_"))
+      .filter(s => now - s.getModificationTime >= StagingTtlMs)
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+    removed ++ staleStaging
   }
 
   /** The index's top corpus phrase (rank-1 trigram by (count desc, gram) —
-    * the deterministic probe-derivation convention, served from the
-    * persisted `phrases/` artifact: driver-side 1 row, no corpus pass). */
+    * the deterministic probe-derivation convention): a vocabulary-sized
+    * scan of the persisted trigram table, never a corpus pass. */
   def topPhrase(spark: SparkSession, indexPath: String): Seq[String] = {
-    val r = spark.read.parquet(s"$indexPath/phrases")
+    val r = spark.read.parquet(s"${phraseCurrentRoot(spark, indexPath)}/phrases")
       .orderBy(desc("n"), col("gram")).limit(1).collect()
     require(r.nonEmpty, s"phrase index at $indexPath has no phrases artifact")
     r.head.getString(0).split(" ").toSeq
@@ -345,9 +461,11 @@ object TextIndex {
   def phraseSearch(spark: SparkSession, indexPath: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, "phrase search needs at least two words")
-    val buckets = spark.read.parquet(s"$indexPath/stats")
+    // ONE version resolution for the whole query (the bm25Indexed rule)
+    val root = phraseCurrentRoot(spark, indexPath)
+    val buckets = spark.read.parquet(s"$root/stats")
       .select(col("buckets")).collect().head.getLong(0).toInt
-    val posts = spark.read.parquet(s"$indexPath/bigrams")
+    val posts = spark.read.parquet(s"$root/bigrams")
     // each bigram's occurrences, re-keyed to the PHRASE start position
     // (i − j): a full occurrence is then an m−1-way agreement on (doc, p)
     val lists = phrase.sliding(2).zipWithIndex.map { case (bg, j) =>

@@ -251,4 +251,35 @@ class TextIndexAppendSpec extends SparkSpec {
     // the persisted top phrase is the corpus's rank-1 trigram
     assert(TextIndex.topPhrase(spark, idx) == Seq("a", "b", "c"))
   }
+
+  test("phrase-index append equals a union-corpus rebuild exactly; vacuum bounds versions") {
+    val idx = java.nio.file.Files.createTempDirectory("phrase_app").toString
+    TextIndex.writePhraseIndex(spark, sf0001, idx)
+    val batch = docsDirFrom(700000L) // text reused verbatim: every trigram count doubles
+    TextIndex.appendPhraseIndex(spark, batch, idx, Some("pb1"))
+    assert(TextIndex.phraseCurrentRoot(spark, idx).endsWith("v1"))
+    val rebuilt = java.nio.file.Files.createTempDirectory("phrase_rb").toString
+    TextIndex.writePhraseIndex(spark, unionDir(Seq(sf0001, batch)), rebuilt)
+    val phrase = TextIndex.topPhrase(spark, rebuilt)
+    assert(TextIndex.topPhrase(spark, idx) == phrase,
+      "merged trigram table must rank the same top phrase")
+    assert(TextIndex.phraseSearch(spark, idx, phrase).collect().map(_.toSeq).toSeq ==
+      TextIndex.phraseSearch(spark, rebuilt, phrase).collect().map(_.toSeq).toSeq,
+      "appended phrase index drifted from a union rebuild")
+    // merged trigram table equals the rebuild's row-for-row
+    val mergedTri = spark.read.parquet(
+        s"${TextIndex.phraseCurrentRoot(spark, idx)}/phrases")
+      .select("gram", "n").collect().map(_.toSeq).toSet
+    val rebuiltTri = spark.read.parquet(s"$rebuilt/phrases")
+      .select("gram", "n").collect().map(_.toSeq).toSet
+    assert(mergedTri == rebuiltTri)
+    // second append then vacuum: base evicted, newest two versions remain,
+    // the served answer still resolves
+    TextIndex.appendPhraseIndex(spark, docsDirFrom(800000L), idx, Some("pb2"))
+    val removed = TextIndex.vacuumPhraseVersions(spark, idx, keepLast = 2)
+    assert(removed.exists(_.endsWith("bigrams")),
+      s"base triple should be vacuumed, removed: $removed")
+    assert(TextIndex.phraseCurrentRoot(spark, idx).endsWith("v2"))
+    assert(TextIndex.phraseSearch(spark, idx, phrase).collect().nonEmpty)
+  }
 }
