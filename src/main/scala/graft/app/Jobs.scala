@@ -560,7 +560,8 @@ object IndexMaintenanceJob {
     * appended?). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       workDir: String, vecIdx: String, textIdx: String,
-      retainVersions: Int = 3): (Boolean, Boolean) = {
+      retainVersions: Int = 3,
+      phraseIdx: Option[String] = None): (Boolean, Boolean) = {
     import org.apache.spark.sql.functions._
     if (batch.isEmpty) return (false, false)
     val tag = s"batch_$batchId"
@@ -581,19 +582,28 @@ object IndexMaintenanceJob {
       graft.text.TextIndex.append(spark, dir, textIdx, tag = Some(tag))
       graft.text.TextIndex.vacuumVersions(spark, textIdx, keepLast = keep)
     }
+    // optional third artifact: the positional phrase index folds under the
+    // same tag ledger + retention rules (round 9b)
+    phraseIdx.foreach { pi =>
+      if (!graft.text.TextIndex.phraseAppliedTags(spark, pi).contains(tag)) {
+        graft.text.TextIndex.appendPhraseIndex(spark, dir, pi, Some(tag))
+        graft.text.TextIndex.vacuumPhraseVersions(spark, pi, keepLast = keep)
+      }
+    }
     (vecDo, txtDo)
   }
 
   /** The wire: stream of [[IndexedDoc]] → per-batch index folds. */
   def sink(docs: org.apache.spark.sql.Dataset[IndexedDoc], workDir: String,
       vecIdx: String, textIdx: String, checkpoint: String,
-      retainVersions: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+      retainVersions: Int = 3,
+      phraseIdx: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
         applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx,
-          retainVersions); ()
+          retainVersions, phraseIdx); ()
       }
       .start()
 }

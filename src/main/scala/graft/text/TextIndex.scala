@@ -441,6 +441,15 @@ object TextIndex {
     removed ++ staleStaging
   }
 
+  /** Batch tags folded into the current committed phrase-index version —
+    * the exactly-once guard for streaming maintenance, as [[appliedTags]]. */
+  def phraseAppliedTags(spark: SparkSession, indexPath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.readTags(fs, new Path(phraseCurrentRoot(spark, indexPath)))
+  }
+
   /** The index's top corpus phrase (rank-1 trigram by (count desc, gram) —
     * the deterministic probe-derivation convention): a vocabulary-sized
     * scan of the persisted trigram table, never a corpus pass. */

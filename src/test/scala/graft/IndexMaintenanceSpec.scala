@@ -29,13 +29,16 @@ class IndexMaintenanceSpec extends SparkSpec {
     val work = java.nio.file.Files.createTempDirectory("idxmaint").toString
     val vecIdx = s"$work/vec"
     val textIdx = s"$work/text"
+    val phraseIdx = s"$work/phrase"
     CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 3)
     TextIndex.write(spark, sf0001, textIdx)
+    TextIndex.writePhraseIndex(spark, sf0001, phraseIdx)
     val in = MemoryStream[IndexedDoc]
     // retainVersions = 2: after the second batch the base version must be
     // vacuumed (bounded storage) while the tag ledger carries forward
     val q = IndexMaintenanceJob.sink(in.toDS(), s"$work/batches",
-      vecIdx, textIdx, s"$work/ckpt", retainVersions = 2)
+      vecIdx, textIdx, s"$work/ckpt", retainVersions = 2,
+      phraseIdx = Some(phraseIdx))
     try {
       in.addData(mkBatch(100000L, 40): _*)
       q.processAllAvailable()
@@ -45,8 +48,10 @@ class IndexMaintenanceSpec extends SparkSpec {
     // both indexes carry both batch tags and advanced two versions
     assert(CellIndex.appliedTags(spark, vecIdx) == Set("batch_0", "batch_1"))
     assert(TextIndex.appliedTags(spark, textIdx) == Set("batch_0", "batch_1"))
+    assert(TextIndex.phraseAppliedTags(spark, phraseIdx) == Set("batch_0", "batch_1"))
     assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v2"))
     assert(TextIndex.currentRoot(spark, textIdx).endsWith("v2"))
+    assert(TextIndex.phraseCurrentRoot(spark, phraseIdx).endsWith("v2"))
     // streaming retention: the base version set was vacuumed, v1+v2 remain
     val vfs = new org.apache.hadoop.fs.Path(vecIdx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,6 +74,17 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(TextIndex.bm25Indexed(spark, textIdx).collect().map(_.toSeq).toSeq ==
       TextIndex.bm25Indexed(spark, rebuilt).collect().map(_.toSeq).toSeq,
       "streaming-maintained text index drifted from a full rebuild")
+    // the phrase artifact rode the same stream: maintained search equals a
+    // rebuild over everything ingested
+    val phraseRb = java.nio.file.Files.createTempDirectory("idxmaint_prb").toString
+    TextIndex.writePhraseIndex(spark, unionDir, phraseRb)
+    val probePhrase = TextIndex.topPhrase(spark, phraseRb)
+    assert(TextIndex.topPhrase(spark, phraseIdx) == probePhrase)
+    assert(TextIndex.phraseSearch(spark, phraseIdx, probePhrase)
+      .collect().map(_.toSeq).toSeq ==
+      TextIndex.phraseSearch(spark, phraseRb, probePhrase)
+        .collect().map(_.toSeq).toSeq,
+      "streaming-maintained phrase index drifted from a full rebuild")
     // REPLAY (at-least-once delivery): re-applying an already-folded batch
     // must short-circuit on the tag — no new version, no duplicate rows
     val replay = spark.read.parquet(s"$work/batches/batch_1/documents.parquet")
