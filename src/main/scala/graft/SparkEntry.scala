@@ -252,7 +252,7 @@ object SparkEntry {
     * 1 amortizes it out of the medians. Build costs are reported
     * separately (CellIndexBench's index_build/text_index_build rows). */
   def warmIndexes(s: SparkSession, d: String): Unit = {
-    cachedTextIndex(s, d); cachedCellIndex(s, d); ()
+    cachedTextIndex(s, d); cachedCellIndex(s, d); cachedPhraseIndex(s, d); ()
   }
 
   private def cachedTextIndex(s: SparkSession, d: String): String =
