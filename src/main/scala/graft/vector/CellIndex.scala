@@ -452,6 +452,43 @@ object CellIndex {
       .limit(poolSize)
   }
 
+  /** CELL-BALANCE ADVISOR — the health check for the frozen-codebook
+    * append model: [[append]] assigns new batches against the codebook
+    * trained on the BASE corpus (cell geometry never moves — that is
+    * what makes append-then-query exact), so a drifting ingest
+    * distribution concentrates new vectors into few cells and the
+    * partition-pruned serving paths degrade toward scanning those hot
+    * cells. Per cell: population, corpus share, imbalance vs the uniform
+    * ideal (`n·k/N`); plus a `retrain_recommended` flag when the hottest
+    * cell exceeds `maxImbalance`. Note the metric is bounded by k (one
+    * cell holding everything scores exactly k), so the threshold must sit
+    * below the cell count to be reachable — 3.0 means "a cell carrying
+    * 3× its uniform share", meaningful from k=4 up. Cost: one count
+    * aggregate over the
+    * current vector set's `cell` partition column — column-pruned to a
+    * partition key, no vector bytes read. The advisor prices the
+    * decision; the retrain itself is [[write]] into a fresh index root
+    * (new codebook = new geometry = a new index by definition — not a
+    * version of the old one, since cross-version file carry-forward
+    * requires stable cell assignment). */
+  def cellBalanceReport(spark: SparkSession, indexPath: String,
+      maxImbalance: Double = 3.0): DataFrame = {
+    val cells = spark.read.parquet(currentVectorsPath(spark, indexPath))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    // hottest-cell flag computed in the SAME tiny aggregate (no window —
+    // the flag is a corpus-level property, max(n)·k/N > bound)
+    val totals = cells.agg(sum("n_vecs").as("n_total"),
+      count(lit(1)).as("k"), max("n_vecs").as("max_n"))
+    cells.crossJoin(broadcast(totals)) // k rows × 1 row
+      .select(col("cell"), col("n_vecs"),
+        (col("n_vecs") * lit(1.0) / col("n_total")).as("share"),
+        (col("n_vecs") * col("k") * lit(1.0) / col("n_total")).as("imbalance"),
+        (col("max_n") * col("k") * lit(1.0) / col("n_total") > maxImbalance)
+          .cast("long").as("retrain_recommended"))
+      .orderBy("cell")
+  }
+
   /** Sharded semantic clustering over the index: within-cell banded
     * sign-LSH candidates → exact-cosine edges ≥ `minCos` → connected
     * components. Output contract matches [[Similarity.semanticClusters]]

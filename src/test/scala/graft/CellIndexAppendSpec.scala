@@ -87,4 +87,32 @@ class CellIndexAppendSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(3)))
     assert(got3.toSeq == got2.toSeq, "vacuum changed the served answer")
   }
+
+  test("cell-balance advisor flags a skew-concentrating append, not the base corpus") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("cellidx_bal").toString
+    CellIndex.write(spark, sf0001, idx, k = 4, iters = 3)
+    val base = CellIndex.cellBalanceReport(spark, idx).collect()
+    assert(base.map(_.getLong(1)).sum == 500L)
+    assert(math.abs(base.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    val baseFlag = base.head.getLong(4)
+    // a batch of 2000 near-identical vectors (one existing vector repeated
+    // with fresh ids) all assign to ONE cell: imbalance explodes past any
+    // sane bound and the flag must flip
+    val one = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .orderBy("vec_id").limit(1).collect().head
+    val v = one.getAs[Seq[Float]]("embedding").toList
+    val dir = java.nio.file.Files.createTempDirectory("cellidx_skew").toString
+    (0 until 2000).map(i => (900000L + i, v, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    CellIndex.append(spark, dir, idx, Some("skew"))
+    val after = CellIndex.cellBalanceReport(spark, idx).collect()
+    assert(after.map(_.getLong(1)).sum == 2500L)
+    assert(after.forall(_.getLong(4) == 1L),
+      s"skewed append must recommend retrain: ${after.toSeq}")
+    assert(baseFlag == 0L || after.exists(_.getDouble(3) >
+      base.map(_.getDouble(3)).max),
+      "imbalance must have worsened")
+  }
 }
