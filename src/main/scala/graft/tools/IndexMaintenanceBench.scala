@@ -39,8 +39,10 @@ object IndexMaintenanceBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val vecIdx = s"$work/vec"; val textIdx = s"$work/text"
+    val phraseIdx = s"$work/phrase"
     graft.vector.CellIndex.write(spark, dir, vecIdx, k = k)
     graft.text.TextIndex.write(spark, dir, textIdx)
+    graft.text.TextIndex.writePhraseIndex(spark, dir, phraseIdx)
 
     def batchDf(i: Int) = {
       val off = 900000000L + i.toLong * 10000000L
@@ -60,7 +62,8 @@ object IndexMaintenanceBench {
       val bytes = fs.getContentSummary(path).getLength
       val versions = fs.listStatus(path).count { s =>
         val n = s.getPath.getName
-        n.startsWith("vectors") || n == "postings" || n.startsWith("v")
+        n.startsWith("vectors") || n == "postings" || n == "bigrams" ||
+          n.startsWith("v")
       }
       (bytes, versions)
     }
@@ -68,21 +71,24 @@ object IndexMaintenanceBench {
     val folds = (0 until nBatches).map { i =>
       val t0 = System.nanoTime()
       graft.app.IndexMaintenanceJob.applyBatch(spark, batchDf(i), i.toLong,
-        s"$work/batches", vecIdx, textIdx, retainVersions = 2)
+        s"$work/batches", vecIdx, textIdx, retainVersions = 2,
+        phraseIdx = Some(phraseIdx))
       val secs = (System.nanoTime() - t0) / 1e9
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
       spark.catalog.clearCache(); System.gc()
       val (vb, vv) = usage(vecIdx)
       val (tb, tv) = usage(textIdx)
-      (secs, vb, vv, tb, tv)
+      val (pb, pv) = usage(phraseIdx)
+      (secs, vb, vv, tb, tv, pb, pv)
     }
-    def arr[T](f: ((Double, Long, Int, Long, Int)) => T): String =
+    def arr[T](f: ((Double, Long, Int, Long, Int, Long, Int)) => T): String =
       folds.map(f).mkString("[", ",", "]")
     println(s"""{"metric":"idxmaint","batches":$nBatches,"dir":"$dir","k":$k,""" +
       s""""fold_secs":${folds.map(f => f"${f._1}%.3f").mkString("[", ",", "]")},""" +
       s""""vec_bytes":${arr(_._2)},"vec_versions":${arr(_._3)},""" +
       s""""text_bytes":${arr(_._4)},"text_versions":${arr(_._5)},""" +
-      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions"}""")
+      s""""phrase_bytes":${arr(_._6)},"phrase_versions":${arr(_._7)},""" +
+      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions; all three artifacts folded"}""")
     spark.stop()
   }
 }
