@@ -54,31 +54,42 @@ object CellIndexBench {
     // rows reproduce under the driver's own numbers. Index paths are
     // per-round: an append publishes a version that would otherwise
     // shadow the next round's rebuilt base.
+    // SPARK_GRAFT_SKIP_ADHOC=1 drops the ad-hoc comparison arms and the
+    // (corpus-mass) cluster rows — the setting for the ≥100× tiers, where
+    // the question is whether INDEXED serving stays flat, not the ad-hoc
+    // multiple (already established at 10×)
+    val skipAdhoc = sys.env.get("SPARK_GRAFT_SKIP_ADHOC").contains("1")
     val rounds = (0 to 3).map { round =>
       val rIdx = s"${idx}_r$round"
       val textIdx = s"${idx}_text_r$round"
-      val r = Seq(
-        "index_build" -> time(CellIndex.write(spark, dir, rIdx, k = k)),
-        "ann_indexed" -> time(noop(CellIndex.annIvfIndexed(spark, rIdx, probe))),
+      val phraseIdx = s"${idx}_phrase_r$round"
+      val adhoc = if (skipAdhoc) Seq.empty else Seq(
         "ann_adhoc" -> time(noop(Similarity.annIvf(spark, dir))),
         "clusters_indexed" -> time(noop(CellIndex.semanticClustersIndexed(spark, rIdx))),
         "clusters_adhoc" -> time(noop(Similarity.semanticClusters(spark, dir))),
-        "rrf_indexed" -> time(noop(CellIndex.rrfFusionIndexed(spark, dir, rIdx, probe))),
         "rrf_adhoc" -> time(noop(Similarity.rrfFusion(spark, dir))),
-        "hybrid_indexed" -> time(noop(CellIndex.hybridSearchIndexed(spark, dir, rIdx, probe))),
         "hybrid_adhoc" -> time(noop(Similarity.hybridSearch(spark, dir))),
-        "mmr_indexed" -> time(noop(CellIndex.mmrSelectIndexed(spark, rIdx, probe))),
         "mmr_adhoc" -> time(noop(Similarity.mmrSelect(spark, dir))),
+        "bm25_adhoc" -> time(noop(graft.text.TextOps.bm25(spark, dir))))
+      val r = (Seq(
+        "index_build" -> time(CellIndex.write(spark, dir, rIdx, k = k)),
+        "ann_indexed" -> time(noop(CellIndex.annIvfIndexed(spark, rIdx, probe))),
+        "rrf_indexed" -> time(noop(CellIndex.rrfFusionIndexed(spark, dir, rIdx, probe))),
+        "hybrid_indexed" -> time(noop(CellIndex.hybridSearchIndexed(spark, dir, rIdx, probe))),
+        "mmr_indexed" -> time(noop(CellIndex.mmrSelectIndexed(spark, rIdx, probe))),
         "text_index_build" -> time(graft.text.TextIndex.write(spark, dir, textIdx)),
         "bm25_indexed" -> time(noop(graft.text.TextIndex.bm25Indexed(spark, textIdx))),
         "bm25_indexed_unpruned" -> time(noop(graft.text.TextIndex.bm25Indexed(
           spark, textIdx, prune = false))),
-        "bm25_adhoc" -> time(noop(graft.text.TextOps.bm25(spark, dir))),
         "rrf_fully_indexed" -> time(noop(CellIndex.rrfFusionIndexed(
           spark, dir, rIdx, probe, textIndexPath = Some(textIdx)))),
+        "phrase_index_build" -> time(graft.text.TextIndex.writePhraseIndex(
+          spark, dir, phraseIdx)),
+        "phrase_search" -> time(noop(graft.text.TextIndex.phraseSearch(
+          spark, phraseIdx, graft.text.TextIndex.topPhrase(spark, phraseIdx)))),
         "vec_append" -> time(CellIndex.append(spark, batchDir, rIdx)),
         "text_append" -> time(graft.text.TextIndex.append(spark, batchDir, textIdx))
-      ).toMap
+      ) ++ adhoc).toMap
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)
       graft.Checkpoints.evictSessionMemos(spark)

@@ -76,9 +76,12 @@ object ScaleGen {
       .select(
         (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
         when(col("rep") === 0, col("embedding")).otherwise(
-          expr("""concat(slice(embedding, cast(rep*7+1 as int),
-                               size(embedding) - cast(rep*7 as int)),
-                         slice(embedding, 1, cast(rep*7 as int)))"""))
+          // rotation offset MOD the dimension: at factor > 9 the raw
+          // rep*7 exceeds the 64-dim vector and slice's length went
+          // negative (latent until the first 100x generation)
+          expr("""concat(slice(embedding, cast((rep*7) % size(embedding) as int) + 1,
+                               size(embedding) - cast((rep*7) % size(embedding) as int)),
+                         slice(embedding, 1, cast((rep*7) % size(embedding) as int)))"""))
           .as("embedding"),
         col("label"))
       .repartition(32)
