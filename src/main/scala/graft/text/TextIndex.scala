@@ -607,6 +607,17 @@ object TextIndex {
     * ~1 s of pure overhead per query on the unskewed bench corpus. */
   private val SkewGateRatio = 8L
 
+  /** Second gate condition (round-9b 100× finding): ratio skew alone is
+    * not enough — on the 100× rehearsal the gate fired (df ratio ≥ 8) but
+    * the ENTIRE prunable posting mass scanned in under a second, so the
+    * probe's two driver actions were pure overhead. The probe only pays
+    * when the query terms' absolute posting mass is large enough that
+    * skipping most of it beats two small Spark actions; below this many
+    * total postings a straight scan is strictly cheaper on any target
+    * hardware. Exactness is never at stake — the gate only picks which of
+    * two identical-answer plans runs. */
+  private val DefaultMinProbeMass = 5000000L
+
   /** BM25 served FROM the index (the indexed form of [[TextOps.bm25]]):
     * resolve query terms against the df table, scan ONLY their hash
     * buckets' postings (PartitionFilters pruning; dl rides the posting
@@ -633,7 +644,8 @@ object TextIndex {
     * unpruned one (differential spec on a skewed fixture + q136's hash). */
   def bm25Indexed(spark: SparkSession, indexPath: String, nq: Int = 5,
       topN: Int = 20, prune: Boolean = true,
-      pinnedRoot: Option[String] = None): DataFrame = {
+      pinnedRoot: Option[String] = None,
+      minProbeMass: Long = DefaultMinProbeMass): DataFrame = {
     import spark.implicits._
     // ONE version resolution for the whole query: resolving per artifact
     // would let a concurrent append publish between reads and mix stats
@@ -644,7 +656,8 @@ object TextIndex {
     val (nDocs, nToks) = readStatsAt(spark, root)
     val qts = deriveQueryTermsAt(spark, root, nDocs, nq)
     val skewed = qts.size >= 2 &&
-      qts.map(_.df).max >= SkewGateRatio * qts.map(_.df).min
+      qts.map(_.df).max >= SkewGateRatio * qts.map(_.df).min &&
+      qts.map(_.df).sum >= minProbeMass
     val ne =
       if (!prune || !skewed) Seq.empty[QTerm]
       else {

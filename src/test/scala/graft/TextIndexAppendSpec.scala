@@ -174,7 +174,9 @@ class TextIndexAppendSpec extends SparkSpec {
     // ceilings really are ceilings: no posting's s6 exceeds its term's ub6
     val all = TextIndex.bm25Indexed(spark, idx, prune = false)
     // pruned ≡ unpruned ≡ ad-hoc — exact top-k under early termination
-    val pruned = TextIndex.bm25Indexed(spark, idx, prune = true)
+    // (minProbeMass = 0 forces the probe past the absolute-mass gate: the
+    // fixture's whole posting mass is tiny by design)
+    val pruned = TextIndex.bm25Indexed(spark, idx, prune = true, minProbeMass = 0L)
     assert(pruned.collect().map(_.toSeq).toSeq == all.collect().map(_.toSeq).toSeq,
       "MaxScore pruning changed the answer")
     assert(all.collect().map(_.toSeq).toSeq ==
@@ -194,13 +196,23 @@ class TextIndexAppendSpec extends SparkSpec {
       s"expected >2x posting-mass reduction: pruned=$prunedMass full=$fullMass")
     // the hot list's candidate filter is a literal IN under the pushdown
     // limit — visible in the plan against the postings scan
-    val plan = TextIndex.bm25Indexed(spark, idx, prune = true).queryExecution
+    val plan = TextIndex.bm25Indexed(spark, idx, prune = true, minProbeMass = 0L)
+      .queryExecution
       .explainString(org.apache.spark.sql.execution.SimpleMode)
     // 240 literals: OptimizeIn rewrites to INSET; either spelling proves
     // the candidate predicate sits on the non-essential scan as a literal
     // filter (pushable), not only as a join
     assert(plan.contains("INSET") || plan.contains(" IN ("),
       s"expected a literal candidate doc_id predicate on the non-essential scan:\n$plan")
+    // the absolute-mass gate (100× finding): at this fixture's tiny
+    // posting mass the DEFAULT call must SKIP the probe — identical
+    // answer, no candidate INSET, no floor-phase actions
+    val gated = TextIndex.bm25Indexed(spark, idx).queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!gated.contains("INSET"),
+      s"default call below minProbeMass must skip the probe:\n$gated")
+    assert(TextIndex.bm25Indexed(spark, idx).collect().map(_.toSeq).toSeq ==
+      all.collect().map(_.toSeq).toSeq)
   }
 
   test("append reuses the persisted bucket count, never a caller parameter") {
