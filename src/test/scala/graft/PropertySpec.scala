@@ -497,4 +497,59 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("phrase search equals a naive sliding-window reference on random corpora") {
+    import spark.implicits._
+    // 2-symbol alphabet: dense phrase repetition, overlapping occurrences
+    val tokGen = Gen.oneOf("p", "q")
+    val docGen = Gen.choose(0, 12).flatMap(len => Gen.listOfN(len, tokGen))
+    val corpusGen = Gen.listOfN(20, docGen)
+    val phraseGen = Gen.choose(2, 4).flatMap(m => Gen.listOfN(m, tokGen))
+    (1 to 4).foreach { seed =>
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+      val phrase = phraseGen.pureApply(Gen.Parameters.default, Seed(seed + 500L))
+      val dir = java.nio.file.Files.createTempDirectory("psprop").toString
+      corpus.map { case (id, toks) =>
+        (id, toks.mkString(" "), "en", "s", toks.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val idx = java.nio.file.Files.createTempDirectory("psprop_idx").toString
+      text.TextIndex.writePhraseIndex(spark, dir, idx)
+      // naive reference: every sliding window compared to the phrase
+      // (split("", " ") = [""], mirror the engine's empty-text token)
+      val expect = corpus.map { case (id, toks0) =>
+        val toks = if (toks0.isEmpty) List("") else toks0
+        val occ = (0 to toks.length - phrase.length)
+          .filter(p => toks.slice(p, p + phrase.length) == phrase)
+        id -> occ
+      }.filter(_._2.nonEmpty).toMap
+      val got = text.TextIndex.phraseSearch(spark, idx, phrase).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.keySet == expect.keySet,
+        s"seed $seed phrase $phrase: docs ${got.keySet} vs ${expect.keySet}")
+      expect.foreach { case (id, occ) =>
+        assert(got(id) == ((occ.size.toLong, occ.min.toLong)),
+          s"seed $seed doc $id phrase $phrase: ${got(id)} vs $occ")
+      }
+    }
+  }
+
+  test("theta estimates beyond k are identical under any partitioning (min-k determinism)") {
+    import graft.functions.ThetaExpressions
+    import org.apache.spark.sql.functions.col
+    ThetaExpressions.register(spark)
+    // 50k distinct keys — far past the 4096 retained entries, so the
+    // sketch is genuinely sampling; min-k retention makes the retained
+    // set (hence the estimate) a pure function of the key SET
+    def est(parts: Int): Long = spark.range(0, 50000).repartition(parts)
+      .select(ThetaExpressions.theta_sketch_agg(col("id")).as("sk"))
+      .select(ThetaExpressions.theta_intersect_estimate(col("sk"), col("sk")))
+      .head.getLong(0)
+    val e8 = est(8)
+    assert(e8 == est(3) && e8 == est(17),
+      "theta estimate must not depend on partitioning")
+    // and the estimate is within the family's error bound at this k
+    assert(math.abs(e8 - 50000L) < 50000L * 0.05, s"estimate $e8")
+  }
 }
