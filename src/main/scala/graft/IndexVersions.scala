@@ -64,4 +64,41 @@ object IndexVersions {
           "lost; re-resolve the current version and retry")
     }
   }
+
+  /** Crashed staging assemblies older than this are garbage (far beyond
+    * any append's assembly time). */
+  val StagingTtlMs: Long = 60L * 60 * 1000
+
+  /** Shared VACUUM for every versioned index layout (round-9 review
+    * finding: three near-verbatim copies had grown back — the drift this
+    * file exists to prevent). Drops committed versions beyond the newest
+    * `keepLast` (floored at one), honoring the `graceMs` read-duration
+    * contract (versions newer than graceMs by the mtime of their FIRST
+    * listed dir are retained regardless of count), then sweeps crashed
+    * `.staging_*` assemblies older than [[StagingTtlMs]].
+    *
+    * `versionDirs(v)` names the dirs that constitute version v — one
+    * entry for `v<N>`-style dirs, several for a base layout whose
+    * artifacts sit beside them. List the COMMIT-MARKER dir first: it is
+    * both the grace probe (written last at build, so its mtime is the
+    * conservative one) and the first deletion, so a crash mid-vacuum
+    * leaves an uncommitted-looking remnant rather than a marker with
+    * missing data dirs. */
+  def vacuum(fs: FileSystem, root: Path, versions: Seq[Long],
+      versionDirs: Long => Seq[String], keepLast: Int,
+      graceMs: Long): Seq[String] = {
+    val now = System.currentTimeMillis()
+    def oldEnough(p: Path): Boolean = graceMs <= 0L ||
+      now - fs.getFileStatus(p).getModificationTime >= graceMs
+    val removed = versions.dropRight(math.max(keepLast, 1))
+      .filter(v => oldEnough(new Path(root, versionDirs(v).head)))
+      .flatMap(v => versionDirs(v).map { d =>
+        val p = new Path(root, d); fs.delete(p, true); p.toString
+      })
+    val staleStaging = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith(".staging_"))
+      .filter(s => now - s.getModificationTime >= StagingTtlMs)
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+    removed ++ staleStaging
+  }
 }

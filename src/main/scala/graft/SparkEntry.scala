@@ -196,11 +196,16 @@ object SparkEntry {
     "q146_theta_retention" -> (Relational.thetaRetention _),
     // q147: exact phrase search served FROM the positional bigram index;
     // the probe phrase is the index's own persisted top trigram, so the
-    // whole query path is index-resident (derivation + search).
+    // whole query path is index-resident (derivation + search). ONE
+    // version resolution pins derivation and search to the same corpus
+    // state (the bm25Indexed resolve-once rule — under live maintenance a
+    // fold could otherwise slide a version between the two calls).
     "q147_phrase_search"  -> ((s: SparkSession, d: String) => {
       val idx = cachedPhraseIndex(s, d)
+      val root = Some(graft.text.TextIndex.phraseCurrentRoot(s, idx))
       graft.text.TextIndex.phraseSearch(s, idx,
-        graft.text.TextIndex.topPhrase(s, idx))
+        graft.text.TextIndex.topPhrase(s, idx, pinnedRoot = root),
+        pinnedRoot = root)
     }),
   )
 
@@ -235,10 +240,24 @@ object SparkEntry {
     val idx = new java.io.File(tmp,
       s"graft_${kind}_v3_pid${pid}_" + Integer.toHexString(d.hashCode))
     if (!new java.io.File(idx, commitMarker).exists()) {
+      // sweep caches of DEAD processes only: the dir name embeds the
+      // owning pid, and an actual liveness probe replaces the age
+      // heuristic — a >6h run (the ≥100× tiers) must never have its live
+      // cache deleted by a newcomer (round-9 review finding). The age
+      // floor stays as a second guard against pid reuse.
       val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      val PidPat = s"graft_${kind}_v\\d+_pid(\\d+)_.*".r
+      def ownerAlive(name: String): Boolean = name match {
+        case PidPat(p) => scala.util.Try {
+          val h = ProcessHandle.of(p.toLong)
+          h.isPresent && h.get().isAlive
+        }.getOrElse(false)
+        case _ => false
+      }
       Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith(s"graft_${kind}_") &&
-          f.getPath != idx.getPath && f.lastModified < cutoff)
+          f.getPath != idx.getPath && f.lastModified < cutoff &&
+          !ownerAlive(f.getName))
         .foreach(old => scala.reflect.io.Directory(old).deleteRecursively())
       build(idx.getPath)
     }

@@ -289,13 +289,13 @@ object Streaming {
     * consumer can KEEP MERGING (daily → weekly reach) without ever seeing
     * raw user ids — the q142 at-rest rollup fed by a live pipeline. */
   def distinctReach(df: DataFrame, tsCol: String = "timestamp",
-      keyCol: String = "user_id", width: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      keyCol: String = "user_id", groupCol: String = "event_type",
+      width: String = "1 hour", watermark: String = "2 hours"): DataFrame =
     df.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), width), col("event_type"))
+      .groupBy(window(col(tsCol), width), col(groupCol))
       .agg(hll_sketch_agg(col(keyCol)).as("sk"))
       .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"), col("event_type"),
+        col("window.end").as("window_end"), col(groupCol),
         hll_sketch_estimate(col("sk")).as("reach_est"), col("sk"))
 
   // ---- J5/T5: CDC latest-state upsert --------------------------------------

@@ -34,7 +34,16 @@ object TextIndex {
     * only dedups within a single plan), then postings/df/stats writes.
     * The bucket count is PERSISTED in stats — appends must reuse it, a
     * different count would silently mis-prune carried-forward postings.
-    * Deterministic in the corpus — rebuilding is idempotent. */
+    * Deterministic in the corpus — rebuilding is idempotent.
+    *
+    * LAYOUT COMPATIBILITY: the dfreq schema is part of the index format —
+    * the MaxScore bounds (max_tf, min_dl) were ADDED to it in round 9, so
+    * an index built before that must be REBUILT, not appended: serving and
+    * append both select those columns and fail with an unresolved-column
+    * AnalysisException on the old layout (loudly, with no wrong answers —
+    * but also with no in-place migration; the posting files are the
+    * expensive part and they did not change, so a rebuild costs one
+    * corpus pass). */
   def write(spark: SparkSession, dir: String, indexPath: String,
       buckets: Int = 16): Unit = {
     val sc = spark.sparkContext
@@ -228,10 +237,6 @@ object TextIndex {
     graft.IndexVersions.readTags(fs, new Path(currentRoot(spark, indexPath)))
   }
 
-  /** Crashed staging assemblies older than this are garbage (far beyond
-    * any append's assembly time) and are swept by [[vacuumVersions]]. */
-  private val StagingTtlMs: Long = 60L * 60 * 1000
-
   /** Drop committed versions beyond the newest `keepLast` (floored at
     * one). The base layout counts as version 0; vacuuming it removes its
     * three artifact dirs, never the version dirs beside them.
@@ -244,32 +249,17 @@ object TextIndex {
     * modification time) are retained regardless of count, so setting it
     * above the longest query duration makes in-flight readers safe.
     * Orphaned `.staging_*` assemblies (crashed attempts — per-attempt
-    * nonce dirs are never reused) are swept once older than an hour. */
+    * nonce dirs are never reused) are swept once older than an hour.
+    * (Shared implementation: [[graft.IndexVersions.vacuum]] — stats
+    * listed first as commit-marker/grace probe.) */
   def vacuumVersions(spark: SparkSession, indexPath: String,
       keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vs = committedVersions(spark, indexPath)
-    val now = System.currentTimeMillis()
-    def oldEnough(probe: Path): Boolean = graceMs <= 0L ||
-      now - fs.getFileStatus(probe).getModificationTime >= graceMs
-    val removed = vs.dropRight(math.max(keepLast, 1))
-      .filter(v => oldEnough(new Path(root, if (v == 0L) "stats" else s"v$v")))
-      .flatMap { v =>
-        if (v == 0L)
-          Seq("postings", "dfreq", "stats").map { d =>
-            val p = new Path(root, d); fs.delete(p, true); p.toString
-          }
-        else {
-          val p = new Path(root, s"v$v"); fs.delete(p, true); Seq(p.toString)
-        }
-      }
-    val staleStaging = fs.listStatus(root).toSeq
-      .filter(_.getPath.getName.startsWith(".staging_"))
-      .filter(s => now - s.getModificationTime >= StagingTtlMs)
-      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
-    removed ++ staleStaging
+    graft.IndexVersions.vacuum(fs, root, committedVersions(spark, indexPath),
+      v => if (v == 0L) Seq("stats", "postings", "dfreq") else Seq(s"v$v"),
+      keepLast, graceMs)
   }
 
   // ---- positional PHRASE index --------------------------------------------
@@ -419,26 +409,9 @@ object TextIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vs = committedVersions(spark, indexPath)
-    val now = System.currentTimeMillis()
-    def oldEnough(probe: Path): Boolean = graceMs <= 0L ||
-      now - fs.getFileStatus(probe).getModificationTime >= graceMs
-    val removed = vs.dropRight(math.max(keepLast, 1))
-      .filter(v => oldEnough(new Path(root, if (v == 0L) "stats" else s"v$v")))
-      .flatMap { v =>
-        if (v == 0L)
-          Seq("bigrams", "phrases", "stats").map { d =>
-            val p = new Path(root, d); fs.delete(p, true); p.toString
-          }
-        else {
-          val p = new Path(root, s"v$v"); fs.delete(p, true); Seq(p.toString)
-        }
-      }
-    val staleStaging = fs.listStatus(root).toSeq
-      .filter(_.getPath.getName.startsWith(".staging_"))
-      .filter(s => now - s.getModificationTime >= StagingTtlMs)
-      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
-    removed ++ staleStaging
+    graft.IndexVersions.vacuum(fs, root, committedVersions(spark, indexPath),
+      v => if (v == 0L) Seq("stats", "bigrams", "phrases") else Seq(s"v$v"),
+      keepLast, graceMs)
   }
 
   /** Batch tags folded into the current committed phrase-index version —
@@ -453,8 +426,10 @@ object TextIndex {
   /** The index's top corpus phrase (rank-1 trigram by (count desc, gram) —
     * the deterministic probe-derivation convention): a vocabulary-sized
     * scan of the persisted trigram table, never a corpus pass. */
-  def topPhrase(spark: SparkSession, indexPath: String): Seq[String] = {
-    val r = spark.read.parquet(s"${phraseCurrentRoot(spark, indexPath)}/phrases")
+  def topPhrase(spark: SparkSession, indexPath: String,
+      pinnedRoot: Option[String] = None): Seq[String] = {
+    val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
+    val r = spark.read.parquet(s"$root/phrases")
       .orderBy(desc("n"), col("gram")).limit(1).collect()
     require(r.nonEmpty, s"phrase index at $indexPath has no phrases artifact")
     r.head.getString(0).split(" ").toSeq
@@ -468,10 +443,12 @@ object TextIndex {
     * (doc_id, normalized start position), so every shuffle is keyed by
     * doc and bounded by the rarest bigram's posting mass. */
   def phraseSearch(spark: SparkSession, indexPath: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String], pinnedRoot: Option[String] = None): DataFrame = {
     require(phrase.length >= 2, "phrase search needs at least two words")
-    // ONE version resolution for the whole query (the bm25Indexed rule)
-    val root = phraseCurrentRoot(spark, indexPath)
+    // ONE version resolution for the whole query (the bm25Indexed rule);
+    // a derive-then-search caller must pin the SAME root across both
+    // calls or a concurrent fold can slide a version in between
+    val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
     val buckets = spark.read.parquet(s"$root/stats")
       .select(col("buckets")).collect().head.getLong(0).toInt
     val posts = spark.read.parquet(s"$root/bigrams")
@@ -677,7 +654,12 @@ object TextIndex {
       if (ne.isEmpty) listsOf(qts)
       else {
         val es = qts.filterNot(q => ne.exists(_.tok == q.tok))
-        val ePosts = listsOf(es)
+        // materialized ONCE: the essential lists feed the candidate
+        // collect, the union, and (in the semi-join branch) the join's
+        // build side — re-scanning multi-million-row posting lists two
+        // extra times per query would erode the IO win the probe exists
+        // to deliver (round-9 review finding)
+        val ePosts = listsOf(es).localCheckpoint()
         val candIds = ePosts.select("doc_id").distinct()
           .limit(CandidatePushdownLimit + 1).collect().map(_.getLong(0))
         val nePosts =

@@ -63,7 +63,11 @@ object CellIndexBench {
       val rIdx = s"${idx}_r$round"
       val textIdx = s"${idx}_text_r$round"
       val phraseIdx = s"${idx}_phrase_r$round"
-      val adhoc = if (skipAdhoc) Seq.empty else Seq(
+      // NOTE: evaluated AFTER `base` below — a Seq of time(...) pairs runs
+      // its bodies at construction, and clusters_indexed reads the
+      // per-round index that base's index_build row creates (an eager
+      // `val adhoc` before `base` crashed every default-mode run)
+      def adhoc() = if (skipAdhoc) Seq.empty else Seq(
         "ann_adhoc" -> time(noop(Similarity.annIvf(spark, dir))),
         "clusters_indexed" -> time(noop(CellIndex.semanticClustersIndexed(spark, rIdx))),
         "clusters_adhoc" -> time(noop(Similarity.semanticClusters(spark, dir))),
@@ -71,7 +75,7 @@ object CellIndexBench {
         "hybrid_adhoc" -> time(noop(Similarity.hybridSearch(spark, dir))),
         "mmr_adhoc" -> time(noop(Similarity.mmrSelect(spark, dir))),
         "bm25_adhoc" -> time(noop(graft.text.TextOps.bm25(spark, dir))))
-      val r = (Seq(
+      val base = (Seq(
         "index_build" -> time(CellIndex.write(spark, dir, rIdx, k = k)),
         "ann_indexed" -> time(noop(CellIndex.annIvfIndexed(spark, rIdx, probe))),
         "rrf_indexed" -> time(noop(CellIndex.rrfFusionIndexed(spark, dir, rIdx, probe))),
@@ -86,10 +90,13 @@ object CellIndexBench {
         "phrase_index_build" -> time(graft.text.TextIndex.writePhraseIndex(
           spark, dir, phraseIdx)),
         "phrase_search" -> time(noop(graft.text.TextIndex.phraseSearch(
-          spark, phraseIdx, graft.text.TextIndex.topPhrase(spark, phraseIdx)))),
+          spark, phraseIdx, graft.text.TextIndex.topPhrase(spark, phraseIdx))))
+      )).toMap
+      // appends run LAST: they publish v1, which would otherwise shadow
+      // the base version under the comparison rows above
+      val r = base ++ adhoc().toMap ++ Map(
         "vec_append" -> time(CellIndex.append(spark, batchDir, rIdx)),
-        "text_append" -> time(graft.text.TextIndex.append(spark, batchDir, textIdx))
-      ) ++ adhoc).toMap
+        "text_append" -> time(graft.text.TextIndex.append(spark, batchDir, textIdx)))
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)
       graft.Checkpoints.evictSessionMemos(spark)

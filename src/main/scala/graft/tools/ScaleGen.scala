@@ -41,6 +41,13 @@ object ScaleGen {
     }
     val Array(src, dst) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // the replica embedding transforms (rotation × optional reverse) are
+    // distinct only through 2 × the 64-dim vector length — beyond that
+    // replicas would silently duplicate vectors and weaken the very
+    // scaling measurements the fixture exists for
+    require(factor <= 128,
+      s"ScaleGen supports factor <= 128 (got $factor): replica embedding " +
+        "transforms exhaust at 2x the vector dimension")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -78,10 +85,21 @@ object ScaleGen {
         when(col("rep") === 0, col("embedding")).otherwise(
           // rotation offset MOD the dimension: at factor > 9 the raw
           // rep*7 exceeds the 64-dim vector and slice's length went
-          // negative (latent until the first 100x generation)
-          expr("""concat(slice(embedding, cast((rep*7) % size(embedding) as int) + 1,
-                               size(embedding) - cast((rep*7) % size(embedding) as int)),
-                         slice(embedding, 1, cast((rep*7) % size(embedding) as int)))"""))
+          // negative (latent until the first 100x generation). Rotations
+          // repeat with period dim (gcd(7, 64) = 1 cycles all offsets),
+          // so replicas ≥ dim REVERSE the rotated vector — a transform
+          // outside the rotation group — keeping every replica's vectors
+          // distinct through factor 2·dim = 128 (require()d below; a
+          // third transform would be needed beyond that, not silence)
+          expr("""CASE WHEN rep >= size(embedding) THEN reverse(
+                    concat(slice(embedding, cast((rep*7) % size(embedding) as int) + 1,
+                                 size(embedding) - cast((rep*7) % size(embedding) as int)),
+                           slice(embedding, 1, cast((rep*7) % size(embedding) as int))))
+                  ELSE
+                    concat(slice(embedding, cast((rep*7) % size(embedding) as int) + 1,
+                                 size(embedding) - cast((rep*7) % size(embedding) as int)),
+                           slice(embedding, 1, cast((rep*7) % size(embedding) as int)))
+                  END"""))
           .as("embedding"),
         col("label"))
       .repartition(32)

@@ -206,10 +206,6 @@ object CellIndex {
     graft.IndexVersions.readTags(fs, new Path(currentVectorsPath(spark, indexPath)))
   }
 
-  /** Crashed staging assemblies older than this are garbage (far beyond
-    * any append's assembly time) and are swept by [[vacuumVersions]]. */
-  private val StagingTtlMs: Long = 60L * 60 * 1000
-
   /** Drop committed vector-set versions beyond the newest `keepLast`
     * (floored at one — the current set is never vacuumed). Returns the
     * dirs removed. The base `vectors/` counts as version 0 and is
@@ -229,19 +225,9 @@ object CellIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vs = committedVersions(spark, indexPath)
-    val now = System.currentTimeMillis()
-    def oldEnough(p: Path): Boolean = graceMs <= 0L ||
-      now - fs.getFileStatus(p).getModificationTime >= graceMs
-    val removed = vs.dropRight(math.max(keepLast, 1))
-      .map(v => new Path(versionPath(indexPath, v)))
-      .filter(oldEnough)
-      .map { p => fs.delete(p, true); p.toString }
-    val staleStaging = fs.listStatus(root).toSeq
-      .filter(_.getPath.getName.startsWith(".staging_"))
-      .filter(s => now - s.getModificationTime >= StagingTtlMs)
-      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
-    removed ++ staleStaging
+    graft.IndexVersions.vacuum(fs, root, committedVersions(spark, indexPath),
+      v => Seq(if (v == 0L) "vectors" else s"vectors_v$v"),
+      keepLast, graceMs)
   }
 
   /** The persisted PQ codebooks, subspace-major ([m][k][subDim]). */
