@@ -607,3 +607,46 @@ object IndexMaintenanceJob {
       }
       .start()
 }
+
+/** Streaming maintenance for the AT-REST REACH SKETCH TABLE
+  * ([[graft.analytics.Relational.writeReachSketches]]'s layout fed live):
+  * each micro-batch of events folds to its (event_type, day)-grain HLL
+  * sketch rows and APPENDS them to the parquet table;
+  * [[graft.analytics.Relational.reachFromSketches]] then serves every
+  * rollup without ever scanning events.
+  *
+  * EXACTLY-ONCE BY ALGEBRA, not by ledger: foreachBatch is
+  * at-least-once, so a crash can append one batch's sketch rows twice —
+  * but Spark batches are deterministic under replay and HLL union is
+  * IDEMPOTENT (merging a register set with itself is a no-op), so
+  * duplicate rows change NOTHING the table serves. The index
+  * maintenance path needs its applied-tags ledger because file appends
+  * to posting/vector sets are NOT idempotent; sketch tables get the
+  * guarantee free — the deepest practical argument for sketch-shaped
+  * streaming state, and it is spec'd (replayed batch leaves every reach
+  * estimate bit-identical). */
+object ReachMaintenanceJob {
+
+  /** One batch fold, the testable seam: day-grain sketch rows appended.
+    * (Empty batches append nothing — a zero-row parquet append would
+    * still write a file per partition.) */
+  def applyBatch(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    if (!batch.isEmpty)
+      batch
+        .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .write.mode("append").parquet(tablePath)
+  }
+
+  /** The wire: event stream → per-batch sketch-table appends. */
+  def sink(events: DataFrame, tablePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        applyBatch(b.sparkSession, b, tablePath); ()
+      }
+      .start()
+}
