@@ -14,13 +14,19 @@ import org.apache.spark.sql.SparkSession
   * then compare scores computed over different document sets.
   *
   * The fix needs no new protocol: both indexes already publish an
-  * applied-batch tag LEDGER atomically with every version. Two versions
-  * describe the same corpus state iff their ledgers are EQUAL (same base
-  * lineage + same folded batches — tag sets only grow within a lineage,
-  * so equality is a proper synchronization point). [[consistentRoots]]
-  * resolves the NEWEST such pair; serving functions accept the pinned
-  * roots so one resolution covers the whole query (the same
-  * resolve-once rule each index applies internally).
+  * applied-batch LEDGER atomically with every version. Two versions
+  * describe the same corpus state iff their ledgers are EQUAL — same
+  * base lineage, same folded tagged batches, and (round-10) the same
+  * COUNT of untagged appends: tag sets and the untagged counter only
+  * grow within a lineage, so full-ledger equality is a proper
+  * synchronization point even when a caller appended without a tag
+  * (tag-set equality alone could not distinguish that state from the
+  * one before the untagged batch). [[consistentRoots]] resolves the
+  * NEWEST such pair; serving functions accept the pinned roots so one
+  * resolution covers the whole query (the same resolve-once rule each
+  * index applies internally). A retrain/cutover version copies its
+  * predecessor's ledger verbatim — geometry changed, corpus did not —
+  * so pairing survives a codebook swap by construction.
   *
   * Assumes both indexes were built from the same base corpus and
   * maintained by the same batch stream (the IndexMaintenanceJob model —

@@ -14,22 +14,54 @@ object IndexVersions {
     * ignore it. */
   val TagsFile = "_applied_tags"
 
-  def readTags(fs: FileSystem, dir: Path): Set[String] = {
+  /** The full applied-batch ledger a version carries: the tag SET plus a
+    * COUNT of untagged appends. The count closes the round-9 review hole
+    * in cross-index pairing: both append APIs accept `tag = None`, and an
+    * untagged append used to produce a new version with an IDENTICAL
+    * ledger — two different corpus states [[graft.IndexPair]] could not
+    * tell apart, so the resolver could silently pair a vector version
+    * with a text version differing by the untagged batch (the exact
+    * mixed-corpus outcome it exists to prevent). With the counter, ledger
+    * equality again means corpus-state equality within a lineage: tagged
+    * appends grow the set, untagged appends grow the counter, and a
+    * RETRAIN (geometry change, same corpus) copies the ledger verbatim —
+    * the one operation that must NOT perturb pairing. */
+  final case class Ledger(tags: Set[String], untagged: Long) {
+    def append(tag: Option[String]): Ledger =
+      Ledger(tags ++ tag, untagged + (if (tag.isEmpty) 1L else 0L))
+  }
+  object Ledger { val empty: Ledger = Ledger(Set.empty, 0L) }
+
+  private val UntaggedLine = "#untagged:"
+
+  def readLedger(fs: FileSystem, dir: Path): Ledger = {
     val p = new Path(dir, TagsFile)
-    if (!fs.exists(p)) Set.empty
+    if (!fs.exists(p)) Ledger.empty
     else {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toSet
-      finally in.close()
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).toSeq
+        Ledger(lines.filterNot(_.startsWith("#")).toSet,
+          lines.collectFirst { case l if l.startsWith(UntaggedLine) =>
+            l.stripPrefix(UntaggedLine).toLong }.getOrElse(0L))
+      } finally in.close()
     }
   }
 
-  def writeTags(fs: FileSystem, dir: Path, tags: Set[String]): Unit = {
+  def writeLedger(fs: FileSystem, dir: Path, ledger: Ledger): Unit = {
     val out = fs.create(new Path(dir, TagsFile), true)
-    try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    val lines = ledger.tags.toSeq.sorted ++
+      (if (ledger.untagged > 0) Seq(s"$UntaggedLine${ledger.untagged}") else Nil)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
+
+  def readTags(fs: FileSystem, dir: Path): Set[String] =
+    readLedger(fs, dir).tags
+
+  def writeTags(fs: FileSystem, dir: Path, tags: Set[String]): Unit =
+    writeLedger(fs, dir, Ledger(tags, 0L))
 
   /** Atomic publish with a LOST-UPDATE guard (round-8 review finding): a
     * target that is already COMMITTED means a concurrent publisher won the
@@ -83,10 +115,23 @@ object IndexVersions {
     * both the grace probe (written last at build, so its mtime is the
     * conservative one) and the first deletion, so a crash mid-vacuum
     * leaves an uncommitted-looking remnant rather than a marker with
-    * missing data dirs. */
+    * missing data dirs.
+    *
+    * `dirOwner(name)` maps a root-child dir name to the version it
+    * belongs to (None = not a version artifact — codebooks, lease files,
+    * foreign dirs stay untouched). It closes the crash-mid-vacuum strand
+    * (round-9 review finding): deleting the marker dir first makes a
+    * half-vacuumed version UNCOMMITTED, so its surviving data dirs (e.g.
+    * a multi-dir base layout's postings/dfreq after stats went) were
+    * permanently unreclaimable — not `.staging_`, not a committed
+    * version, invisible to every later pass. Now any artifact dir whose
+    * owning version is not committed is swept once older than
+    * [[StagingTtlMs]] — the same TTL that keeps an IN-PROGRESS base
+    * build (which writes data dirs before its marker, in place) safe
+    * from a concurrent vacuum, provided builds complete within the TTL. */
   def vacuum(fs: FileSystem, root: Path, versions: Seq[Long],
       versionDirs: Long => Seq[String], keepLast: Int,
-      graceMs: Long): Seq[String] = {
+      graceMs: Long, dirOwner: String => Option[Long] = _ => None): Seq[String] = {
     val now = System.currentTimeMillis()
     def oldEnough(p: Path): Boolean = graceMs <= 0L ||
       now - fs.getFileStatus(p).getModificationTime >= graceMs
@@ -95,10 +140,17 @@ object IndexVersions {
       .flatMap(v => versionDirs(v).map { d =>
         val p = new Path(root, d); fs.delete(p, true); p.toString
       })
-    val staleStaging = fs.listStatus(root).toSeq
+    val committed = versions.toSet
+    val children = fs.listStatus(root).toSeq
+    val staleStaging = children
       .filter(_.getPath.getName.startsWith(".staging_"))
       .filter(s => now - s.getModificationTime >= StagingTtlMs)
       .map { s => fs.delete(s.getPath, true); s.getPath.toString }
-    removed ++ staleStaging
+    val stranded = children
+      .filter(s => dirOwner(s.getPath.getName).exists(v => !committed.contains(v)))
+      .filter(s => now - s.getModificationTime >= StagingTtlMs)
+      .filter(s => fs.exists(s.getPath)) // a removed version's dirs are gone already
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+    removed ++ staleStaging ++ stranded
   }
 }

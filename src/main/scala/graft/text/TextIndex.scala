@@ -207,24 +207,25 @@ object TextIndex {
     graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
     // applied-batch ledger — atomic with the publish, survives vacuum
     // (union carried forward); the streaming sink's exactly-once guard
-    graft.IndexVersions.writeTags(fs, staging,
-      graft.IndexVersions.readTags(fs, new Path(cur)) ++ tag)
+    graft.IndexVersions.writeLedger(fs, staging,
+      graft.IndexVersions.readLedger(fs, new Path(cur)).append(tag))
     // guarded atomic publish: never replaces a COMMITTED concurrent winner
     graft.IndexVersions.publish(fs, staging, target,
       t => fs.exists(new Path(t, "stats/_SUCCESS")))
   }
 
-  /** Every committed version with its root and applied-tag ledger, oldest
-    * first — the input to cross-index consistent resolution
+  /** Every committed version with its root and applied-batch LEDGER (tag
+    * set + untagged-append count), oldest first — the input to
+    * cross-index consistent resolution
     * ([[graft.IndexPair.consistentRoots]]). */
   def versionsWithTags(spark: SparkSession,
-      indexPath: String): Seq[(Long, String, Set[String])] = {
+      indexPath: String): Seq[(Long, String, graft.IndexVersions.Ledger)] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedVersions(spark, indexPath).map { v =>
       val p = versionRoot(indexPath, v)
-      (v, p, graft.IndexVersions.readTags(fs, new Path(p)))
+      (v, p, graft.IndexVersions.readLedger(fs, new Path(p)))
     }
   }
 
@@ -259,7 +260,13 @@ object TextIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.vacuum(fs, root, committedVersions(spark, indexPath),
       v => if (v == 0L) Seq("stats", "postings", "dfreq") else Seq(s"v$v"),
-      keepLast, graceMs)
+      keepLast, graceMs,
+      dirOwner = {
+        case "stats" | "postings" | "dfreq" => Some(0L)
+        case n if n.startsWith("v") && n.stripPrefix("v").nonEmpty &&
+          n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
+        case _ => None
+      })
   }
 
   // ---- positional PHRASE index --------------------------------------------
@@ -394,8 +401,8 @@ object TextIndex {
       throw new IllegalStateException(
         s"phrase-table swap failed in staging $staging")
     graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
-    graft.IndexVersions.writeTags(fs, staging,
-      graft.IndexVersions.readTags(fs, new Path(cur)) ++ tag)
+    graft.IndexVersions.writeLedger(fs, staging,
+      graft.IndexVersions.readLedger(fs, new Path(cur)).append(tag))
     graft.IndexVersions.publish(fs, staging, target,
       t => fs.exists(new Path(t, "stats/_SUCCESS")))
   }
@@ -411,7 +418,13 @@ object TextIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.vacuum(fs, root, committedVersions(spark, indexPath),
       v => if (v == 0L) Seq("stats", "bigrams", "phrases") else Seq(s"v$v"),
-      keepLast, graceMs)
+      keepLast, graceMs,
+      dirOwner = {
+        case "stats" | "bigrams" | "phrases" | "positions" | "udf" => Some(0L)
+        case n if n.startsWith("v") && n.stripPrefix("v").nonEmpty &&
+          n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
+        case _ => None
+      })
   }
 
   /** Batch tags folded into the current committed phrase-index version —
@@ -658,8 +671,20 @@ object TextIndex {
         // collect, the union, and (in the semi-join branch) the join's
         // build side — re-scanning multi-million-row posting lists two
         // extra times per query would erode the IO win the probe exists
-        // to deliver (round-9 review finding)
+        // to deliver (round-9 review finding). The checkpointed blocks
+        // register with the session-sweep machinery (round-10 review
+        // finding): the returned plan still READS them, so they cannot be
+        // released here — without registration a long-running serving
+        // session issuing many pruned queries would pin blocks
+        // indefinitely. A serving session should call
+        // [[graft.Checkpoints.evictSessionMemos]] between query
+        // generations (the bench already does); blocks die with the
+        // session otherwise.
+        val sc = spark.sparkContext
+        val beforeCkpt = sc.getPersistentRDDs.keySet
         val ePosts = listsOf(es).localCheckpoint()
+        graft.Checkpoints.retainFor(spark,
+          graft.Checkpoints.pinnedSince(sc, beforeCkpt))
         val candIds = ePosts.select("doc_id").distinct()
           .limit(CandidatePushdownLimit + 1).collect().map(_.getLong(0))
         val nePosts =

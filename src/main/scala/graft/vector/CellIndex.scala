@@ -173,8 +173,8 @@ object CellIndex {
     // written after the rename would leave a crash window where a replay
     // double-appends) and survives vacuum (each version carries the full
     // union). The streaming maintenance sink short-circuits on it.
-    graft.IndexVersions.writeTags(fs, staging,
-      graft.IndexVersions.readTags(fs, cur) ++ tag)
+    graft.IndexVersions.writeLedger(fs, staging,
+      graft.IndexVersions.readLedger(fs, cur).append(tag))
     val marker = new Path(staging, "_SUCCESS")
     if (!fs.exists(marker)) fs.create(marker).close()
     // guarded atomic publish: never replaces a COMMITTED concurrent winner
@@ -182,17 +182,18 @@ object CellIndex {
       t => fs.exists(new Path(t, "_SUCCESS")))
   }
 
-  /** Every committed version with its vector-set path and applied-tag
-    * ledger, oldest first — the input to cross-index consistent
-    * resolution ([[graft.IndexPair.consistentRoots]]). */
+  /** Every committed version with its vector-set path and applied-batch
+    * LEDGER (tag set + untagged-append count), oldest first — the input
+    * to cross-index consistent resolution
+    * ([[graft.IndexPair.consistentRoots]]). */
   def versionsWithTags(spark: SparkSession,
-      indexPath: String): Seq[(Long, String, Set[String])] = {
+      indexPath: String): Seq[(Long, String, graft.IndexVersions.Ledger)] = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedVersions(spark, indexPath).map { v =>
       val p = versionPath(indexPath, v)
-      (v, p, graft.IndexVersions.readTags(fs, new Path(p)))
+      (v, p, graft.IndexVersions.readLedger(fs, new Path(p)))
     }
   }
 
@@ -227,7 +228,15 @@ object CellIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.vacuum(fs, root, committedVersions(spark, indexPath),
       v => Seq(if (v == 0L) "vectors" else s"vectors_v$v"),
-      keepLast, graceMs)
+      keepLast, graceMs,
+      dirOwner = {
+        case "vectors" => Some(0L)
+        case n if n.startsWith("vectors_v") &&
+          n.stripPrefix("vectors_v").nonEmpty &&
+          n.stripPrefix("vectors_v").forall(_.isDigit) =>
+          Some(n.stripPrefix("vectors_v").toLong)
+        case _ => None // codebook/, pq_codebook/, lease files stay
+      })
   }
 
   /** The persisted PQ codebooks, subspace-major ([m][k][subDim]). */

@@ -160,6 +160,60 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(after == plain)
   }
 
+  test("untagged appends advance the ledger — pairing never mixes corpus states") {
+    val work = java.nio.file.Files.createTempDirectory("idxpair_untag").toString
+    val vecIdx = s"$work/vec"
+    val textIdx = s"$work/text"
+    CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 1)
+    TextIndex.write(spark, sf0001, textIdx)
+    // an UNTAGGED batch folded into TEXT ONLY: both ledgers' tag SETS are
+    // still empty, so pre-round-10 resolution would pair vector base with
+    // text v1 — two different corpus states (the round-9 advice finding).
+    // The untagged-append counter must hold the pair at (base, base).
+    val b = writeBatchDir(100000L, 10)
+    TextIndex.append(spark, b, textIdx) // tag = None
+    assert(TextIndex.currentRoot(spark, textIdx).endsWith("v1"))
+    val (v0, t0) = IndexPair.consistentRoots(spark, vecIdx, textIdx)
+    assert(v0.endsWith("vectors") && t0 == textIdx,
+      s"pair advanced across an untagged batch: ($v0, $t0)")
+    // the same untagged batch folded into the vector side: counters agree
+    // again (1 == 1) and the pair advances
+    CellIndex.append(spark, b, vecIdx) // tag = None
+    val (v1, t1) = IndexPair.consistentRoots(spark, vecIdx, textIdx)
+    assert(v1.endsWith("vectors_v1") && t1.endsWith("v1"))
+  }
+
+  test("vacuum reclaims marker-less strands from a crashed mid-vacuum pass") {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("idx_strand").toString
+    val textIdx = s"$work/text"
+    TextIndex.write(spark, sf0001, textIdx)
+    TextIndex.append(spark, writeBatchDir(100000L, 10), textIdx, Some("b1"))
+    val fs = new Path(textIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a vacuum that crashed after deleting the base's commit
+    // marker (stats is deleted first by design): postings/dfreq survive
+    // with no marker and no committed version claiming them
+    fs.delete(new Path(textIdx, "stats"), true)
+    assert(fs.exists(new Path(textIdx, "postings")))
+    // a FRESH strand is protected by the TTL (it could be an in-progress
+    // base build, which writes data dirs before its marker)
+    TextIndex.vacuumVersions(spark, textIdx, keepLast = 1)
+    assert(fs.exists(new Path(textIdx, "postings")),
+      "TTL must protect young marker-less dirs")
+    // age it past the staging TTL → the next vacuum reclaims it
+    val old = System.currentTimeMillis() - IndexVersions.StagingTtlMs - 60000L
+    fs.setTimes(new Path(textIdx, "postings"), old, -1)
+    fs.setTimes(new Path(textIdx, "dfreq"), old, -1)
+    val removed = TextIndex.vacuumVersions(spark, textIdx, keepLast = 1)
+    assert(!fs.exists(new Path(textIdx, "postings")) &&
+      !fs.exists(new Path(textIdx, "dfreq")),
+      s"stranded base dirs must be swept once old, removed=$removed")
+    // the committed v1 is untouched and still serves
+    assert(TextIndex.currentRoot(spark, textIdx).endsWith("v1"))
+    assert(TextIndex.bm25Indexed(spark, textIdx).count() > 0)
+  }
+
   test("consistent pair resolution fails loudly on unrelated ledgers") {
     val work = java.nio.file.Files.createTempDirectory("idxpair_bad").toString
     val vecIdx = s"$work/vec"
