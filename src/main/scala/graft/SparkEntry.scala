@@ -207,6 +207,20 @@ object SparkEntry {
         graft.text.TextIndex.topPhrase(s, idx, pinnedRoot = root),
         pinnedRoot = root)
     }),
+    // q149–q151 (round 10): the sketch reports' estimate arms promoted to
+    // AT-REST TABLE serving (the q136→q138 pattern applied to sketches) —
+    // the estimates read ONLY the persisted day-grain sketch rows
+    // (PlanSpec pins no events scan on the serving functions), and since
+    // HLL register-merge and theta min-k retention are semilattices the
+    // table-served estimates equal the direct ones bit for bit, so each
+    // row shares its ad-hoc twin's oracle verbatim. The exact arms stay
+    // in-plan as the audit the oracle checks.
+    "q149_reach_served"   -> ((s: SparkSession, d: String) =>
+      Relational.hllReachServed(s, d, cachedReachTable(s, d))),
+    "q150_overlap_served" -> ((s: SparkSession, d: String) =>
+      Relational.thetaOverlapServed(s, d, cachedCohortTable(s, d))),
+    "q151_retention_served" -> ((s: SparkSession, d: String) =>
+      Relational.thetaRetentionServed(s, d, cachedCohortTable(s, d))),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -271,7 +285,8 @@ object SparkEntry {
     * 1 amortizes it out of the medians. Build costs are reported
     * separately (CellIndexBench's index_build/text_index_build rows). */
   def warmIndexes(s: SparkSession, d: String): Unit = {
-    cachedTextIndex(s, d); cachedCellIndex(s, d); cachedPhraseIndex(s, d); ()
+    cachedTextIndex(s, d); cachedCellIndex(s, d); cachedPhraseIndex(s, d)
+    cachedReachTable(s, d); cachedCohortTable(s, d); ()
   }
 
   private def cachedTextIndex(s: SparkSession, d: String): String =
@@ -285,6 +300,17 @@ object SparkEntry {
   private def cachedPhraseIndex(s: SparkSession, d: String): String =
     cachedIndex("phraseindex", d, "stats/_SUCCESS")(p =>
       graft.text.TextIndex.writePhraseIndex(s, d, p))
+
+  /** The at-rest sketch tables q149–q151 serve from — same per-process
+    * cache/liveness protocol as the indexes (a parquet table's own
+    * _SUCCESS is its commit marker). */
+  private def cachedReachTable(s: SparkSession, d: String): String =
+    cachedIndex("reachtbl", d, "_SUCCESS")(p =>
+      Relational.writeReachSketches(s, d, p))
+
+  private def cachedCohortTable(s: SparkSession, d: String): String =
+    cachedIndex("cohorttbl", d, "_SUCCESS")(p =>
+      Relational.writeCohortSketches(s, d, p))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
   // Shared SQL fragments (kept as vals so Spark/DuckDB formulations stay in
@@ -2503,15 +2529,14 @@ object SparkEntry {
     // q142: the exact arm is the oracle; est_ok is the sketch-vs-truth
     // audit the Spark side must pass (literal 1 here — the row fails if
     // Spark's HLL estimate ever drifts past the 5% bound).
-    "q142_hll_reach" ->
-      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact,
-        |  CAST(1 AS BIGINT) AS est_ok
-        |FROM events GROUP BY event_type
-        |UNION ALL
-        |SELECT '_all' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT),
-        |  CAST(1 AS BIGINT)
-        |FROM events
-        |ORDER BY event_type""".stripMargin,
+    "q142_hll_reach" -> hllReachOracle,
+    // q149/q150/q151: table-served estimate arms share the ad-hoc twins'
+    // oracles verbatim — day-grain sketch union is a semilattice, so
+    // serving from parquet changes where the work happens, not what is
+    // computed (the q136/q138 convention, applied to sketches).
+    "q149_reach_served" -> hllReachOracle,
+    "q150_overlap_served" -> thetaOverlapOracle,
+    "q151_retention_served" -> thetaRetentionOracle,
 
     // q143: per-source quality cap — q68's fixed-point score CTEs, then
     // row_number over (score desc, doc_id) capped at 20.
@@ -2535,22 +2560,7 @@ object SparkEntry {
     // (distinct (user,type) self-join on ordered type pairs); est_ok is
     // the theta-intersection-vs-truth audit (literal 1 — the row fails if
     // the sketch estimate drifts past 5%·min+1).
-    "q144_theta_overlap" ->
-      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
-        |cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS users
-        |        FROM ut GROUP BY event_type),
-        |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
-        |         CAST(COUNT(*) AS BIGINT) AS overlap_exact
-        |       FROM ut x JOIN ut y
-        |         ON x.user_id = y.user_id AND x.event_type < y.event_type
-        |       GROUP BY 1, 2)
-        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
-        |  ca.users AS users_a, cb.users AS users_b,
-        |  COALESCE(ov.overlap_exact, 0) AS overlap_exact,
-        |  CAST(1 AS BIGINT) AS est_ok
-        |FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
-        |LEFT JOIN ov ON ov.type_a = ca.event_type AND ov.type_b = cb.event_type
-        |ORDER BY type_a, type_b""".stripMargin,
+    "q144_theta_overlap" -> thetaOverlapOracle,
 
     // q145: banding recall vs exact-Jaccard truth — q30's banded-candidate
     // CTE chain beside q31's exact pairwise form (list_distinct over the
@@ -2579,21 +2589,7 @@ object SparkEntry {
 
     // q146: retention/churn/new from exact cohort set arithmetic; the _ok
     // flags audit the theta intersection and A\B estimates in-plan.
-    "q146_theta_retention" ->
-      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
-        |b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 <> 0),
-        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS retained_exact
-        |      FROM a JOIN b USING (user_id))
-        |SELECT
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS users_base,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS users_cur,
-        |  r.retained_exact,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) - r.retained_exact AS churned_exact,
-        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) - r.retained_exact AS new_exact,
-        |  CAST(1 AS BIGINT) AS retained_ok,
-        |  CAST(1 AS BIGINT) AS churned_ok,
-        |  CAST(1 AS BIGINT) AS new_ok
-        |FROM r""".stripMargin,
+    "q146_theta_retention" -> thetaRetentionOracle,
 
     // q147: positional trigram occurrences of the corpus's rank-1 trigram
     // ((count desc, gram) — the same derivation the index persists); the
@@ -2616,6 +2612,60 @@ object SparkEntry {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
   )
+
+  /** q142's oracle — the exact reach arms; est_ok is the in-plan
+    * sketch-vs-truth audit (literal 1). Shared verbatim by q149, whose
+    * estimate arm serves from the at-rest sketch table: day-grain HLL
+    * union is a semilattice, so the served estimates equal the direct
+    * ones and the same audit bound must hold. */
+  private lazy val hllReachOracle: String =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact,
+      |  CAST(1 AS BIGINT) AS est_ok
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT '_all' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT),
+      |  CAST(1 AS BIGINT)
+      |FROM events
+      |ORDER BY event_type""".stripMargin
+
+  /** q144's oracle — exact pairwise overlap arms + the theta audit flag.
+    * Shared verbatim by q150 (estimates served from the cohort sketch
+    * table; min-k retention is a semilattice, same audit bound). */
+  private lazy val thetaOverlapOracle: String =
+    """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      |cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS users
+      |        FROM ut GROUP BY event_type),
+      |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |         CAST(COUNT(*) AS BIGINT) AS overlap_exact
+      |       FROM ut x JOIN ut y
+      |         ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |       GROUP BY 1, 2)
+      |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+      |  ca.users AS users_a, cb.users AS users_b,
+      |  COALESCE(ov.overlap_exact, 0) AS overlap_exact,
+      |  CAST(1 AS BIGINT) AS est_ok
+      |FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+      |LEFT JOIN ov ON ov.type_a = ca.event_type AND ov.type_b = cb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** q146's oracle — exact cohort set arithmetic + the three theta audit
+    * flags. Shared verbatim by q151 (estimates served from the cohort
+    * sketch table's period rows). */
+  private lazy val thetaRetentionOracle: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 <> 0),
+      |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS retained_exact
+      |      FROM a JOIN b USING (user_id))
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS users_base,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS users_cur,
+      |  r.retained_exact,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a) - r.retained_exact AS churned_exact,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) - r.retained_exact AS new_exact,
+      |  CAST(1 AS BIGINT) AS retained_ok,
+      |  CAST(1 AS BIGINT) AS churned_ok,
+      |  CAST(1 AS BIGINT) AS new_ok
+      |FROM r""".stripMargin
 
   /** q46's oracle: metadata-filter (lang='en') then exact-cosine top-10.
     * Shared verbatim by q139 — the indexed filter-then-ANN at full probe

@@ -681,6 +681,172 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q149 — q142's reach report with the SKETCH ARM SERVED from the
+    * at-rest table ([[writeReachSketches]]), the q136→q138 promotion
+    * pattern applied to sketches: the estimate side reads ONLY the
+    * persisted (event_type, day)-grain sketch rows (plan-pinned — no
+    * events scan feeds it), and because HLL register-merge is a
+    * semilattice the union over day partials is BIT-IDENTICAL to q142's
+    * direct aggregate, so the row shares q142's oracle verbatim. The
+    * exact arm stays in-plan as the AUDIT (it is what the oracle checks;
+    * at 100 TB only the sketch arm runs — the claim the PlanSpec pin on
+    * [[reachFromSketches]] enforces). */
+  def hllReachServed(spark: SparkSession, dir: String,
+      sketchPath: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val est = reachFromSketches(spark, sketchPath) // (event_type, reach_est)
+    val perType = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("users_exact"))
+    val total = ev.agg(countDistinct("user_id").as("users_exact"))
+      .select(lit("_all").as("event_type"), col("users_exact"))
+    perType.unionByName(total)
+      .join(est, Seq("event_type"))
+      .select(col("event_type"), col("users_exact"),
+        (abs(col("reach_est") - col("users_exact")) <=
+          col("users_exact") * lit(0.05)).cast("long").as("est_ok"))
+      .orderBy("event_type")
+  }
+
+  /** The AT-REST THETA COHORT TABLE — the symmetry q142's HLL table
+    * established, finished for the theta family (round 10; the round-9
+    * verdict's "theta sketches have no at-rest table" finding): persist
+    * day-grain theta sketches for both cohort families the overlap and
+    * retention reports consume — `family='type'` rows keyed by
+    * event_type (q144's pairwise-overlap cohorts) and `family='period'`
+    * rows keyed by the base/cur snapshot split (q146's retention
+    * cohorts, the q64/q76 even/odd event_id convention). Each row is
+    * k-bounded compact bytes; every report afterwards is
+    * [[graft.functions.ThetaUnionAgg]] merge-on-read plus pairwise set
+    * algebra — at 100 TB each ingest period appends its day's rows once
+    * ([[graft.app.ReachMaintenanceJob]] streams them) and no overlap or
+    * retention question ever re-scans events. Day-grain union is
+    * BIT-IDENTICAL to a direct aggregate (min-k retention is a
+    * semilattice), so table-served estimates equal q144/q146's. */
+  def writeCohortSketches(spark: SparkSession, dir: String, path: String): Unit = {
+    import graft.functions.ThetaExpressions
+    import graft.functions.ThetaExpressions.{theta_sketch_agg => tAgg}
+    ThetaExpressions.register(spark)
+    val ev = Tables.events(spark, dir)
+    val byType = ev
+      .groupBy(col("event_type").as("cohort"),
+        to_date(col("ts")).cast("string").as("day"))
+      .agg(tAgg(col("user_id")).as("sk"))
+      .select(lit("type").as("family"), col("cohort"), col("day"), col("sk"))
+    val byPeriod = ev
+      .withColumn("cohort",
+        when(col("event_id") % 2 === 0, "base").otherwise("cur"))
+      .groupBy(col("cohort"), to_date(col("ts")).cast("string").as("day"))
+      .agg(tAgg(col("user_id")).as("sk"))
+      .select(lit("period").as("family"), col("cohort"), col("day"), col("sk"))
+    byType.unionByName(byPeriod).write.mode("overwrite").parquet(path)
+  }
+
+  /** One cohort family's union-merged sketches from the at-rest table:
+    * (cohort, sk) rows, one per cohort — the merge-on-read step every
+    * table-served theta report starts from. Reads ONLY the sketch table. */
+  private def cohortSketches(spark: SparkSession, path: String,
+      family: String): DataFrame = {
+    import graft.functions.ThetaExpressions
+    ThetaExpressions.register(spark)
+    spark.read.parquet(path)
+      .filter(col("family") === family)
+      .groupBy("cohort")
+      .agg(ThetaExpressions.theta_union_agg(col("sk")).as("sk"))
+  }
+
+  /** Pairwise audience overlap served from the at-rest cohort table
+    * ([[writeCohortSketches]]): per-type sketches merge-on-read, then
+    * |types|² intersection estimates — never an events scan (plan-pinned).
+    * Output (type_a, type_b, est). */
+  def overlapFromSketches(spark: SparkSession, path: String): DataFrame = {
+    import graft.functions.ThetaExpressions
+    val sk = cohortSketches(spark, path, "type")
+    sk.as("a").join(sk.as("b"), col("a.cohort") < col("b.cohort"))
+      .select(col("a.cohort").as("type_a"), col("b.cohort").as("type_b"),
+        ThetaExpressions.theta_intersect_estimate(col("a.sk"), col("b.sk"))
+          .as("est"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Retention/churn/acquisition served from the at-rest cohort table:
+    * the base/cur period sketches merge-on-read, then the three set-algebra
+    * estimates — never an events scan (plan-pinned). One row
+    * (retained_est, churned_est, new_est). */
+  def retentionFromSketches(spark: SparkSession, path: String): DataFrame = {
+    import graft.functions.ThetaExpressions
+    val p = cohortSketches(spark, path, "period")
+    val a = p.filter(col("cohort") === "base").select(col("sk").as("sk_a"))
+    val b = p.filter(col("cohort") === "cur").select(col("sk").as("sk_b"))
+    a.crossJoin(b) // two 1-row frames
+      .select(
+        ThetaExpressions.theta_intersect_estimate(col("sk_a"), col("sk_b"))
+          .as("retained_est"),
+        ThetaExpressions.theta_anotb_estimate(col("sk_a"), col("sk_b"))
+          .as("churned_est"),
+        ThetaExpressions.theta_anotb_estimate(col("sk_b"), col("sk_a"))
+          .as("new_est"))
+  }
+
+  /** Q150 — q144's overlap report with the theta arm SERVED from the
+    * at-rest cohort table: estimates come from [[overlapFromSketches]]
+    * (no events scan on that side — plan-pinned), the exact arm stays as
+    * the in-plan audit the shared q144 oracle checks. Day-grain union
+    * being a semilattice, the served estimates equal q144's direct ones,
+    * so the 5%·min+1 audit bound transfers verbatim. */
+  def thetaOverlapServed(spark: SparkSession, dir: String,
+      sketchPath: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val users = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("users"))
+    val pairs = overlapFromSketches(spark, sketchPath)
+      .join(users.select(col("event_type").as("type_a"),
+        col("users").as("users_a")), Seq("type_a"))
+      .join(users.select(col("event_type").as("type_b"),
+        col("users").as("users_b")), Seq("type_b"))
+    val ut = ev.select("user_id", "event_type").distinct()
+    val exact = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("overlap_exact"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        coalesce(col("overlap_exact"), lit(0L)).as("overlap_exact"),
+        (abs(col("est") - coalesce(col("overlap_exact"), lit(0L))) <=
+          least(col("users_a"), col("users_b")) * lit(0.05) + lit(1.0))
+          .cast("long").as("est_ok"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Q151 — q146's retention report with all three estimates SERVED from
+    * the at-rest cohort table ([[retentionFromSketches]] — no events scan
+    * on the sketch side, plan-pinned); exact cohort arithmetic stays as
+    * the audit the shared q146 oracle checks. */
+  def thetaRetentionServed(spark: SparkSession, dir: String,
+      sketchPath: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val cur = ev.filter(col("event_id") % 2 =!= 0)
+    val nA = base.agg(countDistinct("user_id").as("users_base"))
+    val nB = cur.agg(countDistinct("user_id").as("users_cur"))
+    val retained = base.select("user_id").distinct()
+      .join(cur.select("user_id").distinct(), Seq("user_id"))
+      .agg(count(lit(1)).as("retained_exact"))
+    def ok(est: Column, exact: Column, scaleCol: Column): Column =
+      (abs(est - exact) <= scaleCol * lit(0.05) + lit(1.0)).cast("long")
+    nA.crossJoin(nB).crossJoin(retained)
+      .crossJoin(retentionFromSketches(spark, sketchPath)) // four 1-row frames
+      .select(col("users_base"), col("users_cur"), col("retained_exact"),
+        (col("users_base") - col("retained_exact")).as("churned_exact"),
+        (col("users_cur") - col("retained_exact")).as("new_exact"),
+        ok(col("retained_est"), col("retained_exact"),
+          least(col("users_base"), col("users_cur"))).as("retained_ok"),
+        ok(col("churned_est"), col("users_base") - col("retained_exact"),
+          col("users_base")).as("churned_ok"),
+        ok(col("new_est"), col("users_cur") - col("retained_exact"),
+          col("users_cur")).as("new_ok"))
+  }
+
   /** Q144 — AUDIENCE OVERLAP via theta-sketch INTERSECTION
     * ([[graft.functions.ThetaSketchAgg]]): for every event-type pair, how
     * many distinct users did BOTH — the set-algebra question q142's HLL

@@ -627,26 +627,108 @@ object IndexMaintenanceJob {
   * estimate bit-identical). */
 object ReachMaintenanceJob {
 
-  /** One batch fold, the testable seam: day-grain sketch rows appended.
-    * (Empty batches append nothing — a zero-row parquet append would
-    * still write a file per partition.) */
-  def applyBatch(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
-    import org.apache.spark.sql.functions._
-    if (!batch.isEmpty)
-      batch
-        .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        .write.mode("append").parquet(tablePath)
+  /** File-count threshold above which [[applyBatch]] compacts a sketch
+    * table in place (round-10; the round-9 advice finding): per-batch
+    * appends grow file count and duplicate grain rows without bound over
+    * a stream's lifetime — estimates stay correct by union idempotence,
+    * but read cost degrades with stream age. */
+  val DefaultMaxFiles = 64
+
+  /** Compact a sketch table to one row per grain IN PLACE, correct at
+    * every intermediate state BY THE SAME ALGEBRA that makes appends
+    * exactly-once: (1) list the current part files; (2) APPEND rows
+    * re-aggregated by `grain` with the union agg — the table now holds
+    * duplicates, which union idempotence renders invisible to every
+    * reader; (3) delete the listed old files — each deletion only removes
+    * rows whose content the compacted rows already carry. A reader at ANY
+    * point sees a file set whose per-grain union equals the full table's,
+    * so estimates are identical throughout; no rename window, no version
+    * protocol, no reader coordination. (Parquet writes surface only
+    * completed files — the task-temp + rename commit — so step 2 is never
+    * partially visible either.) Caller must be the table's single writer
+    * (the foreachBatch serialization this job already assumes): a
+    * concurrent APPEND between steps 1 and 3 is safe (its files are not
+    * in the deletion list), but a concurrent COMPACT could delete the
+    * other's input files. Bounds the table at (grain cardinality) rows ×
+    * one file set. */
+  def compact(spark: SparkSession, tablePath: String, grain: Seq[String],
+      unionAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+    if (old.size < 2) return // nothing to fold
+    // read exactly the listed files: rows appended between list and read
+    // (none under single-writer, but cheap to be precise) stay untouched
+    spark.read.parquet(old.map(_.getPath.toString): _*)
+      .groupBy(grain.map(col): _*)
+      .agg(unionAgg(col("sk")).as("sk"))
+      .write.mode("append").parquet(tablePath)
+    old.foreach(f => fs.delete(f.getPath, false))
   }
 
-  /** The wire: event stream → per-batch sketch-table appends. */
-  def sink(events: DataFrame, tablePath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+  /** One batch fold, the testable seam: day-grain HLL reach rows appended
+    * to `tablePath`, and — when `cohortTablePath` is given — the theta
+    * cohort rows ([[graft.analytics.Relational.writeCohortSketches]]'s
+    * layout: family type/period, day grain) appended beside them, so the
+    * overlap/retention reports stay serveable from parquet under live
+    * ingest with the SAME exactly-once-by-idempotence guarantee (theta
+    * union is idempotent exactly as HLL union is). After each append the
+    * table compacts once its file count passes `maxFiles`, bounding rows
+    * at grain cardinality and read cost at one bounded file set
+    * regardless of stream age. (Empty batches append nothing — a zero-row
+    * parquet append would still write a file per partition.) */
+  def applyBatch(spark: SparkSession, batch: DataFrame, tablePath: String,
+      cohortTablePath: Option[String] = None,
+      maxFiles: Int = DefaultMaxFiles): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ThetaExpressions
+    if (batch.isEmpty) return
+    def fileCount(p: String): Int = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) 0
+      else fs.listStatus(root).count(_.getPath.getName.startsWith("part-"))
+    }
+    batch
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("append").parquet(tablePath)
+    if (fileCount(tablePath) > maxFiles)
+      compact(spark, tablePath, Seq("event_type", "day"), hll_union_agg)
+    cohortTablePath.foreach { ct =>
+      ThetaExpressions.register(spark)
+      val tAgg = ThetaExpressions.theta_sketch_agg _
+      val byType = batch
+        .groupBy(col("event_type").as("cohort"),
+          to_date(col("ts")).cast("string").as("day"))
+        .agg(tAgg(col("user_id")).as("sk"))
+        .select(lit("type").as("family"), col("cohort"), col("day"), col("sk"))
+      val byPeriod = batch
+        .withColumn("cohort",
+          when(col("event_id") % 2 === 0, "base").otherwise("cur"))
+        .groupBy(col("cohort"), to_date(col("ts")).cast("string").as("day"))
+        .agg(tAgg(col("user_id")).as("sk"))
+        .select(lit("period").as("family"), col("cohort"), col("day"), col("sk"))
+      byType.unionByName(byPeriod).write.mode("append").parquet(ct)
+      if (fileCount(ct) > maxFiles)
+        compact(spark, ct, Seq("family", "cohort", "day"),
+          ThetaExpressions.theta_union_agg)
+    }
+  }
+
+  /** The wire: event stream → per-batch sketch-table appends (HLL reach
+    * always; theta cohorts when a second table path is given). */
+  def sink(events: DataFrame, tablePath: String, checkpoint: String,
+      cohortTablePath: Option[String] = None,
+      maxFiles: Int = DefaultMaxFiles): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, _: Long) =>
-        applyBatch(b.sparkSession, b, tablePath); ()
+        applyBatch(b.sparkSession, b, tablePath, cohortTablePath, maxFiles); ()
       }
       .start()
 }

@@ -82,6 +82,64 @@ case class ThetaSketchAgg(
     copy(child = newChild)
 }
 
+/** `theta_union_agg(sk)` — union-merge of SERIALIZED theta sketches, the
+  * merge-on-read half of the at-rest sketch table
+  * ([[graft.analytics.Relational.writeCohortSketches]]): day-grain sketch
+  * rows persist as compact bytes, and every coarser cohort answer unions
+  * them back without touching raw keys. The mirror of Spark's own
+  * `hll_union_agg`, for the theta family. Union is commutative,
+  * associative and IDEMPOTENT over retained-entry sets, so the estimate
+  * is deterministic for a fixed input row set regardless of partitioning
+  * or duplication — the property the maintenance job's exactly-once
+  * argument rides. */
+case class ThetaUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_theta_union_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes a serialized theta sketch (binary) column, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().buildUnion()
+
+  override def update(buffer: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.union(Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buffer
+  }
+
+  override def merge(buffer: Union, other: Union): Union = {
+    buffer.union(other.getResult)
+    buffer
+  }
+
+  override def eval(buffer: Union): Any = buffer.getResult.toByteArray
+  override def serialize(buffer: Union): Array[Byte] = buffer.getResult.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Sketches.heapifySketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): ThetaUnionAgg =
+    copy(child = newChild)
+}
+
 /** Static entry points the generated code calls — resolved at codegen
   * time, one short-lived wrap per sketch pair (sketch tables are
   * group-count-sized, so these run a handful of times per query). */
@@ -163,6 +221,12 @@ object ThetaExpressions {
     ThetaSketchAgg(exprs.head)
   }
 
+  val unionAggBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"graft_theta_union_agg requires (sketch), got ${exprs.length} args")
+    ThetaUnionAgg(exprs.head)
+  }
+
   val intersectBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2,
       s"graft_theta_intersect_estimate requires (a, b), got ${exprs.length} args")
@@ -179,6 +243,8 @@ object ThetaExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_sketch_agg", aggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_theta_union_agg", unionAggBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_intersect_estimate", intersectBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_theta_anotb_estimate", anotbBuilder, "built-in")
@@ -186,6 +252,9 @@ object ThetaExpressions {
 
   def theta_sketch_agg(key: Column): Column =
     call_function("graft_theta_sketch_agg", key)
+
+  def theta_union_agg(sk: Column): Column =
+    call_function("graft_theta_union_agg", sk)
 
   def theta_intersect_estimate(a: Column, b: Column): Column =
     call_function("graft_theta_intersect_estimate", a, b)

@@ -54,6 +54,26 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q149–q151 estimate arms serve from the at-rest sketch tables, no events scan") {
+    val reachTbl = java.nio.file.Files.createTempDirectory("plan_reach").toString
+    val cohortTbl = java.nio.file.Files.createTempDirectory("plan_cohort").toString
+    Relational.writeReachSketches(spark, sf0001, reachTbl)
+    Relational.writeCohortSketches(spark, sf0001, cohortTbl)
+    // the serving functions the q149–q151 estimate arms ride: every scan
+    // in their plans must be the sketch table — at 100 TB "rollups never
+    // re-scan events" is this pin, not a scaladoc claim
+    for ((name, df) <- Seq(
+        "reach" -> Relational.reachFromSketches(spark, reachTbl),
+        "overlap" -> Relational.overlapFromSketches(spark, cohortTbl),
+        "retention" -> Relational.retentionFromSketches(spark, cohortTbl))) {
+      val plan = explain(df)
+      assert(!plan.contains("events.parquet"),
+        s"$name serving must read only the sketch table:\n$plan")
+      assert(plan.contains("ObjectHashAggregate") || name == "reach",
+        s"$name union-merge must run as object-hash aggregation:\n$plan")
+    }
+  }
+
   test("q147: phrase search prunes every bigram list to its bucket, no corpus scan") {
     import graft.text.TextIndex
     val pi = java.nio.file.Files.createTempDirectory("phraseidx").toString

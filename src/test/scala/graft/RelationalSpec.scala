@@ -205,6 +205,39 @@ class RelationalSpec extends SparkSpec {
     assert(after("_all") >= before + 45, s"${after("_all")} vs $before")
   }
 
+  test("cohort sketch table: day-grain union serves estimates identical to direct aggregation") {
+    import graft.functions.ThetaExpressions
+    import org.apache.spark.sql.functions._
+    ThetaExpressions.register(spark)
+    val path = java.nio.file.Files.createTempDirectory("cohort_sk").toString
+    Relational.writeCohortSketches(spark, sf0001, path)
+    // the claim q150/q151 lean on: theta min-k retention is a semilattice,
+    // so union over (cohort, day) partials equals one direct aggregate —
+    // not merely within tolerance, identically
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val sk = ev.groupBy("event_type")
+      .agg(ThetaExpressions.theta_sketch_agg(col("user_id")).as("sk"))
+    val direct = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type"), col("b.event_type"),
+        ThetaExpressions.theta_intersect_estimate(col("a.sk"), col("b.sk")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val served = Relational.overlapFromSketches(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(served == direct,
+      s"table-served overlap drifted from direct aggregation: $served vs $direct")
+    // retention: exact at this cardinality (below k), so the served
+    // estimates must equal the exact cohort arithmetic
+    val base = ev.filter(col("event_id") % 2 === 0).select("user_id").distinct()
+    val cur = ev.filter(col("event_id") % 2 =!= 0).select("user_id").distinct()
+    val nBase = base.count(); val nCur = cur.count()
+    val retained = base.join(cur, Seq("user_id")).count()
+    val r = Relational.retentionFromSketches(spark, path).head()
+    assert(r.getLong(0) == retained && r.getLong(1) == nBase - retained &&
+      r.getLong(2) == nCur - retained,
+      s"served retention (${r.toSeq}) vs exact ($retained, ${nBase - retained}, ${nCur - retained})")
+  }
+
   test("theta sketch agg: merge across partitions is order-independent and exact below k") {
     import graft.functions.ThetaExpressions
     ThetaExpressions.register(spark)

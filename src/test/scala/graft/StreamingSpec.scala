@@ -322,6 +322,53 @@ class StreamingSpec extends SparkSpec {
     assert(reach() == before, "replayed batch changed a reach estimate")
   }
 
+  test("cohort maintenance: theta folds are replay-idempotent; compaction preserves estimates and bounds the table") {
+    import graft.app.ReachMaintenanceJob
+    import graft.analytics.Relational
+    import spark.implicits._
+    val reachTbl = java.nio.file.Files.createTempDirectory("cm_reach").toString
+    val cohortTbl = java.nio.file.Files.createTempDirectory("cm_cohort").toString
+    def batch(idBase: Long, day: Int, users: Seq[Long], tpe: String) =
+      users.zipWithIndex.map { case (u, i) =>
+        (idBase + i, ts(s"2024-01-0${day}T10:00:0${i % 10}Z"), u, tpe, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // maxFiles = 1 forces a compaction after every append — the harshest
+    // schedule, so every served estimate below has survived a compaction
+    val b1 = batch(0L, 1, Seq(0L, 1L, 2L, 3L), "click")
+    val b2 = batch(100L, 2, Seq(2L, 3L, 4L), "click")
+      .unionByName(batch(201L, 2, Seq(3L, 4L, 5L), "purchase"))
+    ReachMaintenanceJob.applyBatch(spark, b1, reachTbl, Some(cohortTbl), maxFiles = 1)
+    ReachMaintenanceJob.applyBatch(spark, b2, reachTbl, Some(cohortTbl), maxFiles = 1)
+    def snapshot() = (
+      Relational.reachFromSketches(spark, reachTbl).collect().map(_.toSeq).toSeq,
+      Relational.overlapFromSketches(spark, cohortTbl).collect().map(_.toSeq).toSeq,
+      Relational.retentionFromSketches(spark, cohortTbl).collect().map(_.toSeq).toSeq)
+    val before = snapshot()
+    // reach: click {0,1,2,3,4} = 5, purchase {3,4,5} = 3, all {0..5} = 6;
+    // overlap click∩purchase = {3,4} = 2 (theta exact at this cardinality)
+    assert(before._1.collectFirst { case Seq("click", n: Long) => n }.contains(5L))
+    assert(before._1.collectFirst { case Seq("_all", n: Long) => n }.contains(6L))
+    assert(before._2 == Seq(Seq("click", "purchase", 2L)), s"${before._2}")
+    // retention: base = even event_id users, cur = odd — batch ids were
+    // chosen so both cohorts are non-empty
+    assert(before._3.head.forall(_.asInstanceOf[Long] >= 0L))
+    // REPLAY the second batch (at-least-once crash window): theta and HLL
+    // unions are idempotent, so every served estimate is bit-identical
+    ReachMaintenanceJob.applyBatch(spark, b2, reachTbl, Some(cohortTbl), maxFiles = 1)
+    assert(snapshot() == before, "replayed batch changed a served estimate")
+    // compaction bounded the tables: one row per grain, file count small
+    val fs = new org.apache.hadoop.fs.Path(cohortTbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .count(_.getPath.getName.startsWith("part-"))
+    val cohortRows = spark.read.parquet(cohortTbl)
+    assert(cohortRows.count() ==
+      cohortRows.select("family", "cohort", "day").distinct().count(),
+      "compaction must leave one row per grain")
+    assert(files(reachTbl) <= 8 && files(cohortTbl) <= 8,
+      s"compaction must bound file count, got ${files(reachTbl)}/${files(cohortTbl)}")
+  }
+
   test("unionTopics merges heterogenous topic frames by name — O3") {
     val clicks = Seq(("e1", "user_click", "https://x.com")).toDF("event_id", "event_type", "page_url")
     val orders = Seq(("e2", "order", "ORD-1")).toDF("event_id", "event_type", "order_id")
