@@ -148,8 +148,12 @@ object CellIndex {
     // [[vacuumVersions]] sweeps crashed attempts' orphan dirs
     val staging = new Path(root,
       s".staging_vectors_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
-    val cb = readCodebook(spark, indexPath)
-    val pqCbs = readPqCodebook(spark, indexPath)
+    // the CURRENT version's codebooks, not blindly the root's: after a
+    // [[retrain]] the live geometry lives inside the version dir, and
+    // assigning a batch against the superseded root codebook would file
+    // vectors into cells no reader probes under the new geometry
+    val cb = readCodebookAt(spark, indexPath, cur.toString)
+    val pqCbs = readPqCodebookAt(spark, indexPath, cur.toString)
     val e = Similarity.withNorm(spark, batchDir)
     Similarity.assignCells(e, cb)
       .join(Similarity.pqEncode(spark, batchDir, pqCbs), Seq("vec_id"))
@@ -168,6 +172,14 @@ object CellIndex {
           .foreach(f => FileUtil.copy(fs, f.getPath, fs,
             new Path(dstCell, f.getPath.getName), false, conf))
       }
+    // a retrained lineage's codebooks travel WITH every later version:
+    // without the copy, resolution would fall back to the stale root pair
+    // and serve the wrong geometry for this set
+    Seq("_codebook", "_pq_codebook").foreach { d =>
+      val src = new Path(cur, d)
+      if (fs.exists(src))
+        FileUtil.copy(fs, src, fs, new Path(staging, d), false, conf)
+    }
     // applied-batch ledger: the union of prior tags + this batch's, riding
     // the version dir so it publishes ATOMICALLY with the data (a marker
     // written after the rename would leave a crash window where a replay
@@ -178,6 +190,83 @@ object CellIndex {
     val marker = new Path(staging, "_SUCCESS")
     if (!fs.exists(marker)) fs.create(marker).close()
     // guarded atomic publish: never replaces a COMMITTED concurrent winner
+    graft.IndexVersions.publish(fs, staging, target,
+      t => fs.exists(new Path(t, "_SUCCESS")))
+  }
+
+  /** CODEBOOK RETRAIN-AND-CUTOVER in the version chain (round 10 — the
+    * lifecycle hole [[cellBalanceReport]] could detect but not remedy):
+    * train a FRESH coarse + PQ codebook pair on the index's CURRENT
+    * vector set, re-assign and re-encode every stored vector under it,
+    * and publish the result as the next version WITH its codebooks
+    * inside the version dir (`_codebook`/`_pq_codebook` — underscore
+    * dirs, invisible to the cell-dir parquet reader beside them). The
+    * version chain — not a fresh root — because everything else about
+    * the index's identity survives: the applied-batch ledger copies
+    * VERBATIM (a retrain changes geometry, not corpus, so
+    * [[graft.IndexPair]] pairing and the maintenance job's exactly-once
+    * guard are undisturbed), readers resolve through the same
+    * [[currentVectorsPath]], old versions stay for time-travel until
+    * [[vacuumVersions]], and the same staging-nonce + guarded-rename
+    * publish makes a crashed or raced attempt invisible.
+    *
+    * EQUIVALENCE (spec'd): training is deterministic Lloyd over the
+    * stored (vec_id, v) rows — the same multiset a from-scratch [[write]]
+    * over the union corpus trains on — so the retrained version's
+    * codebook, assignments, codes, and every served answer at every
+    * nprobe are IDENTICAL to a fresh index built with the same
+    * parameters. Appends after the cutover assign against the retrained
+    * codebooks (and carry them forward), so the frozen-codebook append
+    * model resumes exactly, under balanced geometry.
+    *
+    * COST SHAPE: one training pass (iters × a k×dim-bounded aggregate
+    * over the set) plus one re-assign/re-encode write of the full set —
+    * the price [[write]] pays, minus the source tokenize. Run it when
+    * [[cellBalanceReport]] flags drift; between retrains, appends stay
+    * incremental. SCALING.md prices retrain against the serving
+    * degradation it repairs. */
+  def retrain(spark: SparkSession, indexPath: String, k: Int = 16,
+      iters: Int = 3, pqM: Int = 4, pqK: Int = 16): Unit = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(conf)
+    val versions = committedVersions(spark, indexPath)
+    require(versions.nonEmpty, s"retrain needs an existing index at $indexPath")
+    val cur = new Path(versionPath(indexPath, versions.max))
+    val next = versions.max + 1
+    val target = new Path(root, s"vectors_v$next")
+    val staging = new Path(root,
+      s".staging_vectors_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // the stored set IS the training corpus: v/norm persisted at index
+    // time, so no source re-read, no re-normalize. Checkpointed — the
+    // Lloyd rounds and the re-assign below iterate over it.
+    val stored = spark.read.parquet(cur.toString)
+      .select(col("vec_id"), col("v"), col("norm")).localCheckpoint()
+    val cb = Similarity.trainIvfCodebook(stored, k, iters)
+    val pqCbs = Similarity.pqTrainOn(stored, m = pqM, k = pqK)
+    // re-assign + re-encode under the new geometry; the partitioned write
+    // lands first (it creates staging and its _SUCCESS — invisible until
+    // the rename), codebooks and ledger follow inside it
+    Similarity.assignCells(stored, cb)
+      .join(Similarity.pqEncodeOn(stored, pqCbs), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(staging.toString)
+    cb.toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(new Path(staging, "_codebook").toString)
+    pqCbs.zipWithIndex.flatMap { case (sub, s) =>
+        sub.zipWithIndex.map { case (centroid, code) => (s, code, centroid) }
+      }.toDF("s", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(new Path(staging, "_pq_codebook").toString)
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
+    // ledger copies verbatim: same corpus state, new geometry
+    graft.IndexVersions.writeLedger(fs, staging,
+      graft.IndexVersions.readLedger(fs, cur))
     graft.IndexVersions.publish(fs, staging, target,
       t => fs.exists(new Path(t, "_SUCCESS")))
   }
@@ -239,16 +328,48 @@ object CellIndex {
       })
   }
 
+  /** The codebook-pair dirs a given vector-set version was written under:
+    * versions published by [[retrain]] carry their OWN codebooks inside
+    * the version dir (`_codebook`/`_pq_codebook` — underscore-prefixed,
+    * so the parquet reader of the `cell=` dirs beside them never lists
+    * them); versions from [[write]]/[[append]] lineages before any
+    * retrain share the root-level pair. Codebooks must resolve WITH the
+    * vector set they assigned — reading the root codebook against a
+    * retrained set would mis-rank probe cells for every query. */
+  private def codebookDirs(spark: SparkSession, indexPath: String,
+      vectorsPath: String): (String, String) = {
+    import org.apache.hadoop.fs.Path
+    val vp = new Path(vectorsPath)
+    val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(vp, "_codebook")))
+      (s"$vectorsPath/_codebook", s"$vectorsPath/_pq_codebook")
+    else (s"$indexPath/codebook", s"$indexPath/pq_codebook")
+  }
+
   /** The persisted PQ codebooks, subspace-major ([m][k][subDim]). */
   def readPqCodebook(spark: SparkSession, indexPath: String): Seq[Seq[Seq[Double]]] =
-    spark.read.parquet(s"$indexPath/pq_codebook").collect()
+    readPqCodebookAt(spark, indexPath, currentVectorsPath(spark, indexPath))
+
+  private def readPqCodebookAt(spark: SparkSession, indexPath: String,
+      vectorsPath: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(codebookDirs(spark, indexPath, vectorsPath)._2).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
 
-  /** The persisted codebook, smallest-cell-id first (k×dim — bytes). */
+  /** The persisted codebook of the CURRENT version, smallest-cell-id
+    * first (k×dim — bytes). */
   def readCodebook(spark: SparkSession, indexPath: String): Seq[(Int, Seq[Double])] =
-    spark.read.parquet(s"$indexPath/codebook").collect()
+    readCodebookAt(spark, indexPath, currentVectorsPath(spark, indexPath))
+
+  /** The codebook the given vector-set version assigned under — the
+    * resolve-once rule extended to codebooks: every reader resolves its
+    * vector set FIRST, then reads that set's codebook, so a retrain
+    * publishing between the two reads can never mix new geometry with an
+    * old set (or vice versa). */
+  def readCodebookAt(spark: SparkSession, indexPath: String,
+      vectorsPath: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(codebookDirs(spark, indexPath, vectorsPath)._1).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
 
   /** Rank the k-row codebook against the probe on the driver, return the
@@ -278,13 +399,14 @@ object CellIndex {
       probe: Seq[Double], k: Int = 10, nprobe: Int = 2,
       pinnedVectorsPath: Option[String] = None): DataFrame = {
     VectorExpressions.register(spark)
-    val cb = readCodebook(spark, indexPath)
+    // pinned = a caller-resolved version (cross-index consistency,
+    // graft.IndexPair); default = the newest committed set. Resolved
+    // FIRST so the codebook read below belongs to this exact set.
+    val vp = pinnedVectorsPath.getOrElse(currentVectorsPath(spark, indexPath))
+    val cb = readCodebookAt(spark, indexPath, vp)
     val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
     val probeCells = rankProbeCells(cb, probe, nprobe)
-    // pinned = a caller-resolved version (cross-index consistency,
-    // graft.IndexPair); default = the newest committed set
-    val scored = spark.read.parquet(
-        pinnedVectorsPath.getOrElse(currentVectorsPath(spark, indexPath)))
+    val scored = spark.read.parquet(vp)
       .filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         pround(dot_product(col("v"), lit(probe.toArray)) / (col("norm") * lit(pnorm)), 4)
@@ -308,8 +430,9 @@ object CellIndex {
       probe: Seq[Double], k: Int = 10, nprobe: Int = 2,
       shortlist: Int = 100): DataFrame = {
     VectorExpressions.register(spark)
-    val cb = readCodebook(spark, indexPath)
-    val pqCbs = readPqCodebook(spark, indexPath)
+    val vp = currentVectorsPath(spark, indexPath) // resolve-once
+    val cb = readCodebookAt(spark, indexPath, vp)
+    val pqCbs = readPqCodebookAt(spark, indexPath, vp)
     val m = pqCbs.length
     val subDim = probe.length / m
     val probeCells = rankProbeCells(cb, probe, nprobe)
@@ -318,7 +441,7 @@ object CellIndex {
       val qs = probe.slice(s * subDim, (s + 1) * subDim)
       sub.map(c => qs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
     }
-    val pruned = spark.read.parquet(currentVectorsPath(spark, indexPath))
+    val pruned = spark.read.parquet(vp)
       .filter(col("cell").isin(probeCells: _*))
     val short = pruned
       .withColumn("tbl", typedLit(tables))
@@ -349,12 +472,13 @@ object CellIndex {
       probe: Seq[Double], lang: String = "en", k: Int = 10,
       nprobe: Int = 2): DataFrame = {
     VectorExpressions.register(spark)
-    val cb = readCodebook(spark, indexPath)
+    val vp = currentVectorsPath(spark, indexPath) // resolve-once
+    val cb = readCodebookAt(spark, indexPath, vp)
     val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
     val probeCells = rankProbeCells(cb, probe, nprobe)
     val docs = graft.sources.Tables.documents(spark, dir)
       .filter(col("lang") === lang).select(col("doc_id"), col("lang"))
-    val scored = spark.read.parquet(currentVectorsPath(spark, indexPath))
+    val scored = spark.read.parquet(vp)
       .filter(col("cell").isin(probeCells: _*))
       .join(docs, col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("lang"),
@@ -434,10 +558,11 @@ object CellIndex {
   private[graft] def mmrPoolIndexed(spark: SparkSession, indexPath: String,
       probe: Seq[Double], poolSize: Int, nprobe: Int): DataFrame = {
     VectorExpressions.register(spark)
-    val cb = readCodebook(spark, indexPath)
+    val vp = currentVectorsPath(spark, indexPath) // resolve-once
+    val cb = readCodebookAt(spark, indexPath, vp)
     val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
     val probeCells = rankProbeCells(cb, probe, nprobe)
-    spark.read.parquet(currentVectorsPath(spark, indexPath))
+    spark.read.parquet(vp)
       .filter(col("cell").isin(probeCells: _*))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("v"), col("norm"),
@@ -462,10 +587,11 @@ object CellIndex {
     * aggregate over the
     * current vector set's `cell` partition column — column-pruned to a
     * partition key, no vector bytes read. The advisor prices the
-    * decision; the retrain itself is [[write]] into a fresh index root
-    * (new codebook = new geometry = a new index by definition — not a
-    * version of the old one, since cross-version file carry-forward
-    * requires stable cell assignment). */
+    * decision; the remedy is [[retrain]] — a versioned codebook cutover
+    * in the SAME index (round 10): the new geometry publishes as the
+    * next version carrying its own codebooks, the ledger and pairing
+    * survive, and appends resume incrementally against the rebalanced
+    * cells. */
   def cellBalanceReport(spark: SparkSession, indexPath: String,
       maxImbalance: Double = 3.0): DataFrame = {
     val cells = spark.read.parquet(currentVectorsPath(spark, indexPath))

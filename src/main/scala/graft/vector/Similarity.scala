@@ -995,11 +995,19 @@ object Similarity {
     * m·k·(dim/m) doubles (1 KB-class) — a bounded driver value, like the
     * IVF codebook. */
   def pqTrain(spark: SparkSession, dir: String, m: Int = 4, k: Int = 16,
+      iters: Int = 2): Seq[Seq[Seq[Double]]] =
+    pqTrainOn(withNorm(spark, dir).select(col("vec_id"), col("v")), m, k, iters)
+
+  /** [[pqTrain]] over an explicit (vec_id, v) frame — the entry point
+    * [[CellIndex.retrain]] feeds the STORED vector set (the index is its
+    * own training corpus at retrain time; same deterministic Lloyd, so
+    * equal inputs give bit-equal codebooks). */
+  def pqTrainOn(e0: DataFrame, m: Int = 4, k: Int = 16,
       iters: Int = 2): Seq[Seq[Seq[Double]]] = {
     require(EmbeddingDim % m == 0,
       s"m=$m must divide dim=$EmbeddingDim — a remainder would silently " +
         "drop trailing dimensions from codes while the exact rerank keeps them")
-    val e = withNorm(spark, dir).select(col("vec_id"), col("v"))
+    val e = e0.select(col("vec_id"), col("v"))
     val subDim = EmbeddingDim / m
     var cbs: Seq[Seq[Seq[Double]]] = {
       val init = e.filter(col("vec_id").between(1, k))
@@ -1039,8 +1047,13 @@ object Similarity {
     * compression at m=4). One [[pqAssign]] pass reduced to a code array
     * ordered by subspace. */
   def pqEncode(spark: SparkSession, dir: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    pqEncodeOn(withNorm(spark, dir).select(col("vec_id"), col("v")), codebooks)
+
+  /** [[pqEncode]] over an explicit (vec_id, v) frame (the retrain path). */
+  def pqEncodeOn(e0: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val e = withNorm(spark, dir).select(col("vec_id"), col("v"))
+    val e = e0.select(col("vec_id"), col("v"))
     pqAssign(e, codebooks)
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(s, code))), p -> p.code)")
