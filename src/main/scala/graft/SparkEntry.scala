@@ -207,6 +207,18 @@ object SparkEntry {
         graft.text.TextIndex.topPhrase(s, idx, pinnedRoot = root),
         pinnedRoot = root)
     }),
+    // q148 (round 10): proximity/slop search from the phrase index's
+    // unigram positional postings — q147's documented residual closed.
+    // Probe terms derive from the index's own udf table (no corpus pass);
+    // ONE version resolution pins derivation and search together.
+    "q148_proximity"      -> ((s: SparkSession, d: String) => {
+      val idx = cachedPhraseIndex(s, d)
+      val root = Some(graft.text.TextIndex.phraseCurrentRoot(s, idx))
+      val (ta, tb) = graft.text.TextIndex.deriveProximityTerms(s, idx,
+        pinnedRoot = root)
+      graft.text.TextIndex.proximitySearch(s, idx, ta, tb, slop = 3,
+        pinnedRoot = root)
+    }),
     // q149–q151 (round 10): the sketch reports' estimate arms promoted to
     // AT-REST TABLE serving (the q136→q138 pattern applied to sketches) —
     // the estimates read ONLY the persisted day-grain sketch rows
@@ -2537,6 +2549,28 @@ object SparkEntry {
     "q149_reach_served" -> hllReachOracle,
     "q150_overlap_served" -> thetaOverlapOracle,
     "q151_retention_served" -> thetaRetentionOracle,
+
+    // q148: proximity pairs of the two highest-df non-ubiquitous terms
+    // ((df desc, tok) — the same derivation the index's udf table
+    // serves); the Spark side answers from banded position-list joins,
+    // which must enumerate exactly these within-slop pairs.
+    "q148_proximity" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS i,
+        |          unnest(toks) AS tok FROM ct),
+        |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY tok),
+        |top2 AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rk
+        |         FROM df QUALIFY rk <= 2),
+        |pa AS (SELECT t.doc_id, t.i FROM tok t
+        |       JOIN top2 ON t.tok = top2.tok AND top2.rk = 1),
+        |pb AS (SELECT t.doc_id, t.i FROM tok t
+        |       JOIN top2 ON t.tok = top2.tok AND top2.rk = 2)
+        |SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MIN(ABS(pa.i - pb.i)) AS BIGINT) AS min_dist
+        |FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND ABS(pa.i - pb.i) <= 3
+        |GROUP BY pa.doc_id
+        |ORDER BY pa.doc_id""".stripMargin,
 
     // q143: per-source quality cap — q68's fixed-point score CTEs, then
     // row_number over (score desc, doc_id) capped at 20.

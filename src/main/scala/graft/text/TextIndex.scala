@@ -307,9 +307,18 @@ object TextIndex {
     graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
   }
 
-  /** The three phrase-index artifacts for one corpus slice, written under
-    * `root`: positional bigram postings, mergeable trigram counts, stats
-    * (LAST — the commit marker). Shared by build and append. */
+  /** The five phrase-index artifacts for one corpus slice, written under
+    * `root`: positional bigram postings, UNIGRAM positional postings
+    * (round 10 — the proximity/slop capability the bigram rows cannot
+    * express: adjacency is baked into a bigram, "A within k of B" needs
+    * per-token positions), the mergeable trigram-count and unigram-df
+    * tables, and stats (LAST — the commit marker). Shared by build and
+    * append.
+    *
+    * LAYOUT COMPATIBILITY (the dfreq rule): `positions/`+`udf/` joined
+    * the format in round 10 — a phrase index built before that must be
+    * REBUILT, not appended; proximity queries and append both read the
+    * new artifacts and fail loudly (path-not-found) on the old layout. */
   private def writePhraseArtifacts(spark: SparkSession,
       toks: DataFrame, root: String, buckets: Int, nDocsBase: Long): Unit = {
     graft.functions.TextExpressions.register(spark)
@@ -321,6 +330,23 @@ object TextIndex {
       .sortWithinPartitions("bigram", "doc_id", "i")
       .write.mode("overwrite").partitionBy("bb")
       .parquet(s"$root/bigrams")
+    val uni = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
+    uni
+      .withColumn("ub", pmod(hash(col("tok")), lit(buckets)))
+      .repartition(col("ub"))
+      .sortWithinPartitions("tok", "doc_id", "i")
+      .write.mode("overwrite").partitionBy("ub")
+      .parquet(s"$root/positions")
+    // unigram df rides beside the positions (the dfreq pattern): the
+    // proximity probe derivation reads THIS vocabulary-sized table, never
+    // the corpus; df/n_occ merge by keyed sum under append (disjoint doc
+    // ids make the distinct-doc counts additive)
+    uni.groupBy("tok")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("n_occ"))
+      .withColumn("ub", pmod(hash(col("tok")), lit(buckets)))
+      .repartition(col("ub"))
+      .write.mode("overwrite").partitionBy("ub")
+      .parquet(s"$root/udf")
     toks.select(posexplode(
         graft.functions.TextExpressions.word_ngrams(col("toks"), 3, distinct = false)))
       .toDF("i", "gram")
@@ -376,30 +402,39 @@ object TextIndex {
     // batch artifacts first (same writer as build), then current bucket
     // files copy in beside them and the trigram tables merge
     writePhraseArtifacts(spark, toks, staging.toString, buckets, nDocsBase = nDocs)
-    fs.listStatus(new Path(cur, "bigrams")).toSeq
-      .filter(_.getPath.getName.startsWith("bb="))
-      .foreach { s =>
-        val dstB = new Path(new Path(staging, "bigrams"), s.getPath.getName)
-        fs.mkdirs(dstB)
-        fs.listStatus(s.getPath).toSeq
-          .filter(f => f.getPath.getName.startsWith("part-"))
-          .foreach(f => FileUtil.copy(fs, f.getPath, fs,
-            new Path(dstB, f.getPath.getName), false, conf))
-      }
-    val pb = pmod(hash(col("gram")), lit(buckets))
-    spark.read.parquet(s"$cur/phrases").select("gram", "n")
-      .unionByName(spark.read.parquet(new Path(staging, "phrases").toString)
-        .select("gram", "n"))
-      .groupBy("gram").agg(sum("n").as("n"))
-      .withColumn("pb", pb)
-      .repartition(col("pb"))
-      .write.mode("overwrite").partitionBy("pb")
-      .parquet(new Path(staging, "phrases_merged").toString)
-    // swap the batch-only trigram table for the merged one
-    fs.delete(new Path(staging, "phrases"), true)
-    if (!fs.rename(new Path(staging, "phrases_merged"), new Path(staging, "phrases")))
-      throw new IllegalStateException(
-        s"phrase-table swap failed in staging $staging")
+    // positional artifacts carry forward byte-for-byte (doc-local rows):
+    // bigram buckets AND the round-10 unigram position buckets
+    for ((artifact, prefix) <- Seq("bigrams" -> "bb=", "positions" -> "ub="))
+      fs.listStatus(new Path(cur, artifact)).toSeq
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach { s =>
+          val dstB = new Path(new Path(staging, artifact), s.getPath.getName)
+          fs.mkdirs(dstB)
+          fs.listStatus(s.getPath).toSeq
+            .filter(f => f.getPath.getName.startsWith("part-"))
+            .foreach(f => FileUtil.copy(fs, f.getPath, fs,
+              new Path(dstB, f.getPath.getName), false, conf))
+        }
+    // the two vocabulary-sized tables merge by keyed sum, then swap in
+    def mergeSwap(artifact: String, keyCol: String, bucketCol: String,
+        sums: Seq[String]): Unit = {
+      val merged = new Path(staging, s"${artifact}_merged")
+      spark.read.parquet(s"$cur/$artifact").select(keyCol, sums: _*)
+        .unionByName(spark.read.parquet(new Path(staging, artifact).toString)
+          .select(keyCol, sums: _*))
+        .groupBy(keyCol).agg(sum(sums.head).as(sums.head),
+          sums.tail.map(c => sum(c).as(c)): _*)
+        .withColumn(bucketCol, pmod(hash(col(keyCol)), lit(buckets)))
+        .repartition(col(bucketCol))
+        .write.mode("overwrite").partitionBy(bucketCol)
+        .parquet(merged.toString)
+      fs.delete(new Path(staging, artifact), true)
+      if (!fs.rename(merged, new Path(staging, artifact)))
+        throw new IllegalStateException(
+          s"$artifact-table swap failed in staging $staging")
+    }
+    mergeSwap("phrases", "gram", "pb", Seq("n"))
+    mergeSwap("udf", "tok", "ub", Seq("df", "n_occ"))
     graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
     graft.IndexVersions.writeLedger(fs, staging,
       graft.IndexVersions.readLedger(fs, new Path(cur)).append(tag))
@@ -417,7 +452,8 @@ object TextIndex {
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.vacuum(fs, root, committedVersions(spark, indexPath),
-      v => if (v == 0L) Seq("stats", "bigrams", "phrases") else Seq(s"v$v"),
+      v => if (v == 0L) Seq("stats", "bigrams", "phrases", "positions", "udf")
+           else Seq(s"v$v"),
       keepLast, graceMs,
       dirOwner = {
         case "stats" | "bigrams" | "phrases" | "positions" | "udf" => Some(0L)
@@ -477,6 +513,69 @@ object TextIndex {
     lists.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_occ"), min(col("p")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** The q148 deterministic probe pair served FROM the index's unigram
+    * df table (vocabulary-sized scan, never a corpus pass — the q132
+    * derivation convention): the two HIGHEST-df terms, (df desc, tok)-
+    * ordered. Deliberately no ubiquity filter — the hottest terms carry
+    * the largest position lists, so the probe exercises the band join's
+    * boundedness at its worst case (and guarantees non-empty results at
+    * every fixture SF). */
+  def deriveProximityTerms(spark: SparkSession, indexPath: String,
+      pinnedRoot: Option[String] = None): (String, String) = {
+    val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
+    val ts = spark.read.parquet(s"$root/udf")
+      .orderBy(desc("df"), col("tok")).limit(2)
+      .select("tok").collect().map(_.getString(0))
+    require(ts.length == 2,
+      s"proximity derivation needs two distinct terms in $root/udf")
+    (ts(0), ts(1))
+  }
+
+  /** PROXIMITY (slop) SEARCH from the unigram positional postings — the
+    * standard IR capability next to exact phrase (round 10; q147's
+    * documented residual): per doc, the ordered position pairs where
+    * `tokA` occurs within `slop` tokens of `tokB` (|i_a − i_b| ≤ slop,
+    * unordered window), with the closest distance. Each term contributes
+    * ONE pruned posting list (PartitionFilters on `ub` — the bucket
+    * predicate folds — plus row-group pruning on the sorted `tok`
+    * column); the pair match is a BAND equi-join, not a per-doc cross
+    * product: positions band at width `slop+1`, side A emits its band
+    * ±1, side B its band alone — two positions within slop always land
+    * in adjacent-or-equal bands, and each qualifying pair matches in
+    * EXACTLY ONE emitted band (the band of i_b), so no post-join dedup
+    * is needed. Shuffle mass is ≤3× the two terms' posting mass keyed by
+    * (doc, band) — never corpus mass, and never the tf_A×tf_B blowup a
+    * plain doc-keyed join risks on a term-dense doc. */
+  def proximitySearch(spark: SparkSession, indexPath: String,
+      tokA: String, tokB: String, slop: Int = 3,
+      pinnedRoot: Option[String] = None): DataFrame = {
+    require(tokA != tokB, "proximity search needs two distinct terms")
+    require(slop >= 1, "slop must be at least 1")
+    val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
+    val buckets = spark.read.parquet(s"$root/stats")
+      .select(col("buckets")).collect().head.getLong(0).toInt
+    val posts = spark.read.parquet(s"$root/positions")
+    val w = slop + 1
+    def listOf(t: String) = posts
+      .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
+      .filter(col("tok") === t)
+      .select(col("doc_id"), col("i").cast("long").as("i"))
+    val a = listOf(tokA)
+      .select(col("doc_id"), col("i").as("ia"),
+        explode(array((col("i") / w).cast("long") - 1,
+          (col("i") / w).cast("long"),
+          (col("i") / w).cast("long") + 1)).as("band"))
+    val b = listOf(tokB)
+      .select(col("doc_id"), col("i").as("ib"),
+        (col("i") / w).cast("long").as("band"))
+    a.join(b, Seq("doc_id", "band"))
+      .filter(abs(col("ia") - col("ib")) <= slop)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("ia") - col("ib"))).as("min_dist"))
       .orderBy("doc_id")
   }
 

@@ -54,6 +54,22 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q148: proximity search prunes both position lists to their buckets, no corpus scan") {
+    import graft.text.TextIndex
+    val pi = java.nio.file.Files.createTempDirectory("proxidx").toString
+    TextIndex.writePhraseIndex(spark, sf0001, pi)
+    val (ta, tb) = TextIndex.deriveProximityTerms(spark, pi)
+    val plan = explain(TextIndex.proximitySearch(spark, pi, ta, tb))
+    assert(plan.contains("PartitionFilters:") && plan.contains("ub"),
+      s"expected unigram-bucket partition pruning:\n$plan")
+    assert(plan.contains("EqualTo(tok") || plan.contains("In(tok"),
+      s"expected the term predicate pushed to the scan:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"proximity search must not touch the corpus at query time:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair match must stay a banded equi-join:\n$plan")
+  }
+
   test("q149–q151 estimate arms serve from the at-rest sketch tables, no events scan") {
     val reachTbl = java.nio.file.Files.createTempDirectory("plan_reach").toString
     val cohortTbl = java.nio.file.Files.createTempDirectory("plan_cohort").toString

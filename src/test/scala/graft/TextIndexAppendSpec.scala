@@ -264,6 +264,26 @@ class TextIndexAppendSpec extends SparkSpec {
     assert(TextIndex.topPhrase(spark, idx) == Seq("a", "b", "c"))
   }
 
+  test("proximity search: band join enumerates within-slop pairs exactly once") {
+    val dir = phraseDocsDir(Seq(
+      (1L, "a x x b"),       // dist 3: outside slop 2, inside slop 3
+      (2L, "a b"),           // dist 1
+      (3L, "b x a"),         // dist 2 — unordered window (b before a)
+      (4L, "a x a b a"),     // a@{0,2,4}, b@3 → within slop 2: (2,3),(4,3)
+      (5L, "a a a"),         // no b → absent
+      (6L, "x x a x b")))    // a@2 (band 0), b@4 (band 1): adjacent-band pair
+    val idx = java.nio.file.Files.createTempDirectory("prox_idx").toString
+    TextIndex.writePhraseIndex(spark, dir, idx)
+    def got(slop: Int) = TextIndex.proximitySearch(spark, idx, "a", "b", slop)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(got(2) == Map(2L -> ((1L, 1L)), 3L -> ((1L, 2L)),
+      4L -> ((2L, 1L)), 6L -> ((1L, 2L))), s"slop 2: ${got(2)}")
+    // widening the slop admits doc 1 and doc 4's third pair — each pair
+    // still counted exactly once despite the ±1 band fan-out
+    assert(got(3) == Map(1L -> ((1L, 3L)), 2L -> ((1L, 1L)), 3L -> ((1L, 2L)),
+      4L -> ((3L, 1L)), 6L -> ((1L, 2L))), s"slop 3: ${got(3)}")
+  }
+
   test("phrase-index append equals a union-corpus rebuild exactly; vacuum bounds versions") {
     val idx = java.nio.file.Files.createTempDirectory("phrase_app").toString
     TextIndex.writePhraseIndex(spark, sf0001, idx)
@@ -285,6 +305,17 @@ class TextIndexAppendSpec extends SparkSpec {
     val rebuiltTri = spark.read.parquet(s"$rebuilt/phrases")
       .select("gram", "n").collect().map(_.toSeq).toSet
     assert(mergedTri == rebuiltTri)
+    // the round-10 positional artifacts ride the same protocol: merged
+    // unigram-df derivation and banded proximity answers equal the
+    // rebuild's exactly
+    val (ta, tb) = TextIndex.deriveProximityTerms(spark, rebuilt)
+    assert(TextIndex.deriveProximityTerms(spark, idx) == ((ta, tb)),
+      "merged udf table must derive the same probe pair")
+    assert(TextIndex.proximitySearch(spark, idx, ta, tb).collect()
+      .map(_.toSeq).toSeq ==
+      TextIndex.proximitySearch(spark, rebuilt, ta, tb).collect()
+        .map(_.toSeq).toSeq,
+      "appended positional index drifted from a union rebuild")
     // second append then vacuum: base evicted, newest two versions remain,
     // the served answer still resolves
     TextIndex.appendPhraseIndex(spark, docsDirFrom(800000L), idx, Some("pb2"))
