@@ -101,6 +101,61 @@ object IndexVersions {
     * any append's assembly time). */
   val StagingTtlMs: Long = 60L * 60 * 1000
 
+  /** Writer-lease file name (underscore-prefixed — invisible to parquet
+    * scans, ignored by [[vacuum]]'s dirOwner maps). */
+  val LeaseFile = "_writer_lease"
+
+  /** WRITER LEASE (round 10 — the enforcement the single-live-writer
+    * OPERATING MODEL lacked): a heartbeat file at the index root naming
+    * the live maintenance writer. [[acquireLease]] succeeds when the file
+    * is absent, names this owner (renewal — the heartbeat is the file's
+    * mtime, refreshed by rewriting), or has gone stale past `ttlMs`
+    * (steal — the previous writer is presumed dead). A second live
+    * stream that fails to acquire should PARK its batch (skip, retry
+    * next trigger) instead of burning a doomed append per batch against
+    * the guarded rename.
+    *
+    * COORDINATION, NOT CORRECTNESS: plain filesystem create/overwrite is
+    * not compare-and-swap, so two writers racing the same expired lease
+    * can both believe they won for one batch — and that is fine, because
+    * the per-attempt staging + guarded-rename publish remains the
+    * correctness backstop (the loser of THAT race still throws loudly
+    * and no committed data is disturbed). The lease turns sustained
+    * dual-writer contention into quiet parking; it never replaces the
+    * publish guard. */
+  def acquireLease(fs: FileSystem, root: Path, owner: String,
+      ttlMs: Long): Boolean = {
+    val p = new Path(root, LeaseFile)
+    val heldByLiveOther = fs.exists(p) && {
+      val st = fs.getFileStatus(p)
+      val in = fs.open(p)
+      val holder =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      holder != owner &&
+        System.currentTimeMillis() - st.getModificationTime < ttlMs
+    }
+    if (heldByLiveOther) false
+    else {
+      val out = fs.create(p, true) // (re)write = heartbeat
+      try out.write(owner.getBytes("UTF-8")) finally out.close()
+      true
+    }
+  }
+
+  /** Drop the lease if this owner holds it (clean shutdown — a crashed
+    * writer's lease simply expires). */
+  def releaseLease(fs: FileSystem, root: Path, owner: String): Unit = {
+    val p = new Path(root, LeaseFile)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val holder =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (holder == owner) fs.delete(p, false)
+    }
+  }
+
   /** Shared VACUUM for every versioned index layout (round-9 review
     * finding: three near-verbatim copies had grown back — the drift this
     * file exists to prevent). Drops committed versions beyond the newest

@@ -557,13 +557,33 @@ object IndexMaintenanceJob {
     * batch must still find its tag, and dropping below two retained
     * versions in the crash window could vacuum the only committed set a
     * racing reader just resolved. Returns (vector appended?, text
-    * appended?). */
+    * appended?).
+    *
+    * WRITER LEASE (round 10): before folding anything, the job must hold
+    * the lease at the VECTOR index root (one lease governs the whole
+    * artifact set — the three indexes fold as a unit). A second live job
+    * on the same indexes PARKS — returns (false, false) without erroring
+    * — instead of failing one doomed publish per batch forever (the
+    * pre-lease failure mode); once the holder's heartbeat goes stale
+    * past `leaseTtlMs` the lease steals and the survivor takes over.
+    * The guarded-rename publish stays the correctness backstop
+    * ([[graft.IndexVersions.acquireLease]]'s contract). NOTE parking is
+    * a hot-standby model, not dual-stream dedup: the parked stream's
+    * checkpoint advances past batches it never folded, so a standby
+    * taking over must share the leader's checkpoint (or re-fold from a
+    * replayable source) — tags are per-stream batch ids. */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       workDir: String, vecIdx: String, textIdx: String,
       retainVersions: Int = 3,
-      phraseIdx: Option[String] = None): (Boolean, Boolean) = {
+      phraseIdx: Option[String] = None,
+      owner: String = DefaultOwner,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): (Boolean, Boolean) = {
     import org.apache.spark.sql.functions._
     if (batch.isEmpty) return (false, false)
+    val leaseRoot = new org.apache.hadoop.fs.Path(vecIdx)
+    val fs = leaseRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!graft.IndexVersions.acquireLease(fs, leaseRoot, owner, leaseTtlMs))
+      return (false, false) // parked: another live writer holds the lease
     val tag = s"batch_$batchId"
     val dir = s"$workDir/$tag"
     batch.select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -593,17 +613,25 @@ object IndexMaintenanceJob {
     (vecDo, txtDo)
   }
 
+  /** Default writer identity (one maintenance job per process) and lease
+    * TTL — several trigger intervals, so a healthy writer never expires
+    * between heartbeats while a dead one is stolen from promptly. */
+  val DefaultOwner: String = s"pid-${ProcessHandle.current().pid()}"
+  val DefaultLeaseTtlMs: Long = 10L * 60 * 1000
+
   /** The wire: stream of [[IndexedDoc]] → per-batch index folds. */
   def sink(docs: org.apache.spark.sql.Dataset[IndexedDoc], workDir: String,
       vecIdx: String, textIdx: String, checkpoint: String,
       retainVersions: Int = 3,
-      phraseIdx: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      phraseIdx: Option[String] = None,
+      owner: String = DefaultOwner,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
         applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx,
-          retainVersions, phraseIdx); ()
+          retainVersions, phraseIdx, owner, leaseTtlMs); ()
       }
       .start()
 }

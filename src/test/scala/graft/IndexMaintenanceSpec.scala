@@ -160,6 +160,44 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(after == plain)
   }
 
+  test("writer lease: a second job parks instead of failing every batch, steals after expiry") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("idxlease").toString
+    val vecIdx = s"$work/vec"
+    val textIdx = s"$work/text"
+    CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 1)
+    TextIndex.write(spark, sf0001, textIdx)
+    val b0 = mkBatch(100000L, 15).toDF()
+    val b1 = mkBatch(200000L, 10).toDF()
+    // writer A folds its batch and now holds the lease
+    assert(IndexMaintenanceJob.applyBatch(spark, b0, 0L, s"$work/a",
+      vecIdx, textIdx, owner = "A") == ((true, true)))
+    assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v1"))
+    // a SECOND live job on the same indexes: pre-lease this failed one
+    // publish per batch forever; now it PARKS — no exception, no fold
+    assert(IndexMaintenanceJob.applyBatch(spark, b1, 1L, s"$work/b",
+      vecIdx, textIdx, owner = "B") == ((false, false)),
+      "second live writer must park, not fold")
+    assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v1"),
+      "parked batch must not advance the index")
+    // A keeps renewing: its own acquire always succeeds
+    val fs = new Path(vecIdx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(IndexVersions.acquireLease(fs, new Path(vecIdx), "A",
+      IndexMaintenanceJob.DefaultLeaseTtlMs))
+    // A dies (heartbeat goes stale past the TTL) → B steals and takes over
+    val stale = System.currentTimeMillis() -
+      IndexMaintenanceJob.DefaultLeaseTtlMs - 60000L
+    fs.setTimes(new Path(vecIdx, IndexVersions.LeaseFile), stale, -1)
+    assert(IndexMaintenanceJob.applyBatch(spark, b1, 1L, s"$work/b",
+      vecIdx, textIdx, owner = "B") == ((true, true)),
+      "expired lease must be stealable")
+    assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v2"))
+    // …and the old holder is now the one that parks
+    assert(!IndexVersions.acquireLease(fs, new Path(vecIdx), "A",
+      IndexMaintenanceJob.DefaultLeaseTtlMs))
+  }
+
   test("untagged appends advance the ledger — pairing never mixes corpus states") {
     val work = java.nio.file.Files.createTempDirectory("idxpair_untag").toString
     val vecIdx = s"$work/vec"
