@@ -128,14 +128,24 @@ object Bench {
     val servingTotal = total - auditTotal
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"median-of-$Passes","pass_totals":$passTotals,"serving_total":$servingTotal%.3f,"audit_total":$auditTotal%.3f,"audit_queries":${SparkEntry.auditQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"spread":$spread}"""
+    // the full line first, then a COMPACT summary line LAST (round-10; the
+    // round-9 driver artifact recorded parsed:null): the per-query map has
+    // outgrown tail-window scrapers — a consumer keeping only the last few
+    // KB of output would see the full line's END but never its start. The
+    // compact line carries the driver-contract scalars and fits any
+    // reasonable tail; the full per-query data is in the sidecar file.
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","protocol":"median-of-$Passes","serving_total":$servingTotal%.3f,"audit_total":$auditTotal%.3f,"n_queries":${results.size},"errors":$errs,"full":"see SPARK_GRAFT_BENCH_OUT sidecar"}"""
     println(line)
+    println(compact)
     // belt-and-braces delivery: build.sbt's `outputStrategy := StdoutOutput`
-    // keeps the stdout line unprefixed under `sbt runMain`, but a consumer
+    // keeps the stdout lines unprefixed under `sbt runMain`, but a consumer
     // invoking us differently (logger config, fork wrapper) may still wrap
-    // stdout — so the identical line also goes to stderr and to a file. A
-    // scraper should take the LAST parseable line of whichever stream it
-    // reads (merged streams see the line twice by design).
+    // stdout — so both lines also go to stderr and the full one to a file.
+    // A scraper should take the LAST parseable line of whichever stream it
+    // reads (merged streams see the lines twice by design).
     System.err.println(line)
+    System.err.println(compact)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
