@@ -652,7 +652,15 @@ object IndexMaintenanceJob {
   * to posting/vector sets are NOT idempotent; sketch tables get the
   * guarantee free — the deepest practical argument for sketch-shaped
   * streaming state, and it is spec'd (replayed batch leaves every reach
-  * estimate bit-identical). */
+  * estimate bit-identical).
+  *
+  * Round 10 extends the same argument twice: the job optionally folds
+  * THETA COHORT rows beside the HLL reach rows (theta union is idempotent
+  * exactly as HLL union is — q150/q151's overlap/retention tables stay
+  * fresh under live ingest), and each table COMPACTS in place once its
+  * file count passes a bound ([[compact]] — correct at every intermediate
+  * state by union idempotence, so unbounded stream age no longer degrades
+  * read cost). */
 object ReachMaintenanceJob {
 
   /** File-count threshold above which [[applyBatch]] compacts a sketch

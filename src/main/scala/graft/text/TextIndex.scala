@@ -694,7 +694,7 @@ object TextIndex {
     * anyway, so the probe is skipped outright and the pruned path is
     * byte-identical to the plain one — measured: the ungated probe cost
     * ~1 s of pure overhead per query on the unskewed bench corpus. */
-  private val SkewGateRatio = 8L
+  private[graft] val SkewGateRatio = 8L
 
   /** Second gate condition (round-9b 100× finding): ratio skew alone is
     * not enough — on the 100× rehearsal the gate fired (df ratio ≥ 8) but
@@ -705,7 +705,7 @@ object TextIndex {
     * total postings a straight scan is strictly cheaper on any target
     * hardware. Exactness is never at stake — the gate only picks which of
     * two identical-answer plans runs. */
-  private val DefaultMinProbeMass = 5000000L
+  private[graft] val DefaultMinProbeMass = 5000000L
 
   /** BM25 served FROM the index (the indexed form of [[TextOps.bm25]]):
     * resolve query terms against the df table, scan ONLY their hash
@@ -770,20 +770,28 @@ object TextIndex {
         // collect, the union, and (in the semi-join branch) the join's
         // build side — re-scanning multi-million-row posting lists two
         // extra times per query would erode the IO win the probe exists
-        // to deliver (round-9 review finding). The checkpointed blocks
-        // register with the session-sweep machinery (round-10 review
-        // finding): the returned plan still READS them, so they cannot be
-        // released here — without registration a long-running serving
-        // session issuing many pruned queries would pin blocks
-        // indefinitely. A serving session should call
-        // [[graft.Checkpoints.evictSessionMemos]] between query
-        // generations (the bench already does); blocks die with the
-        // session otherwise.
-        val sc = spark.sparkContext
-        val beforeCkpt = sc.getPersistentRDDs.keySet
-        val ePosts = listsOf(es).localCheckpoint()
-        graft.Checkpoints.retainFor(spark,
-          graft.Checkpoints.pinnedSince(sc, beforeCkpt))
+        // to deliver (round-9 review finding). Memoized through
+        // SessionMemos (round-10 review finding — the minhashPairs
+        // lifecycle): the returned plan still READS the checkpointed
+        // blocks, so they cannot be released here, and a bare
+        // localCheckpoint pinned them for the session's life. The memo
+        // holds the carrier strongly (no stale registry ids when the
+        // ContextCleaner collects an unreferenced frame), repeated pruned
+        // queries on one index version ride one materialization (keyed by
+        // root + essential terms — deterministic in both), and
+        // [[graft.Checkpoints.evictSessionMemos]] reclaims the blocks
+        // between serving generations (the bench already calls it). Size
+        // is bounded by the ESSENTIAL lists, which the cost gate only
+        // lets be the rare side of a skewed query.
+        val ePosts = graft.SessionMemos.getOrBuild(spark, "textindex.eposts",
+            (root, es.map(_.tok).sorted)) {
+          val sc = spark.sparkContext
+          val beforeCkpt = sc.getPersistentRDDs.keySet
+          val frame = listsOf(es).localCheckpoint()
+          graft.Checkpoints.retainFor(spark,
+            graft.Checkpoints.pinnedSince(sc, beforeCkpt))
+          frame
+        }
         val candIds = ePosts.select("doc_id").distinct()
           .limit(CandidatePushdownLimit + 1).collect().map(_.getLong(0))
         val nePosts =

@@ -201,7 +201,9 @@ object ScaleBench {
     // one-off build inside whichever query touches the cache first; build
     // costs are CellIndexBench's index_build/text_index_build rows)
     if (names.exists(n => n.startsWith("q136") || n.startsWith("q138") ||
-        n.startsWith("q139") || n.startsWith("q140") || n.startsWith("q147")))
+        n.startsWith("q139") || n.startsWith("q140") || n.startsWith("q147") ||
+        n.startsWith("q148") || n.startsWith("q149") || n.startsWith("q150") ||
+        n.startsWith("q151")))
       try graft.SparkEntry.warmIndexes(spark, dir)
       catch { case e: Throwable =>
         System.err.println(s"[scalebench] index warmup failed: ${e.getMessage}") }
