@@ -577,7 +577,8 @@ object IndexMaintenanceJob {
       retainVersions: Int = 3,
       phraseIdx: Option[String] = None,
       owner: String = DefaultOwner,
-      leaseTtlMs: Long = DefaultLeaseTtlMs): (Boolean, Boolean) = {
+      leaseTtlMs: Long = DefaultLeaseTtlMs,
+      retrainAtImbalance: Option[Double] = None): (Boolean, Boolean) = {
     import org.apache.spark.sql.functions._
     if (batch.isEmpty) return (false, false)
     val leaseRoot = new org.apache.hadoop.fs.Path(vecIdx)
@@ -596,6 +597,24 @@ object IndexMaintenanceJob {
     if (vecDo) {
       graft.vector.CellIndex.append(spark, dir, vecIdx, Some(tag))
       graft.vector.CellIndex.vacuumVersions(spark, vecIdx, keepLast = keep)
+      // ADVISOR-DRIVEN RETRAIN (round 10 — the flag→remedy loop closed
+      // inside the fold): after a fresh fold, if the hottest cell carries
+      // more than `retrainAtImbalance`× its uniform share, cut over to a
+      // retrained codebook before the next batch. Geometry parameters
+      // infer from the index itself; the ledger copies verbatim, so the
+      // cutover is invisible to pairing and to the exactly-once guard
+      // (a replayed batch short-circuits on its tag and never re-checks).
+      // Cost: one partition-column count per fold for the check; the
+      // retrain itself only when flagged — priced in SCALING.md.
+      retrainAtImbalance.foreach { thr =>
+        val hottest = graft.vector.CellIndex.cellBalanceReport(spark, vecIdx)
+          .agg(org.apache.spark.sql.functions.max("imbalance"))
+          .head().getDouble(0)
+        if (hottest > thr) {
+          graft.vector.CellIndex.retrain(spark, vecIdx)
+          graft.vector.CellIndex.vacuumVersions(spark, vecIdx, keepLast = keep)
+        }
+      }
     }
     val txtDo = !graft.text.TextIndex.appliedTags(spark, textIdx).contains(tag)
     if (txtDo) {
@@ -625,13 +644,14 @@ object IndexMaintenanceJob {
       retainVersions: Int = 3,
       phraseIdx: Option[String] = None,
       owner: String = DefaultOwner,
-      leaseTtlMs: Long = DefaultLeaseTtlMs): org.apache.spark.sql.streaming.StreamingQuery =
+      leaseTtlMs: Long = DefaultLeaseTtlMs,
+      retrainAtImbalance: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
         applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx,
-          retainVersions, phraseIdx, owner, leaseTtlMs); ()
+          retainVersions, phraseIdx, owner, leaseTtlMs, retrainAtImbalance); ()
       }
       .start()
 }

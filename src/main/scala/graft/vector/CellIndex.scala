@@ -222,11 +222,17 @@ object CellIndex {
     * COST SHAPE: one training pass (iters × a k×dim-bounded aggregate
     * over the set) plus one re-assign/re-encode write of the full set —
     * the price [[write]] pays, minus the source tokenize. Run it when
-    * [[cellBalanceReport]] flags drift; between retrains, appends stay
-    * incremental. SCALING.md prices retrain against the serving
-    * degradation it repairs. */
-  def retrain(spark: SparkSession, indexPath: String, k: Int = 16,
-      iters: Int = 3, pqM: Int = 4, pqK: Int = 16): Unit = {
+    * [[cellBalanceReport]] flags drift (or let
+    * [[graft.app.IndexMaintenanceJob]]'s `retrainAtImbalance` trigger it
+    * inside the fold loop); between retrains, appends stay incremental.
+    * SCALING.md prices retrain against the serving degradation it
+    * repairs.
+    *
+    * `k`/`pqM`/`pqK` ≤ 0 (the defaults) INFER the current index's own
+    * geometry from its persisted codebooks — the maintenance trigger
+    * retrains "the same index, rebalanced" without carrying parameters. */
+  def retrain(spark: SparkSession, indexPath: String, k: Int = -1,
+      iters: Int = 3, pqM: Int = -1, pqK: Int = -1): Unit = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
@@ -246,8 +252,15 @@ object CellIndex {
     // Lloyd rounds and the re-assign below iterate over it.
     val stored = spark.read.parquet(cur.toString)
       .select(col("vec_id"), col("v"), col("norm")).localCheckpoint()
-    val cb = Similarity.trainIvfCodebook(stored, k, iters)
-    val pqCbs = Similarity.pqTrainOn(stored, m = pqM, k = pqK)
+    // geometry inference: the retrained index keeps ITS OWN shape unless
+    // the caller overrides — cell count from the coarse codebook, (m, k)
+    // from the persisted per-subspace PQ codebooks
+    val kUse = if (k > 0) k else readCodebookAt(spark, indexPath, cur.toString).size
+    val curPq = readPqCodebookAt(spark, indexPath, cur.toString)
+    val pqMUse = if (pqM > 0) pqM else curPq.size
+    val pqKUse = if (pqK > 0) pqK else curPq.head.size
+    val cb = Similarity.trainIvfCodebook(stored, kUse, iters)
+    val pqCbs = Similarity.pqTrainOn(stored, m = pqMUse, k = pqKUse)
     // re-assign + re-encode under the new geometry; the partitioned write
     // lands first (it creates staging and its _SUCCESS — invisible until
     // the rename), codebooks and ledger follow inside it

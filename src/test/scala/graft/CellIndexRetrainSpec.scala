@@ -124,6 +124,48 @@ class CellIndexRetrainSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq == want)
   }
 
+  test("maintenance auto-retrain: a flagged fold cuts over inside the loop, pairing intact") {
+    import org.apache.spark.sql.functions.{col => c}
+    val work = java.nio.file.Files.createTempDirectory("auto_retrain").toString
+    val vecIdx = s"$work/vec"
+    val textIdx = s"$work/text"
+    CellIndex.write(spark, sf0001, vecIdx, k = Cells, iters = 1)
+    graft.text.TextIndex.write(spark, sf0001, textIdx)
+    // a maintenance batch whose embeddings are heavily drifted (the skew
+    // construction) — with a low threshold the fold must flag and retrain
+    val b = skewBatchDir(100000L)
+    val batch = spark.read.parquet(s"$sf0001/documents.parquet")
+      .orderBy("doc_id").limit(500)
+      .withColumn("doc_id", c("doc_id") + 100000L)
+      .join(spark.read.parquet(s"$b/embeddings.parquet"),
+        c("doc_id") === c("vec_id"))
+      .select(c("doc_id"), c("text"), c("lang"), c("source"), c("n_chars"),
+        c("embedding"), c("label"))
+      .localCheckpoint()
+    val (vecDid, _) = graft.app.IndexMaintenanceJob.applyBatch(
+      spark, batch, 0L, s"$work/batches", vecIdx, textIdx,
+      retrainAtImbalance = Some(1.2))
+    assert(vecDid)
+    // fold published v1, the triggered retrain published v2 with its own
+    // codebooks, and the ledger still pairs with the text index's
+    assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v2"))
+    val fs = new org.apache.hadoop.fs.Path(vecIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(vecIdx,
+      "vectors_v2/_codebook")))
+    val (v, t) = IndexPair.consistentRoots(spark, vecIdx, textIdx)
+    assert(v.endsWith("vectors_v2") && t.endsWith("v1"),
+      s"auto-retrain must stay invisible to pairing, got ($v, $t)")
+    // the inferred geometry kept the index's own cell count
+    assert(CellIndex.readCodebook(spark, vecIdx).size == Cells)
+    // replay short-circuits on the tag — no re-fold, no second retrain
+    val (again, _) = graft.app.IndexMaintenanceJob.applyBatch(
+      spark, batch, 0L, s"$work/batches", vecIdx, textIdx,
+      retrainAtImbalance = Some(1.2))
+    assert(!again)
+    assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v2"))
+  }
+
   test("retrain copies the ledger verbatim — cross-index pairing survives the cutover") {
     val work = java.nio.file.Files.createTempDirectory("retrain_pair").toString
     val vecIdx = s"$work/vec"
