@@ -99,6 +99,7 @@ object Bench {
       // so the next pass pays the same cold memo builds this one did
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)
+      graft.text.TextIndex.evictMemos(spark)
       Checkpoints.evictSessionMemos(spark)
       Checkpoints.sweepExceptRetained(spark.sparkContext)
       System.gc()

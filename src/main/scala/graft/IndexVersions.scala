@@ -27,12 +27,26 @@ object IndexVersions {
     * RETRAIN (geometry change, same corpus) copies the ledger verbatim —
     * the one operation that must NOT perturb pairing. */
   final case class Ledger(tags: Set[String], untagged: Long) {
-    def append(tag: Option[String]): Ledger =
+    def append(tag: Option[String]): Ledger = {
+      // '#' opens ledger metadata lines — a '#'-prefixed tag would be
+      // silently dropped on read (and '#untagged:...' misparsed as the
+      // counter), breaking the exactly-once guard for exactly that tag.
+      // Loud beats escaping (round-10 review finding).
+      tag.foreach(t => require(!t.startsWith("#"),
+        s"batch tag must not start with '#' (reserved for ledger metadata): $t"))
       Ledger(tags ++ tag, untagged + (if (tag.isEmpty) 1L else 0L))
+    }
   }
   object Ledger { val empty: Ledger = Ledger(Set.empty, 0L) }
 
   private val UntaggedLine = "#untagged:"
+
+  /** Reject reserved tag shapes BEFORE an append does any work (the
+    * [[Ledger.append]] require is the backstop; failing there would
+    * strand a fully-assembled staging dir on a bad tag). */
+  def requireValidTag(tag: Option[String]): Unit =
+    tag.foreach(t => require(!t.startsWith("#"),
+      s"batch tag must not start with '#' (reserved for ledger metadata): $t"))
 
   def readLedger(fs: FileSystem, dir: Path): Ledger = {
     val p = new Path(dir, TagsFile)
@@ -123,17 +137,29 @@ object IndexVersions {
     * and no committed data is disturbed). The lease turns sustained
     * dual-writer contention into quiet parking; it never replaces the
     * publish guard. */
+  /** The lease file's (holder, mtime), or None when absent — including
+    * when it VANISHES between the existence check and the read (a
+    * concurrent releaseLease; treating that as absent keeps the
+    * acquire/release paths exception-free under the one benign race the
+    * protocol allows — round-10 review finding). */
+  private def readLease(fs: FileSystem, p: Path): Option[(String, Long)] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val st = fs.getFileStatus(p)
+        val in = fs.open(p)
+        val holder =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Some((holder, st.getModificationTime))
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+
   def acquireLease(fs: FileSystem, root: Path, owner: String,
       ttlMs: Long): Boolean = {
     val p = new Path(root, LeaseFile)
-    val heldByLiveOther = fs.exists(p) && {
-      val st = fs.getFileStatus(p)
-      val in = fs.open(p)
-      val holder =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      holder != owner &&
-        System.currentTimeMillis() - st.getModificationTime < ttlMs
+    val heldByLiveOther = readLease(fs, p).exists { case (holder, mtime) =>
+      holder != owner && System.currentTimeMillis() - mtime < ttlMs
     }
     if (heldByLiveOther) false
     else {
@@ -147,13 +173,9 @@ object IndexVersions {
     * writer's lease simply expires). */
   def releaseLease(fs: FileSystem, root: Path, owner: String): Unit = {
     val p = new Path(root, LeaseFile)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val holder =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (holder == owner) fs.delete(p, false)
-    }
+    if (readLease(fs, p).exists(_._1 == owner))
+      try { fs.delete(p, false); () }
+      catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Shared VACUUM for every versioned index layout (round-9 review

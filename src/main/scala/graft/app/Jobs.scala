@@ -583,8 +583,16 @@ object IndexMaintenanceJob {
     if (batch.isEmpty) return (false, false)
     val leaseRoot = new org.apache.hadoop.fs.Path(vecIdx)
     val fs = leaseRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!graft.IndexVersions.acquireLease(fs, leaseRoot, owner, leaseTtlMs))
-      return (false, false) // parked: another live writer holds the lease
+    if (!graft.IndexVersions.acquireLease(fs, leaseRoot, owner, leaseTtlMs)) {
+      // parked: another live writer holds the lease. LOUD in the logs —
+      // a parked stream's checkpoint still advances, so an operator must
+      // be able to see the misconfiguration (round-10 review finding);
+      // the return value alone is indistinguishable from an empty batch.
+      System.err.println(s"[idxmaint] owner=$owner PARKED batch=$batchId " +
+        s"on $vecIdx — lease held by a live writer; this stream folds " +
+        "nothing while parked")
+      return (false, false)
+    }
     val tag = s"batch_$batchId"
     val dir = s"$workDir/$tag"
     batch.select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -632,28 +640,44 @@ object IndexMaintenanceJob {
     (vecDo, txtDo)
   }
 
-  /** Default writer identity (one maintenance job per process) and lease
-    * TTL — several trigger intervals, so a healthy writer never expires
-    * between heartbeats while a dead one is stolen from promptly. */
+  /** Writer identity for DIRECT applyBatch callers (one logical writer per
+    * process — tests, replay drivers). [[sink]] does NOT use this: its
+    * default owner adds a per-stream nonce, because two sinks in one JVM
+    * over the same index are exactly the dual-writer misconfiguration the
+    * lease exists to catch — a shared pid-only identity would make each
+    * stream's acquire look like the other's renewal and the lease would be
+    * silently inert (round-10 review finding). Lease TTL = several trigger
+    * intervals, so a healthy writer never expires between heartbeats while
+    * a dead one is stolen from promptly. */
   val DefaultOwner: String = s"pid-${ProcessHandle.current().pid()}"
   val DefaultLeaseTtlMs: Long = 10L * 60 * 1000
+
+  /** A fresh per-stream writer identity (evaluated once per [[sink]] call,
+    * shared by every batch of that stream). */
+  def streamOwner(): String =
+    s"$DefaultOwner-${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** The wire: stream of [[IndexedDoc]] → per-batch index folds. */
   def sink(docs: org.apache.spark.sql.Dataset[IndexedDoc], workDir: String,
       vecIdx: String, textIdx: String, checkpoint: String,
       retainVersions: Int = 3,
       phraseIdx: Option[String] = None,
-      owner: String = DefaultOwner,
+      owner: String = null, // default: a fresh per-stream identity
       leaseTtlMs: Long = DefaultLeaseTtlMs,
-      retrainAtImbalance: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      retrainAtImbalance: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // per-STREAM owner, fixed once here and shared by every batch: a
+    // pid-only default would let two sinks in one JVM renew each other's
+    // lease and never park (round-10 review finding)
+    val ownerId = Option(owner).getOrElse(streamOwner())
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
         applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx,
-          retainVersions, phraseIdx, owner, leaseTtlMs, retrainAtImbalance); ()
+          retainVersions, phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance); ()
       }
       .start()
+  }
 }
 
 /** Streaming maintenance for the AT-REST REACH SKETCH TABLE

@@ -134,6 +134,7 @@ object TextIndex {
     * is, not a liveness strategy. */
   def append(spark: SparkSession, batchDir: String, indexPath: String,
       tag: Option[String] = None): Unit = {
+    graft.IndexVersions.requireValidTag(tag)
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(indexPath)
@@ -380,6 +381,7 @@ object TextIndex {
     * union-corpus rebuild EXACTLY (spec'd — no trained state anywhere). */
   def appendPhraseIndex(spark: SparkSession, batchDir: String,
       indexPath: String, tag: Option[String] = None): Unit = {
+    graft.IndexVersions.requireValidTag(tag)
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(indexPath)
@@ -606,6 +608,17 @@ object TextIndex {
       r.getAs[Long]("buckets").toInt)
   }
 
+  private val EpostsMemo = "textindex.eposts"
+
+  /** Evict this module's session memos — the cache-map half of a full memo
+    * eviction; MUST run beside [[graft.Checkpoints.evictSessionMemos]]
+    * (which unpersists the retained blocks): blocks gone with the map
+    * entry still present would make the next cache hit fail on a
+    * truncated-lineage checkpoint instead of rebuilding (round-10 review
+    * finding — the Dedup/Similarity evictMemos contract). */
+  def evictMemos(spark: SparkSession): Unit =
+    graft.SessionMemos.evict(spark, EpostsMemo)
+
   /** A resolved query term with its pruning inputs: document frequency,
     * partition bucket, and the persisted per-term max-impact bounds. */
   private[graft] final case class QTerm(tok: String, df: Long, tb: Int,
@@ -783,7 +796,7 @@ object TextIndex {
         // between serving generations (the bench already calls it). Size
         // is bounded by the ESSENTIAL lists, which the cost gate only
         // lets be the rare side of a skewed query.
-        val ePosts = graft.SessionMemos.getOrBuild(spark, "textindex.eposts",
+        val ePosts = graft.SessionMemos.getOrBuild(spark, EpostsMemo,
             (root, es.map(_.tok).sorted)) {
           val sc = spark.sparkContext
           val beforeCkpt = sc.getPersistentRDDs.keySet

@@ -99,6 +99,7 @@ object CellIndexBench {
         "text_append" -> time(graft.text.TextIndex.append(spark, batchDir, textIdx)))
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)
+      graft.text.TextIndex.evictMemos(spark)
       graft.Checkpoints.evictSessionMemos(spark)
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
       System.gc()

@@ -227,6 +227,7 @@ object ScaleBench {
       // cold build-then-ride shape (the Bench protocol)
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)
+      graft.text.TextIndex.evictMemos(spark)
       graft.Checkpoints.evictSessionMemos(spark)
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
       System.gc()

@@ -132,6 +132,7 @@ object CellIndex {
     * [[graft.app.IndexMaintenanceJob]] per index. */
   def append(spark: SparkSession, batchDir: String, indexPath: String,
       tag: Option[String] = None): Unit = {
+    graft.IndexVersions.requireValidTag(tag)
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(indexPath)

@@ -221,6 +221,25 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(v1.endsWith("vectors_v1") && t1.endsWith("v1"))
   }
 
+  test("reserved '#' tags are rejected before any append work; stream owners are distinct") {
+    val work = java.nio.file.Files.createTempDirectory("idxtag").toString
+    val vecIdx = s"$work/vec"
+    CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 1)
+    // '#' opens ledger metadata lines — an accepted '#' tag would be
+    // silently dropped on read and break the exactly-once guard for
+    // exactly that batch; validation fires before staging assembles
+    val e = intercept[IllegalArgumentException] {
+      CellIndex.append(spark, writeBatchDir(400000L, 5), vecIdx, Some("#bad"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors"),
+      "rejected tag must not publish a version")
+    // per-stream owner identities never collide within one process (two
+    // sinks in one JVM are the dual-writer case the lease must catch)
+    assert(graft.app.IndexMaintenanceJob.streamOwner() !=
+      graft.app.IndexMaintenanceJob.streamOwner())
+  }
+
   test("vacuum reclaims marker-less strands from a crashed mid-vacuum pass") {
     import org.apache.hadoop.fs.Path
     val work = java.nio.file.Files.createTempDirectory("idx_strand").toString
