@@ -535,6 +535,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("proximity search equals a naive all-pairs reference on random corpora") {
+    import spark.implicits._
+    // 3-symbol alphabet: both probe terms repeat densely within docs, so
+    // the banded join's exactly-once-per-pair claim is exercised across
+    // band boundaries, multi-occurrence docs, and unordered windows
+    val tokGen = Gen.oneOf("a", "b", "x")
+    val docGen = Gen.choose(0, 14).flatMap(len => Gen.listOfN(len, tokGen))
+    val corpusGen = Gen.listOfN(20, docGen)
+    (1 to 4).foreach { seed =>
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+        .zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+      val slop = 1 + (seed % 3) // 1..3 — includes the tightest window
+      val dir = java.nio.file.Files.createTempDirectory("pxprop").toString
+      corpus.map { case (id, toks) =>
+        (id, toks.mkString(" "), "en", "s", toks.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val idx = java.nio.file.Files.createTempDirectory("pxprop_idx").toString
+      text.TextIndex.writePhraseIndex(spark, dir, idx)
+      // naive reference: all (i_a, i_b) position pairs within slop
+      val expect = corpus.map { case (id, toks0) =>
+        val toks = if (toks0.isEmpty) List("") else toks0
+        val as = toks.zipWithIndex.collect { case ("a", i) => i }
+        val bs = toks.zipWithIndex.collect { case ("b", i) => i }
+        val pairs = for { ia <- as; ib <- bs
+          if math.abs(ia - ib) <= slop } yield math.abs(ia - ib)
+        id -> pairs
+      }.filter(_._2.nonEmpty).toMap
+      val got = text.TextIndex.proximitySearch(spark, idx, "a", "b", slop)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got.keySet == expect.keySet,
+        s"seed $seed slop $slop: docs ${got.keySet} vs ${expect.keySet}")
+      expect.foreach { case (id, pairs) =>
+        assert(got(id) == ((pairs.size.toLong, pairs.min.toLong)),
+          s"seed $seed slop $slop doc $id: ${got(id)} vs $pairs")
+      }
+    }
+  }
+
   test("theta estimates beyond k are identical under any partitioning (min-k determinism)") {
     import graft.functions.ThetaExpressions
     import org.apache.spark.sql.functions.col
