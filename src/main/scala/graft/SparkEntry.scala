@@ -233,6 +233,14 @@ object SparkEntry {
       Relational.thetaOverlapServed(s, d, cachedCohortTable(s, d))),
     "q151_retention_served" -> ((s: SparkSession, d: String) =>
       Relational.thetaRetentionServed(s, d, cachedCohortTable(s, d))),
+    // q152 (round 10): proximity-boosted retrieval — BOTH text artifacts
+    // composed index-resident: BM25 relevance from the posting index fused
+    // (q134's RRF conventions) with term-proximity ranking from the
+    // positional index. The signal bag-of-words scoring discards —
+    // probe terms NEAR each other — reranks the list.
+    "q152_prox_ranked"    -> ((s: SparkSession, d: String) =>
+      graft.text.TextIndex.proximityRankedSearch(s, cachedTextIndex(s, d),
+        cachedPhraseIndex(s, d))),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -2550,27 +2558,38 @@ object SparkEntry {
     "q150_overlap_served" -> thetaOverlapOracle,
     "q151_retention_served" -> thetaRetentionOracle,
 
-    // q148: proximity pairs of the two highest-df non-ubiquitous terms
-    // ((df desc, tok) — the same derivation the index's udf table
-    // serves); the Spark side answers from banded position-list joins,
-    // which must enumerate exactly these within-slop pairs.
-    "q148_proximity" ->
-      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |tok AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS i,
-        |          unnest(toks) AS tok FROM ct),
-        |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-        |       FROM tok GROUP BY tok),
-        |top2 AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rk
-        |         FROM df QUALIFY rk <= 2),
-        |pa AS (SELECT t.doc_id, t.i FROM tok t
-        |       JOIN top2 ON t.tok = top2.tok AND top2.rk = 1),
-        |pb AS (SELECT t.doc_id, t.i FROM tok t
-        |       JOIN top2 ON t.tok = top2.tok AND top2.rk = 2)
-        |SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |  CAST(MIN(ABS(pa.i - pb.i)) AS BIGINT) AS min_dist
-        |FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND ABS(pa.i - pb.i) <= 3
-        |GROUP BY pa.doc_id
-        |ORDER BY pa.doc_id""".stripMargin,
+    // q148: proximity pairs of the two highest-df terms ((df desc, tok) —
+    // the same derivation the index's udf table serves); the Spark side
+    // answers from banded position-list joins, which must enumerate
+    // exactly these within-slop pairs.
+    "q148_proximity" -> proximityOracle,
+
+    // q152: proximity-boosted retrieval — RRF fusion (q134's fixed-point
+    // conventions) of the BM25 top-50 with the proximity top-50 ranked
+    // (min_dist asc, n_pairs desc, doc_id). Both arms reuse their own
+    // oracles as subqueries.
+    "q152_prox_ranked" ->
+      s"""WITH px AS (SELECT doc_id,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY min_dist ASC, n_pairs DESC,
+         |               doc_id) AS BIGINT) AS prox_rnk
+         |      FROM ($proximityOracle) p QUALIFY prox_rnk <= 50),
+         |lx AS (SELECT doc_id, rnk AS lex_rnk FROM (${bm25Oracle(5, 50)}) t),
+         |f AS (SELECT COALESCE(px.doc_id, lx.doc_id) AS doc_id,
+         |        CAST(COALESCE(px.prox_rnk, 0) AS BIGINT) AS prox_rnk,
+         |        CAST(COALESCE(lx.lex_rnk, 0) AS BIGINT) AS lex_rnk
+         |      FROM px FULL OUTER JOIN lx ON px.doc_id = lx.doc_id),
+         |s AS (SELECT doc_id, prox_rnk, lex_rnk,
+         |        (CASE WHEN prox_rnk > 0
+         |              THEN CAST(floor(1000000.0 / (60 + prox_rnk) + 0.5) AS BIGINT)
+         |              ELSE 0 END +
+         |         CASE WHEN lex_rnk > 0
+         |              THEN CAST(floor(1000000.0 / (60 + lex_rnk) + 0.5) AS BIGINT)
+         |              ELSE 0 END) AS s6
+         |      FROM f),
+         |top AS (SELECT * FROM s ORDER BY s6 DESC, doc_id LIMIT 20)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS BIGINT) AS rnk,
+         |  doc_id, prox_rnk, lex_rnk, s6 * 1.0 / 1000000.0 AS rrf_score
+         |FROM top ORDER BY rnk""".stripMargin,
 
     // q143: per-source quality cap — q68's fixed-point score CTEs, then
     // row_number over (score desc, doc_id) capped at 20.
@@ -2646,6 +2665,27 @@ object SparkEntry {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
   )
+
+  /** q148's oracle — per-doc within-slop (slop 3) position pairs of the
+    * two highest-df terms, (df desc, tok)-derived exactly as the index's
+    * udf table derives them. Embedded as a subquery by q152's fusion. */
+  private lazy val proximityOracle: String =
+    """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS i,
+      |          unnest(toks) AS tok FROM ct),
+      |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |       FROM tok GROUP BY tok),
+      |top2 AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rk
+      |         FROM df QUALIFY rk <= 2),
+      |pa AS (SELECT t.doc_id, t.i FROM tok t
+      |       JOIN top2 ON t.tok = top2.tok AND top2.rk = 1),
+      |pb AS (SELECT t.doc_id, t.i FROM tok t
+      |       JOIN top2 ON t.tok = top2.tok AND top2.rk = 2)
+      |SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(ABS(pa.i - pb.i)) AS BIGINT) AS min_dist
+      |FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND ABS(pa.i - pb.i) <= 3
+      |GROUP BY pa.doc_id
+      |ORDER BY pa.doc_id""".stripMargin
 
   /** q142's oracle — the exact reach arms; est_ok is the in-plan
     * sketch-vs-truth audit (literal 1). Shared verbatim by q149, whose

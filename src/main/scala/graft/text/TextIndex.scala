@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -579,6 +579,54 @@ object TextIndex {
       .agg(count(lit(1)).as("n_pairs"),
         min(abs(col("ia") - col("ib"))).as("min_dist"))
       .orderBy("doc_id")
+  }
+
+  /** PROXIMITY-BOOSTED RETRIEVAL — both text artifacts composed, fully
+    * index-resident (round 10; the term-proximity ranking lever of
+    * Büttcher/Clarke/Lushman SIGIR'06, expressed as reciprocal-rank
+    * fusion): the LEXICAL arm is [[bm25Indexed]]'s top-`m` from the
+    * posting index (bag-of-words relevance), the PROXIMITY arm ranks the
+    * positional index's within-`slop` co-occurrences by (closest pair
+    * asc, pair count desc, doc_id) — documents where the probe terms
+    * appear NEAR each other outrank scattered mentions, the signal
+    * bag-of-words scoring discards. Fusion is the q134 RRF convention
+    * (fixed-point 10⁶/(k+rank) contributions, integer sort key; absent
+    * from a list = rank 0 = contributes nothing). Per-query cost: the two
+    * arms' pruned posting/position scans + a ≤2m-row fusion — the corpus
+    * is never tokenized and no scan leaves its buckets. */
+  def proximityRankedSearch(spark: SparkSession, indexPath: String,
+      phraseIndexPath: String, m: Int = 50, kRrf: Int = 60, topN: Int = 20,
+      slop: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Indexed(spark, indexPath, nq = 5, topN = m)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    // ONE phrase-index resolution pins derivation and search together
+    val pRoot = Some(phraseCurrentRoot(spark, phraseIndexPath))
+    val (ta, tb) = deriveProximityTerms(spark, phraseIndexPath, pinnedRoot = pRoot)
+    val pOrder = Seq(col("min_dist").asc, col("n_pairs").desc, col("doc_id").asc)
+    val pw = Window.partitionBy(spark_partition_id()).orderBy(pOrder: _*)
+    // top-m via TakeOrderedAndProject, then a constant-partition rank over
+    // the m survivors (the rankTopK convention — never a corpus window)
+    val prox = proximitySearch(spark, phraseIndexPath, ta, tb, slop,
+        pinnedRoot = pRoot)
+      .orderBy(pOrder: _*).limit(m)
+      .withColumn("prox_rnk", row_number().over(pw).cast("long"))
+      .select(col("doc_id"), col("prox_rnk"))
+    def contrib(rnk: Column): Column =
+      when(rnk > 0, floor(lit(1000000.0) / (lit(kRrf) + rnk) + lit(0.5))
+        .cast("long")).otherwise(lit(0L))
+    val fused = prox.join(lex, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("prox_rnk"), lit(0L)).as("prox_rnk"),
+        coalesce(col("lex_rnk"), lit(0L)).as("lex_rnk"))
+      .withColumn("s6", contrib(col("prox_rnk")) + contrib(col("lex_rnk")))
+    val order = Seq(desc("s6"), col("doc_id"))
+    val w = Window.partitionBy(spark_partition_id()).orderBy(order: _*)
+    fused.orderBy(order: _*).limit(topN)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("prox_rnk"), col("lex_rnk"),
+        (col("s6") * lit(1.0) / lit(1000000.0)).as("rrf_score"))
+      .orderBy("rnk")
   }
 
   /** The corpus scalars persisted by [[write]]/[[append]] (newest

@@ -203,7 +203,7 @@ object ScaleBench {
     if (names.exists(n => n.startsWith("q136") || n.startsWith("q138") ||
         n.startsWith("q139") || n.startsWith("q140") || n.startsWith("q147") ||
         n.startsWith("q148") || n.startsWith("q149") || n.startsWith("q150") ||
-        n.startsWith("q151")))
+        n.startsWith("q151") || n.startsWith("q152")))
       try graft.SparkEntry.warmIndexes(spark, dir)
       catch { case e: Throwable =>
         System.err.println(s"[scalebench] index warmup failed: ${e.getMessage}") }

@@ -70,6 +70,22 @@ class PlanSpec extends SparkSpec {
       s"pair match must stay a banded equi-join:\n$plan")
   }
 
+  test("q152: proximity-boosted retrieval rides both text artifacts, no corpus scan") {
+    import graft.text.TextIndex
+    val ti = java.nio.file.Files.createTempDirectory("pr_text").toString
+    val pi = java.nio.file.Files.createTempDirectory("pr_phrase").toString
+    TextIndex.write(spark, sf0001, ti)
+    TextIndex.writePhraseIndex(spark, sf0001, pi)
+    val plan = explain(TextIndex.proximityRankedSearch(spark, ti, pi))
+    assert(plan.contains("PartitionFilters:") && plan.contains("tb") &&
+      plan.contains("ub"),
+      s"both arms must prune to their buckets:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"fusion must not tokenize the corpus at query time:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"fusion must stay a keyed join:\n$plan")
+  }
+
   test("q149–q151 estimate arms serve from the at-rest sketch tables, no events scan") {
     val reachTbl = java.nio.file.Files.createTempDirectory("plan_reach").toString
     val cohortTbl = java.nio.file.Files.createTempDirectory("plan_cohort").toString
