@@ -34,26 +34,50 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexPair {
 
-  /** The newest (vectorsPath, textRoot) pair whose applied-batch ledgers
-    * are equal. Walks vector versions newest-first, text versions
-    * newest-first within each, so the pair maximizes the vector version
-    * and then the text version; throws if no committed pair agrees (two
-    * indexes from unrelated lineages — serving a mixed corpus would be
-    * silently wrong, the one thing this resolver exists to prevent). */
-  def consistentRoots(spark: SparkSession, cellIndexPath: String,
-      textIndexPath: String): (String, String) = {
-    val cells = graft.vector.CellIndex.versionsWithTags(spark, cellIndexPath).reverse
-    val texts = graft.text.TextIndex.versionsWithTags(spark, textIndexPath).reverse
+  /** The newest (aRoot, bRoot) pair of two version lists whose ledgers
+    * are equal — the generalized resolver every index PAIR shares. Walks
+    * A's versions newest-first, B's newest-first within each, so the
+    * pair maximizes A's version and then B's; throws if no committed
+    * pair agrees (two indexes from unrelated lineages — serving a mixed
+    * corpus would be silently wrong, the one thing this resolver exists
+    * to prevent). */
+  def consistentRootsOf(
+      a: Seq[(Long, String, IndexVersions.Ledger)],
+      b: Seq[(Long, String, IndexVersions.Ledger)],
+      what: String): (String, String) = {
+    val as = a.reverse
+    val bs = b.reverse
     val pair = for {
-      (_, cPath, cTags) <- cells.iterator
-      (_, tPath, tTags) <- texts.iterator
-      if cTags == tTags
-    } yield (cPath, tPath)
+      (_, aPath, aLedger) <- as.iterator
+      (_, bPath, bLedger) <- bs.iterator
+      if aLedger == bLedger
+    } yield (aPath, bPath)
     if (pair.hasNext) pair.next()
     else throw new IllegalStateException(
-      s"no consistent (vector, text) index pair: applied-tag ledgers of " +
-        s"$cellIndexPath ${cells.map(_._3)} and $textIndexPath " +
-        s"${texts.map(_._3)} never agree — were these indexes maintained " +
-        "from the same batch stream?")
+      s"no consistent $what index pair: applied-batch ledgers " +
+        s"${as.map(_._3)} and ${bs.map(_._3)} never agree — were these " +
+        "indexes maintained from the same batch stream?")
   }
+
+  /** The newest (vectorsPath, textRoot) pair whose applied-batch ledgers
+    * are equal — the hybrid-retrieval (dense + lexical) pair. */
+  def consistentRoots(spark: SparkSession, cellIndexPath: String,
+      textIndexPath: String): (String, String) =
+    consistentRootsOf(
+      graft.vector.CellIndex.versionsWithTags(spark, cellIndexPath),
+      graft.text.TextIndex.versionsWithTags(spark, textIndexPath),
+      s"(vector $cellIndexPath, text $textIndexPath)")
+
+  /** The newest (textRoot, phraseRoot) pair whose ledgers are equal —
+    * the proximity-boosted retrieval pair (round 10): q152 fuses the
+    * POSTING index with the POSITIONAL index, two separately-published
+    * artifacts with exactly the crash-between-folds window the vector/
+    * text pair has. Both layouts share the same version/commit-marker
+    * scheme, so one ledger enumeration serves both. */
+  def consistentTextRoots(spark: SparkSession, textIndexPath: String,
+      phraseIndexPath: String): (String, String) =
+    consistentRootsOf(
+      graft.text.TextIndex.versionsWithTags(spark, textIndexPath),
+      graft.text.TextIndex.versionsWithTags(spark, phraseIndexPath),
+      s"(text $textIndexPath, phrase $phraseIndexPath)")
 }

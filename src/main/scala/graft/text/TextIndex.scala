@@ -593,15 +593,29 @@ object TextIndex {
     * (fixed-point 10⁶/(k+rank) contributions, integer sort key; absent
     * from a list = rank 0 = contributes nothing). Per-query cost: the two
     * arms' pruned posting/position scans + a ≤2m-row fusion — the corpus
-    * is never tokenized and no scan leaves its buckets. */
+    * is never tokenized and no scan leaves its buckets.
+    *
+    * `consistent` resolves ONE (text, phrase) version pair with EQUAL
+    * applied-batch ledgers before either arm reads
+    * ([[graft.IndexPair.consistentTextRoots]] — the q138 rule): under
+    * live maintenance the two artifacts publish a batch as two separate
+    * renames, and independent "current" resolution can fuse arms
+    * computed over different corpus states. */
   def proximityRankedSearch(spark: SparkSession, indexPath: String,
       phraseIndexPath: String, m: Int = 50, kRrf: Int = 60, topN: Int = 20,
-      slop: Int = 3): DataFrame = {
+      slop: Int = 3, consistent: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lex = bm25Indexed(spark, indexPath, nq = 5, topN = m)
+    val (lexRoot, proxRoot) =
+      if (consistent) {
+        val (t, p) = graft.IndexPair.consistentTextRoots(spark, indexPath,
+          phraseIndexPath)
+        (Some(t), Some(p))
+      } else (None, None)
+    val lex = bm25Indexed(spark, indexPath, nq = 5, topN = m,
+        pinnedRoot = lexRoot)
       .select(col("doc_id"), col("rnk").as("lex_rnk"))
     // ONE phrase-index resolution pins derivation and search together
-    val pRoot = Some(phraseCurrentRoot(spark, phraseIndexPath))
+    val pRoot = Some(proxRoot.getOrElse(phraseCurrentRoot(spark, phraseIndexPath)))
     val (ta, tb) = deriveProximityTerms(spark, phraseIndexPath, pinnedRoot = pRoot)
     val pOrder = Seq(col("min_dist").asc, col("n_pairs").desc, col("doc_id").asc)
     val pw = Window.partitionBy(spark_partition_id()).orderBy(pOrder: _*)

@@ -271,6 +271,34 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(TextIndex.bm25Indexed(spark, textIdx).count() > 0)
   }
 
+  test("text+phrase pair resolution declines versions the other artifact hasn't folded") {
+    import graft.text.TextIndex
+    val work = java.nio.file.Files.createTempDirectory("txtpair").toString
+    val textIdx = s"$work/text"
+    val phraseIdx = s"$work/phrase"
+    TextIndex.write(spark, sf0001, textIdx)
+    TextIndex.writePhraseIndex(spark, sf0001, phraseIdx)
+    // fresh bases pair (empty ledgers)
+    val (t0, p0) = IndexPair.consistentTextRoots(spark, textIdx, phraseIdx)
+    assert(t0 == textIdx && p0 == phraseIdx)
+    // b1 folded into BOTH → (v1, v1)
+    val b1 = writeBatchDir(100000L, 15)
+    TextIndex.append(spark, b1, textIdx, Some("b1"))
+    TextIndex.appendPhraseIndex(spark, b1, phraseIdx, Some("b1"))
+    val (t1, p1) = IndexPair.consistentTextRoots(spark, textIdx, phraseIdx)
+    assert(t1.endsWith("v1") && p1.endsWith("v1"))
+    // b2 folded into TEXT ONLY (the crash-between-folds window): the
+    // consistent pair must hold at (v1, v1) — q152's fusion would
+    // otherwise score BM25 over a corpus the proximity arm can't see
+    TextIndex.append(spark, writeBatchDir(200000L, 10), textIdx, Some("b2"))
+    val (t2, p2) = IndexPair.consistentTextRoots(spark, textIdx, phraseIdx)
+    assert(t2.endsWith("v1") && p2.endsWith("v1"),
+      s"pair must hold the last synchronized state, got ($t2, $p2)")
+    // the consistent fusion runs against that pair (and returns rows)
+    assert(TextIndex.proximityRankedSearch(spark, textIdx, phraseIdx,
+      consistent = true).count() > 0)
+  }
+
   test("consistent pair resolution fails loudly on unrelated ledgers") {
     val work = java.nio.file.Files.createTempDirectory("idxpair_bad").toString
     val vecIdx = s"$work/vec"
