@@ -28,12 +28,9 @@ object IndexVersions {
     * the one operation that must NOT perturb pairing. */
   final case class Ledger(tags: Set[String], untagged: Long) {
     def append(tag: Option[String]): Ledger = {
-      // '#' opens ledger metadata lines — a '#'-prefixed tag would be
-      // silently dropped on read (and '#untagged:...' misparsed as the
-      // counter), breaking the exactly-once guard for exactly that tag.
-      // Loud beats escaping (round-10 review finding).
-      tag.foreach(t => require(!t.startsWith("#"),
-        s"batch tag must not start with '#' (reserved for ledger metadata): $t"))
+      // Reserved / malformed tag shapes fail loudly here as the backstop
+      // (loud beats escaping — round-10 review finding).
+      requireValidTag(tag)
       Ledger(tags ++ tag, untagged + (if (tag.isEmpty) 1L else 0L))
     }
   }
@@ -41,12 +38,31 @@ object IndexVersions {
 
   private val UntaggedLine = "#untagged:"
 
-  /** Reject reserved tag shapes BEFORE an append does any work (the
-    * [[Ledger.append]] require is the backstop; failing there would
-    * strand a fully-assembled staging dir on a bad tag). */
-  def requireValidTag(tag: Option[String]): Unit =
-    tag.foreach(t => require(!t.startsWith("#"),
-      s"batch tag must not start with '#' (reserved for ledger metadata): $t"))
+  /** Reject reserved/malformed tag shapes BEFORE an append does any work
+    * (the [[Ledger.append]] require is the backstop; failing there would
+    * strand a fully-assembled staging dir on a bad tag). Three shapes are
+    * rejected, each of which would silently corrupt the ledger's
+    * tag-set ⇒ corpus-state bijection (round-10 ADVICE finding):
+    *  - '#'-prefixed: '#' opens ledger metadata lines, so the tag would be
+    *    dropped on read (and could misparse as the untagged counter) —
+    *    breaking the exactly-once replay guard for exactly that tag;
+    *  - blank (`Some("")`): empty lines are filtered on read and the
+    *    untagged counter is NOT bumped (the Option is non-empty), so the
+    *    new version's ledger would be byte-identical to its
+    *    predecessor's — reopening exactly the [[graft.IndexPair]] pairing
+    *    ambiguity the untagged counter was added to close;
+    *  - containing '\n'/'\r': the ledger is line-delimited, so the tag
+    *    would split into two tags on read and never match a replay. */
+  def requireValidTag(tag: Option[String]): Unit = tag.foreach { t =>
+    require(!t.startsWith("#"),
+      s"batch tag must not start with '#' (reserved for ledger metadata): $t")
+    require(t.nonEmpty,
+      "batch tag must not be blank — a blank tag writes a ledger " +
+        "indistinguishable from its predecessor's (use tag = None for an " +
+        "untagged append, which bumps the untagged counter)")
+    require(!t.exists(c => c == '\n' || c == '\r'),
+      s"batch tag must not contain newlines (the ledger is line-delimited): ${t.replace("\n", "\\n").replace("\r", "\\r")}")
+  }
 
   def readLedger(fs: FileSystem, dir: Path): Ledger = {
     val p = new Path(dir, TagsFile)
@@ -205,10 +221,21 @@ object IndexVersions {
     * owning version is not committed is swept once older than
     * [[StagingTtlMs]] — the same TTL that keeps an IN-PROGRESS base
     * build (which writes data dirs before its marker, in place) safe
-    * from a concurrent vacuum, provided builds complete within the TTL. */
+    * from a concurrent vacuum, provided builds complete within the TTL.
+    *
+    * `relist()` re-reads the committed-version list IMMEDIATELY before
+    * the stranded sweep deletes anything (round-10 ADVICE finding): a
+    * base build or append whose assembly exceeded the TTL and COMMITTED
+    * during this vacuum would otherwise have its just-committed dirs
+    * deleted against the stale `versions` snapshot taken at entry —
+    * silent data loss resting on the "builds finish within the TTL"
+    * assumption. Re-listing narrows the TOCTOU window from
+    * [vacuum-entry, sweep] to milliseconds. Defaults to the snapshot for
+    * callers that cannot re-list. */
   def vacuum(fs: FileSystem, root: Path, versions: Seq[Long],
       versionDirs: Long => Seq[String], keepLast: Int,
-      graceMs: Long, dirOwner: String => Option[Long] = _ => None): Seq[String] = {
+      graceMs: Long, dirOwner: String => Option[Long] = _ => None,
+      relist: () => Seq[Long] = null): Seq[String] = {
     val now = System.currentTimeMillis()
     def oldEnough(p: Path): Boolean = graceMs <= 0L ||
       now - fs.getFileStatus(p).getModificationTime >= graceMs
@@ -223,10 +250,18 @@ object IndexVersions {
       .filter(_.getPath.getName.startsWith(".staging_"))
       .filter(s => now - s.getModificationTime >= StagingTtlMs)
       .map { s => fs.delete(s.getPath, true); s.getPath.toString }
-    val stranded = children
+    val strandedCandidates = children
       .filter(s => dirOwner(s.getPath.getName).exists(v => !committed.contains(v)))
       .filter(s => now - s.getModificationTime >= StagingTtlMs)
       .filter(s => fs.exists(s.getPath)) // a removed version's dirs are gone already
+    // re-list committed versions just before deleting — a build that
+    // outlived the TTL may have committed since the entry snapshot
+    val committedNow =
+      if (strandedCandidates.isEmpty) committed
+      else if (relist == null) committed
+      else relist().toSet
+    val stranded = strandedCandidates
+      .filter(s => dirOwner(s.getPath.getName).exists(v => !committedNow.contains(v)))
       .map { s => fs.delete(s.getPath, true); s.getPath.toString }
     removed ++ staleStaging ++ stranded
   }

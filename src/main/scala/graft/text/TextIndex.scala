@@ -267,7 +267,8 @@ object TextIndex {
         case n if n.startsWith("v") && n.stripPrefix("v").nonEmpty &&
           n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
         case _ => None
-      })
+      },
+      relist = () => committedVersions(spark, indexPath))
   }
 
   // ---- positional PHRASE index --------------------------------------------
@@ -462,7 +463,8 @@ object TextIndex {
         case n if n.startsWith("v") && n.stripPrefix("v").nonEmpty &&
           n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
         case _ => None
-      })
+      },
+      relist = () => committedVersions(spark, indexPath))
   }
 
   /** Batch tags folded into the current committed phrase-index version —

@@ -339,7 +339,8 @@ object CellIndex {
           n.stripPrefix("vectors_v").forall(_.isDigit) =>
           Some(n.stripPrefix("vectors_v").toLong)
         case _ => None // codebook/, pq_codebook/, lease files stay
-      })
+      },
+      relist = () => committedVersions(spark, indexPath))
   }
 
   /** The codebook-pair dirs a given vector-set version was written under:

@@ -240,6 +240,64 @@ class IndexMaintenanceSpec extends SparkSpec {
       graft.app.IndexMaintenanceJob.streamOwner())
   }
 
+  test("blank and newline tags are rejected — each would corrupt the ledger bijection") {
+    // Some("") writes a ledger byte-identical to its predecessor's (empty
+    // lines are filtered on read; the untagged counter is NOT bumped
+    // because the Option is non-empty) — reopening the IndexPair pairing
+    // ambiguity the counter closed (round-10 ADVICE finding)
+    val blank = intercept[IllegalArgumentException] {
+      IndexVersions.requireValidTag(Some(""))
+    }
+    assert(blank.getMessage.contains("blank"))
+    // a newline splits one tag into two ledger lines on read — the
+    // replayed batch's tag then never matches and replays double-fold
+    val nl = intercept[IllegalArgumentException] {
+      IndexVersions.requireValidTag(Some("b1\nb2"))
+    }
+    assert(nl.getMessage.contains("newline"))
+    intercept[IllegalArgumentException] {
+      IndexVersions.requireValidTag(Some("b1\r"))
+    }
+    // the Ledger.append backstop enforces the same shapes
+    intercept[IllegalArgumentException] {
+      IndexVersions.Ledger.empty.append(Some(""))
+    }
+    // valid tags and None still pass
+    IndexVersions.requireValidTag(Some("batch-41"))
+    IndexVersions.requireValidTag(None)
+    assert(IndexVersions.Ledger.empty.append(None).untagged == 1L)
+  }
+
+  test("vacuum re-lists committed versions before the stranded sweep — a build committing mid-vacuum survives") {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("idx_relist").toString
+    val root = new Path(work)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a version-2 data dir, aged past the staging TTL (a slow assembly)
+    fs.mkdirs(new Path(root, "v2"))
+    val old = System.currentTimeMillis() - IndexVersions.StagingTtlMs - 60000L
+    fs.setTimes(new Path(root, "v2"), old, -1)
+    val owner: String => Option[Long] = {
+      case n if n.startsWith("v") && n.stripPrefix("v").forall(_.isDigit) &&
+        n.length > 1 => Some(n.stripPrefix("v").toLong)
+      case _ => None
+    }
+    // entry snapshot says v2 is NOT committed (taken before the slow
+    // build's publish), but the re-list — the state at sweep time — says
+    // it IS: the dir must survive (round-10 ADVICE TOCTOU finding)
+    val kept = IndexVersions.vacuum(fs, root, versions = Seq.empty,
+      versionDirs = v => Seq(s"v$v"), keepLast = 1, graceMs = 0L,
+      dirOwner = owner, relist = () => Seq(2L))
+    assert(fs.exists(new Path(root, "v2")),
+      s"relist must protect a version committed mid-vacuum, removed=$kept")
+    // with the stale snapshot confirmed by the re-list, the strand goes
+    val swept = IndexVersions.vacuum(fs, root, versions = Seq.empty,
+      versionDirs = v => Seq(s"v$v"), keepLast = 1, graceMs = 0L,
+      dirOwner = owner, relist = () => Seq.empty)
+    assert(!fs.exists(new Path(root, "v2")),
+      s"a strand absent from the re-list must still be swept, removed=$swept")
+  }
+
   test("vacuum reclaims marker-less strands from a crashed mid-vacuum pass") {
     import org.apache.hadoop.fs.Path
     val work = java.nio.file.Files.createTempDirectory("idx_strand").toString

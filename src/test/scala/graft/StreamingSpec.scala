@@ -369,6 +369,57 @@ class StreamingSpec extends SparkSpec {
       s"compaction must bound file count, got ${files(reachTbl)}/${files(cohortTbl)}")
   }
 
+  test("grace-deferred compaction retires superseded files only after the grace expires") {
+    import graft.app.ReachMaintenanceJob
+    import graft.analytics.Relational
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("cm_grace").toString
+    val root = new Path(tbl)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batch(idBase: Long, day: Int, users: Seq[Long], tpe: String) =
+      users.zipWithIndex.map { case (u, i) =>
+        (idBase + i, ts(s"2024-01-0${day}T10:00:0${i % 10}Z"), u, tpe, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val grace = 3600000L
+    ReachMaintenanceJob.applyBatch(spark, batch(0L, 1, Seq(0L, 1L, 2L), "click"),
+      tbl, None, maxFiles = 1, compactGraceMs = grace)
+    ReachMaintenanceJob.applyBatch(spark, batch(100L, 2, Seq(2L, 3L), "click"),
+      tbl, None, maxFiles = 1, compactGraceMs = grace)
+    // the second append pushed the live count past maxFiles → compaction
+    // ran, but within the grace the superseded inputs must SURVIVE on
+    // disk (a reader that planned its scan before the compacted append
+    // reads them lazily — deleting them would FileNotFound it, or
+    // silently drop sketch mass under ignoreMissingFiles)
+    val sidecar = new Path(root, ReachMaintenanceJob.SupersededFile)
+    assert(fs.exists(sidecar), "compaction under grace must record superseded files")
+    def supersededNames(): Seq[String] = {
+      val in = fs.open(sidecar)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.split('\t')(1)).toSeq finally in.close()
+    }
+    val pending = supersededNames()
+    assert(pending.nonEmpty)
+    pending.foreach(n => assert(fs.exists(new Path(root, n)),
+      s"superseded file $n deleted inside its grace window"))
+    // the duplicates are invisible to served estimates (union idempotence)
+    val reach = Relational.reachFromSketches(spark, tbl).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reach("click") == 4L && reach("_all") == 4L, s"$reach")
+    // expire the grace (rewrite the sidecar's timestamps to epoch 0) —
+    // the next compaction's sweep retires the files
+    val out = fs.create(sidecar, true)
+    try out.write(pending.map(n => s"0\t$n").mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    ReachMaintenanceJob.applyBatch(spark, batch(200L, 3, Seq(4L), "click"),
+      tbl, None, maxFiles = 1, compactGraceMs = grace)
+    pending.foreach(n => assert(!fs.exists(new Path(root, n)),
+      s"expired superseded file $n must be swept"))
+    val after = Relational.reachFromSketches(spark, tbl).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("click") == 5L && after("_all") == 5L, s"$after")
+  }
+
   test("unionTopics merges heterogenous topic frames by name — O3") {
     val clicks = Seq(("e1", "user_click", "https://x.com")).toDF("event_id", "event_type", "page_url")
     val orders = Seq(("e2", "order", "ORD-1")).toDF("event_id", "event_type", "order_id")
