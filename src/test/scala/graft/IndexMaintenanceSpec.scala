@@ -102,6 +102,75 @@ class IndexMaintenanceSpec extends SparkSpec {
       .count() == 565)
   }
 
+  test("standby failover: shared-checkpoint takeover after a primary crash loses zero batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("idxfail").toString
+    val vecIdx = s"$work/vec"
+    val textIdx = s"$work/text"
+    CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 1)
+    TextIndex.write(spark, sf0001, textIdx)
+    val in = MemoryStream[IndexedDoc]
+    val ckpt = s"$work/ckpt" // SHARED — this is what "standby" means
+    val ttl = 2500L
+    val primary = IndexMaintenanceJob.sink(in.toDS(), s"$work/batches",
+      vecIdx, textIdx, ckpt, retainVersions = 2, owner = "primary",
+      leaseTtlMs = ttl)
+    val fs = new org.apache.hadoop.fs.Path(vecIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      in.addData(mkBatch(100000L, 20): _*)
+      primary.processAllAvailable()
+      in.addData(mkBatch(200000L, 15): _*)
+      primary.processAllAvailable()
+      // a healthy primary heartbeats every trigger; the folds above took
+      // longer than this test's (deliberately short) TTL, so refresh the
+      // heartbeat the way a live trigger would before asserting
+      assert(IndexVersions.acquireLease(fs,
+        new org.apache.hadoop.fs.Path(vecIdx), "primary", ttl))
+      // while the primary is ALIVE (fresh heartbeat), a standby cannot
+      // steal — it would park/poll, running no query, advancing nothing
+      assert(!IndexVersions.acquireLease(fs,
+        new org.apache.hadoop.fs.Path(vecIdx), "standby", ttl),
+        "a live primary's lease must not be stealable")
+    } finally primary.stop() // CRASH: no lease release — the file stays
+    assert(fs.exists(new org.apache.hadoop.fs.Path(vecIdx,
+      IndexVersions.LeaseFile)), "crashed primary must leave its lease")
+    // data keeps arriving while nobody folds — delayed, never lost
+    in.addData(mkBatch(300000L, 10): _*)
+    // the standby blocks in awaitLease until the heartbeat goes stale
+    // past the TTL, then starts the sink ON THE PRIMARY'S CHECKPOINT —
+    // resuming from the last committed offset with the same batch-id
+    // sequence, so the tag ledger dedups any crash-window replay
+    val t0 = System.currentTimeMillis()
+    val standby = IndexMaintenanceJob.standbySink(in.toDS(), s"$work/batches",
+      vecIdx, textIdx, ckpt, retainVersions = 2, owner = "standby",
+      leaseTtlMs = ttl, pollMs = 200L, maxWaitMs = 60000L)
+    val waited = System.currentTimeMillis() - t0
+    assert(waited >= ttl - 500L, // acquireLease re-reads mtime; small slack
+      s"standby must wait out the crashed primary's TTL, waited ${waited}ms")
+    try standby.processAllAvailable() finally standby.stop()
+    // ZERO LOST, ZERO DOUBLE: exactly the three ingested batch tags
+    assert(CellIndex.appliedTags(spark, vecIdx) ==
+      Set("batch_0", "batch_1", "batch_2"),
+      s"takeover lost or double-folded: ${CellIndex.appliedTags(spark, vecIdx)}")
+    assert(TextIndex.appliedTags(spark, textIdx) ==
+      Set("batch_0", "batch_1", "batch_2"))
+    assert(spark.read.parquet(CellIndex.currentVectorsPath(spark, vecIdx))
+      .count() == 500 + 20 + 15 + 10)
+    // maintained text index ≡ from-scratch rebuild over EVERYTHING ingested
+    val unionDir = java.nio.file.Files.createTempDirectory("idxfail_u").toString
+    Seq("batch_0", "batch_1", "batch_2")
+      .map(b => spark.read.parquet(s"$work/batches/$b/documents.parquet"))
+      .foldLeft(spark.read.parquet(s"$sf0001/documents.parquet"))(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$unionDir/documents.parquet")
+    val rebuilt = java.nio.file.Files.createTempDirectory("idxfail_rb").toString
+    TextIndex.write(spark, unionDir, rebuilt)
+    assert(TextIndex.bm25Indexed(spark, textIdx).collect().map(_.toSeq).toSeq ==
+      TextIndex.bm25Indexed(spark, rebuilt).collect().map(_.toSeq).toSeq,
+      "failover-maintained index drifted from a full rebuild")
+  }
+
   private def writeBatchDir(offset: Long, n: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory("idxpair_b").toString
     spark.read.parquet(s"$sf0001/documents.parquet").orderBy("doc_id").limit(n)
