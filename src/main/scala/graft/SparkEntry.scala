@@ -194,7 +194,8 @@ object SparkEntry {
     "q144_theta_overlap"  -> (Relational.thetaOverlap _),
     "q145_dedup_recall"   -> ((s: SparkSession, d: String) => Dedup.dedupPairRecall(s, d)),
     "q146_theta_retention" -> (Relational.thetaRetention _),
-    // q147: exact phrase search served FROM the positional bigram index;
+    // q147: exact phrase search served FROM the unigram positional index
+    // (round 11: position-chain joins — the bigram artifact is retired);
     // the probe phrase is the index's own persisted top trigram, so the
     // whole query path is index-resident (derivation + search). ONE
     // version resolution pins derivation and search to the same corpus

@@ -273,29 +273,37 @@ object TextIndex {
 
   // ---- positional PHRASE index --------------------------------------------
 
-  /** At-rest POSITIONAL BIGRAM index for exact phrase search — the
-    * capability the (tok, tf) posting layout cannot express (bag-of-words
-    * scoring discards adjacency). Rows are `(bigram, doc_id, i)` — every
-    * adjacent word pair with its start position — parquet-partitioned by a
-    * murmur3 bigram bucket (`bb=k/` dirs, the [[write]] sharding rule:
-    * fixed directory count at any vocabulary) and sorted within partitions
-    * by (bigram, doc_id, i) so row-group statistics prune inside a bucket.
-    * An m-word phrase then resolves RELATIONALLY: it occurs at (doc, i)
-    * iff bigram j of the phrase occurs at (doc, i + j) for all j — m−1
-    * equi-joins of single-bigram posting lists, each partition-pruned to
-    * its bucket; per-query IO tracks the QUERY bigrams' posting mass,
-    * never corpus mass (the classic word-bigram phrase-index trick, made
-    * exact by carrying positions). `phrases/` persists the top-k corpus
-    * trigrams (count desc, gram) so the oracle row derives its probe
-    * phrase FROM the index — no corpus pass at query time.
+  /** At-rest POSITIONAL index for exact phrase and proximity search —
+    * the capabilities the (tok, tf) posting layout cannot express
+    * (bag-of-words scoring discards adjacency and distance). The single
+    * positional artifact is `positions/`: rows `(tok, doc_id, i)` — every
+    * token occurrence with its position — parquet-partitioned by a
+    * murmur3 token bucket (`ub=k/` dirs, the [[write]] sharding rule:
+    * fixed directory count at any vocabulary) and sorted within
+    * partitions by (tok, doc_id, i) so row-group statistics prune inside
+    * a bucket. An m-word phrase then resolves RELATIONALLY: it occurs at
+    * (doc, p) iff token j of the phrase occurs at (doc, p + j) for all
+    * j — an m-way position-chain equi-join of single-token position
+    * lists, each partition-pruned to its bucket; per-query IO tracks the
+    * QUERY tokens' position-list mass, never corpus mass. The same rows
+    * answer proximity/slop queries ([[proximitySearch]]) — ONE artifact
+    * serves both, which is why round 11 DROPPED the round-9 `bigrams/`
+    * table (a second positional encoding of the same corpus: phrase
+    * search via bigram chains read it, proximity could not — carrying
+    * both roughly doubled positional storage and build cost for no
+    * capability the unigram rows lack).
+    *
+    * `phrases/` persists the corpus trigram counts so the oracle row
+    * derives its probe phrase FROM the index — no corpus pass at query
+    * time. It is the FULL vocabulary-sized trigram-count table
+    * (bucket-partitioned like `dfreq`), not a top-k — counts merge by
+    * keyed sum under append, which a truncated top-k cannot. `udf/`
+    * serves the proximity probe derivation the same way.
     *
     * Positions are doc-local, so [[appendPhraseIndex]] extends the
     * [[append]] carry-forward protocol verbatim — and with the same
     * EXACT equivalence: no trained state, so append-then-query equals a
-    * union-corpus rebuild (spec'd). `phrases/` is therefore the FULL
-    * vocabulary-sized trigram-count table (bucket-partitioned like
-    * `dfreq`), not a top-k — counts merge by keyed sum under append,
-    * which a truncated top-k cannot. Stats is written LAST — its
+    * union-corpus rebuild (spec'd). Stats is written LAST — its
     * _SUCCESS is the commit marker; appends publish `v<N>` dirs resolved
     * by the shared [[committedVersions]] rule. */
   def writePhraseIndex(spark: SparkSession, dir: String, indexPath: String,
@@ -304,34 +312,25 @@ object TextIndex {
     val before = sc.getPersistentRDDs.keySet
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .localCheckpoint() // one tokenize feeds bigram + trigram passes
+      .localCheckpoint() // one tokenize feeds position + trigram passes
     writePhraseArtifacts(spark, toks, indexPath, buckets, nDocsBase = 0L)
     graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
   }
 
-  /** The five phrase-index artifacts for one corpus slice, written under
-    * `root`: positional bigram postings, UNIGRAM positional postings
-    * (round 10 — the proximity/slop capability the bigram rows cannot
-    * express: adjacency is baked into a bigram, "A within k of B" needs
-    * per-token positions), the mergeable trigram-count and unigram-df
-    * tables, and stats (LAST — the commit marker). Shared by build and
-    * append.
+  /** The four phrase-index artifacts for one corpus slice, written under
+    * `root`: UNIGRAM positional postings (the one positional encoding —
+    * phrase chains and proximity bands both resolve from it), the
+    * mergeable trigram-count and unigram-df tables, and stats (LAST —
+    * the commit marker). Shared by build and append.
     *
-    * LAYOUT COMPATIBILITY (the dfreq rule): `positions/`+`udf/` joined
-    * the format in round 10 — a phrase index built before that must be
-    * REBUILT, not appended; proximity queries and append both read the
-    * new artifacts and fail loudly (path-not-found) on the old layout. */
+    * LAYOUT COMPATIBILITY (the dfreq rule): round 11 DROPPED the
+    * `bigrams/` artifact ([[phraseSearch]] now chains `positions/`) — a
+    * phrase index built before round 11 must be REBUILT, not appended:
+    * its stranded `bigrams/` dir would never be carried forward nor
+    * vacuumed under the new layout. */
   private def writePhraseArtifacts(spark: SparkSession,
       toks: DataFrame, root: String, buckets: Int, nDocsBase: Long): Unit = {
     graft.functions.TextExpressions.register(spark)
-    toks.select(col("doc_id"), posexplode(
-        graft.functions.TextExpressions.word_ngrams(col("toks"), 2, distinct = false)))
-      .toDF("doc_id", "i", "bigram")
-      .withColumn("bb", pmod(hash(col("bigram")), lit(buckets)))
-      .repartition(col("bb"))
-      .sortWithinPartitions("bigram", "doc_id", "i")
-      .write.mode("overwrite").partitionBy("bb")
-      .parquet(s"$root/bigrams")
     val uni = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "tok")))
     uni
       .withColumn("ub", pmod(hash(col("tok")), lit(buckets)))
@@ -373,10 +372,11 @@ object TextIndex {
   }
 
   /** INCREMENTAL phrase-index maintenance — [[append]]'s protocol on the
-    * positional artifact: bigram bucket files carry forward BYTE-FOR-BYTE
-    * (positions are doc-local — a new doc never changes an old doc's
-    * rows), the batch's bigrams land as new files in their buckets, the
-    * vocabulary-sized trigram table merges by keyed sum, n_docs adds.
+    * positional artifact: position bucket files carry forward
+    * BYTE-FOR-BYTE (positions are doc-local — a new doc never changes an
+    * old doc's rows), the batch's positions land as new files in their
+    * buckets, the vocabulary-sized trigram table merges by keyed sum,
+    * n_docs adds.
     * Same staging-nonce + guarded-rename publish, same applied-tag
     * ledger, same single-live-writer model; append-then-query equals a
     * union-corpus rebuild EXACTLY (spec'd — no trained state anywhere). */
@@ -405,9 +405,9 @@ object TextIndex {
     // batch artifacts first (same writer as build), then current bucket
     // files copy in beside them and the trigram tables merge
     writePhraseArtifacts(spark, toks, staging.toString, buckets, nDocsBase = nDocs)
-    // positional artifacts carry forward byte-for-byte (doc-local rows):
-    // bigram buckets AND the round-10 unigram position buckets
-    for ((artifact, prefix) <- Seq("bigrams" -> "bb=", "positions" -> "ub="))
+    // the positional artifact carries forward byte-for-byte (doc-local
+    // rows: a new doc never changes an old doc's positions)
+    for ((artifact, prefix) <- Seq("positions" -> "ub="))
       fs.listStatus(new Path(cur, artifact)).toSeq
         .filter(_.getPath.getName.startsWith(prefix))
         .foreach { s =>
@@ -445,21 +445,23 @@ object TextIndex {
       t => fs.exists(new Path(t, "stats/_SUCCESS")))
   }
 
-  /** [[vacuumVersions]] for the phrase layout (its base triple is
-    * `bigrams/`+`phrases/`+`stats/`): drop committed versions beyond the
-    * newest `keepLast`, honor the same `graceMs` read-duration contract,
-    * sweep crashed staging assemblies. */
+  /** [[vacuumVersions]] for the phrase layout (its base quadruple is
+    * `stats/`+`phrases/`+`positions/`+`udf/`): drop committed versions
+    * beyond the newest `keepLast`, honor the same `graceMs` read-duration
+    * contract, sweep crashed staging assemblies. A pre-round-11 index's
+    * `bigrams/` dir is deliberately NOT managed — that layout must be
+    * rebuilt, not vacuumed forward. */
   def vacuumPhraseVersions(spark: SparkSession, indexPath: String,
       keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.vacuum(fs, root, committedVersions(spark, indexPath),
-      v => if (v == 0L) Seq("stats", "bigrams", "phrases", "positions", "udf")
+      v => if (v == 0L) Seq("stats", "phrases", "positions", "udf")
            else Seq(s"v$v"),
       keepLast, graceMs,
       dirOwner = {
-        case "stats" | "bigrams" | "phrases" | "positions" | "udf" => Some(0L)
+        case "stats" | "phrases" | "positions" | "udf" => Some(0L)
         case n if n.startsWith("v") && n.stripPrefix("v").nonEmpty &&
           n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
         case _ => None
@@ -488,13 +490,22 @@ object TextIndex {
     r.head.getString(0).split(" ").toSeq
   }
 
-  /** Exact phrase occurrences from the positional bigram index: per doc,
-    * occurrence count and first position of the full phrase. The phrase's
-    * m−1 bigrams each contribute ONE pruned posting list (PartitionFilters
-    * on `bb` — the bucket predicate is a foldable expression — plus
-    * row-group pruning on the sorted `bigram` column); the chain joins on
-    * (doc_id, normalized start position), so every shuffle is keyed by
-    * doc and bounded by the rarest bigram's posting mass. */
+  /** Exact phrase occurrences from the unigram positional index: per
+    * doc, occurrence count and first position of the full phrase. The
+    * phrase occurs at (doc, p) iff token j occurs at (doc, p + j) for
+    * ALL j < m — an m-way position-chain equi-join (round 11: this
+    * replaced the bigram-chain form, retiring the `bigrams/` artifact —
+    * one positional encoding now serves phrase AND proximity). Each
+    * DISTINCT phrase token contributes ONE pruned position list
+    * (PartitionFilters on `ub` — the bucket predicate is a foldable
+    * expression — plus row-group pruning on the sorted `tok` column; a
+    * repeated token's list is scanned once and re-keyed per slot); the
+    * chain joins on (doc_id, normalized start position), so every
+    * shuffle is keyed by doc. The first join already constrains the
+    * intermediate to exact occurrences of the 2-token prefix — adjacency
+    * is as selective a predicate as a bigram equality was, so
+    * per-query cost tracks the query tokens' position mass exactly as
+    * the bigram form's tracked its posting mass. */
   def phraseSearch(spark: SparkSession, indexPath: String,
       phrase: Seq[String], pinnedRoot: Option[String] = None): DataFrame = {
     require(phrase.length >= 2, "phrase search needs at least two words")
@@ -504,16 +515,19 @@ object TextIndex {
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
     val buckets = spark.read.parquet(s"$root/stats")
       .select(col("buckets")).collect().head.getLong(0).toInt
-    val posts = spark.read.parquet(s"$root/bigrams")
-    // each bigram's occurrences, re-keyed to the PHRASE start position
-    // (i − j): a full occurrence is then an m−1-way agreement on (doc, p)
-    val lists = phrase.sliding(2).zipWithIndex.map { case (bg, j) =>
-      val b = bg.mkString(" ")
-      posts
-        .filter(col("bb") === pmod(hash(lit(b)), lit(buckets))) // folds → prunes
-        .filter(col("bigram") === b)
-        .select(col("doc_id"), (col("i") - lit(j)).cast("long").as("p"))
-    }.toSeq
+    val posts = spark.read.parquet(s"$root/positions")
+    // one pruned scan per DISTINCT token, re-keyed to the PHRASE start
+    // position (i − j) per slot: a full occurrence is an m-way agreement
+    // on (doc, p)
+    val byTok = phrase.distinct.map { t =>
+      t -> posts
+        .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
+        .filter(col("tok") === t)
+        .select(col("doc_id"), col("i").cast("long").as("i"))
+    }.toMap
+    val lists = phrase.zipWithIndex.map { case (t, j) =>
+      byTok(t).select(col("doc_id"), (col("i") - lit(j)).as("p"))
+    }
     lists.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_occ"), min(col("p")).as("first_pos"))

@@ -62,7 +62,7 @@ object IndexMaintenanceBench {
       val bytes = fs.getContentSummary(path).getLength
       val versions = fs.listStatus(path).count { s =>
         val n = s.getPath.getName
-        n.startsWith("vectors") || n == "postings" || n == "bigrams" ||
+        n.startsWith("vectors") || n == "postings" || n == "positions" ||
           n.startsWith("v")
       }
       (bytes, versions)

@@ -106,18 +106,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q147: phrase search prunes every bigram list to its bucket, no corpus scan") {
+  test("q147: phrase search prunes every position list to its bucket, no corpus scan") {
     import graft.text.TextIndex
     val pi = java.nio.file.Files.createTempDirectory("phraseidx").toString
     TextIndex.writePhraseIndex(spark, sf0001, pi)
     val plan = explain(TextIndex.phraseSearch(spark, pi,
       TextIndex.topPhrase(spark, pi)))
-    assert(plan.contains("PartitionFilters:") && plan.contains("bb"),
-      s"expected bigram-bucket partition pruning:\n$plan")
-    assert(plan.contains("EqualTo(bigram") || plan.contains("In(bigram"),
-      s"expected the bigram predicate pushed to the scan:\n$plan")
+    assert(plan.contains("PartitionFilters:") && plan.contains("ub"),
+      s"expected token-bucket partition pruning:\n$plan")
+    assert(plan.contains("EqualTo(tok") || plan.contains("In(tok"),
+      s"expected the token predicate pushed to the scan:\n$plan")
     assert(!plan.contains("documents.parquet"),
       s"phrase search must not touch the corpus at query time:\n$plan")
+    assert(!plan.contains("bigrams"),
+      s"round-11 unified layout: no bigram artifact in the plan:\n$plan")
   }
 
   test("q14: global top-k plans as TakeOrderedAndProject, not a full sort") {

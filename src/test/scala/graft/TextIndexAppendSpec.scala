@@ -243,16 +243,16 @@ class TextIndexAppendSpec extends SparkSpec {
     val dir = phraseDocsDir(Seq(
       (1L, "a b c d a b c"),     // "a b c" at 0 and 4
       (2L, "x a b c y"),         // at 1
-      (3L, "a b x b c"),         // both bigrams present, never adjacent → NO match
+      (3L, "a b x b c"),         // all tokens present, chain broken → NO match
       (4L, "c b a"),             // reversed → no match
-      (5L, "a a a a")))          // self-overlapping bigrams, no "a b c"
+      (5L, "a a a a")))          // self-overlapping repeats, no "a b c"
     val idx = java.nio.file.Files.createTempDirectory("phrase_idx").toString
     TextIndex.writePhraseIndex(spark, dir, idx)
     val r = TextIndex.phraseSearch(spark, idx, Seq("a", "b", "c")).collect()
       .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
     assert(r == Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L))),
       s"got $r")
-    // 4-word phrase chains three bigram lists
+    // 4-word phrase chains four position slots
     val r4 = TextIndex.phraseSearch(spark, idx, Seq("a", "b", "c", "d")).collect()
       .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
     assert(r4 == Map(1L -> ((1L, 0L))))
@@ -320,8 +320,9 @@ class TextIndexAppendSpec extends SparkSpec {
     // the served answer still resolves
     TextIndex.appendPhraseIndex(spark, docsDirFrom(800000L), idx, Some("pb2"))
     val removed = TextIndex.vacuumPhraseVersions(spark, idx, keepLast = 2)
-    assert(removed.exists(_.endsWith("bigrams")),
-      s"base triple should be vacuumed, removed: $removed")
+    assert(removed.exists(_.endsWith("positions")) &&
+      removed.exists(_.endsWith("phrases")),
+      s"base artifact set should be vacuumed, removed: $removed")
     assert(TextIndex.phraseCurrentRoot(spark, idx).endsWith("v2"))
     assert(TextIndex.phraseSearch(spark, idx, phrase).collect().nonEmpty)
   }
