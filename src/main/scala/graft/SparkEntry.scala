@@ -242,6 +242,21 @@ object SparkEntry {
     "q152_prox_ranked"    -> ((s: SparkSession, d: String) =>
       graft.text.TextIndex.proximityRankedSearch(s, cachedTextIndex(s, d),
         cachedPhraseIndex(s, d))),
+    // q153 (round 11): m-term proximity — "all of {t₁,t₂,t₃} within a
+    // window" via the banded intersection with an anchor term (the q148
+    // one-band-match trick composed to m lists). Probe = the THREE
+    // highest-df terms (worst case by construction), derived from the
+    // index's udf table; hottest term anchors (the one list the ±1 band
+    // emission does not triple). ONE version resolution pins derivation
+    // and search together.
+    "q153_prox_multi"     -> ((s: SparkSession, d: String) => {
+      val idx = cachedPhraseIndex(s, d)
+      val root = Some(graft.text.TextIndex.phraseCurrentRoot(s, idx))
+      val ts = graft.text.TextIndex.deriveProximityTermsN(s, idx, 3,
+        pinnedRoot = root)
+      graft.text.TextIndex.proximitySearchAll(s, idx, ts.reverse, slop = 3,
+        pinnedRoot = root)
+    }),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -2564,6 +2579,33 @@ object SparkEntry {
     // answers from banded position-list joins, which must enumerate
     // exactly these within-slop pairs.
     "q148_proximity" -> proximityOracle,
+
+    // q153: m-term proximity — every (one-occurrence-per-term) triple of
+    // the three highest-df terms with span ≤ 3; the Spark side's
+    // anchor-banded intersection must enumerate exactly these triples.
+    "q153_prox_multi" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS i,
+        |          unnest(toks) AS tok FROM ct),
+        |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY tok),
+        |top3 AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rk
+        |         FROM df QUALIFY rk <= 3),
+        |pa AS (SELECT t.doc_id, t.i FROM tok t
+        |       JOIN top3 ON t.tok = top3.tok AND top3.rk = 1),
+        |pb AS (SELECT t.doc_id, t.i FROM tok t
+        |       JOIN top3 ON t.tok = top3.tok AND top3.rk = 2),
+        |pc AS (SELECT t.doc_id, t.i FROM tok t
+        |       JOIN top3 ON t.tok = top3.tok AND top3.rk = 3)
+        |SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tuples,
+        |  CAST(MIN(GREATEST(pa.i, pb.i, pc.i) - LEAST(pa.i, pb.i, pc.i))
+        |    AS BIGINT) AS min_span
+        |FROM pa
+        |JOIN pb ON pa.doc_id = pb.doc_id
+        |JOIN pc ON pa.doc_id = pc.doc_id
+        |WHERE GREATEST(pa.i, pb.i, pc.i) - LEAST(pa.i, pb.i, pc.i) <= 3
+        |GROUP BY pa.doc_id
+        |ORDER BY pa.doc_id""".stripMargin,
 
     // q152: proximity-boosted retrieval — RRF fusion (q134's fixed-point
     // conventions) of the BM25 top-50 with the proximity top-50 ranked

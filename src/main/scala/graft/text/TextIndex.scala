@@ -543,34 +543,63 @@ object TextIndex {
     * every fixture SF). */
   def deriveProximityTerms(spark: SparkSession, indexPath: String,
       pinnedRoot: Option[String] = None): (String, String) = {
+    val ts = deriveProximityTermsN(spark, indexPath, 2, pinnedRoot)
+    (ts(0), ts(1))
+  }
+
+  /** The q153 generalization of [[deriveProximityTerms]]: the `n`
+    * HIGHEST-df terms ((df desc, tok)-ordered) from the index's udf
+    * table — a vocabulary-sized scan, never a corpus pass, and the
+    * worst-case probe set by construction (the hottest terms carry the
+    * largest position lists). */
+  def deriveProximityTermsN(spark: SparkSession, indexPath: String,
+      n: Int, pinnedRoot: Option[String] = None): Seq[String] = {
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
     val ts = spark.read.parquet(s"$root/udf")
-      .orderBy(desc("df"), col("tok")).limit(2)
-      .select("tok").collect().map(_.getString(0))
-    require(ts.length == 2,
-      s"proximity derivation needs two distinct terms in $root/udf")
-    (ts(0), ts(1))
+      .orderBy(desc("df"), col("tok")).limit(n)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    require(ts.length == n,
+      s"proximity derivation needs $n distinct terms in $root/udf")
+    ts
   }
 
   /** PROXIMITY (slop) SEARCH from the unigram positional postings — the
     * standard IR capability next to exact phrase (round 10; q147's
     * documented residual): per doc, the ordered position pairs where
     * `tokA` occurs within `slop` tokens of `tokB` (|i_a − i_b| ≤ slop,
-    * unordered window), with the closest distance. Each term contributes
-    * ONE pruned posting list (PartitionFilters on `ub` — the bucket
-    * predicate folds — plus row-group pruning on the sorted `tok`
-    * column); the pair match is a BAND equi-join, not a per-doc cross
-    * product: positions band at width `slop+1`, side A emits its band
-    * ±1, side B its band alone — two positions within slop always land
-    * in adjacent-or-equal bands, and each qualifying pair matches in
-    * EXACTLY ONE emitted band (the band of i_b), so no post-join dedup
-    * is needed. Shuffle mass is ≤3× the two terms' posting mass keyed by
-    * (doc, band) — never corpus mass, and never the tf_A×tf_B blowup a
-    * plain doc-keyed join risks on a term-dense doc. */
+    * unordered window), with the closest distance. The m = 2 instance of
+    * [[proximitySearchAll]]'s banded intersection (tokB is the anchor) —
+    * see there for the geometry and boundedness argument. */
   def proximitySearch(spark: SparkSession, indexPath: String,
       tokA: String, tokB: String, slop: Int = 3,
+      pinnedRoot: Option[String] = None): DataFrame =
+    proximitySearchAll(spark, indexPath, Seq(tokA, tokB), slop, pinnedRoot)
+      .select(col("doc_id"), col("n_tuples").as("n_pairs"),
+        col("min_span").as("min_dist"))
+
+  /** M-TERM PROXIMITY SEARCH (round 11 — the q148 banded intersection
+    * generalized: "all of {t₁…tₘ} within a window of `slop`"): per doc,
+    * the number of position tuples (one occurrence per term) whose span
+    * max(i)−min(i) ≤ slop, with the tightest span. The one-band-match
+    * trick COMPOSES to m lists by making one term the ANCHOR: bands have
+    * width w = slop+1, the anchor emits its own band only, every other
+    * term emits its band ±1. A qualifying tuple spans ≤ slop < w, so
+    * every non-anchor position lies within one band of the anchor's —
+    * the tuple matches at EXACTLY the anchor's band (the anchor emits
+    * one band, so no tuple can match twice and no post-join dedup is
+    * needed — the m=2 geometry argument verbatim). Shuffle mass is
+    * ≤ (3(m−1)+1)× the terms' position mass keyed by (doc, band) —
+    * never corpus mass, and never the ∏tf blowup a doc-keyed m-way join
+    * risks on term-dense docs. The HOTTEST term should be the anchor
+    * (last in `toks`): it is the one list not tripled by the ±1
+    * emission. Anchor choice never changes the answer — only which band
+    * each tuple matches in. */
+  def proximitySearchAll(spark: SparkSession, indexPath: String,
+      toks: Seq[String], slop: Int = 3,
       pinnedRoot: Option[String] = None): DataFrame = {
-    require(tokA != tokB, "proximity search needs two distinct terms")
+    require(toks.length >= 2, "proximity search needs at least two terms")
+    require(toks.distinct.length == toks.length,
+      s"proximity terms must be distinct: $toks")
     require(slop >= 1, "slop must be at least 1")
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
     val buckets = spark.read.parquet(s"$root/stats")
@@ -581,19 +610,22 @@ object TextIndex {
       .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
       .filter(col("tok") === t)
       .select(col("doc_id"), col("i").cast("long").as("i"))
-    val a = listOf(tokA)
-      .select(col("doc_id"), col("i").as("ia"),
+    val m = toks.length
+    val iCols = (0 until m).map(j => col(s"i$j"))
+    val anchor = listOf(toks.last)
+      .select(col("doc_id"), col("i").as(s"i${m - 1}"),
+        (col("i") / w).cast("long").as("band"))
+    val others = toks.init.zipWithIndex.map { case (t, j) =>
+      listOf(t).select(col("doc_id"), col("i").as(s"i$j"),
         explode(array((col("i") / w).cast("long") - 1,
           (col("i") / w).cast("long"),
           (col("i") / w).cast("long") + 1)).as("band"))
-    val b = listOf(tokB)
-      .select(col("doc_id"), col("i").as("ib"),
-        (col("i") / w).cast("long").as("band"))
-    a.join(b, Seq("doc_id", "band"))
-      .filter(abs(col("ia") - col("ib")) <= slop)
+    }
+    val span = greatest(iCols: _*) - least(iCols: _*)
+    (others :+ anchor).reduce((a, b) => a.join(b, Seq("doc_id", "band")))
+      .filter(span <= slop)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_pairs"),
-        min(abs(col("ia") - col("ib"))).as("min_dist"))
+      .agg(count(lit(1)).as("n_tuples"), min(span).as("min_span"))
       .orderBy("doc_id")
   }
 

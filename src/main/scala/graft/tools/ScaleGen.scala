@@ -200,10 +200,8 @@ object ScaleBench {
     // amortizes this out of medians, a single-pass tier must not time a
     // one-off build inside whichever query touches the cache first; build
     // costs are CellIndexBench's index_build/text_index_build rows)
-    if (names.exists(n => n.startsWith("q136") || n.startsWith("q138") ||
-        n.startsWith("q139") || n.startsWith("q140") || n.startsWith("q147") ||
-        n.startsWith("q148") || n.startsWith("q149") || n.startsWith("q150") ||
-        n.startsWith("q151") || n.startsWith("q152")))
+    if (names.exists(n => Seq("q136", "q138", "q139", "q140", "q147",
+        "q148", "q149", "q150", "q151", "q152", "q153").exists(n.startsWith)))
       try graft.SparkEntry.warmIndexes(spark, dir)
       catch { case e: Throwable =>
         System.err.println(s"[scalebench] index warmup failed: ${e.getMessage}") }

@@ -70,6 +70,22 @@ class PlanSpec extends SparkSpec {
       s"pair match must stay a banded equi-join:\n$plan")
   }
 
+  test("q153: m-term proximity prunes every position list to its bucket, no corpus scan") {
+    import graft.text.TextIndex
+    val pi = java.nio.file.Files.createTempDirectory("prox3idx").toString
+    TextIndex.writePhraseIndex(spark, sf0001, pi)
+    val ts = TextIndex.deriveProximityTermsN(spark, pi, 3)
+    val plan = explain(TextIndex.proximitySearchAll(spark, pi, ts.reverse))
+    assert(plan.contains("PartitionFilters:") && plan.contains("ub"),
+      s"expected unigram-bucket partition pruning:\n$plan")
+    assert(plan.contains("EqualTo(tok") || plan.contains("In(tok"),
+      s"expected the term predicates pushed to the scan:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"m-term proximity must not touch the corpus at query time:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the m-way intersection must stay a banded equi-join:\n$plan")
+  }
+
   test("q152: proximity-boosted retrieval rides both text artifacts, no corpus scan") {
     import graft.text.TextIndex
     val ti = java.nio.file.Files.createTempDirectory("pr_text").toString

@@ -284,6 +284,37 @@ class TextIndexAppendSpec extends SparkSpec {
       4L -> ((3L, 1L)), 6L -> ((1L, 2L))), s"slop 3: ${got(3)}")
   }
 
+  test("m-term proximity: anchor-banded intersection counts window-straddling triples exactly once") {
+    // slop 3 → band width 4: docs chosen so qualifying triples sit inside
+    // one band, straddle adjacent bands, and repeat within one doc
+    val dir = phraseDocsDir(Seq(
+      (1L, "a b c"),             // span 2, one band → 1 triple
+      (2L, "x x a b c"),         // a@2 b@3 (band 0), c@4 (band 1) → straddle
+      (3L, "a b x x c"),         // span 4 > slop: all present, no window
+      (4L, "a b c a"),           // a@{0,3}: (0,1,2) span 2 + (3,1,2) span 2
+      (5L, "a b"),               // missing c → absent
+      (6L, "c x b x a"),         // reversed order, span 4 > 3 → absent
+      (7L, "c b x a")))          // unordered window: span 3 → 1 triple
+    val idx = java.nio.file.Files.createTempDirectory("prox3_idx").toString
+    TextIndex.writePhraseIndex(spark, dir, idx)
+    def got(toks: Seq[String], slop: Int) =
+      TextIndex.proximitySearchAll(spark, idx, toks, slop)
+        .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val r = got(Seq("a", "b", "c"), 3)
+    assert(r == Map(1L -> ((1L, 2L)), 2L -> ((1L, 2L)), 4L -> ((2L, 2L)),
+      7L -> ((1L, 3L))), s"slop 3: $r")
+    // anchor choice is a perf knob, never a semantics knob
+    assert(got(Seq("c", "b", "a"), 3) == r, "answer must be anchor-independent")
+    // tightening the slop drops doc 7 (span 3) but keeps the band-straddler
+    val r2 = got(Seq("a", "b", "c"), 2)
+    assert(r2 == Map(1L -> ((1L, 2L)), 2L -> ((1L, 2L)), 4L -> ((2L, 2L))),
+      s"slop 2: $r2")
+    // m = 2 delegation: proximitySearch is the two-term instance
+    val p = TextIndex.proximitySearch(spark, idx, "a", "b", 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(p(4L) == ((2L, 1L)) && p(1L) == ((1L, 1L)), s"pairs: $p")
+  }
+
   test("phrase-index append equals a union-corpus rebuild exactly; vacuum bounds versions") {
     val idx = java.nio.file.Files.createTempDirectory("phrase_app").toString
     TextIndex.writePhraseIndex(spark, sf0001, idx)
