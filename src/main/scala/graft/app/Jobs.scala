@@ -849,8 +849,11 @@ object ReachMaintenanceJob {
     * `spark.sql.files.ignoreMissingFiles`, silently drop sketch mass —
     * wrong estimates). Instead, superseded files are recorded in the
     * [[SupersededFile]] sidecar and deleted only once `graceMs` has
-    * elapsed since they were superseded (each later compact/fileCount
-    * sweeps expired entries). Set `graceMs` above the longest reader
+    * elapsed since they were superseded (each later compact call sweeps
+    * expired entries first; a stream that stops triggering compaction
+    * leaves at most one grace-window's worth of duplicate files behind —
+    * harmless to correctness, reclaimed on the next compact). Set
+    * `graceMs` above the longest reader
     * duration — the same read-duration contract as
     * [[graft.IndexVersions.vacuum]] — and a reader at ANY point sees a
     * file set whose per-grain union equals the full table's, estimates

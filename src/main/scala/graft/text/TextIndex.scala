@@ -496,10 +496,11 @@ object TextIndex {
     * ALL j < m — an m-way position-chain equi-join (round 11: this
     * replaced the bigram-chain form, retiring the `bigrams/` artifact —
     * one positional encoding now serves phrase AND proximity). Each
-    * DISTINCT phrase token contributes ONE pruned position list
-    * (PartitionFilters on `ub` — the bucket predicate is a foldable
-    * expression — plus row-group pruning on the sorted `tok` column; a
-    * repeated token's list is scanned once and re-keyed per slot); the
+    * phrase SLOT contributes one pruned position list (PartitionFilters
+    * on `ub` — the bucket predicate is a foldable expression — plus
+    * row-group pruning on the sorted `tok` column; a repeated token
+    * pays its pruned scan once per slot — the join keys differ per
+    * slot, so the subtrees cannot share an exchange); the
     * chain joins on (doc_id, normalized start position), so every
     * shuffle is keyed by doc. The first join already constrains the
     * intermediate to exact occurrences of the 2-token prefix — adjacency
@@ -516,17 +517,13 @@ object TextIndex {
     val buckets = spark.read.parquet(s"$root/stats")
       .select(col("buckets")).collect().head.getLong(0).toInt
     val posts = spark.read.parquet(s"$root/positions")
-    // one pruned scan per DISTINCT token, re-keyed to the PHRASE start
-    // position (i − j) per slot: a full occurrence is an m-way agreement
-    // on (doc, p)
-    val byTok = phrase.distinct.map { t =>
-      t -> posts
+    // one pruned scan per slot, re-keyed to the PHRASE start position
+    // (i − j): a full occurrence is an m-way agreement on (doc, p)
+    val lists = phrase.zipWithIndex.map { case (t, j) =>
+      posts
         .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
         .filter(col("tok") === t)
-        .select(col("doc_id"), col("i").cast("long").as("i"))
-    }.toMap
-    val lists = phrase.zipWithIndex.map { case (t, j) =>
-      byTok(t).select(col("doc_id"), (col("i") - lit(j)).as("p"))
+        .select(col("doc_id"), (col("i").cast("long") - lit(j)).as("p"))
     }
     lists.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
       .groupBy("doc_id")
