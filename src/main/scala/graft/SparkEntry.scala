@@ -257,6 +257,13 @@ object SparkEntry {
       graft.text.TextIndex.proximitySearchAll(s, idx, ts.reverse, slop = 3,
         pinnedRoot = root)
     }),
+    // q154 (round 11): incremental span rewrite — the q64 snapshot-ledger
+    // pattern at gram granularity (mergeable gram ledger: min-struct
+    // canonical + summed counts; fold cost tracks batch gram mass). The
+    // batch rewrite equals FULL q141 restricted to batch docs
+    // byte-for-byte, so the oracle is q141's SQL with the batch filter.
+    "q154_incr_rewrite"   -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalSpanRewrite(s, d)),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -2527,7 +2534,21 @@ object SparkEntry {
     // order), a position is cut iff covered and never by a canonical
     // occurrence, and the kept tokens re-join into the rewritten text
     // whose md5 is the contract (byte-identical rebuild in both engines).
-    "q141_span_rewrite" ->
+    "q141_span_rewrite" -> spanRewriteOracle(""),
+    // q154: the incremental form is EXACT — merged ledger canonicality
+    // equals global canonicality — so the oracle is q141's chain with the
+    // output restricted to the batch (odd doc_id) docs.
+    "q154_incr_rewrite" -> spanRewriteOracle("WHERE ct.doc_id % 2 = 1"),
+  ) ++ oracleSqlTail
+
+  /** q141/q154's shared oracle chain — q130's positional-gram CTEs, then:
+    * canonical = globally-first (doc_id, i) occurrence per gram, a
+    * position is cut iff covered and never by a canonical occurrence, and
+    * the kept tokens re-join into the rewritten text whose md5 is the
+    * contract (byte-identical rebuild in both engines). `finalWhere`
+    * restricts the OUTPUT docs only — canonicality stays global, which is
+    * exactly the incremental ledger's semantics. */
+  private def spanRewriteOracle(finalWhere: String): String =
       s"""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |pos AS (SELECT doc_id, CAST(unnest(range(len(toks) - 4)) AS BIGINT) AS i, toks
          |        FROM ct WHERE len(toks) >= 5),
@@ -2560,8 +2581,10 @@ object SparkEntry {
          |  CAST(len(ct.toks) - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_removed,
          |  md5(COALESCE(rb.new_text, '')) AS rewritten_fp
          |FROM ct LEFT JOIN rb USING (doc_id)
-         |ORDER BY ct.doc_id""".stripMargin,
+         |$finalWhere
+         |ORDER BY ct.doc_id""".stripMargin
 
+  private lazy val oracleSqlTail: Map[String, String] = Map(
     // q142: the exact arm is the oracle; est_ok is the sketch-vs-truth
     // audit the Spark side must pass (literal 1 here — the row fails if
     // Spark's HLL estimate ever drifts past the 5% bound).

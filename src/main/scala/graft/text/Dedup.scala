@@ -900,6 +900,80 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The mergeable GRAM LEDGER underlying [[incrementalSpanRewrite]]:
+    * per gram, the globally-first occurrence (min (doc_id, i) struct —
+    * the q141 canonicality rule) and the occurrence count. Both columns
+    * are SEMIGROUP aggregates (min is associative+commutative+idempotent
+    * on equal elements; sum is associative over disjoint doc sets), so
+    * folding snapshot ledgers with [[mergeGramLedgers]] in ANY grouping
+    * equals the ledger built from the union corpus row-for-row — the
+    * append ≡ rebuild property, spec'd. At rest this table shards by
+    * gram hash (the `phrases/`/`dfreq` bucketing rule), so a fold's
+    * shuffle mass tracks BATCH gram mass and the merge is bucket-local. */
+  def gramLedgerOf(posGrams: DataFrame): DataFrame =
+    posGrams.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("i"))).as("first"),
+        count(lit(1)).as("n_occ"))
+
+  def mergeGramLedgers(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("gram")
+      .agg(min("first").as("first"), sum("n_occ").as("n_occ"))
+
+  /** Q154 — INCREMENTAL span rewrite (round 11): the q64 snapshot-ledger
+    * pattern at GRAM granularity — the sharded/incremental form of q141
+    * for a corpus that GROWS. The 1000×-tier measurement motivates it:
+    * the one-shot rewrite's gram aggregate is a corpus-mass shuffle every
+    * run (447 s at 1000× on the rehearsal box), while a growing corpus
+    * only ever needs NEW documents rewritten. Yesterday's accepted corpus
+    * publishes its [[gramLedgerOf]] table; today's batch builds its own
+    * batch-mass ledger, merges ([[mergeGramLedgers]] — per-fold cost
+    * tracks batch gram mass, the q64/q77 conversion), and rewrites ONLY
+    * the batch docs against the merged canonicality. The even/odd doc_id
+    * split stands in for ledger/batch snapshots (the q64 convention).
+    *
+    * EXACTNESS: merged canonical = min over the union corpus, and
+    * coverage is doc-local, so the batch rewrite equals the FULL q141
+    * rewrite restricted to batch docs byte-for-byte — the oracle is
+    * q141's SQL with the batch filter on the output. AS-OF SEMANTICS
+    * (the q64 convention, documented not hidden): docs rewritten in
+    * earlier folds are not revisited when later batches duplicate their
+    * text — dedup decisions are as-of ingest time. */
+  def incrementalSpanRewrite(spark: SparkSession, dir: String,
+      n: Int = 5): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint() // feeds two gram passes + batch reassembly
+    def posGrams(d: DataFrame) = d
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), n, distinct = false)))
+      .toDF("doc_id", "i", "gram")
+    val ledger = gramLedgerOf(posGrams(docs.filter(col("doc_id") % 2 === 0)))
+    val batchDocs = docs.filter(col("doc_id") % 2 === 1)
+    val batchGrams = posGrams(batchDocs)
+    val merged = mergeGramLedgers(ledger, gramLedgerOf(batchGrams))
+    val occ = batchGrams.join(merged, Seq("gram"))
+      .select(col("doc_id"), col("i"),
+        (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
+    val removed = occ
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"),
+        col("canonical"))
+      .groupBy("doc_id", "p")
+      .agg(max(when(col("canonical"), 1).otherwise(0)).as("any_canon"))
+      .filter(col("any_canon") === 0)
+      .select(col("doc_id"), col("p"))
+    val remArr = removed.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("p"))).as("rem"))
+    batchDocs.join(remArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", filter(col("toks"),
+          (_, i) => !coalesce(array_contains(col("rem"), i), lit(false)))))
+          .as("rewritten_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Q80 — train/val/test SPLIT LEAKAGE audit: assign every doc to a
     * deterministic 80/10/10 split by an md5 hash coin (reproducible across
     * runs/engines/partitionings — the q44/q63 convention), then count

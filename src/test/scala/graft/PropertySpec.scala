@@ -116,6 +116,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gram ledger merge is associative and equals the union-corpus rebuild — q154 append ≡ rebuild") {
+    import graft.text.{Dedup, TextOps}
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExpressions.register(spark)
+    def posGrams(cond: org.apache.spark.sql.Column) =
+      graft.sources.Tables.documents(spark, sf0001).filter(cond)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(
+          graft.functions.TextExpressions.word_ngrams(col("toks"), 5, distinct = false)))
+        .toDF("doc_id", "i", "gram")
+    // three disjoint snapshots (base, b1, b2) and the union
+    val parts = Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+      col("doc_id") % 3 === 2).map(c => Dedup.gramLedgerOf(posGrams(c)))
+    val rebuilt = Dedup.gramLedgerOf(posGrams(lit(true)))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    // left fold (streaming append order) == rebuild
+    assert(rows(parts.reduce(Dedup.mergeGramLedgers)) == rows(rebuilt),
+      "folded ledger must equal the union-corpus ledger row-for-row")
+    // any grouping: (base ⊕ (b1 ⊕ b2)) — min-struct and sum are semigroups
+    assert(rows(Dedup.mergeGramLedgers(parts(0),
+      Dedup.mergeGramLedgers(parts(1), parts(2)))) == rows(rebuilt),
+      "ledger merge must be associative")
+  }
+
   test("dedup is idempotent: dropDuplicates twice == once") {
     import spark.implicits._
     (1 to 5).map(i => Gen.listOfN(40, Gen.choose(1, 12))
