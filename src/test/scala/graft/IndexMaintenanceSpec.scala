@@ -118,6 +118,7 @@ class IndexMaintenanceSpec extends SparkSpec {
       leaseTtlMs = ttl)
     val fs = new org.apache.hadoop.fs.Path(vecIdx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var hbTime = 0L // when the crashed primary's heartbeat was last written
     try {
       in.addData(mkBatch(100000L, 20): _*)
       primary.processAllAvailable()
@@ -128,6 +129,7 @@ class IndexMaintenanceSpec extends SparkSpec {
       // heartbeat the way a live trigger would before asserting
       assert(IndexVersions.acquireLease(fs,
         new org.apache.hadoop.fs.Path(vecIdx), "primary", ttl))
+      hbTime = System.currentTimeMillis()
       // while the primary is ALIVE (fresh heartbeat), a standby cannot
       // steal — it would park/poll, running no query, advancing nothing
       assert(!IndexVersions.acquireLease(fs,
@@ -142,13 +144,16 @@ class IndexMaintenanceSpec extends SparkSpec {
     // past the TTL, then starts the sink ON THE PRIMARY'S CHECKPOINT —
     // resuming from the last committed offset with the same batch-id
     // sequence, so the tag ledger dedups any crash-window replay
-    val t0 = System.currentTimeMillis()
     val standby = IndexMaintenanceJob.standbySink(in.toDS(), s"$work/batches",
       vecIdx, textIdx, ckpt, retainVersions = 2, owner = "standby",
       leaseTtlMs = ttl, pollMs = 200L, maxWaitMs = 60000L)
-    val waited = System.currentTimeMillis() - t0
-    assert(waited >= ttl - 500L, // acquireLease re-reads mtime; small slack
-      s"standby must wait out the crashed primary's TTL, waited ${waited}ms")
+    // measured from the HEARTBEAT, not the standby's start (stop() and
+    // batch-building time are not the standby's to spend): the steal can
+    // only have happened once the heartbeat aged past the TTL — 1 s
+    // slack for filesystem mtime granularity
+    val waited = System.currentTimeMillis() - hbTime
+    assert(waited >= ttl - 1000L,
+      s"standby must wait out the crashed primary's TTL, heartbeat age ${waited}ms")
     try standby.processAllAvailable() finally standby.stop()
     // ZERO LOST, ZERO DOUBLE: exactly the three ingested batch tags
     assert(CellIndex.appliedTags(spark, vecIdx) ==
