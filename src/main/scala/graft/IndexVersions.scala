@@ -185,6 +185,38 @@ object IndexVersions {
     }
   }
 
+  /** Run `body` with a BACKGROUND HEARTBEAT renewing this owner's lease
+    * every ttlMs/3 (round-11 review finding): the per-batch-start
+    * heartbeat alone goes stale during any single operation longer than
+    * the TTL — a fold plus an advisor-triggered retrain easily is — and
+    * a standby would then steal from a LIVE primary and start a second
+    * streaming query against the shared checkpoint. The heartbeat
+    * thread is a daemon holding no locks: a crashed or killed JVM stops
+    * heartbeating and the lease expires normally. The remaining steal
+    * window is a stop-the-world pause longer than the TTL — inherent to
+    * every lease protocol; the guarded-rename publish remains the
+    * artifact-correctness backstop if it ever happens. Renewal failures
+    * are swallowed (transient FS errors must not kill the fold); the
+    * next tick retries. */
+  def withHeartbeat[T](fs: FileSystem, root: Path, owner: String,
+      ttlMs: Long)(body: => T): T = {
+    val interval = math.max(ttlMs / 3, 100L)
+    @volatile var stop = false
+    val t = new Thread(() => {
+      while (!stop) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => () }
+        if (!stop) {
+          try { acquireLease(fs, root, owner, ttlMs); () }
+          catch { case _: Throwable => () }
+        }
+      }
+    }, s"graft-lease-heartbeat-$owner")
+    t.setDaemon(true)
+    t.start()
+    try body finally { stop = true; t.interrupt(); t.join(2000) }
+  }
+
   /** Drop the lease if this owner holds it (clean shutdown — a crashed
     * writer's lease simply expires). */
   def releaseLease(fs: FileSystem, root: Path, owner: String): Unit = {

@@ -2712,8 +2712,9 @@ object SparkEntry {
 
     // q147: positional trigram occurrences of the corpus's rank-1 trigram
     // ((count desc, gram) — the same derivation the index persists); the
-    // Spark side answers from the bigram index's m−1 position-joined
-    // posting lists, which must enumerate exactly these occurrences.
+    // Spark side answers from the unigram positional index's m-way
+    // position-chain join (round 11 — the bigram artifact is retired),
+    // which must enumerate exactly these occurrences.
     "q147_phrase_search" ->
       s"""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |pos3 AS (SELECT doc_id, CAST(unnest(range(len(toks) - 2)) AS BIGINT) AS i, toks

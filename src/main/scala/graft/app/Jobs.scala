@@ -597,6 +597,11 @@ object IndexMaintenanceJob {
         "nothing while parked")
       return (false, false)
     }
+    // the fold (and any advisor-triggered retrain inside it) can run
+    // longer than the TTL — heartbeat in the background for its whole
+    // duration, else a standby steals from a LIVE primary and starts a
+    // second query on the shared checkpoint (round-11 review finding)
+    graft.IndexVersions.withHeartbeat(fs, leaseRoot, owner, leaseTtlMs) {
     val tag = s"batch_$batchId"
     val dir = s"$workDir/$tag"
     batch.select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -642,6 +647,7 @@ object IndexMaintenanceJob {
       }
     }
     (vecDo, txtDo)
+    } // withHeartbeat
   }
 
   /** Writer identity for DIRECT applyBatch callers (one logical writer per
@@ -714,7 +720,17 @@ object IndexMaintenanceJob {
     * requirement the primary's own crash-restart already imposes.
     * Failover time is bounded by `leaseTtlMs` + one poll interval;
     * during that window batches queue unprocessed at the source — they
-    * are delayed, never lost. */
+    * are delayed, never lost.
+    *
+    * The primary heartbeats CONTINUOUSLY while folding
+    * ([[graft.IndexVersions.withHeartbeat]] — a fold or retrain longer
+    * than the TTL must not read as death), so a steal means the
+    * primary's JVM is gone or paused stop-the-world past the TTL. The
+    * pause case is the residual window every lease protocol carries:
+    * if a paused primary later resumes mid-batch, its next publish
+    * loses LOUDLY to the guarded rename (artifact correctness holds);
+    * size the TTL above worst-case GC pauses, not above fold
+    * durations. */
   def standbySink(docs: org.apache.spark.sql.Dataset[IndexedDoc],
       workDir: String, vecIdx: String, textIdx: String, checkpoint: String,
       retainVersions: Int = 3,
@@ -860,8 +876,10 @@ object ReachMaintenanceJob {
     * identical throughout. `graceMs = 0` (the default, used by specs
     * under the harshest schedule) deletes immediately and restores the
     * reader caveat. Superseded-but-undeleted files hold only duplicate
-    * mass (the previous compact's output file is never superseded), so
-    * they are excluded from later compact inputs and file-count triggers.
+    * mass — every retirement's content rides the compacted file appended
+    * in the same call (a later compact may itself supersede an earlier
+    * compact's output; the invariant holds transitively) — so they are
+    * excluded from later compact inputs and file-count triggers.
     *
     * Caller must be the table's single writer (the foreachBatch
     * serialization this job already assumes): a concurrent APPEND between

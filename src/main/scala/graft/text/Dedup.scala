@@ -870,11 +870,28 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         graft.functions.TextExpressions.word_ngrams(col("toks"), n, distinct = false)))
       .toDF("doc_id", "i", "gram")
-    val gramInfo = posGrams.groupBy("gram")
-      .agg(min(struct(col("doc_id"), col("i"))).as("first"))
-    val occ = posGrams.join(gramInfo, Seq("gram"))
+    // the single-snapshot degenerate case of the q154 ledger: one corpus,
+    // one ledger, canonicality against it (one rewrite definition — the
+    // round-11 review's anti-drift rule)
+    val occ = posGrams.join(gramLedgerOf(posGrams), Seq("gram"))
       .select(col("doc_id"), col("i"),
         (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
+    rewriteAgainstCanonical(docs, occ, n)
+  }
+
+  /** The shared q141/q154 rewrite tail: given docs (doc_id, toks) and
+    * canonicality-flagged gram occurrences (doc_id, i, canonical), cut
+    * every position covered ONLY by non-canonical occurrences and emit
+    * (doc_id, n_tokens, n_removed, rewritten_fp). ONE definition — the
+    * one-shot and incremental forms must rewrite identically or q141 and
+    * q154 drift apart silently. Reassembly WITHOUT a corpus-mass token
+    * shuffle: cut positions fold to one doc-keyed array (bounded by doc
+    * length, mass = dup coverage only), then a single join against docs
+    * and an index-aware array filter rebuild each document in place —
+    * the token explode + regroup alternative would shuffle every
+    * (doc, p, tok) row in the corpus. */
+  private def rewriteAgainstCanonical(docs: DataFrame, occ: DataFrame,
+      n: Int): DataFrame = {
     // a position is cut iff covered and NO covering occurrence is canonical
     val removed = occ
       .select(col("doc_id"),
@@ -884,11 +901,6 @@ object Dedup {
       .agg(max(when(col("canonical"), 1).otherwise(0)).as("any_canon"))
       .filter(col("any_canon") === 0)
       .select(col("doc_id"), col("p"))
-    // reassembly WITHOUT a corpus-mass token shuffle: cut positions fold
-    // to one doc-keyed array (bounded by doc length, mass = dup coverage
-    // only), then a single join against docs and an index-aware array
-    // filter rebuild each document in place — the token explode + regroup
-    // alternative would shuffle every (doc, p, tok) row in the corpus
     val remArr = removed.groupBy("doc_id")
       .agg(sort_array(collect_list(col("p"))).as("rem"))
     docs.join(remArr, Seq("doc_id"), "left")
@@ -955,23 +967,7 @@ object Dedup {
     val occ = batchGrams.join(merged, Seq("gram"))
       .select(col("doc_id"), col("i"),
         (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
-    val removed = occ
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"),
-        col("canonical"))
-      .groupBy("doc_id", "p")
-      .agg(max(when(col("canonical"), 1).otherwise(0)).as("any_canon"))
-      .filter(col("any_canon") === 0)
-      .select(col("doc_id"), col("p"))
-    val remArr = removed.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("p"))).as("rem"))
-    batchDocs.join(remArr, Seq("doc_id"), "left")
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
-        md5(concat_ws(" ", filter(col("toks"),
-          (_, i) => !coalesce(array_contains(col("rem"), i), lit(false)))))
-          .as("rewritten_fp"))
-      .orderBy("doc_id")
+    rewriteAgainstCanonical(batchDocs, occ, n)
   }
 
   /** Q80 — train/val/test SPLIT LEAKAGE audit: assign every doc to a

@@ -390,6 +390,13 @@ object TextIndex {
     val versions = committedVersions(spark, indexPath)
     require(versions.nonEmpty, s"append needs an existing phrase index at $indexPath")
     val cur = versionRoot(indexPath, versions.max)
+    // enforce the round-11 layout contract LOUDLY: a pre-round-11 index
+    // still carrying bigrams/ must be rebuilt, not appended — appending
+    // would succeed silently while stranding the bigram buckets forever
+    // (vacuum no longer manages them) (round-11 review finding)
+    require(!fs.exists(new Path(cur, "bigrams")),
+      s"$cur carries the retired bigrams/ artifact (pre-round-11 layout) — " +
+        "rebuild this phrase index with writePhraseIndex instead of appending")
     val next = versions.max + 1
     val target = new Path(root, s"v$next")
     val staging = new Path(root,
@@ -619,7 +626,11 @@ object TextIndex {
           (col("i") / w).cast("long") + 1)).as("band"))
     }
     val span = greatest(iCols: _*) - least(iCols: _*)
-    (others :+ anchor).reduce((a, b) => a.join(b, Seq("doc_id", "band")))
+    // anchor joins FIRST: its single band per occurrence is the most
+    // selective input, so every intermediate is constrained by it —
+    // joining tripled lists against each other first would inflate
+    // intermediates ~3× for the identical result (round-11 review)
+    (anchor +: others).reduce((a, b) => a.join(b, Seq("doc_id", "band")))
       .filter(span <= slop)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tuples"), min(span).as("min_span"))

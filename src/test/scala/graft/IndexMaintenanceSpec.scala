@@ -342,6 +342,44 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(IndexVersions.Ledger.empty.append(None).untagged == 1L)
   }
 
+  test("lease heartbeat keeps a slow fold's lease fresh — no steal from a live primary") {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("lease_hb").toString
+    val root = new Path(work)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ttl = 800L
+    assert(IndexVersions.acquireLease(fs, root, "primary", ttl))
+    // a "fold" 2.5× the TTL: without the background heartbeat the
+    // initial write would be long stale and the standby would steal
+    // from a LIVE primary (round-11 review finding)
+    val held = IndexVersions.withHeartbeat(fs, root, "primary", ttl) {
+      Thread.sleep((ttl * 2.5).toLong)
+      !IndexVersions.acquireLease(fs, root, "standby", ttl)
+    }
+    assert(held, "standby stole the lease from a live, heartbeating primary")
+    // heartbeating stopped with the body — expiry then works normally
+    Thread.sleep(ttl + 600L)
+    assert(IndexVersions.acquireLease(fs, root, "standby", ttl),
+      "a dead primary's lease must still expire once heartbeats stop")
+  }
+
+  test("appendPhraseIndex refuses a pre-round-11 layout still carrying bigrams/") {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("legacy_phrase").toString
+    val idx = s"$work/phrase"
+    TextIndex.writePhraseIndex(spark, sf0001, idx)
+    val fs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a round-10 index: the retired artifact sits beside the rest
+    fs.mkdirs(new Path(idx, "bigrams"))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.appendPhraseIndex(spark, writeBatchDir(100000L, 5), idx, Some("b1"))
+    }
+    assert(e.getMessage.contains("rebuild"),
+      s"append on the legacy layout must fail loudly, got: ${e.getMessage}")
+    // nothing published, the base still serves
+    assert(TextIndex.phraseCurrentRoot(spark, idx) == idx)
+  }
+
   test("vacuum re-lists committed versions before the stranded sweep — a build committing mid-vacuum survives") {
     import org.apache.hadoop.fs.Path
     val work = java.nio.file.Files.createTempDirectory("idx_relist").toString
