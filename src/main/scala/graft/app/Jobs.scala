@@ -803,6 +803,39 @@ object ReachMaintenanceJob {
     * but read cost degrades with stream age. */
   val DefaultMaxFiles = 64
 
+  /** Writer identity for compaction's lease (round 11): APPENDS are safe
+    * under any number of writers — duplicate sketch rows vanish into the
+    * union semilattice — but a concurrent COMPACT could retire another
+    * compact's input files (real data loss, the one non-idempotent step
+    * in this job). So compaction, and only compaction, is lease-guarded:
+    * a writer that cannot acquire the table's lease SKIPS compacting
+    * (loudly) and keeps appending — correctness never depends on the
+    * lease, only the file-count bound does, and the lease holder's next
+    * batch compacts for everyone. */
+  val DefaultOwner: String = s"pid-${ProcessHandle.current().pid()}"
+  val DefaultLeaseTtlMs: Long = 10L * 60 * 1000
+
+  /** A fresh per-stream writer identity (the IndexMaintenanceJob rule:
+    * two sinks in one JVM must not renew each other's lease). */
+  def streamOwner(): String =
+    s"$DefaultOwner-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Compact `tablePath` iff this owner holds (or can take) the table's
+    * writer lease; otherwise skip loudly — see [[DefaultOwner]]. */
+  private def compactIfLeased(spark: SparkSession, tablePath: String,
+      grain: Seq[String],
+      unionAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      graceMs: Long, owner: String, leaseTtlMs: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.IndexVersions.acquireLease(fs, root, owner, leaseTtlMs))
+      compact(spark, tablePath, grain, unionAgg, graceMs)
+    else
+      System.err.println(s"[reachmaint] owner=$owner SKIPPED compaction of " +
+        s"$tablePath — lease held by a live writer; appends remain correct " +
+        "by idempotence, the holder's next batch compacts")
+  }
+
   /** Sidecar naming part files whose content a compacted row already
     * carries, with the epoch-ms each was superseded at (line format
     * `<ms>\t<name>`). Underscore-prefixed — invisible to parquet scans. */
@@ -881,10 +914,13 @@ object ReachMaintenanceJob {
     * compact's output; the invariant holds transitively) — so they are
     * excluded from later compact inputs and file-count triggers.
     *
-    * Caller must be the table's single writer (the foreachBatch
-    * serialization this job already assumes): a concurrent APPEND between
-    * steps 1 and 3 is safe (its files are not in the retirement list),
-    * but a concurrent COMPACT could retire the other's input files.
+    * Caller must be the table's single COMPACTOR: a concurrent APPEND
+    * between steps 1 and 3 is safe (its files are not in the retirement
+    * list — and duplicate appends are idempotent anyway), but a
+    * concurrent COMPACT could retire the other's input files. The job's
+    * entry points enforce this with the writer lease
+    * ([[compactIfLeased]], round 11) — call [[compact]] directly only
+    * when you already are the single writer.
     * Bounds the table at (grain cardinality) rows; the compacted write is
     * coalesced to ONE file (grain cardinality is small by design), so the
     * live file count drops below any `maxFiles >= 2` threshold regardless
@@ -941,7 +977,9 @@ object ReachMaintenanceJob {
   def applyBatch(spark: SparkSession, batch: DataFrame, tablePath: String,
       cohortTablePath: Option[String] = None,
       maxFiles: Int = DefaultMaxFiles,
-      compactGraceMs: Long = 0L): Unit = {
+      compactGraceMs: Long = 0L,
+      owner: String = DefaultOwner,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.ThetaExpressions
     if (batch.isEmpty) return
@@ -955,8 +993,8 @@ object ReachMaintenanceJob {
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .write.mode("append").parquet(tablePath)
     if (fileCount(tablePath) > maxFiles)
-      compact(spark, tablePath, Seq("event_type", "day"), hll_union_agg,
-        compactGraceMs)
+      compactIfLeased(spark, tablePath, Seq("event_type", "day"),
+        hll_union_agg, compactGraceMs, owner, leaseTtlMs)
     cohortTablePath.foreach { ct =>
       ThetaExpressions.register(spark)
       val tAgg = ThetaExpressions.theta_sketch_agg _
@@ -973,8 +1011,8 @@ object ReachMaintenanceJob {
         .select(lit("period").as("family"), col("cohort"), col("day"), col("sk"))
       byType.unionByName(byPeriod).write.mode("append").parquet(ct)
       if (fileCount(ct) > maxFiles)
-        compact(spark, ct, Seq("family", "cohort", "day"),
-          ThetaExpressions.theta_union_agg, compactGraceMs)
+        compactIfLeased(spark, ct, Seq("family", "cohort", "day"),
+          ThetaExpressions.theta_union_agg, compactGraceMs, owner, leaseTtlMs)
     }
   }
 
@@ -1000,7 +1038,9 @@ object ReachMaintenanceJob {
     * same grace contract. */
   def hourlySink(reach: DataFrame, tablePath: String, checkpoint: String,
       maxFiles: Int = DefaultMaxFiles,
-      compactGraceMs: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+      compactGraceMs: Long = 0L,
+      owner: String = null): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ownerId = Option(owner).getOrElse(streamOwner())
     reach.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -1014,26 +1054,30 @@ object ReachMaintenanceJob {
           val root = new org.apache.hadoop.fs.Path(tablePath)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (liveParts(fs, root).size > maxFiles)
-            compact(spark, tablePath,
+            compactIfLeased(spark, tablePath,
               Seq("window_start", "window_end", "event_type"),
-              hll_union_agg, compactGraceMs)
+              hll_union_agg, compactGraceMs, ownerId, DefaultLeaseTtlMs)
         }
         ()
       }
       .start()
+  }
 
   /** The wire: event stream → per-batch sketch-table appends (HLL reach
     * always; theta cohorts when a second table path is given). */
   def sink(events: DataFrame, tablePath: String, checkpoint: String,
       cohortTablePath: Option[String] = None,
       maxFiles: Int = DefaultMaxFiles,
-      compactGraceMs: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery =
+      compactGraceMs: Long = 0L,
+      owner: String = null): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ownerId = Option(owner).getOrElse(streamOwner())
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, _: Long) =>
         applyBatch(b.sparkSession, b, tablePath, cohortTablePath, maxFiles,
-          compactGraceMs); ()
+          compactGraceMs, ownerId); ()
       }
       .start()
+  }
 }

@@ -415,6 +415,47 @@ class StreamingSpec extends SparkSpec {
       "compaction must collapse cumulative window versions to one row per grain")
   }
 
+  test("sketch-table compaction is lease-guarded: a second writer appends safely, never compacts") {
+    import graft.app.ReachMaintenanceJob
+    import graft.analytics.Relational
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val tbl = java.nio.file.Files.createTempDirectory("cm_lease").toString
+    val root = new Path(tbl)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batch(idBase: Long, day: Int, users: Seq[Long]) =
+      users.zipWithIndex.map { case (u, i) =>
+        (idBase + i, ts(s"2024-01-0${day}T10:00:0${i % 10}Z"), u, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def files() = fs.listStatus(root).count(_.getPath.getName.startsWith("part-"))
+    def reach() = Relational.reachFromSketches(spark, tbl).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // writer A: second batch triggers compaction, which ACQUIRES the lease
+    ReachMaintenanceJob.applyBatch(spark, batch(0L, 1, Seq(0L, 1L)), tbl,
+      None, maxFiles = 1, owner = "A")
+    ReachMaintenanceJob.applyBatch(spark, batch(100L, 2, Seq(2L)), tbl,
+      None, maxFiles = 1, owner = "A")
+    assert(fs.exists(new Path(root, IndexVersions.LeaseFile)),
+      "compaction must take the writer lease")
+    assert(files() == 1, "A's compaction must have run")
+    // writer B (dual-writer misconfiguration): appends land — duplicate
+    // sketch mass is invisible by idempotence — but compaction SKIPS
+    // while A's lease is live; B must never retire files it did not list
+    ReachMaintenanceJob.applyBatch(spark, batch(200L, 3, Seq(3L, 4L)), tbl,
+      None, maxFiles = 1, owner = "B")
+    assert(files() == 2, s"B must append but not compact, got ${files()} files")
+    assert(reach() == Map("click" -> 5L, "_all" -> 5L), s"${reach()}")
+    // A's next batch compacts for everyone
+    ReachMaintenanceJob.applyBatch(spark, batch(300L, 4, Seq(5L)), tbl,
+      None, maxFiles = 1, owner = "A")
+    assert(files() == 1, "the lease holder's next batch compacts")
+    assert(reach() == Map("click" -> 6L, "_all" -> 6L), s"${reach()}")
+    val rows = spark.read.parquet(tbl)
+    assert(rows.count() ==
+      rows.select("event_type", "day").distinct().count(),
+      "compaction must leave one row per grain")
+  }
+
   test("grace-deferred compaction retires superseded files only after the grace expires") {
     import graft.app.ReachMaintenanceJob
     import graft.analytics.Relational
