@@ -185,6 +185,36 @@ object IndexVersions {
     }
   }
 
+  /** Writer identity for DIRECT single-caller use (one logical writer
+    * per process — tests, replay drivers, backfills). Streaming sinks
+    * must NOT share it across instances: use [[streamOwner]] (per-stream
+    * nonce — two sinks in one JVM must not renew each other's lease) or
+    * a checkpoint-derived stable identity ([[checkpointOwner]] — a
+    * restarted stream renews its own lease instead of self-contending
+    * with its dead incarnation for a TTL). One definition for every
+    * lease-guarded job (round-11 review: the trio had duplicated). */
+  val DefaultOwner: String = s"pid-${ProcessHandle.current().pid()}"
+  val DefaultLeaseTtlMs: Long = 10L * 60 * 1000
+
+  /** A fresh per-stream writer identity (evaluated once per sink start).
+    * Right when distinct instances over one resource must contend (the
+    * index-maintenance primary/standby model — both share a checkpoint,
+    * so a checkpoint identity would let a standby impersonate the
+    * primary). */
+  def streamOwner(): String =
+    s"$DefaultOwner-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** A STABLE writer identity derived from the stream's checkpoint path.
+    * Spark forbids two concurrent queries on one checkpoint, so this is
+    * unique per live sink — and stable across restarts, which makes a
+    * redeployed stream's first acquire a RENEWAL instead of a TTL-long
+    * self-contention with its dead incarnation's lease (round-11 review
+    * finding). Right when there is no standby model over the resource. */
+  def checkpointOwner(checkpoint: String): String =
+    "ckpt-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
   /** Run `body` with a BACKGROUND HEARTBEAT renewing this owner's lease
     * every ttlMs/3 (round-11 review finding): the per-batch-start
     * heartbeat alone goes stale during any single operation longer than

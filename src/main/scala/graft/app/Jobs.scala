@@ -658,14 +658,16 @@ object IndexMaintenanceJob {
     * stream's acquire look like the other's renewal and the lease would be
     * silently inert (round-10 review finding). Lease TTL = several trigger
     * intervals, so a healthy writer never expires between heartbeats while
-    * a dead one is stolen from promptly. */
-  val DefaultOwner: String = s"pid-${ProcessHandle.current().pid()}"
-  val DefaultLeaseTtlMs: Long = 10L * 60 * 1000
+    * a dead one is stolen from promptly. (Definitions live with the lease
+    * protocol in [[graft.IndexVersions]] — round-11 review.) */
+  val DefaultOwner: String = graft.IndexVersions.DefaultOwner
+  val DefaultLeaseTtlMs: Long = graft.IndexVersions.DefaultLeaseTtlMs
 
   /** A fresh per-stream writer identity (evaluated once per [[sink]] call,
-    * shared by every batch of that stream). */
-  def streamOwner(): String =
-    s"$DefaultOwner-${java.util.UUID.randomUUID().toString.take(8)}"
+    * shared by every batch of that stream). NOT checkpoint-derived: the
+    * standby shares the primary's checkpoint by design, and a checkpoint
+    * identity would let it impersonate the primary's renewals. */
+  def streamOwner(): String = graft.IndexVersions.streamOwner()
 
   /** Block until this owner holds the writer lease at the vector-index
     * root, polling every `pollMs` (renewals return immediately; a held
@@ -758,7 +760,7 @@ object IndexMaintenanceJob {
     // pid-only default would let two sinks in one JVM renew each other's
     // lease and never park (round-10 review finding)
     val ownerId = Option(owner).getOrElse(streamOwner())
-    docs.writeStream
+    val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
@@ -766,6 +768,31 @@ object IndexMaintenanceJob {
           retainVersions, phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance); ()
       }
       .start()
+    // release the lease on IN-JVM termination (clean stop OR in-stream
+    // failure): the writer is provably gone, so a standby — or this
+    // stream's own redeploy, which mints a fresh owner — takes over at
+    // its next poll instead of waiting out the TTL (round-11 review
+    // finding: restart self-contention). A true JVM death runs no
+    // listener and keeps the designed TTL failover window.
+    val spark = docs.sparkSession
+    val queryId = q.id
+    val leaseRoot = new org.apache.hadoop.fs.Path(vecIdx)
+    val fs = leaseRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == queryId) {
+            try graft.IndexVersions.releaseLease(fs, leaseRoot, ownerId)
+            catch { case _: Throwable => () } // lease expiry is the fallback
+            finally spark.streams.removeListener(this)
+          }
+      })
+    q
   }
 }
 
@@ -806,22 +833,35 @@ object ReachMaintenanceJob {
   /** Writer identity for compaction's lease (round 11): APPENDS are safe
     * under any number of writers — duplicate sketch rows vanish into the
     * union semilattice — but a concurrent COMPACT could retire another
-    * compact's input files (real data loss, the one non-idempotent step
-    * in this job). So compaction, and only compaction, is lease-guarded:
-    * a writer that cannot acquire the table's lease SKIPS compacting
-    * (loudly) and keeps appending — correctness never depends on the
-    * lease, only the file-count bound does, and the lease holder's next
-    * batch compacts for everyone. */
-  val DefaultOwner: String = s"pid-${ProcessHandle.current().pid()}"
-  val DefaultLeaseTtlMs: Long = 10L * 60 * 1000
-
-  /** A fresh per-stream writer identity (the IndexMaintenanceJob rule:
-    * two sinks in one JVM must not renew each other's lease). */
-  def streamOwner(): String =
-    s"$DefaultOwner-${java.util.UUID.randomUUID().toString.take(8)}"
+    * compact's input files and clobber the `_superseded` sidecar (real
+    * data loss, the one non-idempotent step in this job). So compaction,
+    * and only compaction, is lease-guarded: a writer that cannot acquire
+    * the table's lease SKIPS compacting (loudly) and keeps appending —
+    * correctness never depends on the lease, only the file-count bound
+    * does, and the lease holder's next batch compacts for everyone.
+    * DIRECT [[applyBatch]] callers default to the per-process identity —
+    * one logical writer per process, the documented contract; concurrent
+    * direct callers in one JVM must pass distinct owners.
+    * (Identity definitions live in [[graft.IndexVersions]].) */
+  val DefaultOwner: String = graft.IndexVersions.DefaultOwner
+  val DefaultLeaseTtlMs: Long = graft.IndexVersions.DefaultLeaseTtlMs
 
   /** Compact `tablePath` iff this owner holds (or can take) the table's
-    * writer lease; otherwise skip loudly — see [[DefaultOwner]]. */
+    * writer lease, HEARTBEATING for the compact's whole duration (a
+    * 100 TB-scale compact can outlive the TTL — the applyBatch fold
+    * lesson); otherwise skip loudly — see [[DefaultOwner]].
+    *
+    * RESIDUAL WINDOW, stated honestly: the lease is heartbeat-mtime
+    * coordination, not CAS — two writers racing the SAME expired lease
+    * within one read-write window can both believe they won, and unlike
+    * the index publish path there is no guarded-rename backstop behind
+    * compaction. The heartbeat closes the long-compact case; the
+    * simultaneous-steal case needs both writers' acquires inside one
+    * millisecond-scale window after a ≥TTL silence — deployments that
+    * cannot tolerate even that run compaction in one dedicated job
+    * (appends need no lease at all). `graceMs > 0` additionally means a
+    * lost race strands duplicate files rather than deleting files a
+    * concurrent plan still reads. */
   private def compactIfLeased(spark: SparkSession, tablePath: String,
       grain: Seq[String],
       unionAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
@@ -829,7 +869,9 @@ object ReachMaintenanceJob {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (graft.IndexVersions.acquireLease(fs, root, owner, leaseTtlMs))
-      compact(spark, tablePath, grain, unionAgg, graceMs)
+      graft.IndexVersions.withHeartbeat(fs, root, owner, leaseTtlMs) {
+        compact(spark, tablePath, grain, unionAgg, graceMs)
+      }
     else
       System.err.println(s"[reachmaint] owner=$owner SKIPPED compaction of " +
         s"$tablePath — lease held by a live writer; appends remain correct " +
@@ -1039,8 +1081,15 @@ object ReachMaintenanceJob {
   def hourlySink(reach: DataFrame, tablePath: String, checkpoint: String,
       maxFiles: Int = DefaultMaxFiles,
       compactGraceMs: Long = 0L,
-      owner: String = null): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ownerId = Option(owner).getOrElse(streamOwner())
+      owner: String = null,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): org.apache.spark.sql.streaming.StreamingQuery = {
+    // checkpoint-derived STABLE identity: Spark forbids two concurrent
+    // queries on one checkpoint, so this is unique per live sink and a
+    // RESTART renews its own lease instead of self-contending with its
+    // dead incarnation for a TTL (round-11 review finding; there is no
+    // standby model over sketch tables, so stability is safe here)
+    val ownerId = Option(owner).getOrElse(
+      graft.IndexVersions.checkpointOwner(checkpoint))
     reach.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -1056,7 +1105,7 @@ object ReachMaintenanceJob {
           if (liveParts(fs, root).size > maxFiles)
             compactIfLeased(spark, tablePath,
               Seq("window_start", "window_end", "event_type"),
-              hll_union_agg, compactGraceMs, ownerId, DefaultLeaseTtlMs)
+              hll_union_agg, compactGraceMs, ownerId, leaseTtlMs)
         }
         ()
       }
@@ -1069,14 +1118,17 @@ object ReachMaintenanceJob {
       cohortTablePath: Option[String] = None,
       maxFiles: Int = DefaultMaxFiles,
       compactGraceMs: Long = 0L,
-      owner: String = null): org.apache.spark.sql.streaming.StreamingQuery = {
-    val ownerId = Option(owner).getOrElse(streamOwner())
+      owner: String = null,
+      leaseTtlMs: Long = DefaultLeaseTtlMs): org.apache.spark.sql.streaming.StreamingQuery = {
+    // checkpoint-derived stable identity — see [[hourlySink]]
+    val ownerId = Option(owner).getOrElse(
+      graft.IndexVersions.checkpointOwner(checkpoint))
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, _: Long) =>
         applyBatch(b.sparkSession, b, tablePath, cohortTablePath, maxFiles,
-          compactGraceMs, ownerId); ()
+          compactGraceMs, ownerId, leaseTtlMs); ()
       }
       .start()
   }

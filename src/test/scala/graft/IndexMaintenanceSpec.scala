@@ -135,9 +135,23 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(!IndexVersions.acquireLease(fs,
         new org.apache.hadoop.fs.Path(vecIdx), "standby", ttl),
         "a live primary's lease must not be stealable")
-    } finally primary.stop() // CRASH: no lease release — the file stays
-    assert(fs.exists(new org.apache.hadoop.fs.Path(vecIdx,
-      IndexVersions.LeaseFile)), "crashed primary must leave its lease")
+    } finally primary.stop()
+    // IN-JVM termination releases the lease via the sink's listener
+    // (round 11): a clean redeploy or in-stream failure hands over at
+    // the next poll instead of waiting out the TTL. Listener fires
+    // asynchronously — poll briefly.
+    val leasePath = new org.apache.hadoop.fs.Path(vecIdx, IndexVersions.LeaseFile)
+    val deadline = System.currentTimeMillis() + 10000
+    while (fs.exists(leasePath) && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(!fs.exists(leasePath),
+      "in-JVM termination must release the lease (clean-stop fast failover)")
+    // now simulate the HARD crash (JVM death runs no listener): re-plant
+    // the dead primary's lease with a fresh heartbeat — the standby must
+    // wait out the TTL for THIS takeover
+    assert(IndexVersions.acquireLease(fs,
+      new org.apache.hadoop.fs.Path(vecIdx), "primary", ttl))
+    hbTime = System.currentTimeMillis()
     // data keeps arriving while nobody folds — delayed, never lost
     in.addData(mkBatch(300000L, 10): _*)
     // the standby blocks in awaitLease until the heartbeat goes stale

@@ -454,6 +454,13 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count() ==
       rows.select("event_type", "day").distinct().count(),
       "compaction must leave one row per grain")
+    // the streaming sinks derive a STABLE owner from the checkpoint, so
+    // a restarted sink renews its own lease instead of self-contending
+    // with its dead incarnation for a TTL
+    assert(IndexVersions.checkpointOwner("/ck/a") ==
+      IndexVersions.checkpointOwner("/ck/a"))
+    assert(IndexVersions.checkpointOwner("/ck/a") !=
+      IndexVersions.checkpointOwner("/ck/b"))
   }
 
   test("grace-deferred compaction retires superseded files only after the grace expires") {
