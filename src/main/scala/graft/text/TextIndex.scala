@@ -524,14 +524,36 @@ object TextIndex {
     val buckets = spark.read.parquet(s"$root/stats")
       .select(col("buckets")).collect().head.getLong(0).toInt
     val posts = spark.read.parquet(s"$root/positions")
+    // RAREST-FIRST chain order (round 11): slots re-key to the same
+    // phrase-start p, so join order never changes the answer — but it
+    // bounds the intermediates. The udf table (vocabulary-sized,
+    // bucket-pruned — one tiny lookup per distinct token) supplies each
+    // token's corpus occurrence count; joining the two rarest slots
+    // first makes the first intermediate ≤ the rarest pair's agreement
+    // instead of the hottest's. On all-hot probes (the fixture's top
+    // trigram) this is a no-op; on real mixed hot/rare phrases it is
+    // the classic selectivity ordering.
+    val occOf: Map[String, Long] = {
+      val want = phrase.distinct
+      // one job: the ub disjuncts are foldable, so they constant-fold to
+      // an IN-list the scan prunes on; ≤ m rows come back
+      val pruned = spark.read.parquet(s"$root/udf")
+        .filter(want.map(t => col("ub") === pmod(hash(lit(t)), lit(buckets))).reduce(_ || _))
+        .filter(col("tok").isin(want: _*))
+        .select(col("tok"), col("n_occ")).collect()
+      val found = pruned.map(r => r.getString(0) -> r.getLong(1)).toMap
+      want.map(t => t -> found.getOrElse(t, 0L)).toMap
+    }
     // one pruned scan per slot, re-keyed to the PHRASE start position
     // (i − j): a full occurrence is an m-way agreement on (doc, p)
-    val lists = phrase.zipWithIndex.map { case (t, j) =>
-      posts
-        .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
-        .filter(col("tok") === t)
-        .select(col("doc_id"), (col("i").cast("long") - lit(j)).as("p"))
-    }
+    val lists = phrase.zipWithIndex
+      .sortBy { case (t, _) => (occOf(t), t) }
+      .map { case (t, j) =>
+        posts
+          .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
+          .filter(col("tok") === t)
+          .select(col("doc_id"), (col("i").cast("long") - lit(j)).as("p"))
+      }
     lists.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_occ"), min(col("p")).as("first_pos"))
