@@ -101,8 +101,22 @@ object IndexVersions {
     * UNCOMMITTED leftover (a crashed earlier rename target) is replaced.
     * The rename result is checked — a false return (possible on HDFS) must
     * not be reported as success. */
+  /** No-op fence for publishes outside any lease (direct builds, tests,
+    * single-writer backfills — the documented default operating model). */
+  val NoFence: () => Unit = () => ()
+
   def publish(fs: FileSystem, staging: Path, target: Path,
-      committed: Path => Boolean): Unit = {
+      committed: Path => Boolean, fence: () => Unit = NoFence): Unit = {
+    // FENCING CHECK (round 11): a lease-holding caller passes a fence
+    // bound to its acquisition epoch ([[checkFence]]); a writer whose
+    // lease was stolen mid-assembly — the stop-the-world-pause-past-TTL
+    // residual every heartbeat lease carries — fails HERE, before the
+    // rename, instead of racing the new holder for the version number.
+    // The staging dir is dropped on a fenced attempt: a demoted writer's
+    // assembly must not linger for the TTL sweep to misread.
+    try fence() catch {
+      case e: Throwable => fs.delete(staging, true); throw e
+    }
     if (fs.exists(target)) {
       if (committed(target)) {
         fs.delete(staging, true)
@@ -152,37 +166,110 @@ object IndexVersions {
     * correctness backstop (the loser of THAT race still throws loudly
     * and no committed data is disturbed). The lease turns sustained
     * dual-writer contention into quiet parking; it never replaces the
-    * publish guard. */
-  /** The lease file's (holder, mtime), or None when absent — including
-    * when it VANISHES between the existence check and the read (a
-    * concurrent releaseLease; treating that as absent keeps the
+    * publish guard.
+    *
+    * FENCING EPOCHS (round 11): each ACQUIRE — fresh, steal, or a
+    * holder's own per-batch re-acquire — bumps a counter stored in the
+    * lease file; background HEARTBEATS ([[heartbeat]]) renew the mtime
+    * only while the file still carries the renewer's exact
+    * (owner, epoch) and never bump. The pair is a fencing token: a
+    * mutation guarded by [[checkFence]] (threaded into [[publish]] as
+    * its `fence`) fails loudly once ANY later acquisition exists —
+    * including a steal from a writer paused stop-the-world past the TTL,
+    * the residual window a heartbeat lease otherwise leaves to the
+    * publish guard alone, and a same-owner successor incarnation (each
+    * batch fences against its OWN acquisition, not its identity). The
+    * check-to-rename window is milliseconds instead of a fold; the
+    * guarded rename stays the backstop inside it. [[releaseLease]]
+    * deletes the file, resetting the counter — sound under EQUALITY
+    * fencing because release only runs at writer termination: a token
+    * colliding with a post-release re-acquire would need the same owner
+    * string, and every identity scheme here ([[DefaultOwner]] pid,
+    * [[streamOwner]] nonce, [[checkpointOwner]] + Spark's one-query-per-
+    * checkpoint rule) makes same-owner = same logical writer. */
+  /** The lease file's (holder, epoch, mtime), or None when absent —
+    * including when it VANISHES between the existence check and the read
+    * (a concurrent releaseLease; treating that as absent keeps the
     * acquire/release paths exception-free under the one benign race the
-    * protocol allows — round-10 review finding). */
-  private def readLease(fs: FileSystem, p: Path): Option[(String, Long)] =
+    * protocol allows — round-10 review finding). Legacy single-line
+    * files (pre-epoch) read as epoch 0. */
+  private def readLease(fs: FileSystem, p: Path): Option[(String, Long, Long)] =
     try {
       if (!fs.exists(p)) None
       else {
         val st = fs.getFileStatus(p)
         val in = fs.open(p)
-        val holder =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
           finally in.close()
-        Some((holder, st.getModificationTime))
+        val holder = lines.headOption.getOrElse("").trim
+        val epoch = lines.drop(1).headOption
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).getOrElse(0L)
+        Some((holder, epoch, st.getModificationTime))
       }
     } catch { case _: java.io.FileNotFoundException => None }
 
-  def acquireLease(fs: FileSystem, root: Path, owner: String,
-      ttlMs: Long): Boolean = {
+  private def writeLease(fs: FileSystem, p: Path, owner: String,
+      epoch: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s"$owner\n$epoch".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Acquire (or re-acquire) the writer lease, returning the FENCING
+    * TOKEN — this acquisition's epoch — or None while a live other
+    * holds it. Every successful call bumps the epoch: the token names
+    * one acquisition, not one owner, so a holder's own next batch
+    * invalidates tokens its previous batch minted (each batch fences
+    * its own publishes with its own acquire). */
+  def acquireLeaseEpoch(fs: FileSystem, root: Path, owner: String,
+      ttlMs: Long): Option[Long] = {
     val p = new Path(root, LeaseFile)
-    val heldByLiveOther = readLease(fs, p).exists { case (holder, mtime) =>
-      holder != owner && System.currentTimeMillis() - mtime < ttlMs
+    readLease(fs, p) match {
+      case Some((holder, _, mtime))
+          if holder != owner && System.currentTimeMillis() - mtime < ttlMs =>
+        None
+      case Some((_, epoch, _)) =>
+        writeLease(fs, p, owner, epoch + 1); Some(epoch + 1)
+      case None =>
+        writeLease(fs, p, owner, 1L); Some(1L)
     }
-    if (heldByLiveOther) false
-    else {
-      val out = fs.create(p, true) // (re)write = heartbeat
-      try out.write(owner.getBytes("UTF-8")) finally out.close()
-      true
+  }
+
+  def acquireLease(fs: FileSystem, root: Path, owner: String,
+      ttlMs: Long): Boolean =
+    acquireLeaseEpoch(fs, root, owner, ttlMs).isDefined
+
+  /** Renew the lease's mtime WITHOUT bumping the epoch, iff the file
+    * still carries exactly (owner, epoch) — the background-heartbeat
+    * primitive. A false return means this acquisition is no longer
+    * current (stolen, released, or superseded by the owner's own later
+    * acquire); the renewer must NOT rewrite the file then — overwriting
+    * a thief's lease would hide the theft from the thief's own
+    * heartbeats while the fence already dooms this writer's publishes. */
+  def heartbeat(fs: FileSystem, root: Path, owner: String,
+      epoch: Long): Boolean = {
+    val p = new Path(root, LeaseFile)
+    readLease(fs, p) match {
+      case Some((h, e, _)) if h == owner && e == epoch =>
+        writeLease(fs, p, owner, epoch); true
+      case _ => false
     }
+  }
+
+  /** Throw unless the lease at `root` still carries exactly
+    * (owner, epoch) — the fence a lease-holding writer threads into
+    * [[publish]] (and any other non-idempotent mutation). Failing means
+    * the acquisition that authorized this work is no longer current:
+    * stop, drop staged work, re-acquire before retrying. */
+  def checkFence(fs: FileSystem, root: Path, owner: String,
+      epoch: Long): Unit = {
+    val cur = readLease(fs, new Path(root, LeaseFile))
+    if (!cur.exists { case (h, e, _) => h == owner && e == epoch })
+      throw new IllegalStateException(
+        s"writer lease fenced: $owner@$epoch is no longer the current " +
+          s"acquisition on $root (now: ${cur.map { case (h, e, _) =>
+            s"$h@$e" }.getOrElse("<absent>")}) — the lease was stolen or " +
+          "re-acquired mid-operation; this writer must abandon its work")
   }
 
   /** Writer identity for DIRECT single-caller use (one logical writer
@@ -215,21 +302,25 @@ object IndexVersions {
       .digest(checkpoint.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
 
-  /** Run `body` with a BACKGROUND HEARTBEAT renewing this owner's lease
-    * every ttlMs/3 (round-11 review finding): the per-batch-start
+  /** Run `body` with a BACKGROUND HEARTBEAT renewing this acquisition's
+    * lease every ttlMs/3 (round-11 review finding): the per-batch-start
     * heartbeat alone goes stale during any single operation longer than
     * the TTL — a fold plus an advisor-triggered retrain easily is — and
     * a standby would then steal from a LIVE primary and start a second
     * streaming query against the shared checkpoint. The heartbeat
     * thread is a daemon holding no locks: a crashed or killed JVM stops
-    * heartbeating and the lease expires normally. The remaining steal
+    * heartbeating and the lease expires normally. Renewal goes through
+    * [[heartbeat]] — mtime only, epoch untouched, and it STOPS renewing
+    * the moment the acquisition is no longer current (a bumping renewal
+    * would invalidate the fold's own fencing token; an unconditional
+    * rewrite would hide a theft from the thief). The remaining steal
     * window is a stop-the-world pause longer than the TTL — inherent to
-    * every lease protocol; the guarded-rename publish remains the
-    * artifact-correctness backstop if it ever happens. Renewal failures
-    * are swallowed (transient FS errors must not kill the fold); the
-    * next tick retries. */
+    * every lease protocol; the epoch fence at publish time, then the
+    * guarded rename, catch that case. Renewal failures are swallowed
+    * (transient FS errors must not kill the fold); the next tick
+    * retries. */
   def withHeartbeat[T](fs: FileSystem, root: Path, owner: String,
-      ttlMs: Long)(body: => T): T = {
+      ttlMs: Long, epoch: Long)(body: => T): T = {
     val interval = math.max(ttlMs / 3, 100L)
     @volatile var stop = false
     val t = new Thread(() => {
@@ -237,7 +328,7 @@ object IndexVersions {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => () }
         if (!stop) {
-          try { acquireLease(fs, root, owner, ttlMs); () }
+          try { heartbeat(fs, root, owner, epoch); () }
           catch { case _: Throwable => () }
         }
       }

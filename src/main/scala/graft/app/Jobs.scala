@@ -587,7 +587,8 @@ object IndexMaintenanceJob {
     if (batch.isEmpty) return (false, false)
     val leaseRoot = new org.apache.hadoop.fs.Path(vecIdx)
     val fs = leaseRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!graft.IndexVersions.acquireLease(fs, leaseRoot, owner, leaseTtlMs)) {
+    val epoch = graft.IndexVersions.acquireLeaseEpoch(fs, leaseRoot, owner,
+      leaseTtlMs).getOrElse {
       // parked: another live writer holds the lease. LOUD in the logs —
       // a parked stream's checkpoint still advances, so an operator must
       // be able to see the misconfiguration (round-10 review finding);
@@ -597,11 +598,19 @@ object IndexMaintenanceJob {
         "nothing while parked")
       return (false, false)
     }
+    // FENCING TOKEN (round 11): every publish and vacuum this fold issues
+    // re-validates that THIS acquisition is still the lease's current one
+    // immediately before mutating. A primary paused stop-the-world past
+    // the TTL and stolen from resumes into loud fence failures instead of
+    // racing the new holder's folds (checkFence's contract); the guarded
+    // rename stays the backstop inside the check-to-rename window.
+    val fence: () => Unit =
+      () => graft.IndexVersions.checkFence(fs, leaseRoot, owner, epoch)
     // the fold (and any advisor-triggered retrain inside it) can run
     // longer than the TTL — heartbeat in the background for its whole
     // duration, else a standby steals from a LIVE primary and starts a
     // second query on the shared checkpoint (round-11 review finding)
-    graft.IndexVersions.withHeartbeat(fs, leaseRoot, owner, leaseTtlMs) {
+    graft.IndexVersions.withHeartbeat(fs, leaseRoot, owner, leaseTtlMs, epoch) {
     val tag = s"batch_$batchId"
     val dir = s"$workDir/$tag"
     batch.select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -612,7 +621,8 @@ object IndexMaintenanceJob {
     val keep = math.max(retainVersions, 2)
     val vecDo = !graft.vector.CellIndex.appliedTags(spark, vecIdx).contains(tag)
     if (vecDo) {
-      graft.vector.CellIndex.append(spark, dir, vecIdx, Some(tag))
+      graft.vector.CellIndex.append(spark, dir, vecIdx, Some(tag), fence)
+      fence() // vacuum deletes committed versions — never from a demoted fold
       graft.vector.CellIndex.vacuumVersions(spark, vecIdx, keepLast = keep)
       // ADVISOR-DRIVEN RETRAIN (round 10 — the flag→remedy loop closed
       // inside the fold): after a fresh fold, if the hottest cell carries
@@ -628,21 +638,25 @@ object IndexMaintenanceJob {
           .agg(org.apache.spark.sql.functions.max("imbalance"))
           .head().getDouble(0)
         if (hottest > thr) {
-          graft.vector.CellIndex.retrain(spark, vecIdx)
+          graft.vector.CellIndex.retrain(spark, vecIdx, fence = fence)
+          fence()
           graft.vector.CellIndex.vacuumVersions(spark, vecIdx, keepLast = keep)
         }
       }
     }
     val txtDo = !graft.text.TextIndex.appliedTags(spark, textIdx).contains(tag)
     if (txtDo) {
-      graft.text.TextIndex.append(spark, dir, textIdx, tag = Some(tag))
+      graft.text.TextIndex.append(spark, dir, textIdx, tag = Some(tag),
+        fence = fence)
+      fence()
       graft.text.TextIndex.vacuumVersions(spark, textIdx, keepLast = keep)
     }
     // optional third artifact: the positional phrase index folds under the
     // same tag ledger + retention rules (round 9b)
     phraseIdx.foreach { pi =>
       if (!graft.text.TextIndex.phraseAppliedTags(spark, pi).contains(tag)) {
-        graft.text.TextIndex.appendPhraseIndex(spark, dir, pi, Some(tag))
+        graft.text.TextIndex.appendPhraseIndex(spark, dir, pi, Some(tag), fence)
+        fence()
         graft.text.TextIndex.vacuumPhraseVersions(spark, pi, keepLast = keep)
       }
     }
@@ -855,28 +869,37 @@ object ReachMaintenanceJob {
     * coordination, not CAS — two writers racing the SAME expired lease
     * within one read-write window can both believe they won, and unlike
     * the index publish path there is no guarded-rename backstop behind
-    * compaction. The heartbeat closes the long-compact case; the
-    * simultaneous-steal case needs both writers' acquires inside one
-    * millisecond-scale window after a ≥TTL silence — deployments that
-    * cannot tolerate even that run compaction in one dedicated job
-    * (appends need no lease at all). `graceMs > 0` additionally means a
-    * lost race strands duplicate files rather than deleting files a
-    * concurrent plan still reads. */
+    * compaction. The EPOCH FENCE (round 11) narrows what a lost race can
+    * do: [[compact]] re-validates this acquisition immediately before
+    * each of its two mutation phases (the expired-file sweep and the
+    * post-aggregate retirement), so a writer fenced mid-compact throws
+    * before retiring anything — the both-believe-they-won window shrinks
+    * from the whole compact to the millisecond check-to-delete gaps.
+    * Deployments that cannot tolerate even that run compaction in one
+    * dedicated job (appends need no lease at all). `graceMs > 0`
+    * additionally means a lost race strands duplicate files rather than
+    * deleting files a concurrent plan still reads. */
   private def compactIfLeased(spark: SparkSession, tablePath: String,
       grain: Seq[String],
       unionAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       graceMs: Long, owner: String, leaseTtlMs: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (graft.IndexVersions.acquireLease(fs, root, owner, leaseTtlMs))
-      graft.IndexVersions.withHeartbeat(fs, root, owner, leaseTtlMs) {
-        compact(spark, tablePath, grain, unionAgg, graceMs)
-      }
-    else
-      System.err.println(s"[reachmaint] owner=$owner SKIPPED compaction of " +
-        s"$tablePath — lease held by a live writer; appends remain correct " +
-        "by idempotence, the holder's next batch compacts")
+    graft.IndexVersions.acquireLeaseEpoch(fs, root, owner, leaseTtlMs) match {
+      case Some(epoch) =>
+        graft.IndexVersions.withHeartbeat(fs, root, owner, leaseTtlMs, epoch) {
+          compact(spark, tablePath, grain, unionAgg, graceMs,
+            () => graft.IndexVersions.checkFence(fs, root, owner, epoch))
+        }
+      case None =>
+        skipLoudly(tablePath, owner)
+    }
   }
+
+  private def skipLoudly(tablePath: String, owner: String): Unit =
+    System.err.println(s"[reachmaint] owner=$owner SKIPPED compaction of " +
+      s"$tablePath — lease held by a live writer; appends remain correct " +
+      "by idempotence, the holder's next batch compacts")
 
   /** Sidecar naming part files whose content a compacted row already
     * carries, with the epoch-ms each was superseded at (line format
@@ -972,12 +995,18 @@ object ReachMaintenanceJob {
     * ADVICE finding). */
   def compact(spark: SparkSession, tablePath: String, grain: Seq[String],
       unionAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      graceMs: Long = 0L): Unit = {
+      graceMs: Long = 0L,
+      fence: () => Unit = graft.IndexVersions.NoFence): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val now = System.currentTimeMillis()
+    // fence before the FIRST mutation (the expired-file sweep) and again
+    // after the long re-aggregate, before retirement — a compactor whose
+    // lease acquisition was superseded mid-compact must not delete or
+    // re-record anything another compactor now owns
+    fence()
     // sweep superseded entries past their grace
     val (expired, pending) = readSuperseded(fs, root).partition {
       case (t, _) => now - t >= graceMs
@@ -998,6 +1027,7 @@ object ReachMaintenanceJob {
       .agg(unionAgg(col("sk")).as("sk"))
       .coalesce(1)
       .write.mode("append").parquet(tablePath)
+    fence() // the aggregate can outlive a steal; retirement must not
     if (graceMs <= 0L) {
       old.foreach(f => fs.delete(f.getPath, false))
       writeSuperseded(fs, root, pending)

@@ -133,7 +133,8 @@ object TextIndex {
     * treat the IllegalStateException as the at-least-once retry signal it
     * is, not a liveness strategy. */
   def append(spark: SparkSession, batchDir: String, indexPath: String,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None,
+      fence: () => Unit = graft.IndexVersions.NoFence): Unit = {
     graft.IndexVersions.requireValidTag(tag)
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
@@ -212,7 +213,7 @@ object TextIndex {
       graft.IndexVersions.readLedger(fs, new Path(cur)).append(tag))
     // guarded atomic publish: never replaces a COMMITTED concurrent winner
     graft.IndexVersions.publish(fs, staging, target,
-      t => fs.exists(new Path(t, "stats/_SUCCESS")))
+      t => fs.exists(new Path(t, "stats/_SUCCESS")), fence)
   }
 
   /** Every committed version with its root and applied-batch LEDGER (tag
@@ -381,7 +382,8 @@ object TextIndex {
     * ledger, same single-live-writer model; append-then-query equals a
     * union-corpus rebuild EXACTLY (spec'd — no trained state anywhere). */
   def appendPhraseIndex(spark: SparkSession, batchDir: String,
-      indexPath: String, tag: Option[String] = None): Unit = {
+      indexPath: String, tag: Option[String] = None,
+      fence: () => Unit = graft.IndexVersions.NoFence): Unit = {
     graft.IndexVersions.requireValidTag(tag)
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
@@ -449,7 +451,7 @@ object TextIndex {
     graft.IndexVersions.writeLedger(fs, staging,
       graft.IndexVersions.readLedger(fs, new Path(cur)).append(tag))
     graft.IndexVersions.publish(fs, staging, target,
-      t => fs.exists(new Path(t, "stats/_SUCCESS")))
+      t => fs.exists(new Path(t, "stats/_SUCCESS")), fence)
   }
 
   /** [[vacuumVersions]] for the phrase layout (its base quadruple is

@@ -131,7 +131,8 @@ object CellIndex {
     * one stream per batch instead of taking turns. Run one
     * [[graft.app.IndexMaintenanceJob]] per index. */
   def append(spark: SparkSession, batchDir: String, indexPath: String,
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None,
+      fence: () => Unit = graft.IndexVersions.NoFence): Unit = {
     graft.IndexVersions.requireValidTag(tag)
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sparkContext.hadoopConfiguration
@@ -192,7 +193,7 @@ object CellIndex {
     if (!fs.exists(marker)) fs.create(marker).close()
     // guarded atomic publish: never replaces a COMMITTED concurrent winner
     graft.IndexVersions.publish(fs, staging, target,
-      t => fs.exists(new Path(t, "_SUCCESS")))
+      t => fs.exists(new Path(t, "_SUCCESS")), fence)
   }
 
   /** CODEBOOK RETRAIN-AND-CUTOVER in the version chain (round 10 — the
@@ -233,7 +234,8 @@ object CellIndex {
     * geometry from its persisted codebooks — the maintenance trigger
     * retrains "the same index, rebalanced" without carrying parameters. */
   def retrain(spark: SparkSession, indexPath: String, k: Int = -1,
-      iters: Int = 3, pqM: Int = -1, pqK: Int = -1): Unit = {
+      iters: Int = 3, pqM: Int = -1, pqK: Int = -1,
+      fence: () => Unit = graft.IndexVersions.NoFence): Unit = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
@@ -282,7 +284,7 @@ object CellIndex {
     graft.IndexVersions.writeLedger(fs, staging,
       graft.IndexVersions.readLedger(fs, cur))
     graft.IndexVersions.publish(fs, staging, target,
-      t => fs.exists(new Path(t, "_SUCCESS")))
+      t => fs.exists(new Path(t, "_SUCCESS")), fence)
   }
 
   /** Every committed version with its vector-set path and applied-batch

@@ -362,11 +362,12 @@ class IndexMaintenanceSpec extends SparkSpec {
     val root = new Path(work)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ttl = 800L
-    assert(IndexVersions.acquireLease(fs, root, "primary", ttl))
+    val epoch = IndexVersions.acquireLeaseEpoch(fs, root, "primary", ttl)
+    assert(epoch.nonEmpty)
     // a "fold" 2.5× the TTL: without the background heartbeat the
     // initial write would be long stale and the standby would steal
     // from a LIVE primary (round-11 review finding)
-    val held = IndexVersions.withHeartbeat(fs, root, "primary", ttl) {
+    val held = IndexVersions.withHeartbeat(fs, root, "primary", ttl, epoch.get) {
       Thread.sleep((ttl * 2.5).toLong)
       !IndexVersions.acquireLease(fs, root, "standby", ttl)
     }
@@ -375,6 +376,76 @@ class IndexMaintenanceSpec extends SparkSpec {
     Thread.sleep(ttl + 600L)
     assert(IndexVersions.acquireLease(fs, root, "standby", ttl),
       "a dead primary's lease must still expire once heartbeats stop")
+  }
+
+  test("fencing epochs: acquires bump, heartbeats don't, stale tokens fail the fence") {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("lease_fence").toString
+    val root = new Path(work)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ttl = 400L
+    // every acquire mints a NEW token — including the same owner's next
+    // batch (each fold fences against its own acquisition)
+    val e1 = IndexVersions.acquireLeaseEpoch(fs, root, "A", ttl).get
+    IndexVersions.checkFence(fs, root, "A", e1) // current: passes
+    val e2 = IndexVersions.acquireLeaseEpoch(fs, root, "A", ttl).get
+    assert(e2 == e1 + 1, "a re-acquire must bump the epoch")
+    intercept[IllegalStateException] {
+      IndexVersions.checkFence(fs, root, "A", e1) // superseded by A itself
+    }
+    // heartbeats renew WITHOUT bumping: the current token stays valid
+    assert(IndexVersions.heartbeat(fs, root, "A", e2))
+    IndexVersions.checkFence(fs, root, "A", e2)
+    assert(!IndexVersions.heartbeat(fs, root, "A", e1),
+      "a superseded acquisition must not be renewable")
+    // a standby cannot steal while A heartbeats; after TTL silence it
+    // can — and A's token is then fenced while its heartbeat goes dead
+    assert(IndexVersions.acquireLeaseEpoch(fs, root, "B", ttl).isEmpty)
+    Thread.sleep(ttl + 200L)
+    val eb = IndexVersions.acquireLeaseEpoch(fs, root, "B", ttl).get
+    assert(eb == e2 + 1, "a steal continues the epoch sequence")
+    intercept[IllegalStateException] {
+      IndexVersions.checkFence(fs, root, "A", e2)
+    }
+    assert(!IndexVersions.heartbeat(fs, root, "A", e2),
+      "a stolen-from writer's heartbeat must not overwrite the thief's lease")
+    IndexVersions.checkFence(fs, root, "B", eb)
+  }
+
+  test("a fenced publish fails loudly and leaves no staging debris — the paused-past-TTL primary") {
+    import org.apache.hadoop.fs.Path
+    val work = java.nio.file.Files.createTempDirectory("fence_pub").toString
+    val textIdx = s"$work/text"
+    TextIndex.write(spark, sf0001, textIdx)
+    val root = new Path(textIdx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ttl = 300L
+    // primary A acquires, then pauses "stop-the-world" past the TTL
+    // (simulated by simply not heartbeating); standby B steals
+    val ea = IndexVersions.acquireLeaseEpoch(fs, root, "A", ttl).get
+    val fenceA = () => IndexVersions.checkFence(fs, root, "A", ea)
+    Thread.sleep(ttl + 200L)
+    val eb = IndexVersions.acquireLeaseEpoch(fs, root, "B", ttl).get
+    val fenceB = () => IndexVersions.checkFence(fs, root, "B", eb)
+    // A resumes mid-batch: its append assembles, then the publish FENCES
+    // before the rename — no version commits, and A's staging dir is
+    // dropped rather than left for the TTL sweep
+    val before = TextIndex.versionsWithTags(spark, textIdx).map(_._1)
+    val e = intercept[IllegalStateException] {
+      TextIndex.append(spark, writeBatchDir(500000L, 4), textIdx,
+        Some("a_batch"), fenceA)
+    }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    assert(TextIndex.versionsWithTags(spark, textIdx).map(_._1) == before,
+      "a fenced publish must not commit a version")
+    assert(!fs.listStatus(root).exists(_.getPath.getName.startsWith(".staging_")),
+      "a fenced publish must drop its staging dir")
+    assert(!TextIndex.appliedTags(spark, textIdx).contains("a_batch"),
+      "the fenced batch's tag must not enter the ledger")
+    // B (the rightful holder) folds the same logical batch fine
+    TextIndex.append(spark, writeBatchDir(500000L, 4), textIdx,
+      Some("a_batch"), fenceB)
+    assert(TextIndex.appliedTags(spark, textIdx).contains("a_batch"))
   }
 
   test("appendPhraseIndex refuses a pre-round-11 layout still carrying bigrams/") {
