@@ -526,19 +526,29 @@ object TextIndex {
     val buckets = spark.read.parquet(s"$root/stats")
       .select(col("buckets")).collect().head.getLong(0).toInt
     val posts = spark.read.parquet(s"$root/positions")
-    // RAREST-FIRST chain order (round 11): slots re-key to the same
-    // phrase-start p, so join order never changes the answer — but it
-    // bounds the intermediates. The udf table (vocabulary-sized,
-    // bucket-pruned — one tiny lookup per distinct token) supplies each
-    // token's corpus occurrence count; joining the two rarest slots
-    // first makes the first intermediate ≤ the rarest pair's agreement
-    // instead of the hottest's. On all-hot probes (the fixture's top
-    // trigram) this is a no-op; on real mixed hot/rare phrases it is
-    // the classic selectivity ordering.
+    // VOCABULARY PRE-FLIGHT (round 11): one tiny lookup of the probe
+    // tokens' corpus occurrence counts against the udf table
+    // (vocabulary-sized, bucket-pruned to ≤ m buckets by the foldable ub
+    // disjuncts, ≤ m rows collected — flat in corpus size). It buys two
+    // things:
+    //  1. OOV SHORT-CIRCUIT: any zero-occurrence token means the phrase
+    //     cannot occur — answer empty WITHOUT scanning a single position
+    //     list (negative lookups with out-of-vocabulary terms are a
+    //     common production shape; the saved scans are the hot lists').
+    //  2. RAREST-FIRST chain order for m ≥ 3: slots re-key to the same
+    //     phrase-start p, so join order never changes the answer (inner
+    //     equi-join; PhraseBench asserts it per pass) — but joining the
+    //     two rarest slots first bounds the opening intermediate by the
+    //     rarest pair's agreement instead of the hottest pair's
+    //     co-occurrence mass. On THIS fixture (40-token vocabulary, no
+    //     co-occurrence skew) the intermediates never dominate and the
+    //     pre-flight is a measured ~0.2 s constant (tools/PhraseBench,
+    //     SCALING.md round-11); on a Zipfian corpus the hottest-pair
+    //     intermediate ("of the …") is orders of magnitude larger than
+    //     the rare-anchored one, which is what the ordering bounds — the
+    //     constant is paid for the at-scale worst case, not this box.
     val occOf: Map[String, Long] = {
       val want = phrase.distinct
-      // one job: the ub disjuncts are foldable, so they constant-fold to
-      // an IN-list the scan prunes on; ≤ m rows come back
       val pruned = spark.read.parquet(s"$root/udf")
         .filter(want.map(t => col("ub") === pmod(hash(lit(t)), lit(buckets))).reduce(_ || _))
         .filter(col("tok").isin(want: _*))
@@ -546,16 +556,27 @@ object TextIndex {
       val found = pruned.map(r => r.getString(0) -> r.getLong(1)).toMap
       want.map(t => t -> found.getOrElse(t, 0L)).toMap
     }
+    if (occOf.valuesIterator.contains(0L))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_occ",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("first_pos",
+            org.apache.spark.sql.types.LongType, nullable = false))))
     // one pruned scan per slot, re-keyed to the PHRASE start position
-    // (i − j): a full occurrence is an m-way agreement on (doc, p)
-    val lists = phrase.zipWithIndex
-      .sortBy { case (t, _) => (occOf(t), t) }
-      .map { case (t, j) =>
-        posts
-          .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
-          .filter(col("tok") === t)
-          .select(col("doc_id"), (col("i").cast("long") - lit(j)).as("p"))
-      }
+    // (i − j): a full occurrence is an m-way agreement on (doc, p).
+    // m = 2 keeps slot order (a single join has no order to choose).
+    val slots = if (phrase.length == 2) phrase.zipWithIndex
+      else phrase.zipWithIndex.sortBy { case (t, _) => (occOf(t), t) }
+    val lists = slots.map { case (t, j) =>
+      posts
+        .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
+        .filter(col("tok") === t)
+        .select(col("doc_id"), (col("i").cast("long") - lit(j)).as("p"))
+    }
     lists.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_occ"), min(col("p")).as("first_pos"))

@@ -138,6 +138,20 @@ class PlanSpec extends SparkSpec {
       s"round-11 unified layout: no bigram artifact in the plan:\n$plan")
   }
 
+  test("phrase search with an out-of-vocabulary token answers empty without scanning a position list") {
+    import graft.text.TextIndex
+    val pi = java.nio.file.Files.createTempDirectory("phraseidx_oov").toString
+    TextIndex.writePhraseIndex(spark, sf0001, pi)
+    val probe = TextIndex.topPhrase(spark, pi)
+      .updated(1, "zz_never_a_token")
+    val res = TextIndex.phraseSearch(spark, pi, probe)
+    assert(res.isEmpty, "an OOV token makes the phrase impossible")
+    assert(res.columns.toSeq == Seq("doc_id", "n_occ", "first_pos"))
+    val plan = explain(res)
+    assert(!plan.contains("positions"),
+      s"the OOV pre-flight must short-circuit before any position-list scan:\n$plan")
+  }
+
   test("q14: global top-k plans as TakeOrderedAndProject, not a full sort") {
     val s = explain(Relational.q14(spark, sf0001))
     assert(s.contains("TakeOrderedAndProject"))
