@@ -192,22 +192,41 @@ object IndexVersions {
     * (a concurrent releaseLease; treating that as absent keeps the
     * acquire/release paths exception-free under the one benign race the
     * protocol allows — round-10 review finding). Legacy single-line
-    * files (pre-epoch) read as epoch 0. */
-  private def readLease(fs: FileSystem, p: Path): Option[(String, Long, Long)] =
-    try {
-      if (!fs.exists(p)) None
-      else {
-        val st = fs.getFileStatus(p)
-        val in = fs.open(p)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
-          finally in.close()
-        val holder = lines.headOption.getOrElse("").trim
-        val epoch = lines.drop(1).headOption
-          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).getOrElse(0L)
-        Some((holder, epoch, st.getModificationTime))
-      }
-    } catch { case _: java.io.FileNotFoundException => None }
+    * files (pre-epoch) read as epoch 0.
+    *
+    * ABSENT-OR-BLANK READS RETRY briefly (round-11 review finding):
+    * [[writeLease]] is a plain create(overwrite), so a reader racing an
+    * acquire's rewrite can observe the file momentarily absent or
+    * truncated. Concluding "absent" from that window would let a parked
+    * writer's poll acquire OVER a live holder with the epoch counter
+    * reset — so a vanished/blank read is only believed once it is
+    * stable across three spaced attempts. releaseLease's genuine delete
+    * stays correctly observable (stable across the retries). */
+  private def readLease(fs: FileSystem, p: Path): Option[(String, Long, Long)] = {
+    def once(): Option[(String, Long, Long)] =
+      try {
+        if (!fs.exists(p)) None
+        else {
+          val st = fs.getFileStatus(p)
+          val in = fs.open(p)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+            finally in.close()
+          val holder = lines.headOption.getOrElse("").trim
+          val epoch = lines.drop(1).headOption
+            .flatMap(l => scala.util.Try(l.trim.toLong).toOption).getOrElse(0L)
+          Some((holder, epoch, st.getModificationTime))
+        }
+      } catch { case _: java.io.FileNotFoundException => None }
+    var attempt = once()
+    var retries = 2
+    while (retries > 0 && !attempt.exists(_._1.nonEmpty)) {
+      Thread.sleep(25L)
+      attempt = once()
+      retries -= 1
+    }
+    attempt.filter(_._1.nonEmpty)
+  }
 
   private def writeLease(fs: FileSystem, p: Path, owner: String,
       epoch: Long): Unit = {
@@ -243,15 +262,27 @@ object IndexVersions {
     * still carries exactly (owner, epoch) — the background-heartbeat
     * primitive. A false return means this acquisition is no longer
     * current (stolen, released, or superseded by the owner's own later
-    * acquire); the renewer must NOT rewrite the file then — overwriting
-    * a thief's lease would hide the theft from the thief's own
-    * heartbeats while the fence already dooms this writer's publishes. */
+    * acquire).
+    *
+    * Renewal is METADATA-ONLY (`setTimes`), never a content rewrite
+    * (round-11 review finding): a content-rewriting heartbeat has a
+    * read-check-write race in which a tick that read its own (owner,
+    * epoch), then stalled past the TTL while a thief wrote a higher
+    * epoch, lands its stale bytes LAST — rolling the epoch back,
+    * resurrecting the fenced writer, and fencing out the rightful new
+    * holder. With setTimes the worst a stale tick can do is refresh the
+    * CURRENT lease's mtime by one interval (briefly extending a thief's
+    * steal window) — content, holder, and every issued fencing token
+    * stay exactly as the last ACQUIRE wrote them. The check-to-setTimes
+    * race is benign for the same reason. On stores without setTimes the
+    * thrown error is swallowed by [[withHeartbeat]]'s tick guard — such
+    * deployments need a CAS lease anyway (documented). */
   def heartbeat(fs: FileSystem, root: Path, owner: String,
       epoch: Long): Boolean = {
     val p = new Path(root, LeaseFile)
     readLease(fs, p) match {
       case Some((h, e, _)) if h == owner && e == epoch =>
-        writeLease(fs, p, owner, epoch); true
+        fs.setTimes(p, System.currentTimeMillis(), -1); true
       case _ => false
     }
   }

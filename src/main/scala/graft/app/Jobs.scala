@@ -1031,8 +1031,17 @@ object ReachMaintenanceJob {
     if (graceMs <= 0L) {
       old.foreach(f => fs.delete(f.getPath, false))
       writeSuperseded(fs, root, pending)
-    } else writeSuperseded(fs, root,
-      pending ++ old.map(f => (now, f.getPath.getName)))
+    } else {
+      // stamp supersession AFTER the compacted append lands, not with the
+      // entry-time `now`: the old files only become duplicate-redundant
+      // once the compacted file exists, and a long re-aggregate would
+      // otherwise eat into the reader grace window — a reader that
+      // planned during the aggregate could see its files swept a full
+      // aggregate-duration early (round-11 review finding)
+      val supersededAt = System.currentTimeMillis()
+      writeSuperseded(fs, root,
+        pending ++ old.map(f => (supersededAt, f.getPath.getName)))
+    }
   }
 
   /** One batch fold, the testable seam: day-grain HLL reach rows appended

@@ -71,12 +71,11 @@ object PhraseBench {
       .select(col("buckets")).collect().head.getLong(0).toInt
     // deterministic probes off the index's own vocabulary-sized tables
     val hot = graft.text.TextIndex.topPhrase(spark, idx)
-    val byOcc = spark.read.parquet(s"$root/udf")
-      .orderBy(desc("n_occ"), col("tok")).select("tok").collect()
-      .map(_.getString(0))
-    val rarest = spark.read.parquet(s"$root/udf")
-      .orderBy(asc("n_occ"), col("tok")).select("tok").limit(1).collect()
-      .head.getString(0)
+    val udf = spark.read.parquet(s"$root/udf")
+    val byOcc = udf.orderBy(desc("n_occ"), col("tok"))
+      .select("tok").limit(2).collect().map(_.getString(0))
+    val rarest = udf.orderBy(asc("n_occ"), col("tok"))
+      .select("tok").limit(1).collect().head.getString(0)
     val mixed = Seq(byOcc(0), byOcc(1), rarest)
     def cold(): Unit = {
       spark.catalog.clearCache()

@@ -393,11 +393,29 @@ class IndexMaintenanceSpec extends SparkSpec {
     intercept[IllegalStateException] {
       IndexVersions.checkFence(fs, root, "A", e1) // superseded by A itself
     }
-    // heartbeats renew WITHOUT bumping: the current token stays valid
+    // heartbeats renew WITHOUT bumping: the current token stays valid —
+    // and metadata-only: the file's BYTES are exactly what the acquire
+    // wrote (a content-rewriting heartbeat could land stale bytes over a
+    // thief's lease and roll the epoch back — round-11 review finding)
+    val leasePath = new Path(root, IndexVersions.LeaseFile)
+    def leaseBytes(): String = {
+      val in = fs.open(leasePath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val bytesAfterAcquire = leaseBytes()
+    val mtimeBefore = fs.getFileStatus(leasePath).getModificationTime
+    Thread.sleep(30L)
     assert(IndexVersions.heartbeat(fs, root, "A", e2))
+    assert(leaseBytes() == bytesAfterAcquire,
+      "a heartbeat must never rewrite the lease's content")
+    assert(fs.getFileStatus(leasePath).getModificationTime > mtimeBefore,
+      "a heartbeat must refresh the lease's mtime")
     IndexVersions.checkFence(fs, root, "A", e2)
     assert(!IndexVersions.heartbeat(fs, root, "A", e1),
       "a superseded acquisition must not be renewable")
+    assert(leaseBytes() == bytesAfterAcquire,
+      "a failed heartbeat must leave the lease untouched")
     // a standby cannot steal while A heartbeats; after TTL silence it
     // can — and A's token is then fenced while its heartbeat goes dead
     assert(IndexVersions.acquireLeaseEpoch(fs, root, "B", ttl).isEmpty)
