@@ -613,6 +613,12 @@ object IndexMaintenanceJob {
     graft.IndexVersions.withHeartbeat(fs, leaseRoot, owner, leaseTtlMs, epoch) {
     val tag = s"batch_$batchId"
     val dir = s"$workDir/$tag"
+    // fence the batch-table overwrite too: a paused-past-TTL writer that
+    // resumes here would otherwise overwrite the dir the new holder's
+    // same-batch fold is mid-read on (content is deterministic-identical,
+    // but a mid-overwrite reader can hit missing part files — a loud
+    // restart, not corruption; the fence shrinks that to the ms window)
+    fence()
     batch.select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
