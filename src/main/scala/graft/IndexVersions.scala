@@ -243,7 +243,7 @@ object IndexVersions {
   def acquireLeaseEpoch(fs: FileSystem, root: Path, owner: String,
       ttlMs: Long): Option[Long] = {
     val p = new Path(root, LeaseFile)
-    readLease(fs, p) match {
+    val won = readLease(fs, p) match {
       case Some((holder, _, mtime))
           if holder != owner && System.currentTimeMillis() - mtime < ttlMs =>
         None
@@ -252,6 +252,16 @@ object IndexVersions {
       case None =>
         writeLease(fs, p, owner, 1L); Some(1L)
     }
+    // POST-WRITE VERIFY (round-11 review): two writers racing one expired
+    // lease can both write; the file keeps the LAST. Re-reading converts
+    // the first writer's "I won" into an immediate park instead of a
+    // wasted fold that the fence kills at its first mutation — an
+    // availability narrowing; the fence remains the correctness point
+    // (a race landing between this verify and the caller's first fence
+    // is caught there).
+    won.filter(e => readLease(fs, p).exists {
+      case (h, pe, _) => h == owner && pe == e
+    })
   }
 
   def acquireLease(fs: FileSystem, root: Path, owner: String,
