@@ -264,6 +264,30 @@ object SparkEntry {
     // byte-for-byte, so the oracle is q141's SQL with the batch filter.
     "q154_incr_rewrite"   -> ((s: SparkSession, d: String) =>
       Dedup.incrementalSpanRewrite(s, d)),
+    // q155 (round 11): boolean set retrieval from the posting index —
+    // the unranked AND/NOT companion to q136's ranked serving. The
+    // m-way intersection is ONE doc-keyed counting aggregation over the
+    // pruned must lists (map-side combined), negation one anti join.
+    // Probe: must = the two highest-df terms (worst-case intersection
+    // mass), mustNot = the rarest term (a real but small exclusion) —
+    // derived from the index's df table; ONE version resolution pins
+    // derivation and search together.
+    "q155_bool_search"    -> ((s: SparkSession, d: String) => {
+      val idx = cachedTextIndex(s, d)
+      val root = Some(graft.text.TextIndex.currentRoot(s, idx))
+      val (must, not) = graft.text.TextIndex.deriveBoolTerms(s, idx,
+        pinnedRoot = root)
+      graft.text.TextIndex.boolSearch(s, idx, must, not, pinnedRoot = root)
+    }),
+    // q156 (round 11): the end-to-end serving PAGE — candidates from the
+    // positional index (q147's pinned phrase path), content from the
+    // at-rest DOC STORE (the forward index: id-hash-bucketed rows, so
+    // the fetch reads ≤ page-size buckets instead of re-scanning the
+    // corpus the inverted index just saved), snippet = the match window
+    // around each hit's first occurrence.
+    "q156_snippet"        -> ((s: SparkSession, d: String) =>
+      graft.text.DocStore.snippetSearch(s, cachedPhraseIndex(s, d),
+        cachedDocStore(s, d))),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -329,7 +353,7 @@ object SparkEntry {
     * separately (CellIndexBench's index_build/text_index_build rows). */
   def warmIndexes(s: SparkSession, d: String): Unit = {
     cachedTextIndex(s, d); cachedCellIndex(s, d); cachedPhraseIndex(s, d)
-    cachedReachTable(s, d); cachedCohortTable(s, d); ()
+    cachedReachTable(s, d); cachedCohortTable(s, d); cachedDocStore(s, d); ()
   }
 
   private def cachedTextIndex(s: SparkSession, d: String): String =
@@ -343,6 +367,10 @@ object SparkEntry {
   private def cachedPhraseIndex(s: SparkSession, d: String): String =
     cachedIndex("phraseindex", d, "stats/_SUCCESS")(p =>
       graft.text.TextIndex.writePhraseIndex(s, d, p))
+
+  private def cachedDocStore(s: SparkSession, d: String): String =
+    cachedIndex("docstore", d, "stats/_SUCCESS")(p =>
+      graft.text.DocStore.write(s, d, p))
 
   /** The at-rest sketch tables q149–q151 serve from — same per-process
     * cache/liveness protocol as the indexes (a parquet table's own
@@ -2731,6 +2759,63 @@ object SparkEntry {
          |FROM pg JOIN top USING (gram)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // q155: boolean AND/NOT retrieval — docs containing BOTH of the two
+    // highest-df terms and NOT the rarest term ((df desc, tok) /
+    // (df asc, tok) — the same derivations the index's df table serves),
+    // with doc length and the must-terms' (min, max) tf. The Spark side
+    // answers from one counting aggregation over pruned posting lists,
+    // which must qualify exactly these docs.
+    "q155_bool_search" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM ct),
+        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dls AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+        |df AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1),
+        |must AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rk
+        |         FROM df QUALIFY rk <= 2),
+        |mnot AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df ASC, tok) AS rk
+        |         FROM df QUALIFY rk <= 1),
+        |m AS (SELECT dt.doc_id, COUNT(*) AS nhit,
+        |        CAST(MIN(dt.tf) AS BIGINT) AS min_tf,
+        |        CAST(MAX(dt.tf) AS BIGINT) AS max_tf
+        |      FROM dt JOIN must ON dt.tok = must.tok GROUP BY 1),
+        |x AS (SELECT DISTINCT dt.doc_id FROM dt JOIN mnot ON dt.tok = mnot.tok)
+        |SELECT m.doc_id, dls.dl, m.min_tf, m.max_tf
+        |FROM m JOIN dls USING (doc_id)
+        |WHERE m.nhit = 2 AND m.doc_id NOT IN (SELECT doc_id FROM x)
+        |ORDER BY m.doc_id""".stripMargin,
+
+    // q156: the serving page end-to-end — q147's phrase occurrences,
+    // paged to the top 20 by (n_occ desc, doc_id), each hit's snippet =
+    // the ±2-token window around its first occurrence (clamped at doc
+    // edges). The Spark side pages from the positional index and fetches
+    // content from the bucketed doc store, which must reproduce exactly
+    // these snippets.
+    "q156_snippet" ->
+      s"""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos3 AS (SELECT doc_id, CAST(unnest(range(len(toks) - 2)) AS BIGINT) AS i, toks
+         |         FROM ct WHERE len(toks) >= 3),
+         |pg AS (SELECT doc_id, i,
+         |         toks[CAST(i AS INTEGER) + 1] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 2] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 3] AS gram
+         |       FROM pos3),
+         |top AS (SELECT gram FROM (SELECT gram, COUNT(*) AS n FROM pg GROUP BY gram)
+         |        ORDER BY n DESC, gram LIMIT 1),
+         |occ AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |          CAST(MIN(i) AS BIGINT) AS first_pos
+         |        FROM pg JOIN top USING (gram) GROUP BY doc_id),
+         |page AS (SELECT doc_id, n_occ, first_pos,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, doc_id)
+         |             AS BIGINT) AS rnk
+         |         FROM occ QUALIFY rnk <= 20)
+         |SELECT p.rnk, p.doc_id, p.n_occ, p.first_pos,
+         |  array_to_string(ct.toks[GREATEST(CAST(p.first_pos AS INTEGER) - 1, 1) :
+         |                          CAST(p.first_pos AS INTEGER) + 5], ' ') AS snippet
+         |FROM page p JOIN ct ON p.doc_id = ct.doc_id
+         |ORDER BY p.rnk""".stripMargin,
   )
 
   /** q148's oracle — per-doc within-slop (slop 3) position pairs of the

@@ -1,0 +1,158 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.sources.Tables
+
+/** AT-REST FORWARD INDEX (doc store) — the fetch phase of serving,
+  * completing the retrieval story the inverted artifacts
+  * ([[TextIndex]], [[graft.vector.CellIndex]]) tell: an index answers
+  * "WHICH documents" from pruned posting/cell scans; returning the
+  * documents themselves then needs point lookups by doc id, and a flat
+  * `documents` table makes every content fetch a corpus scan — at
+  * 100 TB, the one full pass the index existed to remove comes straight
+  * back in the result page.
+  *
+  * [[write]] lays the corpus out bucketed by id hash
+  * (`db = pmod(hash(doc_id), buckets)` dirs — the [[TextIndex]] `tb`
+  * discipline applied to the forward direction), rows sorted by
+  * `doc_id` inside each bucket so an id-list pushdown prunes ROW GROUPS
+  * under the pruned partitions. A page fetch then reads ≤ page-size
+  * buckets of `buckets`, whatever the corpus size.
+  *
+  * APPEND CONTRACT (add-only, unlike the posting artifacts): doc rows
+  * are immutable facts keyed by a unique `doc_id`, so [[append]] writes
+  * ONLY the batch's rows into their buckets — no carried-forward file
+  * copy, no version chain, no merge. Readers need no snapshot
+  * isolation for correctness because fetches are by id: a fetch can
+  * only ask for ids it learned from a COMMITTED index version, and the
+  * maintenance order (store append → index publish, the order
+  * [[graft.app.Jobs]] folds run in) guarantees any id a committed index
+  * serves is already fetchable. Partially-visible batches only make
+  * not-yet-queryable docs fetchable early — never a missing or torn
+  * row (parquet file visibility is per completed file).
+  *
+  * Reference behavior covered: the reference pipeline's lake keeps
+  * documents only as flat partitioned files
+  * (`/root/reference/data/lake_writer.py:96-119` — layout by event
+  * time, no id-addressed access path); this artifact is the Spark-first
+  * id-serving layout that capability gap calls for. */
+object DocStore {
+
+  /** Build the store from the fixture corpus: one pass, bucketed and
+    * sorted; `stats/` (bucket count — part of the layout the way
+    * [[TextIndex]] persists its bucket count: a fetch computing `db`
+    * with a different count would silently miss every row) is written
+    * LAST as the commit marker. Deterministic in the corpus. */
+  def write(spark: SparkSession, dir: String, storePath: String,
+      buckets: Int = 16): Unit = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    docs
+      .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
+      .repartition(col("db"))
+      .sortWithinPartitions("doc_id") // row-group stats prune by id
+      .write.mode("overwrite").partitionBy("db")
+      .parquet(s"$storePath/rows")
+    Seq(buckets.toLong).toDF("buckets")
+      .coalesce(1) // 1 row — a layout scalar, not data
+      .write.mode("overwrite").parquet(s"$storePath/stats")
+  }
+
+  /** Add a batch of NEW docs (add-only; see the append contract above):
+    * the batch's rows land in their buckets under the PERSISTED bucket
+    * count — recomputing it would silently mis-route every future
+    * fetch. Append ≡ rebuild for every fetch by construction (one row
+    * per doc_id either way; spec'd). */
+  def append(spark: SparkSession, batchDir: String, storePath: String): Unit = {
+    val buckets = readBuckets(spark, storePath)
+    Tables.documents(spark, batchDir)
+      .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
+      .repartition(col("db"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("append").partitionBy("db")
+      .parquet(s"$storePath/rows")
+  }
+
+  private def readBuckets(spark: SparkSession, storePath: String): Int = {
+    val df = spark.read.parquet(s"$storePath/stats")
+    require(df.columns.contains("buckets"),
+      s"doc store stats at $storePath/stats has no 'buckets' column — " +
+        "corrupted or hand-assembled; rebuild rather than guessing (a " +
+        "wrong count silently misses every fetch)")
+    df.select(col("buckets")).collect().head.getLong(0).toInt
+  }
+
+  /** PAGE FETCH — the bounded point-lookup the serving path ends with:
+    * the ids are a result PAGE (top-k from an index query), so the list
+    * is small by contract (`require`d; the [[TextIndex]]
+    * CandidatePushdownLimit convention) and both predicates go down as
+    * LITERALS — `db IN (…)` prunes partitions at the listing,
+    * `doc_id IN (…)` prunes row groups of the sorted layout. Per-fetch
+    * IO is ≤ |page| buckets regardless of corpus size. The page's `db`
+    * values come from the SAME Catalyst expression the writers used
+    * (one LocalTableScan job — no hand-rolled murmur3 that could drift
+    * from `hash()`'s). */
+  def fetchPage(spark: SparkSession, storePath: String,
+      ids: Seq[Long]): DataFrame = {
+    require(ids.nonEmpty, "fetchPage needs at least one id")
+    require(ids.length <= 1024,
+      s"fetchPage is for result pages (got ${ids.length} ids; bound 1024)" +
+        " — batch content passes should read the corpus table, not the store")
+    import spark.implicits._
+    val buckets = readBuckets(spark, storePath)
+    val dbs = ids.toDF("doc_id")
+      .select(pmod(hash(col("doc_id")), lit(buckets)).as("db"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$storePath/rows")
+      .filter(col("db").isin(dbs: _*))
+      .filter(col("doc_id").isin(ids: _*))
+  }
+
+  /** Q156 — SNIPPET SEARCH: the end-to-end serving page (the
+    * query→candidates→content path every retrieval deployment runs).
+    * Candidates come from the positional index ([[TextIndex.topPhrase]]
+    * + [[TextIndex.phraseSearch]] under ONE pinned version — the q147
+    * path, corpus never scanned); the page is the top-`topK` docs by
+    * (n_occ desc, doc_id); content comes from THIS store via
+    * [[fetchPage]] (≤ topK buckets); the snippet is the match window —
+    * `window` tokens either side of the phrase's first occurrence,
+    * clamped at doc edges (slice clamps the tail; `greatest` clamps the
+    * head). The page collect is topK rows (bounded by contract); rnk is
+    * assigned in the collected order so the output is the ranked page
+    * verbatim. */
+  def snippetSearch(spark: SparkSession, phraseIndexPath: String,
+      storePath: String, topK: Int = 20, window: Int = 2): DataFrame = {
+    import spark.implicits._
+    val pRoot = Some(TextIndex.phraseCurrentRoot(spark, phraseIndexPath))
+    val phrase = TextIndex.topPhrase(spark, phraseIndexPath, pinnedRoot = pRoot)
+    val occ = TextIndex.phraseSearch(spark, phraseIndexPath, phrase,
+      pinnedRoot = pRoot)
+    val page = occ.orderBy(desc("n_occ"), col("doc_id")).limit(topK).collect()
+    val outSchema = StructType(Seq(
+      StructField("rnk", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_occ", LongType, nullable = false),
+      StructField("first_pos", LongType, nullable = false),
+      StructField("snippet", StringType, nullable = true)))
+    if (page.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val ranked = page.zipWithIndex.map { case (r, k) =>
+      (k + 1L, r.getLong(0), r.getLong(1), r.getLong(2))
+    }.toSeq.toDF("rnk", "doc_id", "n_occ", "first_pos")
+    val texts = fetchPage(spark, storePath, page.map(_.getLong(0)).toSeq)
+      .select(col("doc_id"), col("text"))
+    val start = greatest(col("first_pos") + lit(1) - lit(window), lit(1))
+      .cast("int")
+    val len = (col("first_pos") + lit(phrase.length + window) + lit(1) -
+      start).cast("int")
+    texts.join(broadcast(ranked), Seq("doc_id"))
+      .withColumn("snippet",
+        array_join(slice(split(col("text"), " "), start, len), " "))
+      .select(col("rnk"), col("doc_id"), col("n_occ"), col("first_pos"),
+        col("snippet"))
+      .orderBy("rnk")
+  }
+}

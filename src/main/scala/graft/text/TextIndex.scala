@@ -744,6 +744,104 @@ object TextIndex {
       .orderBy("rnk")
   }
 
+  /** The q155 deterministic probe served FROM the index's df table (the
+    * q132/q148 derivation convention — a vocabulary-sized, bucket-pruned
+    * scan, never a corpus pass): must = the two HIGHEST-df terms
+    * ((df desc, tok)-ordered — the worst-case intersection mass by
+    * construction, and non-empty at every fixture SF), mustNot = the
+    * LOWEST-df term ((df asc, tok)-ordered — the rarest term, so the
+    * exclusion is exercised against a real but small posting list). */
+  def deriveBoolTerms(spark: SparkSession, indexPath: String,
+      pinnedRoot: Option[String] = None): (Seq[String], Seq[String]) = {
+    val root = pinnedRoot.getOrElse(currentRoot(spark, indexPath))
+    val dfreq = spark.read.parquet(s"$root/dfreq")
+    val must = dfreq.orderBy(desc("df"), col("tok")).limit(2)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    val not = dfreq.orderBy(col("df"), col("tok")).limit(1)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    require(must.length == 2 && not.length == 1 &&
+      (must ++ not).distinct.length == 3,
+      s"bool derivation needs 3 distinct terms in $root/dfreq " +
+        s"(got must=$must, mustNot=$not)")
+    (must, not)
+  }
+
+  /** BOOLEAN SET RETRIEVAL from the posting index — the unranked
+    * companion to [[bm25Indexed]] (AND/NOT set semantics; the other half
+    * of the classic inverted-index query surface): documents containing
+    * ALL of `must` and NONE of `mustNot`, with each hit's doc length and
+    * its must-terms' (min, max) term frequencies off the posting rows.
+    *
+    * The m-way intersection is ONE keyed aggregation, not m−1 joins: the
+    * must terms' pruned posting lists union (each list bucket-pruned by
+    * the foldable `tb` predicate + `tok` row-group pruning on the sorted
+    * layout, the bm25Indexed scan shape), then `groupBy(doc_id)` counts
+    * distinct-by-construction (tok, doc) posting rows — a doc hits all m
+    * terms iff its group has m rows. One shuffle keyed by doc with
+    * map-side partial aggregation (PlanSpec pins `partial_count`), vs
+    * m−1 doc-keyed shuffle joins — at scale the intersection cost is the
+    * must lists' posting mass, once. Negation is one left-anti join
+    * against the mustNot lists' doc ids (anti join needs no distinct).
+    *
+    * The vocabulary pre-flight rides the dfreq lookup the method needs
+    * anyway (tb per term): an out-of-vocabulary `must` term means NO doc
+    * qualifies — answer empty with zero posting scans (the q147
+    * short-circuit convention) — while out-of-vocabulary `mustNot` terms
+    * exclude nothing and drop out. Per-query cost tracks the query
+    * terms' posting mass; the corpus is never tokenized. */
+  def boolSearch(spark: SparkSession, indexPath: String,
+      must: Seq[String], mustNot: Seq[String] = Nil,
+      pinnedRoot: Option[String] = None): DataFrame = {
+    require(must.nonEmpty, "bool search needs at least one must term")
+    require(must.distinct.length == must.length,
+      s"must terms must be distinct: $must")
+    require(mustNot.intersect(must).isEmpty,
+      s"a term cannot be both must and mustNot: ${mustNot.intersect(must)}")
+    // ONE version resolution for the whole query (the bm25Indexed rule)
+    val root = pinnedRoot.getOrElse(currentRoot(spark, indexPath))
+    val buckets = readStatsRowAt(spark, root)._3
+    val dfreq = spark.read.parquet(s"$root/dfreq")
+    def resolve(ts: Seq[String]): Map[String, Int] =
+      if (ts.isEmpty) Map.empty
+      else dfreq
+        .filter(ts.map(t => col("tb") === pmod(hash(lit(t)), lit(buckets)))
+          .reduce(_ || _))
+        .filter(col("tok").isin(ts: _*))
+        .select(col("tok"), col("tb").cast("int"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val mustTb = resolve(must)
+    val notTb = resolve(mustNot) // OOV mustNot terms exclude nothing: drop
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dl",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_tf",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("max_tf",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (mustTb.size < must.length)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val posts = spark.read.parquet(s"$root/postings")
+    def listsOf(tb: Map[String, Int]) = posts
+      .filter(col("tb").isin(tb.values.toSeq.distinct: _*))
+      .filter(col("tok").isin(tb.keys.toSeq: _*))
+    // dl is denormalized identically onto every posting of a doc, so
+    // max() reads the constant without a first()-determinism argument
+    val hits = listsOf(mustTb)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nhit"), min("tf").as("min_tf"),
+        max("tf").as("max_tf"), max("dl").as("dl"))
+      .filter(col("nhit") === must.length)
+    val kept =
+      if (notTb.isEmpty) hits
+      else hits.join(listsOf(notTb).select("doc_id"), Seq("doc_id"),
+        "left_anti")
+    kept.select(col("doc_id"), col("dl"), col("min_tf"), col("max_tf"))
+      .orderBy("doc_id")
+  }
+
   /** The corpus scalars persisted by [[write]]/[[append]] (newest
     * committed version). */
   def readStats(spark: SparkSession, indexPath: String): (Long, Long) =

