@@ -582,7 +582,8 @@ object IndexMaintenanceJob {
       phraseIdx: Option[String] = None,
       owner: String = DefaultOwner,
       leaseTtlMs: Long = DefaultLeaseTtlMs,
-      retrainAtImbalance: Option[Double] = None): (Boolean, Boolean) = {
+      retrainAtImbalance: Option[Double] = None,
+      docStore: Option[String] = None): (Boolean, Boolean) = {
     import org.apache.spark.sql.functions._
     if (batch.isEmpty) return (false, false)
     val leaseRoot = new org.apache.hadoop.fs.Path(vecIdx)
@@ -624,6 +625,15 @@ object IndexMaintenanceJob {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     batch.select(col("doc_id").as("vec_id"), col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // FORWARD INDEX FIRST (round 11 — the 4th artifact): the doc store
+    // folds BEFORE any inverted artifact publishes, so every id a
+    // committed index version serves is already fetchable (the
+    // [[graft.text.DocStore]] append contract); its committed-tag dir
+    // short-circuits replays, and add-only needs no vacuum
+    docStore.foreach { ds =>
+      fence()
+      graft.text.DocStore.append(spark, dir, ds, tag)
+    }
     val keep = math.max(retainVersions, 2)
     val vecDo = !graft.vector.CellIndex.appliedTags(spark, vecIdx).contains(tag)
     if (vecDo) {
@@ -761,11 +771,12 @@ object IndexMaintenanceJob {
       leaseTtlMs: Long = DefaultLeaseTtlMs,
       pollMs: Long = 1000L,
       maxWaitMs: Long = 24L * 3600 * 1000,
-      retrainAtImbalance: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      retrainAtImbalance: Option[Double] = None,
+      docStore: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ownerId = Option(owner).getOrElse(streamOwner())
     awaitLease(docs.sparkSession, vecIdx, ownerId, leaseTtlMs, pollMs, maxWaitMs)
     sink(docs, workDir, vecIdx, textIdx, checkpoint, retainVersions,
-      phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance)
+      phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance, docStore)
   }
 
   /** The wire: stream of [[IndexedDoc]] → per-batch index folds. */
@@ -775,7 +786,8 @@ object IndexMaintenanceJob {
       phraseIdx: Option[String] = None,
       owner: String = null, // default: a fresh per-stream identity
       leaseTtlMs: Long = DefaultLeaseTtlMs,
-      retrainAtImbalance: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      retrainAtImbalance: Option[Double] = None,
+      docStore: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // per-STREAM owner, fixed once here and shared by every batch: a
     // pid-only default would let two sinks in one JVM renew each other's
     // lease and never park (round-10 review finding)
@@ -785,7 +797,8 @@ object IndexMaintenanceJob {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
         applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx,
-          retainVersions, phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance); ()
+          retainVersions, phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance,
+          docStore); ()
       }
       .start()
     // release the lease on IN-JVM termination (clean stop OR in-stream

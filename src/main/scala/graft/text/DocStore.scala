@@ -23,15 +23,23 @@ import graft.sources.Tables
   *
   * APPEND CONTRACT (add-only, unlike the posting artifacts): doc rows
   * are immutable facts keyed by a unique `doc_id`, so [[append]] writes
-  * ONLY the batch's rows into their buckets — no carried-forward file
-  * copy, no version chain, no merge. Readers need no snapshot
-  * isolation for correctness because fetches are by id: a fetch can
-  * only ask for ids it learned from a COMMITTED index version, and the
-  * maintenance order (store append → index publish, the order
-  * [[graft.app.Jobs]] folds run in) guarantees any id a committed index
-  * serves is already fetchable. Partially-visible batches only make
-  * not-yet-queryable docs fetchable early — never a missing or torn
-  * row (parquet file visibility is per completed file).
+  * ONLY the batch's rows — no carried-forward file copy, no version
+  * chain, no merge. Each batch lands under its own
+  * `batches/<tag>/rows` dir (bucketed like the base; the write's own
+  * `_SUCCESS` is the commit marker), and a committed tag SHORT-CIRCUITS
+  * on replay — the index appends' applied-tags rule, expressed as one
+  * dir-exists check because add-only needs no ledger merge. Readers
+  * need no snapshot isolation for correctness because fetches are by
+  * id: a fetch can only ask for ids it learned from a COMMITTED index
+  * version, and the maintenance order (store append → index publish,
+  * the order [[graft.app.Jobs.IndexMaintenanceJob.applyBatch]] runs)
+  * guarantees any id a committed index serves is already fetchable.
+  * Partially-visible batches only make not-yet-queryable docs fetchable
+  * early — never a missing or torn row. Batch-dir count tracks stream
+  * age (one LIST per fetch); folding them down is an offline rebuild —
+  * [[write]] over the union corpus at a fresh path, swapped in by the
+  * deployment's path indirection — not an in-place rewrite racing
+  * readers.
   *
   * Reference behavior covered: the reference pipeline's lake keeps
   * documents only as flat partitioned files
@@ -61,18 +69,40 @@ object DocStore {
   }
 
   /** Add a batch of NEW docs (add-only; see the append contract above):
-    * the batch's rows land in their buckets under the PERSISTED bucket
-    * count — recomputing it would silently mis-route every future
-    * fetch. Append ≡ rebuild for every fetch by construction (one row
-    * per doc_id either way; spec'd). */
-  def append(spark: SparkSession, batchDir: String, storePath: String): Unit = {
+    * the batch's rows land bucketed under `batches/<tag>/rows` with the
+    * PERSISTED bucket count — recomputing it would silently mis-route
+    * every future fetch. A committed tag short-circuits (returns false)
+    * so an at-least-once replay never duplicates rows NOR overwrites a
+    * committed dir a concurrent reader is mid-read on. Append ≡ rebuild
+    * for every fetch by construction (one row per doc_id either way;
+    * spec'd). */
+  def append(spark: SparkSession, batchDir: String, storePath: String,
+      tag: String): Boolean = {
+    require(tag.nonEmpty && !tag.exists(c => c == '/' || c == '\n'),
+      s"doc store batch tag must be a non-empty dir-safe name: '$tag'")
+    import org.apache.hadoop.fs.Path
+    val out = s"$storePath/batches/$tag/rows"
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(out, "_SUCCESS"))) return false
     val buckets = readBuckets(spark, storePath)
     Tables.documents(spark, batchDir)
       .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
       .repartition(col("db"))
       .sortWithinPartitions("doc_id")
-      .write.mode("append").partitionBy("db")
-      .parquet(s"$storePath/rows")
+      .write.mode("overwrite").partitionBy("db")
+      .parquet(out)
+    true
+  }
+
+  /** Batch tags whose store append committed (`_SUCCESS` present). */
+  def appliedTags(spark: SparkSession, storePath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath, "batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => fs.exists(new Path(root, s"$t/rows/_SUCCESS"))).toSet
   }
 
   private def readBuckets(spark: SparkSession, storePath: String): Int = {
@@ -105,9 +135,17 @@ object DocStore {
     val dbs = ids.toDF("doc_id")
       .select(pmod(hash(col("doc_id")), lit(buckets)).as("db"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(s"$storePath/rows")
-      .filter(col("db").isin(dbs: _*))
-      .filter(col("doc_id").isin(ids: _*))
+    // base + every committed batch dir: each scan prunes independently
+    // (db literal partition filter + id row-group pushdown), and doc ids
+    // are unique across base and batches by the append contract, so the
+    // union IS the id-keyed row set — no dedup pass
+    val roots = s"$storePath/rows" +:
+      appliedTags(spark, storePath).toSeq.sorted
+        .map(t => s"$storePath/batches/$t/rows")
+    roots.map(r => spark.read.parquet(r)
+        .filter(col("db").isin(dbs: _*))
+        .filter(col("doc_id").isin(ids: _*)))
+      .reduce(_ unionByName _)
   }
 
   /** Q156 — SNIPPET SEARCH: the end-to-end serving page (the

@@ -111,7 +111,10 @@ class DocServingSpec extends SparkSpec {
     // append a batch, then fetch across old + new ids: equals a store
     // rebuilt from the union corpus (append ≡ rebuild)
     val batch = docsDirFrom(900000L)
-    DocStore.append(spark, batch, store)
+    assert(DocStore.append(spark, batch, store, "batch_1"))
+    // a replayed batch short-circuits: committed tag, nothing rewritten
+    assert(!DocStore.append(spark, batch, store, "batch_1"))
+    assert(DocStore.appliedTags(spark, store) == Set("batch_1"))
     val mixed = Seq(1L, 900007L, 900123L, 499L)
     val rebuilt = java.nio.file.Files.createTempDirectory("store_rb").toString
     DocStore.write(spark, unionDir(Seq(sf0001, batch)), rebuilt)

@@ -30,15 +30,17 @@ class IndexMaintenanceSpec extends SparkSpec {
     val vecIdx = s"$work/vec"
     val textIdx = s"$work/text"
     val phraseIdx = s"$work/phrase"
+    val store = s"$work/store"
     CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 3)
     TextIndex.write(spark, sf0001, textIdx)
     TextIndex.writePhraseIndex(spark, sf0001, phraseIdx)
+    graft.text.DocStore.write(spark, sf0001, store)
     val in = MemoryStream[IndexedDoc]
     // retainVersions = 2: after the second batch the base version must be
     // vacuumed (bounded storage) while the tag ledger carries forward
     val q = IndexMaintenanceJob.sink(in.toDS(), s"$work/batches",
       vecIdx, textIdx, s"$work/ckpt", retainVersions = 2,
-      phraseIdx = Some(phraseIdx))
+      phraseIdx = Some(phraseIdx), docStore = Some(store))
     try {
       in.addData(mkBatch(100000L, 40): _*)
       q.processAllAvailable()
@@ -85,6 +87,25 @@ class IndexMaintenanceSpec extends SparkSpec {
       TextIndex.phraseSearch(spark, phraseRb, probePhrase)
         .collect().map(_.toSeq).toSeq,
       "streaming-maintained phrase index drifted from a full rebuild")
+    // the 4th artifact — the doc store — rode the same stream: both batch
+    // tags committed, a fetch spanning base + both batches equals a store
+    // rebuilt over everything ingested, and the q156 serving page on the
+    // maintained (phrase, store) pair equals the rebuilt pair's
+    assert(graft.text.DocStore.appliedTags(spark, store) ==
+      Set("batch_0", "batch_1"))
+    val storeRb = java.nio.file.Files.createTempDirectory("idxmaint_srb").toString
+    graft.text.DocStore.write(spark, unionDir, storeRb)
+    val span = Seq(1L, 100007L, 200003L)
+    def pageOf(p: String) = graft.text.DocStore.fetchPage(spark, p, span)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(pageOf(store) == pageOf(storeRb) && pageOf(store).size == 3,
+      "streaming-maintained doc store drifted from a full rebuild")
+    assert(graft.text.DocStore.snippetSearch(spark, phraseIdx, store)
+      .collect().map(_.toSeq).toSeq ==
+      graft.text.DocStore.snippetSearch(spark, phraseRb, storeRb)
+        .collect().map(_.toSeq).toSeq,
+      "maintained serving page drifted from the rebuilt pair's")
     // REPLAY (at-least-once delivery): re-applying an already-folded batch
     // must short-circuit on the tag — no new version, no duplicate rows
     val replay = spark.read.parquet(s"$work/batches/batch_1/documents.parquet")
@@ -95,11 +116,15 @@ class IndexMaintenanceSpec extends SparkSpec {
       // materialized: applyBatch overwrites the very files this plan reads
       .localCheckpoint()
     val (vecDid, txtDid) = IndexMaintenanceJob.applyBatch(
-      spark, replay, 1L, s"$work/batches", vecIdx, textIdx)
+      spark, replay, 1L, s"$work/batches", vecIdx, textIdx,
+      docStore = Some(store))
     assert(!vecDid && !txtDid, "replayed batch must not re-append")
     assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v2"))
     assert(spark.read.parquet(CellIndex.currentVectorsPath(spark, vecIdx))
       .count() == 565)
+    // the store replay short-circuited on its committed tag dir too
+    assert(graft.text.DocStore.fetchPage(spark, store, Seq(200003L))
+      .count() == 1L, "doc store replay must not duplicate rows")
   }
 
   test("standby failover: shared-checkpoint takeover after a primary crash loses zero batches") {
