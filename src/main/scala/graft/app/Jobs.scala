@@ -631,8 +631,9 @@ object IndexMaintenanceJob {
     // [[graft.text.DocStore]] append contract); its committed-tag dir
     // short-circuits replays, and add-only needs no vacuum
     docStore.foreach { ds =>
-      fence()
-      graft.text.DocStore.append(spark, dir, ds, tag)
+      fence() // cheap pre-check before the staging write; the append's
+              // publish re-validates the fence at the rename itself
+      graft.text.DocStore.append(spark, dir, ds, tag, fence)
     }
     val keep = math.max(retainVersions, 2)
     val vecDo = !graft.vector.CellIndex.appliedTags(spark, vecIdx).contains(tag)

@@ -1,8 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType}
 import graft.sources.Tables
 
 /** AT-REST FORWARD INDEX (doc store) — the fetch phase of serving,
@@ -73,26 +73,55 @@ object DocStore {
     * PERSISTED bucket count — recomputing it would silently mis-route
     * every future fetch. A committed tag short-circuits (returns false)
     * so an at-least-once replay never duplicates rows NOR overwrites a
-    * committed dir a concurrent reader is mid-read on. Append ≡ rebuild
-    * for every fetch by construction (one row per doc_id either way;
-    * spec'd). */
+    * committed dir a concurrent reader is mid-read on, and the write
+    * goes through the repo's staging + fenced guarded-rename publish
+    * ([[graft.IndexVersions.publish]]) — an in-place overwrite would let
+    * a paused-past-TTL zombie writer tear or double-populate a committed
+    * dir readers are serving (round-11 review finding). Losing the
+    * publish race to a concurrent SAME-TAG fold returns false like a
+    * replay: batch content is deterministic, so the winner's commit IS
+    * this batch. Append ≡ rebuild for every fetch by construction (one
+    * row per doc_id either way; spec'd). */
   def append(spark: SparkSession, batchDir: String, storePath: String,
-      tag: String): Boolean = {
-    require(tag.nonEmpty && !tag.exists(c => c == '/' || c == '\n'),
-      s"doc store batch tag must be a non-empty dir-safe name: '$tag'")
+      tag: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
+    graft.IndexVersions.requireValidTag(Some(tag))
+    require(!tag.contains("/"),
+      s"doc store batch tag must be dir-safe (no '/'): '$tag'")
     import org.apache.hadoop.fs.Path
-    val out = s"$storePath/batches/$tag/rows"
-    val fs = new Path(storePath)
+    val batchesRoot = new Path(storePath, "batches")
+    val target = new Path(batchesRoot, tag)
+    val fs = batchesRoot
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(out, "_SUCCESS"))) return false
+    def committed(p: Path) = fs.exists(new Path(p, "rows/_SUCCESS"))
+    if (committed(target)) return false
     val buckets = readBuckets(spark, storePath)
+    // crashed staging assemblies under batches/ are this append's to
+    // reclaim — no version vacuum ever visits the store root (the
+    // IndexVersions sweep contract, same TTL: far beyond assembly time)
+    if (fs.exists(batchesRoot)) {
+      val cutoff = System.currentTimeMillis() - graft.IndexVersions.StagingTtlMs
+      fs.listStatus(batchesRoot)
+        .filter(s => s.getPath.getName.startsWith(".staging_") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    val staging = new Path(batchesRoot,
+      s".staging_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
     Tables.documents(spark, batchDir)
       .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
       .repartition(col("db"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("db")
-      .parquet(out)
-    true
+      .parquet(new Path(staging, "rows").toString)
+    try { graft.IndexVersions.publish(fs, staging, target, committed, fence); true }
+    catch {
+      case e: Throwable =>
+        // a concurrent same-tag fold won the rename (content identical by
+        // batch determinism): the batch IS committed — report "already
+        // folded". Anything else — a fence demotion included — rethrows.
+        if (committed(target)) false else throw e
+    }
   }
 
   /** Batch tags whose store append committed (`_SUCCESS` present). */
@@ -168,20 +197,28 @@ object DocStore {
     val occ = TextIndex.phraseSearch(spark, phraseIndexPath, phrase,
       pinnedRoot = pRoot)
     val page = occ.orderBy(desc("n_occ"), col("doc_id")).limit(topK).collect()
-    val outSchema = StructType(Seq(
-      StructField("rnk", LongType, nullable = false),
-      StructField("doc_id", LongType, nullable = false),
-      StructField("n_occ", LongType, nullable = false),
-      StructField("first_pos", LongType, nullable = false),
-      StructField("snippet", StringType, nullable = true)))
     if (page.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], outSchema)
+      return TextIndex.emptyResult(spark,
+        "rnk" -> LongType, "doc_id" -> LongType, "n_occ" -> LongType,
+        "first_pos" -> LongType, "snippet" -> StringType)
     val ranked = page.zipWithIndex.map { case (r, k) =>
       (k + 1L, r.getLong(0), r.getLong(1), r.getLong(2))
     }.toSeq.toDF("rnk", "doc_id", "n_occ", "first_pos")
     val texts = fetchPage(spark, storePath, page.map(_.getLong(0)).toSeq)
       .select(col("doc_id"), col("text"))
+    // the page join below is inner: a store missing one of the page's
+    // docs would silently shorten the page with rank gaps — the one
+    // silent-wrong shape this serving path could produce. Fail loudly
+    // instead (a ≤ topK-row count over the pruned fetch): the store must
+    // cover every corpus state the index serves, which the maintenance
+    // order (store append → index publish) guarantees for maintained
+    // deployments.
+    val nFetched = texts.count()
+    require(nFetched == page.length,
+      s"doc store at $storePath is missing ${page.length - nFetched} of " +
+        s"the page's ${page.length} docs — it does not cover the corpus " +
+        "state the phrase index serves (fold the store before the index: " +
+        "the DocStore append contract)")
     val start = greatest(col("first_pos") + lit(1) - lit(window), lit(1))
       .cast("int")
     val len = (col("first_pos") + lit(phrase.length + window) + lit(1) -

@@ -557,15 +557,10 @@ object TextIndex {
       want.map(t => t -> found.getOrElse(t, 0L)).toMap
     }
     if (occOf.valuesIterator.contains(0L))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("n_occ",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("first_pos",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      return emptyResult(spark,
+        "doc_id" -> org.apache.spark.sql.types.LongType,
+        "n_occ" -> org.apache.spark.sql.types.LongType,
+        "first_pos" -> org.apache.spark.sql.types.LongType)
     // one pruned scan per slot, re-keyed to the PHRASE start position
     // (i − j): a full occurrence is an m-way agreement on (doc, p).
     // m = 2 keeps slot order (a single join has no order to choose).
@@ -744,6 +739,17 @@ object TextIndex {
       .orderBy("rnk")
   }
 
+  /** Empty result frame with a pinned contract schema — the OOV/empty
+    * short-circuit shape shared by [[phraseSearch]], [[boolSearch]] and
+    * [[DocStore.snippetSearch]] (one definition so an output-contract
+    * change cannot miss its empty-branch twin). */
+  private[graft] def emptyResult(spark: SparkSession,
+      cols: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = false) }))
+
   /** The q155 deterministic probe served FROM the index's df table (the
     * q132/q148 derivation convention — a vocabulary-sized, bucket-pruned
     * scan, never a corpus pass): must = the two HIGHEST-df terms
@@ -811,18 +817,12 @@ object TextIndex {
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val mustTb = resolve(must)
     val notTb = resolve(mustNot) // OOV mustNot terms exclude nothing: drop
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("dl",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("min_tf",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("max_tf",
-        org.apache.spark.sql.types.LongType, nullable = false)))
     if (mustTb.size < must.length)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      return emptyResult(spark,
+        "doc_id" -> org.apache.spark.sql.types.LongType,
+        "dl" -> org.apache.spark.sql.types.LongType,
+        "min_tf" -> org.apache.spark.sql.types.LongType,
+        "max_tf" -> org.apache.spark.sql.types.LongType)
     val posts = spark.read.parquet(s"$root/postings")
     def listsOf(tb: Map[String, Int]) = posts
       .filter(col("tb").isin(tb.values.toSeq.distinct: _*))

@@ -160,6 +160,56 @@ class DocServingSpec extends SparkSpec {
       (4L, 3L, 1L, 3L, "in words x y z")))
   }
 
+  test("doc store: a fenced append commits nothing and leaves no staging debris") {
+    import org.apache.hadoop.fs.Path
+    val store = java.nio.file.Files.createTempDirectory("store_fence").toString
+    DocStore.write(spark, sf0001, store)
+    val batch = docsDirFrom(950000L)
+    val demoted = new IllegalStateException("fence: lease superseded")
+    val e = intercept[IllegalStateException] {
+      DocStore.append(spark, batch, store, "batch_f",
+        fence = () => throw demoted)
+    }
+    assert(e eq demoted)
+    val fs = new Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(store, "batches/batch_f")),
+      "a fenced append must not publish")
+    val left = fs.listStatus(new Path(store, "batches"))
+      .map(_.getPath.getName).filter(_.startsWith(".staging_"))
+    assert(left.isEmpty, s"fenced append left staging debris: ${left.toSeq}")
+    // invalid tags are rejected with the shared ledger rules before any work
+    intercept[IllegalArgumentException] {
+      DocStore.append(spark, batch, store, "#meta")
+    }
+    intercept[IllegalArgumentException] {
+      DocStore.append(spark, batch, store, "a/b")
+    }
+  }
+
+  test("q156: a store that does not cover the index's corpus fails loudly, not short") {
+    import spark.implicits._
+    // phrase index over TWO docs sharing the top trigram; store over ONE
+    val full = Seq((1L, "x y z one"), (2L, "x y z two"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+    val half = full.filter(col("doc_id") === 1L)
+    val fullDir = java.nio.file.Files.createTempDirectory("cov_full").toString
+    val halfDir = java.nio.file.Files.createTempDirectory("cov_half").toString
+    full.write.mode("overwrite").parquet(s"$fullDir/documents.parquet")
+    half.write.mode("overwrite").parquet(s"$halfDir/documents.parquet")
+    val pi = java.nio.file.Files.createTempDirectory("cov_pi").toString
+    val store = java.nio.file.Files.createTempDirectory("cov_store").toString
+    TextIndex.writePhraseIndex(spark, fullDir, pi)
+    DocStore.write(spark, halfDir, store)
+    val e = intercept[IllegalArgumentException] {
+      DocStore.snippetSearch(spark, pi, store)
+    }
+    assert(e.getMessage.contains("missing 1 of"),
+      s"expected the coverage guard, got: ${e.getMessage}")
+  }
+
   test("q156: empty phrase result yields an empty page with the contract schema") {
     import spark.implicits._
     // two docs, no trigram repeated — topPhrase still resolves (rank-1 of
