@@ -214,11 +214,16 @@ object DocStore {
     // order (store append → index publish) guarantees for maintained
     // deployments.
     val nFetched = texts.count()
-    require(nFetched == page.length,
+    require(nFetched >= page.length,
       s"doc store at $storePath is missing ${page.length - nFetched} of " +
         s"the page's ${page.length} docs — it does not cover the corpus " +
         "state the phrase index serves (fold the store before the index: " +
         "the DocStore append contract)")
+    require(nFetched <= page.length,
+      s"doc store at $storePath returned $nFetched rows for " +
+        s"${page.length} page ids — duplicate doc_ids violate the store's " +
+        "unique-id contract (same-id rows with different content cannot " +
+        "serve a deterministic page)")
     val start = greatest(col("first_pos") + lit(1) - lit(window), lit(1))
       .cast("int")
     val len = (col("first_pos") + lit(phrase.length + window) + lit(1) -

@@ -794,15 +794,29 @@ object TextIndex {
     * qualifies — answer empty with zero posting scans (the q147
     * short-circuit convention) — while out-of-vocabulary `mustNot` terms
     * exclude nothing and drop out. Per-query cost tracks the query
-    * terms' posting mass; the corpus is never tokenized. */
+    * terms' posting mass; the corpus is never tokenized.
+    *
+    * `minShouldMatch` generalizes the conjunction to k-of-m (the classic
+    * minimum-should-match dial: m = AND, 1 = OR) — the SAME counting
+    * aggregation with `nhit ≥ k` instead of `= m`, so OR and k-of-m cost
+    * exactly what AND costs; under k < m the (min, max) tf aggregate
+    * covers the must terms PRESENT in each doc, which under AND is all
+    * of them. An OOV term cannot contribute a hit but still counts
+    * toward m (a query asking 2-of-3 where one term is unindexable must
+    * not silently become 2-of-2), so the empty short-circuit fires
+    * exactly when fewer than k terms resolve. */
   def boolSearch(spark: SparkSession, indexPath: String,
       must: Seq[String], mustNot: Seq[String] = Nil,
-      pinnedRoot: Option[String] = None): DataFrame = {
+      pinnedRoot: Option[String] = None,
+      minShouldMatch: Int = -1): DataFrame = {
     require(must.nonEmpty, "bool search needs at least one must term")
     require(must.distinct.length == must.length,
       s"must terms must be distinct: $must")
     require(mustNot.intersect(must).isEmpty,
       s"a term cannot be both must and mustNot: ${mustNot.intersect(must)}")
+    val k = if (minShouldMatch < 0) must.length else minShouldMatch
+    require(k >= 1 && k <= must.length,
+      s"minShouldMatch must be in [1, ${must.length}]: $k")
     // ONE version resolution for the whole query (the bm25Indexed rule)
     val root = pinnedRoot.getOrElse(currentRoot(spark, indexPath))
     val buckets = readStatsRowAt(spark, root)._3
@@ -817,7 +831,9 @@ object TextIndex {
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val mustTb = resolve(must)
     val notTb = resolve(mustNot) // OOV mustNot terms exclude nothing: drop
-    if (mustTb.size < must.length)
+    // OOV must terms can never be hit, so the highest reachable count is
+    // |resolved| — below the threshold, no doc qualifies, zero scans
+    if (mustTb.size < k)
       return emptyResult(spark,
         "doc_id" -> org.apache.spark.sql.types.LongType,
         "dl" -> org.apache.spark.sql.types.LongType,
@@ -833,7 +849,7 @@ object TextIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nhit"), min("tf").as("min_tf"),
         max("tf").as("max_tf"), max("dl").as("dl"))
-      .filter(col("nhit") === must.length)
+      .filter(col("nhit") >= k)
     val kept =
       if (notTb.isEmpty) hits
       else hits.join(listsOf(notTb).select("doc_id"), Seq("doc_id"),

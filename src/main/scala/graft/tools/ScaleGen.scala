@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   *    how real event traffic scales (more users, not deeper history).
   *    ts/value/props are carried unchanged.
   *
-  * ID spacing: originals keep their ids; replica k offsets by k·10⁷,
-  * far above any SF's id range.
+  * ID spacing: originals keep their ids; replica k offsets by k·stride,
+  * where the stride is the next power of 10 above every id the SOURCE
+  * carries (floor 10⁷) — source-derived so CHAINED generations
+  * (100× → 1000×) stay collision-free (round 11b: a fixed stride
+  * duplicated doc_ids across replica levels).
   *
   * Usage: ScaleGen <srcSfDir> <dstDir> [factor=10]
   */
@@ -64,10 +67,30 @@ object ScaleGen {
 
     val reps = spark.range(factor).select(col("id").cast("long").as("rep"))
 
+    // Replica id stride: the next power of 10 ABOVE every id the source
+    // carries (floor 10^7, the original fixed stride). A fixed stride
+    // silently COLLIDES when the source is itself a scaled fixture —
+    // chained 100x → 1000x generation starts from ids already past 10^7,
+    // and colliding replicas produce duplicate doc_ids carrying different
+    // text (the round-11b doc-store coverage guard caught exactly that
+    // on the chained tmp/sf100). One max() scan per id-bearing table.
+    val srcMaxId = Seq(
+      "documents.parquet" -> "doc_id", "embeddings.parquet" -> "vec_id",
+      "orders.parquet" -> "o_orderkey", "lineitem.parquet" -> "l_orderkey",
+      "part.parquet" -> "p_partkey", "customer.parquet" -> "c_custkey",
+      "supplier.parquet" -> "s_suppkey", "events.parquet" -> "event_id",
+      "events.parquet" -> "user_id").map { case (t, c) =>
+        spark.read.parquet(s"$src/$t").agg(max(col(c))).head().getLong(0)
+      }.max
+    var strideV = 10000000L
+    while (strideV <= srcMaxId) strideV *= 10
+    val off = lit(strideV)
+    println(s"[scalegen] replica id stride $strideV (source max id $srcMaxId)")
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.crossJoin(broadcast(reps))
       .select(
-        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        (col("doc_id") + col("rep") * off).as("doc_id"),
         when(col("rep") === 0, col("text")).otherwise(
           expr("""array_join(flatten(transform(split(text, ' '),
                  (t, i) -> CASE WHEN i % 3 = 2
@@ -81,7 +104,7 @@ object ScaleGen {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.crossJoin(broadcast(reps))
       .select(
-        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        (col("vec_id") + col("rep") * off).as("vec_id"),
         when(col("rep") === 0, col("embedding")).otherwise(
           // rotation offset MOD the dimension: at factor > 9 the raw
           // rep*7 exceeds the 64-dim vector and slice's length went
@@ -113,7 +136,6 @@ object ScaleGen {
     // grow ×factor (the dbgen convention: bigger SF = more keys, same
     // per-key shape). nation/region are fixed-cardinality dims shared by
     // all replicas and are copied once, unscaled.
-    val off = lit(10000000L)
     Seq("region", "nation").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -140,9 +162,9 @@ object ScaleGen {
     val ev = spark.read.parquet(s"$src/events.parquet")
     ev.crossJoin(broadcast(reps))
       .select(
-        (col("event_id") + col("rep") * 10000000L).as("event_id"),
+        (col("event_id") + col("rep") * off).as("event_id"),
         col("ts"),
-        (col("user_id") + col("rep") * 10000000L).as("user_id"),
+        (col("user_id") + col("rep") * off).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")

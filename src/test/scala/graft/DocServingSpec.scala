@@ -28,7 +28,8 @@ class DocServingSpec extends SparkSpec {
   /** Corpus-direct boolean truth: tokenize, per-(doc, tok) tf, keep docs
     * hitting every must term and no mustNot term. */
   private def boolTruth(dir: String, must: Seq[String],
-      mustNot: Seq[String]): Set[Seq[Any]] = {
+      mustNot: Seq[String], minShouldMatch: Int = -1): Set[Seq[Any]] = {
+    val k = if (minShouldMatch < 0) must.length else minShouldMatch
     val dt = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -37,7 +38,7 @@ class DocServingSpec extends SparkSpec {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nhit"), min("tf").as("min_tf"),
         max("tf").as("max_tf"))
-      .filter(col("nhit") === must.length)
+      .filter(col("nhit") >= k)
     val kept =
       if (mustNot.isEmpty) hits
       else hits.join(
@@ -65,6 +66,30 @@ class DocServingSpec extends SparkSpec {
     assert(noNot.length > got.length,
       "the rarest-term exclusion must remove at least one doc at sf0.001")
     assert(noNot.map(_.toSeq).toSet == boolTruth(sf0001, must, Nil))
+  }
+
+  test("q155: minShouldMatch dials the same aggregation from AND to OR") {
+    val idx = java.nio.file.Files.createTempDirectory("bool_msm").toString
+    TextIndex.write(spark, sf0001, idx)
+    val (must, not) = TextIndex.deriveBoolTerms(spark, idx)
+    def got(k: Int) = TextIndex.boolSearch(spark, idx, must, not,
+      minShouldMatch = k).collect().map(_.toSeq).toSet
+    // OR (k=1) ⊇ AND (k=2), both equal the corpus-direct truth
+    assert(got(1) == boolTruth(sf0001, must, not, 1))
+    assert(got(2) == boolTruth(sf0001, must, not, 2))
+    assert(got(2).subsetOf(got(1)) && got(1).size > got(2).size,
+      "OR must qualify strictly more docs than AND on this corpus")
+    // under k < m an OOV term cannot contribute but still counts toward
+    // m: 2-of-3 with one unindexable term is NOT silently 2-of-2 — it
+    // demands both resolvable terms
+    val withOov = TextIndex.boolSearch(spark, idx,
+      must :+ "zzz_not_a_token", not, minShouldMatch = 2)
+      .collect().map(_.toSeq).toSet
+    assert(withOov == boolTruth(sf0001, must, not, 2))
+    // ...and a threshold no resolved subset can reach short-circuits empty
+    assert(TextIndex.boolSearch(spark, idx,
+      Seq(must.head, "zzz_a", "zzz_b"), not, minShouldMatch = 2)
+      .count() == 0L)
   }
 
   test("q155: OOV must short-circuits empty; OOV mustNot excludes nothing") {
