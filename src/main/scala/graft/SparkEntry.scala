@@ -288,6 +288,29 @@ object SparkEntry {
     "q156_snippet"        -> ((s: SparkSession, d: String) =>
       graft.text.DocStore.snippetSearch(s, cachedPhraseIndex(s, d),
         cachedDocStore(s, d))),
+    // q157 (round 11): the OR end of q155's minimum-should-match dial —
+    // same counting aggregation, nhit ≥ 1 — promoted to its own oracle
+    // row so k-of-m semantics are hash-checked, not just spec'd. Same
+    // probe derivation as q155.
+    "q157_bool_any"       -> ((s: SparkSession, d: String) => {
+      val idx = cachedTextIndex(s, d)
+      val root = Some(graft.text.TextIndex.currentRoot(s, idx))
+      val (must, not) = graft.text.TextIndex.deriveBoolTerms(s, idx,
+        pinnedRoot = root)
+      graft.text.TextIndex.boolSearch(s, idx, must, not, pinnedRoot = root,
+        minShouldMatch = 1)
+    }),
+    // q158 (round 11): q104's heavy-hitter estimates served from an
+    // AT-REST day-grain COUNT-MIN table (the q149–q151 pattern applied
+    // to the frequency sketch): CMS is LINEAR — merging per-day sketches
+    // sums their count arrays, which is bit-for-bit the one-pass global
+    // sketch — so the served row shares q104's oracle verbatim. The
+    // exact arm stays in-plan as the audit; the estimate arm reads ONLY
+    // the table (grain-bounded driver merge). Unlike the HLL/theta
+    // tables, CMS is additive NOT idempotent — the maintenance caveat is
+    // documented on the writer.
+    "q158_heavy_served"   -> ((s: SparkSession, d: String) =>
+      Relational.heavyHittersServed(s, d, cachedFreqTable(s, d))),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -353,7 +376,8 @@ object SparkEntry {
     * separately (CellIndexBench's index_build/text_index_build rows). */
   def warmIndexes(s: SparkSession, d: String): Unit = {
     cachedTextIndex(s, d); cachedCellIndex(s, d); cachedPhraseIndex(s, d)
-    cachedReachTable(s, d); cachedCohortTable(s, d); cachedDocStore(s, d); ()
+    cachedReachTable(s, d); cachedCohortTable(s, d); cachedDocStore(s, d)
+    cachedFreqTable(s, d); ()
   }
 
   private def cachedTextIndex(s: SparkSession, d: String): String =
@@ -382,6 +406,10 @@ object SparkEntry {
   private def cachedCohortTable(s: SparkSession, d: String): String =
     cachedIndex("cohorttbl", d, "_SUCCESS")(p =>
       Relational.writeCohortSketches(s, d, p))
+
+  private def cachedFreqTable(s: SparkSession, d: String): String =
+    cachedIndex("freqtbl", d, "_SUCCESS")(p =>
+      Relational.writeFreqSketches(s, d, p))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
   // Shared SQL fragments (kept as vals so Spark/DuckDB formulations stay in
@@ -1938,12 +1966,13 @@ object SparkEntry {
     // q104: exact top-k hash-checks; the CMS estimate is engine-specific, so
     // the oracle asserts its guarantees as flags (q48/q99 convention):
     // never-underestimate, and ≤ 1% of total mass over.
-    "q104_heavy_hitters" ->
-      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
-        |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
-        |SELECT user_id, n, CAST(1 AS BIGINT) AS cms_ge_exact,
-        | CAST(1 AS BIGINT) AS cms_within_tol
-        |FROM r WHERE rk <= 20 ORDER BY n DESC, user_id""".stripMargin,
+    "q104_heavy_hitters" -> heavyHittersOracle,
+
+    // q158: the estimate arm served from the at-rest day-grain CMS table —
+    // CMS is linear (merge sums count arrays), so merged day sketches ARE
+    // the one-pass global sketch bit for bit and the row shares q104's
+    // oracle verbatim (the q149 convention for an additive sketch).
+    "q158_heavy_served" -> heavyHittersOracle,
 
     // q105: the q49 cluster fragment grouped twice — sizes, then the
     // histogram; n_dropped is the keep-one-representative saving.
@@ -2787,6 +2816,30 @@ object SparkEntry {
         |WHERE m.nhit = 2 AND m.doc_id NOT IN (SELECT doc_id FROM x)
         |ORDER BY m.doc_id""".stripMargin,
 
+    // q157: the OR end of the minimum-should-match dial — q155's CTEs
+    // with nhit >= 1 (any of the two highest-df terms) minus the rarest
+    // term; min/max tf cover the terms PRESENT in each doc.
+    "q157_bool_any" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM ct),
+        |dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dls AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+        |df AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1),
+        |must AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rk
+        |         FROM df QUALIFY rk <= 2),
+        |mnot AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df ASC, tok) AS rk
+        |         FROM df QUALIFY rk <= 1),
+        |m AS (SELECT dt.doc_id, COUNT(*) AS nhit,
+        |        CAST(MIN(dt.tf) AS BIGINT) AS min_tf,
+        |        CAST(MAX(dt.tf) AS BIGINT) AS max_tf
+        |      FROM dt JOIN must ON dt.tok = must.tok GROUP BY 1),
+        |x AS (SELECT DISTINCT dt.doc_id FROM dt JOIN mnot ON dt.tok = mnot.tok)
+        |SELECT m.doc_id, dls.dl, m.min_tf, m.max_tf
+        |FROM m JOIN dls USING (doc_id)
+        |WHERE m.nhit >= 1 AND m.doc_id NOT IN (SELECT doc_id FROM x)
+        |ORDER BY m.doc_id""".stripMargin,
+
     // q156: the serving page end-to-end — q147's phrase occurrences,
     // paged to the top 20 by (n_occ desc, doc_id), each hit's snippet =
     // the ±2-token window around its first occurrence (clamped at doc
@@ -2817,6 +2870,17 @@ object SparkEntry {
          |FROM page p JOIN ct ON p.doc_id = ct.doc_id
          |ORDER BY p.rnk""".stripMargin,
   )
+
+  /** q104's oracle — exact top-k with the CMS guarantees as flags.
+    * Shared verbatim by q158 (estimates served from the at-rest CMS
+    * table; CMS linearity makes the merged-table estimate bit-identical
+    * to the one-pass sketch, so the same flags must hold). */
+  private lazy val heavyHittersOracle: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+      |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rk FROM c)
+      |SELECT user_id, n, CAST(1 AS BIGINT) AS cms_ge_exact,
+      | CAST(1 AS BIGINT) AS cms_within_tol
+      |FROM r WHERE rk <= 20 ORDER BY n DESC, user_id""".stripMargin
 
   /** q148's oracle — per-doc within-slop (slop 3) position pairs of the
     * two highest-df terms, (df desc, tok)-derived exactly as the index's

@@ -616,6 +616,91 @@ object Relational {
       .limit(k)
   }
 
+  /** AT-REST DAY-GRAIN FREQUENCY SKETCH TABLE — q104's count-min sketch
+    * persisted at the (day) grain (the [[writeReachSketches]] layout
+    * applied to the frequency question): one events pass, one CMS + the
+    * day's event count per row, so "how hot is key X" and the heavy-
+    * hitter audit serve from grain-bounded rows without re-scanning
+    * events.
+    *
+    * MAINTENANCE CAVEAT, and the reason this table is NOT folded by
+    * [[graft.app.ReachMaintenanceJob]]: CMS merge is ADDITIVE (count
+    * arrays sum), not idempotent — a replayed batch row would double
+    * every estimate it contains, so the sketch-tables-get-exactly-once-
+    * free-by-idempotence argument (HLL/theta) does NOT apply here. A
+    * live-fed CMS table needs the index family's applied-tags ledger;
+    * the batch form here rebuilds deterministically (grain-keyed
+    * overwrite), which is the convention the oracle row exercises. */
+  def writeFreqSketches(spark: SparkSession, dir: String, path: String): Unit =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Q158 — q104's heavy-hitter report with the ESTIMATE ARM SERVED from
+    * the at-rest CMS table ([[writeFreqSketches]]): CMS is LINEAR — a
+    * merge of per-day sketches (same ε/confidence/seed → same geometry
+    * and hash family) sums their count arrays, which is bit-for-bit the
+    * one-pass global sketch — so the served estimates equal q104's
+    * exactly and the row shares q104's oracle verbatim. The table merge
+    * is a GRAIN-BOUNDED driver fold (days × ~100 KB — the q104 sketch
+    * collect's own class); the events scan in this query is the EXACT
+    * audit arm only (the q149 convention: the oracle checks the audit;
+    * production serves the sketch arm alone). */
+  def heavyHittersServed(spark: SparkSession, dir: String,
+      tablePath: String, k: Int = 20): DataFrame = {
+    graft.functions.SketchExpressions.register(spark)
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rows = spark.read.parquet(tablePath)
+      .select(col("sk"), col("n_events")).collect()
+    require(rows.nonEmpty, s"frequency sketch table at $tablePath is empty")
+    val merged = rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+      .reduce((a, b) => a.mergeInPlace(b))
+    val total = rows.map(_.getAs[Long](1)).sum
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos); bos.toByteArray
+    }
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("est",
+        graft.functions.SketchExpressions.cms_estimate(lit(bytes), col("user_id")))
+      .select(col("user_id"), col("n"),
+        (col("est") >= col("n")).cast("long").as("cms_ge_exact"),
+        ((col("est") - col("n")).cast("double") <=
+          lit(total.toDouble * 0.01)).cast("long").as("cms_within_tol"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Estimate-only serving (the production path the q158 audit row
+    * certifies): frequency estimates for a bounded probe key set, read
+    * ENTIRELY from the at-rest table — events are never scanned
+    * (plan-pinned: the output is a local projection over the probe
+    * frame). */
+  def freqEstimatesFromSketches(spark: SparkSession, tablePath: String,
+      keys: Seq[Long]): DataFrame = {
+    graft.functions.SketchExpressions.register(spark)
+    import spark.implicits._
+    require(keys.nonEmpty && keys.length <= 1024,
+      s"probe key set must be a bounded page (got ${keys.length})")
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rows = spark.read.parquet(tablePath).select(col("sk")).collect()
+    require(rows.nonEmpty, s"frequency sketch table at $tablePath is empty")
+    val merged = rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+      .reduce((a, b) => a.mergeInPlace(b))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos); bos.toByteArray
+    }
+    keys.toDF("user_id")
+      .withColumn("est",
+        graft.functions.SketchExpressions.cms_estimate(lit(bytes), col("user_id")))
+      .orderBy("user_id")
+  }
+
   /** Q142 — MERGEABLE DISTINCT-USER REACH via DataSketches HLL
     * (`hll_sketch_agg`/`hll_union_agg`, Spark's Apache DataSketches
     * integration): the 100 TB way to answer "how many distinct users"

@@ -238,6 +238,45 @@ class RelationalSpec extends SparkSpec {
       s"served retention (${r.toSeq}) vs exact ($retained, ${nBase - retained}, ${nCur - retained})")
   }
 
+  test("q158: CMS linearity — the day-grain table serves q104's estimates bit for bit; duplication breaks it") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("freqtbl").toString
+    Relational.writeFreqSketches(spark, sf0001, path)
+    // the served row IS q104 with the sketch read from the table: merged
+    // per-day sketches sum to the one-pass global sketch (same geometry,
+    // same seed), so the two frames must be identical including flags
+    val direct = Relational.q104(spark, sf0001).collect().map(_.toSeq).toSeq
+    val served = Relational.heavyHittersServed(spark, sf0001, path)
+      .collect().map(_.toSeq).toSeq
+    assert(served == direct,
+      "table-served heavy hitters drifted from the one-pass sketch")
+    // estimate-only serving: bounded probe, NO events scan in the plan
+    val probe = direct.take(3).map(_.head.asInstanceOf[Long])
+    val est = Relational.freqEstimatesFromSketches(spark, path, probe)
+    assert(!est.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode).contains("events.parquet"),
+      "estimate serving must never scan events")
+    // CMS never underestimates: each probe key's served estimate covers
+    // its exact count
+    val exact = direct.map(r => r.head.asInstanceOf[Long] ->
+      r(1).asInstanceOf[Long]).toMap
+    est.collect().foreach(r =>
+      assert(r.getLong(1) >= exact(r.getLong(0)),
+        s"CMS underestimated key ${r.getLong(0)}"))
+    // the additivity caveat is REAL, not documentation: a duplicated day
+    // row (what an at-least-once replay would append) inflates estimates
+    // — CMS merge is additive, so this table cannot ride the HLL/theta
+    // idempotence argument and is rebuilt, not stream-folded
+    val dup = java.nio.file.Files.createTempDirectory("freqtbl_dup").toString
+    val tbl = spark.read.parquet(path)
+    tbl.unionByName(tbl.limit(1)).write.mode("overwrite").parquet(dup)
+    val inflated = Relational.freqEstimatesFromSketches(spark, dup, probe)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clean = est.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probe.exists(k => inflated(k) > clean(k)),
+      "duplicating a day row must inflate some estimate (additive merge)")
+  }
+
   test("theta sketch agg: merge across partitions is order-independent and exact below k") {
     import graft.functions.ThetaExpressions
     ThetaExpressions.register(spark)
