@@ -627,16 +627,80 @@ object Relational {
     * [[graft.app.ReachMaintenanceJob]]: CMS merge is ADDITIVE (count
     * arrays sum), not idempotent — a replayed batch row would double
     * every estimate it contains, so the sketch-tables-get-exactly-once-
-    * free-by-idempotence argument (HLL/theta) does NOT apply here. A
-    * live-fed CMS table needs the index family's applied-tags ledger;
-    * the batch form here rebuilds deterministically (grain-keyed
-    * overwrite), which is the convention the oracle row exercises. */
+    * free-by-idempotence argument (HLL/theta) does NOT apply here. The
+    * live path is [[appendFreqSketches]] — tag-committed batch folds
+    * (the applied-tags discipline, one dir-exists check per batch) whose
+    * replay short-circuit restores exactly-once BY LEDGER instead; the
+    * batch form here rebuilds deterministically (grain-keyed overwrite),
+    * which is the convention the oracle row exercises. */
   def writeFreqSketches(spark: SparkSession, dir: String, path: String): Unit =
     Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).cast("string").as("day"))
       .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
         count(lit(1)).as("n_events"))
       .write.mode("overwrite").parquet(path)
+
+  /** TAG-COMMITTED LIVE FOLD for the frequency table — the applied-tags
+    * discipline the ADDITIVE sketch needs (see [[writeFreqSketches]]'s
+    * caveat: CMS merge sums, so idempotence cannot absorb an
+    * at-least-once replay the way it does for HLL/theta). Each batch's
+    * day-grain CMS rows land under `_batches/<tag>/` — underscore-
+    * prefixed, so Spark's file listing of the BASE table never sees them
+    * — via the staging + fenced guarded-rename publish ([[graft.text.DocStore.append]]'s
+    * protocol verbatim); a committed tag short-circuits, so a replayed
+    * batch adds NOTHING and the union of base + committed batch rows
+    * equals the one-pass global sketch over everything ingested (CMS
+    * linearity; spec'd). */
+  def appendFreqSketches(spark: SparkSession, batchDir: String,
+      tablePath: String, tag: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
+    graft.IndexVersions.requireValidTag(Some(tag))
+    require(!tag.contains("/"),
+      s"freq batch tag must be dir-safe (no '/'): '$tag'")
+    import org.apache.hadoop.fs.Path
+    val batchesRoot = new Path(tablePath, "_batches")
+    val target = new Path(batchesRoot, tag)
+    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def committed(p: Path) = fs.exists(new Path(p, "_SUCCESS"))
+    if (committed(target)) return false
+    if (fs.exists(batchesRoot)) {
+      val cutoff = System.currentTimeMillis() - graft.IndexVersions.StagingTtlMs
+      fs.listStatus(batchesRoot)
+        .filter(s => s.getPath.getName.startsWith(".staging_") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    val staging = new Path(batchesRoot,
+      s".staging_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    Tables.events(spark, batchDir)
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(staging.toString)
+    try { graft.IndexVersions.publish(fs, staging, target, committed, fence); true }
+    catch {
+      case e: Throwable => if (committed(target)) false else throw e
+    }
+  }
+
+  /** Batch tags whose freq-table fold committed. */
+  def freqAppliedTags(spark: SparkSession, tablePath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath, "_batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => !t.startsWith(".") &&
+        fs.exists(new Path(root, s"$t/_SUCCESS"))).toSet
+  }
+
+  /** The full sketch row set: base + every committed batch fold (grain
+    * rows needn't be unique — the reader's merge sums them, which is the
+    * point of a linear sketch). */
+  private def freqRows(spark: SparkSession, tablePath: String): DataFrame =
+    freqAppliedTags(spark, tablePath).toSeq.sorted
+      .map(t => spark.read.parquet(s"$tablePath/_batches/$t"))
+      .foldLeft(spark.read.parquet(tablePath))(_ unionByName _)
 
   /** Q158 — q104's heavy-hitter report with the ESTIMATE ARM SERVED from
     * the at-rest CMS table ([[writeFreqSketches]]): CMS is LINEAR — a
@@ -652,7 +716,7 @@ object Relational {
       tablePath: String, k: Int = 20): DataFrame = {
     graft.functions.SketchExpressions.register(spark)
     import org.apache.spark.util.sketch.CountMinSketch
-    val rows = spark.read.parquet(tablePath)
+    val rows = freqRows(spark, tablePath)
       .select(col("sk"), col("n_events")).collect()
     require(rows.nonEmpty, s"frequency sketch table at $tablePath is empty")
     val merged = rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
@@ -687,7 +751,7 @@ object Relational {
     require(keys.nonEmpty && keys.length <= 1024,
       s"probe key set must be a bounded page (got ${keys.length})")
     import org.apache.spark.util.sketch.CountMinSketch
-    val rows = spark.read.parquet(tablePath).select(col("sk")).collect()
+    val rows = freqRows(spark, tablePath).select(col("sk")).collect()
     require(rows.nonEmpty, s"frequency sketch table at $tablePath is empty")
     val merged = rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
       .reduce((a, b) => a.mergeInPlace(b))

@@ -277,6 +277,49 @@ class RelationalSpec extends SparkSpec {
       "duplicating a day row must inflate some estimate (additive merge)")
   }
 
+  test("freq table live fold: tag-committed batches restore exactly-once by ledger; fold ≡ one-pass global") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("freqtbl_live").toString
+    Relational.writeFreqSketches(spark, sf0001, path)
+    // a batch of NEW traffic: sf0.001's events with offset ids (new users,
+    // same day grain — the hardest merge path: batch rows land on the
+    // SAME days as base rows and must sum, not replace)
+    val batchDir = java.nio.file.Files.createTempDirectory("freq_batch").toString
+    graft.sources.Tables.events(spark, sf0001)
+      .withColumn("event_id", col("event_id") + 1000000000L)
+      .withColumn("user_id", col("user_id") + 1000000000L)
+      .write.mode("overwrite").parquet(s"$batchDir/events.parquet")
+    assert(Relational.appendFreqSketches(spark, batchDir, path, "b1"))
+    // replay short-circuits: the ledger, not idempotence, is what makes
+    // the additive sketch exactly-once
+    assert(!Relational.appendFreqSketches(spark, batchDir, path, "b1"))
+    assert(Relational.freqAppliedTags(spark, path) == Set("b1"))
+    // union corpus for the exact arm + the one-pass reference sketch
+    val unionDir = java.nio.file.Files.createTempDirectory("freq_union").toString
+    graft.sources.Tables.events(spark, sf0001)
+      .unionByName(graft.sources.Tables.events(spark, batchDir))
+      .write.mode("overwrite").parquet(s"$unionDir/events.parquet")
+    // served report over (base + committed fold) ≡ q104 over the union
+    // corpus, bit for bit — CMS linearity across the ledger boundary
+    val served = Relational.heavyHittersServed(spark, unionDir, path)
+      .collect().map(_.toSeq).toSeq
+    val direct = Relational.q104(spark, unionDir).collect().map(_.toSeq).toSeq
+    assert(served == direct,
+      "ledger-folded freq table drifted from the one-pass union sketch")
+    // a fenced fold commits nothing and leaves no staging debris
+    val demoted = new IllegalStateException("fence: lease superseded")
+    val e = intercept[IllegalStateException] {
+      Relational.appendFreqSketches(spark, batchDir, path, "b2",
+        fence = () => throw demoted)
+    }
+    assert(e eq demoted)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_batches/b2")))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(path, "_batches"))
+      .forall(!_.getPath.getName.startsWith(".staging_")))
+  }
+
   test("theta sketch agg: merge across partitions is order-independent and exact below k") {
     import graft.functions.ThetaExpressions
     ThetaExpressions.register(spark)
