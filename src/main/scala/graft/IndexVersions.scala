@@ -64,6 +64,22 @@ object IndexVersions {
       s"batch tag must not contain newlines (the ledger is line-delimited): ${t.replace("\n", "\\n").replace("\r", "\\r")}")
   }
 
+  /** The ledger rules PLUS directory safety, for artifacts whose tag
+    * names a filesystem dir (DocStore batches, freq-table folds): '/'
+    * would nest, and a LEADING '.' is catastrophic two ways — tag "."
+    * normalizes to the batches root itself (publish would delete every
+    * committed batch as an "uncommitted leftover"), and ".staging_*"
+    * tags land where the crashed-staging TTL sweep deletes committed
+    * data (round-11 review finding). */
+  def requireDirSafeTag(tag: String): Unit = {
+    requireValidTag(Some(tag))
+    require(!tag.contains("/"),
+      s"batch tag must be dir-safe (no '/'): '$tag'")
+    require(!tag.startsWith("."),
+      s"batch tag must not start with '.' ('.' resolves to the batches " +
+        s"root and '.staging_*' collides with the TTL sweep): '$tag'")
+  }
+
   def readLedger(fs: FileSystem, dir: Path): Ledger = {
     val p = new Path(dir, TagsFile)
     if (!fs.exists(p)) Ledger.empty

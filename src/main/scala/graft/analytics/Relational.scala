@@ -654,9 +654,7 @@ object Relational {
   def appendFreqSketches(spark: SparkSession, batchDir: String,
       tablePath: String, tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
-    graft.IndexVersions.requireValidTag(Some(tag))
-    require(!tag.contains("/"),
-      s"freq batch tag must be dir-safe (no '/'): '$tag'")
+    graft.IndexVersions.requireDirSafeTag(tag)
     import org.apache.hadoop.fs.Path
     val batchesRoot = new Path(tablePath, "_batches")
     val target = new Path(batchesRoot, tag)
@@ -679,7 +677,9 @@ object Relational {
       .write.mode("overwrite").parquet(staging.toString)
     try { graft.IndexVersions.publish(fs, staging, target, committed, fence); true }
     catch {
-      case e: Throwable => if (committed(target)) false else throw e
+      case e: Exception =>
+        fence() // a demoted writer fails loudly even when it lost the race
+        if (committed(target)) false else throw e
     }
   }
 

@@ -85,9 +85,7 @@ object DocStore {
   def append(spark: SparkSession, batchDir: String, storePath: String,
       tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
-    graft.IndexVersions.requireValidTag(Some(tag))
-    require(!tag.contains("/"),
-      s"doc store batch tag must be dir-safe (no '/'): '$tag'")
+    graft.IndexVersions.requireDirSafeTag(tag)
     import org.apache.hadoop.fs.Path
     val batchesRoot = new Path(storePath, "batches")
     val target = new Path(batchesRoot, tag)
@@ -116,22 +114,34 @@ object DocStore {
       .parquet(new Path(staging, "rows").toString)
     try { graft.IndexVersions.publish(fs, staging, target, committed, fence); true }
     catch {
-      case e: Throwable =>
+      case e: Exception =>
+        // a DEMOTED writer must fail loudly at its first fenced mutation
+        // even when the new holder has already committed this same tag —
+        // swallowing the demotion would let the zombie continue folding
+        // the rest of the artifact set (round-11 review finding), so the
+        // fence re-checks before the lost race is forgiven
+        fence()
         // a concurrent same-tag fold won the rename (content identical by
         // batch determinism): the batch IS committed — report "already
-        // folded". Anything else — a fence demotion included — rethrows.
+        // folded". Anything else rethrows.
         if (committed(target)) false else throw e
     }
   }
 
-  /** Batch tags whose store append committed (`_SUCCESS` present). */
+  /** Batch tags whose store append committed (`_SUCCESS` present).
+    * Dot-prefixed dirs are EXCLUDED — a staging assembly whose Spark
+    * write has finished carries rows/_SUCCESS before the publish rename,
+    * and listing it as committed would double every doc of an in-flight
+    * (or crashed) batch for readers (round-11 review finding); valid
+    * tags can never start with '.' ([[graft.IndexVersions.requireDirSafeTag]]). */
   def appliedTags(spark: SparkSession, storePath: String): Set[String] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storePath, "batches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Set.empty
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(t => fs.exists(new Path(root, s"$t/rows/_SUCCESS"))).toSet
+      .filter(t => !t.startsWith(".") &&
+        fs.exists(new Path(root, s"$t/rows/_SUCCESS"))).toSet
   }
 
   private def readBuckets(spark: SparkSession, storePath: String): Int = {
@@ -199,36 +209,43 @@ object DocStore {
     val page = occ.orderBy(desc("n_occ"), col("doc_id")).limit(topK).collect()
     if (page.isEmpty)
       return TextIndex.emptyResult(spark,
-        "rnk" -> LongType, "doc_id" -> LongType, "n_occ" -> LongType,
-        "first_pos" -> LongType, "snippet" -> StringType)
-    val ranked = page.zipWithIndex.map { case (r, k) =>
-      (k + 1L, r.getLong(0), r.getLong(1), r.getLong(2))
-    }.toSeq.toDF("rnk", "doc_id", "n_occ", "first_pos")
-    val texts = fetchPage(spark, storePath, page.map(_.getLong(0)).toSeq)
-      .select(col("doc_id"), col("text"))
-    // the page join below is inner: a store missing one of the page's
-    // docs would silently shorten the page with rank gaps — the one
-    // silent-wrong shape this serving path could produce. Fail loudly
-    // instead (a ≤ topK-row count over the pruned fetch): the store must
-    // cover every corpus state the index serves, which the maintenance
-    // order (store append → index publish) guarantees for maintained
-    // deployments.
-    val nFetched = texts.count()
-    require(nFetched >= page.length,
-      s"doc store at $storePath is missing ${page.length - nFetched} of " +
-        s"the page's ${page.length} docs — it does not cover the corpus " +
-        "state the phrase index serves (fold the store before the index: " +
-        "the DocStore append contract)")
-    require(nFetched <= page.length,
-      s"doc store at $storePath returned $nFetched rows for " +
+        org.apache.spark.sql.types.StructField("rnk", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_occ", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("first_pos", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("snippet", StringType, nullable = true))
+    // ONE pruned store scan (round-11 review: a count() guard beside the
+    // join re-ran the point fetch — the page is ≤ topK rows by contract,
+    // so collect it once and guard on the collected set)
+    val fetched = fetchPage(spark, storePath, page.map(_.getLong(0)).toSeq)
+      .select(col("doc_id"), col("text")).collect()
+    // a store missing one of the page's docs would silently shorten the
+    // page with rank gaps — the one silent-wrong shape this serving path
+    // could produce. Fail loudly instead: the store must cover every
+    // corpus state the index serves, which the maintenance order (store
+    // append → index publish) guarantees for maintained deployments.
+    require(fetched.length >= page.length,
+      s"doc store at $storePath is missing " +
+        s"${page.length - fetched.length} of the page's ${page.length} " +
+        "docs — it does not cover the corpus state the phrase index " +
+        "serves (fold the store before the index: the DocStore append " +
+        "contract)")
+    require(fetched.length <= page.length,
+      s"doc store at $storePath returned ${fetched.length} rows for " +
         s"${page.length} page ids — duplicate doc_ids violate the store's " +
         "unique-id contract (same-id rows with different content cannot " +
         "serve a deterministic page)")
+    val textOf = fetched.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // snippet extraction stays in Catalyst expressions (split/slice —
+    // the exact semantics the oracle mirrors), over the local page frame
+    val rows = page.zipWithIndex.map { case (r, k) =>
+      (k + 1L, r.getLong(0), r.getLong(1), r.getLong(2), textOf(r.getLong(0)))
+    }.toSeq.toDF("rnk", "doc_id", "n_occ", "first_pos", "text")
     val start = greatest(col("first_pos") + lit(1) - lit(window), lit(1))
       .cast("int")
     val len = (col("first_pos") + lit(phrase.length + window) + lit(1) -
       start).cast("int")
-    texts.join(broadcast(ranked), Seq("doc_id"))
+    rows
       .withColumn("snippet",
         array_join(slice(split(col("text"), " "), start, len), " "))
       .select(col("rnk"), col("doc_id"), col("n_occ"), col("first_pos"),

@@ -556,11 +556,13 @@ object TextIndex {
       val found = pruned.map(r => r.getString(0) -> r.getLong(1)).toMap
       want.map(t => t -> found.getOrElse(t, 0L)).toMap
     }
-    if (occOf.valuesIterator.contains(0L))
+    if (occOf.valuesIterator.contains(0L)) {
+      import org.apache.spark.sql.types.{LongType, StructField}
       return emptyResult(spark,
-        "doc_id" -> org.apache.spark.sql.types.LongType,
-        "n_occ" -> org.apache.spark.sql.types.LongType,
-        "first_pos" -> org.apache.spark.sql.types.LongType)
+        StructField("doc_id", LongType, nullable = false),
+        StructField("n_occ", LongType, nullable = false),
+        StructField("first_pos", LongType, nullable = false))
+    }
     // one pruned scan per slot, re-keyed to the PHRASE start position
     // (i − j): a full occurrence is an m-way agreement on (doc, p).
     // m = 2 keeps slot order (a single join has no order to choose).
@@ -742,13 +744,15 @@ object TextIndex {
   /** Empty result frame with a pinned contract schema — the OOV/empty
     * short-circuit shape shared by [[phraseSearch]], [[boolSearch]] and
     * [[DocStore.snippetSearch]] (one definition so an output-contract
-    * change cannot miss its empty-branch twin). */
+    * change cannot miss its empty-branch twin). Callers pass full
+    * StructFields so nullability matches the non-empty branch (round-11
+    * review: a hardcoded nullable=false drifted snippet's empty schema
+    * from its populated twin). */
   private[graft] def emptyResult(spark: SparkSession,
-      cols: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+      fields: org.apache.spark.sql.types.StructField*): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
-        org.apache.spark.sql.types.StructField(n, t, nullable = false) }))
+      org.apache.spark.sql.types.StructType(fields))
 
   /** The q155 deterministic probe served FROM the index's df table (the
     * q132/q148 derivation convention — a vocabulary-sized, bucket-pruned
@@ -833,12 +837,14 @@ object TextIndex {
     val notTb = resolve(mustNot) // OOV mustNot terms exclude nothing: drop
     // OOV must terms can never be hit, so the highest reachable count is
     // |resolved| — below the threshold, no doc qualifies, zero scans
-    if (mustTb.size < k)
+    if (mustTb.size < k) {
+      import org.apache.spark.sql.types.{LongType, StructField}
       return emptyResult(spark,
-        "doc_id" -> org.apache.spark.sql.types.LongType,
-        "dl" -> org.apache.spark.sql.types.LongType,
-        "min_tf" -> org.apache.spark.sql.types.LongType,
-        "max_tf" -> org.apache.spark.sql.types.LongType)
+        StructField("doc_id", LongType, nullable = false),
+        StructField("dl", LongType, nullable = false),
+        StructField("min_tf", LongType, nullable = false),
+        StructField("max_tf", LongType, nullable = false))
+    }
     val posts = spark.read.parquet(s"$root/postings")
     def listsOf(tb: Map[String, Int]) = posts
       .filter(col("tb").isin(tb.values.toSeq.distinct: _*))

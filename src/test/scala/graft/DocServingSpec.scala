@@ -203,13 +203,22 @@ class DocServingSpec extends SparkSpec {
     val left = fs.listStatus(new Path(store, "batches"))
       .map(_.getPath.getName).filter(_.startsWith(".staging_"))
     assert(left.isEmpty, s"fenced append left staging debris: ${left.toSeq}")
-    // invalid tags are rejected with the shared ledger rules before any work
-    intercept[IllegalArgumentException] {
-      DocStore.append(spark, batch, store, "#meta")
-    }
-    intercept[IllegalArgumentException] {
-      DocStore.append(spark, batch, store, "a/b")
-    }
+    // invalid tags are rejected with the shared ledger+dir rules before
+    // any work: '#' (ledger metadata), '/' (nesting), '.' (tag "."
+    // resolves to the batches root — publish would delete every
+    // committed batch; ".staging_*" collides with the TTL sweep)
+    for (bad <- Seq("#meta", "a/b", ".", ".staging_x"))
+      intercept[IllegalArgumentException] {
+        DocStore.append(spark, batch, store, bad)
+      }
+    // a staging assembly whose Spark write finished (rows/_SUCCESS
+    // present) but whose publish never ran must NOT read as committed —
+    // listing it would double every doc of the in-flight batch
+    val stray = new Path(store, "batches/.staging_orphan_xx/rows")
+    fs.mkdirs(stray)
+    fs.create(new Path(stray, "_SUCCESS")).close()
+    assert(!DocStore.appliedTags(spark, store).exists(_.startsWith(".")),
+      "a staging dir must never be listed as a committed batch")
   }
 
   test("q156: a store that does not cover the index's corpus fails loudly, not short") {

@@ -104,21 +104,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q156: the fetch phase prunes the doc store to the page's buckets with the id list pushed") {
-    import graft.text.{DocStore, TextIndex}
-    val pi = java.nio.file.Files.createTempDirectory("snip_plan_pi").toString
+    import graft.text.DocStore
     val store = java.nio.file.Files.createTempDirectory("snip_plan_st").toString
-    TextIndex.writePhraseIndex(spark, sf0001, pi)
     DocStore.write(spark, sf0001, store)
     // the candidate phase is index-resident (q147's pin); this pin is the
     // page's CONTENT fetch — at 100 TB "returning the page never re-scans
-    // the corpus" is this partition-pruned point lookup
-    val plan = explain(DocStore.snippetSearch(spark, pi, store))
+    // the corpus" is this partition-pruned point lookup. snippetSearch
+    // collects the fetch (≤ topK rows, the single-scan guard), so the pin
+    // targets fetchPage — the plan that actually touches the store.
+    val plan = explain(DocStore.fetchPage(spark, store, Seq(1L, 7L, 123L)))
     assert(plan.contains("PartitionFilters:") && plan.contains("db"),
       s"expected id-bucket partition pruning on the store scan:\n$plan")
     assert(plan.contains("In(doc_id"),
       s"expected the page's id list pushed to the store scan:\n$plan")
     assert(!plan.contains("documents.parquet"),
-      s"the serving page must never scan the corpus table:\n$plan")
+      s"the point fetch must never scan the corpus table:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
 
