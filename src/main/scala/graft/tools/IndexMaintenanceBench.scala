@@ -39,10 +39,11 @@ object IndexMaintenanceBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val vecIdx = s"$work/vec"; val textIdx = s"$work/text"
-    val phraseIdx = s"$work/phrase"
+    val phraseIdx = s"$work/phrase"; val store = s"$work/store"
     graft.vector.CellIndex.write(spark, dir, vecIdx, k = k)
     graft.text.TextIndex.write(spark, dir, textIdx)
     graft.text.TextIndex.writePhraseIndex(spark, dir, phraseIdx)
+    graft.text.DocStore.write(spark, dir, store)
 
     def batchDf(i: Int) = {
       val off = 900000000L + i.toLong * 10000000L
@@ -72,23 +73,28 @@ object IndexMaintenanceBench {
       val t0 = System.nanoTime()
       graft.app.IndexMaintenanceJob.applyBatch(spark, batchDf(i), i.toLong,
         s"$work/batches", vecIdx, textIdx, retainVersions = 2,
-        phraseIdx = Some(phraseIdx))
+        phraseIdx = Some(phraseIdx), docStore = Some(store))
       val secs = (System.nanoTime() - t0) / 1e9
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
       spark.catalog.clearCache(); System.gc()
       val (vb, vv) = usage(vecIdx)
       val (tb, tv) = usage(textIdx)
       val (pb, pv) = usage(phraseIdx)
-      (secs, vb, vv, tb, tv, pb, pv)
+      val sb = {
+        val p = new org.apache.hadoop.fs.Path(store)
+        p.getFileSystem(conf).getContentSummary(p).getLength
+      }
+      (secs, vb, vv, tb, tv, pb, pv, sb)
     }
-    def arr[T](f: ((Double, Long, Int, Long, Int, Long, Int)) => T): String =
+    def arr[T](f: ((Double, Long, Int, Long, Int, Long, Int, Long)) => T): String =
       folds.map(f).mkString("[", ",", "]")
     println(s"""{"metric":"idxmaint","batches":$nBatches,"dir":"$dir","k":$k,""" +
       s""""fold_secs":${folds.map(f => f"${f._1}%.3f").mkString("[", ",", "]")},""" +
       s""""vec_bytes":${arr(_._2)},"vec_versions":${arr(_._3)},""" +
       s""""text_bytes":${arr(_._4)},"text_versions":${arr(_._5)},""" +
       s""""phrase_bytes":${arr(_._6)},"phrase_versions":${arr(_._7)},""" +
-      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions; all three artifacts folded"}""")
+      s""""store_bytes":${arr(_._8)},""" +
+      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions; all FOUR artifacts folded (doc store add-only — bytes grow with ingested mass, no version churn)"}""")
     spark.stop()
   }
 }
