@@ -120,6 +120,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet"),
       s"the point fetch must never scan the corpus table:\n$plan")
     assert(!plan.contains("CartesianProduct"))
+    // projection pushdown: a snippet fetch needs (doc_id, text) — the
+    // store scan must NOT read lang/source/n_chars for it (at 100 TB the
+    // text column dominates, but unread columns still cost IO + decode)
+    val pruned = explain(DocStore.fetchPage(spark, store, Seq(1L, 7L))
+      .select("doc_id", "text"))
+    assert(pruned.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"expected the store scan pruned to the projected columns:\n$pruned")
   }
 
   test("q152: proximity-boosted retrieval rides both text artifacts, no corpus scan") {
