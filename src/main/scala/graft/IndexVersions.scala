@@ -161,6 +161,69 @@ object IndexVersions {
     * any append's assembly time). */
   val StagingTtlMs: Long = 60L * 60 * 1000
 
+  /** TAG-COMMITTED BATCH-DIR APPEND — the add-only fold protocol shared
+    * by [[graft.text.DocStore.append]],
+    * [[graft.analytics.Relational.appendFreqSketches]] and
+    * [[graft.text.Dedup.appendGramLedger]] (round-11 review: the first
+    * two carried the protocol verbatim-duplicated, so the hardening fixes
+    * embedded in it — dot exclusion, fence re-check in catch — could
+    * drift apart on the next edit; ONE definition holds them).
+    *
+    * Protocol: dir-safe tag rules → committed-tag SHORT-CIRCUIT (returns
+    * false; an at-least-once replay adds nothing) → TTL sweep of crashed
+    * `.staging_*` assemblies under `batchesRoot` (this append's to
+    * reclaim — no version vacuum visits a batches root) → staging write
+    * via `writeStaging` (called with the nonce-unique staging dir; runs
+    * ONLY when work is actually needed, so a replay never re-reads
+    * layout scalars) → fenced guarded-rename [[publish]]. A lost
+    * SAME-TAG race returns false like a replay — batch content is
+    * deterministic, so the winner's commit IS this batch — but only
+    * AFTER re-checking the fence: a demoted writer must fail loudly at
+    * its first fenced mutation even when the new holder already
+    * committed this tag, else the zombie continues folding the rest of
+    * the artifact set (round-11 review finding). `committedMarker` is
+    * the path inside a batch dir whose existence marks commit
+    * ("rows/_SUCCESS" for the doc store's nested layout, "_SUCCESS" for
+    * flat parquet tables). */
+  def appendTaggedBatch(fs: FileSystem, batchesRoot: Path, tag: String,
+      committedMarker: String, fence: () => Unit = NoFence)(
+      writeStaging: Path => Unit): Boolean = {
+    requireDirSafeTag(tag)
+    def committed(p: Path) = fs.exists(new Path(p, committedMarker))
+    val target = new Path(batchesRoot, tag)
+    if (committed(target)) return false
+    if (fs.exists(batchesRoot)) {
+      val cutoff = System.currentTimeMillis() - StagingTtlMs
+      fs.listStatus(batchesRoot)
+        .filter(s => s.getPath.getName.startsWith(".staging_") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+    val staging = new Path(batchesRoot,
+      s".staging_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
+    writeStaging(staging)
+    try { publish(fs, staging, target, committed, fence); true }
+    catch {
+      case e: Exception =>
+        fence()
+        if (committed(target)) false else throw e
+    }
+  }
+
+  /** Committed batch tags under a [[appendTaggedBatch]] root. Dot-dirs
+    * are EXCLUDED — a staging assembly whose Spark write finished
+    * carries the marker before the publish rename, and listing it as
+    * committed would double every row of an in-flight (or crashed)
+    * batch; valid tags can never start with '.'
+    * ([[requireDirSafeTag]]). */
+  def committedBatchTags(fs: FileSystem, batchesRoot: Path,
+      committedMarker: String): Set[String] =
+    if (!fs.exists(batchesRoot)) Set.empty
+    else fs.listStatus(batchesRoot).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(t => !t.startsWith(".") &&
+        fs.exists(new Path(batchesRoot, s"$t/$committedMarker"))).toSet
+
   /** Writer-lease file name (underscore-prefixed — invisible to parquet
     * scans, ignored by [[vacuum]]'s dirOwner maps). */
   val LeaseFile = "_writer_lease"

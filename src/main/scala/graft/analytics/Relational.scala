@@ -654,32 +654,19 @@ object Relational {
   def appendFreqSketches(spark: SparkSession, batchDir: String,
       tablePath: String, tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
-    graft.IndexVersions.requireDirSafeTag(tag)
     import org.apache.hadoop.fs.Path
     val batchesRoot = new Path(tablePath, "_batches")
-    val target = new Path(batchesRoot, tag)
     val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def committed(p: Path) = fs.exists(new Path(p, "_SUCCESS"))
-    if (committed(target)) return false
-    if (fs.exists(batchesRoot)) {
-      val cutoff = System.currentTimeMillis() - graft.IndexVersions.StagingTtlMs
-      fs.listStatus(batchesRoot)
-        .filter(s => s.getPath.getName.startsWith(".staging_") &&
-          s.getModificationTime < cutoff)
-        .foreach(s => fs.delete(s.getPath, true))
-    }
-    val staging = new Path(batchesRoot,
-      s".staging_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
-    Tables.events(spark, batchDir)
-      .groupBy(to_date(col("ts")).cast("string").as("day"))
-      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
-        count(lit(1)).as("n_events"))
-      .write.mode("overwrite").parquet(staging.toString)
-    try { graft.IndexVersions.publish(fs, staging, target, committed, fence); true }
-    catch {
-      case e: Exception =>
-        fence() // a demoted writer fails loudly even when it lost the race
-        if (committed(target)) false else throw e
+    // the full short-circuit/sweep/staging/fenced-publish protocol is the
+    // SHARED [[graft.IndexVersions.appendTaggedBatch]] (round-11 ADVICE:
+    // this method and DocStore.append had it verbatim-duplicated)
+    graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
+      "_SUCCESS", fence) { staging =>
+      Tables.events(spark, batchDir)
+        .groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+          count(lit(1)).as("n_events"))
+        .write.mode("overwrite").parquet(staging.toString)
     }
   }
 
@@ -688,10 +675,7 @@ object Relational {
     import org.apache.hadoop.fs.Path
     val root = new Path(tablePath, "_batches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(t => !t.startsWith(".") &&
-        fs.exists(new Path(root, s"$t/_SUCCESS"))).toSet
+    graft.IndexVersions.committedBatchTags(fs, root, "_SUCCESS")
   }
 
   /** The full sketch row set: base + every committed batch fold (grain

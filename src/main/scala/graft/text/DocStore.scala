@@ -85,46 +85,24 @@ object DocStore {
   def append(spark: SparkSession, batchDir: String, storePath: String,
       tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
-    graft.IndexVersions.requireDirSafeTag(tag)
     import org.apache.hadoop.fs.Path
     val batchesRoot = new Path(storePath, "batches")
-    val target = new Path(batchesRoot, tag)
     val fs = batchesRoot
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def committed(p: Path) = fs.exists(new Path(p, "rows/_SUCCESS"))
-    if (committed(target)) return false
-    val buckets = readBuckets(spark, storePath)
-    // crashed staging assemblies under batches/ are this append's to
-    // reclaim — no version vacuum ever visits the store root (the
-    // IndexVersions sweep contract, same TTL: far beyond assembly time)
-    if (fs.exists(batchesRoot)) {
-      val cutoff = System.currentTimeMillis() - graft.IndexVersions.StagingTtlMs
-      fs.listStatus(batchesRoot)
-        .filter(s => s.getPath.getName.startsWith(".staging_") &&
-          s.getModificationTime < cutoff)
-        .foreach(s => fs.delete(s.getPath, true))
-    }
-    val staging = new Path(batchesRoot,
-      s".staging_${tag}_${java.util.UUID.randomUUID().toString.take(8)}")
-    Tables.documents(spark, batchDir)
-      .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
-      .repartition(col("db"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").partitionBy("db")
-      .parquet(new Path(staging, "rows").toString)
-    try { graft.IndexVersions.publish(fs, staging, target, committed, fence); true }
-    catch {
-      case e: Exception =>
-        // a DEMOTED writer must fail loudly at its first fenced mutation
-        // even when the new holder has already committed this same tag —
-        // swallowing the demotion would let the zombie continue folding
-        // the rest of the artifact set (round-11 review finding), so the
-        // fence re-checks before the lost race is forgiven
-        fence()
-        // a concurrent same-tag fold won the rename (content identical by
-        // batch determinism): the batch IS committed — report "already
-        // folded". Anything else rethrows.
-        if (committed(target)) false else throw e
+    // short-circuit / sweep / staging / fenced publish / lost-race
+    // forgiveness all live in the SHARED protocol (round-11 ADVICE: this
+    // method and appendFreqSketches carried it verbatim-duplicated);
+    // the staging body runs only when the tag is genuinely unfolded, so
+    // a replay never re-reads the layout scalar
+    graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
+      "rows/_SUCCESS", fence) { staging =>
+      val buckets = readBuckets(spark, storePath)
+      Tables.documents(spark, batchDir)
+        .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
+        .repartition(col("db"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("db")
+        .parquet(new Path(staging, "rows").toString)
     }
   }
 
@@ -138,10 +116,7 @@ object DocStore {
     import org.apache.hadoop.fs.Path
     val root = new Path(storePath, "batches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(t => !t.startsWith(".") &&
-        fs.exists(new Path(root, s"$t/rows/_SUCCESS"))).toSet
+    graft.IndexVersions.committedBatchTags(fs, root, "rows/_SUCCESS")
   }
 
   private def readBuckets(spark: SparkSession, storePath: String): Int = {
@@ -200,10 +175,16 @@ object DocStore {
     * assigned in the collected order so the output is the ranked page
     * verbatim. */
   def snippetSearch(spark: SparkSession, phraseIndexPath: String,
-      storePath: String, topK: Int = 20, window: Int = 2): DataFrame = {
+      storePath: String, topK: Int = 20, window: Int = 2,
+      // package-private test hook (round-11 ADVICE): topPhrase always
+      // resolves a phrase THIS index contains, so the empty-page branch
+      // is unreachable through the public derivation — overriding the
+      // probe with an absent phrase drives it directly
+      phraseOverride: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
     val pRoot = Some(TextIndex.phraseCurrentRoot(spark, phraseIndexPath))
-    val phrase = TextIndex.topPhrase(spark, phraseIndexPath, pinnedRoot = pRoot)
+    val phrase = phraseOverride.getOrElse(
+      TextIndex.topPhrase(spark, phraseIndexPath, pinnedRoot = pRoot))
     val occ = TextIndex.phraseSearch(spark, phraseIndexPath, phrase,
       pinnedRoot = pRoot)
     val page = occ.orderBy(desc("n_occ"), col("doc_id")).limit(topK).collect()

@@ -839,11 +839,15 @@ object TextIndex {
     // |resolved| — below the threshold, no doc qualifies, zero scans
     if (mustTb.size < k) {
       import org.apache.spark.sql.types.{LongType, StructField}
+      // nullability matches the POPULATED plan (round-11 ADVICE): doc_id
+      // is parquet-read (nullable), dl/min_tf/max_tf are min/max
+      // aggregates (nullable) — an empty-vs-populated schema drift is
+      // exactly what emptyResult's contract tells callers to prevent
       return emptyResult(spark,
-        StructField("doc_id", LongType, nullable = false),
-        StructField("dl", LongType, nullable = false),
-        StructField("min_tf", LongType, nullable = false),
-        StructField("max_tf", LongType, nullable = false))
+        StructField("doc_id", LongType, nullable = true),
+        StructField("dl", LongType, nullable = true),
+        StructField("min_tf", LongType, nullable = true),
+        StructField("max_tf", LongType, nullable = true))
     }
     val posts = spark.read.parquet(s"$root/postings")
     def listsOf(tb: Map[String, Int]) = posts

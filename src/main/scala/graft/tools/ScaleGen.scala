@@ -80,7 +80,12 @@ object ScaleGen {
       "part.parquet" -> "p_partkey", "customer.parquet" -> "c_custkey",
       "supplier.parquet" -> "s_suppkey", "events.parquet" -> "event_id",
       "events.parquet" -> "user_id").map { case (t, c) =>
-        spark.read.parquet(s"$src/$t").agg(max(col(c))).head().getLong(0)
+        // empty-table/NULL-max safe (round-11 ADVICE: a bare getLong(0)
+        // NPEs opaquely on an empty source); the cast also accepts a
+        // non-long id column instead of ClassCastException-ing
+        spark.read.parquet(s"$src/$t")
+          .agg(coalesce(max(col(c)).cast("long"), lit(0L)))
+          .head().getLong(0)
       }.max
     var strideV = 10000000L
     while (strideV <= srcMaxId) strideV *= 10

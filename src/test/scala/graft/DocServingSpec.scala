@@ -266,4 +266,23 @@ class DocServingSpec extends SparkSpec {
     assert(e.isInstanceOf[IllegalArgumentException] ||
       e.isInstanceOf[org.apache.spark.sql.AnalysisException])
   }
+
+  test("q156: the empty-page branch itself returns the populated contract schema") {
+    // topPhrase always resolves a phrase its own index contains, so the
+    // page.isEmpty branch is unreachable through the public derivation —
+    // the phraseOverride hook probes an ABSENT phrase to drive it
+    // (round-11 ADVICE: the branch and its 5-field schema were untested)
+    val pi = java.nio.file.Files.createTempDirectory("snip_bpi").toString
+    val store = java.nio.file.Files.createTempDirectory("snip_bst").toString
+    TextIndex.writePhraseIndex(spark, sf0001, pi)
+    DocStore.write(spark, sf0001, store)
+    val populated = DocStore.snippetSearch(spark, pi, store)
+    val empty = DocStore.snippetSearch(spark, pi, store,
+      phraseOverride = Some(Seq("zzz_not", "zzz_a", "zzz_token")))
+    assert(empty.count() == 0L, "an absent phrase must yield an empty page")
+    assert(empty.schema == populated.schema,
+      s"empty-page schema drifted from the populated page's:\n" +
+        s"  empty:     ${empty.schema.treeString}\n" +
+        s"  populated: ${populated.schema.treeString}")
+  }
 }
