@@ -583,7 +583,8 @@ object IndexMaintenanceJob {
       owner: String = DefaultOwner,
       leaseTtlMs: Long = DefaultLeaseTtlMs,
       retrainAtImbalance: Option[Double] = None,
-      docStore: Option[String] = None): (Boolean, Boolean) = {
+      docStore: Option[String] = None,
+      gramLedger: Option[String] = None): (Boolean, Boolean) = {
     import org.apache.spark.sql.functions._
     if (batch.isEmpty) return (false, false)
     val leaseRoot = new org.apache.hadoop.fs.Path(vecIdx)
@@ -676,6 +677,14 @@ object IndexMaintenanceJob {
         fence()
         graft.text.TextIndex.vacuumPhraseVersions(spark, pi, keepLast = keep)
       }
+    }
+    // optional FIFTH artifact (round 12): the gram ledger folds its
+    // batch-mass delta behind its own committed-tag short-circuit (the
+    // add-only DocStore model — no version chain, so no vacuum); the
+    // incremental span rewrite (q159) then serves from it at batch cost
+    gramLedger.foreach { gl =>
+      fence() // cheap pre-check; the append's publish re-validates
+      graft.text.Dedup.appendGramLedger(spark, dir, gl, tag, fence)
     }
     (vecDo, txtDo)
     } // withHeartbeat
@@ -773,11 +782,12 @@ object IndexMaintenanceJob {
       pollMs: Long = 1000L,
       maxWaitMs: Long = 24L * 3600 * 1000,
       retrainAtImbalance: Option[Double] = None,
-      docStore: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      docStore: Option[String] = None,
+      gramLedger: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ownerId = Option(owner).getOrElse(streamOwner())
     awaitLease(docs.sparkSession, vecIdx, ownerId, leaseTtlMs, pollMs, maxWaitMs)
     sink(docs, workDir, vecIdx, textIdx, checkpoint, retainVersions,
-      phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance, docStore)
+      phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance, docStore, gramLedger)
   }
 
   /** The wire: stream of [[IndexedDoc]] → per-batch index folds. */
@@ -788,7 +798,8 @@ object IndexMaintenanceJob {
       owner: String = null, // default: a fresh per-stream identity
       leaseTtlMs: Long = DefaultLeaseTtlMs,
       retrainAtImbalance: Option[Double] = None,
-      docStore: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      docStore: Option[String] = None,
+      gramLedger: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // per-STREAM owner, fixed once here and shared by every batch: a
     // pid-only default would let two sinks in one JVM renew each other's
     // lease and never park (round-10 review finding)
@@ -799,7 +810,7 @@ object IndexMaintenanceJob {
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
         applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx,
           retainVersions, phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance,
-          docStore); ()
+          docStore, gramLedger); ()
       }
       .start()
     // release the lease on IN-JVM termination (clean stop OR in-stream

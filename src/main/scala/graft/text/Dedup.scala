@@ -970,6 +970,179 @@ object Dedup {
     rewriteAgainstCanonical(batchDocs, occ, n)
   }
 
+  /** AT-REST GRAM LEDGER (round 12 — the artifact q154's design claims;
+    * the round-11 verdict's top task): [[gramLedgerOf]]'s mergeable
+    * (gram → min (doc_id, i) canonical occurrence, occurrence count)
+    * table persisted gram-hash-bucketed (`gb=` dirs — the
+    * [[graft.text.TextIndex]] `tb`/dfreq discipline), so the incremental
+    * span rewrite stops rebuilding the snapshot ledger in-query: the
+    * one-time base build pays the corpus gram pass ONCE, and every later
+    * fold costs BATCH gram mass only.
+    *
+    * FOLD LAYOUT (add-only, the [[graft.text.DocStore]] model — not the
+    * posting artifacts' carried-forward version chain): both ledger
+    * columns are SEMIGROUP aggregates (min is
+    * associative+commutative+idempotent; sum associative over disjoint
+    * doc sets — [[mergeGramLedgers]], associativity spec'd), so a
+    * batch's own batch-mass ledger can land as its own
+    * `_batches/<tag>/` delta and readers merge ON READ — no
+    * carried-forward file copy, no version chain, no corpus-mass merge
+    * shuffle per fold. The underscore prefix hides delta dirs from the
+    * base table's file listing; a committed tag short-circuits replays
+    * (exactly-once BY LEDGER — the [[graft.analytics.Relational.appendFreqSketches]]
+    * argument: the n_occ column is additive, not idempotent, so a
+    * doubled delta would overstate counts). Delta-dir count tracks
+    * stream age; folding them down is an offline [[writeGramLedger]]
+    * rebuild at a fresh path, not an in-place rewrite racing readers.
+    *
+    * Stats persist the GRAM SIZE n and the bucket count — both are part
+    * of the layout (a fold or rewrite recomputing either would silently
+    * mis-merge), written LAST as the commit marker. */
+  def writeGramLedger(spark: SparkSession, dir: String, ledgerPath: String,
+      n: Int = 5, buckets: Int = 16): Unit = {
+    import spark.implicits._
+    graft.functions.TextExpressions.register(spark)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val posGrams = docs
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), n, distinct = false)))
+      .toDF("doc_id", "i", "gram")
+    gramLedgerOf(posGrams)
+      .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
+      .repartition(col("gb"))
+      .sortWithinPartitions("gram") // row-group stats prune by gram
+      .write.mode("overwrite").partitionBy("gb")
+      .parquet(s"$ledgerPath/grams")
+    Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
+      .coalesce(1) // 1 row — layout scalars, not data
+      .write.mode("overwrite").parquet(s"$ledgerPath/stats")
+  }
+
+  /** Fold one batch's gram ledger into the at-rest table (see
+    * [[writeGramLedger]]'s layout contract): the batch's OWN
+    * [[gramLedgerOf]] — batch gram mass, the whole point — lands
+    * bucketed under `_batches/<tag>/` with the PERSISTED (n, buckets)
+    * via the shared tag-committed protocol
+    * ([[graft.IndexVersions.appendTaggedBatch]]: committed-tag
+    * short-circuit, TTL sweep, staging + fenced guarded-rename publish,
+    * demotion-loud lost-race forgiveness). Append ≡ rebuild: the
+    * merged read ([[readGramLedger]]) equals the union-corpus ledger
+    * row-for-row — spec'd. */
+  def appendGramLedger(spark: SparkSession, batchDir: String,
+      ledgerPath: String, tag: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val batchesRoot = new Path(ledgerPath, "_batches")
+    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
+      "stats/_SUCCESS", fence) { staging =>
+      graft.functions.TextExpressions.register(spark)
+      val (n, buckets) = readGramLedgerStats(spark, ledgerPath)
+      val docs = Tables.documents(spark, batchDir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val posGrams = docs
+        .select(col("doc_id"), posexplode(
+          graft.functions.TextExpressions.word_ngrams(col("toks"), n,
+            distinct = false)))
+        .toDF("doc_id", "i", "gram")
+      gramLedgerOf(posGrams)
+        .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
+        .repartition(col("gb"))
+        .sortWithinPartitions("gram")
+        .write.mode("overwrite").partitionBy("gb")
+        .parquet(new Path(staging, "grams").toString)
+      // the delta's stats carry the SAME scalars (written last — the
+      // batch dir's commit marker): a reader that merges deltas written
+      // under a different gram size would silently mix ledgers
+      import spark.implicits._
+      Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    }
+  }
+
+  /** Batch tags whose gram-ledger fold committed. */
+  def gramLedgerAppliedTags(spark: SparkSession,
+      ledgerPath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(ledgerPath, "_batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.committedBatchTags(fs, root, "stats/_SUCCESS")
+  }
+
+  private def readGramLedgerStats(spark: SparkSession,
+      ledgerPath: String): (Int, Int) = {
+    val df = spark.read.parquet(s"$ledgerPath/stats")
+    require(df.columns.contains("n") && df.columns.contains("buckets"),
+      s"gram ledger stats at $ledgerPath/stats is missing its layout " +
+        "scalars — corrupted or hand-assembled; rebuild rather than " +
+        "guessing (a wrong gram size silently mis-merges every fold)")
+    val r = df.select(col("n"), col("buckets")).collect().head
+    (r.getLong(0).toInt, r.getLong(1).toInt)
+  }
+
+  /** The full ledger row set — base plus every committed delta,
+    * UNAGGREGATED (one row per (layer, gram)); readers that need the
+    * merged view aggregate ([[readGramLedger]]) or prune first
+    * ([[rewriteBatchAgainstLedger]] — the production path never pays
+    * the full merge). */
+  private def gramLedgerRows(spark: SparkSession,
+      ledgerPath: String): DataFrame =
+    gramLedgerAppliedTags(spark, ledgerPath).toSeq.sorted
+      .map(t => spark.read.parquet(s"$ledgerPath/_batches/$t/grams"))
+      .foldLeft(spark.read.parquet(s"$ledgerPath/grams"))(_ unionByName _)
+
+  /** The merged union-corpus ledger — the append ≡ rebuild SPEC form
+    * (row-for-row equal to [[gramLedgerOf]] over the union corpus by
+    * the semigroup argument). Corpus-gram-mass aggregate: the audit
+    * shape, not the serving path. */
+  def readGramLedger(spark: SparkSession, ledgerPath: String): DataFrame =
+    gramLedgerRows(spark, ledgerPath)
+      .groupBy("gram")
+      .agg(min("first").as("first"), sum("n_occ").as("n_occ"))
+
+  /** Q159 — the PRODUCTION form of the incremental span rewrite (q154
+    * rebuilt its snapshot ledger in-query — the contract requirement;
+    * this is the maintained-artifact path the 1000× tier prices):
+    * rewrite ONLY the batch's docs against the AT-REST ledger merged
+    * with the batch's own grams. Byte-identical to the full q141
+    * rewrite restricted to batch docs (merged canonical = min over the
+    * union corpus; coverage is doc-local) — the oracle is q141's SQL
+    * with the batch filter, q154's exactness convention.
+    *
+    * SCALE SHAPE: the batch's gram set (micro-batch-bounded by the
+    * maintenance contract — the fetchPage argument) BROADCASTS into a
+    * semi-join that prunes the at-rest scan, so the ledger side never
+    * shuffles: per-rewrite cost is one ledger scan (row-group gram
+    * stats prune under it) plus batch-bounded shuffles. FOLD-ORDER
+    * INDEPENDENT: if the batch's own delta is already committed, its
+    * grams appear on both sides of the merge — min(first) is idempotent
+    * on equal elements, so the canonical flags (all the rewrite reads)
+    * are identical either way; only the unused n_occ would double. */
+  def rewriteBatchAgainstLedger(spark: SparkSession, batchDir: String,
+      ledgerPath: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    val (n, _) = readGramLedgerStats(spark, ledgerPath)
+    val batchDocs = Tables.documents(spark, batchDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint() // feeds gram pass + reassembly
+    val batchGrams = batchDocs
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), n,
+          distinct = false)))
+      .toDF("doc_id", "i", "gram")
+    val batchLedger = gramLedgerOf(batchGrams)
+    val matched = gramLedgerRows(spark, ledgerPath)
+      .join(broadcast(batchLedger.select("gram")), Seq("gram"), "left_semi")
+    val merged = mergeGramLedgers(matched.select("gram", "first", "n_occ"),
+      batchLedger)
+    val occ = batchGrams.join(merged, Seq("gram"))
+      .select(col("doc_id"), col("i"),
+        (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
+    rewriteAgainstCanonical(batchDocs, occ, n)
+  }
+
   /** Q80 — train/val/test SPLIT LEAKAGE audit: assign every doc to a
     * deterministic 80/10/10 split by an md5 hash coin (reproducible across
     * runs/engines/partitionings — the q44/q63 convention), then count

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextOps}
+
+/** Round-12 contract for the AT-REST GRAM LEDGER (the artifact behind the
+  * incremental span rewrite — q154's design claim, persisted): the folded
+  * ledger must equal the union-corpus rebuild row-for-row, the maintained
+  * rewrite must equal the full q141 rewrite restricted to batch docs
+  * byte-for-byte, replays must add nothing, and the rewrite must not care
+  * whether its own batch's delta is already committed. */
+class GramLedgerSpec extends SparkSpec {
+
+  private val N = 5
+
+  /** Even/odd doc_id split of the sf0.001 corpus — the q154/q64 snapshot
+    * convention (evens = the accepted corpus, odds = today's batch). */
+  private def parityDir(parity: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"gl_p$parity").toString
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 2 === parity)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** The union-corpus ledger built directly (the rebuild arm) — mirrors
+    * [[Dedup.writeGramLedger]]'s gram pass over the FULL fixture. */
+  private def rebuiltLedgerRows(): Set[(String, Long, Int, Long)] = {
+    graft.functions.TextExpressions.register(spark)
+    val posGrams = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(
+          TextOps.tokens(col("text")), N, distinct = false)))
+      .toDF("doc_id", "i", "gram")
+    Dedup.gramLedgerOf(posGrams)
+      .select(col("gram"), col("first.doc_id"), col("first.i"), col("n_occ"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+  }
+
+  private def ledgerRows(path: String): Set[(String, Long, Int, Long)] =
+    Dedup.readGramLedger(spark, path)
+      .select(col("gram"), col("first.doc_id"), col("first.i"), col("n_occ"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+
+  test("gram ledger: append ≡ union-corpus rebuild row-for-row; replay adds nothing") {
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val ledger = java.nio.file.Files.createTempDirectory("gl_led").toString
+    Dedup.writeGramLedger(spark, evens, ledger, n = N)
+    assert(Dedup.appendGramLedger(spark, odds, ledger, "fold_odd"),
+      "first fold of an unseen tag must commit")
+    val folded = ledgerRows(ledger)
+    assert(folded == rebuiltLedgerRows(),
+      "folded ledger drifted from the union-corpus rebuild")
+    // replay: the committed tag short-circuits — n_occ is ADDITIVE, so a
+    // doubled delta would overstate every count the replay touches
+    assert(!Dedup.appendGramLedger(spark, odds, ledger, "fold_odd"),
+      "a committed tag must short-circuit")
+    assert(Dedup.gramLedgerAppliedTags(spark, ledger) == Set("fold_odd"))
+    assert(ledgerRows(ledger) == folded,
+      "a replayed fold changed the ledger")
+  }
+
+  test("q159: maintained rewrite ≡ full q141 restricted to batch docs, fold-order independent") {
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    // the full q141 rewrite over the union corpus, restricted to the batch
+    // (odd) docs — the exactness bar, and exactly what q159's oracle is
+    val want = Dedup.spanRewrite(spark, sf0001, n = N)
+      .filter(col("doc_id") % 2 === 1)
+      .collect().map(_.toSeq).toSeq
+    // ledger WITHOUT the batch folded (rewrite-then-fold order)
+    val before = java.nio.file.Files.createTempDirectory("gl_b").toString
+    Dedup.writeGramLedger(spark, evens, before, n = N)
+    val gotBefore = Dedup.rewriteBatchAgainstLedger(spark, odds, before)
+      .collect().map(_.toSeq).toSeq
+    assert(gotBefore == want,
+      "rewrite against the unfolded ledger drifted from full q141 on batch docs")
+    // ledger WITH the batch folded (fold-then-rewrite order): the batch's
+    // grams appear on both sides of the merge — min(first) idempotence
+    // makes the canonical flags (all the rewrite reads) identical
+    assert(Dedup.appendGramLedger(spark, odds, before, "fold_odd"))
+    val gotAfter = Dedup.rewriteBatchAgainstLedger(spark, odds, before)
+      .collect().map(_.toSeq).toSeq
+    assert(gotAfter == want,
+      "rewrite against the folded ledger drifted — fold order leaked into the answer")
+    // ...and the in-query form (q154) agrees with both, tying the
+    // artifact path to the existing oracle family
+    val inQuery = Dedup.incrementalSpanRewrite(spark, sf0001, n = N)
+      .collect().map(_.toSeq).toSeq
+    assert(inQuery == want, "q154's in-query form drifted from q141-restricted")
+  }
+
+  test("gram ledger: layout scalars are enforced — a fold never recomputes them") {
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val ledger = java.nio.file.Files.createTempDirectory("gl_n3").toString
+    // base built at n=3: the fold must pick 3 up from stats, not default 5
+    Dedup.writeGramLedger(spark, evens, ledger, n = 3)
+    assert(Dedup.appendGramLedger(spark, odds, ledger, "fold_odd"))
+    graft.functions.TextExpressions.register(spark)
+    val posGrams = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(
+          TextOps.tokens(col("text")), 3, distinct = false)))
+      .toDF("doc_id", "i", "gram")
+    val want = Dedup.gramLedgerOf(posGrams)
+      .select(col("gram"), col("first.doc_id"), col("first.i"), col("n_occ"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(ledgerRows(ledger) == want,
+      "a fold under a non-default gram size mis-merged — stats not honored")
+  }
+}
