@@ -311,6 +311,18 @@ object SparkEntry {
     // documented on the writer.
     "q158_heavy_served"   -> ((s: SparkSession, d: String) =>
       Relational.heavyHittersServed(s, d, cachedFreqTable(s, d))),
+    // q159 (round 12): the PRODUCTION form of the incremental span
+    // rewrite — q154 rebuilt its snapshot ledger in-query (contract
+    // requirement); here the ledger is an AT-REST maintained artifact
+    // (base built on the even docs, the odd batch folded add-only under
+    // its tag) and the batch rewrite serves against it: one pruned
+    // ledger scan + batch-bounded shuffles, byte-identical to full q141
+    // restricted to the batch docs — so the oracle is q154's verbatim.
+    "q159_ledger_rewrite" -> ((s: SparkSession, d: String) => {
+      val root = cachedGramLedger(s, d)
+      graft.text.Dedup.rewriteBatchAgainstLedger(s, s"$root/batch_fixture",
+        s"$root/ledger")
+    }),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -377,7 +389,7 @@ object SparkEntry {
   def warmIndexes(s: SparkSession, d: String): Unit = {
     cachedTextIndex(s, d); cachedCellIndex(s, d); cachedPhraseIndex(s, d)
     cachedReachTable(s, d); cachedCohortTable(s, d); cachedDocStore(s, d)
-    cachedFreqTable(s, d); ()
+    cachedFreqTable(s, d); cachedGramLedger(s, d); ()
   }
 
   private def cachedTextIndex(s: SparkSession, d: String): String =
@@ -410,6 +422,27 @@ object SparkEntry {
   private def cachedFreqTable(s: SparkSession, d: String): String =
     cachedIndex("freqtbl", d, "_SUCCESS")(p =>
       Relational.writeFreqSketches(s, d, p))
+
+  /** q159's maintained-deployment state: even docs = the accepted base
+    * corpus, odd docs = today's batch (the q154/q64 snapshot convention,
+    * materialized as fixture dirs); the gram ledger is built from the
+    * base and the batch folds add-only under its tag. The artifact's own
+    * stats markers commit per-stage, so the CACHE gets a whole-assembly
+    * marker written last — a crash between base build and fold must not
+    * read as a completed cache. */
+  private def cachedGramLedger(s: SparkSession, d: String): String =
+    cachedIndex("gramledger", d, "_COMPLETE") { p =>
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$p/base_fixture/documents.parquet")
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$p/batch_fixture/documents.parquet")
+      graft.text.Dedup.writeGramLedger(s, s"$p/base_fixture", s"$p/ledger")
+      graft.text.Dedup.appendGramLedger(s, s"$p/batch_fixture",
+        s"$p/ledger", "fold_odd")
+      new java.io.File(p, "_COMPLETE").createNewFile(); ()
+    }
 
   // ---- DuckDB oracle SQL ---------------------------------------------------
   // Shared SQL fragments (kept as vals so Spark/DuckDB formulations stay in
@@ -2596,6 +2629,10 @@ object SparkEntry {
     // equals global canonicality — so the oracle is q141's chain with the
     // output restricted to the batch (odd doc_id) docs.
     "q154_incr_rewrite" -> spanRewriteOracle("WHERE ct.doc_id % 2 = 1"),
+    // q159: the maintained-artifact form serves the SAME answer as q154
+    // (merged at-rest canonicality ≡ global canonicality — the append ≡
+    // rebuild spec), so it shares q154's oracle verbatim.
+    "q159_ledger_rewrite" -> spanRewriteOracle("WHERE ct.doc_id % 2 = 1"),
   ) ++ oracleSqlTail
 
   /** q141/q154's shared oracle chain — q130's positional-gram CTEs, then:
