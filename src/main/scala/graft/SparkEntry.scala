@@ -323,6 +323,16 @@ object SparkEntry {
       graft.text.Dedup.rewriteBatchAgainstLedger(s, s"$root/batch_fixture",
         s"$root/ledger")
     }),
+    // q160 (round 12): q49's cluster resolution SERVED from the at-rest
+    // cluster index (base built on the even docs, the odd batch folded by
+    // contracted-graph CC — batch-edge-bounded, exact including
+    // old-cluster merges), so the corpus contributes only the doc-id
+    // spine. Shares q49's oracle verbatim: the fold equals the full
+    // recompute over the union corpus by the contracted-CC argument.
+    "q160_cluster_maintained" -> ((s: SparkSession, d: String) => {
+      val root = cachedClusterIndex(s, d)
+      graft.text.ClusterIndex.nearDupClustersServed(s, d, s"$root/index")
+    }),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -389,7 +399,7 @@ object SparkEntry {
   def warmIndexes(s: SparkSession, d: String): Unit = {
     cachedTextIndex(s, d); cachedCellIndex(s, d); cachedPhraseIndex(s, d)
     cachedReachTable(s, d); cachedCohortTable(s, d); cachedDocStore(s, d)
-    cachedFreqTable(s, d); cachedGramLedger(s, d); ()
+    cachedFreqTable(s, d); cachedGramLedger(s, d); cachedClusterIndex(s, d); ()
   }
 
   private def cachedTextIndex(s: SparkSession, d: String): String =
@@ -441,6 +451,23 @@ object SparkEntry {
       graft.text.Dedup.writeGramLedger(s, s"$p/base_fixture", s"$p/ledger")
       graft.text.Dedup.appendGramLedger(s, s"$p/batch_fixture",
         s"$p/ledger", "fold_odd")
+      new java.io.File(p, "_COMPLETE").createNewFile(); ()
+    }
+
+  /** q160's maintained deployment state (the [[cachedGramLedger]]
+    * convention): cluster index built on the even docs, odd batch folded
+    * by contracted-graph CC. */
+  private def cachedClusterIndex(s: SparkSession, d: String): String =
+    cachedIndex("clusteridx", d, "_COMPLETE") { p =>
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$p/base_fixture/documents.parquet")
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$p/batch_fixture/documents.parquet")
+      graft.text.ClusterIndex.write(s, s"$p/base_fixture", s"$p/index")
+      graft.text.ClusterIndex.append(s, s"$p/batch_fixture", s"$p/index",
+        Some("fold_odd"))
       new java.io.File(p, "_COMPLETE").createNewFile(); ()
     }
 
@@ -2633,6 +2660,16 @@ object SparkEntry {
     // (merged at-rest canonicality ≡ global canonicality — the append ≡
     // rebuild spec), so it shares q154's oracle verbatim.
     "q159_ledger_rewrite" -> spanRewriteOracle("WHERE ct.doc_id % 2 = 1"),
+    // q160: the maintained cluster labels equal the full q49 recompute
+    // over the union corpus (contracted-graph CC is exact — band
+    // matching is pairwise-static, old labels are their clusters' min
+    // ids), so the row shares q49's oracle verbatim.
+    "q160_cluster_maintained" ->
+      s"""WITH RECURSIVE $minhashCtes,
+        |$ccClusterCtes
+        |SELECT doc_id, cluster_rep,
+        | CAST(doc_id = cluster_rep AS BIGINT) AS keep
+        |FROM lab ORDER BY doc_id""".stripMargin,
   ) ++ oracleSqlTail
 
   /** q141/q154's shared oracle chain — q130's positional-gram CTEs, then:

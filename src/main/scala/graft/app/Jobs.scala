@@ -584,7 +584,8 @@ object IndexMaintenanceJob {
       leaseTtlMs: Long = DefaultLeaseTtlMs,
       retrainAtImbalance: Option[Double] = None,
       docStore: Option[String] = None,
-      gramLedger: Option[String] = None): (Boolean, Boolean) = {
+      gramLedger: Option[String] = None,
+      clusterIdx: Option[String] = None): (Boolean, Boolean) = {
     import org.apache.spark.sql.functions._
     if (batch.isEmpty) return (false, false)
     val leaseRoot = new org.apache.hadoop.fs.Path(vecIdx)
@@ -686,6 +687,17 @@ object IndexMaintenanceJob {
       fence() // cheap pre-check; the append's publish re-validates
       graft.text.Dedup.appendGramLedger(spark, dir, gl, tag, fence)
     }
+    // optional SIXTH artifact (round 12): the near-dup cluster index
+    // folds under the versioned tag-ledger + retention rules (the
+    // TextIndex protocol) — contracted-graph CC per batch, so the q49
+    // family serves from maintained labels instead of re-resolving
+    clusterIdx.foreach { ci =>
+      if (!graft.text.ClusterIndex.appliedTags(spark, ci).contains(tag)) {
+        graft.text.ClusterIndex.append(spark, dir, ci, Some(tag), fence)
+        fence()
+        graft.text.ClusterIndex.vacuumVersions(spark, ci, keepLast = keep)
+      }
+    }
     (vecDo, txtDo)
     } // withHeartbeat
   }
@@ -783,11 +795,13 @@ object IndexMaintenanceJob {
       maxWaitMs: Long = 24L * 3600 * 1000,
       retrainAtImbalance: Option[Double] = None,
       docStore: Option[String] = None,
-      gramLedger: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      gramLedger: Option[String] = None,
+      clusterIdx: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ownerId = Option(owner).getOrElse(streamOwner())
     awaitLease(docs.sparkSession, vecIdx, ownerId, leaseTtlMs, pollMs, maxWaitMs)
     sink(docs, workDir, vecIdx, textIdx, checkpoint, retainVersions,
-      phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance, docStore, gramLedger)
+      phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance, docStore, gramLedger,
+      clusterIdx)
   }
 
   /** The wire: stream of [[IndexedDoc]] → per-batch index folds. */
@@ -799,7 +813,8 @@ object IndexMaintenanceJob {
       leaseTtlMs: Long = DefaultLeaseTtlMs,
       retrainAtImbalance: Option[Double] = None,
       docStore: Option[String] = None,
-      gramLedger: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      gramLedger: Option[String] = None,
+      clusterIdx: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // per-STREAM owner, fixed once here and shared by every batch: a
     // pid-only default would let two sinks in one JVM renew each other's
     // lease and never park (round-10 review finding)
@@ -810,7 +825,7 @@ object IndexMaintenanceJob {
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
         applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx,
           retainVersions, phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance,
-          docStore, gramLedger); ()
+          docStore, gramLedger, clusterIdx); ()
       }
       .start()
     // release the lease on IN-JVM termination (clean stop OR in-stream

@@ -136,26 +136,40 @@ object Dedup {
   def evictMemos(spark: SparkSession): Unit =
     graft.SessionMemos.evict(spark, PairsMemo, CcLabelMemo)
 
+  /** The signature table as (doc_id, sig array) with null-signature
+    * (short) docs EXCLUDED — such docs have no shingles, so they can
+    * never band and never pair (the oracle's NULL band_val joins
+    * nothing). ONE definition shared by the in-query pair builder and
+    * the at-rest [[ClusterIndex]] (round 12) so the two can't drift. */
+  private[text] def sigTable(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(spark, dir)
+      .withColumn("sig", array((0 until NumHashes).map(s => col(s"mh$s")): _*))
+      .filter(col("mh0").isNotNull)
+      .select(col("doc_id"), col("sig"))
+
+  /** LSH bands of a (doc_id, sig) frame — (doc_id, band_id, band_val),
+    * the bucketing key candidate pairs equi-join on. */
+  private[text] def bandsOf(sigArr: DataFrame): DataFrame =
+    sigArr.select(
+        col("doc_id"), posexplode(
+          transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), b =>
+            concat_ws("|", (0 until BandSize).map(k =>
+              element_at(col("sig"), b * BandSize + k + 1)): _*))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_val")
+
+  /** Estimated Jaccard of two signature arrays — the fraction of
+    * agreeing minhashes (one definition; the q30 oracle mirrors it). */
+  private[text] def estJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v)) * lit(1.0) / NumHashes
+
   // private[graft] so PlanSpec can pin the banded-join shape on the
   // builder itself — consumer plans only show the memoized pair table
   private[graft] def computeMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // materialize once: the signature table feeds three consumers (bands +
     // both pair sides); without the checkpoint the shingle->minhash
     // pipeline would be recomputed per consumer
-    val sigArr = minhashSignatures(spark, dir)
-      .withColumn("sig", array((0 until NumHashes).map(s => col(s"mh$s")): _*))
-      .select(col("doc_id"), col("mh0"), col("sig"))
-      .localCheckpoint()
-    // docs with no shingles carry null signatures: concat_ws would fold
-    // nulls into "" bands and spuriously pair every short doc — exclude
-    // them (the oracle's NULL band_val joins nothing, matching this)
-    val banded = sigArr.filter(col("mh0").isNotNull)
-    val bands = banded.select(
-        col("doc_id"), posexplode(
-          transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), b =>
-            concat_ws("|", (0 until BandSize).map(k =>
-              element_at(col("sig"), b * BandSize + k + 1)): _*))))
-      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_val")
+    val sigArr = sigTable(spark, dir).localCheckpoint()
+    val bands = bandsOf(sigArr)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&
@@ -165,8 +179,7 @@ object Dedup {
     cand.join(sigArr.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sigArr.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-          v => v)) * lit(1.0) / NumHashes).as("est_jaccard"))
+        estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
   }
 
   /** n-gram Jaccard (exact) within (lang, source) blocks. Pure equi-join

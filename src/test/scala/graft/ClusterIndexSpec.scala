@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{ClusterIndex, Dedup}
+
+/** Round-12 contract for the AT-REST CLUSTER INDEX (incremental near-dup
+  * cluster maintenance — the last dedup-family member without an
+  * incremental form): a fold must equal the full q49 recompute over the
+  * union corpus EXACTLY (contracted-graph CC — band matching is
+  * pairwise-static, so no old↔old edge can appear later and each old
+  * label is its cluster's min doc_id), including the case where one
+  * batch doc transitively MERGES two old clusters. */
+class ClusterIndexSpec extends SparkSpec {
+
+  private def parityDir(parity: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"ci_p$parity").toString
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 2 === parity)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ci_docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q160: append ≡ full q49 recompute over the union corpus") {
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val idx = java.nio.file.Files.createTempDirectory("ci_idx").toString
+    ClusterIndex.write(spark, evens, idx)
+    ClusterIndex.append(spark, odds, idx, Some("fold_odd"))
+    assert(ClusterIndex.appliedTags(spark, idx) == Set("fold_odd"))
+    val served = ClusterIndex.nearDupClustersServed(spark, sf0001, idx)
+      .collect().map(_.toSeq).toSeq
+    val want = Dedup.nearDupClusters(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(served == want,
+      "maintained cluster labels drifted from the full q49 recompute")
+  }
+
+  test("a batch doc that bridges two old clusters merges them — members of both relabel") {
+    // A/B and C/D are two base clusters with no cross candidacy; E's text
+    // is A's ++ C's, so E's shingle set covers both — its minhashes split
+    // between the two sides (est(E,A) = est(E,C) = 0.5 on this fixture,
+    // probed against the md5 rule) and E band-matches BOTH clusters
+    val aText = "date elder banana fig jasmine grape honey apple cherry iris"
+    val cText = "quince sage olive thyme kite lemon mango rose peach nectar"
+    val base = docsDir(Seq(1L -> aText, 2L -> aText, 3L -> cText, 4L -> cText))
+    val batch = docsDir(Seq(5L -> (aText + " " + cText)))
+    val idx = java.nio.file.Files.createTempDirectory("ci_merge").toString
+    ClusterIndex.write(spark, base, idx)
+    val before = ClusterIndex.labels(spark, idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      s"base fixture must resolve two distinct clusters, got $before")
+    ClusterIndex.append(spark, batch, idx, Some("bridge"))
+    val after = ClusterIndex.labels(spark, idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L),
+      s"the bridge must merge both clusters to min-label 1, got $after")
+    // ...and the merged state equals the full recompute over the union
+    val union = java.nio.file.Files.createTempDirectory("ci_u").toString
+    spark.read.parquet(s"$base/documents.parquet")
+      .unionByName(spark.read.parquet(s"$batch/documents.parquet"))
+      .write.mode("overwrite").parquet(s"$union/documents.parquet")
+    val served = ClusterIndex.nearDupClustersServed(spark, union, idx)
+      .collect().map(_.toSeq).toSeq
+    val want = Dedup.nearDupClusters(spark, union)
+      .collect().map(_.toSeq).toSeq
+    assert(served == want, "merged labels drifted from the full recompute")
+  }
+
+  test("threshold and buckets are artifact semantics — folds read them from stats") {
+    // base built at minJaccard 0.9: A and a HALF-overlapping batch doc
+    // must NOT merge even though they band-match (est 0.5 < 0.9) — a fold
+    // that recomputed the threshold from a default would merge them
+    val aText = "date elder banana fig jasmine grape honey apple cherry iris"
+    val cText = "quince sage olive thyme kite lemon mango rose peach nectar"
+    val base = docsDir(Seq(1L -> aText, 2L -> aText, 3L -> cText, 4L -> cText))
+    val batch = docsDir(Seq(5L -> (aText + " " + cText)))
+    val idx = java.nio.file.Files.createTempDirectory("ci_thr").toString
+    ClusterIndex.write(spark, base, idx, minJaccard = 0.9)
+    ClusterIndex.append(spark, batch, idx, Some("bridge"))
+    val after = ClusterIndex.labels(spark, idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      s"a 0.5-est bridge must not merge clusters under a 0.9 threshold, got $after")
+  }
+
+  test("version retention: vacuum keeps the newest folds, the ledger carries tags forward") {
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val idx = java.nio.file.Files.createTempDirectory("ci_vac").toString
+    ClusterIndex.write(spark, evens, idx)
+    ClusterIndex.append(spark, odds, idx, Some("b0"))
+    val more = docsDir(Seq(900001L ->
+      "date elder banana fig jasmine grape honey apple cherry iris"))
+    ClusterIndex.append(spark, more, idx, Some("b1"))
+    assert(ClusterIndex.appliedTags(spark, idx) == Set("b0", "b1"))
+    assert(ClusterIndex.currentRoot(spark, idx).endsWith("v2"))
+    ClusterIndex.vacuumVersions(spark, idx, keepLast = 2)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "stats")),
+      "vacuum must drop the base version beyond keepLast")
+    assert(ClusterIndex.currentRoot(spark, idx).endsWith("v2"),
+      "the newest version must survive vacuum")
+    assert(ClusterIndex.appliedTags(spark, idx) == Set("b0", "b1"),
+      "the applied-tags ledger must carry forward through vacuum")
+  }
+}

@@ -31,16 +31,21 @@ class IndexMaintenanceSpec extends SparkSpec {
     val textIdx = s"$work/text"
     val phraseIdx = s"$work/phrase"
     val store = s"$work/store"
+    val ledger = s"$work/gramledger"
+    val clusterIdx = s"$work/cluster"
     CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 3)
     TextIndex.write(spark, sf0001, textIdx)
     TextIndex.writePhraseIndex(spark, sf0001, phraseIdx)
     graft.text.DocStore.write(spark, sf0001, store)
+    graft.text.Dedup.writeGramLedger(spark, sf0001, ledger)
+    graft.text.ClusterIndex.write(spark, sf0001, clusterIdx)
     val in = MemoryStream[IndexedDoc]
     // retainVersions = 2: after the second batch the base version must be
     // vacuumed (bounded storage) while the tag ledger carries forward
     val q = IndexMaintenanceJob.sink(in.toDS(), s"$work/batches",
       vecIdx, textIdx, s"$work/ckpt", retainVersions = 2,
-      phraseIdx = Some(phraseIdx), docStore = Some(store))
+      phraseIdx = Some(phraseIdx), docStore = Some(store),
+      gramLedger = Some(ledger), clusterIdx = Some(clusterIdx))
     try {
       in.addData(mkBatch(100000L, 40): _*)
       q.processAllAvailable()
@@ -106,6 +111,28 @@ class IndexMaintenanceSpec extends SparkSpec {
       graft.text.DocStore.snippetSearch(spark, phraseRb, storeRb)
         .collect().map(_.toSeq).toSeq,
       "maintained serving page drifted from the rebuilt pair's")
+    // the 5th artifact — the gram ledger — rode the same stream: both
+    // batch tags committed, and the merged ledger equals one rebuilt
+    // over everything ingested (the semigroup append ≡ rebuild argument,
+    // here driven END-TO-END through the streaming wire)
+    assert(graft.text.Dedup.gramLedgerAppliedTags(spark, ledger) ==
+      Set("batch_0", "batch_1"))
+    val ledgerRb = java.nio.file.Files.createTempDirectory("idxmaint_glrb").toString
+    graft.text.Dedup.writeGramLedger(spark, unionDir, ledgerRb)
+    def ledgerRows(p: String) = graft.text.Dedup.readGramLedger(spark, p)
+      .collect().map(_.toSeq).toSet
+    assert(ledgerRows(ledger) == ledgerRows(ledgerRb),
+      "streaming-maintained gram ledger drifted from a full rebuild")
+    // the 6th artifact — the cluster index — rode the same stream:
+    // maintained labels equal the full q49 recompute over the union
+    assert(graft.text.ClusterIndex.appliedTags(spark, clusterIdx) ==
+      Set("batch_0", "batch_1"))
+    assert(graft.text.ClusterIndex
+        .nearDupClustersServed(spark, unionDir, clusterIdx)
+        .collect().map(_.toSeq).toSeq ==
+      graft.text.Dedup.nearDupClusters(spark, unionDir)
+        .collect().map(_.toSeq).toSeq,
+      "streaming-maintained cluster labels drifted from the full recompute")
     // REPLAY (at-least-once delivery): re-applying an already-folded batch
     // must short-circuit on the tag — no new version, no duplicate rows
     val replay = spark.read.parquet(s"$work/batches/batch_1/documents.parquet")
@@ -117,8 +144,13 @@ class IndexMaintenanceSpec extends SparkSpec {
       .localCheckpoint()
     val (vecDid, txtDid) = IndexMaintenanceJob.applyBatch(
       spark, replay, 1L, s"$work/batches", vecIdx, textIdx,
-      docStore = Some(store))
+      docStore = Some(store), gramLedger = Some(ledger),
+      clusterIdx = Some(clusterIdx))
     assert(!vecDid && !txtDid, "replayed batch must not re-append")
+    assert(ledgerRows(ledger) == ledgerRows(ledgerRb),
+      "a replayed fold must not double the gram ledger's counts")
+    assert(graft.text.ClusterIndex.currentRoot(spark, clusterIdx)
+      .endsWith("v2"), "a replayed fold must not advance the cluster index")
     assert(CellIndex.currentVectorsPath(spark, vecIdx).endsWith("vectors_v2"))
     assert(spark.read.parquet(CellIndex.currentVectorsPath(spark, vecIdx))
       .count() == 565)
