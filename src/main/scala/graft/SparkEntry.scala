@@ -333,6 +333,25 @@ object SparkEntry {
       val root = cachedClusterIndex(s, d)
       graft.text.ClusterIndex.nearDupClustersServed(s, d, s"$root/index")
     }),
+    // q161 (round 12): DF-GATED proximity — the MaxScore essential-list
+    // move for the positional family. Probe = the two hottest terms
+    // (q153's worst-case position mass) + the rarest term (the
+    // essential filter): every hot list doc-semi-joins the rarest
+    // term's doc set before banding, so shuffle mass tracks the RAREST
+    // df, not the hottest. Answer ≡ the ungated banded intersection on
+    // these terms (the semi-join drops only tuple-free docs — spec'd).
+    // maxDfShare = 1.0 here because the fixture's 40-token vocabulary
+    // makes EVERY term ubiquitous by construction; the refusal policy
+    // is spec'd separately and the row checks the served path's
+    // exactness.
+    "q161_prox_gated"     -> ((s: SparkSession, d: String) => {
+      val idx = cachedPhraseIndex(s, d)
+      val root = Some(graft.text.TextIndex.phraseCurrentRoot(s, idx))
+      val ts = graft.text.TextIndex.deriveGatedProximityProbe(s, idx,
+        pinnedRoot = root)
+      graft.text.TextIndex.proximitySearchGated(s, idx, ts, slop = 3,
+        maxDfShare = 1.0, pinnedRoot = root)
+    }),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -2670,6 +2689,35 @@ object SparkEntry {
         |SELECT doc_id, cluster_rep,
         | CAST(doc_id = cluster_rep AS BIGINT) AS keep
         |FROM lab ORDER BY doc_id""".stripMargin,
+    // q161: the gated probe — terms are the 2 hottest (rk 1–2 by df
+    // desc, tok) + the RAREST (df asc, tok); the essential semi-join
+    // changes nothing the oracle can see (a tuple needs every term in
+    // the doc), so the SQL is q153's intersection over this term set.
+    "q161_prox_gated" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS i,
+        |          unnest(toks) AS tok FROM ct),
+        |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY tok),
+        |top2 AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rk
+        |         FROM df QUALIFY rk <= 2),
+        |bot1 AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY df ASC, tok) AS rk
+        |         FROM df QUALIFY rk <= 1),
+        |pa AS (SELECT t.doc_id, t.i FROM tok t
+        |       JOIN top2 ON t.tok = top2.tok AND top2.rk = 1),
+        |pb AS (SELECT t.doc_id, t.i FROM tok t
+        |       JOIN top2 ON t.tok = top2.tok AND top2.rk = 2),
+        |pc AS (SELECT t.doc_id, t.i FROM tok t
+        |       JOIN bot1 ON t.tok = bot1.tok AND bot1.rk = 1)
+        |SELECT pa.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tuples,
+        |  CAST(MIN(GREATEST(pa.i, pb.i, pc.i) - LEAST(pa.i, pb.i, pc.i))
+        |    AS BIGINT) AS min_span
+        |FROM pa
+        |JOIN pb ON pa.doc_id = pb.doc_id
+        |JOIN pc ON pa.doc_id = pc.doc_id
+        |WHERE GREATEST(pa.i, pb.i, pc.i) - LEAST(pa.i, pb.i, pc.i) <= 3
+        |GROUP BY pa.doc_id
+        |ORDER BY pa.doc_id""".stripMargin,
   ) ++ oracleSqlTail
 
   /** q141/q154's shared oracle chain — q130's positional-gram CTEs, then:

@@ -648,14 +648,31 @@ object TextIndex {
       s"proximity terms must be distinct: $toks")
     require(slop >= 1, "slop must be at least 1")
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
+    proximityBanded(spark, root, toks, slop, essential = None)
+  }
+
+  /** The shared banded-intersection core of [[proximitySearchAll]] and
+    * [[proximitySearchGated]] — ONE definition so the gated form cannot
+    * drift from the exact one it must equal. `essential`, when present,
+    * doc-semi-joins EVERY position list before banding: a qualifying
+    * tuple needs all terms in the doc, so restricting to the essential
+    * term's doc set drops only docs that could never produce a tuple —
+    * the answer is identical, the shuffle mass is bounded by the
+    * essential term's document frequency. */
+  private def proximityBanded(spark: SparkSession, root: String,
+      toks: Seq[String], slop: Int,
+      essential: Option[DataFrame]): DataFrame = {
     val buckets = spark.read.parquet(s"$root/stats")
       .select(col("buckets")).collect().head.getLong(0).toInt
     val posts = spark.read.parquet(s"$root/positions")
     val w = slop + 1
-    def listOf(t: String) = posts
-      .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
-      .filter(col("tok") === t)
-      .select(col("doc_id"), col("i").cast("long").as("i"))
+    def listOf(t: String) = {
+      val l = posts
+        .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
+        .filter(col("tok") === t)
+        .select(col("doc_id"), col("i").cast("long").as("i"))
+      essential.map(e => l.join(e, Seq("doc_id"), "left_semi")).getOrElse(l)
+    }
     val m = toks.length
     val iCols = (0 until m).map(j => col(s"i$j"))
     val anchor = listOf(toks.last)
@@ -677,6 +694,90 @@ object TextIndex {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tuples"), min(span).as("min_span"))
       .orderBy("doc_id")
+  }
+
+  /** DF-GATED proximity (round 12 — the MaxScore essential-list idea
+    * applied to position lists; the round-11 verdict's task #4):
+    * [[proximitySearchAll]] pays every probe term's FULL position-list
+    * mass, and a hottest-terms probe makes that corpus-linear by
+    * construction (SCALING round-11c: the q148/q153 family rode
+    * 0.83–0.87/decade at the third decade on exactly such probes). The
+    * fix rides two facts. (1) A qualifying tuple needs EVERY term in
+    * the doc, so the RAREST term's doc set is an essential filter: hot
+    * lists only contribute positions from docs containing it —
+    * semi-joining them first bounds shuffle mass by the rarest term's
+    * df instead of the hottest's (size-based planning broadcasts the
+    * doc set when it fits; Spark's runtime bloom filter covers the
+    * shuffled case). (2) When even the rarest probe term's df share
+    * exceeds `maxDfShare`, NO essential list exists — a stopword-only
+    * proximity probe is corpus-linear in any positional index (the
+    * Lucene common-grams trade) — so the probe is REFUSED loudly
+    * instead of silently paid.
+    *
+    * EXACTNESS: the served answer equals [[proximitySearchAll]]'s for
+    * every ACCEPTED probe — the threshold affects acceptance only,
+    * never content (spec'd: gated ≡ ungated on mixed and all-rare
+    * probes; all-hot refuses). The ungated form remains the
+    * q148/q153 oracle path. OOV terms need no short-circuit here: an
+    * absent rarest term has df 0 (always accepted) and an empty
+    * essential list, so every join empties at essentially zero cost. */
+  def proximitySearchGated(spark: SparkSession, indexPath: String,
+      toks: Seq[String], slop: Int = 3, maxDfShare: Double = 0.05,
+      pinnedRoot: Option[String] = None): DataFrame = {
+    require(toks.length >= 2, "proximity search needs at least two terms")
+    require(toks.distinct.length == toks.length,
+      s"proximity terms must be distinct: $toks")
+    require(slop >= 1, "slop must be at least 1")
+    require(maxDfShare > 0.0 && maxDfShare <= 1.0,
+      s"maxDfShare must be in (0, 1]: $maxDfShare")
+    val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
+    val st = spark.read.parquet(s"$root/stats")
+      .select(col("n_docs"), col("buckets")).collect().head
+    val (nDocs, buckets) = (st.getLong(0), st.getLong(1).toInt)
+    // vocabulary-sized, bucket-pruned df lookup (the derivation
+    // convention — ≤ m rows collected, flat in corpus size)
+    val dfOf: Map[String, Long] = {
+      val found = spark.read.parquet(s"$root/udf")
+        .filter(toks.map(t => col("ub") === pmod(hash(lit(t)), lit(buckets)))
+          .reduce(_ || _))
+        .filter(col("tok").isin(toks: _*))
+        .select(col("tok"), col("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      toks.map(t => t -> found.getOrElse(t, 0L)).toMap
+    }
+    val rarest = toks.minBy(t => (dfOf(t), t))
+    require(nDocs == 0L || dfOf(rarest).toDouble / nDocs <= maxDfShare,
+      s"proximity probe gated: every term exceeds df share $maxDfShare " +
+        s"of the corpus (rarest '$rarest' is in ${dfOf(rarest)} of $nDocs " +
+        "docs) — a stopword-only probe pays corpus-linear position mass " +
+        "in any positional index; refine the probe or use the ungated " +
+        "proximitySearchAll deliberately")
+    val posts = spark.read.parquet(s"$root/positions")
+    val essentialDocs = posts
+      .filter(col("ub") === pmod(hash(lit(rarest)), lit(buckets)))
+      .filter(col("tok") === rarest)
+      .select(col("doc_id")).distinct()
+    proximityBanded(spark, root, toks, slop, Some(essentialDocs))
+  }
+
+  /** The q161 deterministic probe — the gated family's worst case with
+    * an essential list: the two HIGHEST-df terms (the q153 convention —
+    * maximal position mass) plus the LOWEST-df term (the essential
+    * filter; df asc, tok — the q155 mustNot convention), anchor
+    * (hottest) last. All from the vocabulary-sized udf table. */
+  def deriveGatedProximityProbe(spark: SparkSession, indexPath: String,
+      pinnedRoot: Option[String] = None): Seq[String] = {
+    val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
+    val udf = spark.read.parquet(s"$root/udf")
+    val hot = udf.orderBy(desc("df"), col("tok")).limit(2)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    val rare = udf.orderBy(col("df"), col("tok")).limit(1)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    val probe = Seq(rare.head, hot(1), hot(0))
+    require(probe.distinct.length == 3,
+      s"gated probe derivation needs 3 distinct terms in $root/udf " +
+        s"(got hot=$hot, rare=$rare)")
+    probe
   }
 
   /** PROXIMITY-BOOSTED RETRIEVAL — both text artifacts composed, fully

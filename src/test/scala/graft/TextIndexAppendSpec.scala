@@ -315,6 +315,45 @@ class TextIndexAppendSpec extends SparkSpec {
     assert(p(4L) == ((2L, 1L)) && p(1L) == ((1L, 1L)), s"pairs: $p")
   }
 
+  test("q161: df-gated proximity — acceptance is the only thing the threshold changes") {
+    // a/b are ubiquitous (every doc), z is rare (2 of 10 docs): the
+    // essential list exists for any probe containing z
+    val dir = phraseDocsDir(
+      Seq((1L, "a b z c"), (2L, "z a a b")) ++
+        (3L to 10L).map(i => (i, "a b x y")))
+    val idx = java.nio.file.Files.createTempDirectory("prox_gate").toString
+    TextIndex.writePhraseIndex(spark, dir, idx)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val probe = Seq("z", "b", "a") // rarest first, hottest anchor last
+    val want = rows(TextIndex.proximitySearchAll(spark, idx, probe, 3))
+    assert(want.nonEmpty, "fixture must produce qualifying tuples")
+    // gated ≡ ungated for an accepted probe, at ANY accepting threshold —
+    // the semi-join drops only tuple-free docs; the threshold never
+    // touches content
+    for (thr <- Seq(0.2, 0.5, 1.0))
+      assert(rows(TextIndex.proximitySearchGated(spark, idx, probe, 3,
+        maxDfShare = thr)) == want, s"gated answer drifted at thr=$thr")
+    // an all-hot probe has no essential list below the threshold: refuse
+    // loudly (corpus-linear position mass must be a deliberate choice)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.proximitySearchGated(spark, idx, Seq("a", "b"), 3,
+        maxDfShare = 0.5)
+    }
+    assert(e.getMessage.contains("gated"), s"expected the gate, got: $e")
+    // ...and the same probe is exact when deliberately accepted
+    assert(rows(TextIndex.proximitySearchGated(spark, idx, Seq("a", "b"), 3,
+      maxDfShare = 1.0)) ==
+      rows(TextIndex.proximitySearchAll(spark, idx, Seq("a", "b"), 3)))
+    // the q161 derivation ties probe and gate to the fixture corpus
+    val derived = TextIndex.deriveGatedProximityProbe(spark, idx)
+    assert(derived.length == 3 && derived.distinct.length == 3)
+    assert(rows(TextIndex.proximitySearchGated(spark, idx, derived, 3,
+      maxDfShare = 1.0)) ==
+      rows(TextIndex.proximitySearchAll(spark, idx, derived, 3)),
+      "derived gated probe drifted from the ungated answer")
+  }
+
   test("phrase-index append equals a union-corpus rebuild exactly; vacuum bounds versions") {
     val idx = java.nio.file.Files.createTempDirectory("phrase_app").toString
     TextIndex.writePhraseIndex(spark, sf0001, idx)
