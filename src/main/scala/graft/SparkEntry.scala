@@ -352,6 +352,15 @@ object SparkEntry {
       graft.text.TextIndex.proximitySearchGated(s, idx, ts, slop = 3,
         maxDfShare = 1.0, pinnedRoot = root)
     }),
+    // q162 (round 12): the MEDIA serving page — q156's candidates and
+    // snippet, plus the store's BINARY payload column doing the media
+    // work (byte length + first-frame md5, the q56 fingerprint served
+    // with the page). Payload bytes come from the same ≤-page-buckets
+    // point fetch; the corpus is never scanned and the payload column
+    // is read only here (PlanSpec pins the projection both ways).
+    "q162_media_page"     -> ((s: SparkSession, d: String) =>
+      graft.text.DocStore.mediaSearch(s, cachedPhraseIndex(s, d),
+        cachedDocStore(s, d))),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -2990,6 +2999,38 @@ object SparkEntry {
          |  array_to_string(ct.toks[GREATEST(CAST(p.first_pos AS INTEGER) - 1, 1) :
          |                          CAST(p.first_pos AS INTEGER) + 5], ' ') AS snippet
          |FROM page p JOIN ct ON p.doc_id = ct.doc_id
+         |ORDER BY p.rnk""".stripMargin,
+
+    // q162: q156's page chain with the media arm — the store's payload
+    // is the text's UTF-8 bytes (the multimodal stand-in convention), so
+    // byte_len is octet_length(text) and the first-frame fingerprint is
+    // md5 of the first 16 bytes (the fixture is ASCII-safe, the q56
+    // convention).
+    "q162_media_page" ->
+      s"""WITH ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pos3 AS (SELECT doc_id, CAST(unnest(range(len(toks) - 2)) AS BIGINT) AS i, toks
+         |         FROM ct WHERE len(toks) >= 3),
+         |pg AS (SELECT doc_id, i,
+         |         toks[CAST(i AS INTEGER) + 1] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 2] || ' ' ||
+         |         toks[CAST(i AS INTEGER) + 3] AS gram
+         |       FROM pos3),
+         |top AS (SELECT gram FROM (SELECT gram, COUNT(*) AS n FROM pg GROUP BY gram)
+         |        ORDER BY n DESC, gram LIMIT 1),
+         |occ AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |          CAST(MIN(i) AS BIGINT) AS first_pos
+         |        FROM pg JOIN top USING (gram) GROUP BY doc_id),
+         |page AS (SELECT doc_id, n_occ, first_pos,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, doc_id)
+         |             AS BIGINT) AS rnk
+         |         FROM occ QUALIFY rnk <= 20)
+         |SELECT p.rnk, p.doc_id, p.n_occ,
+         |  array_to_string(ct.toks[GREATEST(CAST(p.first_pos AS INTEGER) - 1, 1) :
+         |                          CAST(p.first_pos AS INTEGER) + 5], ' ') AS snippet,
+         |  CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS byte_len,
+         |  md5(substring(d.text, 1, 16)) AS frame0_md5
+         |FROM page p JOIN ct ON p.doc_id = ct.doc_id
+         |             JOIN documents d ON p.doc_id = d.doc_id
          |ORDER BY p.rnk""".stripMargin,
   )
 

@@ -52,12 +52,26 @@ object DocStore {
     * sorted; `stats/` (bucket count — part of the layout the way
     * [[TextIndex]] persists its bucket count: a fetch computing `db`
     * with a different count would silently miss every row) is written
-    * LAST as the commit marker. Deterministic in the corpus. */
+    * LAST as the commit marker. Deterministic in the corpus.
+    *
+    * BINARY PAYLOAD COLUMN (round 12 — the round-11 verdict's task #7):
+    * rows carry a `payload` BINARY column beside the text, so the
+    * multimodal serving path fetches media bytes by id from the SAME
+    * bucketed point-lookup layout instead of re-scanning the corpus
+    * table (the gap q35/q56/q96/q135 left: their payloads came from a
+    * corpus pass). The fixture corpus carries no real media, so the
+    * store materializes the multimodal family's stand-in — the text's
+    * UTF-8 bytes — as the payload; the PLUMBING is what's real: a
+    * binary column in the id-sorted bucketed layout, and parquet's
+    * columnar projection means a text-only fetch never reads a payload
+    * byte and a payload fetch never decodes text (PlanSpec pins BOTH
+    * directions — at 100 TB the payload column dominates the store). */
   def write(spark: SparkSession, dir: String, storePath: String,
       buckets: Int = 16): Unit = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     docs
+      .withColumn("payload", col("text").cast("binary"))
       .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
       .repartition(col("db"))
       .sortWithinPartitions("doc_id") // row-group stats prune by id
@@ -85,6 +99,10 @@ object DocStore {
   def append(spark: SparkSession, batchDir: String, storePath: String,
       tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
+    // LAYOUT COMPATIBILITY (the TextIndex dfreq rule): round 12 ADDED the
+    // payload column — a store built before it must be REBUILT, not
+    // appended (mixed-schema layers fail loudly at the first
+    // payload-projecting fetch, never silently)
     import org.apache.hadoop.fs.Path
     val batchesRoot = new Path(storePath, "batches")
     val fs = batchesRoot
@@ -98,6 +116,7 @@ object DocStore {
       "rows/_SUCCESS", fence) { staging =>
       val buckets = readBuckets(spark, storePath)
       Tables.documents(spark, batchDir)
+        .withColumn("payload", col("text").cast("binary")) // the write rule
         .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
         .repartition(col("db"))
         .sortWithinPartitions("doc_id")
@@ -198,24 +217,8 @@ object DocStore {
     // ONE pruned store scan (round-11 review: a count() guard beside the
     // join re-ran the point fetch — the page is ≤ topK rows by contract,
     // so collect it once and guard on the collected set)
-    val fetched = fetchPage(spark, storePath, page.map(_.getLong(0)).toSeq)
-      .select(col("doc_id"), col("text")).collect()
-    // a store missing one of the page's docs would silently shorten the
-    // page with rank gaps — the one silent-wrong shape this serving path
-    // could produce. Fail loudly instead: the store must cover every
-    // corpus state the index serves, which the maintenance order (store
-    // append → index publish) guarantees for maintained deployments.
-    require(fetched.length >= page.length,
-      s"doc store at $storePath is missing " +
-        s"${page.length - fetched.length} of the page's ${page.length} " +
-        "docs — it does not cover the corpus state the phrase index " +
-        "serves (fold the store before the index: the DocStore append " +
-        "contract)")
-    require(fetched.length <= page.length,
-      s"doc store at $storePath returned ${fetched.length} rows for " +
-        s"${page.length} page ids — duplicate doc_ids violate the store's " +
-        "unique-id contract (same-id rows with different content cannot " +
-        "serve a deterministic page)")
+    val fetched = fetchChecked(spark, storePath, page.map(_.getLong(0)),
+      Seq("doc_id", "text"))
     val textOf = fetched.map(r => r.getLong(0) -> r.getString(1)).toMap
     // snippet extraction stays in Catalyst expressions (split/slice —
     // the exact semantics the oracle mirrors), over the local page frame
@@ -231,6 +234,86 @@ object DocStore {
         array_join(slice(split(col("text"), " "), start, len), " "))
       .select(col("rnk"), col("doc_id"), col("n_occ"), col("first_pos"),
         col("snippet"))
+      .orderBy("rnk")
+  }
+
+  /** The shared point-fetch-with-coverage-guards tail of the serving
+    * pages: a store missing one of the page's docs would silently
+    * shorten the page with rank gaps — the one silent-wrong shape a
+    * serving path could produce — so fail LOUDLY instead (the store must
+    * cover every corpus state the index serves, which the maintenance
+    * order — store append → index publish — guarantees); a duplicate id
+    * violates the unique-id contract the same way. ONE definition so the
+    * text page and the media page cannot drift on the guards. */
+  private def fetchChecked(spark: SparkSession, storePath: String,
+      ids: Seq[Long], cols: Seq[String]): Array[org.apache.spark.sql.Row] = {
+    val fetched = fetchPage(spark, storePath, ids)
+      .select(cols.map(col): _*).collect()
+    require(fetched.length >= ids.length,
+      s"doc store at $storePath is missing " +
+        s"${ids.length - fetched.length} of the page's ${ids.length} " +
+        "docs — it does not cover the corpus state the phrase index " +
+        "serves (fold the store before the index: the DocStore append " +
+        "contract)")
+    require(fetched.length <= ids.length,
+      s"doc store at $storePath returned ${fetched.length} rows for " +
+        s"${ids.length} page ids — duplicate doc_ids violate the store's " +
+        "unique-id contract (same-id rows with different content cannot " +
+        "serve a deterministic page)")
+    fetched
+  }
+
+  /** Q162 — the MEDIA SERVING PAGE (round 12 — q156's shape with the
+    * payload column doing the work): candidates and ranking are the
+    * q156 path verbatim (positional index, one pinned version, corpus
+    * never scanned); the fetch reads (doc_id, text, payload) from THIS
+    * store — text for the snippet, payload BYTES for the media arm —
+    * and each hit reports its payload length and the md5 fingerprint of
+    * its first `frameSize`-byte frame (the q56 frame-sampling contract
+    * applied at serve time: the fingerprint a dedup cache or a CDN
+    * variant key wants with the page). All media math stays in Catalyst
+    * expressions over the collected ≤ topK page frame (octet_length /
+    * substring-on-binary / md5 — the exact semantics the oracle
+    * mirrors). Per-query IO is the two pruned index scans + ≤ |page|
+    * store buckets, payload column read ONLY here (PlanSpec pins the
+    * projection both ways). */
+  def mediaSearch(spark: SparkSession, phraseIndexPath: String,
+      storePath: String, topK: Int = 20, window: Int = 2,
+      frameSize: Int = 16,
+      phraseOverride: Option[Seq[String]] = None): DataFrame = {
+    import spark.implicits._
+    val pRoot = Some(TextIndex.phraseCurrentRoot(spark, phraseIndexPath))
+    val phrase = phraseOverride.getOrElse(
+      TextIndex.topPhrase(spark, phraseIndexPath, pinnedRoot = pRoot))
+    val occ = TextIndex.phraseSearch(spark, phraseIndexPath, phrase,
+      pinnedRoot = pRoot)
+    val page = occ.orderBy(desc("n_occ"), col("doc_id")).limit(topK).collect()
+    if (page.isEmpty)
+      return TextIndex.emptyResult(spark,
+        org.apache.spark.sql.types.StructField("rnk", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_occ", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("snippet", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("byte_len", LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("frame0_md5", StringType, nullable = true))
+    val fetched = fetchChecked(spark, storePath, page.map(_.getLong(0)),
+      Seq("doc_id", "text", "payload"))
+    val rowOf = fetched.map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getAs[Array[Byte]](2)))).toMap
+    val rows = page.zipWithIndex.map { case (r, k) =>
+      val (text, payload) = rowOf(r.getLong(0))
+      (k + 1L, r.getLong(0), r.getLong(1), r.getLong(2), text, payload)
+    }.toSeq.toDF("rnk", "doc_id", "n_occ", "first_pos", "text", "payload")
+    val start = greatest(col("first_pos") + lit(1) - lit(window), lit(1))
+      .cast("int")
+    val len = (col("first_pos") + lit(phrase.length + window) + lit(1) -
+      start).cast("int")
+    rows
+      .withColumn("snippet",
+        array_join(slice(split(col("text"), " "), start, len), " "))
+      .select(col("rnk"), col("doc_id"), col("n_occ"), col("snippet"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        md5(substring(col("payload"), 1, frameSize)).as("frame0_md5"))
       .orderBy("rnk")
   }
 }

@@ -267,6 +267,52 @@ class DocServingSpec extends SparkSpec {
       e.isInstanceOf[org.apache.spark.sql.AnalysisException])
   }
 
+  test("q162: payload bytes fetch exactly across base + batches; media page rides them") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val store = java.nio.file.Files.createTempDirectory("media_store").toString
+    DocStore.write(spark, sf0001, store)
+    val batch = docsDirFrom(800000L)
+    DocStore.append(spark, batch, store, "media_b1")
+    // MIXED rows: base ids + appended ids in one page — every payload
+    // must be byte-identical to its doc's UTF-8 text (the stand-in rule),
+    // whichever layer serves it
+    val ids = Seq(1L, 123L, 800001L, 800123L)
+    val got = DocStore.fetchPage(spark, store, ids)
+      .select("doc_id", "text", "payload").collect()
+    assert(got.length == ids.length, s"expected ${ids.length} rows, got ${got.length}")
+    got.foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2),
+        r.getString(1).getBytes(UTF_8)),
+        s"payload drifted from the text bytes for doc ${r.getLong(0)}")
+    }
+    // the media page equals one computed corpus-direct: snippet is q156's,
+    // byte_len/frame0_md5 are functions of the payload bytes
+    val pi = java.nio.file.Files.createTempDirectory("media_pi").toString
+    TextIndex.writePhraseIndex(spark, sf0001, pi)
+    val base = java.nio.file.Files.createTempDirectory("media_base").toString
+    DocStore.write(spark, sf0001, base)
+    val page = DocStore.mediaSearch(spark, pi, base).collect()
+    assert(page.nonEmpty, "fixture must produce a media page")
+    val textOf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    page.foreach { r =>
+      val t = textOf(r.getLong(1))
+      assert(r.getLong(4) == t.getBytes(UTF_8).length.toLong,
+        s"byte_len drifted for doc ${r.getLong(1)}")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(UTF_8).take(16))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(5) == md, s"frame0_md5 drifted for doc ${r.getLong(1)}")
+    }
+    // the empty branch matches the populated schema (the q156 rule)
+    val empty = DocStore.mediaSearch(spark, pi, base,
+      phraseOverride = Some(Seq("zzz_not", "zzz_a", "zzz_token")))
+    assert(empty.count() == 0L)
+    assert(empty.schema == DocStore.mediaSearch(spark, pi, base).schema,
+      "media empty-page schema drifted from the populated page's")
+  }
+
   test("q156: the empty-page branch itself returns the populated contract schema") {
     // topPhrase always resolves a phrase its own index contains, so the
     // page.isEmpty branch is unreachable through the public derivation —

@@ -127,6 +127,21 @@ class PlanSpec extends SparkSpec {
       .select("doc_id", "text"))
     assert(pruned.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"expected the store scan pruned to the projected columns:\n$pruned")
+    // ...and BOTH directions with the round-12 payload column: a
+    // text-only fetch must not read a payload byte (the exact ReadSchema
+    // above already excludes it — make the claim explicit), and a media
+    // fetch must not decode text (at 100 TB the payload column dominates
+    // the store; reading it on text pages would undo the forward index's
+    // point)
+    assert(!pruned.contains("payload"),
+      s"a text-only fetch must not read the payload column:\n$pruned")
+    val prunedMedia = explain(DocStore.fetchPage(spark, store, Seq(1L, 7L))
+      .select("doc_id", "payload"))
+    assert(prunedMedia.contains(
+      "ReadSchema: struct<doc_id:bigint,payload:binary>"),
+      s"expected the media fetch pruned to (doc_id, payload):\n$prunedMedia")
+    assert(!prunedMedia.contains("text:string"),
+      s"a media fetch must not read the text column:\n$prunedMedia")
   }
 
   test("q152: proximity-boosted retrieval rides both text artifacts, no corpus scan") {
