@@ -390,6 +390,35 @@ object CurationJob {
     report
   }
 
+  /** BATCH-FOLD mode (round 12 — the round-11 verdict's task #5): fold
+    * one batch into the at-rest screening artifacts (cluster index,
+    * benchmark gram set — each behind its own committed-tag
+    * short-circuit), then emit the batch's manifest rows from them —
+    * ≡ the full [[run]] manifest over the union corpus RESTRICTED to
+    * the batch (spec'd end-to-end; as-of caveat documented on
+    * [[graft.text.Curation.curationManifestBatch]]). Per-batch cost:
+    * the two artifact folds (batch-edge / batch-gram mass) + doc-local
+    * screens — the corpus is never re-resolved. The manifest lands
+    * under `outDir/manifest_batches/<tag>` so successive folds
+    * accumulate beside the full run's `manifest`. */
+  def runBatch(spark: SparkSession, batchDir: String, outDir: String,
+      clusterIdx: String, benchGrams: String, tag: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): Report = {
+    if (!graft.text.ClusterIndex.appliedTags(spark, clusterIdx).contains(tag))
+      graft.text.ClusterIndex.append(spark, batchDir, clusterIdx, Some(tag),
+        fence)
+    graft.text.Curation.appendBenchGrams(spark, batchDir, benchGrams, tag,
+      fence)
+    graft.text.Curation
+      .curationManifestBatch(spark, batchDir, clusterIdx, benchGrams)
+      .write.mode("overwrite").parquet(s"$outDir/manifest_batches/$tag")
+    val manifest = spark.read.parquet(s"$outDir/manifest_batches/$tag")
+    val byReason = manifest.groupBy("reason")
+      .agg(count(lit(1)).as("n")) // ≤5 reason rows: a bounded collect
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Report(byReason.values.sum, byReason.getOrElse("kept", 0L), byReason)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println("usage: CurationJob <sfDir> <outDir>")

@@ -454,6 +454,162 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** AT-REST BENCHMARK GRAM SET (round 12 — the contamination screen's
+    * maintained artifact; with the cluster index and the gram ledger it
+    * completes the trio the incremental manifest folds against): the
+    * distinct trigrams of the benchmark/holdout docs, gram-hash-bucketed
+    * (`gb=` dirs, the dfreq rule), stats (bucket count) last as the
+    * commit marker. Deltas land add-only under `_batches/<tag>/` via the
+    * shared tag-committed protocol — and here even a DOUBLED delta is
+    * harmless (set union is idempotent; readers screen with a semi-join,
+    * which duplicate gram rows cannot inflate), so the ledger is
+    * belt-and-braces consistency with the other folds, not a
+    * correctness necessity (the appendFreqSketches contrast). */
+  def writeBenchGrams(spark: SparkSession, dir: String, path: String,
+      buckets: Int = 16): Unit = {
+    import spark.implicits._
+    Dedup.explodedGrams(spark, dir, distinctPerDoc = true)
+      .filter(isBenchmark(col("doc_id")))
+      .select(col("gram")).distinct()
+      .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
+      .repartition(col("gb"))
+      .sortWithinPartitions("gram")
+      .write.mode("overwrite").partitionBy("gb")
+      .parquet(s"$path/grams")
+    Seq(buckets.toLong).toDF("buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Fold one batch's benchmark-doc grams into the at-rest set (add-only;
+    * see [[writeBenchGrams]]). A batch with no benchmark docs writes an
+    * empty delta — still tag-committed, so a replay short-circuits. */
+  def appendBenchGrams(spark: SparkSession, batchDir: String, path: String,
+      tag: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val batchesRoot = new Path(path, "_batches")
+    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
+      "stats/_SUCCESS", fence) { staging =>
+      import spark.implicits._
+      val buckets = spark.read.parquet(s"$path/stats")
+        .select(col("buckets")).collect().head.getLong(0).toInt
+      Dedup.explodedGrams(spark, batchDir, distinctPerDoc = true)
+        .filter(isBenchmark(col("doc_id")))
+        .select(col("gram")).distinct()
+        .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
+        .repartition(col("gb"))
+        .sortWithinPartitions("gram")
+        .write.mode("overwrite").partitionBy("gb")
+        .parquet(new Path(staging, "grams").toString)
+      Seq(buckets.toLong).toDF("buckets")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    }
+  }
+
+  def benchGramAppliedTags(spark: SparkSession, path: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path, "_batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.committedBatchTags(fs, root, "stats/_SUCCESS")
+  }
+
+  /** The full at-rest benchmark gram rows — base plus committed deltas,
+    * possibly with cross-layer duplicates (readers must semi-join, never
+    * inner-join-and-count). Delta reads carry the base's data schema
+    * EXPLICITLY: a batch with no benchmark docs commits an EMPTY
+    * partitioned delta (no data files, nothing to infer from), which is
+    * a legitimate corpus state, not an error. */
+  private def benchGramRows(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dataSchema = StructType(Seq(StructField("gram", StringType)))
+    benchGramAppliedTags(spark, path).toSeq.sorted
+      .map(t => spark.read.schema(dataSchema)
+        .parquet(s"$path/_batches/$t/grams").select("gram"))
+      .foldLeft(spark.read.parquet(s"$path/grams").select("gram"))(
+        _ unionByName _)
+  }
+
+  /** INCREMENTAL CURATION MANIFEST (round 12 — the round-11 verdict's
+    * task #5, the capstone fold): q93's per-doc admit/reject decision
+    * for ONE BATCH, screened against the at-rest artifacts instead of
+    * recomputing every stage over the whole corpus —
+    *  - rule filters: doc-local, computed on the batch;
+    *  - near-dup cluster keep + cluster-safe split: the MAINTAINED
+    *    [[ClusterIndex]] labels (exact vs full recompute by its
+    *    contracted-CC argument — fold the batch into the index first);
+    *  - contamination: the batch's candidate grams SEMI-JOIN the at-rest
+    *    benchmark gram set unioned with the batch's own benchmark grams
+    *    (so fold order cannot change the answer — set union idempotence).
+    * EXACTNESS (the q154 convention): equals the full [[curationManifest]]
+    * over the union corpus RESTRICTED TO BATCH DOCS row-for-row, spec'd
+    * end-to-end. AS-OF CAVEAT (the q64 convention, documented not
+    * hidden): a batch can change OLD docs' rows in the full manifest (a
+    * merged cluster re-labels them; a new benchmark doc contaminates an
+    * old candidate) — those rows are served by the next full run or by
+    * re-screening affected docs; this fold's contract is the batch's own
+    * rows, which is what an ingest pipeline admits per batch. */
+  def curationManifestBatch(spark: SparkSession, batchDir: String,
+      clusterIdxPath: String, benchGramsPath: String): DataFrame = {
+    import graft.text.Dedup
+    val docs = Tables.documents(spark, batchDir)
+    val flags = funnelFlags(docs)
+      .select(col("doc_id"),
+        (col("p1") && col("p2") && col("p3") && col("p4") && col("p5")).as("passed"))
+    // maintained labels; singletons re-attach with the left join (the
+    // ccLabels contract) — keep is first-doc-per-cluster, as in q49
+    val clusters = docs.select(col("doc_id"))
+      .join(ClusterIndex.labels(spark, clusterIdxPath), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_rep"),
+        (col("doc_id") === coalesce(col("label"), col("doc_id")))
+          .cast("long").as("keep"))
+    // q50's screen restricted to the batch: candidate grams vs the
+    // at-rest ∪ batch benchmark set (semi-join — duplicate gram rows
+    // across layers cannot inflate the count)
+    val batchGrams = Dedup.explodedGrams(spark, batchDir, distinctPerDoc = true)
+      .select(col("doc_id"), col("gram"))
+      .localCheckpoint() // feeds the bench arm and the candidate arm
+    val bench = benchGramRows(spark, benchGramsPath)
+      .unionByName(batchGrams.filter(isBenchmark(col("doc_id")))
+        .select("gram"))
+    val candGrams = batchGrams.filter(!isBenchmark(col("doc_id")))
+    val shared = candGrams.join(bench, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val sizes = candGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val cont = docs.select(col("doc_id"))
+      .filter(!isBenchmark(col("doc_id")))
+      .join(sizes, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("overlap",
+        when(col("n_grams") > 0, col("n_shared") * lit(1.0) / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"),
+        (col("overlap") >= lit(0.5)).cast("long").as("contaminated"))
+    val isBench = isBenchmark(col("doc_id"))
+    clusters
+      .join(flags, Seq("doc_id"))
+      .join(cont, Seq("doc_id"), "left") // bench docs have no screen row
+      .withColumn("cont", coalesce(col("contaminated"), lit(0L)))
+      .select(col("doc_id"), col("cluster_rep"),
+        Dedup.splitOf(col("cluster_rep")).as("split"),
+        col("passed").cast("long").as("passed_filters"),
+        col("keep").as("keep_cluster"),
+        col("cont").as("contaminated"),
+        when(isBench, "benchmark")
+          .when(!col("passed"), "filtered")
+          .when(col("keep") === 0, "near_dup")
+          .when(col("cont") === 1, "contaminated")
+          .otherwise("kept").as("reason"),
+        (!isBench && col("passed") && col("keep") === 1 && col("cont") === 0)
+          .cast("long").as("in_corpus"))
+      .orderBy("doc_id")
+  }
+
   /** Q91 — percentile-based length TRIM flags: per-language p01/p99
     * document-length fences, each doc flagged against its language's
     * fences — the outlier-trimming pass that removes truncated fragments

@@ -1101,10 +1101,19 @@ object Dedup {
     * ([[rewriteBatchAgainstLedger]] — the production path never pays
     * the full merge). */
   private def gramLedgerRows(spark: SparkSession,
-      ledgerPath: String): DataFrame =
+      ledgerPath: String): DataFrame = {
+    // delta reads carry the base's data schema EXPLICITLY: a batch of
+    // all-short docs commits an EMPTY partitioned delta (no data files,
+    // nothing to infer from) — a legitimate state, not an error
+    val base = spark.read.parquet(s"$ledgerPath/grams")
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      base.schema.filterNot(_.name == "gb"))
+    val cols = dataSchema.fieldNames.map(col).toSeq
     gramLedgerAppliedTags(spark, ledgerPath).toSeq.sorted
-      .map(t => spark.read.parquet(s"$ledgerPath/_batches/$t/grams"))
-      .foldLeft(spark.read.parquet(s"$ledgerPath/grams"))(_ unionByName _)
+      .map(t => spark.read.schema(dataSchema)
+        .parquet(s"$ledgerPath/_batches/$t/grams").select(cols: _*))
+      .foldLeft(base.select(cols: _*))(_ unionByName _)
+  }
 
   /** The merged union-corpus ledger — the append ≡ rebuild SPEC form
     * (row-for-row equal to [[gramLedgerOf]] over the union corpus by

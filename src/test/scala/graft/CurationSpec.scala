@@ -447,4 +447,44 @@ class CurationSpec extends SparkSpec {
     val t = Curation.domainCap(spark, tied, cap = 2).collect().map(_.getLong(2))
     assert(t.toSeq == Seq(7L, 8L))
   }
+
+  test("q93 batch fold: manifest ≡ the full manifest restricted to batch docs, end-to-end") {
+    import org.apache.spark.sql.functions.col
+    // evens = the accepted corpus, odds = today's batch (the q154/q64
+    // convention — the parity split keeps both benchmark docs (id % 20)
+    // and near-dup candidates on both sides)
+    def parityDir(p: Int): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"cur_p$p").toString
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(col("doc_id") % 2 === p)
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val work = java.nio.file.Files.createTempDirectory("cur_fold").toString
+    graft.text.ClusterIndex.write(spark, evens, s"$work/cluster")
+    Curation.writeBenchGrams(spark, evens, s"$work/bench")
+    val r = graft.app.CurationJob.runBatch(spark, odds, s"$work/out",
+      s"$work/cluster", s"$work/bench", tag = "fold_odd")
+    val got = spark.read.parquet(s"$work/out/manifest_batches/fold_odd")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // the bar: the FULL q93 manifest over the union corpus, restricted
+    // to the batch docs
+    val want = Curation.curationManifest(spark, sf0001)
+      .filter(col("doc_id") % 2 === 1)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "batch-fold manifest drifted from the full manifest on batch docs")
+    assert(r.total == want.length.toLong)
+    // replay: both artifact folds short-circuit on the tag; the manifest
+    // rewrite is deterministic-identical
+    val r2 = graft.app.CurationJob.runBatch(spark, odds, s"$work/out",
+      s"$work/cluster", s"$work/bench", tag = "fold_odd")
+    assert(r2 == r, "a replayed fold must produce the identical report")
+    assert(graft.text.ClusterIndex.appliedTags(spark, s"$work/cluster") ==
+      Set("fold_odd"))
+    assert(Curation.benchGramAppliedTags(spark, s"$work/bench") ==
+      Set("fold_odd"))
+  }
 }
