@@ -228,7 +228,8 @@ object ScaleBench {
     // one-off build inside whichever query touches the cache first; build
     // costs are CellIndexBench's index_build/text_index_build rows)
     if (names.exists(n => Seq("q136", "q138", "q139", "q140", "q147",
-        "q148", "q149", "q150", "q151", "q152", "q153").exists(n.startsWith)))
+        "q148", "q149", "q150", "q151", "q152", "q153", "q155", "q156",
+        "q157", "q158", "q159", "q160", "q161", "q162").exists(n.startsWith)))
       try graft.SparkEntry.warmIndexes(spark, dir)
       catch { case e: Throwable =>
         System.err.println(s"[scalebench] index warmup failed: ${e.getMessage}") }
