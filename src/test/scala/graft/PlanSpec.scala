@@ -144,6 +144,43 @@ class PlanSpec extends SparkSpec {
       s"a media fetch must not read the text column:\n$prunedMedia")
   }
 
+  test("q159/q160: maintained-artifact serving plans — ledger broadcast-pruned, labels never re-resolved") {
+    import org.apache.spark.sql.functions.col
+    import graft.text.{ClusterIndex, Dedup}
+    val work = java.nio.file.Files.createTempDirectory("plan_maint").toString
+    def parityDir(p: Int): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"plan_p$p").toString
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(col("doc_id") % 2 === p)
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    Dedup.writeGramLedger(spark, evens, s"$work/ledger")
+    // q159: the at-rest ledger side must be pruned by a BROADCAST
+    // semi-join on the batch's gram set — a shuffled ledger would be the
+    // corpus-mass exchange the artifact exists to remove
+    val rw = explain(Dedup.rewriteBatchAgainstLedger(spark, odds,
+      s"$work/ledger"))
+    assert(rw.contains("BroadcastHashJoin") && rw.contains("LeftSemi"),
+      s"expected a broadcast semi-join pruning the ledger scan:\n$rw")
+    assert(rw.contains("gramledger") || rw.contains("ledger"),
+      s"expected the at-rest ledger in the plan:\n$rw")
+    assert(!rw.contains("CartesianProduct"))
+    // q160: serving reads the LABEL TABLE — no signature recompute, no
+    // banded self-join, no CC loop in the served plan
+    ClusterIndex.write(spark, evens, s"$work/cluster")
+    ClusterIndex.append(spark, odds, s"$work/cluster", Some("b0"))
+    val served = explain(
+      ClusterIndex.nearDupClustersServed(spark, sf0001, s"$work/cluster"))
+    assert(served.contains("labels"),
+      s"expected the maintained label table in the plan:\n$served")
+    assert(!served.contains("minhash") && !served.contains("band_val"),
+      s"serving must not re-resolve signatures/bands:\n$served")
+    assert(!served.contains("CartesianProduct"))
+  }
+
   test("q152: proximity-boosted retrieval rides both text artifacts, no corpus scan") {
     import graft.text.TextIndex
     val ti = java.nio.file.Files.createTempDirectory("pr_text").toString
