@@ -430,6 +430,28 @@ object SparkEntry {
     cachedFreqTable(s, d); cachedGramLedger(s, d); cachedClusterIndex(s, d); ()
   }
 
+  /** Selective warm: build ONLY the cached artifacts the named queries
+    * serve from (round 12 — at the ≥100× rehearsal tiers, warming all
+    * nine artifacts to time two queries is both wasteful and a disk
+    * hazard: a 1000× cluster-index build spills tens of GB the probe
+    * queries never needed). The mapping mirrors each query's cache
+    * calls in [[queries]]. */
+  def warmIndexesFor(s: SparkSession, d: String, names: Seq[String]): Unit = {
+    def any(prefixes: String*): Boolean =
+      names.exists(n => prefixes.exists(n.startsWith))
+    if (any("q132", "q136", "q138", "q139", "q140", "q152", "q155", "q157"))
+      cachedTextIndex(s, d)
+    if (any("q138", "q139", "q140")) cachedCellIndex(s, d)
+    if (any("q147", "q148", "q152", "q153", "q156", "q161", "q162"))
+      cachedPhraseIndex(s, d)
+    if (any("q149")) cachedReachTable(s, d)
+    if (any("q150", "q151")) cachedCohortTable(s, d)
+    if (any("q156", "q162")) cachedDocStore(s, d)
+    if (any("q158")) cachedFreqTable(s, d)
+    if (any("q159")) cachedGramLedger(s, d)
+    if (any("q160")) cachedClusterIndex(s, d)
+  }
+
   private def cachedTextIndex(s: SparkSession, d: String): String =
     cachedIndex("textindex", d, "stats/_SUCCESS")(p =>
       graft.text.TextIndex.write(s, d, p))

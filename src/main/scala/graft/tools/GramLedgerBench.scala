@@ -62,22 +62,37 @@ object GramLedgerBench {
     val nBatch = spark.read.parquet(s"$batchDir/documents.parquet").count()
     val nCorpus = spark.read.parquet(s"$corpus/documents.parquet").count()
 
-    val ledger = s"$work/gramledger"
-    val baseS = timed { graft.text.Dedup.writeGramLedger(spark, corpus, ledger) }
-    val foldS = timed {
-      graft.text.Dedup.appendGramLedger(spark, batchDir, ledger, "fold_1"); ()
+    // per-step prints so a crashed later stage (disk-bound spills at the
+    // biggest tiers) doesn't lose the completed timings; the 4th arg
+    // "skipCluster" bounds the run to the gram-ledger arm
+    def step(name: String, s: Double): Double = {
+      System.err.println(f"[foldbench] $name = $s%.3f s"); s
     }
-    val rewriteS = timed {
+    val skipCluster = args.length > 3 && args(3) == "skipCluster"
+    val ledger = s"$work/gramledger"
+    val baseS = step("gram_ledger_base_s",
+      timed { graft.text.Dedup.writeGramLedger(spark, corpus, ledger) })
+    val foldS = step("gram_fold_s", timed {
+      graft.text.Dedup.appendGramLedger(spark, batchDir, ledger, "fold_1"); ()
+    })
+    val rewriteS = step("batch_rewrite_s", timed {
       graft.text.Dedup.rewriteBatchAgainstLedger(spark, batchDir, ledger)
         .write.format("noop").mode("overwrite").save()
-    }
-    val clusterIdx = s"$work/cluster"
-    val cBaseS = timed { graft.text.ClusterIndex.write(spark, corpus, clusterIdx) }
-    graft.text.Dedup.evictMemos(spark) // the base build memoizes pairs
-    graft.Checkpoints.evictSessionMemos(spark)
-    val cFoldS = timed {
-      graft.text.ClusterIndex.append(spark, batchDir, clusterIdx, Some("fold_1"))
-    }
+    })
+    val (cBaseS, cFoldS) =
+      if (skipCluster) (-1.0, -1.0)
+      else {
+        val clusterIdx = s"$work/cluster"
+        val b = step("cluster_base_s",
+          timed { graft.text.ClusterIndex.write(spark, corpus, clusterIdx) })
+        graft.text.Dedup.evictMemos(spark) // the base build memoizes pairs
+        graft.Checkpoints.evictSessionMemos(spark)
+        val f = step("cluster_fold_s", timed {
+          graft.text.ClusterIndex.append(spark, batchDir, clusterIdx,
+            Some("fold_1"))
+        })
+        (b, f)
+      }
     println(f"""{"metric":"fold_bench","dir":"$corpus","n_corpus":$nCorpus,"n_batch":$nBatch,"gram_ledger_base_s":$baseS%.3f,"gram_fold_s":$foldS%.3f,"batch_rewrite_s":$rewriteS%.3f,"cluster_base_s":$cBaseS%.3f,"cluster_fold_s":$cFoldS%.3f}""")
     spark.stop()
   }

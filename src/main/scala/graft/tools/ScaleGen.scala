@@ -227,12 +227,12 @@ object ScaleBench {
     // amortizes this out of medians, a single-pass tier must not time a
     // one-off build inside whichever query touches the cache first; build
     // costs are CellIndexBench's index_build/text_index_build rows)
-    if (names.exists(n => Seq("q136", "q138", "q139", "q140", "q147",
-        "q148", "q149", "q150", "q151", "q152", "q153", "q155", "q156",
-        "q157", "q158", "q159", "q160", "q161", "q162").exists(n.startsWith)))
-      try graft.SparkEntry.warmIndexes(spark, dir)
-      catch { case e: Throwable =>
-        System.err.println(s"[scalebench] index warmup failed: ${e.getMessage}") }
+    // selective since round 12: build only the artifacts the requested
+    // queries serve from (warming all nine at a ≥100× tier is a disk
+    // hazard the probe queries never needed)
+    try graft.SparkEntry.warmIndexesFor(spark, dir, names)
+    catch { case e: Throwable =>
+      System.err.println(s"[scalebench] index warmup failed: ${e.getMessage}") }
     val runs: Seq[Seq[(String, Double, Boolean)]] = (1 to passes).map { _ =>
       val pass = names.map { name =>
         val t0 = System.nanoTime()
