@@ -1124,6 +1124,47 @@ object Dedup {
       .groupBy("gram")
       .agg(min("first").as("first"), sum("n_occ").as("n_occ"))
 
+  /** OFFLINE COMPACTION of the delta chain (round 12 — the operational
+    * tail of the add-only contract: delta-dir count tracks stream age,
+    * and a reader's per-layer scan setup eventually dominates): write
+    * the MERGED ledger as a fresh base at `outPath` (the semigroup fold,
+    * so merged-base reads equal the layered reads row-for-row — spec'd),
+    * and CARRY THE APPLIED TAGS FORWARD as empty committed deltas — the
+    * tags ARE the exactly-once replay ledger, and a compacted root that
+    * forgot them would re-fold every batch an at-least-once stream
+    * replays (n_occ is additive; that double would be silent). Empty
+    * deltas read as zero rows by the explicit-schema rule. Offline and
+    * at a FRESH path by design (the DocStore rebuild convention): the
+    * deployment's path indirection swaps it in; never an in-place
+    * rewrite racing readers. */
+  def compactGramLedger(spark: SparkSession, ledgerPath: String,
+      outPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val (n, buckets) = readGramLedgerStats(spark, ledgerPath)
+    readGramLedger(spark, ledgerPath)
+      .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
+      .repartition(col("gb"))
+      .sortWithinPartitions("gram")
+      .write.mode("overwrite").partitionBy("gb")
+      .parquet(s"$outPath/grams")
+    val fs = new Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (tag <- gramLedgerAppliedTags(spark, ledgerPath)) {
+      // an empty committed delta: the stats marker carries the tag's
+      // replay short-circuit; grams/ is a fileless dir (a zero-row
+      // layer under the explicit-schema read rule)
+      fs.mkdirs(new Path(outPath, s"_batches/$tag/grams"))
+      Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new Path(outPath, s"_batches/$tag/stats").toString)
+    }
+    Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
+      .coalesce(1) // base stats LAST — the commit marker
+      .write.mode("overwrite").parquet(s"$outPath/stats")
+  }
+
   /** Q159 — the PRODUCTION form of the incremental span rewrite (q154
     * rebuilt its snapshot ledger in-query — the contract requirement;
     * this is the maintained-artifact path the 1000× tier prices):

@@ -95,6 +95,41 @@ class GramLedgerSpec extends SparkSpec {
     assert(inQuery == want, "q154's in-query form drifted from q141-restricted")
   }
 
+  test("gram ledger: compaction preserves rows, tags, and the batch rewrite") {
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val ledger = java.nio.file.Files.createTempDirectory("gl_pre").toString
+    Dedup.writeGramLedger(spark, evens, ledger, n = N)
+    assert(Dedup.appendGramLedger(spark, odds, ledger, "fold_odd"))
+    val want = ledgerRows(ledger)
+    val compacted = java.nio.file.Files.createTempDirectory("gl_cmp").toString
+    Dedup.compactGramLedger(spark, ledger, compacted)
+    // merged-base reads equal the layered reads row-for-row
+    assert(ledgerRows(compacted) == want,
+      "compaction changed the merged ledger")
+    // the replay ledger carried forward: a replayed fold adds NOTHING
+    // (n_occ is additive — forgetting a tag would double it silently)
+    assert(Dedup.gramLedgerAppliedTags(spark, compacted) == Set("fold_odd"))
+    assert(!Dedup.appendGramLedger(spark, odds, compacted, "fold_odd"),
+      "a compacted root must still short-circuit replayed tags")
+    assert(ledgerRows(compacted) == want)
+    // the served batch rewrite is identical from the compacted root
+    assert(Dedup.rewriteBatchAgainstLedger(spark, odds, compacted)
+      .collect().map(_.toSeq).toSeq ==
+      Dedup.rewriteBatchAgainstLedger(spark, odds, ledger)
+        .collect().map(_.toSeq).toSeq,
+      "rewrite drifted across compaction")
+    // ...and NEW folds keep landing on the compacted root
+    val more = java.nio.file.Files.createTempDirectory("gl_more").toString
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 2 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("overwrite").parquet(s"$more/documents.parquet")
+    assert(Dedup.appendGramLedger(spark, more, compacted, "fold_more"))
+    assert(Dedup.gramLedgerAppliedTags(spark, compacted) ==
+      Set("fold_odd", "fold_more"))
+  }
+
   test("gram ledger: layout scalars are enforced — a fold never recomputes them") {
     val evens = parityDir(0)
     val odds = parityDir(1)
