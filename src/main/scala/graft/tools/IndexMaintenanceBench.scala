@@ -40,10 +40,16 @@ object IndexMaintenanceBench {
     spark.sparkContext.setLogLevel("WARN")
     val vecIdx = s"$work/vec"; val textIdx = s"$work/text"
     val phraseIdx = s"$work/phrase"; val store = s"$work/store"
+    val ledger = s"$work/gramledger"; val clusterIdx = s"$work/cluster"
     graft.vector.CellIndex.write(spark, dir, vecIdx, k = k)
     graft.text.TextIndex.write(spark, dir, textIdx)
     graft.text.TextIndex.writePhraseIndex(spark, dir, phraseIdx)
     graft.text.DocStore.write(spark, dir, store)
+    // round 12: the fifth and sixth maintained artifacts ride the fold
+    graft.text.Dedup.writeGramLedger(spark, dir, ledger)
+    graft.text.ClusterIndex.write(spark, dir, clusterIdx)
+    graft.text.Dedup.evictMemos(spark) // the cluster base memoizes pairs
+    graft.Checkpoints.evictSessionMemos(spark)
 
     def batchDf(i: Int) = {
       val off = 900000000L + i.toLong * 10000000L
@@ -73,28 +79,33 @@ object IndexMaintenanceBench {
       val t0 = System.nanoTime()
       graft.app.IndexMaintenanceJob.applyBatch(spark, batchDf(i), i.toLong,
         s"$work/batches", vecIdx, textIdx, retainVersions = 2,
-        phraseIdx = Some(phraseIdx), docStore = Some(store))
+        phraseIdx = Some(phraseIdx), docStore = Some(store),
+        gramLedger = Some(ledger), clusterIdx = Some(clusterIdx))
       val secs = (System.nanoTime() - t0) / 1e9
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
       spark.catalog.clearCache(); System.gc()
       val (vb, vv) = usage(vecIdx)
       val (tb, tv) = usage(textIdx)
       val (pb, pv) = usage(phraseIdx)
-      val sb = {
-        val p = new org.apache.hadoop.fs.Path(store)
+      def bytesOf(p0: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(p0)
         p.getFileSystem(conf).getContentSummary(p).getLength
       }
-      (secs, vb, vv, tb, tv, pb, pv, sb)
+      val sb = bytesOf(store)
+      val gb = bytesOf(ledger)
+      val (cb, cv) = usage(clusterIdx)
+      (secs, vb, vv, tb, tv, pb, pv, sb, gb, cb, cv)
     }
-    def arr[T](f: ((Double, Long, Int, Long, Int, Long, Int, Long)) => T): String =
+    def arr[T](f: ((Double, Long, Int, Long, Int, Long, Int, Long, Long, Long, Int)) => T): String =
       folds.map(f).mkString("[", ",", "]")
     println(s"""{"metric":"idxmaint","batches":$nBatches,"dir":"$dir","k":$k,""" +
       s""""fold_secs":${folds.map(f => f"${f._1}%.3f").mkString("[", ",", "]")},""" +
       s""""vec_bytes":${arr(_._2)},"vec_versions":${arr(_._3)},""" +
       s""""text_bytes":${arr(_._4)},"text_versions":${arr(_._5)},""" +
       s""""phrase_bytes":${arr(_._6)},"phrase_versions":${arr(_._7)},""" +
-      s""""store_bytes":${arr(_._8)},""" +
-      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions; all FOUR artifacts folded (doc store add-only — bytes grow with ingested mass, no version churn)"}""")
+      s""""store_bytes":${arr(_._8)},"ledger_bytes":${arr(_._9)},""" +
+      s""""cluster_bytes":${arr(_._10)},"cluster_versions":${arr(_._11)},""" +
+      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions; all SIX artifacts folded (doc store + gram ledger add-only — bytes grow with ingested mass, no version churn)"}""")
     spark.stop()
   }
 }
