@@ -35,16 +35,26 @@ import graft.sources.Tables
   * relabels; spec'd). CC cost tracks the BATCH edge set, never the
   * corpus.
   *
-  * Sigs/bands are add-only facts (append carries current files forward
-  * byte-for-byte, the [[TextIndex.append]] posting rule); labels are
-  * the one mutable table and are REWRITTEN per fold — clustered-docs
-  * mass, a small fraction of the corpus by the near-dup prior (the
-  * dfreq-rewrite trade [[TextIndex.append]] already makes at
-  * vocabulary mass). Publishes versioned `v<N>/` dirs under the
-  * staging + guarded-rename + applied-tags protocol; `stats/` persists
-  * the bucket count AND the minJaccard threshold (both are artifact
-  * SEMANTICS: folding under a different threshold would mix edge sets
-  * silently) and commits last.
+  * STORAGE SPLIT BY MUTABILITY (round-12 second cut — the first cut
+  * carried sigs/bands forward byte-for-byte per fold, an O(corpus) copy
+  * the six-artifact maintenance bench measured as the fold's one growth
+  * term): sigs and bands are ADD-ONLY FACTS about immutable docs, so
+  * each batch's rows land once under `_batches/<tag>/` via the shared
+  * tag-committed protocol ([[graft.text.DocStore]]'s model) and readers
+  * layer base + committed deltas — no carried-forward copy, ever. Only
+  * the LABEL table mutates (a merge relabels old members), so labels
+  * alone ride the versioned `v<N>/` staging + guarded-rename +
+  * applied-tags protocol, at clustered-docs mass (a small fraction of
+  * the corpus by the near-dup prior). `stats/` persists the bucket
+  * count AND the minJaccard threshold (both are artifact SEMANTICS:
+  * folding under a different threshold would mix edge sets silently)
+  * and commits last. A fold that crashes between its delta commit and
+  * its labels publish replays exactly: the delta short-circuits on its
+  * tag, and the candidate probe EXCLUDES the fold's own delta, so the
+  * recomputed edges are identical. Untagged appends mint a nonce delta
+  * dir — correct under replay (duplicate sig/band rows only duplicate
+  * edges, which min-label CC absorbs) but storage-leaking, so
+  * maintenance always tags (documented).
   *
   * Reference behavior covered: the reference's dedup surface is the
   * silver-layer drop-duplicates (`/root/reference/data/lake_writer.py:13-16`);
@@ -126,20 +136,57 @@ object ClusterIndex {
     graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
   }
 
+  /** The at-rest band/sig row sets: base plus every committed delta
+    * except `exclude` (a fold excludes its OWN delta so a replay whose
+    * delta already committed recomputes identical candidates). Delta
+    * reads carry explicit data schemas — a batch of all-short docs
+    * commits an empty delta, a legitimate state. */
+  private def layerRows(spark: SparkSession, indexPath: String, art: String,
+      schema: org.apache.spark.sql.types.StructType,
+      exclude: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = schema.fieldNames.map(col).toSeq
+    graft.IndexVersions.committedBatchTags(fs,
+        new Path(indexPath, "_batches"), "stats/_SUCCESS")
+      .toSeq.sorted.filterNot(_ == exclude)
+      .map(t => spark.read.schema(schema)
+        .parquet(s"$indexPath/_batches/$t/$art").select(cols: _*))
+      .foldLeft(spark.read.parquet(s"$indexPath/$art").select(cols: _*))(
+        _ unionByName _)
+  }
+
+  private val SigSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))))
+  private val BandSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band_id",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_val",
+      org.apache.spark.sql.types.StringType)))
+
   /** Fold one batch (`batchDir/documents.parquet`; doc_ids must be NEW —
-    * the store/index append contract): compute the batch's signatures
-    * and bands, find batch↔old candidates against the at-rest bands and
-    * batch↔batch candidates within the batch, verify both with the
-    * SHARED est-Jaccard rule against at-rest + batch signatures, run CC
-    * on the CONTRACTED graph (old endpoints collapse to their current
-    * label), and publish `v<N>` with updated labels, carried-forward +
-    * batch sig/band files, and the applied-tags ledger. Exact — spec'd
-    * append ≡ rebuild, including old-cluster merges. */
+    * the store/index append contract): commit the batch's signatures
+    * and bands as an ADD-ONLY delta (tag-committed, replay
+    * short-circuits — no carried-forward copy), find batch↔old
+    * candidates against the layered at-rest bands (own delta excluded)
+    * and batch↔batch candidates within the batch, verify both with the
+    * SHARED est-Jaccard rule, run CC on the CONTRACTED graph (old
+    * endpoints collapse to their current label), and publish `v<N>`
+    * with the updated LABELS + stats under the applied-tags ledger.
+    * Exact — spec'd append ≡ rebuild, including old-cluster merges.
+    * Tags must be dir-safe (they name the delta dir). */
   def append(spark: SparkSession, batchDir: String, indexPath: String,
       tag: Option[String] = None,
       fence: () => Unit = graft.IndexVersions.NoFence): Unit = {
-    graft.IndexVersions.requireValidTag(tag)
-    import org.apache.hadoop.fs.{FileUtil, Path}
+    tag.foreach(graft.IndexVersions.requireDirSafeTag)
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(indexPath)
@@ -152,18 +199,43 @@ object ClusterIndex {
     val staging = new Path(root,
       s".staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
     // layout + semantics come from the INDEX, never from parameters: a
-    // different bucket count would mis-prune carried files; a different
+    // different bucket count would mis-route delta rows; a different
     // threshold would silently mix edge sets (the TextIndex bucket rule)
     val (buckets, minJaccard) = readStatsAt(spark, cur)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val batchSig = Dedup.sigTable(spark, batchDir).localCheckpoint()
     val batchBands = Dedup.bandsOf(batchSig)
-      .localCheckpoint() // feeds the old-probe join AND the batch write
-    // batch↔old candidates: the batch's bands probe the at-rest band
-    // table — broadcast the batch side (micro-batch-bounded by the
-    // maintenance contract), so the at-rest side is ONE scan, no shuffle
-    val oldBands = spark.read.parquet(s"$cur/bands")
+      .localCheckpoint() // feeds the old-probe join AND the delta write
+    // ADD-ONLY delta first (the store-before-index ordering argument):
+    // sigs + bands land once under _batches/<tag>; an untagged append
+    // mints a nonce dir (replay-leaking but correct — see the object doc)
+    val deltaTag = tag.getOrElse(
+      s"untagged_${java.util.UUID.randomUUID().toString.take(8)}")
+    graft.IndexVersions.appendTaggedBatch(fs, new Path(root, "_batches"),
+      deltaTag, "stats/_SUCCESS", fence) { st =>
+      batchSig
+        .withColumn("sb", pmod(hash(col("doc_id")), lit(buckets)))
+        .repartition(col("sb"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("sb")
+        .parquet(new Path(st, "sigs").toString)
+      batchBands
+        .withColumn("bb", pmod(hash(col("band_val")), lit(buckets)))
+        .repartition(col("bb"))
+        .sortWithinPartitions("band_val")
+        .write.mode("overwrite").partitionBy("bb")
+        .parquet(new Path(st, "bands").toString)
+      Seq((buckets.toLong, minJaccard)).toDF("buckets", "min_jaccard")
+        .coalesce(1) // the delta's commit marker, written last
+        .write.mode("overwrite").parquet(new Path(st, "stats").toString)
+    }
+    // batch↔old candidates: the batch's bands probe the LAYERED at-rest
+    // band table (own delta excluded — a replayed fold recomputes the
+    // identical candidate set) — broadcast the batch side
+    // (micro-batch-bounded by the maintenance contract), so the at-rest
+    // side is ONE scan, no shuffle
+    val oldBands = layerRows(spark, indexPath, "bands", BandSchema, deltaTag)
     val candOld = oldBands.join(
         broadcast(batchBands.select(col("band_id"), col("band_val"),
           col("doc_id").as("b_doc"))),
@@ -180,7 +252,7 @@ object ClusterIndex {
       .distinct()
     // verify with the SHARED rule; old signatures fetched by candidate id
     // (candidate-bounded, id-keyed against the sorted sig buckets)
-    val oldSigs = spark.read.parquet(s"$cur/sigs")
+    val oldSigs = layerRows(spark, indexPath, "sigs", SigSchema, deltaTag)
       .join(broadcast(candOld.select(col("o_doc").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("sig"))
@@ -220,34 +292,9 @@ object ClusterIndex {
       .select(col("node").as("doc_id"), col("root").as("label"))
     updatedOld.unionByName(newRows)
       .write.mode("overwrite").parquet(new Path(staging, "labels").toString)
-    // batch sigs/bands land bucketed; current files then copy in beside
-    // them (the TextIndex.append carry-forward — part names embed job
-    // UUIDs, no collisions)
-    batchSig
-      .withColumn("sb", pmod(hash(col("doc_id")), lit(buckets)))
-      .repartition(col("sb"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").partitionBy("sb")
-      .parquet(new Path(staging, "sigs").toString)
-    batchBands
-      .withColumn("bb", pmod(hash(col("band_val")), lit(buckets)))
-      .repartition(col("bb"))
-      .sortWithinPartitions("band_val")
-      .write.mode("overwrite").partitionBy("bb")
-      .parquet(new Path(staging, "bands").toString)
-    for ((art, pref) <- Seq(("sigs", "sb="), ("bands", "bb="))) {
-      fs.listStatus(new Path(cur, art)).toSeq
-        .filter(_.getPath.getName.startsWith(pref))
-        .foreach { s =>
-          val dstB = new Path(new Path(staging, art), s.getPath.getName)
-          fs.mkdirs(dstB)
-          fs.listStatus(s.getPath).toSeq
-            .filter(f => f.getPath.getName.startsWith("part-"))
-            .foreach(f => FileUtil.copy(fs, f.getPath, fs,
-              new Path(dstB, f.getPath.getName), false, conf))
-        }
-    }
-    // scalars carry forward verbatim; stats is written LAST — its
+    // the version holds ONLY the mutable state (labels) — sigs/bands are
+    // the add-only delta committed above, no carried-forward copy.
+    // Scalars carry forward verbatim; stats is written LAST — its
     // _SUCCESS is the version's commit marker
     Seq((buckets.toLong, minJaccard)).toDF("buckets", "min_jaccard")
       .coalesce(1)
@@ -288,11 +335,16 @@ object ClusterIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // base sigs/bands are PERMANENT data layers (the corpus-0 slice of
+    // the add-only chain), never version artifacts — vacuuming labels
+    // version 0 must not touch them; `_batches` deltas likewise live
+    // outside the version chain (folding them down is an offline
+    // rebuild, the DocStore convention)
     def dirsOf(v: Long): Seq[String] =
-      if (v == 0L) Seq("stats", "labels", "sigs", "bands")
+      if (v == 0L) Seq("stats", "labels")
       else Seq(s"v$v")
     def owner(name: String): Option[Long] = name match {
-      case "stats" | "labels" | "sigs" | "bands" => Some(0L)
+      case "stats" | "labels" => Some(0L)
       case n if n.startsWith("v") && n.stripPrefix("v").nonEmpty &&
         n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
       case _ => None

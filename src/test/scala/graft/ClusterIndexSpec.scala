@@ -114,5 +114,16 @@ class ClusterIndexSpec extends SparkSpec {
       "the newest version must survive vacuum")
     assert(ClusterIndex.appliedTags(spark, idx) == Set("b0", "b1"),
       "the applied-tags ledger must carry forward through vacuum")
+    // base sigs/bands are permanent DATA LAYERS of the add-only chain,
+    // not version-0 artifacts — vacuuming labels v0 must not touch them
+    // (a later fold still probes the corpus-0 slice through them)
+    for (art <- Seq("sigs", "bands"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(idx, art)),
+        s"vacuum must never reclaim the base $art layer")
+    // ...and folding still works against the layered chain post-vacuum
+    val more2 = docsDir(Seq(900002L ->
+      "quince sage olive thyme kite lemon mango rose peach nectar"))
+    ClusterIndex.append(spark, more2, idx, Some("b2"))
+    assert(ClusterIndex.appliedTags(spark, idx) == Set("b0", "b1", "b2"))
   }
 }
