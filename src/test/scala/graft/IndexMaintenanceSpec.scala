@@ -165,14 +165,22 @@ class IndexMaintenanceSpec extends SparkSpec {
     val work = java.nio.file.Files.createTempDirectory("idxfail").toString
     val vecIdx = s"$work/vec"
     val textIdx = s"$work/text"
+    val ledger = s"$work/gramledger"
+    val clusterIdx = s"$work/cluster"
     CellIndex.write(spark, sf0001, vecIdx, k = 4, iters = 1)
     TextIndex.write(spark, sf0001, textIdx)
+    // the round-12 artifacts ride the same failover: the gram ledger's
+    // additive counts and the cluster labels must come through a crash +
+    // takeover neither lost nor doubled
+    graft.text.Dedup.writeGramLedger(spark, sf0001, ledger)
+    graft.text.ClusterIndex.write(spark, sf0001, clusterIdx)
     val in = MemoryStream[IndexedDoc]
     val ckpt = s"$work/ckpt" // SHARED — this is what "standby" means
     val ttl = 2500L
     val primary = IndexMaintenanceJob.sink(in.toDS(), s"$work/batches",
       vecIdx, textIdx, ckpt, retainVersions = 2, owner = "primary",
-      leaseTtlMs = ttl)
+      leaseTtlMs = ttl, gramLedger = Some(ledger),
+      clusterIdx = Some(clusterIdx))
     val fs = new org.apache.hadoop.fs.Path(vecIdx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var hbTime = 0L // when the crashed primary's heartbeat was last written
@@ -217,7 +225,8 @@ class IndexMaintenanceSpec extends SparkSpec {
     // sequence, so the tag ledger dedups any crash-window replay
     val standby = IndexMaintenanceJob.standbySink(in.toDS(), s"$work/batches",
       vecIdx, textIdx, ckpt, retainVersions = 2, owner = "standby",
-      leaseTtlMs = ttl, pollMs = 200L, maxWaitMs = 60000L)
+      leaseTtlMs = ttl, pollMs = 200L, maxWaitMs = 60000L,
+      gramLedger = Some(ledger), clusterIdx = Some(clusterIdx))
     // measured from the HEARTBEAT, not the standby's start (stop() and
     // batch-building time are not the standby's to spend): the steal can
     // only have happened once the heartbeat aged past the TTL — 1 s
@@ -245,6 +254,26 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(TextIndex.bm25Indexed(spark, textIdx).collect().map(_.toSeq).toSeq ==
       TextIndex.bm25Indexed(spark, rebuilt).collect().map(_.toSeq).toSeq,
       "failover-maintained index drifted from a full rebuild")
+    // the round-12 artifacts came through the crash + takeover too:
+    // ledger ≡ union-corpus rebuild (additive counts — a double fold in
+    // the crash window would be silent anywhere else), cluster labels ≡
+    // the full recompute over everything ingested
+    assert(graft.text.Dedup.gramLedgerAppliedTags(spark, ledger) ==
+      Set("batch_0", "batch_1", "batch_2"))
+    val ledgerRb = java.nio.file.Files.createTempDirectory("idxfail_glrb").toString
+    graft.text.Dedup.writeGramLedger(spark, unionDir, ledgerRb)
+    def glRows(p: String) = graft.text.Dedup.readGramLedger(spark, p)
+      .collect().map(_.toSeq).toSet
+    assert(glRows(ledger) == glRows(ledgerRb),
+      "failover-maintained gram ledger drifted from a full rebuild")
+    assert(graft.text.ClusterIndex.appliedTags(spark, clusterIdx) ==
+      Set("batch_0", "batch_1", "batch_2"))
+    assert(graft.text.ClusterIndex
+        .nearDupClustersServed(spark, unionDir, clusterIdx)
+        .collect().map(_.toSeq).toSeq ==
+      graft.text.Dedup.nearDupClusters(spark, unionDir)
+        .collect().map(_.toSeq).toSeq,
+      "failover-maintained cluster labels drifted from the full recompute")
   }
 
   private def writeBatchDir(offset: Long, n: Int): String = {
