@@ -53,8 +53,17 @@ object Bench {
     * median 0.94 — BENCH_NOTES.md records the measurement): the
     * reference the load factor is computed against. A different box
     * needs re-baselining, which is the point — the probe makes the box
-    * visible instead of assumed. */
-  private val CalibrationRefS = 0.94
+    * visible instead of assumed. SPARK_GRAFT_CAL_REF overrides the
+    * compiled-in value for foreign boxes, and the JSON carries
+    * `calibration_ref_source` so a normalized_total computed against the
+    * wrong box's reference is visibly unreliable instead of silently
+    * wrong (round-12 ADVICE). */
+  private val DefaultCalibrationRefS = 0.94
+  private val (calibrationRefS, calibrationRefSource) =
+    sys.env.get("SPARK_GRAFT_CAL_REF") match {
+      case Some(v) => (v.toDouble, "env:SPARK_GRAFT_CAL_REF")
+      case None => (DefaultCalibrationRefS, "compiled-in (re-baseline on a different box)")
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,11 +179,11 @@ object Bench {
     // the normalized twin divides out measured box load so round-over-round
     // comparison is defensible against a busy box (BENCH_NOTES.md)
     val calMed = calibrations.sorted.apply(calibrations.size / 2)
-    val loadFactor = calMed / CalibrationRefS
+    val loadFactor = calMed / calibrationRefS
     val normTotal = if (loadFactor > 0) total / loadFactor else total
     val calStr = calibrations.map(c => f"$c%.3f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"median-of-$Passes","pass_totals":$passTotals,"serving_total":$servingTotal%.3f,"audit_total":$auditTotal%.3f,"audit_queries":${SparkEntry.auditQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"calibration_s":$calStr,"calibration_ref_s":$CalibrationRefS%.3f,"load_factor":$loadFactor%.3f,"normalized_total":$normTotal%.3f,"spread":$spread}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","protocol":"median-of-$Passes","pass_totals":$passTotals,"serving_total":$servingTotal%.3f,"audit_total":$auditTotal%.3f,"audit_queries":${SparkEntry.auditQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"calibration_s":$calStr,"calibration_ref_s":$calibrationRefS%.3f,"calibration_ref_source":"$calibrationRefSource","load_factor":$loadFactor%.3f,"normalized_total":$normTotal%.3f,"spread":$spread}"""
     // the full line first, then a COMPACT summary line LAST (round-10; the
     // round-9 driver artifact recorded parsed:null): the per-query map has
     // outgrown tail-window scrapers — a consumer keeping only the last few

@@ -439,7 +439,11 @@ object SparkEntry {
   def warmIndexesFor(s: SparkSession, d: String, names: Seq[String]): Unit = {
     def any(prefixes: String*): Boolean =
       names.exists(n => prefixes.exists(n.startsWith))
-    if (any("q132", "q136", "q138", "q139", "q140", "q152", "q155", "q157"))
+    // q132_bm25 is deliberately ABSENT: it calls TextOps.bm25 corpus-direct
+    // and reads no cached artifact — warming the text index for it would be
+    // the exact needless ≥100×-tier disk hazard this selective warm avoids
+    // (round-12 ADVICE)
+    if (any("q136", "q138", "q139", "q140", "q152", "q155", "q157"))
       cachedTextIndex(s, d)
     if (any("q138", "q139", "q140")) cachedCellIndex(s, d)
     if (any("q147", "q148", "q152", "q153", "q156", "q161", "q162"))

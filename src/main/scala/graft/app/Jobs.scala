@@ -409,9 +409,23 @@ object CurationJob {
         fence)
     graft.text.Curation.appendBenchGrams(spark, batchDir, benchGrams, tag,
       fence)
-    graft.text.Curation
-      .curationManifestBatch(spark, batchDir, clusterIdx, benchGrams)
-      .write.mode("overwrite").parquet(s"$outDir/manifest_batches/$tag")
+    // the per-batch manifest rides the SAME tag-committed staging+rename
+    // protocol as the artifact folds above (round-12 ADVICE: a plain
+    // overwrite could leave a partial manifest dir on crash, and a
+    // concurrent reader could observe it mid-overwrite); a committed tag
+    // short-circuits — the manifest is deterministic in (batch, artifacts),
+    // so the existing dir IS this batch's manifest
+    locally {
+      import org.apache.hadoop.fs.Path
+      val mRoot = new Path(outDir, "manifest_batches")
+      val fs = mRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.IndexVersions.appendTaggedBatch(fs, mRoot, tag, "_SUCCESS",
+        fence) { staging =>
+        graft.text.Curation
+          .curationManifestBatch(spark, batchDir, clusterIdx, benchGrams)
+          .write.mode("overwrite").parquet(staging.toString)
+      }
+    }
     val manifest = spark.read.parquet(s"$outDir/manifest_batches/$tag")
     val byReason = manifest.groupBy("reason")
       .agg(count(lit(1)).as("n")) // ≤5 reason rows: a bounded collect

@@ -40,13 +40,18 @@ object GramLedgerBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // t1 captures IMMEDIATELY after the body: the sweep/clearCache/GC are
+    // inter-step hygiene (the Bench between-pass convention), not part of
+    // the measured operation — timing them inside distorted the small
+    // per-fold cells most (round-12 ADVICE)
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
       body
+      val elapsed = (System.nanoTime() - t0) / 1e9
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
       spark.catalog.clearCache()
       System.gc()
-      (System.nanoTime() - t0) / 1e9
+      elapsed
     }
     // batch ids offset past every corpus id (the append contract); the
     // batch is the maintenance unit: sf0.1-sized regardless of corpus tier

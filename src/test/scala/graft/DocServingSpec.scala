@@ -314,10 +314,9 @@ class DocServingSpec extends SparkSpec {
   }
 
   test("q156: the empty-page branch itself returns the populated contract schema") {
-    // topPhrase always resolves a phrase its own index contains, so the
-    // page.isEmpty branch is unreachable through the public derivation —
-    // the phraseOverride hook probes an ABSENT phrase to drive it
-    // (round-11 ADVICE: the branch and its 5-field schema were untested)
+    // THIS test drives the page.isEmpty branch directly: the phraseOverride
+    // hook probes an ABSENT phrase, which the public derivation (topPhrase
+    // resolves a phrase its own index contains) can never produce
     val pi = java.nio.file.Files.createTempDirectory("snip_bpi").toString
     val store = java.nio.file.Files.createTempDirectory("snip_bst").toString
     TextIndex.writePhraseIndex(spark, sf0001, pi)
