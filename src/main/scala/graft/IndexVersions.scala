@@ -224,6 +224,131 @@ object IndexVersions {
       .filter(t => !t.startsWith(".") &&
         fs.exists(new Path(batchesRoot, s"$t/$committedMarker"))).toSet
 
+  // ---- compacted GENERATIONS for tag-committed batch-dir artifacts -------
+
+  /** COMPACTED-GENERATION RESOLUTION (round 13 — the delta-chain
+    * compaction the add-only artifacts lacked): a tag-committed batch-dir
+    * artifact (DocStore, freq table, gram ledger, ClusterIndex) grows one
+    * delta dir per fold for the stream's lifetime; correct by protocol,
+    * but after thousands of folds the reader's listing/union cost
+    * degrades exactly the way the sketch tables' file counts did before
+    * their compaction. The fix is the [[graft.text.Dedup.compactGramLedger]]
+    * pattern — fold committed deltas into a fresh base, CARRY THE APPLIED
+    * TAGS FORWARD as empty committed deltas (the tags ARE the
+    * exactly-once replay ledger; additive artifacts would silently
+    * double-count a forgotten tag's replay) — made IN-PLACE TRIGGERABLE:
+    * instead of a fresh path the deployment must swap by external
+    * indirection, the compacted layout publishes as a GENERATION dir
+    * `_g<N>/` under the artifact root (underscore-prefixed so the base
+    * table's own parquet listing never sees it; explicit roots read
+    * fine — the `_batches` convention), via the same staging-nonce +
+    * guarded-rename [[publish]] every version chain here uses. The root
+    * itself is generation 0. Readers and appenders resolve the NEWEST
+    * committed generation and operate entirely within it; old
+    * generations persist for in-flight readers until
+    * [[vacuumGenerations]] (the version-chain grace contract).
+    *
+    * `markerRel` is the path inside a generation root whose existence
+    * marks commit — the SAME marker the artifact's base build writes last
+    * ("stats/_SUCCESS" for the doc store / gram ledger / cluster index,
+    * "_SUCCESS" for the flat freq table). */
+  def committedGenerations(fs: FileSystem, root: Path,
+      markerRel: String): Seq[Long] = {
+    if (!fs.exists(root)) return Seq.empty
+    val gens = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_g") && n.stripPrefix("_g").nonEmpty &&
+        n.stripPrefix("_g").forall(_.isDigit))
+      .filter(n => fs.exists(new Path(root, s"$n/$markerRel")))
+      .map(_.stripPrefix("_g").toLong)
+    val base =
+      if (fs.exists(new Path(root, markerRel))) Seq(0L) else Seq.empty
+    (base ++ gens).sorted
+  }
+
+  def generationRoot(root: Path, g: Long): Path =
+    if (g == 0L) root else new Path(root, s"_g$g")
+
+  /** The generation root readers and appenders resolve: the newest
+    * committed generation (the artifact root itself until the first
+    * compaction). */
+  def currentGeneration(fs: FileSystem, root: Path, markerRel: String): Path = {
+    val gens = committedGenerations(fs, root, markerRel)
+    require(gens.nonEmpty, s"no committed artifact under $root")
+    generationRoot(root, gens.max)
+  }
+
+  /** Publish the next compacted generation: `writeLayout` assembles the
+    * artifact's FULL layout (merged base + carried-tag empty deltas +
+    * stats) in a dot-staging dir, then the guarded rename commits `_g<N>`
+    * atomically — a crash mid-assembly leaves only a TTL-sweepable
+    * staging dir, readers never observe a partial generation, and a lost
+    * race to a concurrent compactor refuses loudly (the [[publish]]
+    * contract). OPERATING MODEL: compaction runs under the artifact's
+    * maintenance lease (single live writer — the fold jobs' model), so it
+    * never races an append for the generation number; the fence makes a
+    * paused-past-TTL zombie fail at the rename. */
+  def publishGeneration(fs: FileSystem, root: Path, markerRel: String,
+      fence: () => Unit = NoFence)(writeLayout: Path => Unit): Path = {
+    // an empty generation list is legal here (a version-chain artifact
+    // whose base/v0 was vacuumed has no root-level marker yet still
+    // compacts); artifact-absent misuse fails earlier, in the caller's
+    // own reads
+    val gens = committedGenerations(fs, root, markerRel)
+    val next = if (gens.isEmpty) 1L else gens.max + 1
+    val target = new Path(root, s"_g$next")
+    val staging = new Path(root,
+      s".staging_g${next}_${java.util.UUID.randomUUID().toString.take(8)}")
+    writeLayout(staging)
+    publish(fs, staging, target,
+      t => fs.exists(new Path(t, markerRel)), fence)
+    target
+  }
+
+  /** Carry an artifact's applied batch tags into a compacted generation
+    * as the generation's `_applied_tags` LEDGER FILE (the version-chain
+    * ledger reused at the generation root) — NOT as empty delta dirs:
+    * one dir per carried tag would keep the reader's per-tag
+    * listing/union cost growing with TOTAL fold count after compaction,
+    * the exact degradation compaction exists to remove. Folded tags'
+    * rows live in the merged base; the file records only their replay
+    * short-circuit. Forgetting a tag here would re-fold its batch on the
+    * next at-least-once replay; for additive artifacts (doc rows, CMS
+    * counts, gram n_occ) that double would be silent — which is why the
+    * tags ride INSIDE the generation, committed by the same rename.
+    *
+    * The artifact's applied-tag view is then
+    * [[committedBatchTags]] (live post-compaction delta dirs) ∪
+    * [[carriedTags]] (this file); its READERS layer only the former. */
+  def carryTagsForward(fs: FileSystem, genRoot: Path,
+      tags: Set[String]): Unit = {
+    tags.foreach(requireDirSafeTag)
+    writeLedger(fs, genRoot, Ledger(tags, 0L))
+  }
+
+  /** Tags a compacted generation carries in its ledger file (empty for a
+    * never-compacted root). */
+  def carriedTags(fs: FileSystem, genRoot: Path): Set[String] =
+    readLedger(fs, genRoot).tags
+
+  /** Drop committed generations beyond the newest `keepLast` (floored at
+    * one — generation 0's dirs are the artifact root's own layout and are
+    * deliberately NOT deleted: the root IS the artifact; only `_g<N>`
+    * dirs vacuum), honoring the version-chain `graceMs` read-duration
+    * contract, then sweep crashed `.staging_*` assemblies (shared
+    * [[vacuum]] mechanics). */
+  def vacuumGenerations(fs: FileSystem, root: Path, markerRel: String,
+      keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
+    val gens = committedGenerations(fs, root, markerRel).filter(_ > 0L)
+    vacuum(fs, root, gens, v => Seq(s"_g$v"), keepLast, graceMs,
+      dirOwner = {
+        case n if n.startsWith("_g") && n.stripPrefix("_g").nonEmpty &&
+          n.stripPrefix("_g").forall(_.isDigit) =>
+          Some(n.stripPrefix("_g").toLong)
+        case _ => None
+      },
+      relist = () => committedGenerations(fs, root, markerRel).filter(_ > 0L))
+  }
+
   /** Writer-lease file name (underscore-prefixed — invisible to parquet
     * scans, ignored by [[vacuum]]'s dirOwner maps). */
   val LeaseFile = "_writer_lease"

@@ -361,6 +361,21 @@ object SparkEntry {
     "q162_media_page"     -> ((s: SparkSession, d: String) =>
       graft.text.DocStore.mediaSearch(s, cachedPhraseIndex(s, d),
         cachedDocStore(s, d))),
+    // q163 (round 13): q159 with a FIXED-SIZE batch — the round-12
+    // verdict's measurement gap: q159's fixture batch is half the corpus
+    // (the q154 parity convention), so its driver-bench row GROWS with SF
+    // by construction; the production claim (per-fold cost tracks batch
+    // mass, flat in corpus size) lived only in GramLedgerBench. Here the
+    // batch is the first 64 doc ids at EVERY scale (constant absolute
+    // mass — the maintenance unit) and the ledger is maintained over the
+    // rest, so this row's cost tier is ~flat/decade in the driver
+    // artifact itself. Exactness is q159's: merged canonicality ≡ global,
+    // oracle = q141 restricted to the fixed batch.
+    "q163_ledger_rewrite_fixed" -> ((s: SparkSession, d: String) => {
+      val root = cachedGramLedgerFixed(s, d)
+      graft.text.Dedup.rewriteBatchAgainstLedger(s, s"$root/batch_fixture",
+        s"$root/ledger")
+    }),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -427,7 +442,8 @@ object SparkEntry {
   def warmIndexes(s: SparkSession, d: String): Unit = {
     cachedTextIndex(s, d); cachedCellIndex(s, d); cachedPhraseIndex(s, d)
     cachedReachTable(s, d); cachedCohortTable(s, d); cachedDocStore(s, d)
-    cachedFreqTable(s, d); cachedGramLedger(s, d); cachedClusterIndex(s, d); ()
+    cachedFreqTable(s, d); cachedGramLedger(s, d); cachedClusterIndex(s, d)
+    cachedGramLedgerFixed(s, d); ()
   }
 
   /** Selective warm: build ONLY the cached artifacts the named queries
@@ -454,6 +470,7 @@ object SparkEntry {
     if (any("q158")) cachedFreqTable(s, d)
     if (any("q159")) cachedGramLedger(s, d)
     if (any("q160")) cachedClusterIndex(s, d)
+    if (any("q163")) cachedGramLedgerFixed(s, d)
   }
 
   private def cachedTextIndex(s: SparkSession, d: String): String =
@@ -470,7 +487,12 @@ object SparkEntry {
 
   private def cachedDocStore(s: SparkSession, d: String): String =
     cachedIndex("docstore", d, "stats/_SUCCESS")(p =>
-      graft.text.DocStore.write(s, d, p))
+      // the SHARDED build (round 13): the payload column ~doubles store
+      // bytes, and the one-shot corpus repartition spilled past free disk
+      // at the 1000× tier — per-bucket-group passes bound the shuffle to
+      // corpus/shards at the cost of `shards` scans (negligible at fixture
+      // SFs, the enabling trade at the rehearsal tiers). Layout ≡ write's.
+      graft.text.DocStore.writeSharded(s, d, p))
 
   /** The at-rest sketch tables q149–q151 serve from — same per-process
     * cache/liveness protocol as the indexes (a parquet table's own
@@ -505,6 +527,24 @@ object SparkEntry {
       graft.text.Dedup.writeGramLedger(s, s"$p/base_fixture", s"$p/ledger")
       graft.text.Dedup.appendGramLedger(s, s"$p/batch_fixture",
         s"$p/ledger", "fold_odd")
+      new java.io.File(p, "_COMPLETE").createNewFile(); ()
+    }
+
+  /** q163's maintained-deployment state: the FIXED batch is the first 64
+    * doc ids (constant absolute mass at every SF — the maintenance
+    * unit); the ledger is built over everything else and the batch folds
+    * under its tag (the q159 convention, fixed-size). */
+  private def cachedGramLedgerFixed(s: SparkSession, d: String): String =
+    cachedIndex("gramledgerfx", d, "_COMPLETE") { p =>
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.documents(s, d)
+      docs.filter(col("doc_id") >= 64)
+        .write.mode("overwrite").parquet(s"$p/base_fixture/documents.parquet")
+      docs.filter(col("doc_id") < 64)
+        .write.mode("overwrite").parquet(s"$p/batch_fixture/documents.parquet")
+      graft.text.Dedup.writeGramLedger(s, s"$p/base_fixture", s"$p/ledger")
+      graft.text.Dedup.appendGramLedger(s, s"$p/batch_fixture",
+        s"$p/ledger", "fold_fixed")
       new java.io.File(p, "_COMPLETE").createNewFile(); ()
     }
 
@@ -2714,6 +2754,9 @@ object SparkEntry {
     // (merged at-rest canonicality ≡ global canonicality — the append ≡
     // rebuild spec), so it shares q154's oracle verbatim.
     "q159_ledger_rewrite" -> spanRewriteOracle("WHERE ct.doc_id % 2 = 1"),
+    // q163: the fixed-batch serving form — same exactness argument as
+    // q159, oracle = q141 restricted to the constant-size batch.
+    "q163_ledger_rewrite_fixed" -> spanRewriteOracle("WHERE ct.doc_id < 64"),
     // q160: the maintained cluster labels equal the full q49 recompute
     // over the union corpus (contracted-graph CC is exact — band
     // matching is pairwise-static, old labels are their clusters' min

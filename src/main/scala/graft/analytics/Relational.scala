@@ -655,8 +655,14 @@ object Relational {
       tablePath: String, tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
     import org.apache.hadoop.fs.Path
-    val batchesRoot = new Path(tablePath, "_batches")
+    val gen = freqGenRoot(spark, tablePath)
+    val batchesRoot = new Path(gen, "_batches")
     val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a tag folded BEFORE the last compaction short-circuits on the
+    // generation's carried-tag ledger (its counts live in the merged
+    // base; CMS is additive — a re-fold would double them silently)
+    if (graft.IndexVersions.carriedTags(fs, new Path(gen)).contains(tag))
+      return false
     // the full short-circuit/sweep/staging/fenced-publish protocol is the
     // SHARED [[graft.IndexVersions.appendTaggedBatch]] (round-11 ADVICE:
     // this method and DocStore.append had it verbatim-duplicated)
@@ -670,21 +676,109 @@ object Relational {
     }
   }
 
-  /** Batch tags whose freq-table fold committed. */
+  /** The freq-table root this process reads and folds under: the newest
+    * committed GENERATION ([[compactFreqSketches]]; `tablePath` itself
+    * until the first compaction). */
+  private def freqGenRoot(spark: SparkSession, tablePath: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.currentGeneration(fs, root, "_SUCCESS").toString
+  }
+
+  /** Every applied batch tag: live delta dirs plus the tags the current
+    * generation's ledger file carries from before the last compaction
+    * (both must keep short-circuiting replays). */
   def freqAppliedTags(spark: SparkSession, tablePath: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(tablePath, "_batches")
+    val gen = new Path(freqGenRoot(spark, tablePath))
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    freqLiveTags(spark, tablePath) ++
+      graft.IndexVersions.carriedTags(fs, gen)
+  }
+
+  /** Tags with LIVE delta dirs in the current generation — the layers a
+    * reader unions beside the base, and the compaction-cadence metric. */
+  private def freqLiveTags(spark: SparkSession, tablePath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(freqGenRoot(spark, tablePath), "_batches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.committedBatchTags(fs, root, "_SUCCESS")
   }
 
-  /** The full sketch row set: base + every committed batch fold (grain
-    * rows needn't be unique — the reader's merge sums them, which is the
-    * point of a linear sketch). */
-  private def freqRows(spark: SparkSession, tablePath: String): DataFrame =
-    freqAppliedTags(spark, tablePath).toSeq.sorted
-      .map(t => spark.read.parquet(s"$tablePath/_batches/$t"))
-      .foldLeft(spark.read.parquet(tablePath))(_ unionByName _)
+  /** Live (uncompacted) delta-dir count — the cadence probe
+    * [[graft.app.FreqMaintenanceJob]] triggers [[compactFreqSketches]]
+    * on. */
+  def freqLiveBatchCount(spark: SparkSession, tablePath: String): Int =
+    freqLiveTags(spark, tablePath).size
+
+  /** The full sketch row set of the current generation: base + every
+    * LIVE committed batch fold (carried tags' counts are already merged
+    * into the base; grain rows needn't be unique — the reader's merge
+    * sums them, which is the point of a linear sketch). Batch reads carry
+    * the base's EXPLICIT schema (an empty delta has no files to infer
+    * from). */
+  private def freqRows(spark: SparkSession, tablePath: String): DataFrame = {
+    val gen = freqGenRoot(spark, tablePath)
+    val base = spark.read.parquet(gen)
+    val cols = base.schema.fieldNames.map(col).toSeq
+    freqLiveTags(spark, tablePath).toSeq.sorted
+      .map(t => spark.read.schema(base.schema).parquet(s"$gen/_batches/$t")
+        .select(cols: _*))
+      .foldLeft(base.select(cols: _*))(_ unionByName _)
+  }
+
+  /** DELTA-CHAIN COMPACTION for the frequency table (round 13 — the
+    * [[graft.text.DocStore.compact]] shape on the flat sketch layout):
+    * merge the current generation's rows back to ONE CMS row per day —
+    * CMS linearity makes the per-day merge bit-for-bit the one-pass
+    * per-day sketch, so every served estimate is identical across
+    * compaction (spec'd) — republished as the next generation with every
+    * applied tag carried forward in the generation's ledger file (the
+    * exactly-once ledger; CMS is ADDITIVE, so a forgotten tag's replay
+    * would silently double its counts — the precise failure the tag
+    * discipline exists for). The merge is the same GRAIN-BOUNDED driver
+    * fold [[heavyHittersServed]] already runs per query (days × ~100 KB
+    * sketches); compaction runs it once and the at-rest table returns to
+    * day-grain. Lease-holder operation, like every compactor here. */
+  def compactFreqSketches(spark: SparkSession, tablePath: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): String = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.util.sketch.CountMinSketch
+    import spark.implicits._
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tags = freqAppliedTags(spark, tablePath)
+    val rows = freqRows(spark, tablePath)
+      .select(col("day"), col("sk"), col("n_events")).collect()
+    require(rows.nonEmpty, s"frequency sketch table at $tablePath is empty")
+    val merged = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+      case (day, rs) =>
+        val sk = rs.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](1)))
+          .reduce((a, b) => a.mergeInPlace(b))
+        val bos = new java.io.ByteArrayOutputStream()
+        sk.writeTo(bos)
+        (day, bos.toByteArray, rs.map(_.getAs[Long](2)).sum)
+    }
+    graft.IndexVersions.publishGeneration(fs, root, "_SUCCESS",
+      fence) { staging =>
+      merged.toDF("day", "sk", "n_events")
+        .coalesce(1) // day-grain rows — a bounded table, not data mass
+        .write.mode("overwrite").parquet(staging.toString)
+      graft.IndexVersions.carryTagsForward(fs, staging, tags)
+    }.toString
+  }
+
+  /** Drop compacted freq-table generations beyond the newest `keepLast`
+    * (generation 0 — the root's own layout — is never deleted). */
+  def vacuumFreqGenerations(spark: SparkSession, tablePath: String,
+      keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.vacuumGenerations(fs, root, "_SUCCESS",
+      keepLast, graceMs)
+  }
 
   /** Q158 — q104's heavy-hitter report with the ESTIMATE ARM SERVED from
     * the at-rest CMS table ([[writeFreqSketches]]): CMS is LINEAR — a

@@ -628,7 +628,8 @@ object IndexMaintenanceJob {
       retrainAtImbalance: Option[Double] = None,
       docStore: Option[String] = None,
       gramLedger: Option[String] = None,
-      clusterIdx: Option[String] = None): (Boolean, Boolean) = {
+      clusterIdx: Option[String] = None,
+      compactAt: Option[Int] = None): (Boolean, Boolean) = {
     import org.apache.spark.sql.functions._
     if (batch.isEmpty) return (false, false)
     val leaseRoot = new org.apache.hadoop.fs.Path(vecIdx)
@@ -679,6 +680,18 @@ object IndexMaintenanceJob {
       fence() // cheap pre-check before the staging write; the append's
               // publish re-validates the fence at the rename itself
       graft.text.DocStore.append(spark, dir, ds, tag, fence)
+      // COMPACTION CADENCE (round 13 — the sketch tables' maxFiles model
+      // applied to the tag-committed artifacts): once the live delta-dir
+      // count passes the threshold, fold the chain down under this same
+      // lease/fence and vacuum superseded generations (keepLast=2 — the
+      // version-retention floor's argument: an in-flight reader may have
+      // resolved the previous generation)
+      compactAt.filter(_ < graft.text.DocStore.liveBatchCount(spark, ds))
+        .foreach { _ =>
+          fence()
+          graft.text.DocStore.compact(spark, ds, fence)
+          graft.text.DocStore.vacuumGenerations(spark, ds, keepLast = 2)
+        }
     }
     val keep = math.max(retainVersions, 2)
     val vecDo = !graft.vector.CellIndex.appliedTags(spark, vecIdx).contains(tag)
@@ -712,6 +725,17 @@ object IndexMaintenanceJob {
         fence = fence)
       fence()
       graft.text.TextIndex.vacuumVersions(spark, textIdx, keepLast = keep)
+      // cadence: each append carries the old posting files forward AND
+      // adds the batch's file-set, so bucket file counts grow per fold —
+      // past the threshold, publish a compacted version (same rows, one
+      // file-set per bucket, ledger verbatim) under this lease
+      compactAt
+        .filter(_ < graft.text.TextIndex.postingFileCount(spark, textIdx))
+        .foreach { _ =>
+          graft.text.TextIndex.compactVersion(spark, textIdx, fence)
+          fence()
+          graft.text.TextIndex.vacuumVersions(spark, textIdx, keepLast = keep)
+        }
     }
     // optional third artifact: the positional phrase index folds under the
     // same tag ledger + retention rules (round 9b)
@@ -720,6 +744,14 @@ object IndexMaintenanceJob {
         graft.text.TextIndex.appendPhraseIndex(spark, dir, pi, Some(tag), fence)
         fence()
         graft.text.TextIndex.vacuumPhraseVersions(spark, pi, keepLast = keep)
+        compactAt
+          .filter(_ < graft.text.TextIndex.positionFileCount(spark, pi))
+          .foreach { _ =>
+            graft.text.TextIndex.compactPhraseVersion(spark, pi, fence)
+            fence()
+            graft.text.TextIndex.vacuumPhraseVersions(spark, pi,
+              keepLast = keep)
+          }
       }
     }
     // optional FIFTH artifact (round 12): the gram ledger folds its
@@ -729,6 +761,14 @@ object IndexMaintenanceJob {
     gramLedger.foreach { gl =>
       fence() // cheap pre-check; the append's publish re-validates
       graft.text.Dedup.appendGramLedger(spark, dir, gl, tag, fence)
+      compactAt
+        .filter(_ < graft.text.Dedup.gramLedgerLiveBatchCount(spark, gl))
+        .foreach { _ =>
+          fence()
+          graft.text.Dedup.compactGramLedgerInChain(spark, gl, fence)
+          graft.text.Dedup.vacuumGramLedgerGenerations(spark, gl,
+            keepLast = 2)
+        }
     }
     // optional SIXTH artifact (round 12): the near-dup cluster index
     // folds under the versioned tag-ledger + retention rules (the
@@ -739,6 +779,16 @@ object IndexMaintenanceJob {
         graft.text.ClusterIndex.append(spark, dir, ci, Some(tag), fence)
         fence()
         graft.text.ClusterIndex.vacuumVersions(spark, ci, keepLast = keep)
+        // cadence on the sigs/bands delta-layer count (the probe side of
+        // every fold unions these)
+        compactAt
+          .filter(_ < graft.text.ClusterIndex.liveBatchCount(spark, ci))
+          .foreach { _ =>
+            graft.text.ClusterIndex.compact(spark, ci, fence)
+            fence()
+            graft.text.ClusterIndex.vacuumGenerations(spark, ci,
+              keepLast = 2)
+          }
       }
     }
     (vecDo, txtDo)
@@ -839,12 +889,13 @@ object IndexMaintenanceJob {
       retrainAtImbalance: Option[Double] = None,
       docStore: Option[String] = None,
       gramLedger: Option[String] = None,
-      clusterIdx: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      clusterIdx: Option[String] = None,
+      compactAt: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val ownerId = Option(owner).getOrElse(streamOwner())
     awaitLease(docs.sparkSession, vecIdx, ownerId, leaseTtlMs, pollMs, maxWaitMs)
     sink(docs, workDir, vecIdx, textIdx, checkpoint, retainVersions,
       phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance, docStore, gramLedger,
-      clusterIdx)
+      clusterIdx, compactAt)
   }
 
   /** The wire: stream of [[IndexedDoc]] → per-batch index folds. */
@@ -857,7 +908,8 @@ object IndexMaintenanceJob {
       retrainAtImbalance: Option[Double] = None,
       docStore: Option[String] = None,
       gramLedger: Option[String] = None,
-      clusterIdx: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      clusterIdx: Option[String] = None,
+      compactAt: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // per-STREAM owner, fixed once here and shared by every batch: a
     // pid-only default would let two sinks in one JVM renew each other's
     // lease and never park (round-10 review finding)
@@ -868,7 +920,7 @@ object IndexMaintenanceJob {
       .foreachBatch { (b: org.apache.spark.sql.Dataset[IndexedDoc], id: Long) =>
         applyBatch(b.sparkSession, b.toDF(), id, workDir, vecIdx, textIdx,
           retainVersions, phraseIdx, ownerId, leaseTtlMs, retrainAtImbalance,
-          docStore, gramLedger, clusterIdx); ()
+          docStore, gramLedger, clusterIdx, compactAt); ()
       }
       .start()
     // release the lease on IN-JVM termination (clean stop OR in-stream
@@ -1313,7 +1365,8 @@ object FreqMaintenanceJob {
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       workDir: String, tablePath: String,
       owner: String = graft.IndexVersions.DefaultOwner,
-      leaseTtlMs: Long = graft.IndexVersions.DefaultLeaseTtlMs): Boolean = {
+      leaseTtlMs: Long = graft.IndexVersions.DefaultLeaseTtlMs,
+      compactAt: Option[Int] = None): Boolean = {
     if (batch.isEmpty) return false
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1331,15 +1384,31 @@ object FreqMaintenanceJob {
       val tag = s"batch_$batchId"
       // replay short-circuit BEFORE the batch-dir write (the fold itself
       // re-checks inside the shared protocol; this spares the write)
-      if (graft.analytics.Relational.freqAppliedTags(spark, tablePath)
-          .contains(tag)) false
-      else {
-        val dir = s"$workDir/$tag"
-        fence() // the batch-dir overwrite is a mutation too
-        batch.write.mode("overwrite").parquet(s"$dir/events.parquet")
-        graft.analytics.Relational.appendFreqSketches(spark, dir, tablePath,
-          tag, fence)
-      }
+      val committed =
+        if (graft.analytics.Relational.freqAppliedTags(spark, tablePath)
+            .contains(tag)) false
+        else {
+          val dir = s"$workDir/$tag"
+          fence() // the batch-dir overwrite is a mutation too
+          batch.write.mode("overwrite").parquet(s"$dir/events.parquet")
+          graft.analytics.Relational.appendFreqSketches(spark, dir, tablePath,
+            tag, fence)
+        }
+      // COMPACTION CADENCE (round 13 — the reach tables' maxFiles model on
+      // the tag-committed layout): past the live-delta threshold, fold the
+      // chain to day-grain rows under this same lease/fence and vacuum
+      // superseded generations
+      compactAt
+        .filter(_ < graft.analytics.Relational
+          .freqLiveBatchCount(spark, tablePath))
+        .foreach { _ =>
+          fence()
+          graft.analytics.Relational.compactFreqSketches(spark, tablePath,
+            fence)
+          graft.analytics.Relational.vacuumFreqGenerations(spark, tablePath,
+            keepLast = 2)
+        }
+      committed
     }
   }
 

@@ -62,9 +62,23 @@ import graft.sources.Tables
   * extension SURVEY §2 U6 claims. */
 object ClusterIndex {
 
-  private def committedVersions(spark: SparkSession, indexPath: String): Seq[Long] = {
+  /** The index root this process resolves under: the newest committed
+    * GENERATION ([[compact]]; `indexPath` itself until the first
+    * compaction, and tolerantly so while the index does not yet exist —
+    * the build path probes versions before writing). */
+  private def genRootOf(spark: SparkSession, indexPath: String): String = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = graft.IndexVersions.committedGenerations(fs, root,
+      "stats/_SUCCESS")
+    if (gens.isEmpty) indexPath
+    else graft.IndexVersions.generationRoot(root, gens.max).toString
+  }
+
+  private def committedVersions(spark: SparkSession, indexPath: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(genRootOf(spark, indexPath))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val versioned = fs.listStatus(root).toSeq.map(_.getPath.getName)
@@ -77,13 +91,13 @@ object ClusterIndex {
     (base ++ versioned).sorted
   }
 
-  private def versionRoot(indexPath: String, v: Long): String =
-    if (v == 0L) indexPath else s"$indexPath/v$v"
+  private def versionRoot(genRoot: String, v: Long): String =
+    if (v == 0L) genRoot else s"$genRoot/v$v"
 
   def currentRoot(spark: SparkSession, indexPath: String): String = {
     val vs = committedVersions(spark, indexPath)
     require(vs.nonEmpty, s"no committed cluster index under $indexPath")
-    versionRoot(indexPath, vs.max)
+    versionRoot(genRootOf(spark, indexPath), vs.max)
   }
 
   /** Batch tags already folded into the current committed version. */
@@ -94,7 +108,18 @@ object ClusterIndex {
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.readTags(fs,
-      new Path(versionRoot(indexPath, vs.max)))
+      new Path(versionRoot(genRootOf(spark, indexPath), vs.max)))
+  }
+
+  /** Live (uncompacted) sigs/bands delta-dir count — the cadence probe
+    * [[graft.app.IndexMaintenanceJob]] triggers [[compact]] on (every
+    * fold's candidate probe unions these layers). */
+  def liveBatchCount(spark: SparkSession, indexPath: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val gen = new Path(genRootOf(spark, indexPath))
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.committedBatchTags(fs,
+      new Path(gen, "_batches"), "stats/_SUCCESS").size
   }
 
   private def readStatsAt(spark: SparkSession, root: String): (Int, Double) = {
@@ -136,6 +161,91 @@ object ClusterIndex {
     graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
   }
 
+  /** SHARDED base build (round 13 — the round-12 verdict's task #2: the
+    * one-shot base build's banded pair self-join + CC spilled past free
+    * disk at the 1000× rehearsal tier, leaving the "base build is a
+    * provisioned one-time job" claim unmeasured). The decomposition is
+    * exact: two docs band-match iff they share a (band_id, band_val)
+    * key, and every occurrence of one band_val lands in ONE `bb` bucket —
+    * so the global self-join partitions into independent per-bucket-group
+    * self-joins with no cross-shard edge to miss. Each shard reads the
+    * at-rest band table pruned to its bucket group (partition-column
+    * filter), self-joins WITHIN it, verifies candidates with the shared
+    * est-Jaccard rule against the id-bucketed sig table, and appends its
+    * edge set to a scratch dir; peak intermediate mass is ONE shard's
+    * join spill plus the accumulated edges (candidate-pair mass — a small
+    * fraction of the corpus by the near-dup prior), instead of the whole
+    * corpus's join at once. CC then runs over the union edge set (edge
+    * mass, never corpus mass; duplicate edges from a pair matching in two
+    * bands are absorbed by min-label CC exactly as the in-query builder's
+    * are by its distinct). Labels ≡ [[write]]'s byte-for-byte (spec'd).
+    *
+    * This trades one pass over the bands table per shard for the bounded
+    * footprint — the classic out-of-core knob: shards × (bands scan) vs
+    * one join whose shuffle must fit. On a real cluster the same method
+    * bounds PER-EXECUTOR shuffle mass; on the rehearsal box it bounds
+    * disk. */
+  def writeSharded(spark: SparkSession, dir: String, indexPath: String,
+      minJaccard: Double = 0.5, buckets: Int = 16, shards: Int = 8): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val sigArr = Dedup.sigTable(spark, dir).localCheckpoint()
+    sigArr
+      .withColumn("sb", pmod(hash(col("doc_id")), lit(buckets)))
+      .repartition(col("sb"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("sb")
+      .parquet(s"$indexPath/sigs")
+    Dedup.bandsOf(sigArr)
+      .withColumn("bb", pmod(hash(col("band_val")), lit(buckets)))
+      .repartition(col("bb"))
+      .sortWithinPartitions("band_val")
+      .write.mode("overwrite").partitionBy("bb")
+      .parquet(s"$indexPath/bands")
+    // the signature intermediate fed both layouts; edges verify against
+    // the AT-REST tables from here on, so release it before the shard
+    // loop (footprint discipline — the loop is the expensive part)
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val edgesTmp = s"$indexPath/.edges_build"
+    fs.delete(new Path(edgesTmp), true)
+    val atRestSigs = spark.read.parquet(s"$indexPath/sigs")
+      .select(col("doc_id"), col("sig"))
+    for (s <- 0 until shards) {
+      val shardBands = spark.read.parquet(s"$indexPath/bands")
+        .filter(pmod(col("bb"), lit(shards)) === s) // partition-pruned
+        .select(col("doc_id"), col("band_id"), col("band_val"))
+      val cand = shardBands.as("x").join(shardBands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(atRestSigs.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(atRestSigs.as("b"), col("doc_b") === col("b.doc_id"))
+        .filter(Dedup.estJaccard(col("a.sig"), col("b.sig")) >= minJaccard)
+        .select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(s"$edgesTmp/shard_$s")
+    }
+    val preCc = sc.getPersistentRDDs.keySet
+    val edges = (0 until shards)
+      .map(s => spark.read.parquet(s"$edgesTmp/shard_$s"))
+      .reduce(_ unionByName _)
+    val (labels, _) = Dedup.connectedComponents(edges)
+    labels.write.mode("overwrite").parquet(s"$indexPath/labels")
+    Seq((buckets.toLong, minJaccard)).toDF("buckets", "min_jaccard")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, preCc))
+    fs.delete(new Path(edgesTmp), true)
+    ()
+  }
+
   /** The at-rest band/sig row sets: base plus every committed delta
     * except `exclude` (a fold excludes its OWN delta so a replay whose
     * delta already committed recomputes identical candidates). Delta
@@ -145,15 +255,16 @@ object ClusterIndex {
       schema: org.apache.spark.sql.types.StructType,
       exclude: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(indexPath)
+    val gen = genRootOf(spark, indexPath)
+    val fs = new Path(gen)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cols = schema.fieldNames.map(col).toSeq
     graft.IndexVersions.committedBatchTags(fs,
-        new Path(indexPath, "_batches"), "stats/_SUCCESS")
+        new Path(gen, "_batches"), "stats/_SUCCESS")
       .toSeq.sorted.filterNot(_ == exclude)
       .map(t => spark.read.schema(schema)
-        .parquet(s"$indexPath/_batches/$t/$art").select(cols: _*))
-      .foldLeft(spark.read.parquet(s"$indexPath/$art").select(cols: _*))(
+        .parquet(s"$gen/_batches/$t/$art").select(cols: _*))
+      .foldLeft(spark.read.parquet(s"$gen/$art").select(cols: _*))(
         _ unionByName _)
   }
 
@@ -189,11 +300,13 @@ object ClusterIndex {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(indexPath)
+    // everything — version chain, staging, _batches deltas — lives under
+    // the CURRENT GENERATION root (the compaction indirection)
+    val root = new Path(genRootOf(spark, indexPath))
     val fs = root.getFileSystem(conf)
     val versions = committedVersions(spark, indexPath)
     require(versions.nonEmpty, s"append needs an existing index at $indexPath")
-    val cur = versionRoot(indexPath, versions.max)
+    val cur = versionRoot(root.toString, versions.max)
     val next = versions.max + 1
     val target = new Path(root, s"v$next")
     val staging = new Path(root,
@@ -333,7 +446,7 @@ object ClusterIndex {
   def vacuumVersions(spark: SparkSession, indexPath: String,
       keepLast: Int = 3, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(indexPath)
+    val root = new Path(genRootOf(spark, indexPath))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // base sigs/bands are PERMANENT data layers (the corpus-0 slice of
     // the add-only chain), never version artifacts — vacuuming labels
@@ -352,5 +465,72 @@ object ClusterIndex {
     graft.IndexVersions.vacuum(fs, root,
       committedVersions(spark, indexPath), dirsOf, keepLast, graceMs, owner,
       () => committedVersions(spark, indexPath))
+  }
+
+  /** DELTA-CHAIN COMPACTION (round 13): the sigs/bands add-only layers
+    * grow one `_batches/<tag>/` delta per fold for the stream's lifetime —
+    * correct by protocol, but the candidate probe's per-layer scan setup
+    * eventually dominates a fold. Compact folds base + committed deltas
+    * into ONE bucketed sigs/bands layout, copies the CURRENT label table
+    * and stats, carries the `_batches` tags forward as empty committed
+    * deltas (the replay ledger — a forgotten tag would re-fold its batch:
+    * duplicate sig/band rows are CC-absorbed but edges recompute and a
+    * fresh labels version publishes for nothing) and the version LEDGER
+    * verbatim (same corpus — the retrain convention), publishing it all
+    * as the next GENERATION dir ([[graft.IndexVersions.publishGeneration]]).
+    * The compacted generation restarts its label version chain at v0
+    * (base position); served labels are byte-identical across compaction
+    * (spec'd). Old generations persist for in-flight readers until
+    * [[vacuumGenerations]]'s grace passes. Lease-holder operation. */
+  def compact(spark: SparkSession, indexPath: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): String = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = genRootOf(spark, indexPath)
+    val cur = currentRoot(spark, indexPath)
+    val (buckets, minJaccard) = readStatsAt(spark, cur)
+    val tags = graft.IndexVersions.committedBatchTags(fs,
+      new Path(gen, "_batches"), "stats/_SUCCESS")
+    val ledger = graft.IndexVersions.readLedger(fs, new Path(cur))
+    graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
+      fence) { staging =>
+      layerRows(spark, indexPath, "sigs", SigSchema, exclude = "")
+        .withColumn("sb", pmod(hash(col("doc_id")), lit(buckets)))
+        .repartition(col("sb"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("sb")
+        .parquet(new Path(staging, "sigs").toString)
+      layerRows(spark, indexPath, "bands", BandSchema, exclude = "")
+        .withColumn("bb", pmod(hash(col("band_val")), lit(buckets)))
+        .repartition(col("bb"))
+        .sortWithinPartitions("band_val")
+        .write.mode("overwrite").partitionBy("bb")
+        .parquet(new Path(staging, "bands").toString)
+      spark.read.parquet(s"$cur/labels")
+        .write.mode("overwrite").parquet(new Path(staging, "labels").toString)
+      // the carried replay ledger here IS the version ledger (copied
+      // verbatim below, with the folded delta tags unioned in): callers
+      // guard folds on [[appliedTags]], so no per-tag empty dirs are
+      // needed — the reader's per-layer cost stays at
+      // base + since-compaction deltas
+      graft.IndexVersions.writeLedger(fs, staging,
+        ledger.copy(tags = ledger.tags ++ tags))
+      Seq((buckets.toLong, minJaccard)).toDF("buckets", "min_jaccard")
+        .coalesce(1) // stats LAST — the generation's commit marker
+        .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    }.toString
+  }
+
+  /** Drop compacted generations beyond the newest `keepLast` (generation
+    * 0 — the root's own layout — is never deleted). */
+  def vacuumGenerations(spark: SparkSession, indexPath: String,
+      keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.vacuumGenerations(fs, root, "stats/_SUCCESS",
+      keepLast, graceMs)
   }
 }

@@ -1046,8 +1046,14 @@ object Dedup {
       ledgerPath: String, tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
     import org.apache.hadoop.fs.Path
-    val batchesRoot = new Path(ledgerPath, "_batches")
+    val gen = ledgerGenRoot(spark, ledgerPath)
+    val batchesRoot = new Path(gen, "_batches")
     val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a tag folded BEFORE the last compaction short-circuits on the
+    // generation's carried-tag ledger (its grams live in the merged base;
+    // n_occ is additive — a re-fold would overstate counts silently)
+    if (graft.IndexVersions.carriedTags(fs, new Path(gen)).contains(tag))
+      return false
     graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
       "stats/_SUCCESS", fence) { staging =>
       graft.functions.TextExpressions.register(spark)
@@ -1075,18 +1081,48 @@ object Dedup {
     }
   }
 
-  /** Batch tags whose gram-ledger fold committed. */
+  /** The ledger root this process reads and folds under: the newest
+    * committed GENERATION ([[compactGramLedgerInChain]]; `ledgerPath`
+    * itself until the first in-chain compaction). */
+  private def ledgerGenRoot(spark: SparkSession, ledgerPath: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(ledgerPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.currentGeneration(fs, root, "stats/_SUCCESS").toString
+  }
+
+  /** Batch tags whose gram-ledger fold committed: live delta dirs plus
+    * the tags the current generation's ledger file carries from before
+    * the last compaction (both keep short-circuiting replays). */
   def gramLedgerAppliedTags(spark: SparkSession,
       ledgerPath: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(ledgerPath, "_batches")
+    val gen = new Path(ledgerGenRoot(spark, ledgerPath))
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    gramLedgerLiveTags(spark, ledgerPath) ++
+      graft.IndexVersions.carriedTags(fs, gen)
+  }
+
+  /** Tags with LIVE delta dirs — the layers a reader merges beside the
+    * base, and the compaction-cadence metric. */
+  private def gramLedgerLiveTags(spark: SparkSession,
+      ledgerPath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(ledgerGenRoot(spark, ledgerPath), "_batches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.committedBatchTags(fs, root, "stats/_SUCCESS")
   }
 
+  /** Live (uncompacted) delta-dir count — the cadence probe
+    * [[graft.app.IndexMaintenanceJob]] triggers
+    * [[compactGramLedgerInChain]] on. */
+  def gramLedgerLiveBatchCount(spark: SparkSession,
+      ledgerPath: String): Int =
+    gramLedgerLiveTags(spark, ledgerPath).size
+
   private def readGramLedgerStats(spark: SparkSession,
       ledgerPath: String): (Int, Int) = {
-    val df = spark.read.parquet(s"$ledgerPath/stats")
+    val df = spark.read.parquet(s"${ledgerGenRoot(spark, ledgerPath)}/stats")
     require(df.columns.contains("n") && df.columns.contains("buckets"),
       s"gram ledger stats at $ledgerPath/stats is missing its layout " +
         "scalars — corrupted or hand-assembled; rebuild rather than " +
@@ -1104,14 +1140,16 @@ object Dedup {
       ledgerPath: String): DataFrame = {
     // delta reads carry the base's data schema EXPLICITLY: a batch of
     // all-short docs commits an EMPTY partitioned delta (no data files,
-    // nothing to infer from) — a legitimate state, not an error
-    val base = spark.read.parquet(s"$ledgerPath/grams")
+    // nothing to infer from) — a legitimate state, not an error; a
+    // carried tag's empty delta (compaction) reads the same way
+    val gen = ledgerGenRoot(spark, ledgerPath)
+    val base = spark.read.parquet(s"$gen/grams")
     val dataSchema = org.apache.spark.sql.types.StructType(
       base.schema.filterNot(_.name == "gb"))
     val cols = dataSchema.fieldNames.map(col).toSeq
-    gramLedgerAppliedTags(spark, ledgerPath).toSeq.sorted
+    gramLedgerLiveTags(spark, ledgerPath).toSeq.sorted
       .map(t => spark.read.schema(dataSchema)
-        .parquet(s"$ledgerPath/_batches/$t/grams").select(cols: _*))
+        .parquet(s"$gen/_batches/$t/grams").select(cols: _*))
       .foldLeft(base.select(cols: _*))(_ unionByName _)
   }
 
@@ -1138,7 +1176,13 @@ object Dedup {
     * deployment's path indirection swaps it in; never an in-place
     * rewrite racing readers. */
   def compactGramLedger(spark: SparkSession, ledgerPath: String,
-      outPath: String): Unit = {
+      outPath: String): Unit =
+    writeCompactedLedgerLayout(spark, ledgerPath, outPath)
+
+  /** The compacted layout both compaction forms share: merged base,
+    * carried tags as empty committed deltas, stats last. */
+  private def writeCompactedLedgerLayout(spark: SparkSession,
+      ledgerPath: String, outPath: String): Unit = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val (n, buckets) = readGramLedgerStats(spark, ledgerPath)
@@ -1150,19 +1194,45 @@ object Dedup {
       .parquet(s"$outPath/grams")
     val fs = new Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (tag <- gramLedgerAppliedTags(spark, ledgerPath)) {
-      // an empty committed delta: the stats marker carries the tag's
-      // replay short-circuit; grams/ is a fileless dir (a zero-row
-      // layer under the explicit-schema read rule)
-      fs.mkdirs(new Path(outPath, s"_batches/$tag/grams"))
-      Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(new Path(outPath, s"_batches/$tag/stats").toString)
-    }
+    // carried tags ride the compacted root's LEDGER FILE, not empty delta
+    // dirs (round 13 — one dir per carried tag would keep the reader's
+    // per-tag listing cost growing with TOTAL fold count, the exact
+    // degradation compaction removes); their grams are in the merged base
+    graft.IndexVersions.carryTagsForward(fs, new Path(outPath),
+      gramLedgerAppliedTags(spark, ledgerPath))
     Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
       .coalesce(1) // base stats LAST — the commit marker
       .write.mode("overwrite").parquet(s"$outPath/stats")
+  }
+
+  /** [[compactGramLedger]] IN THE CHAIN (round 13 — the form a
+    * maintenance job can trigger without external path indirection): the
+    * same merged-base + carried-tags layout, published as the ledger's
+    * next GENERATION dir (`_g<N>/` — [[graft.IndexVersions.publishGeneration]]:
+    * staging + guarded rename, so readers never observe a partial
+    * compaction and a lost race refuses loudly). Readers/folders resolve
+    * the newest generation; in-flight readers of the old one are safe
+    * until [[vacuumGramLedgerGenerations]]'s grace passes. */
+  def compactGramLedgerInChain(spark: SparkSession, ledgerPath: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(ledgerPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
+      fence) { staging =>
+      writeCompactedLedgerLayout(spark, ledgerPath, staging.toString)
+    }.toString
+  }
+
+  /** Drop compacted ledger generations beyond the newest `keepLast`
+    * (generation 0 — the root's own layout — is never deleted). */
+  def vacuumGramLedgerGenerations(spark: SparkSession, ledgerPath: String,
+      keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(ledgerPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.vacuumGenerations(fs, root, "stats/_SUCCESS",
+      keepLast, graceMs)
   }
 
   /** Q159 — the PRODUCTION form of the incremental span rewrite (q154

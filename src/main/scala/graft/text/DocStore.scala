@@ -36,10 +36,15 @@ import graft.sources.Tables
   * guarantees any id a committed index serves is already fetchable.
   * Partially-visible batches only make not-yet-queryable docs fetchable
   * early — never a missing or torn row. Batch-dir count tracks stream
-  * age (one LIST per fetch); folding them down is an offline rebuild —
-  * [[write]] over the union corpus at a fresh path, swapped in by the
-  * deployment's path indirection — not an in-place rewrite racing
-  * readers.
+  * age (one LIST per fetch); [[compact]] folds it down IN THE CHAIN
+  * (round 13): the merged corpus republishes as a generation dir
+  * (`_g<N>/` — [[graft.IndexVersions.publishGeneration]]) with every
+  * applied tag carried forward in the generation's ledger file, so
+  * readers resolve the newest generation (one LIST, only
+  * since-compaction batch dirs), replays of folded tags still
+  * short-circuit, and in-flight readers of the old generation stay safe
+  * until [[vacuumGenerations]]'s grace passes — never an in-place
+  * rewrite racing readers.
   *
   * Reference behavior covered: the reference pipeline's lake keeps
   * documents only as flat partitioned files
@@ -82,6 +87,37 @@ object DocStore {
       .write.mode("overwrite").parquet(s"$storePath/stats")
   }
 
+  /** SHARDED base build (round 13 — the round-12 verdict's task #6: the
+    * payload column roughly doubles store bytes, and the one-shot build's
+    * corpus-wide repartition spilled past free disk at the 1000×
+    * rehearsal tier). The id-hash bucketing already partitions the work:
+    * each pass filters the corpus to one BUCKET GROUP (db % shards),
+    * shuffles only that group's rows, and appends its `db=` partitions to
+    * the final layout — peak intermediate mass is one group's shuffle
+    * (corpus/shards), at the price of `shards` corpus scans (scan-heavy,
+    * spill-light: the out-of-core trade every bounded build here makes).
+    * Layout and fetch semantics are [[write]]'s byte-for-byte (spec'd);
+    * stats commits LAST, so a crashed shard pass leaves an uncommitted
+    * store, never a torn one. */
+  def writeSharded(spark: SparkSession, dir: String, storePath: String,
+      buckets: Int = 16, shards: Int = 4): Unit = {
+    import spark.implicits._
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    for (s <- 0 until shards) {
+      Tables.documents(spark, dir)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
+        .filter(pmod(col("db"), lit(shards)) === s)
+        .repartition(col("db"))
+        .sortWithinPartitions("doc_id")
+        .write.mode(if (s == 0) "overwrite" else "append").partitionBy("db")
+        .parquet(s"$storePath/rows")
+    }
+    Seq(buckets.toLong).toDF("buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$storePath/stats")
+  }
+
   /** Add a batch of NEW docs (add-only; see the append contract above):
     * the batch's rows land bucketed under `batches/<tag>/rows` with the
     * PERSISTED bucket count — recomputing it would silently mis-route
@@ -104,9 +140,15 @@ object DocStore {
     // appended (mixed-schema layers fail loudly at the first
     // payload-projecting fetch, never silently)
     import org.apache.hadoop.fs.Path
-    val batchesRoot = new Path(storePath, "batches")
+    val gen = genRoot(spark, storePath)
+    val batchesRoot = new Path(gen, "batches")
     val fs = batchesRoot
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a tag folded BEFORE the last compaction short-circuits on the
+    // generation's carried-tag ledger (its rows live in the merged base;
+    // re-appending would duplicate them silently)
+    if (graft.IndexVersions.carriedTags(fs, new Path(gen)).contains(tag))
+      return false
     // short-circuit / sweep / staging / fenced publish / lost-race
     // forgiveness all live in the SHARED protocol (round-11 ADVICE: this
     // method and appendFreqSketches carried it verbatim-duplicated);
@@ -125,26 +167,126 @@ object DocStore {
     }
   }
 
-  /** Batch tags whose store append committed (`_SUCCESS` present).
+  /** The store root this process reads and appends under: the newest
+    * committed GENERATION (`storePath` itself until the first
+    * [[compact]]; `_g<N>/` after — the
+    * [[graft.IndexVersions.currentGeneration]] resolution). */
+  private def genRoot(spark: SparkSession, storePath: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.currentGeneration(fs, root, "stats/_SUCCESS").toString
+  }
+
+  /** Every applied batch tag: the current generation's LIVE delta dirs
+    * plus the tags its ledger file carries from before the last
+    * compaction ([[compact]] — both must keep short-circuiting replays).
     * Dot-prefixed dirs are EXCLUDED — a staging assembly whose Spark
     * write has finished carries rows/_SUCCESS before the publish rename,
     * and listing it as committed would double every doc of an in-flight
     * (or crashed) batch for readers (round-11 review finding); valid
-    * tags can never start with '.' ([[graft.IndexVersions.requireDirSafeTag]]). */
+    * tags can never start with '.'
+    * ([[graft.IndexVersions.requireDirSafeTag]]). */
   def appliedTags(spark: SparkSession, storePath: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(storePath, "batches")
+    val gen = new Path(genRoot(spark, storePath))
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    liveTags(spark, storePath) ++ graft.IndexVersions.carriedTags(fs, gen)
+  }
+
+  /** Tags with LIVE delta dirs in the current generation — the layers a
+    * reader unions beside the base (carried tags' rows are already IN
+    * the base), and the compaction-cadence metric (resets to zero at
+    * each compaction). */
+  private def liveTags(spark: SparkSession, storePath: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(genRoot(spark, storePath), "batches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.committedBatchTags(fs, root, "rows/_SUCCESS")
   }
 
+  /** Live (uncompacted) delta-dir count — the cadence probe
+    * [[graft.app.IndexMaintenanceJob]] triggers [[compact]] on. */
+  def liveBatchCount(spark: SparkSession, storePath: String): Int =
+    liveTags(spark, storePath).size
+
   private def readBuckets(spark: SparkSession, storePath: String): Int = {
-    val df = spark.read.parquet(s"$storePath/stats")
+    val df = spark.read.parquet(s"${genRoot(spark, storePath)}/stats")
     require(df.columns.contains("buckets"),
       s"doc store stats at $storePath/stats has no 'buckets' column — " +
         "corrupted or hand-assembled; rebuild rather than guessing (a " +
         "wrong count silently misses every fetch)")
     df.select(col("buckets")).collect().head.getLong(0).toInt
+  }
+
+  /** DELTA-CHAIN COMPACTION (round 13 — the round-12 verdict's top task,
+    * the [[graft.text.Dedup.compactGramLedger]] pattern made in-chain):
+    * fold the current generation's base + every committed batch into ONE
+    * fresh bucketed row layout, republished as the next generation dir
+    * under the SAME store root via staging + guarded rename
+    * ([[graft.IndexVersions.publishGeneration]]), with every applied tag
+    * carried forward in the generation's LEDGER FILE — the tags ARE the
+    * exactly-once replay ledger, and a compacted store that forgot them
+    * would re-append every batch an at-least-once stream replays
+    * (duplicate doc rows: the unique-id contract broken silently). Served
+    * fetches are identical across compaction by construction (one row per
+    * doc_id either way — spec'd); per-fetch LIST cost drops from
+    * 1 + #batches roots back to one. Runs under the maintenance lease
+    * (the fold jobs' single-live-writer model); in-flight readers of the
+    * old generation are safe until [[vacuumGenerations]]'s grace
+    * passes. */
+  def compact(spark: SparkSession, storePath: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): String = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = genRoot(spark, storePath)
+    val buckets = readBuckets(spark, storePath)
+    val tags = appliedTags(spark, storePath)
+    graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
+      fence) { staging =>
+      allRows(spark, storePath)
+        .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
+        .repartition(col("db"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("db")
+        .parquet(new Path(staging, "rows").toString)
+      graft.IndexVersions.carryTagsForward(fs, staging, tags)
+      Seq(buckets.toLong).toDF("buckets")
+        .coalesce(1) // stats LAST — the generation's commit marker
+        .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    }.toString
+  }
+
+  /** Drop compacted generations beyond the newest `keepLast` (the
+    * version-chain vacuum contract; generation 0 — the root's own
+    * layout — is never deleted). */
+  def vacuumGenerations(spark: SparkSession, storePath: String,
+      keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.IndexVersions.vacuumGenerations(fs, root, "stats/_SUCCESS",
+      keepLast, graceMs)
+  }
+
+  /** Every live row layer of the current generation — base + LIVE
+    * committed batches (carried tags' rows are already in the base), each
+    * read with the base's EXPLICIT schema (an empty batch has no files to
+    * infer from — a legitimate state, the gram-ledger rule). Doc ids are
+    * unique across layers by the append contract, so the union IS the
+    * id-keyed row set. */
+  private def allRows(spark: SparkSession, storePath: String): DataFrame = {
+    val gen = genRoot(spark, storePath)
+    val base = spark.read.parquet(s"$gen/rows")
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      base.schema.filterNot(_.name == "db"))
+    val cols = dataSchema.fieldNames.map(col).toSeq
+    liveTags(spark, storePath).toSeq.sorted
+      .map(t => spark.read.schema(dataSchema)
+        .parquet(s"$gen/batches/$t/rows").select(cols: _*))
+      .foldLeft(base.select(cols: _*))(_ unionByName _)
   }
 
   /** PAGE FETCH — the bounded point-lookup the serving path ends with:
@@ -164,20 +306,27 @@ object DocStore {
       s"fetchPage is for result pages (got ${ids.length} ids; bound 1024)" +
         " — batch content passes should read the corpus table, not the store")
     import spark.implicits._
+    val gen = genRoot(spark, storePath)
     val buckets = readBuckets(spark, storePath)
     val dbs = ids.toDF("doc_id")
       .select(pmod(hash(col("doc_id")), lit(buckets)).as("db"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // base + every committed batch dir: each scan prunes independently
-    // (db literal partition filter + id row-group pushdown), and doc ids
-    // are unique across base and batches by the append contract, so the
-    // union IS the id-keyed row set — no dedup pass
-    val roots = s"$storePath/rows" +:
-      appliedTags(spark, storePath).toSeq.sorted
-        .map(t => s"$storePath/batches/$t/rows")
-    roots.map(r => spark.read.parquet(r)
+    // base + every LIVE committed batch dir of the current generation
+    // (compaction-carried tags' rows are already in the base — [[compact]]
+    // keeps the per-fetch LIST/union width at 1 + #since-compaction, the
+    // whole point): each scan prunes independently (db literal partition
+    // filter + id row-group pushdown), and doc ids are unique across base
+    // and batches by the append contract, so the union IS the id-keyed
+    // row set — no dedup pass. Batch reads carry the base's EXPLICIT
+    // schema (an empty committed batch has no files to infer from).
+    val base = spark.read.parquet(s"$gen/rows")
+    val batchSchema = base.schema
+    val batches = liveTags(spark, storePath).toSeq.sorted
+      .map(t => spark.read.schema(batchSchema).parquet(s"$gen/batches/$t/rows"))
+    (base +: batches).map(df => df
         .filter(col("db").isin(dbs: _*))
-        .filter(col("doc_id").isin(ids: _*)))
+        .filter(col("doc_id").isin(ids: _*))
+        .select(batchSchema.fieldNames.map(col).toSeq: _*))
       .reduce(_ unionByName _)
   }
 

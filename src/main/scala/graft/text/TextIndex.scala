@@ -272,6 +272,70 @@ object TextIndex {
       relist = () => committedVersions(spark, indexPath))
   }
 
+  /** IN-CHAIN POSTING COMPACTION (round 13 — the operational tail the
+    * carry-forward append leaves open: every fold copies the current
+    * posting files forward byte-for-byte AND adds the batch's own
+    * file-set, so a bucket's file count grows linearly with fold count
+    * and the reader's per-file open/footer cost grows with it). Publish
+    * `v<N+1>` whose postings and dfreq are REWRITTEN — one fresh sorted
+    * file-set per bucket over the same rows — with stats copied and the
+    * applied-batch LEDGER copied VERBATIM (same corpus, layout-only
+    * change: the retrain convention — pairing and replay short-circuits
+    * must not perturb). Served answers are identical by construction
+    * (identical row sets, same bucketing/sort); the version chain's
+    * staging + guarded-rename publish means readers never observe a
+    * partial compaction and old versions stay until [[vacuumVersions]].
+    * Lease-holder operation, like every compactor here. */
+  def compactVersion(spark: SparkSession, indexPath: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(spark, indexPath)
+    require(versions.nonEmpty, s"no committed text index under $indexPath")
+    val cur = versionRoot(indexPath, versions.max)
+    val next = versions.max + 1
+    val target = new Path(root, s"v$next")
+    val staging = new Path(root,
+      s".staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
+    // tb values are already hash-correct — repartition ON the persisted
+    // column, never recompute (a drifted hash would silently mis-prune)
+    spark.read.parquet(s"$cur/postings")
+      .repartition(col("tb"))
+      .sortWithinPartitions("tok", "doc_id")
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(new Path(staging, "postings").toString)
+    spark.read.parquet(s"$cur/dfreq")
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(new Path(staging, "dfreq").toString)
+    spark.read.parquet(s"$cur/stats")
+      .coalesce(1) // scalars carried verbatim; stats LAST = commit marker
+      .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    graft.IndexVersions.writeLedger(fs, staging,
+      graft.IndexVersions.readLedger(fs, new Path(cur)))
+    graft.IndexVersions.publish(fs, staging, target,
+      t => fs.exists(new Path(t, "stats/_SUCCESS")), fence)
+    target.toString
+  }
+
+  /** Data-file count of the current version's `artifact` dir — the
+    * compaction-cadence probe ([[graft.app.IndexMaintenanceJob]] triggers
+    * [[compactVersion]] past a threshold, the sketch tables' model). */
+  private[graft] def artifactFileCount(spark: SparkSession, root: String,
+      artifact: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root, artifact)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(b => fs.listStatus(b.getPath)
+        .count(_.getPath.getName.startsWith("part-"))).sum
+  }
+
+  def postingFileCount(spark: SparkSession, indexPath: String): Int =
+    artifactFileCount(spark, currentRoot(spark, indexPath), "postings")
+
   // ---- positional PHRASE index --------------------------------------------
 
   /** At-rest POSITIONAL index for exact phrase and proximity search —
@@ -477,6 +541,48 @@ object TextIndex {
       },
       relist = () => committedVersions(spark, indexPath))
   }
+
+  /** [[compactVersion]] for the phrase layout: positions (the carried-
+    * forward file-set growth lives here), udf and phrases rewritten to
+    * one file-set per bucket, stats copied, ledger verbatim — served
+    * phrase/proximity answers identical by construction. */
+  def compactPhraseVersion(spark: SparkSession, indexPath: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(spark, indexPath)
+    require(versions.nonEmpty, s"no committed phrase index under $indexPath")
+    val cur = versionRoot(indexPath, versions.max)
+    val next = versions.max + 1
+    val target = new Path(root, s"v$next")
+    val staging = new Path(root,
+      s".staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.read.parquet(s"$cur/positions")
+      .repartition(col("ub"))
+      .sortWithinPartitions("tok", "doc_id", "i")
+      .write.mode("overwrite").partitionBy("ub")
+      .parquet(new Path(staging, "positions").toString)
+    spark.read.parquet(s"$cur/udf")
+      .repartition(col("ub"))
+      .write.mode("overwrite").partitionBy("ub")
+      .parquet(new Path(staging, "udf").toString)
+    spark.read.parquet(s"$cur/phrases")
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb")
+      .parquet(new Path(staging, "phrases").toString)
+    spark.read.parquet(s"$cur/stats")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    graft.IndexVersions.writeLedger(fs, staging,
+      graft.IndexVersions.readLedger(fs, new Path(cur)))
+    graft.IndexVersions.publish(fs, staging, target,
+      t => fs.exists(new Path(t, "stats/_SUCCESS")), fence)
+    target.toString
+  }
+
+  def positionFileCount(spark: SparkSession, indexPath: String): Int =
+    artifactFileCount(spark, phraseCurrentRoot(spark, indexPath), "positions")
 
   /** Batch tags folded into the current committed phrase-index version —
     * the exactly-once guard for streaming maintenance, as [[appliedTags]]. */

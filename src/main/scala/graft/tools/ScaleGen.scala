@@ -34,16 +34,37 @@ import org.apache.spark.sql.functions._
   * (100× → 1000×) stay collision-free (round 11b: a fixed stride
   * duplicated doc_ids across replica levels).
   *
-  * Usage: ScaleGen <srcSfDir> <dstDir> [factor=10]
+  * VOCABULARY MODES (round 13 — the round-12 verdict's task #3): the
+  * default replica salt is COLLISION-FREE (one `zqsalt<rep>` token per
+  * replica) — right for the near-dup fixtures, but it keeps every term's
+  * df share corpus-proportional, the regime the df-gated positional
+  * family exists to refuse; its 1000× tier could therefore only show a
+  * constant-factor gain. The opt-in `zipf` mode instead draws each
+  * inserted salt from a HEAVY-TAILED rank distribution
+  * (rank = floor(1/u), u a per-(doc,pos,rep) hash uniform →
+  * P(rank r) = 1/(r(r+1)) ≈ r⁻²): the hot ranks stay
+  * corpus-proportional while the tail's ABSOLUTE df stays ~constant as
+  * the corpus grows — a vocabulary that grows with the corpus, the
+  * Zipf-tail shape real text has. Gram-breaking is unchanged (a salt
+  * every 3 tokens breaks ≥2/3 of 3-grams whatever its value), but
+  * cross-replica salts can now coincide (expected shared-gram mass
+  * bounds est-Jaccard well under the 0.5 threshold, yet NOT zero) — so
+  * near-dup tiers keep the default mode and the positional-family tiers
+  * use `zipf`; SCALING.md records which fixture each row used.
+  *
+  * Usage: ScaleGen <srcSfDir> <dstDir> [factor=10] [default|zipf]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: ScaleGen <srcSfDir> <dstDir> [factor]")
+      System.err.println("usage: ScaleGen <srcSfDir> <dstDir> [factor] [default|zipf]")
       sys.exit(2)
     }
     val Array(src, dst) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode = args.lift(3).getOrElse("default")
+    require(mode == "default" || mode == "zipf",
+      s"mode must be 'default' or 'zipf' (got '$mode')")
     // the replica embedding transforms (rotation × optional reverse) are
     // distinct only through 2 × the 64-dim vector length — beyond that
     // replicas would silently duplicate vectors and weaken the very
@@ -93,13 +114,26 @@ object ScaleGen {
     println(s"[scalegen] replica id stride $strideV (source max id $srcMaxId)")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    // the inserted-salt VALUE per mode (insertion cadence is shared —
+    // every 3rd token, breaking ≥2/3 of word 3-grams either way):
+    //  - default: one token per replica — collision-free across replicas,
+    //    df share corpus-proportional (the near-dup fixture);
+    //  - zipf: rank = floor(1/u) of a per-(doc,pos,rep) uniform hash —
+    //    P(rank r) ≈ r⁻², so tail ranks keep ~constant ABSOLUTE df as
+    //    the corpus grows (the positional-family fixture; see object doc)
+    val saltSql =
+      if (mode == "zipf")
+        """concat('zqz', cast(floor(1000000.0 /
+          |  (pmod(xxhash64(doc_id, cast(i as long), rep), 1000000) + 1))
+          |  as string))""".stripMargin
+      else "concat('zqsalt', rep)"
     docs.crossJoin(broadcast(reps))
       .select(
         (col("doc_id") + col("rep") * off).as("doc_id"),
         when(col("rep") === 0, col("text")).otherwise(
-          expr("""array_join(flatten(transform(split(text, ' '),
+          expr(s"""array_join(flatten(transform(split(text, ' '),
                  (t, i) -> CASE WHEN i % 3 = 2
-                   THEN array(t, concat('zqsalt', rep))
+                   THEN array(t, $saltSql)
                    ELSE array(t) END)), ' ')""")).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -174,7 +208,7 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    println(s"[scalegen] wrote ${factor}x documents+embeddings+events to $dst")
+    println(s"[scalegen] wrote ${factor}x documents+embeddings+events to $dst (mode=$mode)")
     spark.stop()
   }
 }

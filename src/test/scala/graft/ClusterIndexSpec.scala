@@ -94,6 +94,33 @@ class ClusterIndexSpec extends SparkSpec {
       s"a 0.5-est bridge must not merge clusters under a 0.9 threshold, got $after")
   }
 
+  test("sharded base build ≡ the one-shot build: identical labels, identical folds after") {
+    // the disk-bounded form (round 13): per-band-bucket edge extraction +
+    // CC over the union edge set must reproduce write()'s labels
+    // byte-for-byte (the decomposition is exact — band_val determines the
+    // bucket, so no cross-shard candidate exists)
+    val idxOne = java.nio.file.Files.createTempDirectory("ci_one").toString
+    val idxShard = java.nio.file.Files.createTempDirectory("ci_shard").toString
+    ClusterIndex.write(spark, sf0001, idxOne)
+    ClusterIndex.writeSharded(spark, sf0001, idxShard, shards = 3)
+    def labelMap(p: String) = ClusterIndex.labels(spark, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap(idxShard) == labelMap(idxOne),
+      "sharded base labels drifted from the one-shot build")
+    // the scratch edge dir is cleaned up
+    val fs = new org.apache.hadoop.fs.Path(idxShard)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxShard, ".edges_build")),
+      "the sharded build must remove its scratch edges")
+    // a fold lands on the sharded base exactly as on the one-shot base
+    val batch = docsDir(Seq(900001L ->
+      "date elder banana fig jasmine grape honey apple cherry iris"))
+    ClusterIndex.append(spark, batch, idxOne, Some("b0"))
+    ClusterIndex.append(spark, batch, idxShard, Some("b0"))
+    assert(labelMap(idxShard) == labelMap(idxOne),
+      "a fold on the sharded base drifted from the one-shot base's")
+  }
+
   test("version retention: vacuum keeps the newest folds, the ledger carries tags forward") {
     val evens = parityDir(0)
     val odds = parityDir(1)
