@@ -18,16 +18,26 @@ import org.apache.spark.sql.functions._
   * offset ids (the CellIndexBench convention). Batch 0 doubles as the JIT
   * warmup and is reported but flagged.
   *
-  * Usage: IndexMaintenanceBench <sfDir> <workDir> [nBatches=5] [k=16] */
+  * Round 13 adds the COMPACTION CADENCE arm: an optional 5th arg
+  * `compactAt=<n>` threads the threshold into every fold, and the JSON
+  * reports per-fold LIVE CHAIN WIDTHS (posting/position data files,
+  * store/ledger/cluster live delta dirs) — the claim under test: with a
+  * cadence the widths stay bounded over N folds while per-fold cost stays
+  * flat (compaction cost amortizes inside the folds that trigger it);
+  * without one they grow linearly with fold count.
+  *
+  * Usage: IndexMaintenanceBench <sfDir> <workDir> [nBatches=5] [k=16] [compactAt=N] */
 object IndexMaintenanceBench {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: IndexMaintenanceBench <sfDir> <workDir> [nBatches] [k]")
+      System.err.println("usage: IndexMaintenanceBench <sfDir> <workDir> [nBatches] [k] [compactAt=N]")
       sys.exit(2)
     }
     val dir = args(0); val work = args(1)
     val nBatches = args.lift(2).map(_.toInt).getOrElse(5)
     val k = args.lift(3).map(_.toInt).getOrElse(16)
+    val compactAt = args.lift(4)
+      .map(a => a.stripPrefix("compactAt=").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,12 +85,17 @@ object IndexMaintenanceBench {
       (bytes, versions)
     }
 
+    final case class Fold(secs: Double, vb: Long, vv: Int, tb: Long, tv: Int,
+      pb: Long, pv: Int, sb: Long, gb: Long, cb: Long, cv: Int,
+      postFiles: Int, posFiles: Int, storeLive: Int, ledgerLive: Int,
+      clusterLive: Int)
     val folds = (0 until nBatches).map { i =>
       val t0 = System.nanoTime()
       graft.app.IndexMaintenanceJob.applyBatch(spark, batchDf(i), i.toLong,
         s"$work/batches", vecIdx, textIdx, retainVersions = 2,
         phraseIdx = Some(phraseIdx), docStore = Some(store),
-        gramLedger = Some(ledger), clusterIdx = Some(clusterIdx))
+        gramLedger = Some(ledger), clusterIdx = Some(clusterIdx),
+        compactAt = compactAt)
       val secs = (System.nanoTime() - t0) / 1e9
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
       spark.catalog.clearCache(); System.gc()
@@ -94,18 +109,26 @@ object IndexMaintenanceBench {
       val sb = bytesOf(store)
       val gb = bytesOf(ledger)
       val (cb, cv) = usage(clusterIdx)
-      (secs, vb, vv, tb, tv, pb, pv, sb, gb, cb, cv)
+      Fold(secs, vb, vv, tb, tv, pb, pv, sb, gb, cb, cv,
+        graft.text.TextIndex.postingFileCount(spark, textIdx),
+        graft.text.TextIndex.positionFileCount(spark, phraseIdx),
+        graft.text.DocStore.liveBatchCount(spark, store),
+        graft.text.Dedup.gramLedgerLiveBatchCount(spark, ledger),
+        graft.text.ClusterIndex.liveBatchCount(spark, clusterIdx))
     }
-    def arr[T](f: ((Double, Long, Int, Long, Int, Long, Int, Long, Long, Long, Int)) => T): String =
-      folds.map(f).mkString("[", ",", "]")
+    def arr[T](f: Fold => T): String = folds.map(f).mkString("[", ",", "]")
     println(s"""{"metric":"idxmaint","batches":$nBatches,"dir":"$dir","k":$k,""" +
-      s""""fold_secs":${folds.map(f => f"${f._1}%.3f").mkString("[", ",", "]")},""" +
-      s""""vec_bytes":${arr(_._2)},"vec_versions":${arr(_._3)},""" +
-      s""""text_bytes":${arr(_._4)},"text_versions":${arr(_._5)},""" +
-      s""""phrase_bytes":${arr(_._6)},"phrase_versions":${arr(_._7)},""" +
-      s""""store_bytes":${arr(_._8)},"ledger_bytes":${arr(_._9)},""" +
-      s""""cluster_bytes":${arr(_._10)},"cluster_versions":${arr(_._11)},""" +
-      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions; all SIX artifacts folded (doc store + gram ledger add-only — bytes grow with ingested mass, no version churn)"}""")
+      s""""compact_at":${compactAt.map(_.toString).getOrElse("null")},""" +
+      s""""fold_secs":${folds.map(f => f"${f.secs}%.3f").mkString("[", ",", "]")},""" +
+      s""""vec_bytes":${arr(_.vb)},"vec_versions":${arr(_.vv)},""" +
+      s""""text_bytes":${arr(_.tb)},"text_versions":${arr(_.tv)},""" +
+      s""""phrase_bytes":${arr(_.pb)},"phrase_versions":${arr(_.pv)},""" +
+      s""""store_bytes":${arr(_.sb)},"ledger_bytes":${arr(_.gb)},""" +
+      s""""cluster_bytes":${arr(_.cb)},"cluster_versions":${arr(_.cv)},""" +
+      s""""posting_files":${arr(_.postFiles)},"position_files":${arr(_.posFiles)},""" +
+      s""""store_live":${arr(_.storeLive)},"ledger_live":${arr(_.ledgerLive)},""" +
+      s""""cluster_live":${arr(_.clusterLive)},""" +
+      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions; all SIX artifacts folded; *_files/*_live are the reader-visible chain widths the compactAt cadence bounds"}""")
     spark.stop()
   }
 }

@@ -65,6 +65,10 @@ object ScaleGen {
     val mode = args.lift(3).getOrElse("default")
     require(mode == "default" || mode == "zipf",
       s"mode must be 'default' or 'zipf' (got '$mode')")
+    // docs-only generation (5th arg "docs"): the positional-family tiers
+    // read nothing but documents.parquet, and a full-table 100×+ zipf
+    // fixture would spend tens of GB the measurements never touch
+    val docsOnly = args.lift(4).contains("docs")
     // the replica embedding transforms (rotation × optional reverse) are
     // distinct only through 2 × the 64-dim vector length — beyond that
     // replicas would silently duplicate vectors and weaken the very
@@ -100,13 +104,16 @@ object ScaleGen {
       "orders.parquet" -> "o_orderkey", "lineitem.parquet" -> "l_orderkey",
       "part.parquet" -> "p_partkey", "customer.parquet" -> "c_custkey",
       "supplier.parquet" -> "s_suppkey", "events.parquet" -> "event_id",
-      "events.parquet" -> "user_id").map { case (t, c) =>
+      "events.parquet" -> "user_id").flatMap { case (t, c) =>
         // empty-table/NULL-max safe (round-11 ADVICE: a bare getLong(0)
         // NPEs opaquely on an empty source); the cast also accepts a
-        // non-long id column instead of ClassCastException-ing
-        spark.read.parquet(s"$src/$t")
-          .agg(coalesce(max(col(c)).cast("long"), lit(0L)))
-          .head().getLong(0)
+        // non-long id column instead of ClassCastException-ing. Missing
+        // tables are skipped — a docs-only source (chained zipf tiers)
+        // carries documents.parquet alone.
+        scala.util.Try(
+          spark.read.parquet(s"$src/$t")
+            .agg(coalesce(max(col(c)).cast("long"), lit(0L)))
+            .head().getLong(0)).toOption
       }.max
     var strideV = 10000000L
     while (strideV <= srcMaxId) strideV *= 10
@@ -121,11 +128,18 @@ object ScaleGen {
     //  - zipf: rank = floor(1/u) of a per-(doc,pos,rep) uniform hash —
     //    P(rank r) ≈ r⁻², so tail ranks keep ~constant ABSOLUTE df as
     //    the corpus grows (the positional-family fixture; see object doc)
+    // the 10^12 denominator keeps ~2·10^6 DISTINCT representable ranks
+    // (floor(D/(h+1)) has ~2·sqrt(D) values): distinct ranks drawn grow
+    // ~sqrt(token positions), so the vocabulary never saturates at any
+    // rehearsal tier and the rarest rank's ABSOLUTE df stays ~1 as the
+    // corpus grows — the regime's defining property (a 10^6 denominator
+    // capped the vocabulary at ~2000 and the tail df grew linearly past
+    // the 100× tier, measured before widening)
     val saltSql =
       if (mode == "zipf")
-        """concat('zqz', cast(floor(1000000.0 /
-          |  (pmod(xxhash64(doc_id, cast(i as long), rep), 1000000) + 1))
-          |  as string))""".stripMargin
+        """concat('zqz', cast(cast(floor(1000000000000.0 /
+          |  (pmod(xxhash64(doc_id, cast(i as long), rep), 1000000000000) + 1))
+          |  as bigint) as string))""".stripMargin
       else "concat('zqsalt', rep)"
     docs.crossJoin(broadcast(reps))
       .select(
@@ -140,6 +154,11 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
+    if (docsOnly) {
+      println(s"[scalegen] wrote ${factor}x documents (docs-only) to $dst (mode=$mode)")
+      spark.stop()
+      return
+    }
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.crossJoin(broadcast(reps))
       .select(
