@@ -559,7 +559,11 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$p/base_fixture/documents.parquet")
       docs.filter(col("doc_id") % 2 === 1)
         .write.mode("overwrite").parquet(s"$p/batch_fixture/documents.parquet")
-      graft.text.ClusterIndex.write(s, s"$p/base_fixture", s"$p/index")
+      // the SHARDED base build (round 13; labels ≡ write()'s, spec'd):
+      // the one-shot pair join + CC spilled past free disk at the 1000×
+      // tier — per-band-bucket shards bound the peak to one bucket
+      // group's join
+      graft.text.ClusterIndex.writeSharded(s, s"$p/base_fixture", s"$p/index")
       graft.text.ClusterIndex.append(s, s"$p/batch_fixture", s"$p/index",
         Some("fold_odd"))
       new java.io.File(p, "_COMPLETE").createNewFile(); ()

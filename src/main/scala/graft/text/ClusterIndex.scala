@@ -347,10 +347,17 @@ object ClusterIndex {
     // band table (own delta excluded — a replayed fold recomputes the
     // identical candidate set) — broadcast the batch side
     // (micro-batch-bounded by the maintenance contract), so the at-rest
-    // side is ONE scan, no shuffle
+    // side is ONE scan, no shuffle. The broadcast hint is CONDITIONAL on
+    // the batch actually being micro-batch-sized (round 13 — the
+    // rewriteBatchAgainstLedger rule): a bulk backfill handed to append
+    // must degrade to the shuffle join, not die at driver maxResultSize;
+    // AQE converts back to broadcast when the built side is small.
+    val microBatch = batchSig.count() <= 100000L
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (microBatch) broadcast(df) else df
     val oldBands = layerRows(spark, indexPath, "bands", BandSchema, deltaTag)
     val candOld = oldBands.join(
-        broadcast(batchBands.select(col("band_id"), col("band_val"),
+        maybeBroadcast(batchBands.select(col("band_id"), col("band_val"),
           col("doc_id").as("b_doc"))),
         Seq("band_id", "band_val"))
       .select(col("b_doc"), col("doc_id").as("o_doc"))
@@ -366,7 +373,8 @@ object ClusterIndex {
     // verify with the SHARED rule; old signatures fetched by candidate id
     // (candidate-bounded, id-keyed against the sorted sig buckets)
     val oldSigs = layerRows(spark, indexPath, "sigs", SigSchema, deltaTag)
-      .join(broadcast(candOld.select(col("o_doc").as("doc_id")).distinct()),
+      .join(maybeBroadcast(
+          candOld.select(col("o_doc").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("sig"))
     val edgesOld = candOld

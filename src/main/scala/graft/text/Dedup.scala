@@ -1248,7 +1248,14 @@ object Dedup {
     * maintenance contract — the fetchPage argument) BROADCASTS into a
     * semi-join that prunes the at-rest scan, so the ledger side never
     * shuffles: per-rewrite cost is one ledger scan (row-group gram
-    * stats prune under it) plus batch-bounded shuffles. FOLD-ORDER
+    * stats prune under it) plus batch-bounded shuffles. The broadcast
+    * hint is CONDITIONAL on the batch actually being micro-batch-sized
+    * (round 13: q159's oracle-parity fixture makes the batch HALF THE
+    * CORPUS, and at the 1000× tier force-broadcasting its ~300M-gram
+    * set exceeded driver maxResultSize — a real batch never does, but
+    * an operator must degrade to the shuffle join rather than die when
+    * handed a bulk backfill; AQE still converts back to broadcast at
+    * runtime when the built side turns out small). FOLD-ORDER
     * INDEPENDENT: if the batch's own delta is already committed, its
     * grams appear on both sides of the merge — min(first) is idempotent
     * on equal elements, so the canonical flags (all the rewrite reads)
@@ -1266,8 +1273,15 @@ object Dedup {
           distinct = false)))
       .toDF("doc_id", "i", "gram")
     val batchLedger = gramLedgerOf(batchGrams)
+    // micro-batch bound for the FORCED broadcast (doc count is one
+    // batch-bounded aggregate; ~grams = docs × len, and 100k docs' gram
+    // set is comfortably under driver/broadcast limits)
+    val microBatch = batchDocs.count() <= 100000L
+    val batchGramSet =
+      if (microBatch) broadcast(batchLedger.select("gram"))
+      else batchLedger.select("gram")
     val matched = gramLedgerRows(spark, ledgerPath)
-      .join(broadcast(batchLedger.select("gram")), Seq("gram"), "left_semi")
+      .join(batchGramSet, Seq("gram"), "left_semi")
     val merged = mergeGramLedgers(matched.select("gram", "first", "n_occ"),
       batchLedger)
     val occ = batchGrams.join(merged, Seq("gram"))

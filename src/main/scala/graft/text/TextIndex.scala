@@ -764,18 +764,28 @@ object TextIndex {
     * tuple needs all terms in the doc, so restricting to the essential
     * term's doc set drops only docs that could never produce a tuple —
     * the answer is identical, the shuffle mass is bounded by the
-    * essential term's document frequency. */
+    * essential term's document frequency. `essentialIds`, when present
+    * instead (a rarest term whose df fits the page bound), pushes the
+    * SAME restriction down as doc_id LITERALS — the [[graft.text.DocStore.fetchPage]]
+    * row-group-pruning move: positions sort by (tok, doc_id, i), so the
+    * hot lists' SCAN mass now also tracks the rarest term's absolute df,
+    * not just the shuffle (round 13 — on the Zipf-tail fixture the
+    * semi-join form still paid the hot lists' linear scan). */
   private def proximityBanded(spark: SparkSession, root: String,
       toks: Seq[String], slop: Int,
-      essential: Option[DataFrame]): DataFrame = {
+      essential: Option[DataFrame],
+      essentialIds: Option[Seq[Long]] = None): DataFrame = {
     val buckets = spark.read.parquet(s"$root/stats")
       .select(col("buckets")).collect().head.getLong(0).toInt
     val posts = spark.read.parquet(s"$root/positions")
     val w = slop + 1
     def listOf(t: String) = {
-      val l = posts
+      val l0 = posts
         .filter(col("ub") === pmod(hash(lit(t)), lit(buckets))) // folds → prunes
         .filter(col("tok") === t)
+      val l = essentialIds
+        .map(ids => l0.filter(col("doc_id").isin(ids: _*)))
+        .getOrElse(l0)
         .select(col("doc_id"), col("i").cast("long").as("i"))
       essential.map(e => l.join(e, Seq("doc_id"), "left_semi")).getOrElse(l)
     }
@@ -829,7 +839,12 @@ object TextIndex {
     * essential list, so every join empties at essentially zero cost. */
   def proximitySearchGated(spark: SparkSession, indexPath: String,
       toks: Seq[String], slop: Int = 3, maxDfShare: Double = 0.05,
-      pinnedRoot: Option[String] = None): DataFrame = {
+      pinnedRoot: Option[String] = None,
+      // the literal-pushdown bound for the essential list (the fetchPage
+      // page-size class; a collected set this small is a driver-bounded
+      // probe, not data). Overridable so specs drive BOTH regimes on one
+      // fixture.
+      pushdownLimit: Long = 1024L): DataFrame = {
     require(toks.length >= 2, "proximity search needs at least two terms")
     require(toks.distinct.length == toks.length,
       s"proximity terms must be distinct: $toks")
@@ -863,7 +878,30 @@ object TextIndex {
       .filter(col("ub") === pmod(hash(lit(rarest)), lit(buckets)))
       .filter(col("tok") === rarest)
       .select(col("doc_id")).distinct()
-    proximityBanded(spark, root, toks, slop, Some(essentialDocs))
+    // TWO essential-list regimes, switched on the df the gate already
+    // read (no extra pass):
+    //  - rarest df within the page bound (the fetchPage/CandidatePushdown
+    //    convention): COLLECT the doc ids and push them into every hot
+    //    list scan as literals — (tok, doc_id)-sorted row groups prune,
+    //    so per-query IO tracks the rarest term's ABSOLUTE df (measured
+    //    ~flat across decades on the Zipf-tail fixture, SCALING round
+    //    13). This is the regime the gate exists for: on a real
+    //    vocabulary most accepted probes land here.
+    //  - larger (still under maxDfShare): the distributed semi-join —
+    //    shuffle mass bounded by the rarest df, scan mass by the probe
+    //    lists (the round-12 form; size-based planning broadcasts the
+    //    doc set when it fits).
+    if (dfOf(rarest) <= pushdownLimit) {
+      val ids = essentialDocs.collect().map(_.getLong(0)).toSeq
+      if (ids.isEmpty)
+        // OOV rarest term: no doc can qualify — the empty-result shape
+        // at zero scan cost (isin on an empty list is not plannable)
+        return proximityBanded(spark, root, toks, slop,
+          Some(essentialDocs))
+      proximityBanded(spark, root, toks, slop, essential = None,
+        essentialIds = Some(ids))
+    } else
+      proximityBanded(spark, root, toks, slop, Some(essentialDocs))
   }
 
   /** The q161 deterministic probe — the gated family's worst case with

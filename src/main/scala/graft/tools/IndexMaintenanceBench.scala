@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * store/ledger/cluster live delta dirs) — the claim under test: with a
   * cadence the widths stay bounded over N folds while per-fold cost stays
   * flat (compaction cost amortizes inside the folds that trigger it);
-  * without one they grow linearly with fold count.
+  * without one they grow linearly with fold count. A per-fold SERVE probe
+  * (a fixed 64-id store page fetch + the pinned hottest-pair phrase
+  * search — the two reader classes whose list/union width the chains
+  * govern) is timed beside each fold, so the row shows READ cost staying
+  * flat under the cadence where the uncompacted chain's read degrades.
   *
   * Usage: IndexMaintenanceBench <sfDir> <workDir> [nBatches=5] [k=16] [compactAt=N] */
 object IndexMaintenanceBench {
@@ -85,7 +89,14 @@ object IndexMaintenanceBench {
       (bytes, versions)
     }
 
-    final case class Fold(secs: Double, vb: Long, vv: Int, tb: Long, tv: Int,
+    // the serve probe's inputs, pinned ONCE before any fold (ids from the
+    // base corpus — replica 0 keeps original ids at every fixture SF; the
+    // hottest pair from the base vocabulary — fold appends only raise df)
+    val pageIds = (0L until 64L).toSeq
+    val (pt1, pt2) = graft.text.TextIndex.deriveProximityTerms(spark, phraseIdx)
+
+    final case class Fold(secs: Double, serveSecs: Double,
+      vb: Long, vv: Int, tb: Long, tv: Int,
       pb: Long, pv: Int, sb: Long, gb: Long, cb: Long, cv: Int,
       postFiles: Int, posFiles: Int, storeLive: Int, ledgerLive: Int,
       clusterLive: Int)
@@ -99,6 +110,13 @@ object IndexMaintenanceBench {
       val secs = (System.nanoTime() - t0) / 1e9
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
       spark.catalog.clearCache(); System.gc()
+      val s0 = System.nanoTime()
+      graft.text.DocStore.fetchPage(spark, store, pageIds)
+        .write.format("noop").mode("overwrite").save()
+      graft.text.TextIndex.phraseSearch(spark, phraseIdx, Seq(pt1, pt2))
+        .write.format("noop").mode("overwrite").save()
+      val serveSecs = (System.nanoTime() - s0) / 1e9
+      spark.catalog.clearCache()
       val (vb, vv) = usage(vecIdx)
       val (tb, tv) = usage(textIdx)
       val (pb, pv) = usage(phraseIdx)
@@ -109,7 +127,7 @@ object IndexMaintenanceBench {
       val sb = bytesOf(store)
       val gb = bytesOf(ledger)
       val (cb, cv) = usage(clusterIdx)
-      Fold(secs, vb, vv, tb, tv, pb, pv, sb, gb, cb, cv,
+      Fold(secs, serveSecs, vb, vv, tb, tv, pb, pv, sb, gb, cb, cv,
         graft.text.TextIndex.postingFileCount(spark, textIdx),
         graft.text.TextIndex.positionFileCount(spark, phraseIdx),
         graft.text.DocStore.liveBatchCount(spark, store),
@@ -120,6 +138,7 @@ object IndexMaintenanceBench {
     println(s"""{"metric":"idxmaint","batches":$nBatches,"dir":"$dir","k":$k,""" +
       s""""compact_at":${compactAt.map(_.toString).getOrElse("null")},""" +
       s""""fold_secs":${folds.map(f => f"${f.secs}%.3f").mkString("[", ",", "]")},""" +
+      s""""serve_secs":${folds.map(f => f"${f.serveSecs}%.3f").mkString("[", ",", "]")},""" +
       s""""vec_bytes":${arr(_.vb)},"vec_versions":${arr(_.vv)},""" +
       s""""text_bytes":${arr(_.tb)},"text_versions":${arr(_.tv)},""" +
       s""""phrase_bytes":${arr(_.pb)},"phrase_versions":${arr(_.pv)},""" +
@@ -128,7 +147,7 @@ object IndexMaintenanceBench {
       s""""posting_files":${arr(_.postFiles)},"position_files":${arr(_.posFiles)},""" +
       s""""store_live":${arr(_.storeLive)},"ledger_live":${arr(_.ledgerLive)},""" +
       s""""cluster_live":${arr(_.clusterLive)},""" +
-      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions; all SIX artifacts folded; *_files/*_live are the reader-visible chain widths the compactAt cadence bounds"}""")
+      s""""note":"fold 0 includes JIT warmup; retention floor 2 versions; all SIX artifacts folded; *_files/*_live are the reader-visible chain widths the compactAt cadence bounds; serve_secs = fixed 64-id store page + pinned hottest-pair phrase search after each fold"}""")
     spark.stop()
   }
 }

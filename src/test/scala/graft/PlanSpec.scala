@@ -86,6 +86,28 @@ class PlanSpec extends SparkSpec {
       s"the m-way intersection must stay a banded equi-join:\n$plan")
   }
 
+  test("q161: the gated essential list pushes doc_id literals into every hot position scan") {
+    import graft.text.TextIndex
+    val pi = java.nio.file.Files.createTempDirectory("proxgate_plan").toString
+    TextIndex.writePhraseIndex(spark, sf0001, pi)
+    val probe = TextIndex.deriveGatedProximityProbe(spark, pi)
+    // the fixture's rarest df is within the pushdown bound, so the gated
+    // plan must show the collected essential ids as an In(doc_id, …)
+    // PUSHED FILTER on the position scans — (tok, doc_id)-sorted row
+    // groups then prune, making hot-list SCAN mass track the rarest
+    // term's absolute df (the round-13 regime; the semi-join arm only
+    // bounded the shuffle)
+    val plan = explain(TextIndex.proximitySearchGated(spark, pi, probe, 3,
+      maxDfShare = 1.0))
+    assert(plan.contains("In(doc_id"),
+      s"expected the essential doc ids pushed into the position scans:\n$plan")
+    assert(plan.contains("PartitionFilters:") && plan.contains("ub"),
+      s"expected unigram-bucket partition pruning:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"gated proximity must not touch the corpus at query time:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q155: boolean retrieval prunes posting scans, intersects in one map-side-combined aggregation, no corpus scan") {
     import graft.text.TextIndex
     val ti = java.nio.file.Files.createTempDirectory("bool_plan").toString

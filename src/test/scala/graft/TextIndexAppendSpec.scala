@@ -352,6 +352,13 @@ class TextIndexAppendSpec extends SparkSpec {
       maxDfShare = 1.0)) ==
       rows(TextIndex.proximitySearchAll(spark, idx, derived, 3)),
       "derived gated probe drifted from the ungated answer")
+    // BOTH essential-list regimes produce the identical answer (round
+    // 13): the default pushdownLimit takes the literal-pushdown arm on
+    // this fixture (z's df = 2 ≤ 1024); pushdownLimit = 0 forces the
+    // distributed semi-join arm — content must not depend on the regime
+    assert(rows(TextIndex.proximitySearchGated(spark, idx, probe, 3,
+      maxDfShare = 1.0, pushdownLimit = 0L)) == want,
+      "the semi-join essential regime drifted from the pushdown regime")
   }
 
   test("phrase-index append equals a union-corpus rebuild exactly; vacuum bounds versions") {
