@@ -112,6 +112,32 @@ object Checkpoints {
     Option(retainedByCtx.get(sc)).map(_.toSet).getOrElse(Set.empty)
   }
 
+  /** `localCheckpoint` for ITERATED-JOIN loops — re-roots the plan in a
+    * fresh `LogicalRDD` with DEFAULT size estimates before checkpointing.
+    *
+    * Why: `Dataset.localCheckpoint` carries the ORIGIN plan's estimated
+    * statistics into the checkpoint node (so one-shot checkpoints keep
+    * planning as if uncut — normally what you want). But in a loop whose
+    * body JOINS the previous round's checkpoint with itself (both CC
+    * forms), Catalyst's size-only estimator MULTIPLIES child sizes, so the
+    * carried estimate SQUARES every round: the BigInteger bit-length
+    * doubles per iteration, and by round ~8 the driver spends minutes per
+    * round in `SizeInBytesOnlyStatsPlanVisitor` Karatsuba/Toom-Cook
+    * multiplications with every executor idle (observed on the 1000×
+    * cluster-index base build: CC rounds grew 24 s → 33 → 61 → 141 → 380
+    * → stuck, one core busy in `BigInteger.multiply`). The row-level
+    * round-trip re-roots the frame so each round's estimation starts from
+    * a CONSTANT default, not last round's product. Broadcast planning is
+    * unaffected where it matters: AQE re-plans joins from ACTUAL shuffle
+    * sizes at runtime, not these estimates.
+    *
+    * Cost: one extra InternalRow⇄Row conversion pass at checkpoint
+    * materialization (the conversion happens once; downstream consumers
+    * read the checkpointed blocks directly). Use for loop-carried frames
+    * only — one-shot checkpoints should keep `localCheckpoint`'s stats. */
+  def freshCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema).localCheckpoint()
+
   /** The inter-query hygiene sweep (Bench's form): blocking-unpersist every
     * pinned RDD EXCEPT memo-retained ones — their blocks are irreplaceable
     * (truncated lineage) and deliberately session-lived. */

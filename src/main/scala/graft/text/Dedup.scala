@@ -317,7 +317,12 @@ object Dedup {
     val keep = sc.getPersistentRDDs.keySet
     var ours = Set.empty[Int]
     def checkpointAndSwap(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint() // eager: materializes before the swap
+      // freshCheckpoint, NOT localCheckpoint: the loop body joins labels
+      // with itself, and a plain checkpoint carries the origin plan's
+      // size estimate forward — the estimate then SQUARES per round until
+      // the driver stalls in BigInteger stats math (the 1000× base-build
+      // failure; see [[graft.Checkpoints.freshCheckpoint]]).
+      val out = graft.Checkpoints.freshCheckpoint(df) // eager: materializes before the swap
       val live = sc.getPersistentRDDs
       val mine = (live.keySet -- keep -- ours).toSet
       ours.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
@@ -423,7 +428,11 @@ object Dedup {
     while (!stable && rounds < 64) {
       rounds += 1
       before = sc.getPersistentRDDs.keySet
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // freshCheckpoint: the round's plan joins cur with aggregates of
+      // cur, so a plain checkpoint's carried size estimate compounds per
+      // round (the pointer-doubling loop's failure mode — see
+      // [[graft.Checkpoints.freshCheckpoint]])
+      val next = graft.Checkpoints.freshCheckpoint(smallStar(largeStar(cur)))
       val nextIds = graft.Checkpoints.pinnedSince(sc, before)
       // converged when the canonical edge set stopped changing (both sides
       // are distinct checkpointed sets, so two anti-join probes suffice)
