@@ -107,6 +107,42 @@ class ConnectedComponentsSpec extends SparkSpec {
     graft.Checkpoints.release(spark.sparkContext, added.toSet)
   }
 
+  test("freshCheckpoint re-roots plan statistics: loop-carried size estimates stay bounded") {
+    // the round-13 1000x failure mode: localCheckpoint PRESERVES the
+    // origin plan's estimated sizeInBytes in the LogicalRDD it plants, so
+    // a loop that joins its previous checkpoint with itself squares the
+    // estimate per round — BigInteger bit-length doubles per iteration
+    // and the driver stalls in stats math by round ~8. freshCheckpoint
+    // must break the compounding: its result's estimate is a constant
+    // default, independent of the origin plan's product.
+    import spark.implicits._
+    val base = (1L to 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    var joined = base
+    // five self-joins: a plain-checkpoint chain would carry size^(2^5)
+    for (_ <- 1 to 5) {
+      val j = joined.as("l").join(joined.as("r"),
+          $"l.doc_b" === $"r.doc_a")
+        .select($"l.doc_a", $"r.doc_b")
+      val plain = j.localCheckpoint()
+      val fresh = graft.Checkpoints.freshCheckpoint(j)
+      val plainStats = plain.queryExecution.optimizedPlan.stats.sizeInBytes
+      val freshStats = fresh.queryExecution.optimizedPlan.stats.sizeInBytes
+      // the plain checkpoint inherits the join-product estimate; the fresh
+      // one must NOT compound past a constant bound (defaultSizeInBytes)
+      assert(freshStats.bitLength <= 128,
+        s"freshCheckpoint carried a compounding estimate: $freshStats")
+      assert(plainStats >= freshStats.min(plainStats),
+        "sanity: both stats readable")
+      // rows are identical either way — the re-root changes planning
+      // inputs only, never data
+      assert(plain.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        fresh.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+      joined = fresh
+    }
+    // and the loop's carried frame stayed cheap to ESTIMATE end to end
+    assert(joined.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength <= 128)
+  }
+
   test("session memos survive the harness sweep and keep serving correct results") {
     // the round-6 mechanism end-to-end: a memoized resolution's retained
     // blocks must outlive Bench's inter-query sweep (their lineage is
