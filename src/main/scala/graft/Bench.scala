@@ -61,7 +61,17 @@ object Bench {
   private val DefaultCalibrationRefS = 0.94
   private val (calibrationRefS, calibrationRefSource) =
     sys.env.get("SPARK_GRAFT_CAL_REF") match {
-      case Some(v) => (v.toDouble, "env:SPARK_GRAFT_CAL_REF")
+      // VALIDATED, not bare toDouble (round-13 review finding): a typo'd
+      // value would otherwise kill the whole bench in a static
+      // initializer (opaque ExceptionInInitializerError), and a zero or
+      // negative one would silently yield load_factor <= 0 while the JSON
+      // still claimed the env as authoritative — fall back LOUDLY in the
+      // source tag instead.
+      case Some(v) => v.toDoubleOption.filter(_ > 0.0) match {
+        case Some(d) => (d, "env:SPARK_GRAFT_CAL_REF")
+        case None => (DefaultCalibrationRefS,
+          s"compiled-in (IGNORED invalid SPARK_GRAFT_CAL_REF='$v')")
+      }
       case None => (DefaultCalibrationRefS, "compiled-in (re-baseline on a different box)")
     }
 

@@ -131,10 +131,17 @@ object Checkpoints {
     * unaffected where it matters: AQE re-plans joins from ACTUAL shuffle
     * sizes at runtime, not these estimates.
     *
-    * Cost: one extra InternalRow⇄Row conversion pass at checkpoint
-    * materialization (the conversion happens once; downstream consumers
-    * read the checkpointed blocks directly). Use for loop-carried frames
-    * only — one-shot checkpoints should keep `localCheckpoint`'s stats. */
+    * Cost, priced honestly: (1) one extra InternalRow⇄Row conversion
+    * pass at checkpoint materialization (the conversion happens once;
+    * downstream consumers read the checkpointed blocks directly), and
+    * (2) the re-rooted `LogicalRDD` reports Unknown output partitioning,
+    * so a next round that could have reused the checkpoint's hash
+    * partitioning re-shuffles instead. Both are per-round constants; the
+    * compounding estimate was super-exponential — the 1000× cluster base
+    * that never finished under `localCheckpoint` completes in ~12 min
+    * under this (SCALING round 13). Use for loop-carried frames only —
+    * one-shot checkpoints should keep `localCheckpoint`'s stats and
+    * partitioning. */
   def freshCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema).localCheckpoint()
 

@@ -277,6 +277,16 @@ object IndexVersions {
     generationRoot(root, gens.max)
   }
 
+  /** The shared micro-batch size bound for FORCED broadcast hints in the
+    * maintenance rewrites ([[graft.text.Dedup.rewriteBatchAgainstLedger]],
+    * [[graft.text.ClusterIndex.append]]): a real streaming batch is far
+    * under it, so its gram/band set broadcasts; a bulk backfill handed to
+    * the same entry point degrades to the shuffle join instead of dying
+    * at driver maxResultSize (AQE converts back at runtime when the built
+    * side turns out small). ONE definition so the two call sites cannot
+    * drift. */
+  val MicroBatchMaxDocs: Long = 100000L
+
   /** Publish the next compacted generation: `writeLayout` assembles the
     * artifact's FULL layout (merged base + carried-tag empty deltas +
     * stats) in a dot-staging dir, then the guarded rename commits `_g<N>`
@@ -339,7 +349,7 @@ object IndexVersions {
   def vacuumGenerations(fs: FileSystem, root: Path, markerRel: String,
       keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
     val gens = committedGenerations(fs, root, markerRel).filter(_ > 0L)
-    vacuum(fs, root, gens, v => Seq(s"_g$v"), keepLast, graceMs,
+    val removed = vacuum(fs, root, gens, v => Seq(s"_g$v"), keepLast, graceMs,
       dirOwner = {
         case n if n.startsWith("_g") && n.stripPrefix("_g").nonEmpty &&
           n.stripPrefix("_g").forall(_.isDigit) =>
@@ -347,6 +357,34 @@ object IndexVersions {
         case _ => None
       },
       relist = () => committedGenerations(fs, root, markerRel).filter(_ > 0L))
+    // GENERATION 0 — the root's own layout — is reclaimed too once newer
+    // generations push it past the retention floor (round-13 review
+    // finding: never deleting it left the full pre-compaction corpus —
+    // at the 1000× tier, half the artifact's bytes — as permanent dead
+    // weight after the first compaction). Every root child except the
+    // `_g<N>` generation dirs and TTL-swept staging IS generation-0 data
+    // (rows/grams/sigs, delta dirs, the tag ledger file, the commit
+    // marker), so the sweep is artifact-agnostic. Grace is measured from
+    // when generation 0 was SUPERSEDED (the oldest surviving newer
+    // generation's commit-marker mtime) — the dirs' own mtimes predate
+    // the compaction by the stream's whole lifetime and would defeat the
+    // in-flight-reader grace the vacuum contract promises.
+    val allGens = committedGenerations(fs, root, markerRel)
+    val newer = allGens.filter(_ > 0L)
+    val gen0Removed =
+      if (allGens.contains(0L) && newer.size >= math.max(keepLast, 1)) {
+        val supersededAt = fs.getFileStatus(
+          new Path(generationRoot(root, newer.min), markerRel))
+          .getModificationTime
+        if (graceMs <= 0L ||
+            System.currentTimeMillis() - supersededAt >= graceMs)
+          fs.listStatus(root).toSeq.map(_.getPath)
+            .filterNot(p => p.getName.startsWith("_g") ||
+              p.getName.startsWith(".staging_"))
+            .map { p => fs.delete(p, true); p.toString }
+        else Seq.empty
+      } else Seq.empty
+    removed ++ gen0Removed
   }
 
   /** Writer-lease file name (underscore-prefixed — invisible to parquet

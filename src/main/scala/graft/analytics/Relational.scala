@@ -689,19 +689,29 @@ object Relational {
   /** Every applied batch tag: live delta dirs plus the tags the current
     * generation's ledger file carries from before the last compaction
     * (both must keep short-circuiting replays). */
-  def freqAppliedTags(spark: SparkSession, tablePath: String): Set[String] = {
+  def freqAppliedTags(spark: SparkSession, tablePath: String): Set[String] =
+    freqAppliedTagsAt(spark, freqGenRoot(spark, tablePath))
+
+  /** [[freqAppliedTags]] against an ALREADY-RESOLVED generation — every
+    * multi-step read resolves the generation ONCE and threads it through
+    * (round-13 review finding: helpers that each re-resolved let a
+    * concurrent compaction flip the generation mid-read, so a reader
+    * merged the old base with the new generation's — empty — live set
+    * and silently undercounted, breaking CMS's est ≥ exact guarantee). */
+  private def freqAppliedTagsAt(spark: SparkSession, gen: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val gen = new Path(freqGenRoot(spark, tablePath))
-    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    freqLiveTags(spark, tablePath) ++
-      graft.IndexVersions.carriedTags(fs, gen)
+    val genPath = new Path(gen)
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    freqLiveTagsAt(spark, gen) ++
+      graft.IndexVersions.carriedTags(fs, genPath)
   }
 
-  /** Tags with LIVE delta dirs in the current generation — the layers a
-    * reader unions beside the base, and the compaction-cadence metric. */
-  private def freqLiveTags(spark: SparkSession, tablePath: String): Set[String] = {
+  /** Tags with LIVE delta dirs in the GIVEN generation — the layers a
+    * reader unions beside the base, and the compaction-cadence metric.
+    * Takes the resolved generation root, never re-resolves. */
+  private def freqLiveTagsAt(spark: SparkSession, gen: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(freqGenRoot(spark, tablePath), "_batches")
+    val root = new Path(gen, "_batches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.committedBatchTags(fs, root, "_SUCCESS")
   }
@@ -710,7 +720,7 @@ object Relational {
     * [[graft.app.FreqMaintenanceJob]] triggers [[compactFreqSketches]]
     * on. */
   def freqLiveBatchCount(spark: SparkSession, tablePath: String): Int =
-    freqLiveTags(spark, tablePath).size
+    freqLiveTagsAt(spark, freqGenRoot(spark, tablePath)).size
 
   /** The full sketch row set of the current generation: base + every
     * LIVE committed batch fold (carried tags' counts are already merged
@@ -718,11 +728,13 @@ object Relational {
     * sums them, which is the point of a linear sketch). Batch reads carry
     * the base's EXPLICIT schema (an empty delta has no files to infer
     * from). */
-  private def freqRows(spark: SparkSession, tablePath: String): DataFrame = {
-    val gen = freqGenRoot(spark, tablePath)
+  private def freqRows(spark: SparkSession, tablePath: String): DataFrame =
+    freqRowsAt(spark, freqGenRoot(spark, tablePath))
+
+  private def freqRowsAt(spark: SparkSession, gen: String): DataFrame = {
     val base = spark.read.parquet(gen)
     val cols = base.schema.fieldNames.map(col).toSeq
-    freqLiveTags(spark, tablePath).toSeq.sorted
+    freqLiveTagsAt(spark, gen).toSeq.sorted
       .map(t => spark.read.schema(base.schema).parquet(s"$gen/_batches/$t")
         .select(cols: _*))
       .foldLeft(base.select(cols: _*))(_ unionByName _)
@@ -748,8 +760,11 @@ object Relational {
     import spark.implicits._
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tags = freqAppliedTags(spark, tablePath)
-    val rows = freqRows(spark, tablePath)
+    // ONE generation resolution for the whole compaction: tags and rows
+    // must read the SAME generation (the freqAppliedTagsAt rule)
+    val compactGen = freqGenRoot(spark, tablePath)
+    val tags = freqAppliedTagsAt(spark, compactGen)
+    val rows = freqRowsAt(spark, compactGen)
       .select(col("day"), col("sk"), col("n_events")).collect()
     require(rows.nonEmpty, s"frequency sketch table at $tablePath is empty")
     val merged = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
@@ -770,7 +785,9 @@ object Relational {
   }
 
   /** Drop compacted freq-table generations beyond the newest `keepLast`
-    * (generation 0 — the root's own layout — is never deleted). */
+    * (generation 0 — the root's own layout — reclaims its DATA dirs
+    * once superseded past the floor + grace; the root dir itself is the
+    * path and stays). */
   def vacuumFreqGenerations(spark: SparkSession, tablePath: String,
       keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path

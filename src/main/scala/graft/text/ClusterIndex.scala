@@ -76,9 +76,18 @@ object ClusterIndex {
     else graft.IndexVersions.generationRoot(root, gens.max).toString
   }
 
-  private def committedVersions(spark: SparkSession, indexPath: String): Seq[Long] = {
+  private def committedVersions(spark: SparkSession, indexPath: String): Seq[Long] =
+    committedVersionsAt(spark, genRootOf(spark, indexPath))
+
+  /** [[committedVersions]] against an ALREADY-RESOLVED generation root —
+    * every multi-step read resolves the generation ONCE and threads it
+    * through (round-13 review finding: resolving once inside
+    * committedVersions and again for versionRoot let a concurrent
+    * [[compact]] flip the generation in between, building a path to a
+    * version dir that only exists in the OLD generation). */
+  private def committedVersionsAt(spark: SparkSession, gen: String): Seq[Long] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(genRootOf(spark, indexPath))
+    val root = new Path(gen)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     val versioned = fs.listStatus(root).toSeq.map(_.getPath.getName)
@@ -95,20 +104,23 @@ object ClusterIndex {
     if (v == 0L) genRoot else s"$genRoot/v$v"
 
   def currentRoot(spark: SparkSession, indexPath: String): String = {
-    val vs = committedVersions(spark, indexPath)
+    // ONE generation resolution for both the version listing and the
+    // path build (the committedVersionsAt rule)
+    val gen = genRootOf(spark, indexPath)
+    val vs = committedVersionsAt(spark, gen)
     require(vs.nonEmpty, s"no committed cluster index under $indexPath")
-    versionRoot(genRootOf(spark, indexPath), vs.max)
+    versionRoot(gen, vs.max)
   }
 
   /** Batch tags already folded into the current committed version. */
   def appliedTags(spark: SparkSession, indexPath: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val vs = committedVersions(spark, indexPath)
+    val gen = genRootOf(spark, indexPath)
+    val vs = committedVersionsAt(spark, gen)
     if (vs.isEmpty) return Set.empty
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.readTags(fs,
-      new Path(versionRoot(genRootOf(spark, indexPath), vs.max)))
+    graft.IndexVersions.readTags(fs, new Path(versionRoot(gen, vs.max)))
   }
 
   /** Live (uncompacted) sigs/bands delta-dir count — the cadence probe
@@ -251,11 +263,10 @@ object ClusterIndex {
     * delta already committed recomputes identical candidates). Delta
     * reads carry explicit data schemas — a batch of all-short docs
     * commits an empty delta, a legitimate state. */
-  private def layerRows(spark: SparkSession, indexPath: String, art: String,
+  private def layerRowsAt(spark: SparkSession, gen: String, art: String,
       schema: org.apache.spark.sql.types.StructType,
       exclude: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val gen = genRootOf(spark, indexPath)
     val fs = new Path(gen)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cols = schema.fieldNames.map(col).toSeq
@@ -304,7 +315,7 @@ object ClusterIndex {
     // the CURRENT GENERATION root (the compaction indirection)
     val root = new Path(genRootOf(spark, indexPath))
     val fs = root.getFileSystem(conf)
-    val versions = committedVersions(spark, indexPath)
+    val versions = committedVersionsAt(spark, root.toString)
     require(versions.nonEmpty, s"append needs an existing index at $indexPath")
     val cur = versionRoot(root.toString, versions.max)
     val next = versions.max + 1
@@ -352,10 +363,11 @@ object ClusterIndex {
     // rewriteBatchAgainstLedger rule): a bulk backfill handed to append
     // must degrade to the shuffle join, not die at driver maxResultSize;
     // AQE converts back to broadcast when the built side is small.
-    val microBatch = batchSig.count() <= 100000L
+    val microBatch = batchSig.count() <= graft.IndexVersions.MicroBatchMaxDocs
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (microBatch) broadcast(df) else df
-    val oldBands = layerRows(spark, indexPath, "bands", BandSchema, deltaTag)
+    val oldBands = layerRowsAt(spark, root.toString, "bands", BandSchema,
+      deltaTag)
     val candOld = oldBands.join(
         maybeBroadcast(batchBands.select(col("band_id"), col("band_val"),
           col("doc_id").as("b_doc"))),
@@ -372,7 +384,8 @@ object ClusterIndex {
       .distinct()
     // verify with the SHARED rule; old signatures fetched by candidate id
     // (candidate-bounded, id-keyed against the sorted sig buckets)
-    val oldSigs = layerRows(spark, indexPath, "sigs", SigSchema, deltaTag)
+    val oldSigs = layerRowsAt(spark, root.toString, "sigs", SigSchema,
+      deltaTag)
       .join(maybeBroadcast(
           candOld.select(col("o_doc").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
@@ -496,21 +509,25 @@ object ClusterIndex {
     import spark.implicits._
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE generation resolution for the whole compaction: version
+    // listing, layer reads and tag listing must see the SAME generation
     val gen = genRootOf(spark, indexPath)
-    val cur = currentRoot(spark, indexPath)
+    val curVs = committedVersionsAt(spark, gen)
+    require(curVs.nonEmpty, s"no committed cluster index under $indexPath")
+    val cur = versionRoot(gen, curVs.max)
     val (buckets, minJaccard) = readStatsAt(spark, cur)
     val tags = graft.IndexVersions.committedBatchTags(fs,
       new Path(gen, "_batches"), "stats/_SUCCESS")
     val ledger = graft.IndexVersions.readLedger(fs, new Path(cur))
     graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
       fence) { staging =>
-      layerRows(spark, indexPath, "sigs", SigSchema, exclude = "")
+      layerRowsAt(spark, gen, "sigs", SigSchema, exclude = "")
         .withColumn("sb", pmod(hash(col("doc_id")), lit(buckets)))
         .repartition(col("sb"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").partitionBy("sb")
         .parquet(new Path(staging, "sigs").toString)
-      layerRows(spark, indexPath, "bands", BandSchema, exclude = "")
+      layerRowsAt(spark, gen, "bands", BandSchema, exclude = "")
         .withColumn("bb", pmod(hash(col("band_val")), lit(buckets)))
         .repartition(col("bb"))
         .sortWithinPartitions("band_val")
@@ -532,7 +549,8 @@ object ClusterIndex {
   }
 
   /** Drop compacted generations beyond the newest `keepLast` (generation
-    * 0 — the root's own layout — is never deleted). */
+    * 0 — the root's own layout — reclaims its DATA dirs once superseded
+    * past the floor + grace; the root dir itself is the path and stays). */
   def vacuumGenerations(spark: SparkSession, indexPath: String,
       keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path

@@ -1066,7 +1066,7 @@ object Dedup {
     graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
       "stats/_SUCCESS", fence) { staging =>
       graft.functions.TextExpressions.register(spark)
-      val (n, buckets) = readGramLedgerStats(spark, ledgerPath)
+      val (n, buckets) = readGramLedgerStatsAt(spark, gen) // resolved once
       val docs = Tables.documents(spark, batchDir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       val posGrams = docs
@@ -1104,20 +1104,31 @@ object Dedup {
     * the tags the current generation's ledger file carries from before
     * the last compaction (both keep short-circuiting replays). */
   def gramLedgerAppliedTags(spark: SparkSession,
-      ledgerPath: String): Set[String] = {
+      ledgerPath: String): Set[String] =
+    gramLedgerAppliedTagsAt(spark, ledgerGenRoot(spark, ledgerPath))
+
+  /** [[gramLedgerAppliedTags]] against an ALREADY-RESOLVED generation —
+    * every multi-step read resolves the generation ONCE and threads it
+    * through (round-13 review finding: helpers that each re-resolved let
+    * a concurrent in-chain compaction flip the generation mid-read, so a
+    * reader merged the old base with the new generation's — empty — live
+    * set and silently lost delta grams). */
+  private def gramLedgerAppliedTagsAt(spark: SparkSession,
+      gen: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val gen = new Path(ledgerGenRoot(spark, ledgerPath))
-    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    gramLedgerLiveTags(spark, ledgerPath) ++
-      graft.IndexVersions.carriedTags(fs, gen)
+    val genPath = new Path(gen)
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    gramLedgerLiveTagsAt(spark, gen) ++
+      graft.IndexVersions.carriedTags(fs, genPath)
   }
 
-  /** Tags with LIVE delta dirs — the layers a reader merges beside the
-    * base, and the compaction-cadence metric. */
-  private def gramLedgerLiveTags(spark: SparkSession,
-      ledgerPath: String): Set[String] = {
+  /** Tags with LIVE delta dirs in the GIVEN generation — the layers a
+    * reader merges beside the base, and the compaction-cadence metric.
+    * Takes the resolved generation root, never re-resolves. */
+  private def gramLedgerLiveTagsAt(spark: SparkSession,
+      gen: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(ledgerGenRoot(spark, ledgerPath), "_batches")
+    val root = new Path(gen, "_batches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.committedBatchTags(fs, root, "stats/_SUCCESS")
   }
@@ -1127,13 +1138,13 @@ object Dedup {
     * [[compactGramLedgerInChain]] on. */
   def gramLedgerLiveBatchCount(spark: SparkSession,
       ledgerPath: String): Int =
-    gramLedgerLiveTags(spark, ledgerPath).size
+    gramLedgerLiveTagsAt(spark, ledgerGenRoot(spark, ledgerPath)).size
 
-  private def readGramLedgerStats(spark: SparkSession,
-      ledgerPath: String): (Int, Int) = {
-    val df = spark.read.parquet(s"${ledgerGenRoot(spark, ledgerPath)}/stats")
+  private def readGramLedgerStatsAt(spark: SparkSession,
+      gen: String): (Int, Int) = {
+    val df = spark.read.parquet(s"$gen/stats")
     require(df.columns.contains("n") && df.columns.contains("buckets"),
-      s"gram ledger stats at $ledgerPath/stats is missing its layout " +
+      s"gram ledger stats at $gen/stats is missing its layout " +
         "scalars — corrupted or hand-assembled; rebuild rather than " +
         "guessing (a wrong gram size silently mis-merges every fold)")
     val r = df.select(col("n"), col("buckets")).collect().head
@@ -1145,18 +1156,17 @@ object Dedup {
     * merged view aggregate ([[readGramLedger]]) or prune first
     * ([[rewriteBatchAgainstLedger]] — the production path never pays
     * the full merge). */
-  private def gramLedgerRows(spark: SparkSession,
-      ledgerPath: String): DataFrame = {
+  private def gramLedgerRowsAt(spark: SparkSession,
+      gen: String): DataFrame = {
     // delta reads carry the base's data schema EXPLICITLY: a batch of
     // all-short docs commits an EMPTY partitioned delta (no data files,
     // nothing to infer from) — a legitimate state, not an error; a
     // carried tag's empty delta (compaction) reads the same way
-    val gen = ledgerGenRoot(spark, ledgerPath)
     val base = spark.read.parquet(s"$gen/grams")
     val dataSchema = org.apache.spark.sql.types.StructType(
       base.schema.filterNot(_.name == "gb"))
     val cols = dataSchema.fieldNames.map(col).toSeq
-    gramLedgerLiveTags(spark, ledgerPath).toSeq.sorted
+    gramLedgerLiveTagsAt(spark, gen).toSeq.sorted
       .map(t => spark.read.schema(dataSchema)
         .parquet(s"$gen/_batches/$t/grams").select(cols: _*))
       .foldLeft(base.select(cols: _*))(_ unionByName _)
@@ -1167,7 +1177,7 @@ object Dedup {
     * the semigroup argument). Corpus-gram-mass aggregate: the audit
     * shape, not the serving path. */
   def readGramLedger(spark: SparkSession, ledgerPath: String): DataFrame =
-    gramLedgerRows(spark, ledgerPath)
+    gramLedgerRowsAt(spark, ledgerGenRoot(spark, ledgerPath))
       .groupBy("gram")
       .agg(min("first").as("first"), sum("n_occ").as("n_occ"))
 
@@ -1176,26 +1186,33 @@ object Dedup {
     * and a reader's per-layer scan setup eventually dominates): write
     * the MERGED ledger as a fresh base at `outPath` (the semigroup fold,
     * so merged-base reads equal the layered reads row-for-row — spec'd),
-    * and CARRY THE APPLIED TAGS FORWARD as empty committed deltas — the
+    * and CARRY THE APPLIED TAGS FORWARD in the compacted root's ledger
+    * FILE (round 13 — one empty delta dir per carried tag, the round-12
+    * form, would keep the reader's per-tag listing cost growing with
+    * TOTAL fold count, the exact degradation compaction removes) — the
     * tags ARE the exactly-once replay ledger, and a compacted root that
     * forgot them would re-fold every batch an at-least-once stream
-    * replays (n_occ is additive; that double would be silent). Empty
-    * deltas read as zero rows by the explicit-schema rule. Offline and
-    * at a FRESH path by design (the DocStore rebuild convention): the
-    * deployment's path indirection swaps it in; never an in-place
+    * replays (n_occ is additive; that double would be silent). Offline
+    * and at a FRESH path by design (the DocStore rebuild convention):
+    * the deployment's path indirection swaps it in; never an in-place
     * rewrite racing readers. */
   def compactGramLedger(spark: SparkSession, ledgerPath: String,
       outPath: String): Unit =
     writeCompactedLedgerLayout(spark, ledgerPath, outPath)
 
   /** The compacted layout both compaction forms share: merged base,
-    * carried tags as empty committed deltas, stats last. */
+    * carried tags in the root's ledger file, stats last. */
   private def writeCompactedLedgerLayout(spark: SparkSession,
       ledgerPath: String, outPath: String): Unit = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val (n, buckets) = readGramLedgerStats(spark, ledgerPath)
-    readGramLedger(spark, ledgerPath)
+    // ONE generation resolution for the whole compaction pass: stats,
+    // rows and carried tags must all read the SAME generation
+    val gen = ledgerGenRoot(spark, ledgerPath)
+    val (n, buckets) = readGramLedgerStatsAt(spark, gen)
+    gramLedgerRowsAt(spark, gen)
+      .groupBy("gram")
+      .agg(min("first").as("first"), sum("n_occ").as("n_occ"))
       .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
       .repartition(col("gb"))
       .sortWithinPartitions("gram")
@@ -1208,7 +1225,7 @@ object Dedup {
     // per-tag listing cost growing with TOTAL fold count, the exact
     // degradation compaction removes); their grams are in the merged base
     graft.IndexVersions.carryTagsForward(fs, new Path(outPath),
-      gramLedgerAppliedTags(spark, ledgerPath))
+      gramLedgerAppliedTagsAt(spark, gen))
     Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
       .coalesce(1) // base stats LAST — the commit marker
       .write.mode("overwrite").parquet(s"$outPath/stats")
@@ -1234,7 +1251,9 @@ object Dedup {
   }
 
   /** Drop compacted ledger generations beyond the newest `keepLast`
-    * (generation 0 — the root's own layout — is never deleted). */
+    * (generation 0 — the root's own layout — reclaims its DATA dirs
+    * once superseded past the floor + grace; the root dir itself is the
+    * path and stays). */
   def vacuumGramLedgerGenerations(spark: SparkSession, ledgerPath: String,
       keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -1272,7 +1291,12 @@ object Dedup {
   def rewriteBatchAgainstLedger(spark: SparkSession, batchDir: String,
       ledgerPath: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
-    val (n, _) = readGramLedgerStats(spark, ledgerPath)
+    // ONE generation resolution for the whole rewrite: the stats read and
+    // the ledger scan must see the SAME generation (round-13 review
+    // finding — a compaction committing in between silently dropped the
+    // old generation's live delta grams from the canonicality merge)
+    val ledgerGen = ledgerGenRoot(spark, ledgerPath)
+    val (n, _) = readGramLedgerStatsAt(spark, ledgerGen)
     val batchDocs = Tables.documents(spark, batchDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .localCheckpoint() // feeds gram pass + reassembly
@@ -1285,11 +1309,11 @@ object Dedup {
     // micro-batch bound for the FORCED broadcast (doc count is one
     // batch-bounded aggregate; ~grams = docs × len, and 100k docs' gram
     // set is comfortably under driver/broadcast limits)
-    val microBatch = batchDocs.count() <= 100000L
+    val microBatch = batchDocs.count() <= graft.IndexVersions.MicroBatchMaxDocs
     val batchGramSet =
       if (microBatch) broadcast(batchLedger.select("gram"))
       else batchLedger.select("gram")
-    val matched = gramLedgerRows(spark, ledgerPath)
+    val matched = gramLedgerRowsAt(spark, ledgerGen)
       .join(batchGramSet, Seq("gram"), "left_semi")
     val merged = mergeGramLedgers(matched.select("gram", "first", "n_occ"),
       batchLedger)

@@ -156,7 +156,7 @@ object DocStore {
     // a replay never re-reads the layout scalar
     graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
       "rows/_SUCCESS", fence) { staging =>
-      val buckets = readBuckets(spark, storePath)
+      val buckets = readBucketsAt(spark, gen) // the resolved gen, once
       Tables.documents(spark, batchDir)
         .withColumn("payload", col("text").cast("binary")) // the write rule
         .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
@@ -187,20 +187,30 @@ object DocStore {
     * (or crashed) batch for readers (round-11 review finding); valid
     * tags can never start with '.'
     * ([[graft.IndexVersions.requireDirSafeTag]]). */
-  def appliedTags(spark: SparkSession, storePath: String): Set[String] = {
+  def appliedTags(spark: SparkSession, storePath: String): Set[String] =
+    appliedTagsAt(spark, genRoot(spark, storePath))
+
+  /** [[appliedTags]] against an ALREADY-RESOLVED generation root — every
+    * multi-step read resolves the generation ONCE and threads it through
+    * (round-13 review finding: helpers that each re-resolved let a
+    * concurrent compaction flip the generation mid-read, so a reader
+    * mixed the old generation's base with the new one's — empty — live
+    * set and silently dropped batch rows from served pages). */
+  private def appliedTagsAt(spark: SparkSession, gen: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val gen = new Path(genRoot(spark, storePath))
-    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    liveTags(spark, storePath) ++ graft.IndexVersions.carriedTags(fs, gen)
+    val genPath = new Path(gen)
+    val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    liveTagsAt(spark, gen) ++ graft.IndexVersions.carriedTags(fs, genPath)
   }
 
-  /** Tags with LIVE delta dirs in the current generation — the layers a
+  /** Tags with LIVE delta dirs in the GIVEN generation — the layers a
     * reader unions beside the base (carried tags' rows are already IN
     * the base), and the compaction-cadence metric (resets to zero at
-    * each compaction). */
-  private def liveTags(spark: SparkSession, storePath: String): Set[String] = {
+    * each compaction). Takes the resolved generation root, never
+    * re-resolves (the [[appliedTagsAt]] rule). */
+  private def liveTagsAt(spark: SparkSession, gen: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(genRoot(spark, storePath), "batches")
+    val root = new Path(gen, "batches")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.IndexVersions.committedBatchTags(fs, root, "rows/_SUCCESS")
   }
@@ -208,12 +218,12 @@ object DocStore {
   /** Live (uncompacted) delta-dir count — the cadence probe
     * [[graft.app.IndexMaintenanceJob]] triggers [[compact]] on. */
   def liveBatchCount(spark: SparkSession, storePath: String): Int =
-    liveTags(spark, storePath).size
+    liveTagsAt(spark, genRoot(spark, storePath)).size
 
-  private def readBuckets(spark: SparkSession, storePath: String): Int = {
-    val df = spark.read.parquet(s"${genRoot(spark, storePath)}/stats")
+  private def readBucketsAt(spark: SparkSession, gen: String): Int = {
+    val df = spark.read.parquet(s"$gen/stats")
     require(df.columns.contains("buckets"),
-      s"doc store stats at $storePath/stats has no 'buckets' column — " +
+      s"doc store stats at $gen/stats has no 'buckets' column — " +
         "corrupted or hand-assembled; rebuild rather than guessing (a " +
         "wrong count silently misses every fetch)")
     df.select(col("buckets")).collect().head.getLong(0).toInt
@@ -241,12 +251,14 @@ object DocStore {
     import spark.implicits._
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE generation resolution for the whole compaction: buckets, tags
+    // and rows must all read the SAME generation (the appliedTagsAt rule)
     val gen = genRoot(spark, storePath)
-    val buckets = readBuckets(spark, storePath)
-    val tags = appliedTags(spark, storePath)
+    val buckets = readBucketsAt(spark, gen)
+    val tags = appliedTagsAt(spark, gen)
     graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
       fence) { staging =>
-      allRows(spark, storePath)
+      allRowsAt(spark, gen)
         .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
         .repartition(col("db"))
         .sortWithinPartitions("doc_id")
@@ -261,7 +273,8 @@ object DocStore {
 
   /** Drop compacted generations beyond the newest `keepLast` (the
     * version-chain vacuum contract; generation 0 — the root's own
-    * layout — is never deleted). */
+    * layout — reclaims its DATA dirs once superseded past the floor +
+    * grace; the root dir itself is the path and stays). */
   def vacuumGenerations(spark: SparkSession, storePath: String,
       keepLast: Int = 2, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -277,13 +290,12 @@ object DocStore {
     * infer from — a legitimate state, the gram-ledger rule). Doc ids are
     * unique across layers by the append contract, so the union IS the
     * id-keyed row set. */
-  private def allRows(spark: SparkSession, storePath: String): DataFrame = {
-    val gen = genRoot(spark, storePath)
+  private def allRowsAt(spark: SparkSession, gen: String): DataFrame = {
     val base = spark.read.parquet(s"$gen/rows")
     val dataSchema = org.apache.spark.sql.types.StructType(
       base.schema.filterNot(_.name == "db"))
     val cols = dataSchema.fieldNames.map(col).toSeq
-    liveTags(spark, storePath).toSeq.sorted
+    liveTagsAt(spark, gen).toSeq.sorted
       .map(t => spark.read.schema(dataSchema)
         .parquet(s"$gen/batches/$t/rows").select(cols: _*))
       .foldLeft(base.select(cols: _*))(_ unionByName _)
@@ -306,8 +318,12 @@ object DocStore {
       s"fetchPage is for result pages (got ${ids.length} ids; bound 1024)" +
         " — batch content passes should read the corpus table, not the store")
     import spark.implicits._
+    // ONE generation resolution for the whole fetch: a compaction
+    // committing between a base resolution and the live-tag listing
+    // would otherwise drop every batch-resident doc from the page
+    // silently (round-13 review finding)
     val gen = genRoot(spark, storePath)
-    val buckets = readBuckets(spark, storePath)
+    val buckets = readBucketsAt(spark, gen)
     val dbs = ids.toDF("doc_id")
       .select(pmod(hash(col("doc_id")), lit(buckets)).as("db"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -321,7 +337,7 @@ object DocStore {
     // schema (an empty committed batch has no files to infer from).
     val base = spark.read.parquet(s"$gen/rows")
     val batchSchema = base.schema
-    val batches = liveTags(spark, storePath).toSeq.sorted
+    val batches = liveTagsAt(spark, gen).toSeq.sorted
       .map(t => spark.read.schema(batchSchema).parquet(s"$gen/batches/$t/rows"))
     (base +: batches).map(df => df
         .filter(col("db").isin(dbs: _*))

@@ -287,28 +287,45 @@ object TextIndex {
     * partial compaction and old versions stay until [[vacuumVersions]].
     * Lease-holder operation, like every compactor here. */
   def compactVersion(spark: SparkSession, indexPath: String,
-      fence: () => Unit = graft.IndexVersions.NoFence): String = {
+      fence: () => Unit = graft.IndexVersions.NoFence): String =
+    compactVersionWith(spark, indexPath, "text", fence) { (cur, staging) =>
+      import org.apache.hadoop.fs.Path
+      // tb values are already hash-correct — repartition ON the persisted
+      // column, never recompute (a drifted hash would silently mis-prune)
+      spark.read.parquet(s"$cur/postings")
+        .repartition(col("tb"))
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(new Path(staging, "postings").toString)
+      spark.read.parquet(s"$cur/dfreq")
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(new Path(staging, "dfreq").toString)
+    }
+
+  /** The shared publish-next-version-from-rewritten-artifacts protocol
+    * behind [[compactVersion]] and [[compactPhraseVersion]] (round-13
+    * review: the two carried it verbatim-duplicated — the exact drift
+    * hazard the shared appendTaggedBatch closed for the append side):
+    * resolve the current version ONCE, rewrite the layout's data
+    * artifacts into staging via `rewrite(cur, staging)`, carry stats
+    * verbatim (coalesced, the commit marker), copy the applied-tags
+    * ledger (same corpus — the retrain convention), and publish via the
+    * guarded rename. */
+  private def compactVersionWith(spark: SparkSession, indexPath: String,
+      kind: String, fence: () => Unit)(
+      rewrite: (String, org.apache.hadoop.fs.Path) => Unit): String = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = committedVersions(spark, indexPath)
-    require(versions.nonEmpty, s"no committed text index under $indexPath")
+    require(versions.nonEmpty, s"no committed $kind index under $indexPath")
     val cur = versionRoot(indexPath, versions.max)
     val next = versions.max + 1
     val target = new Path(root, s"v$next")
     val staging = new Path(root,
       s".staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
-    // tb values are already hash-correct — repartition ON the persisted
-    // column, never recompute (a drifted hash would silently mis-prune)
-    spark.read.parquet(s"$cur/postings")
-      .repartition(col("tb"))
-      .sortWithinPartitions("tok", "doc_id")
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(new Path(staging, "postings").toString)
-    spark.read.parquet(s"$cur/dfreq")
-      .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(new Path(staging, "dfreq").toString)
+    rewrite(cur, staging)
     spark.read.parquet(s"$cur/stats")
       .coalesce(1) // scalars carried verbatim; stats LAST = commit marker
       .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
@@ -547,39 +564,23 @@ object TextIndex {
     * one file-set per bucket, stats copied, ledger verbatim — served
     * phrase/proximity answers identical by construction. */
   def compactPhraseVersion(spark: SparkSession, indexPath: String,
-      fence: () => Unit = graft.IndexVersions.NoFence): String = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = committedVersions(spark, indexPath)
-    require(versions.nonEmpty, s"no committed phrase index under $indexPath")
-    val cur = versionRoot(indexPath, versions.max)
-    val next = versions.max + 1
-    val target = new Path(root, s"v$next")
-    val staging = new Path(root,
-      s".staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
-    spark.read.parquet(s"$cur/positions")
-      .repartition(col("ub"))
-      .sortWithinPartitions("tok", "doc_id", "i")
-      .write.mode("overwrite").partitionBy("ub")
-      .parquet(new Path(staging, "positions").toString)
-    spark.read.parquet(s"$cur/udf")
-      .repartition(col("ub"))
-      .write.mode("overwrite").partitionBy("ub")
-      .parquet(new Path(staging, "udf").toString)
-    spark.read.parquet(s"$cur/phrases")
-      .repartition(col("pb"))
-      .write.mode("overwrite").partitionBy("pb")
-      .parquet(new Path(staging, "phrases").toString)
-    spark.read.parquet(s"$cur/stats")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
-    graft.IndexVersions.writeLedger(fs, staging,
-      graft.IndexVersions.readLedger(fs, new Path(cur)))
-    graft.IndexVersions.publish(fs, staging, target,
-      t => fs.exists(new Path(t, "stats/_SUCCESS")), fence)
-    target.toString
-  }
+      fence: () => Unit = graft.IndexVersions.NoFence): String =
+    compactVersionWith(spark, indexPath, "phrase", fence) { (cur, staging) =>
+      import org.apache.hadoop.fs.Path
+      spark.read.parquet(s"$cur/positions")
+        .repartition(col("ub"))
+        .sortWithinPartitions("tok", "doc_id", "i")
+        .write.mode("overwrite").partitionBy("ub")
+        .parquet(new Path(staging, "positions").toString)
+      spark.read.parquet(s"$cur/udf")
+        .repartition(col("ub"))
+        .write.mode("overwrite").partitionBy("ub")
+        .parquet(new Path(staging, "udf").toString)
+      spark.read.parquet(s"$cur/phrases")
+        .repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(new Path(staging, "phrases").toString)
+    }
 
   def positionFileCount(spark: SparkSession, indexPath: String): Int =
     artifactFileCount(spark, phraseCurrentRoot(spark, indexPath), "positions")

@@ -79,6 +79,44 @@ class CompactionSpec extends SparkSpec {
       ids.length + 1L, "vacuuming an old generation broke the current one")
   }
 
+  test("generation vacuum reclaims generation 0's data once superseded past the floor") {
+    // round-13 review finding: gen 0 (the root's own layout) was never
+    // deleted, so the first compaction permanently ~doubled at-rest
+    // bytes — the full pre-compaction corpus held as dead weight. The
+    // sweep must (a) NOT fire while gen 0 is within the retention floor,
+    // (b) reclaim every root child except generation dirs once it is
+    // past the floor, and (c) leave the current generation serving.
+    val store = tmp("cmp_gen0")
+    DocStore.write(spark, sf0001, store)
+    assert(DocStore.append(spark, docsDirFrom(500000L), store, "b1"))
+    val ids = Seq(1L, 42L, 500001L)
+    val want = DocStore.fetchPage(spark, store, ids)
+      .orderBy("doc_id").collect().map(cmp).toSeq
+    DocStore.compact(spark, store) // _g1
+    // (a) gens {0, 1}, keepLast=2: gen 0 is within the floor — retained
+    assert(!DocStore.vacuumGenerations(spark, store, keepLast = 2)
+      .exists(_.endsWith("rows")), "gen 0 swept while within the floor")
+    val rowsDir = new java.io.File(store, "rows")
+    assert(rowsDir.exists, "gen 0 data must survive within the floor")
+    DocStore.compact(spark, store) // _g2 → gens {0, 1, 2}
+    // (b) now past the floor: gen 0's data dirs (rows, batches, stats)
+    // AND _g1 go; _g2 stays and serves
+    val removed = DocStore.vacuumGenerations(spark, store, keepLast = 1)
+    assert(removed.exists(_.endsWith("rows")),
+      s"expected gen 0's rows reclaimed: $removed")
+    assert(removed.exists(_.contains("_g1")), s"expected _g1 vacuumed: $removed")
+    assert(!rowsDir.exists, "gen 0 rows dir must be gone")
+    assert(!new java.io.File(store, "batches").exists)
+    // (c) the survivor serves the identical page; replay still
+    // short-circuits off the survivor's carried-tag ledger
+    assert(DocStore.fetchPage(spark, store, ids)
+      .orderBy("doc_id").collect().map(cmp).toSeq == want,
+      "reclaiming gen 0 changed served bytes")
+    assert(DocStore.appliedTags(spark, store) == Set("b1"))
+    assert(!DocStore.append(spark, docsDirFrom(500000L), store, "b1"),
+      "replay short-circuit lost with gen 0's ledger")
+  }
+
   test("doc store: sharded base build ≡ the one-shot build for every fetch") {
     val one = tmp("cmp_dsone")
     val sharded = tmp("cmp_dssh")
