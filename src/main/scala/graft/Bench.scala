@@ -69,8 +69,16 @@ object Bench {
       // source tag instead.
       case Some(v) => v.toDoubleOption.filter(_ > 0.0) match {
         case Some(d) => (d, "env:SPARK_GRAFT_CAL_REF")
-        case None => (DefaultCalibrationRefS,
-          s"compiled-in (IGNORED invalid SPARK_GRAFT_CAL_REF='$v')")
+        case None =>
+          // SANITIZED before it rides the hand-built JSON line (round-14
+          // ADVICE finding): a raw env value carrying '"', '\' or a
+          // control char would make the driver artifact line unparseable —
+          // the exact parsed:null failure class the compact summary line
+          // exists to prevent. Dropping the offending chars is enough:
+          // this string is diagnostic, not data.
+          val safe = v.filter(c => c >= ' ' && c != '"' && c != '\\').take(64)
+          (DefaultCalibrationRefS,
+            s"compiled-in (IGNORED invalid SPARK_GRAFT_CAL_REF='$safe')")
       }
       case None => (DefaultCalibrationRefS, "compiled-in (re-baseline on a different box)")
     }

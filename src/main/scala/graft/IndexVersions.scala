@@ -362,9 +362,17 @@ object IndexVersions {
     // finding: never deleting it left the full pre-compaction corpus —
     // at the 1000× tier, half the artifact's bytes — as permanent dead
     // weight after the first compaction). Every root child except the
-    // `_g<N>` generation dirs and TTL-swept staging IS generation-0 data
-    // (rows/grams/sigs, delta dirs, the tag ledger file, the commit
-    // marker), so the sweep is artifact-agnostic. Grace is measured from
+    // `_g<N>` generation dirs, TTL-swept staging, and the WRITER LEASE
+    // is generation-0 data (rows/grams/sigs, delta dirs, the tag ledger
+    // file, the commit marker), so the sweep is artifact-agnostic. The
+    // lease file is PROTOCOL state, not generation data (round-14 ADVICE
+    // finding): the fold jobs vacuum under their own root-level lease, so
+    // sweeping it here made the active writer delete its own live lease
+    // at the second compaction — epoch counter reset to 1 (re-validating
+    // that writer's stale fencing tokens) and a parked standby's next
+    // poll acquired over the live primary: two live writers on one
+    // artifact, the exact split-brain the lease exists to prevent.
+    // Grace is measured from
     // when generation 0 was SUPERSEDED (the oldest surviving newer
     // generation's commit-marker mtime) — the dirs' own mtimes predate
     // the compaction by the stream's whole lifetime and would defeat the
@@ -380,7 +388,8 @@ object IndexVersions {
             System.currentTimeMillis() - supersededAt >= graceMs)
           fs.listStatus(root).toSeq.map(_.getPath)
             .filterNot(p => p.getName.startsWith("_g") ||
-              p.getName.startsWith(".staging_"))
+              p.getName.startsWith(".staging_") ||
+              p.getName == LeaseFile)
             .map { p => fs.delete(p, true); p.toString }
         else Seq.empty
       } else Seq.empty

@@ -493,12 +493,31 @@ object ClusterIndex {
     * correct by protocol, but the candidate probe's per-layer scan setup
     * eventually dominates a fold. Compact folds base + committed deltas
     * into ONE bucketed sigs/bands layout, copies the CURRENT label table
-    * and stats, carries the `_batches` tags forward as empty committed
-    * deltas (the replay ledger — a forgotten tag would re-fold its batch:
-    * duplicate sig/band rows are CC-absorbed but edges recompute and a
-    * fresh labels version publishes for nothing) and the version LEDGER
-    * verbatim (same corpus — the retrain convention), publishing it all
+    * and stats, carries the `_batches` tags forward in the generation's
+    * version LEDGER FILE — NOT as per-tag empty delta dirs, which would
+    * keep the reader's per-layer listing cost growing with total fold
+    * count, the exact degradation compaction removes (a forgotten tag
+    * would re-fold its batch: duplicate sig/band rows are CC-absorbed
+    * but edges recompute and a fresh labels version publishes for
+    * nothing) — alongside the current ledger's tags verbatim (same
+    * corpus — the retrain convention), publishing it all
     * as the next GENERATION dir ([[graft.IndexVersions.publishGeneration]]).
+    *
+    * UNFINISHED-FOLD GUARD (round-14 ADVICE finding): [[append]] commits
+    * the sigs/bands delta BEFORE publishing the labels version, so a fold
+    * that crashed in that window leaves a committed delta tag ABSENT from
+    * the version ledger. Replay normally refolds it — but compact() is a
+    * public API, not only the post-fold cadence path, and carrying such a
+    * tag would mark the batch applied while its docs never received
+    * labels: served clusters would silently miss them forever. Compact
+    * therefore REFUSES when a committed TAGGED delta is not in the
+    * current version's ledger (replay the fold first). Untagged nonce
+    * deltas are exempt: their nonce never enters the ledger by design
+    * (the untagged counter does), a replay mints a FRESH nonce either
+    * way, and duplicate sig/band rows are CC-absorbed — folding their
+    * rows into the base and carrying the nonce is exactly as correct as
+    * the documented replay-leaking untagged contract.
+    *
     * The compacted generation restarts its label version chain at v0
     * (base position); served labels are byte-identical across compaction
     * (spec'd). Old generations persist for in-flight readers until
@@ -519,6 +538,17 @@ object ClusterIndex {
     val tags = graft.IndexVersions.committedBatchTags(fs,
       new Path(gen, "_batches"), "stats/_SUCCESS")
     val ledger = graft.IndexVersions.readLedger(fs, new Path(cur))
+    // UNFINISHED-FOLD GUARD (see object doc): a committed TAGGED delta
+    // absent from the labels version's ledger is a fold that crashed
+    // between its delta commit and its labels publish — carrying it
+    // would permanently mark the batch applied while its docs never
+    // received labels. Refuse; replaying the fold heals it.
+    val unfolded = tags.diff(ledger.tags).filterNot(_.startsWith("untagged_"))
+    require(unfolded.isEmpty,
+      s"cluster index at $indexPath has committed delta tags not yet " +
+        s"folded into the label version (a fold crashed between its delta " +
+        s"commit and its labels publish) — replay the fold(s) before " +
+        s"compacting: ${unfolded.toSeq.sorted.mkString(", ")}")
     graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
       fence) { staging =>
       layerRowsAt(spark, gen, "sigs", SigSchema, exclude = "")

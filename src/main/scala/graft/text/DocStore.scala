@@ -101,8 +101,21 @@ object DocStore {
     * store, never a torn one. */
   def writeSharded(spark: SparkSession, dir: String, storePath: String,
       buckets: Int = 16, shards: Int = 4): Unit = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
     require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    // EXPLICIT clean of the rows layout before the shard loop (round-14
+    // ADVICE finding): the shard-0 overwrite only clears the whole dir
+    // under the default STATIC partitionOverwriteMode — a deployment
+    // running partitionOverwriteMode=dynamic would have a rerun after a
+    // mid-build crash overwrite only shard 0's db= partitions and then
+    // APPEND duplicates of the crashed run's remaining shards, silently
+    // breaking the unique-doc_id contract (stats still commits last, so
+    // the torn store would look committed). Deleting here makes reruns
+    // clean regardless of session config.
+    val rowsPath = new Path(s"$storePath/rows")
+    rowsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rowsPath, true)
     for (s <- 0 until shards) {
       Tables.documents(spark, dir)
         .withColumn("payload", col("text").cast("binary"))

@@ -117,6 +117,84 @@ class CompactionSpec extends SparkSpec {
       "replay short-circuit lost with gen 0's ledger")
   }
 
+  test("generation vacuum leaves the writer lease untouched (gen-0 sweep is data-only)") {
+    // round-14 ADVICE finding: the gen-0 sweep deleted every root child
+    // not matching _g*/.staging_*, which included _writer_lease — the
+    // fold jobs vacuum under their own root-level lease, so at the
+    // second compaction the active writer deleted its own live lease:
+    // the epoch counter reset to 1 (re-validating that writer's stale
+    // fencing tokens) and a parked standby's next poll acquired over the
+    // live primary — two live writers on one artifact.
+    val store = tmp("cmp_lease")
+    DocStore.write(spark, sf0001, store)
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epoch = graft.IndexVersions.acquireLeaseEpoch(fs, root, "primary",
+      ttlMs = 600000L).get
+    assert(DocStore.append(spark, docsDirFrom(500000L), store, "b1"))
+    DocStore.compact(spark, store) // _g1
+    DocStore.compact(spark, store) // _g2 → gen 0 past the keepLast=1 floor
+    val removed = DocStore.vacuumGenerations(spark, store, keepLast = 1)
+    assert(removed.exists(_.endsWith("rows")),
+      s"the gen-0 sweep should have fired: $removed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+      graft.IndexVersions.LeaseFile)),
+      "the gen-0 sweep deleted the writer lease")
+    // this acquisition is still current (epoch NOT reset) ...
+    graft.IndexVersions.checkFence(fs, root, "primary", epoch)
+    // ... and a standby stays parked instead of acquiring over the primary
+    assert(graft.IndexVersions.acquireLeaseEpoch(fs, root, "standby",
+      ttlMs = 600000L).isEmpty,
+      "a standby acquired over a live primary after the gen-0 sweep")
+  }
+
+  test("cluster index: compact refuses a crashed fold's committed-but-unfolded delta; replay heals") {
+    // round-14 ADVICE finding: append commits the sigs/bands delta BEFORE
+    // publishing the labels version; compact used to union ALL committed
+    // delta tags into the carried ledger, so a fold crashed in that
+    // window would be permanently marked applied while its docs never
+    // received labels.
+    val idx = tmp("cmp_crash")
+    ClusterIndex.write(spark, sf0001, idx)
+    val b = docsDirFrom(300000L)
+    // crash exactly in the window: the delta's publish is this fence's
+    // first call, the labels publish its second
+    var calls = 0
+    val crashAtLabels: () => Unit = () => {
+      calls += 1
+      if (calls >= 2)
+        throw new IllegalStateException("simulated crash before labels publish")
+    }
+    intercept[IllegalStateException] {
+      ClusterIndex.append(spark, b, idx, Some("crashed_fold"), crashAtLabels)
+    }
+    // the window's shape: delta committed, tag absent from the version ledger
+    assert(ClusterIndex.liveBatchCount(spark, idx) == 1)
+    assert(!ClusterIndex.appliedTags(spark, idx).contains("crashed_fold"))
+    val e = intercept[IllegalArgumentException] {
+      ClusterIndex.compact(spark, idx)
+    }
+    assert(e.getMessage.contains("crashed_fold"),
+      s"the refusal must name the unfolded tag: ${e.getMessage}")
+    // replay heals: the delta short-circuits, the labels publish, and the
+    // compacted index serves the union-corpus resolution
+    ClusterIndex.append(spark, b, idx, Some("crashed_fold"))
+    assert(ClusterIndex.appliedTags(spark, idx) == Set("crashed_fold"))
+    ClusterIndex.compact(spark, idx)
+    val unionDir = tmp("cmp_crun")
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .unionByName(spark.read.parquet(s"$b/documents.parquet"))
+      .write.mode("overwrite").parquet(s"$unionDir/documents.parquet")
+    assert(ClusterIndex.nearDupClustersServed(spark, unionDir, idx)
+      .collect().map(cmp).toSeq ==
+      Dedup.nearDupClusters(spark, unionDir).collect().map(cmp).toSeq,
+      "the healed, compacted index drifted from the full recompute")
+    // an untagged fold's nonce never enters the ledger by design (the
+    // untagged counter does) — it must NOT trip the guard
+    ClusterIndex.append(spark, docsDirFrom(400000L), idx, None)
+    ClusterIndex.compact(spark, idx)
+  }
+
   test("doc store: sharded base build ≡ the one-shot build for every fetch") {
     val one = tmp("cmp_dsone")
     val sharded = tmp("cmp_dssh")
