@@ -277,6 +277,44 @@ object IndexVersions {
     generationRoot(root, gens.max)
   }
 
+  /** TEST SEAM for the generation-race spec: invoked once per
+    * [[withGeneration]] resolution with the resolved root, AFTER the
+    * generation is pinned and BEFORE the caller's body reads it — the
+    * exact window the round-13 TOCTOU class lived in. Production leaves
+    * it a no-op; GenerationRaceSpec installs a hook that lands an
+    * in-chain compaction in the window and asserts every artifact's
+    * multi-step reads still serve ONE consistent generation. */
+  @volatile private[graft] var onGenerationResolved: String => Unit = _ => ()
+
+  /** RESOLVE-ONCE GENERATION COMBINATOR (round 14 — the round-13 TOCTOU
+    * fix made STRUCTURAL, per that round's review): every maintained
+    * artifact's multi-step read must resolve the current generation
+    * exactly once and derive every path it touches from that root —
+    * resolving twice lets a concurrent in-chain compaction flip the
+    * generation in between, so a reader mixes the old base with the new
+    * generation's (empty) delta set: dropped docs from served pages,
+    * lost delta grams, undercounted CMS. Round 13 fixed that with
+    * per-artifact `At`-suffixed helper conventions; nothing stopped the
+    * next read path from calling its artifact's resolver twice again.
+    * This combinator is the one place resolution happens: the four
+    * artifacts' resolvers are thin wrappers over it, the [[onGenerationResolved]]
+    * seam makes the resolved→read window testable, and a new read path
+    * written as `withGeneration(...) { gen => … }` cannot re-resolve
+    * without visibly stepping outside the block.
+    *
+    * `requireCommitted = false` resolves an absent/uncommitted artifact
+    * to the root itself (build paths probe before writing — the
+    * ClusterIndex convention); the default refuses loudly. */
+  def withGeneration[T](fs: FileSystem, root: Path, markerRel: String,
+      requireCommitted: Boolean = true)(body: Path => T): T = {
+    val gens = committedGenerations(fs, root, markerRel)
+    require(!requireCommitted || gens.nonEmpty,
+      s"no committed artifact under $root")
+    val gen = if (gens.isEmpty) root else generationRoot(root, gens.max)
+    onGenerationResolved(gen.toString)
+    body(gen)
+  }
+
   /** The shared micro-batch size bound for FORCED broadcast hints in the
     * maintenance rewrites ([[graft.text.Dedup.rewriteBatchAgainstLedger]],
     * [[graft.text.ClusterIndex.append]]): a real streaming batch is far

@@ -402,6 +402,16 @@ object SparkEntry {
       graft.text.TextIndex.proximitySearch(s, idx, ta, tb, slop = 3,
         pinnedRoot = pin)
     }),
+    // q166 (round 14): q105's dedup-savings histogram SERVED from the
+    // maintained cluster index — the q149/q158/q160 served-row pattern
+    // applied to the bench's most expensive recompute (q105 pays a cold
+    // q49 CC resolution per run; the labels already exist at rest).
+    // Shares q105's oracle verbatim by the q160 exactness argument; the
+    // serving cost is a label read + spine join + two bounded aggregates.
+    "q166_dedup_summary_served" -> ((s: SparkSession, d: String) => {
+      val root = cachedClusterIndex(s, d)
+      graft.text.ClusterIndex.dedupSummaryServed(s, d, s"$root/index")
+    }),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -496,7 +506,7 @@ object SparkEntry {
     if (any("q156", "q162")) cachedDocStore(s, d)
     if (any("q158")) cachedFreqTable(s, d)
     if (any("q159")) cachedGramLedger(s, d)
-    if (any("q160")) cachedClusterIndex(s, d)
+    if (any("q160", "q166")) cachedClusterIndex(s, d)
     if (any("q163")) cachedGramLedgerFixed(s, d)
     if (any("q164")) cachedDocStoreCompacted(s, d)
     if (any("q165")) cachedPhraseIndexCompacted(s, d)
@@ -2205,15 +2215,7 @@ object SparkEntry {
 
     // q105: the q49 cluster fragment grouped twice — sizes, then the
     // histogram; n_dropped is the keep-one-representative saving.
-    "q105_dedup_summary" ->
-      s"""WITH RECURSIVE $minhashCtes,
-        |$ccClusterCtes,
-        |sz AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
-        |       FROM lab GROUP BY cluster_rep)
-        |SELECT cluster_size, COUNT(*) AS n_clusters,
-        | CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
-        | CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_dropped
-        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q105_dedup_summary" -> dedupSummaryOracle,
 
     // q106: largest-remainder apportionment in exact integers — base floor
     // shares plus one for the top `leftover` remainders (ties to source).
@@ -3159,7 +3161,24 @@ object SparkEntry {
     // q165 shares q148's oracle verbatim — same convention for the
     // positional index class (history: append then compactPhraseVersion).
     "q165_prox_compacted" -> proximityOracle,
+    // q166 shares q105's oracle verbatim (the q160/q49 convention): the
+    // served histogram comes from the maintained cluster index's labels,
+    // which equal the full recompute by the contracted-CC argument.
+    "q166_dedup_summary_served" -> dedupSummaryOracle,
   )
+
+  /** q105's oracle — cluster-size histogram over the q49 CC labels.
+    * Shared verbatim by q166, whose labels are served from the
+    * maintained cluster index (base + contracted-graph fold). */
+  private lazy val dedupSummaryOracle: String =
+      s"""WITH RECURSIVE $minhashCtes,
+        |$ccClusterCtes,
+        |sz AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY cluster_rep)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        | CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+        | CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_dropped
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   /** q162's oracle — the media page (top-phrase candidates, snippet,
     * payload byte length + first-frame md5). Shared verbatim by q164,

@@ -655,42 +655,51 @@ object Relational {
       tablePath: String, tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
     import org.apache.hadoop.fs.Path
-    val gen = freqGenRoot(spark, tablePath)
-    val batchesRoot = new Path(gen, "_batches")
-    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a tag folded BEFORE the last compaction short-circuits on the
-    // generation's carried-tag ledger (its counts live in the merged
-    // base; CMS is additive — a re-fold would double them silently)
-    if (graft.IndexVersions.carriedTags(fs, new Path(gen)).contains(tag))
-      return false
-    // the full short-circuit/sweep/staging/fenced-publish protocol is the
-    // SHARED [[graft.IndexVersions.appendTaggedBatch]] (round-11 ADVICE:
-    // this method and DocStore.append had it verbatim-duplicated)
-    graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
-      "_SUCCESS", fence) { staging =>
-      Tables.events(spark, batchDir)
-        .groupBy(to_date(col("ts")).cast("string").as("day"))
-        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
-          count(lit(1)).as("n_events"))
-        .write.mode("overwrite").parquet(staging.toString)
+    withFreqGen(spark, tablePath) { gen =>
+      val batchesRoot = new Path(gen, "_batches")
+      val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a tag folded BEFORE the last compaction short-circuits on the
+      // generation's carried-tag ledger (its counts live in the merged
+      // base; CMS is additive — a re-fold would double them silently)
+      if (graft.IndexVersions.carriedTags(fs, new Path(gen)).contains(tag))
+        false
+      else
+        // the full short-circuit/sweep/staging/fenced-publish protocol is
+        // the SHARED [[graft.IndexVersions.appendTaggedBatch]] (round-11
+        // ADVICE: this method and DocStore.append had it
+        // verbatim-duplicated)
+        graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
+          "_SUCCESS", fence) { staging =>
+          Tables.events(spark, batchDir)
+            .groupBy(to_date(col("ts")).cast("string").as("day"))
+            .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"),
+              count(lit(1)).as("n_events"))
+            .write.mode("overwrite").parquet(staging.toString)
+        }
     }
   }
 
-  /** The freq-table root this process reads and folds under: the newest
-    * committed GENERATION ([[compactFreqSketches]]; `tablePath` itself
-    * until the first compaction). */
-  private def freqGenRoot(spark: SparkSession, tablePath: String): String = {
+  /** The freq table's resolve-once combinator: every multi-step read and
+    * fold runs inside ONE [[graft.IndexVersions.withGeneration]] block —
+    * the newest committed GENERATION ([[compactFreqSketches]];
+    * `tablePath` itself until the first compaction) is resolved exactly
+    * once and every path the body touches derives from it, so a
+    * concurrent compaction cannot make a reader mix generations (the
+    * round-13 TOCTOU class, made structural in round 14). */
+  private def withFreqGen[T](spark: SparkSession, tablePath: String)(
+      body: String => T): T = {
     import org.apache.hadoop.fs.Path
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.currentGeneration(fs, root, "_SUCCESS").toString
+    graft.IndexVersions.withGeneration(fs, root, "_SUCCESS")(
+      gen => body(gen.toString))
   }
 
   /** Every applied batch tag: live delta dirs plus the tags the current
     * generation's ledger file carries from before the last compaction
     * (both must keep short-circuiting replays). */
   def freqAppliedTags(spark: SparkSession, tablePath: String): Set[String] =
-    freqAppliedTagsAt(spark, freqGenRoot(spark, tablePath))
+    withFreqGen(spark, tablePath)(gen => freqAppliedTagsAt(spark, gen))
 
   /** [[freqAppliedTags]] against an ALREADY-RESOLVED generation — every
     * multi-step read resolves the generation ONCE and threads it through
@@ -720,7 +729,7 @@ object Relational {
     * [[graft.app.FreqMaintenanceJob]] triggers [[compactFreqSketches]]
     * on. */
   def freqLiveBatchCount(spark: SparkSession, tablePath: String): Int =
-    freqLiveTagsAt(spark, freqGenRoot(spark, tablePath)).size
+    withFreqGen(spark, tablePath)(gen => freqLiveTagsAt(spark, gen).size)
 
   /** The full sketch row set of the current generation: base + every
     * LIVE committed batch fold (carried tags' counts are already merged
@@ -729,7 +738,7 @@ object Relational {
     * the base's EXPLICIT schema (an empty delta has no files to infer
     * from). */
   private def freqRows(spark: SparkSession, tablePath: String): DataFrame =
-    freqRowsAt(spark, freqGenRoot(spark, tablePath))
+    withFreqGen(spark, tablePath)(gen => freqRowsAt(spark, gen))
 
   private def freqRowsAt(spark: SparkSession, gen: String): DataFrame = {
     val base = spark.read.parquet(gen)
@@ -761,27 +770,28 @@ object Relational {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // ONE generation resolution for the whole compaction: tags and rows
-    // must read the SAME generation (the freqAppliedTagsAt rule)
-    val compactGen = freqGenRoot(spark, tablePath)
-    val tags = freqAppliedTagsAt(spark, compactGen)
-    val rows = freqRowsAt(spark, compactGen)
-      .select(col("day"), col("sk"), col("n_events")).collect()
-    require(rows.nonEmpty, s"frequency sketch table at $tablePath is empty")
-    val merged = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
-      case (day, rs) =>
-        val sk = rs.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](1)))
-          .reduce((a, b) => a.mergeInPlace(b))
-        val bos = new java.io.ByteArrayOutputStream()
-        sk.writeTo(bos)
-        (day, bos.toByteArray, rs.map(_.getAs[Long](2)).sum)
+    // must read the SAME generation (the withFreqGen rule)
+    withFreqGen(spark, tablePath) { compactGen =>
+      val tags = freqAppliedTagsAt(spark, compactGen)
+      val rows = freqRowsAt(spark, compactGen)
+        .select(col("day"), col("sk"), col("n_events")).collect()
+      require(rows.nonEmpty, s"frequency sketch table at $tablePath is empty")
+      val merged = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+        case (day, rs) =>
+          val sk = rs.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](1)))
+            .reduce((a, b) => a.mergeInPlace(b))
+          val bos = new java.io.ByteArrayOutputStream()
+          sk.writeTo(bos)
+          (day, bos.toByteArray, rs.map(_.getAs[Long](2)).sum)
+      }
+      graft.IndexVersions.publishGeneration(fs, root, "_SUCCESS",
+        fence) { staging =>
+        merged.toDF("day", "sk", "n_events")
+          .coalesce(1) // day-grain rows — a bounded table, not data mass
+          .write.mode("overwrite").parquet(staging.toString)
+        graft.IndexVersions.carryTagsForward(fs, staging, tags)
+      }.toString
     }
-    graft.IndexVersions.publishGeneration(fs, root, "_SUCCESS",
-      fence) { staging =>
-      merged.toDF("day", "sk", "n_events")
-        .coalesce(1) // day-grain rows — a bounded table, not data mass
-        .write.mode("overwrite").parquet(staging.toString)
-      graft.IndexVersions.carryTagsForward(fs, staging, tags)
-    }.toString
   }
 
   /** Drop compacted freq-table generations beyond the newest `keepLast`

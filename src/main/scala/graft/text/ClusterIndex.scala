@@ -62,22 +62,26 @@ import graft.sources.Tables
   * extension SURVEY §2 U6 claims. */
 object ClusterIndex {
 
-  /** The index root this process resolves under: the newest committed
-    * GENERATION ([[compact]]; `indexPath` itself until the first
-    * compaction, and tolerantly so while the index does not yet exist —
-    * the build path probes versions before writing). */
-  private def genRootOf(spark: SparkSession, indexPath: String): String = {
+  /** The index's resolve-once combinator: every multi-step read and fold
+    * runs inside ONE [[graft.IndexVersions.withGeneration]] block — the
+    * newest committed GENERATION ([[compact]]; `indexPath` itself until
+    * the first compaction, and tolerantly so while the index does not
+    * yet exist — the build path probes versions before writing) is
+    * resolved exactly once and every path the body touches derives from
+    * it, so a concurrent compaction cannot make a reader mix
+    * generations (the round-13 TOCTOU class, made structural in
+    * round 14). */
+  private def withGen[T](spark: SparkSession, indexPath: String)(
+      body: String => T): T = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens = graft.IndexVersions.committedGenerations(fs, root,
-      "stats/_SUCCESS")
-    if (gens.isEmpty) indexPath
-    else graft.IndexVersions.generationRoot(root, gens.max).toString
+    graft.IndexVersions.withGeneration(fs, root, "stats/_SUCCESS",
+      requireCommitted = false)(gen => body(gen.toString))
   }
 
   private def committedVersions(spark: SparkSession, indexPath: String): Seq[Long] =
-    committedVersionsAt(spark, genRootOf(spark, indexPath))
+    withGen(spark, indexPath)(gen => committedVersionsAt(spark, gen))
 
   /** [[committedVersions]] against an ALREADY-RESOLVED generation root —
     * every multi-step read resolves the generation ONCE and threads it
@@ -103,24 +107,27 @@ object ClusterIndex {
   private def versionRoot(genRoot: String, v: Long): String =
     if (v == 0L) genRoot else s"$genRoot/v$v"
 
-  def currentRoot(spark: SparkSession, indexPath: String): String = {
+  def currentRoot(spark: SparkSession, indexPath: String): String =
     // ONE generation resolution for both the version listing and the
-    // path build (the committedVersionsAt rule)
-    val gen = genRootOf(spark, indexPath)
-    val vs = committedVersionsAt(spark, gen)
-    require(vs.nonEmpty, s"no committed cluster index under $indexPath")
-    versionRoot(gen, vs.max)
-  }
+    // path build (the withGen rule)
+    withGen(spark, indexPath) { gen =>
+      val vs = committedVersionsAt(spark, gen)
+      require(vs.nonEmpty, s"no committed cluster index under $indexPath")
+      versionRoot(gen, vs.max)
+    }
 
   /** Batch tags already folded into the current committed version. */
   def appliedTags(spark: SparkSession, indexPath: String): Set[String] = {
     import org.apache.hadoop.fs.Path
-    val gen = genRootOf(spark, indexPath)
-    val vs = committedVersionsAt(spark, gen)
-    if (vs.isEmpty) return Set.empty
-    val fs = new Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.readTags(fs, new Path(versionRoot(gen, vs.max)))
+    withGen(spark, indexPath) { gen =>
+      val vs = committedVersionsAt(spark, gen)
+      if (vs.isEmpty) Set.empty[String]
+      else {
+        val fs = new Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.IndexVersions.readTags(fs, new Path(versionRoot(gen, vs.max)))
+      }
+    }
   }
 
   /** Live (uncompacted) sigs/bands delta-dir count — the cadence probe
@@ -128,10 +135,12 @@ object ClusterIndex {
     * fold's candidate probe unions these layers). */
   def liveBatchCount(spark: SparkSession, indexPath: String): Int = {
     import org.apache.hadoop.fs.Path
-    val gen = new Path(genRootOf(spark, indexPath))
-    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.committedBatchTags(fs,
-      new Path(gen, "_batches"), "stats/_SUCCESS").size
+    withGen(spark, indexPath) { genStr =>
+      val gen = new Path(genStr)
+      val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.IndexVersions.committedBatchTags(fs,
+        new Path(gen, "_batches"), "stats/_SUCCESS").size
+    }
   }
 
   private def readStatsAt(spark: SparkSession, root: String): (Int, Double) = {
@@ -196,7 +205,26 @@ object ClusterIndex {
     * footprint — the classic out-of-core knob: shards × (bands scan) vs
     * one join whose shuffle must fit. On a real cluster the same method
     * bounds PER-EXECUTOR shuffle mass; on the rehearsal box it bounds
-    * disk. */
+    * disk.
+    *
+    * EXACT-DEDUP PRE-PASS (round 14 — the round-13 verdict's task #4):
+    * the 1000× base's last decade measured ×11.7 for ×10 docs because a
+    * duplicate-heavy corpus (ScaleGen's 1000-member replica groups — and
+    * any real crawl before exact dedup) makes WITHIN-GROUP band
+    * collisions quadratic in group size: every band of every member
+    * collides with every other member's. Identical signatures are
+    * trivially same-cluster (est-Jaccard 1 on every band), so the edge
+    * extraction collapses each exact-signature CLASS to its min-doc_id
+    * REPRESENTATIVE before banding and reattaches members by class after
+    * labeling. Labels are unchanged by construction: est-Jaccard depends
+    * only on the signatures, so rep-level edges exist exactly where
+    * member-level edges would; each rep is its class's min, so the CC
+    * min-label over reps IS the min over all members; and a class of
+    * size > 1 whose rep stays unclustered is its own cluster labeled by
+    * the rep (spec'd ≡ [[write]] on a fixture WITH exact duplicates).
+    * The at-rest sigs/bands layouts still carry EVERY doc — fold probes
+    * and their contract are untouched; only the build's self-join reads
+    * the collapsed band set. */
   def writeSharded(spark: SparkSession, dir: String, indexPath: String,
       minJaccard: Double = 0.5, buckets: Int = 16, shards: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
@@ -217,18 +245,42 @@ object ClusterIndex {
       .sortWithinPartitions("band_val")
       .write.mode("overwrite").partitionBy("bb")
       .parquet(s"$indexPath/bands")
-    // the signature intermediate fed both layouts; edges verify against
-    // the AT-REST tables from here on, so release it before the shard
-    // loop (footprint discipline — the loop is the expensive part)
-    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exact-signature classes: (doc_id, rep, class_n); written to scratch
+    // (rep mass ≤ corpus mass; on a duplicate-heavy corpus, far less) so
+    // the reattach pass reads it back without re-deriving signatures
+    val classesTmp = s"$indexPath/.classes_build"
+    fs.delete(new Path(classesTmp), true)
+    sigArr
+      .join(sigArr.groupBy("sig").agg(min("doc_id").as("rep"),
+        count(lit(1)).as("class_n")), Seq("sig"))
+      .select(col("doc_id"), col("rep"), col("class_n"))
+      .write.mode("overwrite").parquet(classesTmp)
+    // rep-collapsed band layout for the edge extraction only (the at-rest
+    // bands keep every doc): bucketed like the main layout so the shard
+    // loop's partition pruning works unchanged
+    val bandsTmp = s"$indexPath/.rep_bands_build"
+    fs.delete(new Path(bandsTmp), true)
+    val classes = spark.read.parquet(classesTmp)
+    Dedup.bandsOf(sigArr.join(
+        classes.filter(col("doc_id") === col("rep")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      .withColumn("bb", pmod(hash(col("band_val")), lit(buckets)))
+      .repartition(col("bb"))
+      .write.mode("overwrite").partitionBy("bb")
+      .parquet(bandsTmp)
+    // the signature intermediate fed the layouts and the class tables;
+    // edges verify against the AT-REST tables from here on, so release it
+    // before the shard loop (footprint discipline — the loop is the
+    // expensive part)
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
     val edgesTmp = s"$indexPath/.edges_build"
     fs.delete(new Path(edgesTmp), true)
     val atRestSigs = spark.read.parquet(s"$indexPath/sigs")
       .select(col("doc_id"), col("sig"))
     for (s <- 0 until shards) {
-      val shardBands = spark.read.parquet(s"$indexPath/bands")
+      val shardBands = spark.read.parquet(bandsTmp)
         .filter(pmod(col("bb"), lit(shards)) === s) // partition-pruned
         .select(col("doc_id"), col("band_id"), col("band_val"))
       val cand = shardBands.as("x").join(shardBands.as("y"),
@@ -248,13 +300,25 @@ object ClusterIndex {
     val edges = (0 until shards)
       .map(s => spark.read.parquet(s"$edgesTmp/shard_$s"))
       .reduce(_ unionByName _)
-    val (labels, _) = Dedup.connectedComponents(edges)
-    labels.write.mode("overwrite").parquet(s"$indexPath/labels")
+    val (repLabels, _) = Dedup.connectedComponents(edges)
+    // REATTACH members by exact class: a member inherits its rep's CC
+    // label; a class of size > 1 with an unclustered rep is its own
+    // cluster under the rep; singleton classes with unclustered reps
+    // stay out of the label table (the clustered-subgraph contract)
+    spark.read.parquet(classesTmp)
+      .join(repLabels.toDF("rep_id", "cc_label"),
+        col("rep") === col("rep_id"), "left")
+      .filter(col("cc_label").isNotNull || col("class_n") > 1)
+      .select(col("doc_id"),
+        coalesce(col("cc_label"), col("rep")).as("label"))
+      .write.mode("overwrite").parquet(s"$indexPath/labels")
     Seq((buckets.toLong, minJaccard)).toDF("buckets", "min_jaccard")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/stats")
     graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, preCc))
     fs.delete(new Path(edgesTmp), true)
+    fs.delete(new Path(bandsTmp), true)
+    fs.delete(new Path(classesTmp), true)
     ()
   }
 
@@ -312,8 +376,10 @@ object ClusterIndex {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     // everything — version chain, staging, _batches deltas — lives under
-    // the CURRENT GENERATION root (the compaction indirection)
-    val root = new Path(genRootOf(spark, indexPath))
+    // the CURRENT GENERATION root (the compaction indirection), resolved
+    // ONCE for the whole fold (the withGen rule)
+    withGen(spark, indexPath) { genStr =>
+    val root = new Path(genStr)
     val fs = root.getFileSystem(conf)
     val versions = committedVersionsAt(spark, root.toString)
     require(versions.nonEmpty, s"append needs an existing index at $indexPath")
@@ -438,6 +504,7 @@ object ClusterIndex {
       graft.IndexVersions.readLedger(fs, new Path(cur)).append(tag))
     graft.IndexVersions.publish(fs, staging, target,
       t => fs.exists(new Path(t, "stats/_SUCCESS")), fence)
+    }
   }
 
   /** The served label table (newest committed version) — (doc_id, label)
@@ -461,13 +528,35 @@ object ClusterIndex {
           .cast("long").as("keep"))
       .orderBy("doc_id")
 
+  /** Q166 — q105's DEDUP SAVINGS REPORT served from the maintained
+    * artifact (round 14 — the q149/q158/q160 served-row pattern applied
+    * to the bench's last expensive recompute: q105 pays the full q49
+    * signature pass + banded self-join + CC resolution per run, while
+    * these labels already exist at rest). The corpus contributes only
+    * the doc-id spine; cost is one label-table read + one join + two
+    * bounded aggregates (the histogram is bounded by the largest cluster
+    * size). Exact vs the q105 recompute by the q160 argument —
+    * contracted-graph folds equal the union-corpus resolution — so the
+    * row shares q105's oracle verbatim. q105 stays in the contract as
+    * the audit form. */
+  def dedupSummaryServed(spark: SparkSession, dir: String,
+      indexPath: String): DataFrame =
+    nearDupClustersServed(spark, dir, indexPath)
+      .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+      .orderBy("cluster_size")
+
   /** Shared version vacuum (the [[TextIndex.vacuumVersions]] contract:
     * keepLast floor of one, grace for in-flight readers, stranded-dir
     * sweep via the owner map). */
   def vacuumVersions(spark: SparkSession, indexPath: String,
       keepLast: Int = 3, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
-    val root = new Path(genRootOf(spark, indexPath))
+    withGen(spark, indexPath) { genStr =>
+    val root = new Path(genStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // base sigs/bands are PERMANENT data layers (the corpus-0 slice of
     // the add-only chain), never version artifacts — vacuuming labels
@@ -483,9 +572,15 @@ object ClusterIndex {
         n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
       case _ => None
     }
+    // snapshot AND relist read the SAME resolved generation: the vacuum
+    // deletes dirs under `root` (= this generation), so re-resolving in
+    // the relist could list a newer generation's versions against the
+    // old generation's dirs — the exact mixed-generation read withGen
+    // exists to prevent
     graft.IndexVersions.vacuum(fs, root,
-      committedVersions(spark, indexPath), dirsOf, keepLast, graceMs, owner,
-      () => committedVersions(spark, indexPath))
+      committedVersionsAt(spark, genStr), dirsOf, keepLast, graceMs, owner,
+      () => committedVersionsAt(spark, genStr))
+    }
   }
 
   /** DELTA-CHAIN COMPACTION (round 13): the sigs/bands add-only layers
@@ -530,7 +625,7 @@ object ClusterIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // ONE generation resolution for the whole compaction: version
     // listing, layer reads and tag listing must see the SAME generation
-    val gen = genRootOf(spark, indexPath)
+    withGen(spark, indexPath) { gen =>
     val curVs = committedVersionsAt(spark, gen)
     require(curVs.nonEmpty, s"no committed cluster index under $indexPath")
     val cur = versionRoot(gen, curVs.max)
@@ -576,6 +671,7 @@ object ClusterIndex {
         .coalesce(1) // stats LAST — the generation's commit marker
         .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
     }.toString
+    }
   }
 
   /** Drop compacted generations beyond the newest `keepLast` (generation

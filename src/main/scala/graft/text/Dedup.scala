@@ -1055,49 +1055,57 @@ object Dedup {
       ledgerPath: String, tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
     import org.apache.hadoop.fs.Path
-    val gen = ledgerGenRoot(spark, ledgerPath)
-    val batchesRoot = new Path(gen, "_batches")
-    val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a tag folded BEFORE the last compaction short-circuits on the
-    // generation's carried-tag ledger (its grams live in the merged base;
-    // n_occ is additive — a re-fold would overstate counts silently)
-    if (graft.IndexVersions.carriedTags(fs, new Path(gen)).contains(tag))
-      return false
-    graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
-      "stats/_SUCCESS", fence) { staging =>
-      graft.functions.TextExpressions.register(spark)
-      val (n, buckets) = readGramLedgerStatsAt(spark, gen) // resolved once
-      val docs = Tables.documents(spark, batchDir)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      val posGrams = docs
-        .select(col("doc_id"), posexplode(
-          graft.functions.TextExpressions.word_ngrams(col("toks"), n,
-            distinct = false)))
-        .toDF("doc_id", "i", "gram")
-      gramLedgerOf(posGrams)
-        .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
-        .repartition(col("gb"))
-        .sortWithinPartitions("gram")
-        .write.mode("overwrite").partitionBy("gb")
-        .parquet(new Path(staging, "grams").toString)
-      // the delta's stats carry the SAME scalars (written last — the
-      // batch dir's commit marker): a reader that merges deltas written
-      // under a different gram size would silently mix ledgers
-      import spark.implicits._
-      Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    withLedgerGen(spark, ledgerPath) { gen =>
+      val batchesRoot = new Path(gen, "_batches")
+      val fs = batchesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a tag folded BEFORE the last compaction short-circuits on the
+      // generation's carried-tag ledger (its grams live in the merged base;
+      // n_occ is additive — a re-fold would overstate counts silently)
+      if (graft.IndexVersions.carriedTags(fs, new Path(gen)).contains(tag))
+        false
+      else graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
+        "stats/_SUCCESS", fence) { staging =>
+        graft.functions.TextExpressions.register(spark)
+        val (n, buckets) = readGramLedgerStatsAt(spark, gen) // resolved once
+        val docs = Tables.documents(spark, batchDir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val posGrams = docs
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextExpressions.word_ngrams(col("toks"), n,
+              distinct = false)))
+          .toDF("doc_id", "i", "gram")
+        gramLedgerOf(posGrams)
+          .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
+          .repartition(col("gb"))
+          .sortWithinPartitions("gram")
+          .write.mode("overwrite").partitionBy("gb")
+          .parquet(new Path(staging, "grams").toString)
+        // the delta's stats carry the SAME scalars (written last — the
+        // batch dir's commit marker): a reader that merges deltas written
+        // under a different gram size would silently mix ledgers
+        import spark.implicits._
+        Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+      }
     }
   }
 
-  /** The ledger root this process reads and folds under: the newest
-    * committed GENERATION ([[compactGramLedgerInChain]]; `ledgerPath`
-    * itself until the first in-chain compaction). */
-  private def ledgerGenRoot(spark: SparkSession, ledgerPath: String): String = {
+  /** The ledger's resolve-once combinator: every multi-step read and
+    * fold runs inside ONE [[graft.IndexVersions.withGeneration]] block —
+    * the newest committed GENERATION ([[compactGramLedgerInChain]];
+    * `ledgerPath` itself until the first in-chain compaction) is
+    * resolved exactly once and every path the body touches derives from
+    * it, so a concurrent compaction cannot make a reader mix
+    * generations (the round-13 TOCTOU class, made structural in
+    * round 14). */
+  private def withLedgerGen[T](spark: SparkSession, ledgerPath: String)(
+      body: String => T): T = {
     import org.apache.hadoop.fs.Path
     val root = new Path(ledgerPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.currentGeneration(fs, root, "stats/_SUCCESS").toString
+    graft.IndexVersions.withGeneration(fs, root, "stats/_SUCCESS")(
+      gen => body(gen.toString))
   }
 
   /** Batch tags whose gram-ledger fold committed: live delta dirs plus
@@ -1105,7 +1113,8 @@ object Dedup {
     * the last compaction (both keep short-circuiting replays). */
   def gramLedgerAppliedTags(spark: SparkSession,
       ledgerPath: String): Set[String] =
-    gramLedgerAppliedTagsAt(spark, ledgerGenRoot(spark, ledgerPath))
+    withLedgerGen(spark, ledgerPath)(
+      gen => gramLedgerAppliedTagsAt(spark, gen))
 
   /** [[gramLedgerAppliedTags]] against an ALREADY-RESOLVED generation —
     * every multi-step read resolves the generation ONCE and threads it
@@ -1138,7 +1147,8 @@ object Dedup {
     * [[compactGramLedgerInChain]] on. */
   def gramLedgerLiveBatchCount(spark: SparkSession,
       ledgerPath: String): Int =
-    gramLedgerLiveTagsAt(spark, ledgerGenRoot(spark, ledgerPath)).size
+    withLedgerGen(spark, ledgerPath)(
+      gen => gramLedgerLiveTagsAt(spark, gen).size)
 
   private def readGramLedgerStatsAt(spark: SparkSession,
       gen: String): (Int, Int) = {
@@ -1177,7 +1187,7 @@ object Dedup {
     * the semigroup argument). Corpus-gram-mass aggregate: the audit
     * shape, not the serving path. */
   def readGramLedger(spark: SparkSession, ledgerPath: String): DataFrame =
-    gramLedgerRowsAt(spark, ledgerGenRoot(spark, ledgerPath))
+    withLedgerGen(spark, ledgerPath)(gen => gramLedgerRowsAt(spark, gen))
       .groupBy("gram")
       .agg(min("first").as("first"), sum("n_occ").as("n_occ"))
 
@@ -1207,8 +1217,9 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     // ONE generation resolution for the whole compaction pass: stats,
-    // rows and carried tags must all read the SAME generation
-    val gen = ledgerGenRoot(spark, ledgerPath)
+    // rows and carried tags must all read the SAME generation (the
+    // withLedgerGen rule)
+    withLedgerGen(spark, ledgerPath) { gen =>
     val (n, buckets) = readGramLedgerStatsAt(spark, gen)
     gramLedgerRowsAt(spark, gen)
       .groupBy("gram")
@@ -1229,6 +1240,7 @@ object Dedup {
     Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
       .coalesce(1) // base stats LAST — the commit marker
       .write.mode("overwrite").parquet(s"$outPath/stats")
+    }
   }
 
   /** [[compactGramLedger]] IN THE CHAIN (round 13 — the form a
@@ -1275,15 +1287,16 @@ object Dedup {
     * SCALE SHAPE: the batch's gram set (micro-batch-bounded by the
     * maintenance contract — the fetchPage argument) BROADCASTS into a
     * semi-join that prunes the at-rest scan, so the ledger side never
-    * shuffles: per-rewrite cost is one ledger scan (row-group gram
-    * stats prune under it) plus batch-bounded shuffles. The broadcast
-    * hint is CONDITIONAL on the batch actually being micro-batch-sized
-    * (round 13: q159's oracle-parity fixture makes the batch HALF THE
-    * CORPUS, and at the 1000× tier force-broadcasting its ~300M-gram
-    * set exceeded driver maxResultSize — a real batch never does, but
-    * an operator must degrade to the shuffle join rather than die when
-    * handed a bulk backfill; AQE still converts back to broadcast at
-    * runtime when the built side turns out small). FOLD-ORDER
+    * shuffles: per-rewrite cost is one ledger scan plus batch-bounded
+    * shuffles. The scan projects ONLY (gram, first) — n_occ is unread by
+    * the rewrite — and for page-sized batches a bloom built from the
+    * batch gram set rides the scan's filter ahead of the broadcast probe
+    * (round 14). A batch past the micro-batch bound ROUTES to the
+    * bucket-group-sharded pass ([[rewriteBulkShardedAt]]) instead
+    * (round 13 found force-broadcasting a ~300M-gram backfill died at
+    * driver maxResultSize, and round 13's degraded shuffle join then
+    * exceeded scratch disk — the sharded pass bounds peak shuffle to one
+    * bucket group). FOLD-ORDER
     * INDEPENDENT: if the batch's own delta is already committed, its
     * grams appear on both sides of the merge — min(first) is idempotent
     * on equal elements, so the canonical flags (all the rewrite reads)
@@ -1291,36 +1304,177 @@ object Dedup {
   def rewriteBatchAgainstLedger(spark: SparkSession, batchDir: String,
       ledgerPath: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
+    graft.functions.BloomExpressions.register(spark) // the scan's rider
     // ONE generation resolution for the whole rewrite: the stats read and
     // the ledger scan must see the SAME generation (round-13 review
     // finding — a compaction committing in between silently dropped the
     // old generation's live delta grams from the canonicality merge)
-    val ledgerGen = ledgerGenRoot(spark, ledgerPath)
+    withLedgerGen(spark, ledgerPath) { ledgerGen =>
     val (n, _) = readGramLedgerStatsAt(spark, ledgerGen)
     val batchDocs = Tables.documents(spark, batchDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .localCheckpoint() // feeds gram pass + reassembly
+    // micro-batch bound for the FORCED broadcast (doc count is one
+    // batch-bounded aggregate; ~grams = docs × len, and 100k docs' gram
+    // set is comfortably under driver/broadcast limits). A BULK batch
+    // routes to the bucket-group-sharded pass instead (round 14 — the
+    // round-13 degraded shuffle join exceeded scratch disk at the
+    // 2.5M-doc backfill tier; see [[rewriteBulkAgainstLedger]]).
+    if (batchDocs.count() > graft.IndexVersions.MicroBatchMaxDocs)
+      rewriteBulkShardedAt(spark, ledgerGen, batchDocs, n, shards = 8)
+    else {
     val batchGrams = batchDocs
       .select(col("doc_id"), posexplode(
         graft.functions.TextExpressions.word_ngrams(col("toks"), n,
           distinct = false)))
       .toDF("doc_id", "i", "gram")
     val batchLedger = gramLedgerOf(batchGrams)
-    // micro-batch bound for the FORCED broadcast (doc count is one
-    // batch-bounded aggregate; ~grams = docs × len, and 100k docs' gram
-    // set is comfortably under driver/broadcast limits)
-    val microBatch = batchDocs.count() <= graft.IndexVersions.MicroBatchMaxDocs
-    val batchGramSet =
-      if (microBatch) broadcast(batchLedger.select("gram"))
-      else batchLedger.select("gram")
-    val matched = gramLedgerRowsAt(spark, ledgerGen)
-      .join(batchGramSet, Seq("gram"), "left_semi")
-    val merged = mergeGramLedgers(matched.select("gram", "first", "n_occ"),
-      batchLedger)
+    val batchGramSet = broadcast(batchLedger.select("gram"))
+    // the rewrite reads ONLY canonical firsts — n_occ stays unscanned
+    // (round 14: the at-rest ledger scan is the row's one growth term;
+    // dropping the unused column trims its decode mass)
+    val ledgerFirsts = gramLedgerRowsAt(spark, ledgerGen)
+      .select(col("gram"), col("first"))
+    // BLOOM PREFILTER riding the scan (round-14 verdict task): for a
+    // page-sized batch the gram set also fits a compact bloom, checked
+    // INSIDE the scan's filter before rows reach the broadcast probe.
+    // Exactness is the semi-join's (bloom false positives are dropped
+    // there); the rider is gated to small batches so its literal stays
+    // page-sized.
+    val nGrams = batchLedger.count()
+    val prefiltered =
+      if (nGrams > BloomPrefilterMaxGrams) ledgerFirsts
+      else {
+        val bits = math.max(1L << 16, nGrams * 16L)
+        val bloom = batchLedger
+          .agg(graft.functions.BloomExpressions.bloom_agg(col("gram"),
+            lit(nGrams), lit(bits)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+        ledgerFirsts.filter(
+          graft.functions.BloomExpressions.bloom_contains(lit(bloom),
+            col("gram")))
+      }
+    val matched = prefiltered.join(batchGramSet, Seq("gram"), "left_semi")
+    // merge on first ONLY (min is the canonicality rule; n_occ is unread
+    // by the rewrite — [[mergeGramLedgers]] is the full-ledger form)
+    val merged = matched
+      .unionByName(batchLedger.select(col("gram"), col("first")))
+      .groupBy("gram").agg(min("first").as("first"))
     val occ = batchGrams.join(merged, Seq("gram"))
       .select(col("doc_id"), col("i"),
         (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
     rewriteAgainstCanonical(batchDocs, occ, n)
+    }
+    }
+  }
+
+  /** Gram-count gate for the micro path's bloom rider: past this the
+    * bloom literal itself stops being page-sized and the broadcast
+    * semi-join alone is the right plan. */
+  private val BloomPrefilterMaxGrams = 262144L
+
+  /** The per-shard slice of [[gramLedgerRowsAt]]: base + committed
+    * deltas restricted to the bucket group `gb % shards == s`, filtered
+    * ON THE PARTITION COLUMN so every layer's read prunes at the listing
+    * (the [[ClusterIndex.writeSharded]] pattern). The decomposition is
+    * exact: `gb` is a pure function of the gram, so every row of one
+    * gram lands in exactly one shard. */
+  private def gramLedgerShardRowsAt(spark: SparkSession, gen: String,
+      shards: Int, s: Int): DataFrame = {
+    val base = spark.read.parquet(s"$gen/grams")
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      base.schema.filterNot(_.name == "gb"))
+    val withGb = org.apache.spark.sql.types.StructType(dataSchema :+
+      org.apache.spark.sql.types.StructField("gb",
+        org.apache.spark.sql.types.IntegerType))
+    val cols = dataSchema.fieldNames.map(col).toSeq
+    gramLedgerLiveTagsAt(spark, gen).toSeq.sorted
+      .map(t => spark.read.schema(withGb)
+        .parquet(s"$gen/_batches/$t/grams")
+        .filter(pmod(col("gb"), lit(shards)) === s)
+        .select(cols: _*))
+      .foldLeft(base
+        .filter(pmod(col("gb"), lit(shards)) === s)
+        .select(cols: _*))(_ unionByName _)
+  }
+
+  /** BUCKET-GROUP-SHARDED BULK REWRITE (round 14 — the round-13 verdict's
+    * task: the bulk-backfill arm of [[rewriteBatchAgainstLedger]]
+    * degraded to one corpus×corpus shuffle join whose spill exceeded
+    * scratch disk at the 2.5M-doc tier). The canonicality merge is
+    * per-gram, and the ledger's `gb` bucket is a pure function of the
+    * gram — so the join partitions EXACTLY into independent bucket-group
+    * passes (the [[graft.text.DocStore.writeSharded]] /
+    * [[ClusterIndex.writeSharded]] out-of-core pattern): each pass reads
+    * the at-rest layers pruned to its bucket group, re-derives the
+    * batch's grams restricted to the same group (a recompute of the
+    * cheap explode, traded for not materializing the 10×-corpus gram set
+    * once), merges, and appends its canonical-flag fragment to scratch;
+    * peak shuffle mass is ONE group's join (corpus/shards) instead of
+    * the whole corpus at once, at the price of `shards` batch-token
+    * passes. Reassembly then runs once over the union of fragments
+    * (batch-occurrence mass). Answers ≡ the one-shot rewrite (spec'd —
+    * same per-gram merge, different grouping; the semigroup argument). */
+  def rewriteBulkAgainstLedger(spark: SparkSession, batchDir: String,
+      ledgerPath: String, shards: Int = 8): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    withLedgerGen(spark, ledgerPath) { ledgerGen =>
+      val (n, _) = readGramLedgerStatsAt(spark, ledgerGen)
+      val batchDocs = Tables.documents(spark, batchDir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .localCheckpoint()
+      rewriteBulkShardedAt(spark, ledgerGen, batchDocs, n, shards)
+    }
+  }
+
+  private def rewriteBulkShardedAt(spark: SparkSession, ledgerGen: String,
+      batchDocs: DataFrame, n: Int, shards: Int): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val scratch = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_bulk_rewrite_${java.util.UUID.randomUUID().toString.take(8)}")
+      .toString
+    val fs = new Path(scratch)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchGrams = batchDocs
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextExpressions.word_ngrams(col("toks"), n,
+          distinct = false)))
+      .toDF("doc_id", "i", "gram")
+    // gb must be the LEDGER's bucketing, not a recomputed one — the
+    // persisted bucket count is layout semantics (the append rule)
+    val (_, buckets) = readGramLedgerStatsAt(spark, ledgerGen)
+    for (s <- 0 until shards) {
+      val inShard =
+        pmod(pmod(hash(col("gram")), lit(buckets)), lit(shards)) === s
+      val batchGramsS = batchGrams.filter(inShard)
+      val batchLedgerS = gramLedgerOf(batchGramsS)
+      val matchedS = gramLedgerShardRowsAt(spark, ledgerGen, shards, s)
+        .select(col("gram"), col("first"))
+        .join(batchLedgerS.select("gram"), Seq("gram"), "left_semi")
+      val mergedS = matchedS
+        .unionByName(batchLedgerS.select(col("gram"), col("first")))
+        .groupBy("gram").agg(min("first").as("first"))
+      batchGramsS.join(mergedS, Seq("gram"))
+        .select(col("doc_id"), col("i"),
+          (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
+        .write.mode("overwrite").parquet(s"$scratch/occ_$s")
+      // drop the shard's shuffle files before the next pass begins — the
+      // whole point is bounding PEAK scratch, and shuffle cleanup rides
+      // driver GC of the dependency graph (ContextCleaner)
+      System.gc()
+    }
+    val occ = (0 until shards)
+      .map(s => spark.read.parquet(s"$scratch/occ_$s"))
+      .reduce(_ unionByName _)
+    // materialize the (batch-sized) result so the scratch dir can go
+    val pinnedMid = graft.Checkpoints.pinnedSince(sc, before)
+    val out = rewriteAgainstCanonical(batchDocs, occ, n).localCheckpoint()
+    graft.Checkpoints.release(sc, pinnedMid)
+    fs.delete(new Path(scratch), true)
+    out
   }
 
   /** Q80 — train/val/test SPLIT LEAKAGE audit: assign every doc to a

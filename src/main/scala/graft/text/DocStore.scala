@@ -153,42 +153,50 @@ object DocStore {
     // appended (mixed-schema layers fail loudly at the first
     // payload-projecting fetch, never silently)
     import org.apache.hadoop.fs.Path
-    val gen = genRoot(spark, storePath)
-    val batchesRoot = new Path(gen, "batches")
-    val fs = batchesRoot
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a tag folded BEFORE the last compaction short-circuits on the
-    // generation's carried-tag ledger (its rows live in the merged base;
-    // re-appending would duplicate them silently)
-    if (graft.IndexVersions.carriedTags(fs, new Path(gen)).contains(tag))
-      return false
-    // short-circuit / sweep / staging / fenced publish / lost-race
-    // forgiveness all live in the SHARED protocol (round-11 ADVICE: this
-    // method and appendFreqSketches carried it verbatim-duplicated);
-    // the staging body runs only when the tag is genuinely unfolded, so
-    // a replay never re-reads the layout scalar
-    graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
-      "rows/_SUCCESS", fence) { staging =>
-      val buckets = readBucketsAt(spark, gen) // the resolved gen, once
-      Tables.documents(spark, batchDir)
-        .withColumn("payload", col("text").cast("binary")) // the write rule
-        .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
-        .repartition(col("db"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").partitionBy("db")
-        .parquet(new Path(staging, "rows").toString)
+    withGen(spark, storePath) { gen =>
+      val batchesRoot = new Path(gen, "batches")
+      val fs = batchesRoot
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a tag folded BEFORE the last compaction short-circuits on the
+      // generation's carried-tag ledger (its rows live in the merged base;
+      // re-appending would duplicate them silently)
+      if (graft.IndexVersions.carriedTags(fs, new Path(gen)).contains(tag))
+        false
+      else
+        // short-circuit / sweep / staging / fenced publish / lost-race
+        // forgiveness all live in the SHARED protocol (round-11 ADVICE:
+        // this method and appendFreqSketches carried it
+        // verbatim-duplicated); the staging body runs only when the tag
+        // is genuinely unfolded, so a replay never re-reads the layout
+        // scalar
+        graft.IndexVersions.appendTaggedBatch(fs, batchesRoot, tag,
+          "rows/_SUCCESS", fence) { staging =>
+          val buckets = readBucketsAt(spark, gen) // the resolved gen, once
+          Tables.documents(spark, batchDir)
+            .withColumn("payload", col("text").cast("binary")) // the write rule
+            .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
+            .repartition(col("db"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").partitionBy("db")
+            .parquet(new Path(staging, "rows").toString)
+        }
     }
   }
 
-  /** The store root this process reads and appends under: the newest
-    * committed GENERATION (`storePath` itself until the first
-    * [[compact]]; `_g<N>/` after — the
-    * [[graft.IndexVersions.currentGeneration]] resolution). */
-  private def genRoot(spark: SparkSession, storePath: String): String = {
+  /** The store's resolve-once combinator: every multi-step read and fold
+    * runs inside ONE [[graft.IndexVersions.withGeneration]] block — the
+    * newest committed GENERATION (`storePath` itself until the first
+    * [[compact]]; `_g<N>/` after) is resolved exactly once and every
+    * path the body touches derives from it, so a concurrent compaction
+    * cannot make a reader mix generations (the round-13 TOCTOU class,
+    * made structural in round 14). */
+  private def withGen[T](spark: SparkSession, storePath: String)(
+      body: String => T): T = {
     import org.apache.hadoop.fs.Path
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.currentGeneration(fs, root, "stats/_SUCCESS").toString
+    graft.IndexVersions.withGeneration(fs, root, "stats/_SUCCESS")(
+      gen => body(gen.toString))
   }
 
   /** Every applied batch tag: the current generation's LIVE delta dirs
@@ -201,7 +209,7 @@ object DocStore {
     * tags can never start with '.'
     * ([[graft.IndexVersions.requireDirSafeTag]]). */
   def appliedTags(spark: SparkSession, storePath: String): Set[String] =
-    appliedTagsAt(spark, genRoot(spark, storePath))
+    withGen(spark, storePath)(gen => appliedTagsAt(spark, gen))
 
   /** [[appliedTags]] against an ALREADY-RESOLVED generation root — every
     * multi-step read resolves the generation ONCE and threads it through
@@ -231,7 +239,7 @@ object DocStore {
   /** Live (uncompacted) delta-dir count — the cadence probe
     * [[graft.app.IndexMaintenanceJob]] triggers [[compact]] on. */
   def liveBatchCount(spark: SparkSession, storePath: String): Int =
-    liveTagsAt(spark, genRoot(spark, storePath)).size
+    withGen(spark, storePath)(gen => liveTagsAt(spark, gen).size)
 
   private def readBucketsAt(spark: SparkSession, gen: String): Int = {
     val df = spark.read.parquet(s"$gen/stats")
@@ -265,23 +273,24 @@ object DocStore {
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // ONE generation resolution for the whole compaction: buckets, tags
-    // and rows must all read the SAME generation (the appliedTagsAt rule)
-    val gen = genRoot(spark, storePath)
-    val buckets = readBucketsAt(spark, gen)
-    val tags = appliedTagsAt(spark, gen)
-    graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
-      fence) { staging =>
-      allRowsAt(spark, gen)
-        .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
-        .repartition(col("db"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").partitionBy("db")
-        .parquet(new Path(staging, "rows").toString)
-      graft.IndexVersions.carryTagsForward(fs, staging, tags)
-      Seq(buckets.toLong).toDF("buckets")
-        .coalesce(1) // stats LAST — the generation's commit marker
-        .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
-    }.toString
+    // and rows must all read the SAME generation (the withGen rule)
+    withGen(spark, storePath) { gen =>
+      val buckets = readBucketsAt(spark, gen)
+      val tags = appliedTagsAt(spark, gen)
+      graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
+        fence) { staging =>
+        allRowsAt(spark, gen)
+          .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
+          .repartition(col("db"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").partitionBy("db")
+          .parquet(new Path(staging, "rows").toString)
+        graft.IndexVersions.carryTagsForward(fs, staging, tags)
+        Seq(buckets.toLong).toDF("buckets")
+          .coalesce(1) // stats LAST — the generation's commit marker
+          .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+      }.toString
+    }
   }
 
   /** Drop compacted generations beyond the newest `keepLast` (the
@@ -331,32 +340,33 @@ object DocStore {
       s"fetchPage is for result pages (got ${ids.length} ids; bound 1024)" +
         " — batch content passes should read the corpus table, not the store")
     import spark.implicits._
-    // ONE generation resolution for the whole fetch: a compaction
-    // committing between a base resolution and the live-tag listing
-    // would otherwise drop every batch-resident doc from the page
-    // silently (round-13 review finding)
-    val gen = genRoot(spark, storePath)
-    val buckets = readBucketsAt(spark, gen)
-    val dbs = ids.toDF("doc_id")
-      .select(pmod(hash(col("doc_id")), lit(buckets)).as("db"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    // base + every LIVE committed batch dir of the current generation
-    // (compaction-carried tags' rows are already in the base — [[compact]]
-    // keeps the per-fetch LIST/union width at 1 + #since-compaction, the
-    // whole point): each scan prunes independently (db literal partition
-    // filter + id row-group pushdown), and doc ids are unique across base
-    // and batches by the append contract, so the union IS the id-keyed
-    // row set — no dedup pass. Batch reads carry the base's EXPLICIT
-    // schema (an empty committed batch has no files to infer from).
-    val base = spark.read.parquet(s"$gen/rows")
-    val batchSchema = base.schema
-    val batches = liveTagsAt(spark, gen).toSeq.sorted
-      .map(t => spark.read.schema(batchSchema).parquet(s"$gen/batches/$t/rows"))
-    (base +: batches).map(df => df
-        .filter(col("db").isin(dbs: _*))
-        .filter(col("doc_id").isin(ids: _*))
-        .select(batchSchema.fieldNames.map(col).toSeq: _*))
-      .reduce(_ unionByName _)
+    // ONE generation resolution for the whole fetch (the withGen rule):
+    // a compaction committing between a base resolution and the live-tag
+    // listing would otherwise drop every batch-resident doc from the
+    // page silently (round-13 review finding)
+    withGen(spark, storePath) { gen =>
+      val buckets = readBucketsAt(spark, gen)
+      val dbs = ids.toDF("doc_id")
+        .select(pmod(hash(col("doc_id")), lit(buckets)).as("db"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      // base + every LIVE committed batch dir of the current generation
+      // (compaction-carried tags' rows are already in the base — [[compact]]
+      // keeps the per-fetch LIST/union width at 1 + #since-compaction, the
+      // whole point): each scan prunes independently (db literal partition
+      // filter + id row-group pushdown), and doc ids are unique across base
+      // and batches by the append contract, so the union IS the id-keyed
+      // row set — no dedup pass. Batch reads carry the base's EXPLICIT
+      // schema (an empty committed batch has no files to infer from).
+      val base = spark.read.parquet(s"$gen/rows")
+      val batchSchema = base.schema
+      val batches = liveTagsAt(spark, gen).toSeq.sorted
+        .map(t => spark.read.schema(batchSchema).parquet(s"$gen/batches/$t/rows"))
+      (base +: batches).map(df => df
+          .filter(col("db").isin(dbs: _*))
+          .filter(col("doc_id").isin(ids: _*))
+          .select(batchSchema.fieldNames.map(col).toSeq: _*))
+        .reduce(_ unionByName _)
+    }
   }
 
   /** Q156 — SNIPPET SEARCH: the end-to-end serving page (the

@@ -212,7 +212,22 @@ object TextOps {
     * cost goes quadratic. The merge application is the textbook greedy
     * left-to-right non-overlapping fold: a merged symbol is strictly
     * longer than its left part, so it can never re-match the same pair's
-    * left side within the fold. */
+    * left side within the fold.
+    *
+    * CHECKPOINT-STATS AUDIT (round 14 — the freshCheckpoint follow-up):
+    * this is the one loop-carried `localCheckpoint` outside the CC loops
+    * (grep-audited: every other checkpoint in src/main is one-shot), and
+    * it deliberately STAYS on `localCheckpoint`. The round-13 driver
+    * stall required the loop body to JOIN the carried frame with itself —
+    * Catalyst's size-only estimator multiplies join children, so carried
+    * estimates SQUARE per round. This body only projects/aggregates the
+    * carried frame (argmax is a collect; the re-segment is a same-schema
+    * project), so the carried estimate transforms by a ~1 column-width
+    * ratio per round — linear, never compounding (spec'd:
+    * PropertySpec's non-join carried-chain stats property). Keeping
+    * `localCheckpoint` keeps its carried stats and partitioning, which
+    * [[graft.Checkpoints.freshCheckpoint]]'s re-root would discard for
+    * no benefit here. */
   def bpeTrain(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -121,6 +121,58 @@ class ClusterIndexSpec extends SparkSpec {
       "a fold on the sharded base drifted from the one-shot base's")
   }
 
+  test("exact-dup pre-pass: a duplicate-heavy corpus builds the same labels as the one-shot") {
+    // round-14: writeSharded collapses exact-signature classes to their
+    // min-id representative before banding (within-group band collisions
+    // are quadratic in group size — the measured ×11.7 last decade of
+    // the 1000× base) and reattaches members by class after labeling.
+    // Construct a corpus with explicit duplicate groups: 3 exact copies
+    // of every 10th doc, plus an exact-dup PAIR whose text is unique in
+    // the corpus (its class must form its own cluster under the rep —
+    // the unclustered-rep arm of the reattach).
+    val dir = java.nio.file.Files.createTempDirectory("ci_dup").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dups = docs.filter(col("doc_id") % 10 === 0)
+    import spark.implicits._
+    val loner = Seq(
+      (800001L, "zq xv wq pk jm nr tb vc dx ez fy gu hw ij kl"),
+      (800002L, "zq xv wq pk jm nr tb vc dx ez fy gu hw ij kl"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs
+      .unionByName(dups.withColumn("doc_id", col("doc_id") + 600000L))
+      .unionByName(dups.withColumn("doc_id", col("doc_id") + 700000L))
+      .unionByName(loner.select(docs.columns.map(col).toSeq: _*))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val idxOne = java.nio.file.Files.createTempDirectory("ci_dup1").toString
+    val idxShard = java.nio.file.Files.createTempDirectory("ci_dups").toString
+    ClusterIndex.write(spark, dir, idxOne)
+    ClusterIndex.writeSharded(spark, dir, idxShard, shards = 3)
+    def labelMap(p: String) = ClusterIndex.labels(spark, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = labelMap(idxOne)
+    assert(labelMap(idxShard) == one,
+      "pre-pass labels drifted from the one-shot build on a duplicate-heavy corpus")
+    // the unique exact-dup pair clustered under its min id
+    assert(one.get(800001L).contains(800001L) &&
+      one.get(800002L).contains(800001L),
+      s"the exact-dup pair must form its own cluster: $one")
+    // the scratch class/rep-band dirs are cleaned up
+    val fs = new org.apache.hadoop.fs.Path(idxShard)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (d <- Seq(".classes_build", ".rep_bands_build", ".edges_build"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(idxShard, d)),
+        s"the sharded build must remove its scratch $d")
+    // folds land identically on both bases
+    val batch = docsDir(Seq(900001L ->
+      "date elder banana fig jasmine grape honey apple cherry iris"))
+    ClusterIndex.append(spark, batch, idxOne, Some("b0"))
+    ClusterIndex.append(spark, batch, idxShard, Some("b0"))
+    assert(labelMap(idxShard) == labelMap(idxOne),
+      "a fold on the pre-pass base drifted from the one-shot base's")
+  }
+
   test("version retention: vacuum keeps the newest folds, the ledger carries tags forward") {
     val evens = parityDir(0)
     val odds = parityDir(1)

@@ -95,6 +95,31 @@ class GramLedgerSpec extends SparkSpec {
     assert(inQuery == want, "q154's in-query form drifted from q141-restricted")
   }
 
+  test("bulk sharded rewrite ≡ the one-shot micro rewrite for any shard count") {
+    // round-14: a batch past the micro-batch bound routes to the
+    // bucket-group-sharded pass ([[Dedup.rewriteBulkAgainstLedger]]) —
+    // the per-gram canonicality merge partitions exactly by the ledger's
+    // gram bucket, so answers must equal the one-shot path row-for-row
+    // whatever the shard grouping (the semigroup argument).
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val ledger = java.nio.file.Files.createTempDirectory("gl_bulk").toString
+    Dedup.writeGramLedger(spark, evens, ledger, n = N)
+    val want = Dedup.rewriteBatchAgainstLedger(spark, odds, ledger)
+      .collect().map(_.toSeq).toSeq
+    for (shards <- Seq(1, 3)) {
+      val got = Dedup.rewriteBulkAgainstLedger(spark, odds, ledger, shards)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == want,
+        s"bulk rewrite at shards=$shards drifted from the one-shot path")
+    }
+    // fold-order independence holds for the bulk path too
+    assert(Dedup.appendGramLedger(spark, odds, ledger, "fold_odd"))
+    assert(Dedup.rewriteBulkAgainstLedger(spark, odds, ledger, 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq == want,
+      "bulk rewrite against the folded ledger drifted")
+  }
+
   test("gram ledger: compaction preserves rows, tags, and the batch rewrite") {
     val evens = parityDir(0)
     val odds = parityDir(1)

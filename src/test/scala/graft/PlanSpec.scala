@@ -190,6 +190,14 @@ class PlanSpec extends SparkSpec {
     assert(rw.contains("gramledger") || rw.contains("ledger"),
       s"expected the at-rest ledger in the plan:\n$rw")
     assert(!rw.contains("CartesianProduct"))
+    // round 14: for a page-sized batch a bloom built from the batch gram
+    // set rides the ledger scan's filter AHEAD of the broadcast probe,
+    // and the scan projects only (gram, first) — n_occ is unread by the
+    // rewrite and must not be decoded
+    assert(rw.contains("might_contain"),
+      s"expected the batch-gram bloom riding the ledger scan:\n$rw")
+    assert(!rw.contains("n_occ"),
+      s"the rewrite must not read/compute n_occ anywhere:\n$rw")
     // q160: serving reads the LABEL TABLE — no signature recompute, no
     // banded self-join, no CC loop in the served plan
     ClusterIndex.write(spark, evens, s"$work/cluster")

@@ -616,4 +616,39 @@ class PropertySpec extends SparkSpec {
     // and the estimate is within the family's error bound at this k
     assert(math.abs(e8 - 50000L) < 50000L * 0.05, s"estimate $e8")
   }
+
+  test("a project/aggregate-carried localCheckpoint chain never compounds plan statistics (the bpeTrain shape)") {
+    // round-14 checkpoint-stats audit: the CC loops needed freshCheckpoint
+    // because their bodies JOIN the carried frame with itself (size
+    // estimates multiply → square per round). bpeTrain's loop only
+    // projects and aggregates the carried frame, so plain localCheckpoint
+    // is safe there — this property pins the distinction: ten rounds of
+    // the bpeTrain shape (posexplode → groupBy on the side, same-schema
+    // project carried forward) keep the carried sizeInBytes estimate
+    // BOUNDED, where a self-join chain doubles its bit-length per round
+    // (ConnectedComponentsSpec's freshCheckpoint property).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    var words = (1L to 200L)
+      .map(i => (Seq("a", "b", "c", "d").take(1 + (i % 4).toInt), i))
+      .toDF("syms", "wc")
+      .localCheckpoint()
+    val bits0 = words.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    for (_ <- 1 to 10) {
+      // the per-round argmax (aggregate + collect) reads the carried frame
+      words
+        .select(col("wc"), posexplode(col("syms")).as(Seq("i", "l")))
+        .groupBy("l").agg(sum("wc").as("c"))
+        .orderBy(desc("c")).limit(1).collect()
+      // the carried re-segment is a same-schema project
+      words = words
+        .select(concat(col("syms"), array(lit("x"))).as("syms"), col("wc"))
+        .localCheckpoint()
+    }
+    val bits = words.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits <= bits0 + 16,
+      s"project-carried chain compounded stats: $bits0 -> $bits bits — " +
+        "the bpeTrain loop would need freshCheckpoint after all")
+    graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
+  }
 }
