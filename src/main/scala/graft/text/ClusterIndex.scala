@@ -384,6 +384,19 @@ object ClusterIndex {
     val versions = committedVersionsAt(spark, root.toString)
     require(versions.nonEmpty, s"append needs an existing index at $indexPath")
     val cur = versionRoot(root.toString, versions.max)
+    // COMPLETED-FOLD SHORT-CIRCUIT on the version ledger (round-14 review
+    // finding): after a compaction the folded tag's delta dir no longer
+    // exists — the tag rides the generation's ledger file — so
+    // appendTaggedBatch alone would re-commit a FULL duplicate sigs/bands
+    // delta that the next compaction bakes into the base permanently.
+    // The version ledger covers both states (live ledger pre-compaction,
+    // carried ledger at the fresh generation's v0), and a tag present
+    // there means the labels PUBLISHED, so the whole fold is done. The
+    // crash-window replay (delta committed, labels not published — tag
+    // absent from the ledger) correctly falls through.
+    if (tag.exists(graft.IndexVersions.readLedger(fs, new Path(cur))
+        .tags.contains)) ()
+    else {
     val next = versions.max + 1
     val target = new Path(root, s"v$next")
     val staging = new Path(root,
@@ -504,6 +517,7 @@ object ClusterIndex {
       graft.IndexVersions.readLedger(fs, new Path(cur)).append(tag))
     graft.IndexVersions.publish(fs, staging, target,
       t => fs.exists(new Path(t, "stats/_SUCCESS")), fence)
+    }
     }
   }
 

@@ -1310,7 +1310,7 @@ object Dedup {
     // finding — a compaction committing in between silently dropped the
     // old generation's live delta grams from the canonicality merge)
     withLedgerGen(spark, ledgerPath) { ledgerGen =>
-    val (n, _) = readGramLedgerStatsAt(spark, ledgerGen)
+    val (n, buckets) = readGramLedgerStatsAt(spark, ledgerGen)
     val batchDocs = Tables.documents(spark, batchDir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .localCheckpoint() // feeds gram pass + reassembly
@@ -1320,8 +1320,10 @@ object Dedup {
     // routes to the bucket-group-sharded pass instead (round 14 — the
     // round-13 degraded shuffle join exceeded scratch disk at the
     // 2.5M-doc backfill tier; see [[rewriteBulkAgainstLedger]]).
-    if (batchDocs.count() > graft.IndexVersions.MicroBatchMaxDocs)
-      rewriteBulkShardedAt(spark, ledgerGen, batchDocs, n, shards = 8)
+    val nDocs = batchDocs.count()
+    if (nDocs > graft.IndexVersions.MicroBatchMaxDocs)
+      rewriteBulkShardedAt(spark, ledgerGen, batchDocs, n, shards = 8,
+        buckets)
     else {
     val batchGrams = batchDocs
       .select(col("doc_id"), posexplode(
@@ -1336,21 +1338,26 @@ object Dedup {
     val ledgerFirsts = gramLedgerRowsAt(spark, ledgerGen)
       .select(col("gram"), col("first"))
     // BLOOM PREFILTER riding the scan (round-14 verdict task): for a
-    // page-sized batch the gram set also fits a compact bloom, checked
-    // INSIDE the scan's filter before rows reach the broadcast probe.
-    // Exactness is the semi-join's (bloom false positives are dropped
-    // there); the rider is gated to small batches so its literal stays
-    // page-sized.
-    val nGrams = batchLedger.count()
+    // PAGE-SIZED batch (the q163 serving shape — gated on the doc count
+    // already in hand, no extra gram-count job) the gram set also fits a
+    // compact bloom, checked INSIDE the scan's filter before rows reach
+    // the broadcast probe. Exactness is the semi-join's (bloom false
+    // positives are dropped there). Bits are sized from a docs×length
+    // bound, the same heuristic the broadcast gate uses; a zero-gram
+    // batch (all-short docs — a legitimate state) yields a NULL sketch
+    // from the aggregate, and the rider is skipped rather than passed a
+    // zero estimate Spark rejects (round-14 review finding).
     val prefiltered =
-      if (nGrams > BloomPrefilterMaxGrams) ledgerFirsts
+      if (nDocs > BloomPrefilterMaxDocs) ledgerFirsts
       else {
-        val bits = math.max(1L << 16, nGrams * 16L)
+        val estGrams = math.max(1L, nDocs * 512L)
+        val bits = math.min(1L << 23, math.max(1L << 16, estGrams * 16L))
         val bloom = batchLedger
           .agg(graft.functions.BloomExpressions.bloom_agg(col("gram"),
-            lit(nGrams), lit(bits)).as("bf"))
+            lit(estGrams), lit(bits)).as("bf"))
           .head().getAs[Array[Byte]]("bf")
-        ledgerFirsts.filter(
+        if (bloom == null) ledgerFirsts
+        else ledgerFirsts.filter(
           graft.functions.BloomExpressions.bloom_contains(lit(bloom),
             col("gram")))
       }
@@ -1368,10 +1375,11 @@ object Dedup {
     }
   }
 
-  /** Gram-count gate for the micro path's bloom rider: past this the
+  /** Doc-count gate for the micro path's bloom rider: past this the
     * bloom literal itself stops being page-sized and the broadcast
-    * semi-join alone is the right plan. */
-  private val BloomPrefilterMaxGrams = 262144L
+    * semi-join alone is the right plan (page-sized serving batches —
+    * q163's 64 docs — sit far under it). */
+  private val BloomPrefilterMaxDocs = 4096L
 
   /** The per-shard slice of [[gramLedgerRowsAt]]: base + committed
     * deltas restricted to the bucket group `gb % shards == s`, filtered
@@ -1419,16 +1427,22 @@ object Dedup {
       ledgerPath: String, shards: Int = 8): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     withLedgerGen(spark, ledgerPath) { ledgerGen =>
-      val (n, _) = readGramLedgerStatsAt(spark, ledgerGen)
+      val (n, buckets) = readGramLedgerStatsAt(spark, ledgerGen)
       val batchDocs = Tables.documents(spark, batchDir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .localCheckpoint()
-      rewriteBulkShardedAt(spark, ledgerGen, batchDocs, n, shards)
+      rewriteBulkShardedAt(spark, ledgerGen, batchDocs, n, shards,
+        buckets)
     }
   }
 
+  /** The returned frame is localCheckpoint-MATERIALIZED (the scratch occ
+    * dir is deleted before returning, so the result cannot stay lazy);
+    * a session running several bulk rewrites should sweep between them
+    * ([[graft.Checkpoints.sweepExceptRetained]] — the repo's inter-query
+    * convention) or the batch-sized pinned blocks accumulate. */
   private def rewriteBulkShardedAt(spark: SparkSession, ledgerGen: String,
-      batchDocs: DataFrame, n: Int, shards: Int): DataFrame = {
+      batchDocs: DataFrame, n: Int, shards: Int, buckets: Int): DataFrame = {
     import org.apache.hadoop.fs.Path
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
@@ -1443,9 +1457,8 @@ object Dedup {
         graft.functions.TextExpressions.word_ngrams(col("toks"), n,
           distinct = false)))
       .toDF("doc_id", "i", "gram")
-    // gb must be the LEDGER's bucketing, not a recomputed one — the
-    // persisted bucket count is layout semantics (the append rule)
-    val (_, buckets) = readGramLedgerStatsAt(spark, ledgerGen)
+    // `buckets` is the LEDGER's persisted bucketing, threaded from the
+    // caller's one stats read — layout semantics (the append rule)
     for (s <- 0 until shards) {
       val inShard =
         pmod(pmod(hash(col("gram")), lit(buckets)), lit(shards)) === s

@@ -273,6 +273,16 @@ class CompactionSpec extends SparkSpec {
     // (2) both tag ledgers carried: the version ledger (pairing/appliedTags)
     // and the _batches replay dirs
     assert(ClusterIndex.appliedTags(spark, idx) == Set("fold_odd"))
+    // a replayed fold whose tag was compaction-carried must be a NO-OP:
+    // its delta dir no longer exists to short-circuit on, and
+    // re-committing would write a duplicate sigs/bands delta the next
+    // compaction bakes into the base permanently (round-14 review finding)
+    ClusterIndex.append(spark, parityDir(1), idx, Some("fold_odd"))
+    assert(ClusterIndex.liveBatchCount(spark, idx) == 0,
+      "a compaction-carried tag's replay re-committed its delta")
+    assert(ClusterIndex.nearDupClustersServed(spark, sf0001, idx)
+      .collect().map(cmp).toSeq == want,
+      "a compaction-carried tag's replay changed the served resolution")
     // (3) a post-compaction fold equals the full recompute over the union
     // corpus (the append ≡ rebuild bar, THROUGH a compacted generation):
     // fold a fresh batch and compare against ccLabels-style resolution

@@ -120,6 +120,26 @@ class GramLedgerSpec extends SparkSpec {
       "bulk rewrite against the folded ledger drifted")
   }
 
+  test("a zero-gram batch (all-short docs) rewrites as a no-op without tripping the bloom rider") {
+    // round-14 review finding: the bloom prefilter passed the batch gram
+    // count as the aggregate's estimatedItems, which Spark rejects at
+    // zero — yet a batch whose docs all tokenize shorter than n is a
+    // legitimate state (the empty-delta convention).
+    import spark.implicits._
+    val ledger = java.nio.file.Files.createTempDirectory("gl_zero").toString
+    Dedup.writeGramLedger(spark, parityDir(0), ledger, n = N)
+    val dir = java.nio.file.Files.createTempDirectory("gl_short").toString
+    Seq((700001L, "one two"), (700002L, "three"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.rewriteBatchAgainstLedger(spark, dir, ledger)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((700001L, 2L, 0L), (700002L, 1L, 0L)),
+      s"all-short docs must rewrite untouched: ${got.toSeq}")
+  }
+
   test("gram ledger: compaction preserves rows, tags, and the batch rewrite") {
     val evens = parityDir(0)
     val odds = parityDir(1)
