@@ -1321,22 +1321,33 @@ object Dedup {
     // round-13 degraded shuffle join exceeded scratch disk at the
     // 2.5M-doc backfill tier; see [[rewriteBulkAgainstLedger]]).
     val nDocs = batchDocs.count()
-    if (nDocs > graft.IndexVersions.MicroBatchMaxDocs)
+    // three regimes by batch size (each boundary measured, round 14):
+    //  - micro (≤100k docs): broadcast semi-join prunes the ledger scan,
+    //    bloom rider for page-sized batches;
+    //  - mid bulk (100k–1M): the round-13 degraded SHUFFLE join — at the
+    //    250k-doc fixture tier it runs 2× faster than the sharded pass
+    //    (35 vs 68 s: one join vs `shards` ledger scans) and its spill
+    //    fits comfortably;
+    //  - huge bulk (>1M): the bucket-group-sharded pass — the one-shot
+    //    shuffle join's spill exceeded scratch disk at the 2.5M-doc
+    //    backfill (round 13 †), and bounding peak footprint is worth the
+    //    extra scans exactly when the footprint is the binding
+    //    constraint.
+    if (nDocs > BulkShardMinDocs)
       rewriteBulkShardedAt(spark, ledgerGen, batchDocs, n, shards = 8,
         buckets)
     else {
+    val microBatch = nDocs <= graft.IndexVersions.MicroBatchMaxDocs
     val batchGrams = batchDocs
       .select(col("doc_id"), posexplode(
         graft.functions.TextExpressions.word_ngrams(col("toks"), n,
           distinct = false)))
       .toDF("doc_id", "i", "gram")
     val batchLedger = gramLedgerOf(batchGrams)
-    val batchGramSet = broadcast(batchLedger.select("gram"))
-    // the rewrite reads ONLY canonical firsts — n_occ stays unscanned
-    // (round 14: the at-rest ledger scan is the row's one growth term;
-    // dropping the unused column trims its decode mass)
-    val ledgerFirsts = gramLedgerRowsAt(spark, ledgerGen)
-      .select(col("gram"), col("first"))
+    val batchGramSet =
+      if (microBatch) broadcast(batchLedger.select("gram"))
+      else batchLedger.select("gram")
+    val ledgerRows = gramLedgerRowsAt(spark, ledgerGen)
     // BLOOM PREFILTER riding the scan (round-14 verdict task): for a
     // PAGE-SIZED batch (the q163 serving shape — gated on the doc count
     // already in hand, no extra gram-count job) the gram set also fits a
@@ -1346,9 +1357,25 @@ object Dedup {
     // bound, the same heuristic the broadcast gate uses; a zero-gram
     // batch (all-short docs — a legitimate state) yields a NULL sketch
     // from the aggregate, and the rider is skipped rather than passed a
-    // zero estimate Spark rejects (round-14 review finding).
+    // zero estimate Spark rejects (round-14 review finding). Measured at
+    // the 100× tier (cold median-of-3, same box/fixture): bloom cuts the
+    // rewrite 3.4 → 2.6 s over the round-13 shape, while a
+    // (gram, first)-only scan projection + min-only merge LOST ~1 s (the
+    // union-pushed semi-join re-plans) — so the rider ships and the
+    // "trim" does not.
+    // ... and only when the at-rest scan is big enough to pay for the
+    // rider (one metadata call): on a small ledger the bloom build job +
+    // per-row check COST ~1 s against nothing to save (measured at the
+    // sf0.1 fixture: 3.9 s with vs 2.2 s without), while at the 100×
+    // tier the same rider cuts the rewrite 3.4 → 2.6 s.
+    val ledgerBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$ledgerGen/grams")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
     val prefiltered =
-      if (nDocs > BloomPrefilterMaxDocs) ledgerFirsts
+      if (nDocs > BloomPrefilterMaxDocs ||
+          ledgerBytes < BloomMinLedgerBytes) ledgerRows
       else {
         val estGrams = math.max(1L, nDocs * 512L)
         val bits = math.min(1L << 23, math.max(1L << 16, estGrams * 16L))
@@ -1356,17 +1383,14 @@ object Dedup {
           .agg(graft.functions.BloomExpressions.bloom_agg(col("gram"),
             lit(estGrams), lit(bits)).as("bf"))
           .head().getAs[Array[Byte]]("bf")
-        if (bloom == null) ledgerFirsts
-        else ledgerFirsts.filter(
+        if (bloom == null) ledgerRows
+        else ledgerRows.filter(
           graft.functions.BloomExpressions.bloom_contains(lit(bloom),
             col("gram")))
       }
     val matched = prefiltered.join(batchGramSet, Seq("gram"), "left_semi")
-    // merge on first ONLY (min is the canonicality rule; n_occ is unread
-    // by the rewrite — [[mergeGramLedgers]] is the full-ledger form)
-    val merged = matched
-      .unionByName(batchLedger.select(col("gram"), col("first")))
-      .groupBy("gram").agg(min("first").as("first"))
+    val merged = mergeGramLedgers(matched.select("gram", "first", "n_occ"),
+      batchLedger)
     val occ = batchGrams.join(merged, Seq("gram"))
       .select(col("doc_id"), col("i"),
         (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
@@ -1380,6 +1404,20 @@ object Dedup {
     * semi-join alone is the right plan (page-sized serving batches —
     * q163's 64 docs — sit far under it). */
   private val BloomPrefilterMaxDocs = 4096L
+
+  /** At-rest ledger size below which the bloom rider is a net loss (its
+    * build job + per-row check against a scan too small to matter —
+    * measured; see the rewrite body). 256 MB ≈ the 100× fixture tier
+    * where the win first shows. A `var` only as the PlanSpec seam (the
+    * rider's plan pin needs it to fire on a spec-sized fixture);
+    * production never writes it. */
+  private[graft] var BloomMinLedgerBytes = 256L * 1024 * 1024
+
+  /** Batch-doc bound above which the bulk rewrite runs SHARDED: below it
+    * the one-shot shuffle join is both faster (one ledger pass, not
+    * `shards`) and comfortably within scratch; above it the join's spill
+    * is the binding constraint (the round-13 2.5M-doc disk bound). */
+  private val BulkShardMinDocs = 1000000L
 
   /** The per-shard slice of [[gramLedgerRowsAt]]: base + committed
     * deltas restricted to the bucket group `gb % shards == s`, filtered

@@ -190,14 +190,19 @@ class PlanSpec extends SparkSpec {
     assert(rw.contains("gramledger") || rw.contains("ledger"),
       s"expected the at-rest ledger in the plan:\n$rw")
     assert(!rw.contains("CartesianProduct"))
-    // round 14: for a page-sized batch a bloom built from the batch gram
-    // set rides the ledger scan's filter AHEAD of the broadcast probe,
-    // and the scan projects only (gram, first) — n_occ is unread by the
-    // rewrite and must not be decoded
-    assert(rw.contains("might_contain"),
-      s"expected the batch-gram bloom riding the ledger scan:\n$rw")
-    assert(!rw.contains("n_occ"),
-      s"the rewrite must not read/compute n_occ anywhere:\n$rw")
+    // round 14: for a page-sized batch against a LARGE at-rest ledger a
+    // bloom built from the batch gram set rides the scan's filter AHEAD
+    // of the broadcast probe (the size gate is dropped through its seam —
+    // a spec-sized ledger legitimately skips the rider)
+    val savedGate = Dedup.BloomMinLedgerBytes
+    val rwBloom = try {
+      Dedup.BloomMinLedgerBytes = 0L
+      explain(Dedup.rewriteBatchAgainstLedger(spark, odds, s"$work/ledger"))
+    } finally Dedup.BloomMinLedgerBytes = savedGate
+    assert(rwBloom.contains("might_contain"),
+      s"expected the batch-gram bloom riding the ledger scan:\n$rwBloom")
+    assert(!rw.contains("might_contain"),
+      s"the rider must skip a spec-sized ledger (size gate):\n$rw")
     // q160: serving reads the LABEL TABLE — no signature recompute, no
     // banded self-join, no CC loop in the served plan
     ClusterIndex.write(spark, evens, s"$work/cluster")
