@@ -1119,7 +1119,9 @@ object TextIndex {
   def readStats(spark: SparkSession, indexPath: String): (Long, Long) =
     readStatsAt(spark, currentRoot(spark, indexPath))
 
-  private def readStatsAt(spark: SparkSession, root: String): (Long, Long) = {
+  /** (nDocs, nToks) of a resolved root — `private[graft]` so the
+    * MaxScoreBench meter can reproduce the shipped prune decision. */
+  private[graft] def readStatsAt(spark: SparkSession, root: String): (Long, Long) = {
     val (n, t, _) = readStatsRowAt(spark, root)
     (n, t)
   }
@@ -1190,6 +1192,41 @@ object TextIndex {
     * provably outside the topN under any tie-break. */
   private[graft] final case class MaxScoreSplit(theta6: Long,
     essential: Seq[String], nonEssential: Seq[String], ub6: Map[String, Long])
+
+  /** CANDIDATE-MASS GUARD on the MaxScore prune (round 14): the skew/mass
+    * gate alone MISFIRES in the heavy-tail regime — measured on the
+    * 1000× Zipf fixture, a 24-term probe spanning df ranks 7–29 passes
+    * the ×8 skew ratio, yet its "essential" (rare) lists still carry
+    * ~10⁵–10⁶ docs each, so the candidate set dwarfs the literal-IN
+    * pushdown bound, the non-essential lists are probed through a
+    * corpus-scale semi-join, and the "prune" ran 2.2× SLOWER than the
+    * plain plan (11.8 vs 5.4 s). The win regime is candidates small
+    * enough that the hot lists are read ONLY for candidate docs (ideally
+    * the row-group-pruning IN pushdown) — so the prune additionally
+    * requires the essential lists' summed df under this bound. The
+    * synthetic rare-terms fixture (df ≈ 200 essentials beside a 45%-df
+    * hot list — the classic MaxScore query shape) sits far inside it. */
+  private[graft] val CandidateMassGate = 65536L
+
+  /** The full prune decision — skew/mass gate, MaxScore split, and the
+    * candidate-mass guard — returning the non-essential terms (empty =
+    * plain plan). ONE definition for [[bm25Indexed]] and the
+    * MaxScoreBench meter, so the measured decision is the shipped one. */
+  private[graft] def nonEssentialTerms(spark: SparkSession, root: String,
+      nDocs: Long, nToks: Long, qts: Seq[QTerm], topN: Int,
+      minProbeMass: Long = DefaultMinProbeMass): Seq[QTerm] = {
+    val skewed = qts.size >= 2 &&
+      qts.map(_.df).max >= SkewGateRatio * qts.map(_.df).min &&
+      qts.map(_.df).sum >= minProbeMass
+    if (!skewed) Seq.empty[QTerm]
+    else {
+      val split = maxScoreSplitAt(spark, root, nDocs, nToks, qts, topN)
+      val essMass = qts
+        .filterNot(q => split.nonEssential.contains(q.tok)).map(_.df).sum
+      if (essMass > CandidateMassGate) Seq.empty[QTerm]
+      else qts.filter(q => split.nonEssential.contains(q.tok))
+    }
+  }
 
   private[graft] def maxScoreSplitAt(spark: SparkSession, root: String,
       nDocs: Long, nToks: Long, qts: Seq[QTerm], topN: Int,
@@ -1290,15 +1327,9 @@ object TextIndex {
     val root = pinnedRoot.getOrElse(currentRoot(spark, indexPath))
     val (nDocs, nToks) = readStatsAt(spark, root)
     val qts = deriveQueryTermsAt(spark, root, nDocs, nq)
-    val skewed = qts.size >= 2 &&
-      qts.map(_.df).max >= SkewGateRatio * qts.map(_.df).min &&
-      qts.map(_.df).sum >= minProbeMass
-    val ne =
-      if (!prune || !skewed) Seq.empty[QTerm]
-      else {
-        val split = maxScoreSplitAt(spark, root, nDocs, nToks, qts, topN)
-        qts.filter(q => split.nonEssential.contains(q.tok))
-      }
+    val ne = if (!prune) Seq.empty[QTerm]
+      else nonEssentialTerms(spark, root, nDocs, nToks, qts, topN,
+        minProbeMass)
     val posts = spark.read.parquet(s"$root/postings")
     // the term predicate as a literal FILTER, not just the join: it
     // reaches the parquet scan as PushedFilters on `tok`, so the

@@ -28,6 +28,11 @@ object MaxScoreBench {
   def main(args: Array[String]): Unit = {
     val work = args(0)
     val nDocs = args.lift(1).map(_.toLong).getOrElse(12000000L)
+    // probe width (round 14): on a heavy-tailed (Zipf) vocabulary the
+    // derived top-nq terms span df ranks whose ratio grows with nq, so a
+    // WIDER probe develops the natural skew the gate requires — the
+    // regime knob for measuring the prune on the zipf fixtures
+    val nq = args.lift(2).map(_.toInt).getOrElse(5)
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -79,14 +84,17 @@ object MaxScoreBench {
     if (!exists(s"$idx/stats/_SUCCESS"))
       buildSec = time { TextIndex.write(spark, docsDir, idx) }
 
-    // the gate's own arithmetic, reproduced for the report
-    val qts = TextIndex.deriveQueryTerms(spark, idx)
+    // the SHIPPED decision, not a reproduction (round 14 — the
+    // reproduced arithmetic drifted from the decision the moment the
+    // candidate-mass guard landed): empty non-essential set = plain plan
+    val qts = TextIndex.deriveQueryTerms(spark, idx, nq)
     val dfSum = qts.map(_._2).sum
-    val gateFired = qts.size >= 2 &&
-      qts.map(_._2).max >= TextIndex.SkewGateRatio * qts.map(_._2).min &&
-      dfSum >= TextIndex.DefaultMinProbeMass
+    val root = TextIndex.currentRoot(spark, idx)
+    val (nd, nt) = TextIndex.readStatsAt(spark, root)
+    val gateFired = TextIndex.nonEssentialTerms(spark, root, nd, nt,
+      TextIndex.deriveQueryTermsAt(spark, root, nd, nq), 20).nonEmpty
     def run(prune: Boolean) =
-      TextIndex.bm25Indexed(spark, idx, prune = prune)
+      TextIndex.bm25Indexed(spark, idx, nq = nq, prune = prune)
     // answers must be byte-identical under both gate outcomes
     val a = run(prune = true).collect().map(_.toSeq).toSeq
     val b = run(prune = false).collect().map(_.toSeq).toSeq
