@@ -78,7 +78,22 @@ object IndexVersions {
     require(!tag.startsWith("."),
       s"batch tag must not start with '.' ('.' resolves to the batches " +
         s"root and '.staging_*' collides with the TTL sweep): '$tag'")
+    // 'untagged_' is RESERVED for the nonce dirs minted by untagged
+    // appends (round-15 ADVICE fix): ClusterIndex.compact exempts those
+    // nonces from its unfinished-fold guard, so a USER tag wearing the
+    // prefix whose fold crashed between delta commit and labels publish
+    // would be silently carried as applied while its docs never received
+    // labels — the exact silent loss the guard exists to block.
+    require(!tag.startsWith(UntaggedNoncePrefix),
+      s"batch tag must not start with '$UntaggedNoncePrefix' (reserved " +
+        s"for untagged-append nonce dirs): '$tag'")
   }
+
+  /** The reserved prefix of nonce delta dirs minted by UNTAGGED appends
+    * ([[graft.text.ClusterIndex.append]]): never a valid user tag
+    * ([[requireDirSafeTag]]), so guard exemptions keyed on it cannot be
+    * spoofed by a user-supplied tag. */
+  val UntaggedNoncePrefix = "untagged_"
 
   def readLedger(fs: FileSystem, dir: Path): Ledger = {
     val p = new Path(dir, TagsFile)

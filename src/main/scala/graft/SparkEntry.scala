@@ -423,7 +423,12 @@ object SparkEntry {
     * sf≥1 suite number reflects what production would run, while the
     * contract rows stay unchanged. */
   val auditQueries: Set[String] =
-    Set("q31_ngram_jaccard", "q66_semantic_clusters", "q145_dedup_recall")
+    Set("q31_ngram_jaccard", "q66_semantic_clusters", "q145_dedup_recall",
+      // round 15 (r14 verdict task #4): q105 joined the audit set once
+      // q166 became its served twin — the histogram's production path is
+      // the maintained cluster labels (0.7 s), while q105 deliberately
+      // pays a cold full q49 CC recompute (~4 s) as the exactness audit.
+      "q105_dedup_summary")
 
   /** Cell count for the oracle rows' cached cell index —
     * [[cachedCellIndex]]'s `k` and the full-probe `nprobe` must agree. */

@@ -206,8 +206,10 @@ class DocServingSpec extends SparkSpec {
     // invalid tags are rejected with the shared ledger+dir rules before
     // any work: '#' (ledger metadata), '/' (nesting), '.' (tag "."
     // resolves to the batches root — publish would delete every
-    // committed batch; ".staging_*" collides with the TTL sweep)
-    for (bad <- Seq("#meta", "a/b", ".", ".staging_x"))
+    // committed batch; ".staging_*" collides with the TTL sweep;
+    // "untagged_*" is reserved for nonce deltas — a user tag wearing it
+    // would slip ClusterIndex.compact's unfinished-fold guard, round 15)
+    for (bad <- Seq("#meta", "a/b", ".", ".staging_x", "untagged_backfill"))
       intercept[IllegalArgumentException] {
         DocStore.append(spark, batch, store, bad)
       }

@@ -120,6 +120,101 @@ class GramLedgerSpec extends SparkSpec {
       "bulk rewrite against the folded ledger drifted")
   }
 
+  test("bulk rewrite: explicit scratch on a different filesystem root; default scratch beside the ledger, cleaned up") {
+    // round 15 — the r14 verdict's task #1: staging under java.io.tmpdir
+    // resolved against fs.defaultFS breaks exactly the >1M-doc arm on
+    // clusters whose defaultFS is file:/// while data lives on an object
+    // store. The contract now: scratch defaults to a .bulk_scratch_*
+    // sibling under the LEDGER ROOT (same FS as the data by
+    // construction), and an explicit scratchPath — the non-default-FS
+    // seam; a second local dir suffices to exercise the threading — must
+    // be honored and swept.
+    import org.apache.hadoop.fs.Path
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val ledger = java.nio.file.Files.createTempDirectory("gl_scr_l").toString
+    Dedup.writeGramLedger(spark, evens, ledger, n = N)
+    val want = Dedup.rewriteBatchAgainstLedger(spark, odds, ledger)
+      .collect().map(_.toSeq).toSeq
+    val fs = new Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit scratch dir, elsewhere: used (observed via the shard
+    // fragments the pass writes there) and removed on completion
+    val scr = java.nio.file.Files.createTempDirectory("gl_scr_x").toString
+    val scratch = s"$scr/frag_staging"
+    val got = Dedup.rewriteBulkAgainstLedger(spark, odds, ledger,
+        shards = 2, scratchPath = Some(scratch))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want, "bulk rewrite under an explicit scratch drifted")
+    assert(!fs.exists(new Path(scratch)),
+      "explicit scratch dir must be deleted after the rewrite")
+    // default scratch: lands beside the ledger (never under
+    // java.io.tmpdir) and is deleted after; a crashed predecessor's
+    // stale nonce dir is swept by the next bulk rewrite
+    val stale = new Path(ledger, ".bulk_scratch_deadbeef")
+    fs.mkdirs(stale)
+    fs.setTimes(stale, System.currentTimeMillis() - 7L * 3600 * 1000, -1)
+    val got2 = Dedup.rewriteBulkAgainstLedger(spark, odds, ledger,
+        shards = 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got2 == want)
+    val leftovers = fs.listStatus(new Path(ledger)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(".bulk_scratch_"))
+    assert(leftovers.isEmpty,
+      s"default scratch (and stale crashed scratch) must be swept: $leftovers")
+  }
+
+  test("bulk shard derivation: tracks ledger bytes between floor 2 and cap 64") {
+    // the r14 verdict's task #1 second half: shards were a hardcoded 8 —
+    // now ledgerBytes/256MB, clamped. The validated round-14 operating
+    // point (~2 GB ledger → 8 shards) must reproduce.
+    assert(Dedup.bulkShardsFor(0L) == 2, "floor")
+    assert(Dedup.bulkShardsFor(1L) == 2, "floor rounds up past 1")
+    assert(Dedup.bulkShardsFor(Dedup.BulkShardTargetBytes * 8) == 8,
+      "the round-14 operating point")
+    assert(Dedup.bulkShardsFor(Dedup.BulkShardTargetBytes * 8 - 1) == 8,
+      "partial shards round UP (footprint bound, never exceeded)")
+    assert(Dedup.bulkShardsFor(Long.MaxValue / 2) == 64, "cap")
+  }
+
+  test("bloom rider: sized from the measured batch-gram count — long docs keep pruning") {
+    // round 15 — the r14 verdict's task #6: sizing from nDocs*512
+    // undersized the filter for corpora whose docs run longer than ~512
+    // grams (perf-only FPP rise). Now one count() sizes it exactly. The
+    // fixture: few docs, each FAR past 512 grams, so the old heuristic
+    // would undersize by ~4x; the rewrite must still take the rider
+    // (seam-forced size gate) and stay exact.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def longText(salt: Int): String =
+      (0 until 2200).map(i => s"w${rnd.nextInt(5000)}_$salt$i").mkString(" ")
+    val corpus = docsLike("gl_long_c",
+      (1L to 6L).map(i => (i, longText(i.toInt))))
+    val batch = docsLike("gl_long_b",
+      (101L to 104L).map(i => (i, longText(i.toInt))))
+    val ledger = java.nio.file.Files.createTempDirectory("gl_long_l").toString
+    Dedup.writeGramLedger(spark, corpus, ledger, n = N)
+    val want = Dedup.rewriteBatchAgainstLedger(spark, batch, ledger)
+      .collect().map(_.toSeq).toSeq
+    val saved = Dedup.BloomMinLedgerBytes
+    val got = try {
+      Dedup.BloomMinLedgerBytes = 0L // force the size gate open
+      Dedup.rewriteBatchAgainstLedger(spark, batch, ledger)
+        .collect().map(_.toSeq).toSeq
+    } finally Dedup.BloomMinLedgerBytes = saved
+    assert(got == want, "bloom-ridden rewrite drifted on a long-doc batch")
+  }
+
+  private def docsLike(prefix: String, rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("a zero-gram batch (all-short docs) rewrites as a no-op without tripping the bloom rider") {
     // round-14 review finding: the bloom prefilter passed the batch gram
     // count as the aggregate's estimatedItems, which Spark rejects at
