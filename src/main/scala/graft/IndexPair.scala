@@ -34,29 +34,77 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexPair {
 
+  /** The N-ARTIFACT resolver (round 15 — the r14 verdict's task #2: the
+    * pair resolvers closed the mid-publish window for fusion, but a
+    * composite reader touching MORE artifacts — curation's cluster
+    * labels + benchmark grams, the media page's phrase index + doc
+    * store — resolving each independently could still mix corpus
+    * states). Generalizes the pair rule two ways:
+    *
+    *  - `versioned` artifacts each supply their committed version list
+    *    with ledgers; a candidate corpus state is admissible iff EVERY
+    *    versioned list has a version with an EQUAL ledger (the existing
+    *    equality rule — tag sets and the untagged counter only grow
+    *    within a lineage, so equality is a proper synchronization
+    *    point). The walk maximizes the FIRST list's version, then each
+    *    subsequent list's.
+    *  - `addOnly` artifacts (doc store, benchmark gram set — base + one
+    *    delta dir per tag, no version chain) supply their committed tag
+    *    set; they can serve any state whose tags are a SUBSET of that
+    *    set (read base + exactly those deltas, or — for id-keyed
+    *    fetches — the full set, which covers every subset). A candidate
+    *    is admissible iff its tags ⊆ each add-only set and it carries
+    *    NO untagged appends: an untagged versioned fold has no
+    *    identifiable add-only counterpart, so no provably-synchronized
+    *    composite state exists (maintenance flows always tag — the
+    *    documented contract; refusing beats serving a guess).
+    *
+    * Returns the resolved roots (aligned with `versioned`) plus the
+    * agreed ledger — callers pin add-only reads to `ledger.tags`.
+    * Throws if no committed tuple agrees (unrelated lineages — serving
+    * a mixed corpus would be silently wrong, the one thing this
+    * resolver exists to prevent). */
+  def consistentRootsAll(
+      versioned: Seq[Seq[(Long, String, IndexVersions.Ledger)]],
+      addOnly: Seq[(String, Set[String])],
+      what: String): (Seq[String], IndexVersions.Ledger) = {
+    require(versioned.nonEmpty, "consistentRootsAll needs at least one " +
+      "versioned artifact (add-only artifacts alone have a single state)")
+    val newestFirst = versioned.map(_.reverse)
+    val tuples = newestFirst.head.iterator.flatMap {
+      case (_, headPath, ledger) =>
+        val rest = newestFirst.tail.map(_.collectFirst {
+          case (_, p, l) if l == ledger => p
+        })
+        val addOk = addOnly.forall { case (_, tags) =>
+          ledger.tags.subsetOf(tags) && ledger.untagged == 0L
+        }
+        if (rest.forall(_.isDefined) && addOk)
+          Iterator.single((headPath +: rest.map(_.get), ledger))
+        else Iterator.empty
+    }
+    if (tuples.hasNext) tuples.next()
+    else throw new IllegalStateException(
+      s"no consistent $what snapshot: applied-batch ledgers " +
+        s"${newestFirst.map(_.map(_._3))} (add-only tag sets " +
+        s"${addOnly.map { case (n, t) => s"$n=${t.toSeq.sorted}" }}) " +
+        "never agree — were these artifacts maintained from the same " +
+        "batch stream, with tagged folds?")
+  }
+
   /** The newest (aRoot, bRoot) pair of two version lists whose ledgers
-    * are equal — the generalized resolver every index PAIR shares. Walks
-    * A's versions newest-first, B's newest-first within each, so the
-    * pair maximizes A's version and then B's; throws if no committed
-    * pair agrees (two indexes from unrelated lineages — serving a mixed
-    * corpus would be silently wrong, the one thing this resolver exists
-    * to prevent). */
+    * are equal — the pair form of [[consistentRootsAll]] (one algorithm;
+    * the pair call sites keep their shape). Walks A's versions
+    * newest-first, B's newest-first within each, so the pair maximizes
+    * A's version and then B's; throws if no committed pair agrees (two
+    * indexes from unrelated lineages — serving a mixed corpus would be
+    * silently wrong, the one thing this resolver exists to prevent). */
   def consistentRootsOf(
       a: Seq[(Long, String, IndexVersions.Ledger)],
       b: Seq[(Long, String, IndexVersions.Ledger)],
       what: String): (String, String) = {
-    val as = a.reverse
-    val bs = b.reverse
-    val pair = for {
-      (_, aPath, aLedger) <- as.iterator
-      (_, bPath, bLedger) <- bs.iterator
-      if aLedger == bLedger
-    } yield (aPath, bPath)
-    if (pair.hasNext) pair.next()
-    else throw new IllegalStateException(
-      s"no consistent $what index pair: applied-batch ledgers " +
-        s"${as.map(_._3)} and ${bs.map(_._3)} never agree — were these " +
-        "indexes maintained from the same batch stream?")
+    val (roots, _) = consistentRootsAll(Seq(a, b), Seq.empty, what)
+    (roots(0), roots(1))
   }
 
   /** The newest (vectorsPath, textRoot) pair whose applied-batch ledgers

@@ -95,6 +95,18 @@ object IndexVersions {
     * spoofed by a user-supplied tag. */
   val UntaggedNoncePrefix = "untagged_"
 
+  /** True iff `tag` is a MINTED untagged-append nonce — the prefix plus
+    * exactly 8 lowercase-hex chars, the only dir names permitted to wear
+    * the reserved prefix (an internal mint passes [[appendTaggedBatch]];
+    * every public append validates its USER tag with the full
+    * [[requireDirSafeTag]] reservation first). */
+  def isMintedNonce(tag: String): Boolean =
+    tag.startsWith(UntaggedNoncePrefix) && {
+      val h = tag.drop(UntaggedNoncePrefix.length)
+      h.length == 8 && h.forall(c => (c >= '0' && c <= '9') ||
+        (c >= 'a' && c <= 'f'))
+    }
+
   def readLedger(fs: FileSystem, dir: Path): Ledger = {
     val p = new Path(dir, TagsFile)
     if (!fs.exists(p)) Ledger.empty
@@ -203,7 +215,10 @@ object IndexVersions {
   def appendTaggedBatch(fs: FileSystem, batchesRoot: Path, tag: String,
       committedMarker: String, fence: () => Unit = NoFence)(
       writeStaging: Path => Unit): Boolean = {
-    requireDirSafeTag(tag)
+    // a MINTED untagged nonce is an internal dir name, exempt from the
+    // user-tag reservation (which every public append enforces at entry);
+    // anything else wearing the prefix is rejected here as everywhere
+    if (!isMintedNonce(tag)) requireDirSafeTag(tag)
     def committed(p: Path) = fs.exists(new Path(p, committedMarker))
     val target = new Path(batchesRoot, tag)
     if (committed(target)) return false

@@ -412,6 +412,12 @@ object SparkEntry {
       val root = cachedClusterIndex(s, d)
       graft.text.ClusterIndex.dedupSummaryServed(s, d, s"$root/index")
     }),
+    // q167 (round 15): the pair-mass advisor — one keyed aggregate over
+    // the band table prices the near-dup build's candidate mass before
+    // the banded self-join is paid (the round-14 lesson made queryable:
+    // build cost is pair-mass-bound and fixture-regime-dependent).
+    "q167_pair_mass" -> ((s: SparkSession, d: String) =>
+      graft.text.Dedup.pairMassAdvisor(s, d)),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -3170,6 +3176,22 @@ object SparkEntry {
     // served histogram comes from the maintained cluster index's labels,
     // which equal the full recompute by the contracted-CC argument.
     "q166_dedup_summary_served" -> dedupSummaryOracle,
+
+    // q167 (round 15): the pair-mass advisor — per band, Σ C(n,2) over
+    // the (band_id, band_val) buckets predicts the banded self-join's
+    // comparison mass BEFORE it is paid (the build-cost advisor; exact
+    // combinatorics over the q29/q30 deterministic banding, so the
+    // oracle replays it verbatim). `//` keeps the sum integer-exact.
+    "q167_pair_mass" ->
+      s"""WITH $minhashCtes,
+        |bsz AS (SELECT band_id, band_val, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM bands WHERE band_val IS NOT NULL GROUP BY 1, 2)
+        |SELECT CAST(band_id AS BIGINT) AS band_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(n) AS BIGINT) AS n_banded_docs,
+        |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS predicted_pairs,
+        |  CAST(MAX(n) AS BIGINT) AS max_bucket
+        |FROM bsz GROUP BY band_id ORDER BY band_id""".stripMargin,
   )
 
   /** q105's oracle — cluster-size histogram over the q49 CC labels.

@@ -413,8 +413,8 @@ object ClusterIndex {
     // ADD-ONLY delta first (the store-before-index ordering argument):
     // sigs + bands land once under _batches/<tag>; an untagged append
     // mints a nonce dir (replay-leaking but correct — see the object doc)
-    val deltaTag = tag.getOrElse(
-      s"untagged_${java.util.UUID.randomUUID().toString.take(8)}")
+    val deltaTag = tag.getOrElse(graft.IndexVersions.UntaggedNoncePrefix +
+      java.util.UUID.randomUUID().toString.take(8))
     graft.IndexVersions.appendTaggedBatch(fs, new Path(root, "_batches"),
       deltaTag, "stats/_SUCCESS", fence) { st =>
       batchSig
@@ -527,6 +527,31 @@ object ClusterIndex {
   def labels(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(s"${currentRoot(spark, indexPath)}/labels")
 
+  /** [[labels]] against an ALREADY-RESOLVED version root — the pinned
+    * form composite readers use after
+    * [[graft.IndexPair.consistentRootsAll]] resolution (round 15). */
+  def labelsAt(spark: SparkSession, versionRoot: String): DataFrame =
+    spark.read.parquet(s"$versionRoot/labels")
+
+  /** Every committed LABELS version of the current generation with its
+    * root and applied-batch ledger, oldest first — the input to
+    * cross-artifact consistent resolution
+    * ([[graft.IndexPair.consistentRootsAll]]; round 15). One generation
+    * resolution covers the listing and every ledger read (the withGen
+    * rule). */
+  def versionsWithTags(spark: SparkSession,
+      indexPath: String): Seq[(Long, String, graft.IndexVersions.Ledger)] = {
+    import org.apache.hadoop.fs.Path
+    withGen(spark, indexPath) { gen =>
+      val fs = new Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      committedVersionsAt(spark, gen).map { v =>
+        val p = versionRoot(gen, v)
+        (v, p, graft.IndexVersions.readLedger(fs, new Path(p)))
+      }
+    }
+  }
+
   /** Q160 — q49's (doc_id, cluster_rep, keep) resolution SERVED from the
     * maintained artifact: the corpus table contributes only the doc-id
     * spine (every doc, clustered or not); signatures, candidates and CC
@@ -562,6 +587,17 @@ object ClusterIndex {
         (col("cluster_size") * col("n_clusters")).as("n_docs"),
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
       .orderBy("cluster_size")
+
+  /** PAIR-MASS ADVISOR over the AT-REST band table (round 15 — the
+    * corpus form [[Dedup.pairMassAdvisor]] priced against the index's
+    * persisted bands, base + committed deltas: what a re-build or a
+    * threshold re-tune over this index would pay, without re-deriving a
+    * single signature). Same aggregate, same columns — shared body. */
+  def pairMassAdvisor(spark: SparkSession, indexPath: String): DataFrame =
+    withGen(spark, indexPath) { gen =>
+      Dedup.pairMassOf(
+        layerRowsAt(spark, gen, "bands", BandSchema, exclude = ""))
+    }
 
   /** Shared version vacuum (the [[TextIndex.vacuumVersions]] contract:
     * keepLast floor of one, grace for in-flight readers, stranded-dir
@@ -652,7 +688,12 @@ object ClusterIndex {
     // between its delta commit and its labels publish — carrying it
     // would permanently mark the batch applied while its docs never
     // received labels. Refuse; replaying the fold heals it.
-    val unfolded = tags.diff(ledger.tags).filterNot(_.startsWith("untagged_"))
+    // the 'untagged_' prefix is RESERVED for minted nonces
+    // (IndexVersions.requireDirSafeTag rejects user tags wearing it), and
+    // the exemption additionally accepts ONLY the minted format — so a
+    // crashed USER fold can never be carried as applied
+    val unfolded = tags.diff(ledger.tags)
+      .filterNot(graft.IndexVersions.isMintedNonce)
     require(unfolded.isEmpty,
       s"cluster index at $indexPath has committed delta tags not yet " +
         s"folded into the label version (a fold crashed between its delta " +

@@ -518,14 +518,33 @@ object Curation {
 
   /** The full at-rest benchmark gram rows — base plus committed deltas,
     * possibly with cross-layer duplicates (readers must semi-join, never
-    * inner-join-and-count). Delta reads carry the base's data schema
-    * EXPLICITLY: a batch with no benchmark docs commits an EMPTY
-    * partitioned delta (no data files, nothing to infer from), which is
-    * a legitimate corpus state, not an error. */
-  private def benchGramRows(spark: SparkSession, path: String): DataFrame = {
+    * inner-join-and-count). */
+  private def benchGramRows(spark: SparkSession, path: String): DataFrame =
+    benchGramRowsPinned(spark, path,
+      benchGramAppliedTags(spark, path))
+
+  /** Benchmark gram rows PINNED to an explicit delta-tag set — base plus
+    * exactly these committed deltas (round 15: the add-only artifact's
+    * snapshot-pinning seam for
+    * [[graft.IndexPair.consistentRootsAll]] — an add-only layout can
+    * serve any state whose tags are a subset of its committed set by
+    * reading base + exactly those deltas, which is how the curation
+    * composite read stays synchronized with the cluster-label version it
+    * resolved). Requires tags ⊆ committed (a missing delta would
+    * silently serve a smaller benchmark set). Delta reads carry the
+    * base's data schema EXPLICITLY: a batch with no benchmark docs
+    * commits an EMPTY partitioned delta (no data files, nothing to infer
+    * from), which is a legitimate corpus state, not an error. */
+  def benchGramRowsPinned(spark: SparkSession, path: String,
+      tags: Set[String]): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val committed = benchGramAppliedTags(spark, path)
+    require(tags.subsetOf(committed),
+      s"pinned bench-gram tags ${tags.diff(committed).toSeq.sorted} are " +
+        s"not committed under $path — resolve a consistent snapshot " +
+        "before pinning (IndexPair.consistentRootsAll)")
     val dataSchema = StructType(Seq(StructField("gram", StringType)))
-    benchGramAppliedTags(spark, path).toSeq.sorted
+    tags.toSeq.sorted
       .map(t => spark.read.schema(dataSchema)
         .parquet(s"$path/_batches/$t/grams").select("gram"))
       .foldLeft(spark.read.parquet(s"$path/grams").select("gram"))(
@@ -554,6 +573,20 @@ object Curation {
   def curationManifestBatch(spark: SparkSession, batchDir: String,
       clusterIdxPath: String, benchGramsPath: String): DataFrame = {
     import graft.text.Dedup
+    // CONSISTENT SNAPSHOT across BOTH screening artifacts (round 15 —
+    // the r14 verdict's task #2): the cluster labels and the benchmark
+    // gram set are separately-published, so resolving each independently
+    // could land mid-publish of a concurrent fold and screen the batch
+    // against MIXED corpus states (labels that know batch N, a benchmark
+    // set that doesn't — the exact class the q138 pair resolver closed
+    // for fusion). One N-artifact resolution pins the newest cluster
+    // LABELS version whose ledger the bench-gram deltas cover; the
+    // bench-gram read then pins to exactly that ledger's tags.
+    val (labelRoots, snapLedger) = graft.IndexPair.consistentRootsAll(
+      Seq(ClusterIndex.versionsWithTags(spark, clusterIdxPath)),
+      Seq((s"bench grams $benchGramsPath",
+        benchGramAppliedTags(spark, benchGramsPath))),
+      s"(cluster $clusterIdxPath, bench-grams $benchGramsPath)")
     val docs = Tables.documents(spark, batchDir)
     val flags = funnelFlags(docs)
       .select(col("doc_id"),
@@ -561,7 +594,7 @@ object Curation {
     // maintained labels; singletons re-attach with the left join (the
     // ccLabels contract) — keep is first-doc-per-cluster, as in q49
     val clusters = docs.select(col("doc_id"))
-      .join(ClusterIndex.labels(spark, clusterIdxPath), Seq("doc_id"), "left")
+      .join(ClusterIndex.labelsAt(spark, labelRoots.head), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_rep"),
         (col("doc_id") === coalesce(col("label"), col("doc_id")))
@@ -572,7 +605,7 @@ object Curation {
     val batchGrams = Dedup.explodedGrams(spark, batchDir, distinctPerDoc = true)
       .select(col("doc_id"), col("gram"))
       .localCheckpoint() // feeds the bench arm and the candidate arm
-    val bench = benchGramRows(spark, benchGramsPath)
+    val bench = benchGramRowsPinned(spark, benchGramsPath, snapLedger.tags)
       .unionByName(batchGrams.filter(isBenchmark(col("doc_id")))
         .select("gram"))
     val candGrams = batchGrams.filter(!isBenchmark(col("doc_id")))

@@ -182,6 +182,41 @@ object Dedup {
         estJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
   }
 
+  /** Q167 — PAIR-MASS ADVISOR (round 15 — the r14 verdict's task #8):
+    * the near-dup build/fold cost is CANDIDATE-PAIR-MASS-bound (round 14
+    * measured the [[ClusterIndex.writeSharded]] base 650 s on the
+    * replica-salted fixture vs 392 s on the equal-mass exact-dup control
+    * — same corpus bytes, different pair mass), so an operator at 100 TB
+    * needs the price BEFORE paying the banded self-join. The predictor
+    * is exact combinatorics, not a model: the self-join emits
+    * `C(n, 2)` comparisons per (band_id, band_val) bucket, so ONE keyed
+    * aggregate over the band table — signature pass + two shuffled
+    * aggregations, never a join — prices the build (the q123
+    * skew-advisor pattern applied to the build decision). Per band:
+    * bucket count, banded docs, `Σ C(n,2)` (the self-join's comparison
+    * mass; distinct-pair mass is ≤ the total across bands, duplicates
+    * absorbed by the builder's distinct), and the largest bucket (the
+    * skew hot spot a salted/sharded plan must bound). Deterministic in
+    * the corpus (seedless md5 MinHash — the q29/q30 rule), so the oracle
+    * replays it in SQL verbatim. */
+  def pairMassAdvisor(spark: SparkSession, dir: String): DataFrame =
+    pairMassOf(bandsOf(sigTable(spark, dir)))
+
+  /** The advisor aggregate over any (doc_id, band_id, band_val) frame —
+    * shared by the corpus form ([[pairMassAdvisor]]) and the at-rest
+    * form ([[ClusterIndex.pairMassAdvisor]]), so the two cannot drift.
+    * Integer arithmetic throughout: `n(n−1)` is even, and `div` keeps
+    * the sum exact past 2^53 where a double-typed `/` would round. */
+  private[text] def pairMassOf(bands: DataFrame): DataFrame =
+    bands
+      .groupBy("band_id", "band_val").agg(count(lit(1)).as("n"))
+      .groupBy(col("band_id").cast("long").as("band_id")).agg(
+        count(lit(1)).as("n_buckets"),
+        sum("n").as("n_banded_docs"),
+        sum(expr("n * (n - 1) div 2")).as("predicted_pairs"),
+        max("n").as("max_bucket"))
+      .orderBy("band_id")
+
   /** n-gram Jaccard (exact) within (lang, source) blocks. Pure equi-join
     * formulation: intersections come from joining the flat shingle rows on
     * (block, gram) — shingle arrays are never shuffled or recomputed per

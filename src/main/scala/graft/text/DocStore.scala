@@ -369,6 +369,30 @@ object DocStore {
     }
   }
 
+  /** The phrase-index root the serving pages pin: the newest committed
+    * version whose applied-batch ledger THIS STORE COVERS — every tag in
+    * the version's ledger has a committed store batch (round 15, the r14
+    * verdict's task #2: the page chain touches two separately-published
+    * artifacts, and resolving the index's "current" alone could land on
+    * a version published while its batch's store append had not yet been
+    * observed — a crashed maintenance run, or a caller violating the
+    * store-before-index order — turning [[fetchChecked]]'s loud guard
+    * into the failure path; the resolver makes serving the last
+    * SYNCHRONIZED state structural instead). The store read itself stays
+    * unpinned: fetches are id-keyed and a store carrying NEWER docs than
+    * the index serves is harmless by the object doc's argument, so
+    * COVERAGE (ledger tags ⊆ store tags), not equality, is the
+    * synchronization rule — [[graft.IndexPair.consistentRootsAll]]'s
+    * add-only form. */
+  private def coveredPhraseRoot(spark: SparkSession,
+      phraseIndexPath: String, storePath: String): String = {
+    val (roots, _) = graft.IndexPair.consistentRootsAll(
+      Seq(TextIndex.versionsWithTags(spark, phraseIndexPath)),
+      Seq((s"doc store $storePath", appliedTags(spark, storePath))),
+      s"(phrase $phraseIndexPath, doc store $storePath)")
+    roots.head
+  }
+
   /** Q156 — SNIPPET SEARCH: the end-to-end serving page (the
     * query→candidates→content path every retrieval deployment runs).
     * Candidates come from the positional index ([[TextIndex.topPhrase]]
@@ -389,7 +413,9 @@ object DocStore {
       // probe with an absent phrase drives it directly
       phraseOverride: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
-    val pRoot = Some(TextIndex.phraseCurrentRoot(spark, phraseIndexPath))
+    // pin the newest phrase version the STORE COVERS, not the newest
+    // absolute — the structural cross-artifact synchronization (round 15)
+    val pRoot = Some(coveredPhraseRoot(spark, phraseIndexPath, storePath))
     val phrase = phraseOverride.getOrElse(
       TextIndex.topPhrase(spark, phraseIndexPath, pinnedRoot = pRoot))
     val occ = TextIndex.phraseSearch(spark, phraseIndexPath, phrase,
@@ -470,7 +496,9 @@ object DocStore {
       frameSize: Int = 16,
       phraseOverride: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
-    val pRoot = Some(TextIndex.phraseCurrentRoot(spark, phraseIndexPath))
+    // the snippetSearch rule: pin the newest phrase version the store
+    // covers (round 15 — one resolution synchronizes the whole page)
+    val pRoot = Some(coveredPhraseRoot(spark, phraseIndexPath, storePath))
     val phrase = phraseOverride.getOrElse(
       TextIndex.topPhrase(spark, phraseIndexPath, pinnedRoot = pRoot))
     val occ = TextIndex.phraseSearch(spark, phraseIndexPath, phrase,

@@ -845,28 +845,46 @@ object TextIndex {
       // page-size class; a collected set this small is a driver-bounded
       // probe, not data). Overridable so specs drive BOTH regimes on one
       // fixture.
-      pushdownLimit: Long = 1024L): DataFrame = {
+      pushdownLimit: Long = 1024L,
+      // PROBE-WIDE position-mass bound for the semi-join regime (round
+      // 15 — the r14 verdict's task #3, the candidate-mass half of the
+      // prune inequality the MaxScore gate gained in round 14 applied
+      // here): the df-share gate bounds each TERM's share, but a wide
+      // m-term probe of individually-acceptable terms still SCANS
+      // Σₜ n_occ(t) position rows before the essential semi-join prunes
+      // the shuffle — m mid-df terms can sum to corpus-scale scan mass
+      // while every term passes the per-term gate. Refused when the
+      // probe's summed position mass exceeds this share of the corpus's
+      // total (both sides priced from the vocabulary-sized udf table —
+      // no corpus pass). The PUSHDOWN regime is exempt by construction:
+      // its per-list scan is row-group-pruned to the rarest term's doc
+      // ids, so scan mass tracks the rarest ABSOLUTE df whatever the
+      // probe width.
+      maxPosShare: Double = 0.25): DataFrame = {
     require(toks.length >= 2, "proximity search needs at least two terms")
     require(toks.distinct.length == toks.length,
       s"proximity terms must be distinct: $toks")
     require(slop >= 1, "slop must be at least 1")
     require(maxDfShare > 0.0 && maxDfShare <= 1.0,
       s"maxDfShare must be in (0, 1]: $maxDfShare")
+    require(maxPosShare > 0.0 && maxPosShare <= 1.0,
+      s"maxPosShare must be in (0, 1]: $maxPosShare")
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
     val st = spark.read.parquet(s"$root/stats")
       .select(col("n_docs"), col("buckets")).collect().head
     val (nDocs, buckets) = (st.getLong(0), st.getLong(1).toInt)
-    // vocabulary-sized, bucket-pruned df lookup (the derivation
-    // convention — ≤ m rows collected, flat in corpus size)
-    val dfOf: Map[String, Long] = {
+    // vocabulary-sized, bucket-pruned df + position-mass lookup (the
+    // derivation convention — ≤ m rows collected, flat in corpus size)
+    val statsOf: Map[String, (Long, Long)] = {
       val found = spark.read.parquet(s"$root/udf")
         .filter(toks.map(t => col("ub") === pmod(hash(lit(t)), lit(buckets)))
           .reduce(_ || _))
         .filter(col("tok").isin(toks: _*))
-        .select(col("tok"), col("df")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      toks.map(t => t -> found.getOrElse(t, 0L)).toMap
+        .select(col("tok"), col("df"), col("n_occ")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      toks.map(t => t -> found.getOrElse(t, (0L, 0L))).toMap
     }
+    val dfOf: Map[String, Long] = statsOf.map { case (t, (df, _)) => t -> df }
     val rarest = toks.minBy(t => (dfOf(t), t))
     require(nDocs == 0L || dfOf(rarest).toDouble / nDocs <= maxDfShare,
       s"proximity probe gated: every term exceeds df share $maxDfShare " +
@@ -874,6 +892,21 @@ object TextIndex {
         "docs) — a stopword-only probe pays corpus-linear position mass " +
         "in any positional index; refine the probe or use the ungated " +
         "proximitySearchAll deliberately")
+    // the probe-wide mass gate, priced only where it binds (the
+    // semi-join regime) and only from the vocabulary-sized udf table
+    if (dfOf(rarest) > pushdownLimit) {
+      val probePos = statsOf.valuesIterator.map(_._2).sum
+      val totalPos = spark.read.parquet(s"$root/udf")
+        .agg(coalesce(sum(col("n_occ")), lit(0L))).collect().head.getLong(0)
+      require(totalPos == 0L || probePos.toDouble / totalPos <= maxPosShare,
+        s"proximity probe gated: the ${toks.length}-term probe's summed " +
+          s"position mass ($probePos of $totalPos corpus positions) " +
+          s"exceeds share $maxPosShare — each term passes the per-term " +
+          "df gate, but the semi-join regime scans every probe list in " +
+          "full before pruning, so a wide probe of mid-df terms pays " +
+          "corpus-scale scan mass; narrow the probe or use the ungated " +
+          "proximitySearchAll deliberately")
+    }
     val posts = spark.read.parquet(s"$root/positions")
     val essentialDocs = posts
       .filter(col("ub") === pmod(hash(lit(rarest)), lit(buckets)))

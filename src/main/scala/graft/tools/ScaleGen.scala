@@ -65,10 +65,17 @@ object ScaleGen {
     val mode = args.lift(3).getOrElse("default")
     require(mode == "default" || mode == "zipf",
       s"mode must be 'default' or 'zipf' (got '$mode')")
-    // docs-only generation (5th arg "docs"): the positional-family tiers
+    // partial generation (5th arg): "docs" — the positional-family tiers
     // read nothing but documents.parquet, and a full-table 100×+ zipf
-    // fixture would spend tens of GB the measurements never touch
+    // fixture would spend tens of GB the measurements never touch;
+    // "emb" (round 15 — the r14 verdict's task #5) — embeddings ONLY,
+    // back-filling a docs-only fixture so the fused q138 family can run
+    // its dense arm at the heavy-tail tiers. The stride derivation scans
+    // the SOURCE's tables either way, so an emb back-fill of a fixture
+    // whose docs came from the same source lands replicas on the SAME
+    // stride — vec_id/doc_id pairing survives by construction.
     val docsOnly = args.lift(4).contains("docs")
+    val embOnly = args.lift(4).contains("emb")
     // the replica embedding transforms (rotation × optional reverse) are
     // distinct only through 2 × the 64-dim vector length — beyond that
     // replicas would silently duplicate vectors and weaken the very
@@ -120,6 +127,7 @@ object ScaleGen {
     val off = lit(strideV)
     println(s"[scalegen] replica id stride $strideV (source max id $srcMaxId)")
 
+    if (!embOnly) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     // the inserted-salt VALUE per mode (insertion cadence is shared —
     // every 3rd token, breaking ≥2/3 of word 3-grams either way):
@@ -159,6 +167,7 @@ object ScaleGen {
       spark.stop()
       return
     }
+    }
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.crossJoin(broadcast(reps))
       .select(
@@ -185,6 +194,12 @@ object ScaleGen {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    if (embOnly) {
+      println(s"[scalegen] wrote ${factor}x embeddings (emb-only) to $dst")
+      spark.stop()
+      return
+    }
 
     // TPC-H relational tables (round 8 — the full-suite 10× tier needs
     // every query's inputs): replicas offset every FACT key (orderkey,

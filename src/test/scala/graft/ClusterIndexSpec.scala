@@ -205,4 +205,43 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.append(spark, more2, idx, Some("b2"))
     assert(ClusterIndex.appliedTags(spark, idx) == Set("b0", "b1", "b2"))
   }
+
+  test("q167 pair-mass advisor: exact combinatorics; at-rest form agrees; bounds the measured pair table") {
+    // round 15 — the r14 verdict's task #8: the advisor prices the
+    // banded self-join from one aggregate. Exactness on a constructed
+    // corpus: k identical docs put all k in every band bucket, so each
+    // of the 4 bands predicts exactly C(k,2) comparisons from a
+    // max_bucket of k.
+    val k = 5
+    val text = "date elder banana fig jasmine grape honey apple cherry iris"
+    val dup = docsDir((1L to k.toLong).map(_ -> text))
+    val advDup = Dedup.pairMassAdvisor(spark, dup).collect()
+    assert(advDup.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    advDup.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == k.toLong &&
+        r.getLong(3) == (k * (k - 1) / 2).toLong && r.getLong(4) == k.toLong,
+        s"identical-doc fixture must predict C($k,2) per band: $r")
+    }
+    // real fixture: the prediction is an upper bound on the DISTINCT
+    // measured pair table (per-band duplicates only shrink under distinct)
+    val adv = Dedup.pairMassAdvisor(spark, sf0001).collect()
+    val predicted = adv.map(_.getLong(3)).sum
+    val measured = Dedup.minhashPairsUnsorted(spark, sf0001).count()
+    assert(measured <= predicted && predicted > 0L,
+      s"predicted comparison mass $predicted must bound measured distinct pairs $measured")
+    // the at-rest form over an index's persisted bands (base + delta)
+    // equals the corpus form over the union corpus — same aggregate,
+    // same rows
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val idx = java.nio.file.Files.createTempDirectory("ci_adv").toString
+    ClusterIndex.write(spark, evens, idx)
+    ClusterIndex.append(spark, odds, idx, Some("b0"))
+    val atRest = ClusterIndex.pairMassAdvisor(spark, idx)
+      .collect().map(_.toSeq).toSeq
+    val direct = Dedup.pairMassAdvisor(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(atRest == direct,
+      "at-rest advisor drifted from the corpus form on the union corpus")
+  }
 }

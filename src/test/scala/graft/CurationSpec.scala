@@ -487,4 +487,67 @@ class CurationSpec extends SparkSpec {
     assert(Curation.benchGramAppliedTags(spark, s"$work/bench") ==
       Set("fold_odd"))
   }
+
+  test("q93 composite read: a cluster fold ahead of the bench grams serves the last SYNCHRONIZED state") {
+    // round 15 — the r14 verdict's task #2: curationManifestBatch reads
+    // TWO separately-published artifacts. A fold of tag b2 that has
+    // committed its cluster labels but not yet its bench-gram delta (the
+    // crash/mid-publish window) must NOT leak b2's labels into a
+    // composite read — the resolver pins the newest cluster version the
+    // bench-gram deltas cover, and the bench read pins to that ledger.
+    import org.apache.spark.sql.functions.{col, length, lit}
+    import spark.implicits._
+    import graft.text.ClusterIndex
+    def docsDir(rows: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("cur_sync").toString
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // two base clusters A={1,2} (label 1) and C={3,4} (label 3); batch b1
+    // near-dups C (rep 3); batch b2 BRIDGES A and C (the ClusterIndexSpec
+    // merge fixture) — after b2's cluster fold, b1's doc relabels 3 → 1,
+    // so a mixed-state read is observable in b1's manifest rows
+    val aText = "date elder banana fig jasmine grape honey apple cherry iris"
+    val cText = "quince sage olive thyme kite lemon mango rose peach nectar"
+    // doc 20 is a BENCHMARK doc (id % 20 == 0) so the bench-gram base is
+    // non-empty (the empty-partitioned-base state is writeBenchGrams'
+    // real-corpus invariant, not this spec's subject)
+    val base = docsDir(Seq(1L -> aText, 2L -> aText, 3L -> cText, 4L -> cText,
+      20L -> "benchmark holdout words kept apart from every cluster text"))
+    val b1 = docsDir(Seq(11L -> cText))
+    val b2 = docsDir(Seq(21L -> (aText + " " + cText)))
+    val work = java.nio.file.Files.createTempDirectory("cur_syncw").toString
+    ClusterIndex.write(spark, base, s"$work/cluster")
+    Curation.writeBenchGrams(spark, base, s"$work/bench")
+    // b1 folded into BOTH artifacts — the synchronized state
+    ClusterIndex.append(spark, b1, s"$work/cluster", Some("b1"))
+    assert(Curation.appendBenchGrams(spark, b1, s"$work/bench", "b1"))
+    val want = Curation.curationManifestBatch(spark, b1,
+      s"$work/cluster", s"$work/bench").collect().map(_.toSeq).toSeq
+    assert(want.exists(r => r(0) == 11L && r(1) == 3L),
+      s"fixture: b1's doc must cluster with C (rep 3) at the b1 state: $want")
+    // b2 folded into the CLUSTER ONLY — the crash window; the CURRENT
+    // label table now carries the merge (11 → 1), which is exactly what
+    // the composite read must NOT serve
+    ClusterIndex.append(spark, b2, s"$work/cluster", Some("b2"))
+    val mixed = ClusterIndex.labels(spark, s"$work/cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mixed(11L) == 1L,
+      s"fixture: b2's bridge must merge the clusters in the CURRENT labels: $mixed")
+    val got = Curation.curationManifestBatch(spark, b1,
+      s"$work/cluster", s"$work/bench").collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "the composite read leaked the unsynchronized cluster fold — it " +
+        "must serve the last state BOTH artifacts cover")
+    // completing b2's bench fold advances the synchronized state: the
+    // merge now serves
+    assert(Curation.appendBenchGrams(spark, b2, s"$work/bench", "b2"))
+    val advanced = Curation.curationManifestBatch(spark, b1,
+      s"$work/cluster", s"$work/bench").collect().map(_.toSeq).toSeq
+    assert(advanced.exists(r => r(0) == 11L && r(1) == 1L),
+      s"after both folds commit, the merged labels must serve: $advanced")
+  }
 }

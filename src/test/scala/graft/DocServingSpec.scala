@@ -185,6 +185,53 @@ class DocServingSpec extends SparkSpec {
       (4L, 3L, 1L, 3L, "in words x y z")))
   }
 
+  test("q156/q162: a phrase-index fold ahead of the store serves the last COVERED version") {
+    // round 15 — the r14 verdict's task #2: the page chain reads two
+    // separately-published artifacts. An index version published while
+    // its batch's store append has not been observed (crashed run, or a
+    // caller violating store-before-index) must not be served — the
+    // resolver pins the newest version whose ledger the store's batches
+    // cover, so the page serves the last synchronized state instead of
+    // dying in fetchChecked's coverage guard.
+    import spark.implicits._
+    def docsOf(rows: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("cov_docs").toString
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val base = docsOf(Seq(1L -> "x y z one two", 2L -> "a x y z b"))
+    // the batch's docs out-rank every base doc (2 occurrences), so an
+    // UNSYNCHRONIZED read would page them and crash on the missing store
+    // rows — the hazard must be live for the spec to mean anything
+    val b2 = docsOf(Seq(11L -> "x y z gap x y z", 12L -> "x y z c x y z"))
+    val pi = java.nio.file.Files.createTempDirectory("cov_pi").toString
+    val store = java.nio.file.Files.createTempDirectory("cov_st").toString
+    TextIndex.writePhraseIndex(spark, base, pi)
+    DocStore.write(spark, base, store)
+    val want = DocStore.snippetSearch(spark, pi, store)
+      .collect().map(_.toSeq).toSeq
+    assert(want.map(_(1)).toSet == Set(1L, 2L))
+    TextIndex.appendPhraseIndex(spark, b2, pi, Some("b2"))
+    val got = DocStore.snippetSearch(spark, pi, store)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "an index fold the store has not observed must not serve — pin " +
+        "the last covered version")
+    val gotMedia = DocStore.mediaSearch(spark, pi, store)
+      .collect().map(_.toSeq).toSeq
+    assert(gotMedia.map(_(1)).toSet == Set(1L, 2L),
+      "the media page must pin the covered version too")
+    // the store catching up advances the served state: the new docs page
+    assert(DocStore.append(spark, b2, store, "b2"))
+    val advanced = DocStore.snippetSearch(spark, pi, store)
+      .collect().map(_.toSeq).toSeq
+    assert(Set[Any](11L, 12L).subsetOf(advanced.map(_(1)).toSet),
+      s"after the store observes the batch, the new version serves: $advanced")
+  }
+
   test("doc store: a fenced append commits nothing and leaves no staging debris") {
     import org.apache.hadoop.fs.Path
     val store = java.nio.file.Files.createTempDirectory("store_fence").toString

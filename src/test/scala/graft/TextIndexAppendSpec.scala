@@ -356,9 +356,31 @@ class TextIndexAppendSpec extends SparkSpec {
     // 13): the default pushdownLimit takes the literal-pushdown arm on
     // this fixture (z's df = 2 ≤ 1024); pushdownLimit = 0 forces the
     // distributed semi-join arm — content must not depend on the regime
+    // (maxPosShare = 1.0: the spec fixture's probe deliberately carries
+    // most of the tiny corpus's position mass)
     assert(rows(TextIndex.proximitySearchGated(spark, idx, probe, 3,
-      maxDfShare = 1.0, pushdownLimit = 0L)) == want,
+      maxDfShare = 1.0, pushdownLimit = 0L, maxPosShare = 1.0)) == want,
       "the semi-join essential regime drifted from the pushdown regime")
+    // PROBE-WIDE MASS GATE (round 15 — the r14 verdict's task #3): in the
+    // semi-join regime a probe of individually-acceptable terms must be
+    // refused when its SUMMED position mass exceeds the corpus share —
+    // each of a,b passes a 1.0 df gate, but together they carry over half
+    // the fixture's positions
+    val eMass = intercept[IllegalArgumentException] {
+      TextIndex.proximitySearchGated(spark, idx, Seq("z", "b", "a"), 3,
+        maxDfShare = 1.0, pushdownLimit = 0L, maxPosShare = 0.2)
+    }
+    assert(eMass.getMessage.contains("summed position mass"),
+      s"expected the probe-wide mass gate, got: $eMass")
+    // ...the gate never fires in the PUSHDOWN regime (scan mass is
+    // row-group-pruned to the rarest term's ids whatever the width)...
+    assert(rows(TextIndex.proximitySearchGated(spark, idx, probe, 3,
+      maxDfShare = 1.0, maxPosShare = 0.01)) == want,
+      "the mass gate must not touch the pushdown regime")
+    // ...and acceptance is, as ever, the only thing it changes
+    assert(rows(TextIndex.proximitySearchGated(spark, idx, probe, 3,
+      maxDfShare = 1.0, pushdownLimit = 0L, maxPosShare = 0.9)) == want,
+      "an accepted probe's answer must not depend on maxPosShare")
   }
 
   test("phrase-index append equals a union-corpus rebuild exactly; vacuum bounds versions") {
