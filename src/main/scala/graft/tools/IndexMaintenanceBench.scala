@@ -55,13 +55,22 @@ object IndexMaintenanceBench {
     val vecIdx = s"$work/vec"; val textIdx = s"$work/text"
     val phraseIdx = s"$work/phrase"; val store = s"$work/store"
     val ledger = s"$work/gramledger"; val clusterIdx = s"$work/cluster"
+    // base-build routing mirrors production (round 15 — the 1000× tier):
+    // past 1M docs the one-shot store/cluster builds are the measured
+    // disk-death arms (r13's cluster base spill; the r15 advisor priced
+    // the raw banded join at 260M+ comparisons on 5M docs), so big
+    // corpora take the SHARDED builders, spec'd ≡ their one-shot forms
+    val bigBase = spark.read.parquet(s"$dir/documents.parquet")
+      .count() > 1000000L
     graft.vector.CellIndex.write(spark, dir, vecIdx, k = k)
     graft.text.TextIndex.write(spark, dir, textIdx)
     graft.text.TextIndex.writePhraseIndex(spark, dir, phraseIdx)
-    graft.text.DocStore.write(spark, dir, store)
+    if (bigBase) graft.text.DocStore.writeSharded(spark, dir, store)
+    else graft.text.DocStore.write(spark, dir, store)
     // round 12: the fifth and sixth maintained artifacts ride the fold
     graft.text.Dedup.writeGramLedger(spark, dir, ledger)
-    graft.text.ClusterIndex.write(spark, dir, clusterIdx)
+    if (bigBase) graft.text.ClusterIndex.writeSharded(spark, dir, clusterIdx)
+    else graft.text.ClusterIndex.write(spark, dir, clusterIdx)
     graft.text.Dedup.evictMemos(spark) // the cluster base memoizes pairs
     graft.Checkpoints.evictSessionMemos(spark)
 

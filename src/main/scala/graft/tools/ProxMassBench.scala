@@ -25,17 +25,40 @@ import org.apache.spark.sql.functions._
   * threshold changes).
   *
   * Usage: ProxMassBench <sfDir> <idxPath> [m=16] [slop=3]
+  *    or: ProxMassBench synth <workDir> [nDocs=2000000] [m=24]
   * (builds the phrase index if absent; SPARK_GRAFT_PASSES overrides the
-  * cold median-of-3) */
+  * cold median-of-3)
+  *
+  * The `synth` form generates the regime the scaled text fixtures cannot
+  * express (measured on tmp/zipf10: every df-acceptable term there is a
+  * tail salt, and ALL of them together carry <1% of corpus positions —
+  * P(doc contains rank r) collapses the df gate far up the tail, so no
+  * accepted probe is position-heavy): m MID-DF, POSITION-HEAVY terms —
+  * each `b_i` in 1/m of the docs (df share ~4% at m=24, comfortably
+  * accepted per-term) with 32 occurrences per containing doc (the
+  * boilerplate/code-token shape), over a ubiquitous filler vocabulary
+  * the derivations exclude. The m-probe's summed position mass is ~44%
+  * of the corpus — each term fine, the probe corpus-scale, exactly the
+  * inequality half the round-15 gate adds. 1 in 10⁴ docs carries all m
+  * terms consecutively, so the answer is small-but-nonempty under
+  * slop = m (span m−1 qualifies) and the equality assertion bites. */
 object ProxMassBench {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: ProxMassBench <sfDir> <idxPath> [m] [slop]")
+      System.err.println("usage: ProxMassBench <sfDir> <idxPath> [m] [slop]" +
+        "\n   or: ProxMassBench synth <workDir> [nDocs] [m]")
       sys.exit(2)
     }
-    val (dir, idx) = (args(0), args(1))
-    val m = args.lift(2).map(_.toInt).getOrElse(16)
-    val slop = args.lift(3).map(_.toInt).getOrElse(3)
+    val synth = args(0) == "synth"
+    val (dir, idx) =
+      if (synth) (s"${args(1)}/docs", s"${args(1)}/idx")
+      else (args(0), args(1))
+    val nDocsSynth = args.lift(2).map(_.toLong)
+      .getOrElse(2000000L) // only read in synth mode
+    val m = if (synth) args.lift(3).map(_.toInt).getOrElse(24)
+      else args.lift(2).map(_.toInt).getOrElse(16)
+    val slop = if (synth) m // span m−1 over the consecutive window
+      else args.lift(3).map(_.toInt).getOrElse(3)
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -49,6 +72,25 @@ object ProxMassBench {
     spark.sparkContext.setLogLevel("WARN")
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (synth &&
+        !fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/documents.parquet/_SUCCESS"))) {
+      val fill = (0 until 40).map(j => s"f$j").mkString(" ")
+      val window = (0 until m).map(i => s"b$i").mkString(" ")
+      spark.range(nDocsSynth).select(
+          col("id").as("doc_id"),
+          concat_ws(" ",
+            lit(fill),
+            expr(s"array_join(transform(sequence(1, 32), " +
+              s"x -> concat('b', id % $m)), ' ')"),
+            when(col("id") % 10000 === 0, lit(window))).as("text"))
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      System.err.println(s"[proxmass] synth fixture: $nDocsSynth docs, " +
+        s"$m mid-df heavy terms")
+    }
     if (!fs.exists(new org.apache.hadoop.fs.Path(idx, "stats")))
       graft.text.TextIndex.writePhraseIndex(spark, dir, idx)
     val root = graft.text.TextIndex.phraseCurrentRoot(spark, idx)
