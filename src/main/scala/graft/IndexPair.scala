@@ -57,13 +57,23 @@ object IndexPair {
     *    NO untagged appends: an untagged versioned fold has no
     *    identifiable add-only counterpart, so no provably-synchronized
     *    composite state exists (maintenance flows always tag — the
-    *    documented contract; refusing beats serving a guess).
+    *    documented contract). Because the untagged counter only grows,
+    *    one untagged append pins the resolution PERMANENTLY at the last
+    *    all-tagged state — detected and reported on the loud channel
+    *    every resolution ([[onPoisonedResolution]]; round-16 ADVICE
+    *    fix) rather than served silently.
     *
     * Returns the resolved roots (aligned with `versioned`) plus the
     * agreed ledger — callers pin add-only reads to `ledger.tags`.
     * Throws if no committed tuple agrees (unrelated lineages — serving
     * a mixed corpus would be silently wrong, the one thing this
     * resolver exists to prevent). */
+  /** Loud channel for the PERMANENT-staleness detection below (a spec
+    * seam like [[IndexVersions.onGenerationResolved]]; the production
+    * default writes to stderr — the repo's operator channel). */
+  @volatile private[graft] var onPoisonedResolution: String => Unit =
+    msg => Console.err.println(msg)
+
   def consistentRootsAll(
       versioned: Seq[Seq[(Long, String, IndexVersions.Ledger)]],
       addOnly: Seq[(String, Set[String])],
@@ -71,6 +81,40 @@ object IndexPair {
     require(versioned.nonEmpty, "consistentRootsAll needs at least one " +
       "versioned artifact (add-only artifacts alone have a single state)")
     val newestFirst = versioned.map(_.reverse)
+    // UNTAGGED-POISON DETECTION (round-16 ADVICE fix, high): with
+    // add-only artifacts present, a corpus state is admissible only at
+    // untagged == 0 — and the untagged counter only grows within a
+    // lineage, so ONE untagged append (the documented tag=None mode of
+    // the versioned appends) makes every LATER state inadmissible
+    // FOREVER. The resolver would then silently pin the last all-tagged
+    // state for the artifact's remaining lifetime — new docs never
+    // serve, and the base version's empty ledger keeps the loud
+    // no-tuple refusal below from ever firing. Detect the shape at its
+    // root (the NEWEST version of any versioned list carrying
+    // untagged > 0) and say so on the loud channel every resolution.
+    // Why not throw: the pinned state is provably consistent — refusing
+    // would turn bounded staleness into a serving outage. Why not drain
+    // the counter at compaction (the third ADVICE option): a drained
+    // ledger re-opens the round-10 mixed-corpus pairing — artifact A
+    // compacted after untagged batch u1 would read (tags, 0) and pair
+    // with artifact B's state from BEFORE u1, exactly the silent mix
+    // the counter exists to prevent. Remediation is in the message.
+    val poisoned = addOnly.nonEmpty &&
+      newestFirst.exists(_.headOption.exists(_._3.untagged > 0L))
+    if (poisoned) {
+      val detail = newestFirst.flatMap(_.headOption)
+        .filter(_._3.untagged > 0L)
+        .map { case (v, p, l) => s"$p (version $v, ${l.untagged} untagged)" }
+      onPoisonedResolution(
+        s"[graft] WARNING: consistent-snapshot resolution for $what is " +
+          s"PERMANENTLY PINNED behind untagged appends on: " +
+          s"${detail.mkString("; ")}. States after the first untagged " +
+          "append can never synchronize with the add-only artifacts " +
+          s"(${addOnly.map(_._1).mkString(", ")}) — newer docs will not " +
+          "serve from this composite until the artifacts are re-founded " +
+          "from a common base. Maintenance folds into composite-served " +
+          "artifacts must always pass a batch tag.")
+    }
     val tuples = newestFirst.head.iterator.flatMap {
       case (_, headPath, ledger) =>
         val rest = newestFirst.tail.map(_.collectFirst {
@@ -89,7 +133,9 @@ object IndexPair {
         s"${newestFirst.map(_.map(_._3))} (add-only tag sets " +
         s"${addOnly.map { case (n, t) => s"$n=${t.toSeq.sorted}" }}) " +
         "never agree — were these artifacts maintained from the same " +
-        "batch stream, with tagged folds?")
+        "batch stream, with tagged folds?" +
+        (if (poisoned) " Untagged appends are present (see the warning " +
+          "above): composite-served artifacts require tagged folds." else ""))
   }
 
   /** The newest (aRoot, bRoot) pair of two version lists whose ledgers

@@ -440,6 +440,12 @@ object IndexVersions {
     // that writer's stale fencing tokens) and a parked standby's next
     // poll acquired over the live primary: two live writers on one
     // artifact, the exact split-brain the lease exists to prevent.
+    // The TOMBSTONES dir is protocol state too (round 16 — the purge
+    // ledger: deltas carry doc ids the READER FILTER and the next bake
+    // still need; sweeping them as "generation-0 data" would silently
+    // resurrect purged docs on every serving path). Its deltas retire
+    // only through their own bake-aware vacuum
+    // ([[graft.text.Tombstones.vacuumBaked]]).
     // Grace is measured from
     // when generation 0 was SUPERSEDED (the oldest surviving newer
     // generation's commit-marker mtime) — the dirs' own mtimes predate
@@ -457,7 +463,7 @@ object IndexVersions {
           fs.listStatus(root).toSeq.map(_.getPath)
             .filterNot(p => p.getName.startsWith("_g") ||
               p.getName.startsWith(".staging_") ||
-              p.getName == LeaseFile)
+              p.getName == LeaseFile || p.getName == TombstonesDir)
             .map { p => fs.delete(p, true); p.toString }
         else Seq.empty
       } else Seq.empty
@@ -467,6 +473,11 @@ object IndexVersions {
   /** Writer-lease file name (underscore-prefixed — invisible to parquet
     * scans, ignored by [[vacuum]]'s dirOwner maps). */
   val LeaseFile = "_writer_lease"
+
+  /** Tombstone-ledger dir name ([[graft.text.Tombstones]] owns the
+    * protocol; the constant lives here so [[vacuumGenerations]]'s gen-0
+    * sweep can spare it without a downward package dependency). */
+  val TombstonesDir = "_tombstones"
 
   /** WRITER LEASE (round 10 — the enforcement the single-live-writer
     * OPERATING MODEL lacked): a heartbeat file at the index root naming

@@ -82,11 +82,48 @@ object SessionMemos {
   /** Drop this session's entries under the given memo names (all names
     * when empty) — the cache-map half of an explicit eviction; pair with
     * [[Checkpoints.evictSessionMemos]] to free the retained blocks. */
-  def evict(spark: SparkSession, names: String*): Unit = caches.synchronized {
-    if (names.isEmpty) { caches.remove(spark); () }
-    else Option(caches.get(spark)).foreach { m =>
-      m.keys.filter(k => names.contains(k._1)).foreach(m.remove)
+  def evict(spark: SparkSession, names: String*): Unit = {
+    caches.synchronized {
+      if (names.isEmpty) { caches.remove(spark); () }
+      else Option(caches.get(spark)).foreach { m =>
+        m.keys.filter(k => names.contains(k._1)).foreach(m.remove)
+      }
     }
+    scalars.synchronized {
+      if (names.isEmpty) { scalars.remove(spark); () }
+      else Option(scalars.get(spark)).foreach { m =>
+        m.keys.filter(k => names.contains(k._1)).foreach(m.remove)
+      }
+    }
+  }
+
+  // ---- scalar memos (driver-side metadata, not DataFrames) ---------------
+
+  private val scalars = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Any), Any]]()
+
+  /** Session-scoped memo for small DRIVER-SIDE metadata values whose key
+    * names an IMMUTABLE-ONCE-COMMITTED filesystem object (round-16 ADVICE
+    * fix, low: the composite-snapshot resolvers re-read the ledger file
+    * of EVERY committed version plus the per-tag commit markers on every
+    * page call — O(versions) filesystem round-trips per query on paths
+    * the publish protocol guarantees are never rewritten in place: a
+    * committed version dir's `_applied_tags` is written once before the
+    * rename, version numbers never reuse within a lineage, and
+    * generation roots embed `_g<N>`). Values must be small and derived
+    * ONLY from such immutable state; anything listing-shaped (what
+    * versions/tags exist NOW) stays uncached. Same lifetime as the frame
+    * memos: weakly keyed by session, dropped by [[evict]]. Out-of-band
+    * deletion + rebuild at the SAME path within one session (not a
+    * protocol operation) is the one way to stale this cache — harnesses
+    * doing that must evict first (the existing memo discipline). */
+  def getOrComputeScalar[T](spark: SparkSession, name: String, key: Any)(
+      compute: => T): T = {
+    val perSession = scalars.synchronized {
+      scalars.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate((name, key), compute).asInstanceOf[T]
   }
 
   /** Number of sessions currently holding memo entries (stale weak keys

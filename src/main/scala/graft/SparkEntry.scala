@@ -418,6 +418,18 @@ object SparkEntry {
     // build cost is pair-mass-bound and fixture-regime-dependent).
     "q167_pair_mass" -> ((s: SparkSession, d: String) =>
       graft.text.Dedup.pairMassAdvisor(s, d)),
+    // round 16 — the advisor CLOSES THE LOOP (the r15 verdict's task #3):
+    // one signature pass prices the raw one-shot join AND the
+    // rep-collapsed sharded join, and the pure routing rule turns the
+    // two masses + the max collision bucket into the build decision
+    // (one_shot / sharded-with-derived-count / loud refusal). The oracle
+    // replays both aggregates and the rule arithmetic verbatim.
+    "q168_route_advice" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      val r = graft.text.ClusterIndex.adviseRoute(s, d)
+      Seq((r.rawPairs, r.repPairs, r.repMaxBucket, r.route, r.shards.toLong))
+        .toDF("raw_pairs", "rep_pairs", "rep_max_bucket", "route", "shards")
+    }),
   )
 
   /** AUDIT-tagged queries: deliberately-exact, known-linear auditor forms
@@ -3192,6 +3204,42 @@ object SparkEntry {
         |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS predicted_pairs,
         |  CAST(MAX(n) AS BIGINT) AS max_bucket
         |FROM bsz GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    // q168 — the routed-build decision: raw (one-shot) pair mass, the
+    // exact-class rep-collapsed (sharded) pair mass + max bucket, and
+    // the pure routing rule's arithmetic replayed in SQL (thresholds are
+    // ClusterIndex.OneShotMaxPairs/PerShardTargetPairs/MaxRouteShards —
+    // 32M / 32M / 64, the SCALING-measured operating points)
+    "q168_route_advice" ->
+      s"""WITH $minhashCtes,
+        |bsz AS (SELECT band_id, band_val, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM bands WHERE band_val IS NOT NULL GROUP BY 1, 2),
+        |rawm AS (SELECT CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT)
+        |           AS raw_pairs FROM bsz),
+        |rep AS (SELECT MIN(doc_id) AS doc_id, sig FROM sig
+        |        WHERE sig[1] IS NOT NULL GROUP BY sig),
+        |rbands AS (SELECT doc_id, b AS band_id,
+        |             sig[2*b+1] || '|' || sig[2*b+2] AS band_val
+        |           FROM rep CROSS JOIN (VALUES (0), (1), (2), (3)) AS t2(b)),
+        |rbsz AS (SELECT band_id, band_val, CAST(COUNT(*) AS BIGINT) AS n
+        |         FROM rbands GROUP BY 1, 2),
+        |repm AS (SELECT
+        |  CAST(COALESCE(SUM(n * (n - 1) // 2), 0) AS BIGINT) AS rep_pairs,
+        |  CAST(COALESCE(MAX(n), 0) AS BIGINT) AS rep_max_bucket FROM rbsz)
+        |SELECT raw_pairs, rep_pairs, rep_max_bucket,
+        |  CASE WHEN raw_pairs <= 32000000 THEN 'one_shot'
+        |       WHEN rep_max_bucket * (rep_max_bucket - 1) // 2 > 32000000
+        |         THEN 'refuse'
+        |       WHEN (rep_pairs + 31999999) // 32000000 > 64 THEN 'refuse'
+        |       ELSE 'sharded' END AS route,
+        |  CASE WHEN raw_pairs <= 32000000 THEN CAST(1 AS BIGINT)
+        |       WHEN rep_max_bucket * (rep_max_bucket - 1) // 2 > 32000000
+        |         THEN CAST(0 AS BIGINT)
+        |       WHEN (rep_pairs + 31999999) // 32000000 > 64
+        |         THEN CAST(0 AS BIGINT)
+        |       ELSE GREATEST(CAST(2 AS BIGINT),
+        |         (rep_pairs + 31999999) // 32000000) END AS shards
+        |FROM rawm, repm""".stripMargin,
   )
 
   /** q105's oracle — cluster-size histogram over the q49 CC labels.

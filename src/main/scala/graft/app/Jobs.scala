@@ -511,6 +511,56 @@ object SelectionJob {
   }
 }
 
+/** RIGHT-TO-BE-FORGOTTEN PURGE as a deployable job (round 16 — the
+  * execution step q116 only audited): commit one governance request's
+  * doc-id set as a tag-committed tombstone delta to EVERY named
+  * maintained artifact, INDEXES FIRST, STORE LAST (the
+  * [[graft.text.Tombstones]] ordering contract — a serving page must
+  * never rank a doc the store already refuses). Idempotent per
+  * (artifact, tag): an at-least-once re-run short-circuits. From the
+  * commit on the docs are unfetchable/unrankable; each artifact's next
+  * compaction bakes the rows out physically and its vacuum retires the
+  * delta. The report derives from the COMMITTED tombstone state, not
+  * in-memory intent (the CurationJob rule).
+  *
+  * Usage: PurgeJob <tag> <idsCsv> <artifactRoot> [artifactRoot...]
+  * (list index roots before the doc store). */
+object PurgeJob {
+  final case class Report(tag: String, nIds: Int,
+    committed: Map[String, Boolean])
+
+  def run(spark: SparkSession, tag: String, ids: Seq[Long],
+      artifactRoots: Seq[String]): Report = {
+    import graft.text.Tombstones
+    val committed = artifactRoots.map { root =>
+      root -> Tombstones.purge(spark, root, ids, tag)
+    }.toMap
+    // verify from the COMMITTED state: every artifact must now carry
+    // the tag (freshly or from a previous run — both are success)
+    val missing = artifactRoots.filterNot(r =>
+      Tombstones.committedTags(spark, r).contains(tag))
+    require(missing.isEmpty,
+      s"purge tag $tag failed to commit on: $missing")
+    Report(tag, ids.length, committed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: PurgeJob <tag> <idsCsv> <artifactRoot> [artifactRoot...]")
+      sys.exit(2)
+    }
+    val spark = Jobs.session("graft-purge")
+    val ids = args(1).split(",").map(_.trim.toLong).toSeq
+    val r = run(spark, args(0), ids, args.drop(2).toSeq)
+    println(s"[purge] tag=${r.tag} ids=${r.nIds} " +
+      r.committed.toSeq.sorted.map { case (root, fresh) =>
+        s"$root=${if (fresh) "committed" else "already-applied"}"
+      }.mkString(", "))
+    spark.stop()
+  }
+}
+
 /** Vector-index lifecycle as a deployable main (round 7): the OFFLINE half
   * builds the partition-by-cell index (trained cells + PQ codes +
   * persisted codebooks — `CellIndex.write`); the ONLINE half answers a

@@ -322,6 +322,128 @@ object ClusterIndex {
     ()
   }
 
+  /** What the PAIR-MASS ADVISOR predicts for one base-build decision
+    * (round 16 — the r15 verdict's task #3, closing the advisor loop the
+    * way `CellIndex.retrainAtImbalance` closed the balance advisor's):
+    * `rawPairs` is Σ C(n,2) over the FULL band table — the comparison
+    * mass the one-shot [[write]]'s self-join pays; `repPairs`/`repMaxBucket`
+    * are the same aggregates over the EXACT-CLASS-COLLAPSED band table —
+    * the mass [[writeSharded]]'s shard loop actually pays after its
+    * rep pre-pass (on a duplicate-heavy corpus the two differ by orders
+    * of magnitude: SCALING round 15 measured dup10 at 418M raw vs a
+    * collapsed mass small enough for a 392 s sharded build). */
+  final case class BuildRoute(route: String, shards: Int, rawPairs: Long,
+      repPairs: Long, repMaxBucket: Long) {
+    def repMaxBucketPairs: Long = repMaxBucket * (repMaxBucket - 1) / 2
+    def advisorRow: String =
+      s"raw_pairs=$rawPairs rep_pairs=$repPairs " +
+        s"rep_max_bucket=$repMaxBucket " +
+        s"rep_max_bucket_pairs=$repMaxBucketPairs route=$route shards=$shards"
+  }
+
+  /** One-shot comparison-mass bound AND per-shard target for the routed
+    * build. Provenance (SCALING rounds 13–15, this box): the one-shot
+    * join completed fine at ≤3.3M predicted comparisons (100× tier),
+    * died spilling past scratch at 260M (the round-13 1000× base) and
+    * 418M (dup10); the validated sharded operating point is 260M / 8
+    * shards ≈ 32.5M per shard (650.6 s build). 32M holds an ~8× margin
+    * under the measured one-shot death and reproduces the validated
+    * per-shard mass. On a cluster this prices per-executor shuffle mass
+    * instead of box scratch — same knob, same derivation. */
+  val OneShotMaxPairs: Long = 32L * 1000 * 1000
+  val PerShardTargetPairs: Long = 32L * 1000 * 1000
+
+  /** Shard-count cap — [[graft.text.Dedup.bulkShardsFor]]'s argument:
+    * each shard re-scans the band table, so past ~64 the re-scan mass
+    * dominates the footprint win. */
+  val MaxRouteShards: Int = 64
+
+  /** The PURE routing rule (spec'd directly): one-shot while the raw
+    * join mass is affordable; otherwise sharded with the count DERIVED
+    * from collapsed mass / per-shard target (floor 2 — a routed sharded
+    * build always actually shards); REFUSE loudly when no shard count
+    * can bound the join — either one collision bucket's own C(n,2)
+    * exceeds the per-shard target (a band_val's bucket lands in one
+    * shard whole, so no count splits it: the banding/threshold needs
+    * re-tuning, not more hardware) or the derived count exceeds the cap
+    * (total mass past cap × target — the measured scratch-death regime
+    * even sharded). */
+  private[graft] def routeFor(rawPairs: Long, repPairs: Long,
+      repMaxBucket: Long,
+      oneShotMaxPairs: Long = OneShotMaxPairs,
+      perShardTargetPairs: Long = PerShardTargetPairs,
+      maxShards: Int = MaxRouteShards): (String, Int) = {
+    require(oneShotMaxPairs >= 0 && perShardTargetPairs >= 1 &&
+      maxShards >= 2, "routing thresholds: oneShotMaxPairs >= 0, " +
+      s"perShardTargetPairs >= 1, maxShards >= 2 (got $oneShotMaxPairs, " +
+      s"$perShardTargetPairs, $maxShards)")
+    val maxBucketPairs = repMaxBucket * (repMaxBucket - 1) / 2
+    if (rawPairs <= oneShotMaxPairs) ("one_shot", 1)
+    else if (maxBucketPairs > perShardTargetPairs) ("refuse", 0)
+    else {
+      val s = math.max(2L,
+        (repPairs + perShardTargetPairs - 1) / perShardTargetPairs)
+      if (s > maxShards) ("refuse", 0) else ("sharded", s.toInt)
+    }
+  }
+
+  /** Price the base build WITHOUT paying it: one signature pass feeds
+    * the raw and rep-collapsed pair-mass aggregates ([[BuildRoute]]) —
+    * never a join; the q167 advisor applied to the build decision. */
+  def adviseRoute(spark: SparkSession, dir: String,
+      oneShotMaxPairs: Long = OneShotMaxPairs,
+      perShardTargetPairs: Long = PerShardTargetPairs,
+      maxShards: Int = MaxRouteShards): BuildRoute = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val sigArr = Dedup.sigTable(spark, dir).localCheckpoint()
+    def massOf(bands: DataFrame): (Long, Long) = {
+      val r = Dedup.pairMassOf(bands)
+        .agg(coalesce(sum("predicted_pairs"), lit(0L)),
+          coalesce(max("max_bucket"), lit(0L)))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (raw, _) = massOf(Dedup.bandsOf(sigArr))
+    val (rep, repMax) = massOf(Dedup.bandsOf(
+      sigArr.groupBy("sig").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "sig")))
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
+    val (route, shards) = routeFor(raw, rep, repMax,
+      oneShotMaxPairs, perShardTargetPairs, maxShards)
+    BuildRoute(route, shards, raw, rep, repMax)
+  }
+
+  /** ADVISOR-ROUTED base build (round 16 — the r15 verdict's task #3):
+    * [[adviseRoute]] prices, then this executes the routed arm —
+    * [[write]] one-shot, [[writeSharded]] with the DERIVED shard count,
+    * or a loud refusal carrying the advisor row (the caller re-tunes
+    * banding/threshold; paying a build the advisor already priced past
+    * the death regime is the one thing this entry point exists to
+    * prevent). Returns the decision it executed. Threshold parameters
+    * exist for spec-sized fixtures; production uses the measured
+    * defaults. */
+  def writeRouted(spark: SparkSession, dir: String, indexPath: String,
+      minJaccard: Double = 0.5, buckets: Int = 16,
+      oneShotMaxPairs: Long = OneShotMaxPairs,
+      perShardTargetPairs: Long = PerShardTargetPairs,
+      maxShards: Int = MaxRouteShards): BuildRoute = {
+    val route = adviseRoute(spark, dir, oneShotMaxPairs,
+      perShardTargetPairs, maxShards)
+    route.route match {
+      case "one_shot" => write(spark, dir, indexPath, minJaccard, buckets)
+      case "sharded" =>
+        writeSharded(spark, dir, indexPath, minJaccard, buckets, route.shards)
+      case _ => throw new IllegalStateException(
+        s"refusing the near-dup base build at $dir: predicted pair mass " +
+          s"cannot be bounded by any shard count (${route.advisorRow}; " +
+          s"per-shard target $perShardTargetPairs, cap $maxShards). " +
+          "Re-tune the banding or raise min_jaccard — this is the " +
+          "measured scratch-death regime, not a provisioning problem.")
+    }
+    route
+  }
+
   /** The at-rest band/sig row sets: base plus every committed delta
     * except `exclude` (a fold excludes its OWN delta so a replay whose
     * delta already committed recomputes identical candidates). Delta
@@ -547,7 +669,10 @@ object ClusterIndex {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       committedVersionsAt(spark, gen).map { v =>
         val p = versionRoot(gen, v)
-        (v, p, graft.IndexVersions.readLedger(fs, new Path(p)))
+        // immutable once committed (see TextIndex.versionsWithTags) —
+        // session-memoized; the generation-qualified path keys it
+        (v, p, graft.SessionMemos.getOrComputeScalar(spark, "vledger", p)(
+          graft.IndexVersions.readLedger(fs, new Path(p))))
       }
     }
   }

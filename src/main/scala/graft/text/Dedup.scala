@@ -1336,8 +1336,12 @@ object Dedup {
     * grams appear on both sides of the merge — min(first) is idempotent
     * on equal elements, so the canonical flags (all the rewrite reads)
     * are identical either way; only the unused n_occ would double. */
+  /** `bloomMinLedgerBytes` is the rider's size gate
+    * ([[BloomMinLedgerBytes]]); specs pass 0 to force the rider on a
+    * spec-sized fixture (param injection — no mutable seam). */
   def rewriteBatchAgainstLedger(spark: SparkSession, batchDir: String,
-      ledgerPath: String): DataFrame = {
+      ledgerPath: String,
+      bloomMinLedgerBytes: Long = BloomMinLedgerBytes): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     graft.functions.BloomExpressions.register(spark) // the scan's rider
     // ONE generation resolution for the whole rewrite: the stats read and
@@ -1413,7 +1417,7 @@ object Dedup {
     // mid-bulk batch paid the listing for a rider it could never take).
     val prefiltered =
       if (nDocs > BloomPrefilterMaxDocs ||
-          ledgerBytesAt(spark, ledgerGen) < BloomMinLedgerBytes) ledgerRows
+          ledgerBytesAt(spark, ledgerGen) < bloomMinLedgerBytes) ledgerRows
       else {
         // sized from the MEASURED batch-gram count, not the docs×512
         // heuristic (round-15 — the r14 verdict's task #6: a long-doc
@@ -1451,16 +1455,72 @@ object Dedup {
   /** At-rest ledger size below which the bloom rider is a net loss (its
     * build job + per-row check against a scan too small to matter —
     * measured; see the rewrite body). 256 MB ≈ the 100× fixture tier
-    * where the win first shows. A `var` only as the PlanSpec seam (the
-    * rider's plan pin needs it to fire on a spec-sized fixture);
-    * production never writes it. */
-  private[graft] var BloomMinLedgerBytes = 256L * 1024 * 1024
+    * where the win first shows. Specs that need the rider to fire on a
+    * spec-sized fixture pass an explicit override through
+    * [[rewriteBatchAgainstLedger]]'s `bloomMinLedgerBytes` parameter
+    * (round 16 — the r15 carried cosmetic: no mutable seam left). */
+  private[graft] val BloomMinLedgerBytes = 256L * 1024 * 1024
 
   /** Batch-doc bound above which the bulk rewrite runs SHARDED: below it
     * the one-shot shuffle join is both faster (one ledger pass, not
     * `shards`) and comfortably within scratch; above it the join's spill
     * is the binding constraint (the round-13 2.5M-doc disk bound). */
   private val BulkShardMinDocs = 1000000L
+
+  /** Age past which a `.bulk_scratch_*` dir with NO fresh liveness
+    * marker is presumed crashed (far beyond any single shard pass — the
+    * marker refreshes once per shard, and the 1000× shard pass measures
+    * ~80 s). */
+  private[graft] val BulkScratchTtlMs = 6L * 3600 * 1000
+
+  /** Liveness-marker file inside a bulk-rewrite scratch dir: written
+    * before the first fragment, REWRITTEN after every shard (a content
+    * rewrite refreshes the timestamp on object stores too, where
+    * directory mtimes are unreliable and `setTimes` may be absent). */
+  private[graft] val BulkScratchRunningMarker = "_RUNNING"
+
+  private[graft] def touchBulkScratchMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      scratch: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(scratch, BulkScratchRunningMarker), true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Sweep CRASHED predecessors' `.bulk_scratch_*` dirs under the ledger
+    * root, sparing live ones (round-16 ADVICE fix: the round-15 sweep
+    * keyed on the DIR's mtime alone, so a concurrent bulk rewrite
+    * running past the TTL — the bulk arm exists for >1M-doc batches —
+    * had its LIVE fragment staging deleted mid-run, and on object
+    * stores a dir's mtime may read stale immediately). A dir is swept
+    * only when its [[BulkScratchRunningMarker]]'s OWN mtime is past the
+    * TTL (the heartbeat stopped — the writer crashed), or when it has
+    * no marker at all AND the dir itself is past the TTL (a pre-marker
+    * crash: the marker is the first write, so that window is one
+    * create). A live rewrite's marker refreshes once per shard, so its
+    * heartbeat is always far inside the TTL. Returns the swept paths
+    * (the race spec's observation point). */
+  private[graft] def sweepStaleBulkScratch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      ledgerRoot: org.apache.hadoop.fs.Path,
+      excludeName: Option[String] = None): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(ledgerRoot)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - BulkScratchTtlMs
+    fs.listStatus(ledgerRoot).toSeq
+      .filter(s => s.getPath.getName.startsWith(".bulk_scratch_") &&
+        !excludeName.contains(s.getPath.getName))
+      .filter { s =>
+        val marker = new Path(s.getPath, BulkScratchRunningMarker)
+        val stale =
+          if (fs.exists(marker))
+            fs.getFileStatus(marker).getModificationTime < cutoff
+          else s.getModificationTime < cutoff
+        stale
+      }
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+  }
 
   /** At-rest gram-tree byte size of a resolved ledger generation — one
     * recursive listing; called only where a decision needs it (the bloom
@@ -1590,19 +1650,18 @@ object Dedup {
       .toString)
     val fs = new Path(scratch)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // sweep crashed predecessors' scratch (nonce dirs are never reused,
-    // so anything older than the TTL is dead weight on the data FS)
+    // sweep crashed predecessors' scratch (nonce dirs are never reused),
+    // gated on each dir's LIVENESS MARKER, never its mtime alone
+    // (round-16 ADVICE fix — see [[sweepStaleBulkScratch]])
     locally {
       val root = new Path(ledgerRoot)
       val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (rfs.exists(root)) {
-        val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-        rfs.listStatus(root).toSeq
-          .filter(s => s.getPath.getName.startsWith(".bulk_scratch_") &&
-            s.getModificationTime < cutoff)
-          .foreach(s => rfs.delete(s.getPath, true))
-      }
+      sweepStaleBulkScratch(rfs, root,
+        excludeName = Some(new Path(scratch).getName))
     }
+    // liveness marker FIRST, before any fragment lands: from here a
+    // concurrent rewrite's sweep sees a fresh heartbeat, not a bare dir
+    touchBulkScratchMarker(fs, new Path(scratch))
     def batchGrams = batchDocs
       .select(col("doc_id"), posexplode(
         graft.functions.TextExpressions.word_ngrams(col("toks"), n,
@@ -1625,6 +1684,11 @@ object Dedup {
         .select(col("doc_id"), col("i"),
           (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
         .write.mode("overwrite").parquet(s"$scratch/occ_$s")
+      // heartbeat: refresh the liveness marker once per completed shard
+      // (a content rewrite, not setTimes — object stores refresh the
+      // timestamp on PUT but may not support setTimes), so a rewrite
+      // running past the TTL still reads as live to a concurrent sweep
+      touchBulkScratchMarker(fs, new Path(scratch))
       // drop the shard's shuffle files before the next pass begins — the
       // whole point is bounding PEAK scratch, and shuffle cleanup rides
       // driver GC of the dependency graph (ContextCleaner)

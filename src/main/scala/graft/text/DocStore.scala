@@ -221,7 +221,13 @@ object DocStore {
     import org.apache.hadoop.fs.Path
     val genPath = new Path(gen)
     val fs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    liveTagsAt(spark, gen) ++ graft.IndexVersions.carriedTags(fs, genPath)
+    // the carried-tag ledger file is written once at generation assembly
+    // and never rewritten — memoized per generation root so page calls
+    // stop re-reading it (round-16 ADVICE fix, low); the LIVE delta
+    // listing stays uncached (it is exactly what changes between calls)
+    liveTagsAt(spark, gen) ++
+      graft.SessionMemos.getOrComputeScalar(spark, "carriedtags", gen)(
+        graft.IndexVersions.carriedTags(fs, genPath))
   }
 
   /** Tags with LIVE delta dirs in the GIVEN generation — the layers a
@@ -277,9 +283,17 @@ object DocStore {
     withGen(spark, storePath) { gen =>
       val buckets = readBucketsAt(spark, gen)
       val tags = appliedTagsAt(spark, gen)
-      graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
-        fence) { staging =>
-        allRowsAt(spark, gen)
+      // tombstone snapshot PINNED at entry: the bake rewrites from
+      // exactly the deltas it will mark baked — a purge committing
+      // mid-compaction waits for the next one (round-16 [[Tombstones]])
+      val tsTags = Tombstones.committedTags(spark, storePath)
+      val tsIds = Tombstones.idsDfFor(spark, storePath, tsTags)
+      val target = graft.IndexVersions.publishGeneration(fs, root,
+        "stats/_SUCCESS", fence) { staging =>
+        // tombstoned docs BAKE OUT here (round 16 — [[Tombstones]] step
+        // 3): the rewrite is the corpus pass compaction pays anyway, so
+        // the purge's physical removal costs one anti-join riding it
+        Tombstones.filterWith(allRowsAt(spark, gen), tsIds)
           .withColumn("db", pmod(hash(col("doc_id")), lit(buckets)))
           .repartition(col("db"))
           .sortWithinPartitions("doc_id")
@@ -289,7 +303,13 @@ object DocStore {
         Seq(buckets.toLong).toDF("buckets")
           .coalesce(1) // stats LAST — the generation's commit marker
           .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
-      }.toString
+      }
+      // record the bake point: this generation physically excludes the
+      // snapshot's tombstones (vacuumGenerations drops the deltas once
+      // no committed generation predates it)
+      Tombstones.markBaked(spark, storePath,
+        target.getName.stripPrefix("_g").toLong, tsTags)
+      target.toString
     }
   }
 
@@ -302,8 +322,16 @@ object DocStore {
     import org.apache.hadoop.fs.Path
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.vacuumGenerations(fs, root, "stats/_SUCCESS",
-      keepLast, graceMs)
+    val removed = graft.IndexVersions.vacuumGenerations(fs, root,
+      "stats/_SUCCESS", keepLast, graceMs)
+    // tombstone deltas retire with the generations that needed them:
+    // once every committed generation is at or past a delta's bake
+    // point, no readable state still contains its ids
+    val gens = graft.IndexVersions.committedGenerations(fs, root,
+      "stats/_SUCCESS")
+    val swept = if (gens.isEmpty) Seq.empty
+      else Tombstones.vacuumBaked(spark, storePath, gens.min)
+    removed ++ swept
   }
 
   /** Every live row layer of the current generation — base + LIVE
@@ -361,11 +389,14 @@ object DocStore {
       val batchSchema = base.schema
       val batches = liveTagsAt(spark, gen).toSeq.sorted
         .map(t => spark.read.schema(batchSchema).parquet(s"$gen/batches/$t/rows"))
-      (base +: batches).map(df => df
-          .filter(col("db").isin(dbs: _*))
-          .filter(col("doc_id").isin(ids: _*))
-          .select(batchSchema.fieldNames.map(col).toSeq: _*))
-        .reduce(_ unionByName _)
+      // purged docs are unfetchable from the moment their tombstone
+      // commits (round 16 — [[Tombstones]]; no-op for unpurged stores)
+      Tombstones.filter(spark, storePath,
+        (base +: batches).map(df => df
+            .filter(col("db").isin(dbs: _*))
+            .filter(col("doc_id").isin(ids: _*))
+            .select(batchSchema.fieldNames.map(col).toSeq: _*))
+          .reduce(_ unionByName _))
     }
   }
 

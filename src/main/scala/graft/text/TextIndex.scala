@@ -227,7 +227,12 @@ object TextIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedVersions(spark, indexPath).map { v =>
       val p = versionRoot(indexPath, v)
-      (v, p, graft.IndexVersions.readLedger(fs, new Path(p)))
+      // a committed version's ledger is immutable (written once before
+      // the publish rename; version numbers never reuse in a lineage) —
+      // memoized so resolver-using page queries pay one ledger read per
+      // version per SESSION, not per call (round-16 ADVICE fix, low)
+      (v, p, graft.SessionMemos.getOrComputeScalar(spark, "vledger", p)(
+        graft.IndexVersions.readLedger(fs, new Path(p))))
     }
   }
 
@@ -269,7 +274,18 @@ object TextIndex {
           n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
         case _ => None
       },
-      relist = () => committedVersions(spark, indexPath))
+      relist = () => committedVersions(spark, indexPath)) ++
+      vacuumBakedTombstones(spark, indexPath)
+  }
+
+  /** Retire tombstone deltas whose bake point is at or before every
+    * surviving committed version (shared by both layouts' vacuums —
+    * round 16): only then does no readable state still need them. */
+  private def vacuumBakedTombstones(spark: SparkSession,
+      indexPath: String): Seq[String] = {
+    val vs = committedVersions(spark, indexPath)
+    if (vs.isEmpty) Seq.empty
+    else Tombstones.vacuumBaked(spark, indexPath, vs.min)
   }
 
   /** IN-CHAIN POSTING COMPACTION (round 13 — the operational tail the
@@ -286,22 +302,76 @@ object TextIndex {
     * staging + guarded-rename publish means readers never observe a
     * partial compaction and old versions stay until [[vacuumVersions]].
     * Lease-holder operation, like every compactor here. */
+  /** TOMBSTONE BAKE (round 16 — [[Tombstones]] step 3): when the index
+    * carries tombstones, the compaction rewrite additionally DROPS the
+    * purged docs' posting rows and corrects the derived statistics by
+    * SUBTRACTING the purged footprint — df per term, n_docs/n_toks —
+    * so post-bake served answers equal a rebuild from the surviving
+    * corpus exactly (spec'd). max_tf/min_dl are carried, not
+    * recomputed: stale bounds are an upper bound over a superset, so
+    * MaxScore stays admissible (answers unchanged, pruning at worst
+    * slightly looser until a later full rewrite). Cost: the corpus pass
+    * compaction already pays + aggregates over the PURGED footprint. */
   def compactVersion(spark: SparkSession, indexPath: String,
-      fence: () => Unit = graft.IndexVersions.NoFence): String =
-    compactVersionWith(spark, indexPath, "text", fence) { (cur, staging) =>
+      fence: () => Unit = graft.IndexVersions.NoFence): String = {
+    val tsTags = Tombstones.committedTags(spark, indexPath)
+    val tsIds = Tombstones.idsDfFor(spark, indexPath, tsTags)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // the purged FOOTPRINT, materialized once (purged-mass-sized by
+    // construction) — the df correction and the stats correction both
+    // read it, so the bake adds ONE extra pass over the postings, not
+    // one per corrected table
+    var fp: Option[DataFrame] = None
+    def footprintAt(cur: String): DataFrame = {
+      if (fp.isEmpty) fp = Some(Tombstones.footprintWith(
+          spark.read.parquet(s"$cur/postings"), tsIds)
+        .select("tok", "doc_id", "tf", "dl").localCheckpoint())
+      fp.get
+    }
+    val target = compactVersionWith(spark, indexPath, "text", fence,
+      statsRewrite = tsIds.map { _ => (cur, staging) =>
+        import org.apache.hadoop.fs.Path
+        val minus = footprintAt(cur).select("doc_id", "dl").distinct()
+          .agg(coalesce(count(lit(1)), lit(0L)).as("pd"),
+            coalesce(sum("dl"), lit(0L)).as("pt"))
+        spark.read.parquet(s"$cur/stats")
+          .crossJoin(broadcast(minus))
+          .select((col("n_docs") - col("pd")).as("n_docs"),
+            (col("n_toks") - col("pt")).as("n_toks"), col("buckets"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+      }) { (cur, staging) =>
       import org.apache.hadoop.fs.Path
       // tb values are already hash-correct — repartition ON the persisted
       // column, never recompute (a drifted hash would silently mis-prune)
-      spark.read.parquet(s"$cur/postings")
+      Tombstones.filterWith(spark.read.parquet(s"$cur/postings"), tsIds)
         .repartition(col("tb"))
         .sortWithinPartitions("tok", "doc_id")
         .write.mode("overwrite").partitionBy("tb")
         .parquet(new Path(staging, "postings").toString)
-      spark.read.parquet(s"$cur/dfreq")
+      val dfreq = spark.read.parquet(s"$cur/dfreq")
+      val corrected = tsIds match {
+        case None => dfreq
+        case Some(_) =>
+          val purgedDf = footprintAt(cur)
+            .groupBy("tok").agg(count(lit(1)).as("pdf"))
+          dfreq.join(purgedDf, Seq("tok"), "left")
+            .withColumn("df", col("df") - coalesce(col("pdf"), lit(0L)))
+            .filter(col("df") > 0)
+            .select(dfreq.columns.map(col).toSeq: _*)
+      }
+      corrected
         .repartition(col("tb"))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(new Path(staging, "dfreq").toString)
     }
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
+    Tombstones.markBaked(spark, indexPath,
+      new org.apache.hadoop.fs.Path(target).getName.stripPrefix("v").toLong,
+      tsTags)
+    target
+  }
 
   /** The shared publish-next-version-from-rewritten-artifacts protocol
     * behind [[compactVersion]] and [[compactPhraseVersion]] (round-13
@@ -313,7 +383,11 @@ object TextIndex {
     * ledger (same corpus — the retrain convention), and publish via the
     * guarded rename. */
   private def compactVersionWith(spark: SparkSession, indexPath: String,
-      kind: String, fence: () => Unit)(
+      kind: String, fence: () => Unit,
+      // when set (a tombstone bake), writes the CORRECTED stats into
+      // staging instead of the verbatim carry — still last, still the
+      // commit marker (round 16)
+      statsRewrite: Option[(String, org.apache.hadoop.fs.Path) => Unit] = None)(
       rewrite: (String, org.apache.hadoop.fs.Path) => Unit): String = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
@@ -326,9 +400,12 @@ object TextIndex {
     val staging = new Path(root,
       s".staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
     rewrite(cur, staging)
-    spark.read.parquet(s"$cur/stats")
-      .coalesce(1) // scalars carried verbatim; stats LAST = commit marker
-      .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    statsRewrite match {
+      case Some(sw) => sw(cur, staging)
+      case None => spark.read.parquet(s"$cur/stats")
+        .coalesce(1) // scalars carried verbatim; stats LAST = commit marker
+        .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+    }
     graft.IndexVersions.writeLedger(fs, staging,
       graft.IndexVersions.readLedger(fs, new Path(cur)))
     graft.IndexVersions.publish(fs, staging, target,
@@ -556,31 +633,106 @@ object TextIndex {
           n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
         case _ => None
       },
-      relist = () => committedVersions(spark, indexPath))
+      relist = () => committedVersions(spark, indexPath)) ++
+      vacuumBakedTombstones(spark, indexPath)
   }
 
   /** [[compactVersion]] for the phrase layout: positions (the carried-
     * forward file-set growth lives here), udf and phrases rewritten to
     * one file-set per bucket, stats copied, ledger verbatim — served
     * phrase/proximity answers identical by construction. */
+  /** TOMBSTONE BAKE on the positional layout (round 16 — the
+    * [[compactVersion]] semantics): positions drop purged docs; udf
+    * subtracts the purged docs' per-term df/n_occ; the trigram table
+    * subtracts the purged docs' OWN trigram counts — reconstructed from
+    * their position rows (purged mass only, never a corpus re-tokenize:
+    * (doc, i → tok) IS the token sequence); n_docs corrects by the
+    * purged docs present in the positions. A purged doc with ZERO
+    * tokens has no footprint anywhere in this layout, so its n_docs
+    * slot cannot be reclaimed until a rebuild — it matched no query, so
+    * only avgdl-free phrase stats carry the one-count residue
+    * (documented boundary). */
   def compactPhraseVersion(spark: SparkSession, indexPath: String,
-      fence: () => Unit = graft.IndexVersions.NoFence): String =
-    compactVersionWith(spark, indexPath, "phrase", fence) { (cur, staging) =>
+      fence: () => Unit = graft.IndexVersions.NoFence): String = {
+    graft.functions.TextExpressions.register(spark)
+    val tsTags = Tombstones.committedTags(spark, indexPath)
+    val tsIds = Tombstones.idsDfFor(spark, indexPath, tsTags)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // purged footprint materialized once (the compactVersion rule): the
+    // udf, trigram, and stats corrections all read it
+    var fp: Option[DataFrame] = None
+    def purgedPos(cur: String): DataFrame = {
+      if (fp.isEmpty) fp = Some(Tombstones.footprintWith(
+          spark.read.parquet(s"$cur/positions"), tsIds)
+        .select("tok", "doc_id", "i").localCheckpoint())
+      fp.get
+    }
+    val target = compactVersionWith(spark, indexPath, "phrase", fence,
+      statsRewrite = tsIds.map { _ => (cur, staging) =>
+        import org.apache.hadoop.fs.Path
+        val minus = purgedPos(cur).select("doc_id").distinct()
+          .agg(coalesce(count(lit(1)), lit(0L)).as("pd"))
+        spark.read.parquet(s"$cur/stats")
+          .crossJoin(broadcast(minus))
+          .select((col("n_docs") - col("pd")).as("n_docs"), col("buckets"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
+      }) { (cur, staging) =>
       import org.apache.hadoop.fs.Path
-      spark.read.parquet(s"$cur/positions")
+      Tombstones.filterWith(spark.read.parquet(s"$cur/positions"), tsIds)
         .repartition(col("ub"))
         .sortWithinPartitions("tok", "doc_id", "i")
         .write.mode("overwrite").partitionBy("ub")
         .parquet(new Path(staging, "positions").toString)
-      spark.read.parquet(s"$cur/udf")
+      val udf = spark.read.parquet(s"$cur/udf")
+      val udf2 = tsIds match {
+        case None => udf
+        case Some(_) =>
+          val minus = purgedPos(cur).groupBy("tok")
+            .agg(countDistinct("doc_id").as("pdf"), count(lit(1)).as("pocc"))
+          udf.join(minus, Seq("tok"), "left")
+            .withColumn("df", col("df") - coalesce(col("pdf"), lit(0L)))
+            .withColumn("n_occ", col("n_occ") - coalesce(col("pocc"), lit(0L)))
+            .filter(col("n_occ") > 0)
+            .select(udf.columns.map(col).toSeq: _*)
+      }
+      udf2
         .repartition(col("ub"))
         .write.mode("overwrite").partitionBy("ub")
         .parquet(new Path(staging, "udf").toString)
-      spark.read.parquet(s"$cur/phrases")
+      val phrases = spark.read.parquet(s"$cur/phrases")
+      val phrases2 = tsIds match {
+        case None => phrases
+        case Some(_) =>
+          // purged docs' token sequences, rebuilt from their own
+          // position rows (purged mass, one sort per doc)
+          val purgedToks = purgedPos(cur)
+            .groupBy("doc_id")
+            .agg(transform(
+              sort_array(collect_list(struct(col("i"), col("tok")))),
+              s => s.getField("tok")).as("toks"))
+          val minusN = purgedToks.select(posexplode(
+              graft.functions.TextExpressions.word_ngrams(col("toks"), 3,
+                distinct = false)))
+            .toDF("i", "gram")
+            .groupBy("gram").agg(count(lit(1)).as("pn"))
+          phrases.join(minusN, Seq("gram"), "left")
+            .withColumn("n", col("n") - coalesce(col("pn"), lit(0L)))
+            .filter(col("n") > 0)
+            .select(phrases.columns.map(col).toSeq: _*)
+      }
+      phrases2
         .repartition(col("pb"))
         .write.mode("overwrite").partitionBy("pb")
         .parquet(new Path(staging, "phrases").toString)
     }
+    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
+    Tombstones.markBaked(spark, indexPath,
+      new org.apache.hadoop.fs.Path(target).getName.stripPrefix("v").toLong,
+      tsTags)
+    target
+  }
 
   def positionFileCount(spark: SparkSession, indexPath: String): Int =
     artifactFileCount(spark, phraseCurrentRoot(spark, indexPath), "positions")
@@ -681,9 +833,12 @@ object TextIndex {
         .filter(col("tok") === t)
         .select(col("doc_id"), (col("i").cast("long") - lit(j)).as("p"))
     }
-    lists.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_occ"), min(col("p")).as("first_pos"))
+    // purged docs drop from phrase hits the moment their tombstone
+    // commits (round 16 — [[Tombstones]]; no-op for unpurged indexes)
+    Tombstones.filter(spark, indexPath,
+        lists.reduce((a, b) => a.join(b, Seq("doc_id", "p")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occ"), min(col("p")).as("first_pos")))
       .orderBy("doc_id")
   }
 
@@ -755,7 +910,7 @@ object TextIndex {
       s"proximity terms must be distinct: $toks")
     require(slop >= 1, "slop must be at least 1")
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
-    proximityBanded(spark, root, toks, slop, essential = None)
+    proximityBanded(spark, indexPath, root, toks, slop, essential = None)
   }
 
   /** The shared banded-intersection core of [[proximitySearchAll]] and
@@ -772,8 +927,8 @@ object TextIndex {
     * hot lists' SCAN mass now also tracks the rarest term's absolute df,
     * not just the shuffle (round 13 — on the Zipf-tail fixture the
     * semi-join form still paid the hot lists' linear scan). */
-  private def proximityBanded(spark: SparkSession, root: String,
-      toks: Seq[String], slop: Int,
+  private def proximityBanded(spark: SparkSession, artifactRoot: String,
+      root: String, toks: Seq[String], slop: Int,
       essential: Option[DataFrame],
       essentialIds: Option[Seq[Long]] = None): DataFrame = {
     val buckets = spark.read.parquet(s"$root/stats")
@@ -806,10 +961,13 @@ object TextIndex {
     // selective input, so every intermediate is constrained by it —
     // joining tripled lists against each other first would inflate
     // intermediates ~3× for the identical result (round-11 review)
-    (anchor +: others).reduce((a, b) => a.join(b, Seq("doc_id", "band")))
-      .filter(span <= slop)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tuples"), min(span).as("min_span"))
+    // purged docs drop from proximity hits the moment their tombstone
+    // commits (round 16 — [[Tombstones]]; no-op for unpurged indexes)
+    Tombstones.filter(spark, artifactRoot,
+        (anchor +: others).reduce((a, b) => a.join(b, Seq("doc_id", "band")))
+          .filter(span <= slop)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tuples"), min(span).as("min_span")))
       .orderBy("doc_id")
   }
 
@@ -930,12 +1088,12 @@ object TextIndex {
       if (ids.isEmpty)
         // OOV rarest term: no doc can qualify — the empty-result shape
         // at zero scan cost (isin on an empty list is not plannable)
-        return proximityBanded(spark, root, toks, slop,
+        return proximityBanded(spark, indexPath, root, toks, slop,
           Some(essentialDocs))
-      proximityBanded(spark, root, toks, slop, essential = None,
+      proximityBanded(spark, indexPath, root, toks, slop, essential = None,
         essentialIds = Some(ids))
     } else
-      proximityBanded(spark, root, toks, slop, Some(essentialDocs))
+      proximityBanded(spark, indexPath, root, toks, slop, Some(essentialDocs))
   }
 
   /** The q161 deterministic probe — the gated family's worst case with
@@ -1143,7 +1301,10 @@ object TextIndex {
       if (notTb.isEmpty) hits
       else hits.join(listsOf(notTb).select("doc_id"), Seq("doc_id"),
         "left_anti")
-    kept.select(col("doc_id"), col("dl"), col("min_tf"), col("max_tf"))
+    // purged docs drop from the hit set the moment their tombstone
+    // commits (round 16 — [[Tombstones]]; no-op for unpurged indexes)
+    Tombstones.filter(spark, indexPath,
+        kept.select(col("doc_id"), col("dl"), col("min_tf"), col("max_tf")))
       .orderBy("doc_id")
   }
 
@@ -1247,13 +1408,15 @@ object TextIndex {
     * MaxScoreBench meter, so the measured decision is the shipped one. */
   private[graft] def nonEssentialTerms(spark: SparkSession, root: String,
       nDocs: Long, nToks: Long, qts: Seq[QTerm], topN: Int,
-      minProbeMass: Long = DefaultMinProbeMass): Seq[QTerm] = {
+      minProbeMass: Long = DefaultMinProbeMass,
+      tombstoneRoot: Option[String] = None): Seq[QTerm] = {
     val skewed = qts.size >= 2 &&
       qts.map(_.df).max >= SkewGateRatio * qts.map(_.df).min &&
       qts.map(_.df).sum >= minProbeMass
     if (!skewed) Seq.empty[QTerm]
     else {
-      val split = maxScoreSplitAt(spark, root, nDocs, nToks, qts, topN)
+      val split = maxScoreSplitAt(spark, root, nDocs, nToks, qts, topN,
+        tombstoneRoot = tombstoneRoot)
       val essMass = qts
         .filterNot(q => split.nonEssential.contains(q.tok)).map(_.df).sum
       if (essMass > CandidateMassGate) Seq.empty[QTerm]
@@ -1263,7 +1426,8 @@ object TextIndex {
 
   private[graft] def maxScoreSplitAt(spark: SparkSession, root: String,
       nDocs: Long, nToks: Long, qts: Seq[QTerm], topN: Int,
-      k1: Double = 1.2, b: Double = 0.75): MaxScoreSplit = {
+      k1: Double = 1.2, b: Double = 0.75,
+      tombstoneRoot: Option[String] = None): MaxScoreSplit = {
     import spark.implicits._
     // driver replica of bm25S6's IEEE op sequence at the bound point;
     // the +1 fixed-point slack absorbs any residual ulp divergence
@@ -1275,8 +1439,15 @@ object TextIndex {
       math.floor(idf * tfn * 1e6 + 0.5).toLong + 1
     }
     val sel = qts.minBy(q => (q.df, q.tok))
-    val selScored = TextOps.bm25S6(spark.read.parquet(s"$root/postings")
-      .filter(col("tb") === sel.tb && col("tok") === sel.tok)
+    // the floor probe excludes tombstoned docs (round 16): a purged
+    // doc's partial score inflating theta6 would over-prune — a
+    // SURVIVOR whose true rank is inside the topN could be dropped.
+    // A survivors-only floor is ≤ the true floor, hence admissible.
+    val selList = Tombstones.filter(spark,
+      tombstoneRoot.getOrElse(root),
+      spark.read.parquet(s"$root/postings")
+        .filter(col("tb") === sel.tb && col("tok") === sel.tok))
+    val selScored = TextOps.bm25S6(selList
       .join(broadcast(Seq((sel.tok, sel.df)).toDF("tok", "df")), Seq("tok"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("n_toks", lit(nToks)), k1, b)
@@ -1362,7 +1533,7 @@ object TextIndex {
     val qts = deriveQueryTermsAt(spark, root, nDocs, nq)
     val ne = if (!prune) Seq.empty[QTerm]
       else nonEssentialTerms(spark, root, nDocs, nToks, qts, topN,
-        minProbeMass)
+        minProbeMass, tombstoneRoot = Some(indexPath))
     val posts = spark.read.parquet(s"$root/postings")
     // the term predicate as a literal FILTER, not just the join: it
     // reaches the parquet scan as PushedFilters on `tok`, so the
@@ -1412,7 +1583,12 @@ object TextIndex {
               Seq("doc_id"), "left_semi")
         ePosts.unionByName(nePosts)
       }
-    val scored = rows
+    // purged docs are unrankable from the moment their tombstone commits
+    // (round 16 — [[Tombstones]] step 2; no-op for unpurged indexes).
+    // The filter lands BEFORE the rank tail so a purged doc cannot steal
+    // a topN slot; surviving docs' SCORES still read the pre-bake df —
+    // the documented transitional semantics, corrected at compaction.
+    val scored = Tombstones.filter(spark, indexPath, rows)
       .join(broadcast(qts.map(q => (q.tok, q.df)).toDF("tok", "df")), Seq("tok"))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("n_toks", lit(nToks))

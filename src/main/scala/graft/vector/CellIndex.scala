@@ -298,7 +298,10 @@ object CellIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedVersions(spark, indexPath).map { v =>
       val p = versionPath(indexPath, v)
-      (v, p, graft.IndexVersions.readLedger(fs, new Path(p)))
+      // immutable once committed (see TextIndex.versionsWithTags) —
+      // session-memoized per version path
+      (v, p, graft.SessionMemos.getOrComputeScalar(spark, "vledger", p)(
+        graft.IndexVersions.readLedger(fs, new Path(p))))
     }
   }
 
@@ -423,8 +426,13 @@ object CellIndex {
     val cb = readCodebookAt(spark, indexPath, vp)
     val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
     val probeCells = rankProbeCells(cb, probe, nprobe)
-    val scored = spark.read.parquet(vp)
-      .filter(col("cell").isin(probeCells: _*))
+    // purged docs drop from the dense arm the moment their tombstone
+    // commits (round 16 — [[graft.text.Tombstones]]; the filter lands
+    // BEFORE the top-k so a purged doc cannot steal a rank slot; no-op
+    // for unpurged indexes). Physical removal rides [[retrain]]/rebuild.
+    val scored = graft.text.Tombstones.filter(spark, indexPath,
+        spark.read.parquet(vp).filter(col("cell").isin(probeCells: _*)),
+        idCol = "vec_id")
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         pround(dot_product(col("v"), lit(probe.toArray)) / (col("norm") * lit(pnorm)), 4)
           .as("cos_sim"))
@@ -458,8 +466,9 @@ object CellIndex {
       val qs = probe.slice(s * subDim, (s + 1) * subDim)
       sub.map(c => qs.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
     }
-    val pruned = spark.read.parquet(vp)
-      .filter(col("cell").isin(probeCells: _*))
+    val pruned = graft.text.Tombstones.filter(spark, indexPath,
+      spark.read.parquet(vp).filter(col("cell").isin(probeCells: _*)),
+      idCol = "vec_id")
     val short = pruned
       .withColumn("tbl", typedLit(tables))
       .withColumn("approx_d2", expr(
@@ -495,8 +504,9 @@ object CellIndex {
     val probeCells = rankProbeCells(cb, probe, nprobe)
     val docs = graft.sources.Tables.documents(spark, dir)
       .filter(col("lang") === lang).select(col("doc_id"), col("lang"))
-    val scored = spark.read.parquet(vp)
-      .filter(col("cell").isin(probeCells: _*))
+    val scored = graft.text.Tombstones.filter(spark, indexPath,
+        spark.read.parquet(vp).filter(col("cell").isin(probeCells: _*)),
+        idCol = "vec_id")
       .join(docs, col("vec_id") === col("doc_id"))
       .select(col("vec_id"), col("lang"),
         pround(dot_product(col("v"), lit(probe.toArray)) / (col("norm") * lit(pnorm)), 4)
@@ -579,8 +589,9 @@ object CellIndex {
     val cb = readCodebookAt(spark, indexPath, vp)
     val pnorm = math.sqrt(probe.foldLeft(0.0)((a, x) => a + x * x))
     val probeCells = rankProbeCells(cb, probe, nprobe)
-    spark.read.parquet(vp)
-      .filter(col("cell").isin(probeCells: _*))
+    graft.text.Tombstones.filter(spark, indexPath,
+        spark.read.parquet(vp).filter(col("cell").isin(probeCells: _*)),
+        idCol = "vec_id")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("v"), col("norm"),
         pround(dot_product(col("v"), lit(probe.toArray)) / (col("norm") * lit(pnorm)), 4)

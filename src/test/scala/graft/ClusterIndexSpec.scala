@@ -173,6 +173,65 @@ class ClusterIndexSpec extends SparkSpec {
       "a fold on the pre-pass base drifted from the one-shot base's")
   }
 
+  test("routed base build: the pure rule one-shots, shards with a derived count, refuses unsplittable shapes") {
+    // round 16 — the r15 verdict's task #3: the pair-mass advisor now
+    // ROUTES the build instead of only pricing it (the
+    // retrainAtImbalance precedent). The pure rule first:
+    import ClusterIndex.routeFor
+    assert(routeFor(1000L, 1000L, 10L, 32000000L, 32000000L, 64) ==
+      ("one_shot", 1), "affordable raw mass one-shots")
+    // raw past the bound, collapsed mass derives the count (floor 2)
+    assert(routeFor(418000000L, 1000L, 10L, 32000000L, 32000000L, 64) ==
+      ("sharded", 2), "dup-heavy shape: tiny collapsed mass shards at the floor")
+    assert(routeFor(260000000L, 260000000L, 3783L, 32000000L, 32000000L, 64) ==
+      ("sharded", 9), "the measured 1000x cell derives ceil(260M/32M) = 9")
+    // one collision bucket's own C(n,2) past the per-shard target: no
+    // shard count splits a single band_val's bucket — refuse
+    assert(routeFor(100L, 100L, 10000L, 1L, 1000L, 64) == ("refuse", 0),
+      "an unsplittable bucket must refuse (C(10k,2) >> target)")
+    // total collapsed mass past cap x target: refuse at the cap
+    assert(routeFor(100L, 1000000L, 2L, 1L, 1000L, 64) == ("refuse", 0),
+      "mass past cap x target must refuse")
+    intercept[IllegalArgumentException] {
+      routeFor(1L, 1L, 1L, 0L, 0L, 64) // degenerate thresholds rejected
+    }
+    // end-to-end on the spec corpus: default thresholds one-shot (the
+    // fixture's mass is tiny) and the routed labels ARE write()'s
+    val idxA = java.nio.file.Files.createTempDirectory("ci_rt_a").toString
+    val idxB = java.nio.file.Files.createTempDirectory("ci_rt_b").toString
+    val r1 = ClusterIndex.writeRouted(spark, sf0001, idxA)
+    assert(r1.route == "one_shot" && r1.rawPairs > 0L,
+      s"spec corpus must route one-shot: ${r1.advisorRow}")
+    ClusterIndex.write(spark, sf0001, idxB)
+    def labelMap(p: String) = ClusterIndex.labels(spark, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap(idxA) == labelMap(idxB),
+      "routed one-shot labels drifted from write()'s")
+    // forced past the one-shot bound (threshold seam): routes SHARDED
+    // with the derived count and still reproduces the same labels
+    val idxC = java.nio.file.Files.createTempDirectory("ci_rt_c").toString
+    val r2 = ClusterIndex.writeRouted(spark, sf0001, idxC,
+      oneShotMaxPairs = 0L)
+    assert(r2.route == "sharded" && r2.shards >= 2,
+      s"forced-sharded routing: ${r2.advisorRow}")
+    assert(labelMap(idxC) == labelMap(idxB),
+      "routed sharded labels drifted from write()'s")
+    // a super-critical shape refuses LOUDLY with the advisor row in the
+    // message, and builds nothing
+    val idxD = java.nio.file.Files.createTempDirectory("ci_rt_d").toString
+    val e = intercept[IllegalStateException] {
+      ClusterIndex.writeRouted(spark, sf0001, idxD,
+        oneShotMaxPairs = 0L, perShardTargetPairs = 1L, maxShards = 2)
+    }
+    assert(e.getMessage.contains("raw_pairs=") &&
+      e.getMessage.contains("route=refuse"),
+      s"the refusal must carry the advisor row: ${e.getMessage}")
+    val fs = new org.apache.hadoop.fs.Path(idxD)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxD/labels")),
+      "a refused build must not leave a label table")
+  }
+
   test("version retention: vacuum keeps the newest folds, the ledger carries tags forward") {
     val evens = parityDir(0)
     val odds = parityDir(1)

@@ -164,6 +164,71 @@ class GramLedgerSpec extends SparkSpec {
       s"default scratch (and stale crashed scratch) must be swept: $leftovers")
   }
 
+  test("bulk scratch sweep: liveness marker protects a live concurrent rewrite") {
+    // round 16 — the r15 ADVICE (medium) + verdict task #6: the sweep
+    // keyed on dir mtime alone would delete a LIVE rewrite's fragment
+    // staging once it ran past the TTL (and object-store dir mtimes can
+    // read stale immediately). The contract now: a dir with a FRESH
+    // _RUNNING marker survives any concurrent sweep regardless of the
+    // dir's own age (the marker rewrites once per shard); a dir whose
+    // marker went stale — the heartbeat stopped — is crashed and sweeps;
+    // a marker-less dir falls back to the dir-mtime rule (the pre-marker
+    // crash window is one file create).
+    import org.apache.hadoop.fs.Path
+    val evens = parityDir(0)
+    val odds = parityDir(1)
+    val ledger = java.nio.file.Files.createTempDirectory("gl_live_l").toString
+    Dedup.writeGramLedger(spark, evens, ledger, n = N)
+    val fs = new Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 7L * 3600 * 1000
+    // the LONG-RUNNING rewrite: dir older than the TTL (it started 7h
+    // ago), fragments staged, but its heartbeat marker is FRESH — the
+    // per-shard rewrite just touched it
+    val live = new Path(ledger, ".bulk_scratch_live0001")
+    fs.mkdirs(new Path(live, "occ_0"))
+    Dedup.touchBulkScratchMarker(fs, live)
+    fs.setTimes(live, old, -1)
+    // the CRASHED rewrite: marker present but stale — the heartbeat
+    // stopped 7h ago
+    val dead = new Path(ledger, ".bulk_scratch_dead0001")
+    fs.mkdirs(new Path(dead, "occ_0"))
+    Dedup.touchBulkScratchMarker(fs, dead)
+    fs.setTimes(new Path(dead, Dedup.BulkScratchRunningMarker), old, -1)
+    fs.setTimes(dead, old, -1)
+    // the PRE-MARKER crash: no marker at all, dir past the TTL
+    val bare = new Path(ledger, ".bulk_scratch_bare0001")
+    fs.mkdirs(bare)
+    fs.setTimes(bare, old, -1)
+    // a FRESH marker-less dir (a concurrent rewrite between mkdir and
+    // its first marker write): inside the TTL, must survive
+    val young = new Path(ledger, ".bulk_scratch_young001")
+    fs.mkdirs(young)
+    // direct sweep first: exactly the two crashed dirs go
+    val swept = Dedup.sweepStaleBulkScratch(fs, new Path(ledger))
+      .map(p => new Path(p).getName).sorted
+    assert(swept == Seq(".bulk_scratch_bare0001", ".bulk_scratch_dead0001"),
+      s"sweep must take exactly the stale-marker and pre-marker dirs: $swept")
+    assert(fs.exists(new Path(live, "occ_0")),
+      "a live rewrite's staged fragments must survive the sweep")
+    assert(fs.exists(young), "a fresh marker-less dir must survive")
+    // end-to-end: a SECOND bulk rewrite (whose entry sweep is the race's
+    // deleting side) runs to completion beside the live attempt, and the
+    // live attempt's fragments still stand afterwards — the two-rewrite
+    // race of the r15 verdict's task #6
+    Dedup.touchBulkScratchMarker(fs, live)
+    fs.setTimes(live, old, -1)
+    val got = Dedup.rewriteBulkAgainstLedger(spark, odds, ledger, shards = 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = Dedup.rewriteBatchAgainstLedger(spark, odds, ledger)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "bulk rewrite beside a live sibling drifted")
+    assert(fs.exists(new Path(live, "occ_0")) &&
+      fs.exists(new Path(live, Dedup.BulkScratchRunningMarker)),
+      "the concurrent rewrite's sweep must not touch a live attempt's " +
+        "scratch (fresh _RUNNING marker, old dir mtime)")
+  }
+
   test("bulk shard derivation: tracks ledger bytes between floor 2 and cap 64") {
     // the r14 verdict's task #1 second half: shards were a hardcoded 8 —
     // now ledgerBytes/256MB, clamped. The validated round-14 operating
@@ -196,12 +261,9 @@ class GramLedgerSpec extends SparkSpec {
     Dedup.writeGramLedger(spark, corpus, ledger, n = N)
     val want = Dedup.rewriteBatchAgainstLedger(spark, batch, ledger)
       .collect().map(_.toSeq).toSeq
-    val saved = Dedup.BloomMinLedgerBytes
-    val got = try {
-      Dedup.BloomMinLedgerBytes = 0L // force the size gate open
-      Dedup.rewriteBatchAgainstLedger(spark, batch, ledger)
-        .collect().map(_.toSeq).toSeq
-    } finally Dedup.BloomMinLedgerBytes = saved
+    val got = Dedup.rewriteBatchAgainstLedger(spark, batch, ledger,
+        bloomMinLedgerBytes = 0L) // force the size gate open
+      .collect().map(_.toSeq).toSeq
     assert(got == want, "bloom-ridden rewrite drifted on a long-doc batch")
   }
 

@@ -395,6 +395,55 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(v1.endsWith("vectors_v1") && t1.endsWith("v1"))
   }
 
+  test("untagged poison with add-only artifacts fires the loud channel; versioned-only stays quiet") {
+    // round 16 — the r15 ADVICE (high): with add-only artifacts in the
+    // composite, admissibility requires untagged == 0, and the counter
+    // only grows — so ONE untagged append pins resolution at the last
+    // all-tagged state FOREVER while the base version keeps the loud
+    // no-tuple refusal from ever firing. The resolver must (a) still
+    // serve the provably-consistent pinned state (refusing would turn
+    // bounded staleness into an outage), and (b) say so on the loud
+    // channel, naming the poisoned artifact. Versioned-only composites
+    // pair fine across untagged appends (counter equality) and must NOT
+    // warn.
+    import graft.IndexVersions.Ledger
+    val chain = Seq(
+      (0L, "base", Ledger(Set.empty[String], 0L)),
+      (1L, "v1", Ledger(Set("t1"), 0L)),
+      (2L, "v2", Ledger(Set("t1"), 1L)), // the poisoning untagged fold
+      (3L, "v3", Ledger(Set("t1", "t2"), 1L)))
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val saved = IndexPair.onPoisonedResolution
+    try {
+      IndexPair.onPoisonedResolution = captured += _
+      val (roots, ledger) = IndexPair.consistentRootsAll(
+        Seq(chain), Seq(("store", Set("t1", "t2"))), "(poison spec)")
+      assert(roots == Seq("v1") && ledger == Ledger(Set("t1"), 0L),
+        s"must pin the last all-tagged state: $roots / $ledger")
+      assert(captured.exists(m => m.contains("PERMANENTLY PINNED") &&
+        m.contains("v3") && m.contains("store")),
+        s"the loud channel must name the poisoned artifact: $captured")
+      // versioned-only: untagged counters synchronize; no warning
+      captured.clear()
+      val (r2, _) = IndexPair.consistentRootsAll(
+        Seq(chain, chain), Seq.empty, "(pair spec)")
+      assert(r2 == Seq("v3", "v3"),
+        "versioned pairs advance across untagged appends (counter equality)")
+      assert(captured.isEmpty,
+        s"versioned-only resolution must not warn: $captured")
+      // a lineage that NEVER had an all-tagged committed state: the loud
+      // refusal carries the untagged hint
+      captured.clear()
+      val poisonedOnly = Seq((1L, "v1", Ledger(Set.empty[String], 1L)))
+      val e = intercept[IllegalStateException] {
+        IndexPair.consistentRootsAll(
+          Seq(poisonedOnly), Seq(("store", Set.empty[String])), "(all-poison)")
+      }
+      assert(e.getMessage.contains("Untagged appends are present"),
+        s"the refusal must point at the untagged cause: ${e.getMessage}")
+    } finally IndexPair.onPoisonedResolution = saved
+  }
+
   test("reserved '#' tags are rejected before any append work; stream owners are distinct") {
     val work = java.nio.file.Files.createTempDirectory("idxtag").toString
     val vecIdx = s"$work/vec"

@@ -192,13 +192,10 @@ class PlanSpec extends SparkSpec {
     assert(!rw.contains("CartesianProduct"))
     // round 14: for a page-sized batch against a LARGE at-rest ledger a
     // bloom built from the batch gram set rides the scan's filter AHEAD
-    // of the broadcast probe (the size gate is dropped through its seam —
-    // a spec-sized ledger legitimately skips the rider)
-    val savedGate = Dedup.BloomMinLedgerBytes
-    val rwBloom = try {
-      Dedup.BloomMinLedgerBytes = 0L
-      explain(Dedup.rewriteBatchAgainstLedger(spark, odds, s"$work/ledger"))
-    } finally Dedup.BloomMinLedgerBytes = savedGate
+    // of the broadcast probe (the size gate is dropped through its
+    // parameter — a spec-sized ledger legitimately skips the rider)
+    val rwBloom = explain(Dedup.rewriteBatchAgainstLedger(spark, odds,
+      s"$work/ledger", bloomMinLedgerBytes = 0L))
     assert(rwBloom.contains("might_contain"),
       s"expected the batch-gram bloom riding the ledger scan:\n$rwBloom")
     assert(!rw.contains("might_contain"),
