@@ -141,7 +141,10 @@ object Dedup {
     * never band and never pair (the oracle's NULL band_val joins
     * nothing). ONE definition shared by the in-query pair builder and
     * the at-rest [[ClusterIndex]] (round 12) so the two can't drift. */
-  private[text] def sigTable(spark: SparkSession, dir: String): DataFrame =
+  // private[graft]: PairMassBench's sharded candidate measurement reuses
+  // the one signature/banding definition (round 16 — a tool replica
+  // would drift from the advisor it meters)
+  private[graft] def sigTable(spark: SparkSession, dir: String): DataFrame =
     minhashSignatures(spark, dir)
       .withColumn("sig", array((0 until NumHashes).map(s => col(s"mh$s")): _*))
       .filter(col("mh0").isNotNull)
@@ -149,7 +152,7 @@ object Dedup {
 
   /** LSH bands of a (doc_id, sig) frame — (doc_id, band_id, band_val),
     * the bucketing key candidate pairs equi-join on. */
-  private[text] def bandsOf(sigArr: DataFrame): DataFrame =
+  private[graft] def bandsOf(sigArr: DataFrame): DataFrame =
     sigArr.select(
         col("doc_id"), posexplode(
           transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), b =>

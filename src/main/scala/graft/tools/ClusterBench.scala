@@ -18,17 +18,24 @@ import org.apache.spark.sql.functions._
   *  3. `serve_s` — the q160 serving read (labels join over the corpus
   *     spine), the consumer the maintained artifact exists for.
   *
-  * Usage: ClusterBench <corpusDir> <batchSrcDir> <workDir> [shards=16]
+  * Usage: ClusterBench <corpusDir> <batchSrcDir> <workDir>
+  * [shards=16|routed] — `routed` (round 16, the r15 verdict's task #3
+  * done-condition) lets [[graft.text.ClusterIndex.writeRouted]] pick
+  * the arm and count from the pair-mass advisor, and the JSON carries
+  * the decision beside the build time so the routed build can be
+  * compared against the hand-chosen one on the same fixture.
   * (workDir must be fresh; one JSON line on stdout). */
 object ClusterBench {
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(
-        "usage: ClusterBench <corpusDir> <batchSrcDir> <workDir> [shards]")
+        "usage: ClusterBench <corpusDir> <batchSrcDir> <workDir> [shards|routed]")
       sys.exit(2)
     }
     val (corpus, batchSrc, work) = (args(0), args(1), args(2))
-    val shards = args.lift(3).map(_.toInt).getOrElse(16)
+    val routed = args.lift(3).contains("routed")
+    val shards = args.lift(3).filterNot(_ == "routed")
+      .map(_.toInt).getOrElse(16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
@@ -67,8 +74,14 @@ object ClusterBench {
     val nBatch = spark.read.parquet(s"$batchDir/documents.parquet").count()
     val nCorpus = spark.read.parquet(s"$corpus/documents.parquet").count()
     val idx = s"$work/cluster"
+    var route = ""
+    var routedShards = shards
     val baseS = step("cluster_base_sharded_s", timed {
-      graft.text.ClusterIndex.writeSharded(spark, corpus, idx, shards = shards)
+      if (routed) {
+        val r = graft.text.ClusterIndex.writeRouted(spark, corpus, idx)
+        route = r.advisorRow; routedShards = r.shards
+      } else
+        graft.text.ClusterIndex.writeSharded(spark, corpus, idx, shards = shards)
     })
     graft.text.Dedup.evictMemos(spark)
     graft.Checkpoints.evictSessionMemos(spark)
@@ -79,7 +92,7 @@ object ClusterBench {
       graft.text.ClusterIndex.nearDupClustersServed(spark, corpus, idx)
         .write.format("noop").mode("overwrite").save()
     })
-    println(f"""{"metric":"cluster_bench","dir":"$corpus","n_corpus":$nCorpus,"n_batch":$nBatch,"shards":$shards,"cluster_base_sharded_s":$baseS%.3f,"cluster_fold_s":$foldS%.3f,"serve_s":$serveS%.3f}""")
+    println(f"""{"metric":"cluster_bench","dir":"$corpus","n_corpus":$nCorpus,"n_batch":$nBatch,"shards":$routedShards,"routed":${routed},"route":"$route","cluster_base_sharded_s":$baseS%.3f,"cluster_fold_s":$foldS%.3f,"serve_s":$serveS%.3f}""")
     spark.stop()
   }
 }

@@ -136,12 +136,20 @@ object IndexMaintenanceBench {
       val sb = bytesOf(store)
       val gb = bytesOf(ledger)
       val (cb, cv) = usage(clusterIdx)
-      Fold(secs, serveSecs, vb, vv, tb, tv, pb, pv, sb, gb, cb, cv,
+      val f = Fold(secs, serveSecs, vb, vv, tb, tv, pb, pv, sb, gb, cb, cv,
         graft.text.TextIndex.postingFileCount(spark, textIdx),
         graft.text.TextIndex.positionFileCount(spark, phraseIdx),
         graft.text.DocStore.liveBatchCount(spark, store),
         graft.text.Dedup.gramLedgerLiveBatchCount(spark, ledger),
         graft.text.ClusterIndex.liveBatchCount(spark, clusterIdx))
+      // per-fold line EMITTED IMMEDIATELY (round 16): two 1000× runs in
+      // a row lost their whole table to a late crash (a tmp sweep in
+      // r15, an OOM in a fold-10 compaction in r16) because the only
+      // print was the final summary — the rows that DID complete are
+      // the measurement, so they leave the process as they happen
+      println(f"""{"metric":"idxmaint_fold","i":$i,"fold_s":${f.secs}%.3f,"serve_s":${f.serveSecs}%.3f,"post_files":${f.postFiles},"pos_files":${f.posFiles},"store_live":${f.storeLive},"ledger_live":${f.ledgerLive},"cluster_live":${f.clusterLive},"store_bytes":${f.sb},"ledger_bytes":${f.gb},"cluster_bytes":${f.cb}}""")
+      Console.flush()
+      f
     }
     def arr[T](f: Fold => T): String = folds.map(f).mkString("[", ",", "]")
     println(s"""{"metric":"idxmaint","batches":$nBatches,"dir":"$dir","k":$k,""" +

@@ -22,21 +22,32 @@ import org.apache.spark.sql.functions._
   * lets an operator see which shape they have for the price of a
   * signature pass.
   *
-  * Usage: PairMassBench <sfDir> [adviseOnly] (single pass; the pair
-  * join at a ≥100× tier is deliberately run once — it IS the expensive
-  * thing being priced. `adviseOnly` skips the measured join: on the
-  * exact-duplicate 5M-doc shape the RAW join's spill exceeds this box's
-  * free scratch — the advisor's warning is the measurement there, and
-  * the remedy is writeSharded's rep-collapse pre-pass, not paying the
-  * join.) */
+  * Usage: PairMassBench <sfDir> [adviseOnly|sharded=N] [workDir]
+  * (single pass; the pair join at a ≥100× tier is deliberately run
+  * once — it IS the expensive thing being priced. `adviseOnly` skips
+  * the measured join: on the exact-duplicate 5M-doc shape the RAW
+  * join's spill exceeds this box's free scratch — the advisor's
+  * warning is the measurement there. `sharded=N` (round 16 — the r15
+  * verdict's task #8: the tight-bound claim must be verified AT the
+  * tier the routing thresholds govern) measures the DISTINCT candidate
+  * count with the writeSharded decomposition instead of the one-shot
+  * join: bands materialize once partitioned by band-val shard, each
+  * shard self-joins and writes its per-shard-distinct pairs to scratch
+  * under `workDir`, and ONE global distinct over the union (candidate
+  * mass, not join-spill mass) counts — so predicted-vs-measured is
+  * computable exactly where the raw join DNFs.) */
 object PairMassBench {
   def main(args: Array[String]): Unit = {
     if (args.length < 1) {
-      System.err.println("usage: PairMassBench <sfDir> [adviseOnly]")
+      System.err.println(
+        "usage: PairMassBench <sfDir> [adviseOnly|sharded=N] [workDir]")
       sys.exit(2)
     }
     val dir = args(0)
     val adviseOnly = args.lift(1).contains("adviseOnly")
+    val shards = args.lift(1).filter(_.startsWith("sharded="))
+      .map(_.stripPrefix("sharded=").toInt).getOrElse(0)
+    val work = args.lift(2).getOrElse(dir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,6 +86,52 @@ object PairMassBench {
     spark.catalog.clearCache()
     graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
     System.gc()
+    if (shards > 0) {
+      import org.apache.hadoop.fs.Path
+      val scratch = new Path(work,
+        s".pairmass_scratch_${ProcessHandle.current().pid()}")
+      val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(scratch, true)
+      val (tMeas, cand) = time {
+        // bands once, partitioned by band-val shard (band mass — docs ×
+        // 4 rows, never pair mass); each shard's self-join is bounded
+        // like writeSharded's, and per-shard DISTINCT bounds the
+        // written pairs before the one global distinct
+        graft.text.Dedup.bandsOf(graft.text.Dedup.sigTable(spark, dir))
+          .withColumn("sh", pmod(hash(col("band_val")), lit(shards)))
+          .repartition(col("sh"))
+          .write.mode("overwrite").partitionBy("sh")
+          .parquet(new Path(scratch, "bands").toString)
+        for (s <- 0 until shards) {
+          val b = spark.read.parquet(new Path(scratch, "bands").toString)
+            .filter(col("sh") === s)
+            .select("doc_id", "band_id", "band_val")
+          b.as("x").join(b.as("y"),
+              col("x.band_id") === col("y.band_id") &&
+              col("x.band_val") === col("y.band_val") &&
+              col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(new Path(scratch, s"pairs_$s").toString)
+          System.gc() // drop the finished shard's shuffle files
+        }
+        // cross-shard duplicates exist (one pair can match in several
+        // BANDS, which shard independently) — the global distinct is
+        // over candidate mass, not join-spill mass
+        (0 until shards)
+          .map(s => spark.read.parquet(new Path(scratch, s"pairs_$s").toString))
+          .reduce(_ unionByName _)
+          .distinct().count()
+      }
+      fs.delete(scratch, true)
+      require(cand <= predicted,
+        s"measured distinct candidates $cand exceed predicted comparison " +
+          s"mass $predicted — the advisor's bound is broken, investigate")
+      println(f"""{"metric":"pairmassbench","dir":"$dir","n_banded_docs":$banded,"advise_s":$tAdv%.3f,"predicted_pairs":$predicted,"max_bucket":$maxBucket,"measure_s":$tMeas%.3f,"measure_mode":"sharded$shards","cand_pairs":$cand,"edges":-1,"pred_over_cand":${predicted.toDouble / math.max(1L, cand)}%.3f}""")
+      spark.stop()
+      return
+    }
     val (tMeas, (cand, edges)) = time {
       val pairs = graft.text.Dedup.minhashPairsUnsorted(spark, dir)
       (pairs.count(), pairs.filter(col("est_jaccard") >= 0.5).count())
