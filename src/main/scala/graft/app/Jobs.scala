@@ -529,19 +529,27 @@ object PurgeJob {
   final case class Report(tag: String, nIds: Int,
     committed: Map[String, Boolean])
 
+  /** `gramLedgers` pairs each gram-ledger root with the corpus dir its
+    * purged docs' text is still fetchable from (the ledger's correction
+    * needs the purged FOOTPRINT — [[graft.text.Dedup.purgeGramLedger]]);
+    * ledgers commit with the indexes, BEFORE the store roots. */
   def run(spark: SparkSession, tag: String, ids: Seq[Long],
-      artifactRoots: Seq[String]): Report = {
-    import graft.text.Tombstones
+      artifactRoots: Seq[String],
+      gramLedgers: Seq[(String, String)] = Seq.empty): Report = {
+    import graft.text.{Dedup, Tombstones}
+    val ledgerCommitted = gramLedgers.map { case (root, corpus) =>
+      root -> Dedup.purgeGramLedger(spark, root, ids, tag, corpus)
+    }.toMap
     val committed = artifactRoots.map { root =>
       root -> Tombstones.purge(spark, root, ids, tag)
     }.toMap
     // verify from the COMMITTED state: every artifact must now carry
     // the tag (freshly or from a previous run — both are success)
-    val missing = artifactRoots.filterNot(r =>
+    val missing = (artifactRoots ++ gramLedgers.map(_._1)).filterNot(r =>
       Tombstones.committedTags(spark, r).contains(tag))
     require(missing.isEmpty,
       s"purge tag $tag failed to commit on: $missing")
-    Report(tag, ids.length, committed)
+    Report(tag, ids.length, ledgerCommitted ++ committed)
   }
 
   def main(args: Array[String]): Unit = {

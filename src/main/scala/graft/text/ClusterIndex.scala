@@ -645,15 +645,46 @@ object ClusterIndex {
 
   /** The served label table (newest committed version) — (doc_id, label)
     * for clustered docs; consumers re-attach singletons with a left join
-    * (the ccLabels contract). */
+    * (the ccLabels contract). Tombstoned docs are excluded and purged
+    * cluster reps re-rooted ([[purgeAdjusted]]) from the purge commit on. */
   def labels(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(s"${currentRoot(spark, indexPath)}/labels")
+    purgeAdjusted(spark, indexPath,
+      spark.read.parquet(s"${currentRoot(spark, indexPath)}/labels"))
 
   /** [[labels]] against an ALREADY-RESOLVED version root — the pinned
     * form composite readers use after
-    * [[graft.IndexPair.consistentRootsAll]] resolution (round 15). */
-  def labelsAt(spark: SparkSession, versionRoot: String): DataFrame =
-    spark.read.parquet(s"$versionRoot/labels")
+    * [[graft.IndexPair.consistentRootsAll]] resolution (round 15).
+    * `indexPath` carries the artifact root the tombstone state lives
+    * under (version roots may sit inside a generation dir). */
+  def labelsAt(spark: SparkSession, indexPath: String,
+      versionRoot: String): DataFrame =
+    purgeAdjusted(spark, indexPath,
+      spark.read.parquet(s"$versionRoot/labels"))
+
+  /** SERVE-TIME purge view of a label table (round 16 — [[Tombstones]]
+    * step 2 for the cluster artifact): tombstoned doc rows drop, and
+    * every cluster's rep RE-ROOTS to its minimum SURVIVING member — a
+    * purged doc must not linger as other docs' cluster_rep, or the
+    * canonical-keep consumers (q61's keep = doc_id == label) would drop
+    * every copy of a cluster whose rep was purged: content lost, not
+    * deduplicated. With the rep re-rooted, keep/label semantics match
+    * the rebuild-from-survivors for every cluster whose TOPOLOGY is
+    * unchanged; clusters held together only by a purged bridge doc keep
+    * their merged membership until the next compaction re-resolves them
+    * ([[compact]]'s affected-cluster re-CC — the Lucene deleted-docs
+    * transition, documented in [[Tombstones]]). Unpurged artifacts take
+    * the fast path: one existence probe, byte-identical plan. */
+  private def purgeAdjusted(spark: SparkSession, indexPath: String,
+      raw: DataFrame): DataFrame =
+    Tombstones.idsDf(spark, indexPath) match {
+      case None => raw
+      case some =>
+        val kept = Tombstones.filterWith(raw, some)
+        kept.join(
+            kept.groupBy("label").agg(min("doc_id").as("__reroot")),
+            Seq("label"))
+          .select(col("doc_id"), col("__reroot").as("label"))
+    }
 
   /** Every committed LABELS version of the current generation with its
     * root and applied-batch ledger, oldest first — the input to
@@ -824,22 +855,30 @@ object ClusterIndex {
         s"folded into the label version (a fold crashed between its delta " +
         s"commit and its labels publish) — replay the fold(s) before " +
         s"compacting: ${unfolded.toSeq.sorted.mkString(", ")}")
-    graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
+    // tombstone snapshot PINNED at entry (the DocStore bake rule): the
+    // rewrite drops exactly the deltas it will mark baked
+    val tsTags = Tombstones.committedTags(spark, indexPath)
+    val tsIds = Tombstones.idsDfFor(spark, indexPath, tsTags)
+    val target = graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
       fence) { staging =>
-      layerRowsAt(spark, gen, "sigs", SigSchema, exclude = "")
+      // tombstoned docs BAKE OUT of the fact layers here ([[Tombstones]]
+      // step 3) — the anti-join rides the rewrite compaction already pays
+      Tombstones.filterWith(
+          layerRowsAt(spark, gen, "sigs", SigSchema, exclude = ""), tsIds)
         .withColumn("sb", pmod(hash(col("doc_id")), lit(buckets)))
         .repartition(col("sb"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").partitionBy("sb")
         .parquet(new Path(staging, "sigs").toString)
-      layerRowsAt(spark, gen, "bands", BandSchema, exclude = "")
+      Tombstones.filterWith(
+          layerRowsAt(spark, gen, "bands", BandSchema, exclude = ""), tsIds)
         .withColumn("bb", pmod(hash(col("band_val")), lit(buckets)))
         .repartition(col("bb"))
         .sortWithinPartitions("band_val")
         .write.mode("overwrite").partitionBy("bb")
         .parquet(new Path(staging, "bands").toString)
-      spark.read.parquet(s"$cur/labels")
-        .write.mode("overwrite").parquet(new Path(staging, "labels").toString)
+      writeBakedLabels(spark, s"$cur/labels", staging.toString, tsIds,
+        minJaccard)
       // the carried replay ledger here IS the version ledger (copied
       // verbatim below, with the folded delta tags unioned in): callers
       // guard folds on [[appliedTags]], so no per-tag empty dirs are
@@ -850,7 +889,80 @@ object ClusterIndex {
       Seq((buckets.toLong, minJaccard)).toDF("buckets", "min_jaccard")
         .coalesce(1) // stats LAST — the generation's commit marker
         .write.mode("overwrite").parquet(new Path(staging, "stats").toString)
-    }.toString
+    }
+    // record the bake point: this generation physically excludes the
+    // snapshot's tombstones (the DocStore convention)
+    Tombstones.markBaked(spark, indexPath,
+      target.getName.stripPrefix("_g").toLong, tsTags)
+    target.toString
+    }
+  }
+
+  /** The BAKED label table for [[compact]] (round 16 — [[Tombstones]]
+    * step 3 for the cluster artifact): tombstoned rows drop, and the
+    * clusters they belonged to are RE-RESOLVED over their surviving
+    * members from the staged (already tombstone-filtered) sigs/bands —
+    * candidates, est-Jaccard verification and min-label CC exactly as
+    * the base build ran them, restricted to affected-cluster mass.
+    *
+    * EXACT vs a rebuild from the surviving corpus: band matching is
+    * pairwise-static, so an edge between an affected-cluster survivor
+    * and any doc OUTSIDE the affected clusters would have existed before
+    * the purge too — and then both endpoints would already share a
+    * cluster (contradiction). The affected clusters' internal edge sets
+    * are recomputed verbatim; every other cluster's edges mention no
+    * purged doc and carry unchanged. Splits (a purged bridge doc),
+    * re-roots (a purged min-label doc) and full evaporation (survivor
+    * left a singleton — drops from the table, the clustered-subgraph
+    * contract) all fall out of the re-CC. Cost ∝ affected-cluster mass,
+    * never corpus mass; an unpurged compaction carries labels verbatim. */
+  private def writeBakedLabels(spark: SparkSession, labelsPath: String,
+      staging: String, tsIds: Option[DataFrame],
+      minJaccard: Double): Unit = {
+    val oldLabels = spark.read.parquet(labelsPath)
+    def save(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$staging/labels")
+    tsIds match {
+      case None => save(oldLabels)
+      case some =>
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val affected = oldLabels
+          .join(broadcast(some.get.withColumnRenamed("doc_id", "__ts_id")),
+            col("doc_id") === col("__ts_id"), "left_semi")
+          .select("label").distinct() // ≤ purged count: governance-sized
+        val unaffected = oldLabels
+          .join(broadcast(affected), Seq("label"), "left_anti")
+        val members = Tombstones.filterWith(
+            oldLabels.join(broadcast(affected), Seq("label"), "left_semi"),
+            some)
+          .select("doc_id")
+        // survivor fact layers re-read from the STAGED compacted layout
+        // (bucketed, tombstone-filtered — written just above)
+        val mBands = spark.read.parquet(s"$staging/bands")
+          .join(members, Seq("doc_id"), "left_semi")
+          .select("doc_id", "band_id", "band_val")
+        val mSigs = spark.read.parquet(s"$staging/sigs")
+          .join(members, Seq("doc_id"), "left_semi")
+          .select("doc_id", "sig")
+        val cand = mBands.as("x").join(mBands.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val edges = cand
+          .join(mSigs.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(mSigs.as("b2"), col("doc_b") === col("b2.doc_id"))
+          .filter(Dedup.estJaccard(col("a.sig"), col("b2.sig")) >= minJaccard)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint() // the CC loop re-reads edges every round
+        val (relab, _) = Dedup.connectedComponents(edges)
+        // the parquet write materializes everything BEFORE the pinned
+        // CC/edge blocks release (the append() discipline)
+        save(unaffected.unionByName(relab.select(col("doc_id"), col("label"))))
+        graft.Checkpoints.release(sc,
+          graft.Checkpoints.pinnedSince(sc, before))
     }
   }
 
@@ -862,7 +974,14 @@ object ClusterIndex {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.vacuumGenerations(fs, root, "stats/_SUCCESS",
-      keepLast, graceMs)
+    val removed = graft.IndexVersions.vacuumGenerations(fs, root,
+      "stats/_SUCCESS", keepLast, graceMs)
+    // tombstone deltas retire with the generations that needed them
+    // (the DocStore convention)
+    val gens = graft.IndexVersions.committedGenerations(fs, root,
+      "stats/_SUCCESS")
+    val swept = if (gens.isEmpty) Seq.empty
+      else Tombstones.vacuumBaked(spark, indexPath, gens.min)
+    removed ++ swept
   }
 }

@@ -594,7 +594,8 @@ object Curation {
     // maintained labels; singletons re-attach with the left join (the
     // ccLabels contract) — keep is first-doc-per-cluster, as in q49
     val clusters = docs.select(col("doc_id"))
-      .join(ClusterIndex.labelsAt(spark, labelRoots.head), Seq("doc_id"), "left")
+      .join(ClusterIndex.labelsAt(spark, clusterIdxPath, labelRoots.head),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_rep"),
         (col("doc_id") === coalesce(col("label"), col("doc_id")))

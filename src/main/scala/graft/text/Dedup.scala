@@ -1089,6 +1089,206 @@ object Dedup {
     * demotion-loud lost-race forgiveness). Append ≡ rebuild: the
     * merged read ([[readGramLedger]]) equals the union-corpus ledger
     * row-for-row — spec'd. */
+  /** DOC-SET PURGE for the gram ledger (round 16 — the last maintained
+    * artifact without a tombstone path; [[Tombstones]] holds the
+    * protocol, this holds the ledger's specific correction): the ledger
+    * is AGGREGATED at rest (per gram: first occurrence + n_occ), so a
+    * purge is not a row filter — the purged docs' contribution must be
+    * SUBTRACTED. This commits, beside the id set, the purged docs'
+    * gram FOOTPRINT (their own (gram, first, n_occ) ledger — purged-
+    * mass-sized, computed from text that is still fetchable because the
+    * governance cascade purges indexes BEFORE the doc store). Readers
+    * apply the correction via [[adjustedLedgerAgg]]; the next in-chain
+    * compaction bakes it physically and [[Tombstones.markBaked]] keeps
+    * the correction exactly-once (subtraction, unlike the doc-granular
+    * artifacts' anti-join, is NOT idempotent — bake-aware delta
+    * selection via [[Tombstones.unbakedTagsAt]] is what makes a baked
+    * generation readable while its delta awaits vacuum).
+    *
+    * What a reader sees from the commit on (and a rebuild from the
+    * surviving corpus would agree, spec'd):
+    *  - grams whose every occurrence was purged DROP — their content no
+    *    longer exists anywhere, so a future re-occurrence is a NEW
+    *    first (this is also the governance teeth: a fully-purged
+    *    gram's TEXT leaves the readable view at commit and the files at
+    *    bake);
+    *  - surviving grams subtract the purged occurrence counts;
+    *  - a gram whose canonical FIRST was purged but which survives
+    *    elsewhere carries the SENTINEL first (-1,-1): no real
+    *    occurrence equals it, it orders below every occurrence under
+    *    the min-merge, and no purged doc id stays readable. Rewrite
+    *    decisions equal the rebuild's for every future batch (batch
+    *    occurrences are non-canonical against survivors either way)
+    *    under the maintenance contract's monotone-id appends; the
+    *    rebuild's true survivor-first is unknowable without a corpus
+    *    pass, which a purge must never pay. */
+  def purgeGramLedger(spark: SparkSession, ledgerPath: String,
+      ids: Seq[Long], tag: String, corpusDir: String,
+      fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(ids.nonEmpty, "purge needs at least one doc id")
+    graft.functions.TextExpressions.register(spark)
+    withLedgerGen(spark, ledgerPath) { gen =>
+      val tsRoot = new Path(ledgerPath, Tombstones.Dir)
+      val fs = tsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existing = Tombstones.idsDf(spark, ledgerPath)
+        .map(_.count()).getOrElse(0L)
+      require(existing + ids.length <= Tombstones.MaxTombstoneIds,
+        s"tombstone set at $ledgerPath would exceed " +
+          s"${Tombstones.MaxTombstoneIds} ids — a deletion of this mass " +
+          "is a rebuild from the surviving corpus, not a tombstone set")
+      val (n, buckets) = readGramLedgerStatsAt(spark, gen)
+      graft.IndexVersions.appendTaggedBatch(fs, tsRoot, tag,
+        "ids/_SUCCESS", fence) { staging =>
+        val idSet = ids.distinct.toDF("doc_id")
+        // the purged docs' own ledger — THEIR text only (a pure map over
+        // the matching rows; one corpus-column scan, purged-mass shuffle)
+        val purgedDocs = Tables.documents(spark, corpusDir)
+          .join(broadcast(idSet), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val posGrams = purgedDocs
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextExpressions.word_ngrams(col("toks"), n,
+              distinct = false)))
+          .toDF("doc_id", "i", "gram")
+        gramLedgerOf(posGrams)
+          .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
+          .repartition(col("gb"))
+          .sortWithinPartitions("gram") // the base layout, bucket-local merges
+          .write.mode("overwrite").partitionBy("gb")
+          .parquet(new Path(staging, "footprint").toString)
+        // the APPLIED-TAG SNAPSHOT at purge time: the layers this purge
+        // can touch (a purged doc's grams live in layers that PREDATE
+        // the purge — you cannot purge a doc not yet ingested). Readers
+        // use it to split layers into dirty (pre-purge: corrections
+        // apply) and clean (post-purge: purge-free by construction, and
+        // their firsts are trusted verbatim — the rule that lets a
+        // fully-purged gram's re-occurrence in a later fold claim
+        // canonicality exactly as a rebuild would).
+        gramLedgerAppliedTagsAt(spark, gen).toSeq.sorted.toDF("tag")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(new Path(staging, "snap").toString)
+        idSet.coalesce(1) // ids LAST — the delta's commit marker
+          .write.mode("overwrite").parquet(new Path(staging, "ids").toString)
+      }
+    }
+  }
+
+  /** The purge correction's read-side state: the unioned unbaked id
+    * set, the unioned footprints, and the tags of the live deltas some
+    * unbaked purge PREDATES (dirty — the base is always dirty: an
+    * unbaked purge postdates every compaction by definition). */
+  private final case class LedgerPurgeState(ids: DataFrame,
+    footprint: DataFrame, dirtyTags: Set[String])
+
+  /** The ledger generation NUMBER a resolved generation path denotes
+    * (`_g<N>` → N; the root itself → 0) — the bake-point key
+    * [[Tombstones.unbakedTagsAt]] selects against. */
+  private def ledgerGenNumber(gen: String): Long = {
+    val name = new org.apache.hadoop.fs.Path(gen).getName
+    if (name.startsWith("_g") && name.stripPrefix("_g").forall(_.isDigit)
+        && name.stripPrefix("_g").nonEmpty)
+      name.stripPrefix("_g").toLong
+    else 0L
+  }
+
+  /** The purge correction pending against generation `gen`: the UNBAKED
+    * tombstone deltas' (ids, footprint) pair, or None on the fast path
+    * every unpurged read takes (one existence probe — the committed-tag
+    * listing — and no job). */
+  private def ledgerPurgeStateAt(spark: SparkSession, ledgerRoot: String,
+      gen: String): Option[LedgerPurgeState] =
+    ledgerPurgeStateFor(spark, ledgerRoot,
+      Tombstones.unbakedTagsAt(spark, ledgerRoot, ledgerGenNumber(gen)))
+
+  /** [[ledgerPurgeStateAt]] from an EXPLICIT tag snapshot — the
+    * compactor's form: the bake must subtract exactly the deltas it
+    * will mark baked (a purge committing mid-compaction waits for the
+    * next one — the [[Tombstones.idsDfFor]] rule). */
+  private def ledgerPurgeStateFor(spark: SparkSession, ledgerRoot: String,
+      tags: Set[String]): Option[LedgerPurgeState] = {
+    if (tags.isEmpty) None
+    else {
+      val ids = Tombstones.idsDfFor(spark, ledgerRoot, tags).get
+      val fp = tags.toSeq.sorted
+        .map(t => spark.read
+          .parquet(s"$ledgerRoot/${Tombstones.Dir}/$t/footprint")
+          .select("gram", "n_occ"))
+        .reduce(_ unionByName _)
+      val dirty = tags.toSeq.sorted.flatMap { t =>
+        spark.read.parquet(s"$ledgerRoot/${Tombstones.Dir}/$t/snap")
+          .collect().map(_.getString(0)) // snapshot tags: fold-count-sized
+      }.toSet
+      Some(LedgerPurgeState(ids, fp, dirty))
+    }
+  }
+
+  /** Sentinel `first` for a gram whose canonical occurrence was purged
+    * while surviving occurrences hide inside pre-purge aggregates —
+    * matches no real occurrence and orders below every occurrence under
+    * the min-merge (doc ids are non-negative). */
+  private def sentinelFirst =
+    struct(lit(-1L).as("doc_id"), lit(-1).as("i"))
+
+  /** The PURGE-ADJUSTED per-gram ledger view ([[purgeGramLedger]]'s
+    * read-side contract). `rows` carry a `clean` flag
+    * ([[flagCleanLayers]]): clean layers committed after every unbaked
+    * purge, so they are purge-free by construction and their firsts are
+    * trusted verbatim. Per gram:
+    *
+    *  - `n_occ` = total − purged footprint; zero → the gram DROPS (its
+    *    content no longer exists anywhere);
+    *  - `first`: the dirty layers' min if it survived the purge (then
+    *    it is the true surviving min), the clean layers' min when every
+    *    dirty occurrence was purged (a re-occurrence in a post-purge
+    *    fold claims canonicality exactly as a rebuild would), and the
+    *    SENTINEL only in the one genuinely unknowable case — the dirty
+    *    min was purged while other dirty occurrences survive inside
+    *    the aggregate (recovering the true survivor min there would be
+    *    a corpus pass, which a purge must never pay; rewrite decisions
+    *    are unaffected — see [[purgeGramLedger]]).
+    *
+    * `state == None` is the plain merge, byte-identical to round 15. */
+  private def adjustedLedgerAgg(rows: DataFrame,
+      state: Option[LedgerPurgeState]): DataFrame = state match {
+    case None =>
+      rows.groupBy("gram")
+        .agg(min("first").as("first"), sum("n_occ").as("n_occ"))
+    case Some(s) =>
+      val firstType = rows.schema("first").dataType
+      val agg = rows.groupBy("gram").agg(
+        min(when(!col("clean"), col("first"))).as("first_dirty"),
+        min(when(col("clean"), col("first"))).as("first_clean"),
+        coalesce(sum(when(!col("clean"), col("n_occ"))), lit(0L))
+          .as("n_dirty"),
+        sum("n_occ").as("n_total"))
+      val fpAgg = s.footprint.groupBy("gram")
+        .agg(sum("n_occ").as("n_purged"))
+      agg.join(fpAgg, Seq("gram"), "left")
+        .withColumn("n_purged", coalesce(col("n_purged"), lit(0L)))
+        .filter(col("n_total") - col("n_purged") > 0)
+        .join(broadcast(s.ids.withColumnRenamed("doc_id", "__ts_id")),
+          col("first_dirty.doc_id") === col("__ts_id"), "left")
+        .select(col("gram"),
+          when(col("first_dirty").isNull, col("first_clean"))
+            .when(col("__ts_id").isNull, // dirty min survived: true min
+              least(col("first_dirty"), col("first_clean")))
+            .when(col("n_dirty") === col("n_purged"), col("first_clean"))
+            .otherwise(sentinelFirst.cast(firstType))
+            .as("first"),
+          (col("n_total") - col("n_purged")).as("n_occ"))
+  }
+
+  /** Attach the `clean` flag [[adjustedLedgerAgg]] reads: `tag == None`
+    * marks the base (always dirty — every unbaked purge postdates the
+    * current base), a delta is clean iff no unbaked purge's snapshot
+    * contains its tag. */
+  private def flagCleanLayer(df: DataFrame, tag: Option[String],
+      dirtyTags: Set[String]): DataFrame =
+    df.withColumn("clean",
+      lit(tag.exists(t => !dirtyTags.contains(t))))
+
   def appendGramLedger(spark: SparkSession, batchDir: String,
       ledgerPath: String, tag: String,
       fence: () => Unit = graft.IndexVersions.NoFence): Boolean = {
@@ -1220,14 +1420,36 @@ object Dedup {
       .foldLeft(base.select(cols: _*))(_ unionByName _)
   }
 
+  /** [[gramLedgerRowsAt]] with the per-layer `clean` flag
+    * [[adjustedLedgerAgg]]'s purge correction reads
+    * ([[flagCleanLayer]]) — only built when a purge is pending. */
+  private def gramLedgerRowsFlaggedAt(spark: SparkSession, gen: String,
+      dirtyTags: Set[String]): DataFrame = {
+    val base = spark.read.parquet(s"$gen/grams")
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      base.schema.filterNot(_.name == "gb"))
+    val cols = dataSchema.fieldNames.map(col).toSeq
+    gramLedgerLiveTagsAt(spark, gen).toSeq.sorted
+      .map(t => flagCleanLayer(spark.read.schema(dataSchema)
+        .parquet(s"$gen/_batches/$t/grams").select(cols: _*),
+        Some(t), dirtyTags))
+      .foldLeft(flagCleanLayer(base.select(cols: _*), None, dirtyTags))(
+        _ unionByName _)
+  }
+
   /** The merged union-corpus ledger — the append ≡ rebuild SPEC form
     * (row-for-row equal to [[gramLedgerOf]] over the union corpus by
-    * the semigroup argument). Corpus-gram-mass aggregate: the audit
-    * shape, not the serving path. */
+    * the semigroup argument; over the SURVIVING union corpus once a
+    * purge commits — [[purgeGramLedger]]). Corpus-gram-mass aggregate:
+    * the audit shape, not the serving path. */
   def readGramLedger(spark: SparkSession, ledgerPath: String): DataFrame =
-    withLedgerGen(spark, ledgerPath)(gen => gramLedgerRowsAt(spark, gen))
-      .groupBy("gram")
-      .agg(min("first").as("first"), sum("n_occ").as("n_occ"))
+    withLedgerGen(spark, ledgerPath) { gen =>
+      ledgerPurgeStateAt(spark, ledgerPath, gen) match {
+        case None => adjustedLedgerAgg(gramLedgerRowsAt(spark, gen), None)
+        case some @ Some(s) => adjustedLedgerAgg(
+          gramLedgerRowsFlaggedAt(spark, gen, s.dirtyTags), some)
+      }
+    }
 
   /** OFFLINE COMPACTION of the delta chain (round 12 — the operational
     * tail of the add-only contract: delta-dir count tracks stream age,
@@ -1245,13 +1467,20 @@ object Dedup {
     * the deployment's path indirection swaps it in; never an in-place
     * rewrite racing readers. */
   def compactGramLedger(spark: SparkSession, ledgerPath: String,
-      outPath: String): Unit =
+      outPath: String): Unit = {
     writeCompactedLedgerLayout(spark, ledgerPath, outPath)
+    ()
+  }
 
   /** The compacted layout both compaction forms share: merged base,
-    * carried tags in the root's ledger file, stats last. */
+    * carried tags in the root's ledger file, stats last. Tombstoned
+    * footprints BAKE OUT here (round 16 — [[purgeGramLedger]]): the
+    * subtraction rides the merge aggregate compaction already pays.
+    * Returns the tombstone-tag snapshot it baked (the in-chain form
+    * marks them; the offline form writes a fresh root that never
+    * carried the deltas). */
   private def writeCompactedLedgerLayout(spark: SparkSession,
-      ledgerPath: String, outPath: String): Unit = {
+      ledgerPath: String, outPath: String): Set[String] = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     // ONE generation resolution for the whole compaction pass: stats,
@@ -1259,9 +1488,15 @@ object Dedup {
     // withLedgerGen rule)
     withLedgerGen(spark, ledgerPath) { gen =>
     val (n, buckets) = readGramLedgerStatsAt(spark, gen)
-    gramLedgerRowsAt(spark, gen)
-      .groupBy("gram")
-      .agg(min("first").as("first"), sum("n_occ").as("n_occ"))
+    // tombstone snapshot PINNED here: subtract exactly what gets marked
+    val tsTags = Tombstones.unbakedTagsAt(spark, ledgerPath,
+      ledgerGenNumber(gen))
+    val bakeState = ledgerPurgeStateFor(spark, ledgerPath, tsTags)
+    val bakeRows = bakeState match {
+      case None => gramLedgerRowsAt(spark, gen)
+      case Some(st) => gramLedgerRowsFlaggedAt(spark, gen, st.dirtyTags)
+    }
+    adjustedLedgerAgg(bakeRows, bakeState)
       .withColumn("gb", pmod(hash(col("gram")), lit(buckets)))
       .repartition(col("gb"))
       .sortWithinPartitions("gram")
@@ -1278,6 +1513,7 @@ object Dedup {
     Seq((n.toLong, buckets.toLong)).toDF("n", "buckets")
       .coalesce(1) // base stats LAST — the commit marker
       .write.mode("overwrite").parquet(s"$outPath/stats")
+    tsTags
     }
   }
 
@@ -1294,10 +1530,18 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val root = new Path(ledgerPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.publishGeneration(fs, root, "stats/_SUCCESS",
-      fence) { staging =>
-      writeCompactedLedgerLayout(spark, ledgerPath, staging.toString)
-    }.toString
+    var baked: Set[String] = Set.empty
+    val target = graft.IndexVersions.publishGeneration(fs, root,
+      "stats/_SUCCESS", fence) { staging =>
+      baked = writeCompactedLedgerLayout(spark, ledgerPath, staging.toString)
+    }
+    // record the bake point AFTER the publish commits: readers of this
+    // generation and newer skip these deltas' correction (the
+    // subtraction is exactly-once — [[Tombstones.unbakedTagsAt]]);
+    // older generations keep it until they vacuum
+    Tombstones.markBaked(spark, ledgerPath,
+      target.getName.stripPrefix("_g").toLong, baked)
+    target.toString
   }
 
   /** Drop compacted ledger generations beyond the newest `keepLast`
@@ -1309,8 +1553,15 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val root = new Path(ledgerPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.IndexVersions.vacuumGenerations(fs, root, "stats/_SUCCESS",
-      keepLast, graceMs)
+    val removed = graft.IndexVersions.vacuumGenerations(fs, root,
+      "stats/_SUCCESS", keepLast, graceMs)
+    // tombstone deltas retire with the generations that needed their
+    // correction (the DocStore convention)
+    val gens = graft.IndexVersions.committedGenerations(fs, root,
+      "stats/_SUCCESS")
+    val swept = if (gens.isEmpty) Seq.empty
+      else Tombstones.vacuumBaked(spark, ledgerPath, gens.min)
+    removed ++ swept
   }
 
   /** Q159 — the PRODUCTION form of the incremental span rewrite (q154
@@ -1394,7 +1645,14 @@ object Dedup {
     val batchGramSet =
       if (microBatch) broadcast(batchLedger.select("gram"))
       else batchLedger.select("gram")
-    val ledgerRows = gramLedgerRowsAt(spark, ledgerGen)
+    // purge correction resolved up front (round 16 — [[purgeGramLedger]]):
+    // with a purge pending the layer rows carry the clean flag the
+    // correction reads; the unpurged fast path keeps the round-15 plan
+    val purgeState = ledgerPurgeStateAt(spark, ledgerPath, ledgerGen)
+    val ledgerRows = purgeState match {
+      case None => gramLedgerRowsAt(spark, ledgerGen)
+      case Some(s) => gramLedgerRowsFlaggedAt(spark, ledgerGen, s.dirtyTags)
+    }
     // BLOOM PREFILTER riding the scan (round-14 verdict task): for a
     // PAGE-SIZED batch (the q163 serving shape — gated on the doc count
     // already in hand, no extra gram-count job) the gram set also fits a
@@ -1439,8 +1697,17 @@ object Dedup {
             col("gram")))
       }
     val matched = prefiltered.join(batchGramSet, Seq("gram"), "left_semi")
-    val merged = mergeGramLedgers(matched.select("gram", "first", "n_occ"),
-      batchLedger)
+    // purge correction BEFORE the canonicality merge: the footprint side
+    // is pruned by the same batch gram set, so the correction stays
+    // batch-bounded; None is the round-15 plan byte-identical
+    val atRest = purgeState match {
+      case None => matched.select("gram", "first", "n_occ")
+      case Some(s) => adjustedLedgerAgg(
+        matched.select("gram", "first", "n_occ", "clean"),
+        Some(s.copy(footprint =
+          s.footprint.join(batchGramSet, Seq("gram"), "left_semi"))))
+    }
+    val merged = mergeGramLedgers(atRest, batchLedger)
     val occ = batchGrams.join(merged, Seq("gram"))
       .select(col("doc_id"), col("i"),
         (col("first") === struct(col("doc_id"), col("i"))).as("canonical"))
@@ -1577,6 +1844,27 @@ object Dedup {
         .select(cols: _*))(_ unionByName _)
   }
 
+  /** [[gramLedgerShardRowsAt]] with the `clean` flag — the bulk pass's
+    * purge-correction form ([[flagCleanLayer]]). */
+  private def gramLedgerShardRowsFlaggedAt(spark: SparkSession,
+      gen: String, shards: Int, s: Int, dirtyTags: Set[String]): DataFrame = {
+    val base = spark.read.parquet(s"$gen/grams")
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      base.schema.filterNot(_.name == "gb"))
+    val withGb = org.apache.spark.sql.types.StructType(dataSchema :+
+      org.apache.spark.sql.types.StructField("gb",
+        org.apache.spark.sql.types.IntegerType))
+    val cols = dataSchema.fieldNames.map(col).toSeq
+    gramLedgerLiveTagsAt(spark, gen).toSeq.sorted
+      .map(t => flagCleanLayer(spark.read.schema(withGb)
+        .parquet(s"$gen/_batches/$t/grams")
+        .filter(pmod(col("gb"), lit(shards)) === s)
+        .select(cols: _*), Some(t), dirtyTags))
+      .foldLeft(flagCleanLayer(base
+        .filter(pmod(col("gb"), lit(shards)) === s)
+        .select(cols: _*), None, dirtyTags))(_ unionByName _)
+  }
+
   /** BUCKET-GROUP-SHARDED BULK REWRITE (round 14 — the round-13 verdict's
     * task: the bulk-backfill arm of [[rewriteBatchAgainstLedger]]
     * degraded to one corpus×corpus shuffle join whose spill exceeded
@@ -1670,6 +1958,10 @@ object Dedup {
         graft.functions.TextExpressions.word_ngrams(col("toks"), n,
           distinct = false)))
       .toDF("doc_id", "i", "gram")
+    // purge correction resolved ONCE for the whole pass (round 16 —
+    // [[purgeGramLedger]]); each shard restricts it with the same
+    // predicates as its data. None on the unpurged fast path.
+    val purgeState = ledgerPurgeStateAt(spark, ledgerRoot, ledgerGen)
     // `buckets` is the LEDGER's persisted bucketing, threaded from the
     // caller's one stats read — layout semantics (the append rule)
     for (s <- 0 until shards) {
@@ -1677,9 +1969,20 @@ object Dedup {
         pmod(pmod(hash(col("gram")), lit(buckets)), lit(shards)) === s
       val batchGramsS = batchGrams.filter(inShard)
       val batchLedgerS = gramLedgerOf(batchGramsS)
-      val matchedS = gramLedgerShardRowsAt(spark, ledgerGen, shards, s)
-        .select(col("gram"), col("first"))
-        .join(batchLedgerS.select("gram"), Seq("gram"), "left_semi")
+      val matchedS = purgeState match {
+        case None => // the round-15 plan, byte-identical
+          gramLedgerShardRowsAt(spark, ledgerGen, shards, s)
+            .select(col("gram"), col("first"))
+            .join(batchLedgerS.select("gram"), Seq("gram"), "left_semi")
+        case Some(st) =>
+          adjustedLedgerAgg(
+            gramLedgerShardRowsFlaggedAt(spark, ledgerGen, shards, s,
+              st.dirtyTags)
+              .join(batchLedgerS.select("gram"), Seq("gram"), "left_semi"),
+            Some(st.copy(footprint = st.footprint
+              .join(batchLedgerS.select("gram"), Seq("gram"), "left_semi"))))
+            .select(col("gram"), col("first"))
+      }
       val mergedS = matchedS
         .unionByName(batchLedgerS.select(col("gram"), col("first")))
         .groupBy("gram").agg(min("first").as("first"))

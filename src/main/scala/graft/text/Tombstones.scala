@@ -131,6 +131,22 @@ object Tombstones {
   private def idCount(spark: SparkSession, artifactRoot: String): Long =
     idsDf(spark, artifactRoot).map(_.count()).getOrElse(0L)
 
+  /** Committed tombstone tags NOT yet baked into version/generation `v`
+    * — the adjustment set for readers whose purge correction is NOT
+    * idempotent (the gram ledger's footprint subtraction must apply
+    * exactly once: a baked generation already excludes the delta's
+    * rows, so applying its correction again would double-subtract; the
+    * doc-granular artifacts' anti-join filter never needed this —
+    * filtering already-absent rows is a no-op). A tag is unbaked at `v`
+    * when it has no bake point or its bake point is NEWER than `v`. */
+  def unbakedTagsAt(spark: SparkSession, artifactRoot: String,
+      v: Long): Set[String] = {
+    val root = new Path(artifactRoot, Dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedTags(spark, artifactRoot)
+      .filter(t => bakedVersion(fs, new Path(root, t)).forall(_ > v))
+  }
+
   /** Drop tombstoned docs from a doc-granular frame — a BROADCAST
     * anti-join on `idCol`, attached only when the artifact carries
     * tombstones (an unpurged artifact's plan is untouched). The serving

@@ -52,7 +52,7 @@ import org.apache.spark.sql.functions._
   * near-dup tiers keep the default mode and the positional-family tiers
   * use `zipf`; SCALING.md records which fixture each row used.
   *
-  * Usage: ScaleGen <srcSfDir> <dstDir> [factor=10] [default|zipf]
+  * Usage: ScaleGen <srcSfDir> <dstDir> [factor=10] [default|zipf|dup]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -63,8 +63,14 @@ object ScaleGen {
     val Array(src, dst) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val mode = args.lift(3).getOrElse("default")
-    require(mode == "default" || mode == "zipf",
-      s"mode must be 'default' or 'zipf' (got '$mode')")
+    // "dup" (round 16): replicas k>=1 carry the source text BYTE-
+    // IDENTICAL — factor-sized exact-duplicate groups, the shape whose
+    // collision mass concentrates in exact classes (round 15 measured it
+    // from an ad-hoc fixture; the advisor-routing thresholds rest on it,
+    // so its generation is now reproducible). Usually docs-only: the
+    // pair-mass/cluster meters read nothing else.
+    require(mode == "default" || mode == "zipf" || mode == "dup",
+      s"mode must be 'default', 'zipf' or 'dup' (got '$mode')")
     // partial generation (5th arg): "docs" — the positional-family tiers
     // read nothing but documents.parquet, and a full-table 100×+ zipf
     // fixture would spend tens of GB the measurements never touch;
@@ -149,14 +155,17 @@ object ScaleGen {
           |  (pmod(xxhash64(doc_id, cast(i as long), rep), 1000000000000) + 1))
           |  as bigint) as string))""".stripMargin
       else "concat('zqsalt', rep)"
+    val replicaText =
+      if (mode == "dup") col("text") // exact-duplicate groups of `factor`
+      else when(col("rep") === 0, col("text")).otherwise(
+        expr(s"""array_join(flatten(transform(split(text, ' '),
+               (t, i) -> CASE WHEN i % 3 = 2
+                 THEN array(t, $saltSql)
+                 ELSE array(t) END)), ' ')"""))
     docs.crossJoin(broadcast(reps))
       .select(
         (col("doc_id") + col("rep") * off).as("doc_id"),
-        when(col("rep") === 0, col("text")).otherwise(
-          expr(s"""array_join(flatten(transform(split(text, ' '),
-                 (t, i) -> CASE WHEN i % 3 = 2
-                   THEN array(t, $saltSql)
-                   ELSE array(t) END)), ' ')""")).as("text"),
+        replicaText.as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)

@@ -223,6 +223,160 @@ class PurgeSpec extends SparkSpec {
         s"the audit predicted $nPurged of $nRows")
   }
 
+  // --- round-16 second cut: the two artifacts the r15 verdict noted had
+  // no tombstone path — cluster labels and the gram ledger ---
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmp("purge_docs")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("cluster index: serve re-roots purged reps; bake re-resolves affected clusters ≡ rebuild") {
+    import graft.text.ClusterIndex
+    // the ClusterIndexSpec bridge fixture: {1,2} and {3,4} are two base
+    // clusters; 5's text covers both, so its fold merges them to label 1
+    val aText = "date elder banana fig jasmine grape honey apple cherry iris"
+    val cText = "quince sage olive thyme kite lemon mango rose peach nectar"
+    val base = docsDir(Seq(1L -> aText, 2L -> aText, 3L -> cText, 4L -> cText))
+    val bridge = docsDir(Seq(5L -> (aText + " " + cText)))
+    val idx = tmp("purge_cluster")
+    ClusterIndex.write(spark, base, idx)
+    ClusterIndex.append(spark, bridge, idx, Some("bridge"))
+    def served: Map[Long, Long] = ClusterIndex.labels(spark, idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // (i) purge the MIN-LABEL doc: its row drops at once and the rep
+    // RE-ROOTS to the minimum surviving member — q61's keep flag must
+    // not strand a cluster whose canonical doc was purged
+    Tombstones.purge(spark, idx, Seq(1L), "gdpr_a")
+    assert(served == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L),
+      "a purged rep must re-root to the min surviving member at serve")
+    val union = docsDir(Seq(2L -> aText, 3L -> cText, 4L -> cText,
+      5L -> (aText + " " + cText)))
+    val keeps = ClusterIndex.nearDupClustersServed(spark, union, idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keeps == Map(2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L),
+      s"exactly the new rep keeps post-purge, got $keeps")
+    // (ii) purge the BRIDGE too: pre-bake the merged membership persists
+    // (the documented Lucene-style transition — topology corrects at
+    // bake); the bake's affected-cluster re-CC then SPLITS it
+    Tombstones.purge(spark, idx, Seq(5L), "gdpr_b")
+    assert(served == Map(2L -> 2L, 3L -> 2L, 4L -> 2L),
+      "pre-bake: membership filters, merged topology persists")
+    ClusterIndex.compact(spark, idx)
+    assert(served == Map(3L -> 3L, 4L -> 3L),
+      "the bake must split the bridge-merged cluster and drop the " +
+        "now-singleton survivor (the clustered-subgraph contract)")
+    // …which is exactly the rebuild from the surviving corpus
+    val survCorpus = docsDir(Seq(2L -> aText, 3L -> cText, 4L -> cText))
+    val rebuilt = tmp("purge_cluster_rb")
+    ClusterIndex.write(spark, survCorpus, rebuilt)
+    assert(ClusterIndex.nearDupClustersServed(spark, survCorpus, idx)
+      .collect().map(cmp).toSeq ==
+      ClusterIndex.nearDupClustersServed(spark, survCorpus, rebuilt)
+        .collect().map(cmp).toSeq,
+      "post-bake labels must equal a rebuild from the surviving corpus")
+    // physical: no purged doc in the baked generation's fact layers
+    val gen = graft.IndexVersions.committedGenerations(
+      new org.apache.hadoop.fs.Path(idx).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(idx), "stats/_SUCCESS").max
+    Seq("sigs", "bands").foreach { t =>
+      assert(spark.read.parquet(s"$idx/_g$gen/$t")
+        .filter(col("doc_id").isin(1L, 5L)).count() == 0L,
+        s"the bake must drop purged rows from $t physically")
+    }
+    // append ≡ rebuild still holds for survivors after the bake
+    val batch = docsDir(Seq(900000001L -> cText))
+    ClusterIndex.append(spark, batch, idx, Some("post_bake"))
+    ClusterIndex.append(spark, batch, rebuilt, Some("post_bake"))
+    assert(served == Map(3L -> 3L, 4L -> 3L, 900000001L -> 3L))
+    assert(ClusterIndex.labels(spark, rebuilt)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == served)
+    // tombstones retire once no committed generation predates the bake
+    val sweep = ClusterIndex.vacuumGenerations(spark, idx, keepLast = 1)
+    assert(sweep.exists(_.contains(Tombstones.Dir)),
+      s"baked cluster tombstones must retire at generation vacuum: $sweep")
+    assert(Tombstones.committedTags(spark, idx).isEmpty)
+  }
+
+  test("gram ledger: purge subtracts the footprint; bake ≡ physical; corrections apply exactly once") {
+    val victims = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 17 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val surv = survivorsDir(victims)
+    val ledger = tmp("purge_ledger")
+    val rebuilt = tmp("purge_ledger_rb")
+    Dedup.writeGramLedger(spark, sf0001, ledger)
+    Dedup.writeGramLedger(spark, surv, rebuilt)
+    // the ledger purge needs the purged docs' TEXT (the footprint) —
+    // fetchable because the cascade purges ledgers before the store
+    Dedup.purgeGramLedger(spark, ledger, victims, "gdpr_001", sf0001)
+    val victimSet = victims.toSet
+    def ledgerMap(path: String): Map[String, (Long, Int, Long)] =
+      Dedup.readGramLedger(spark, path).collect().map { r =>
+        val f = r.getStruct(1)
+        r.getString(0) -> ((f.getLong(0), f.getInt(1), r.getLong(2)))
+      }.toMap
+    def assertAdjustedEqualsRebuild(): Unit = {
+      val adj = ledgerMap(ledger)
+      val want = ledgerMap(rebuilt)
+      assert(adj.keySet == want.keySet,
+        "adjusted gram set must equal the rebuild's (purged-only grams " +
+          "drop — their content no longer exists anywhere)")
+      want.foreach { case (g, (wd, wi, wn)) =>
+        val (ad, ai, an) = adj(g)
+        assert(an == wn, s"n_occ for '$g': adjusted $an vs rebuilt $wn")
+        if ((ad, ai) != ((wd, wi)))
+          // divergence is allowed ONLY as the documented sentinel for a
+          // purged canonical first — and then the rebuilt first is a
+          // surviving occurrence the ledger could not know
+          assert(ad == -1L && ai == -1 && !victimSet.contains(wd),
+            s"first for '$g': adjusted ($ad,$ai) vs rebuilt ($wd,$wi)")
+      }
+      assert(!adj.values.exists { case (d, _, _) => victimSet.contains(d) },
+        "no purged doc id may stay readable in any first")
+    }
+    assertAdjustedEqualsRebuild()
+    // the serving path agrees: a new batch rewrites IDENTICALLY against
+    // the purged ledger and the rebuilt one (canonicality decisions are
+    // what the ledger exists for)
+    val batch = tmp("purge_ledger_batch")
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + 900000000L)
+      .write.mode("overwrite").parquet(s"$batch/documents.parquet")
+    def rewrite(path: String) =
+      Dedup.rewriteBatchAgainstLedger(spark, batch, path)
+        .orderBy("doc_id").collect().map(cmp).toSeq
+    assert(rewrite(ledger) == rewrite(rebuilt),
+      "post-purge rewrites must equal rewrites against the rebuild")
+    // bake: the in-chain compaction writes the adjusted table physically
+    val gen = Dedup.compactGramLedgerInChain(spark, ledger)
+    assert(spark.read.parquet(s"$gen/grams")
+      .filter(col("first.doc_id").isin(victims: _*)).count() == 0L,
+      "the bake must leave no purged doc reference in the files")
+    // exactly-once: the baked generation must NOT re-apply the (still
+    // committed, pre-vacuum) delta's subtraction
+    assert(Tombstones.committedTags(spark, ledger) == Set("gdpr_001"))
+    assertAdjustedEqualsRebuild()
+    // fold after the bake: append ≡ rebuild still holds for survivors
+    Dedup.appendGramLedger(spark, batch, ledger, "b1")
+    Dedup.appendGramLedger(spark, batch, rebuilt, "b1")
+    assertAdjustedEqualsRebuild()
+    // tombstones retire once no committed generation predates the bake
+    val sweep = Dedup.vacuumGramLedgerGenerations(spark, ledger,
+      keepLast = 1)
+    assert(sweep.exists(_.contains(Tombstones.Dir)),
+      s"the baked ledger tombstones must retire at vacuum: $sweep")
+    assert(Tombstones.committedTags(spark, ledger).isEmpty)
+    assertAdjustedEqualsRebuild()
+  }
+
   test("purge protocol: tag rules, mass bound, and only baked deltas retire") {
     val store = tmp("purge_proto")
     DocStore.write(spark, sf0001, store)
