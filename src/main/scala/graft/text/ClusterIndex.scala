@@ -757,7 +757,23 @@ object ClusterIndex {
 
   /** Shared version vacuum (the [[TextIndex.vacuumVersions]] contract:
     * keepLast floor of one, grace for in-flight readers, stranded-dir
-    * sweep via the owner map). */
+    * sweep via the owner map).
+    *
+    * VERSION 0 NEVER VACUUMS HERE (round 16 — a 1000×-tier data-loss
+    * bug the six-artifact fold bench exposed): the base's
+    * `stats/_SUCCESS` at a compacted generation's root is ALSO the
+    * GENERATION's commit marker ([[withGen]] resolves on it). The old
+    * dirsOf(0) = (stats, labels) rule — correct for [[TextIndex]]'s
+    * generation-less version chain this contract was copied from —
+    * silently UN-COMMITTED the generation two folds after every
+    * compaction: resolution regressed to the stale pre-compaction
+    * root, whose live deltas re-triggered the cadence, and the
+    * re-published generation (byte-identical to the first — same delta
+    * set) DESTROYED every fold since the compaction. The base's data
+    * dirs belong to the GENERATION lifecycle: [[vacuumGenerations]]
+    * reclaims them when the generation itself is superseded past the
+    * floor. `stats`/`labels` therefore carry no version owner (the
+    * stranded-dir sweep must not treat them as version artifacts). */
   def vacuumVersions(spark: SparkSession, indexPath: String,
       keepLast: Int = 3, graceMs: Long = 0L): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -765,27 +781,24 @@ object ClusterIndex {
     val root = new Path(genStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // base sigs/bands are PERMANENT data layers (the corpus-0 slice of
-    // the add-only chain), never version artifacts — vacuuming labels
-    // version 0 must not touch them; `_batches` deltas likewise live
-    // outside the version chain (folding them down is an offline
-    // rebuild, the DocStore convention)
-    def dirsOf(v: Long): Seq[String] =
-      if (v == 0L) Seq("stats", "labels")
-      else Seq(s"v$v")
+    // the add-only chain), never version artifacts; `_batches` deltas
+    // likewise live outside the version chain
+    def dirsOf(v: Long): Seq[String] = Seq(s"v$v")
     def owner(name: String): Option[Long] = name match {
-      case "stats" | "labels" => Some(0L)
       case n if n.startsWith("v") && n.stripPrefix("v").nonEmpty &&
         n.stripPrefix("v").forall(_.isDigit) => Some(n.stripPrefix("v").toLong)
       case _ => None
     }
+    def liveVersions(): Seq[Long] =
+      committedVersionsAt(spark, genStr).filter(_ > 0L)
     // snapshot AND relist read the SAME resolved generation: the vacuum
     // deletes dirs under `root` (= this generation), so re-resolving in
     // the relist could list a newer generation's versions against the
     // old generation's dirs — the exact mixed-generation read withGen
     // exists to prevent
     graft.IndexVersions.vacuum(fs, root,
-      committedVersionsAt(spark, genStr), dirsOf, keepLast, graceMs, owner,
-      () => committedVersionsAt(spark, genStr))
+      liveVersions(), dirsOf, keepLast, graceMs, owner,
+      () => liveVersions())
     }
   }
 

@@ -77,6 +77,53 @@ class ClusterIndexSpec extends SparkSpec {
     assert(served == want, "merged labels drifted from the full recompute")
   }
 
+  test("version vacuum never un-commits a compacted generation — folds after a compaction survive") {
+    // round 16 — the 1000× fold bench's data-loss find: the base's
+    // stats/_SUCCESS at a compacted generation's root is ALSO the
+    // generation's commit marker, and the old vacuum rule (dirsOf(0) =
+    // stats+labels, copied from TextIndex's generation-less chain)
+    // deleted it two folds after every compaction: resolution regressed
+    // to the stale pre-compaction root, the cadence re-compacted it,
+    // and every fold since the compaction was silently destroyed. This
+    // drives the exact sequence: fold, compact, then keep folding with
+    // the maintenance job's per-fold vacuum cadence.
+    def pair(words: String) = Seq.tabulate(2)(k => words -> k)
+    def batch(i: Int, words: String): String =
+      docsDir(pair(words).zipWithIndex.map { case ((w, _), k) =>
+        (i * 10L + k) -> w })
+    val vocab = Seq(
+      "ant bee cat dog elk fox gnu hen ibis jay",
+      "kite lark mole newt owl pig quail rat seal toad",
+      "urial vole wren yak zebu asp boar crane dove eel",
+      "finch goat heron iguana joey koala llama mink nene otter",
+      "puma quokka raven shrew tapir urchin vervet walrus xerus yapok")
+    val idx = java.nio.file.Files.createTempDirectory("ci_genvac").toString
+    ClusterIndex.write(spark, batch(0, vocab(0)), idx)
+    def foldAndVacuum(i: Int): Unit = {
+      ClusterIndex.append(spark, batch(i, vocab(i)), idx, Some(s"f$i"))
+      ClusterIndex.vacuumVersions(spark, idx, keepLast = 2)
+    }
+    foldAndVacuum(1)
+    ClusterIndex.compact(spark, idx)
+    // the old rule un-committed the generation on the SECOND post-
+    // compaction fold's vacuum; run three to cross the boundary twice
+    foldAndVacuum(2); foldAndVacuum(3); foldAndVacuum(4)
+    assert(ClusterIndex.appliedTags(spark, idx) ==
+      Set("f1", "f2", "f3", "f4"),
+      "every post-compaction fold must stay applied")
+    // served labels equal the full recompute over the union corpus —
+    // five clusters, one per vocabulary
+    val union = docsDir((0 to 4).flatMap(i =>
+      pair(vocab(i)).zipWithIndex.map { case ((w, _), k) =>
+        (i * 10L + k) -> w }))
+    val served = ClusterIndex.nearDupClustersServed(spark, union, idx)
+      .collect().map(_.toSeq).toSeq
+    val want = Dedup.nearDupClusters(spark, union)
+      .collect().map(_.toSeq).toSeq
+    assert(served == want,
+      "labels after fold→compact→fold→vacuum must equal the recompute")
+  }
+
   test("threshold and buckets are artifact semantics — folds read them from stats") {
     // base built at minJaccard 0.9: A and a HALF-overlapping batch doc
     // must NOT merge even though they band-match (est 0.5 < 0.9) — a fold
@@ -243,11 +290,19 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.append(spark, more, idx, Some("b1"))
     assert(ClusterIndex.appliedTags(spark, idx) == Set("b0", "b1"))
     assert(ClusterIndex.currentRoot(spark, idx).endsWith("v2"))
-    ClusterIndex.vacuumVersions(spark, idx, keepLast = 2)
+    ClusterIndex.vacuumVersions(spark, idx, keepLast = 1)
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "stats")),
-      "vacuum must drop the base version beyond keepLast")
+    // the BASE (version 0) never vacuums here (round 16 — its
+    // stats/_SUCCESS doubles as the generation commit marker at a
+    // compacted root; deleting it un-committed the generation and
+    // destroyed post-compaction folds at the 1000× tier): base dirs
+    // belong to the GENERATION lifecycle and reclaim at
+    // vacuumGenerations once superseded
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx, "stats")),
+      "the base version must persist through the version vacuum")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx, "v1")),
+      "vacuum must drop intermediate label versions beyond keepLast")
     assert(ClusterIndex.currentRoot(spark, idx).endsWith("v2"),
       "the newest version must survive vacuum")
     assert(ClusterIndex.appliedTags(spark, idx) == Set("b0", "b1"),
