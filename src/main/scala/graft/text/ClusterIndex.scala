@@ -394,21 +394,30 @@ object ClusterIndex {
       oneShotMaxPairs: Long = OneShotMaxPairs,
       perShardTargetPairs: Long = PerShardTargetPairs,
       maxShards: Int = MaxRouteShards): BuildRoute = {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val sigArr = Dedup.sigTable(spark, dir).localCheckpoint()
-    def massOf(bands: DataFrame): (Long, Long) = {
-      val r = Dedup.pairMassOf(bands)
-        .agg(coalesce(sum("predicted_pairs"), lit(0L)),
-          coalesce(max("max_bucket"), lit(0L)))
-        .collect().head
-      (r.getLong(0), r.getLong(1))
-    }
-    val (raw, _) = massOf(Dedup.bandsOf(sigArr))
-    val (rep, repMax) = massOf(Dedup.bandsOf(
-      sigArr.groupBy("sig").agg(min("doc_id").as("doc_id"))
-        .select("doc_id", "sig")))
-    graft.Checkpoints.release(sc, graft.Checkpoints.pinnedSince(sc, before))
+    // Round 16 (guide §1.2/§2.3): ONE signature pass and ONE aggregation
+    // tree price both arms. The rep-collapsed table is one row per
+    // distinct signature, and banding is a pure function of the
+    // signature — so a bucket's rep count is exactly the number of
+    // DISTINCT sigs among its raw rows: n_rep = countDistinct(sig) in
+    // the same keyed aggregate that counts n_raw. The old shape paid a
+    // localCheckpoint of the signature table plus two separate
+    // band+aggregate+collect passes (13 Spark jobs, 2.7 s at sf0.1);
+    // this is one job (~0.7 s), and at 100 TB it halves the advisor's
+    // corpus-mass pass count. Values are bit-identical (exact integer
+    // combinatorics; the q168 oracle replays the two-CTE form and still
+    // matches).
+    val bands = Dedup.sigTable(spark, dir)
+      .select(col("sig"), posexplode(Dedup.bandArray))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_val")
+    val r = bands
+      .groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("n_raw"), countDistinct(col("sig")).as("n_rep"))
+      .agg(
+        coalesce(sum(expr("n_raw * (n_raw - 1) div 2")), lit(0L)),
+        coalesce(sum(expr("n_rep * (n_rep - 1) div 2")), lit(0L)),
+        coalesce(max("n_rep"), lit(0L)))
+      .collect().head
+    val (raw, rep, repMax) = (r.getLong(0), r.getLong(1), r.getLong(2))
     val (route, shards) = routeFor(raw, rep, repMax,
       oneShotMaxPairs, perShardTargetPairs, maxShards)
     BuildRoute(route, shards, raw, rep, repMax)

@@ -140,24 +140,48 @@ object Dedup {
     * (short) docs EXCLUDED — such docs have no shingles, so they can
     * never band and never pair (the oracle's NULL band_val joins
     * nothing). ONE definition shared by the in-query pair builder and
-    * the at-rest [[ClusterIndex]] (round 12) so the two can't drift. */
+    * the at-rest [[ClusterIndex]] (round 12) so the two can't drift.
+    *
+    * Round 16 (guide §2.4/§4): built as ONE filtered map, not through
+    * [[minhashSignatures]] — the old route paid q29's presentation
+    * `orderBy` (a range exchange + sort no consumer needs, whose
+    * RANGE-SAMPLING pass re-ran the whole MinHashHex map a second time)
+    * and its `mh0 IS NOT NULL` filter was pushed below the projection,
+    * re-evaluating `graft_minhash` per row inside the Filter. The filter
+    * here is the EXACT cheap equivalent of the null-signature rule:
+    * [[graft.functions.MinHashHex]] yields NULL iff the token count is
+    * < ngram (split() tokens are never null, so the all-null-gram branch
+    * is unreachable) — so `size(tokens) >= 3` keeps precisely the rows
+    * whose signature is non-null. Plan went
+    * Scan→Filter(minhash)→Project(minhash)→Exchange(range)→Sort →
+    * Scan→Filter(size(split))→Project(minhash): one MinHashHex
+    * evaluation per surviving row, zero exchanges
+    * (plans/r16/q167_pair_mass_{before,after}.txt). */
   // private[graft]: PairMassBench's sharded candidate measurement reuses
   // the one signature/banding definition (round 16 — a tool replica
   // would drift from the advisor it meters)
-  private[graft] def sigTable(spark: SparkSession, dir: String): DataFrame =
-    minhashSignatures(spark, dir)
-      .withColumn("sig", array((0 until NumHashes).map(s => col(s"mh$s")): _*))
-      .filter(col("mh0").isNotNull)
-      .select(col("doc_id"), col("sig"))
+  private[graft] def sigTable(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.minhash_hex(
+          TextOps.tokens(col("text"))).as("sig"))
+  }
+
+  /** The per-signature band-value array — ONE banding rule shared by
+    * [[bandsOf]] and the carried-sig variant ClusterIndex.adviseRoute
+    * explodes (round 16), so the two cannot drift. */
+  private[graft] def bandArray: Column =
+    transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), b =>
+      concat_ws("|", (0 until BandSize).map(k =>
+        element_at(col("sig"), b * BandSize + k + 1)): _*))
 
   /** LSH bands of a (doc_id, sig) frame — (doc_id, band_id, band_val),
     * the bucketing key candidate pairs equi-join on. */
   private[graft] def bandsOf(sigArr: DataFrame): DataFrame =
-    sigArr.select(
-        col("doc_id"), posexplode(
-          transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), b =>
-            concat_ws("|", (0 until BandSize).map(k =>
-              element_at(col("sig"), b * BandSize + k + 1)): _*))))
+    sigArr.select(col("doc_id"), posexplode(bandArray))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_val")
 
   /** Estimated Jaccard of two signature arrays — the fraction of

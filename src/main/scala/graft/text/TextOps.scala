@@ -409,7 +409,17 @@ object TextOps {
       topN: Int = 20): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // MATERIALIZED, not shared-by-ReuseExchange (round 16, guide §2.4):
+    // the intended one-tokenize-pass sharing never fired — column pruning
+    // specializes the partial aggregate per consumer (dl prunes tok's
+    // count, dfreq prunes tf), so the canonical subtrees differ and each
+    // of the four consumers re-scanned and re-tokenized the corpus
+    // (measured: 5 documents scans in the q132 plan, 4 parallel ~0.3 s
+    // single-task tokenize stages warm). One checkpoint of the
+    // (doc_id, tok, tf) table — distinct-pair mass, far below corpus
+    // positions — turns that into one pass at every scale.
     val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
@@ -576,9 +586,11 @@ object TextOps {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    // cf and the corpus total both re-aggregate dt, so all three frames
-    // share dt's exchange (ReuseExchange) and the corpus is tokenized ONCE —
-    // independent toks.agg/groupBy formulations would each rescan it
+    // cf and the corpus total both re-aggregate dt; AQE's runtime stage
+    // cache dedups the identical dt exchanges (verified round 16: one
+    // tokenize stage in the executed plan, stage trace in
+    // OPTIMIZATION_r16.md), so a checkpoint here only added a job —
+    // A/B'd and rejected.
     val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
     val cf = dt.groupBy("tok").agg(sum("c").as("cf"))
     val nTotal = cf.agg(sum("cf").as("n_corpus"))
@@ -614,10 +626,18 @@ object TextOps {
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     val lambda = 0.75
+    // cu MATERIALIZED (round 16): the unigram count table has three
+    // consumers (scalars, w1 join, w2 join) that would otherwise each
+    // re-derive it — the checkpoint is vocabulary-mass, so pinning it
+    // costs bounded storage and saves two corpus tokenize passes at
+    // scale. (Checkpointing the tokenized corpus itself was A/B'd and
+    // rejected: bench-neutral here, and corpus-mass block storage is
+    // exactly what the 100 TB shape must avoid.)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val uni = docs.select(col("doc_id"), explode(col("toks")).as("w"))
     val cu = uni.groupBy("w").agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
     val scalars = cu.agg(sum("cu").as("n_corpus"),
       count(lit(1)).as("v_sz"))
     val bg = docs.select(col("doc_id"), explode(
@@ -673,7 +693,11 @@ object TextOps {
       targetSource: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // MATERIALIZED (round 16): dt feeds cf, the totals chain and the
+    // scoring join — pruning broke the intended exchange sharing
+    // (5 documents scans in the q127 before-plan).
     val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val cf = dt.groupBy("tok").agg(sum("c").as("np"))
     val tf = docs.filter(col("source") === targetSource)
       .select(explode(tokens(col("text"))).as("tok"))
