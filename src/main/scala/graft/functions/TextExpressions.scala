@@ -439,10 +439,19 @@ object TextExpressions {
       evalLit(exprs(2), "k").asInstanceOf[Number].intValue())
   }
 
+  /** 1 arg — the Dedup.simhash contract (round 16). */
+  val simhashBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"graft_simhash16 requires exactly 1 argument, got ${exprs.length}")
+    SimHash16(exprs.head)
+  }
+
   /** Register `graft_minhash` + `graft_cdc_chunks` + `graft_word_ngrams` +
-    * `graft_bottomk_md5` on the session (idempotent; public-API route, same
-    * rationale as [[VectorExpressions.register]]). */
+    * `graft_bottomk_md5` + `graft_simhash16` on the session (idempotent;
+    * public-API route, same rationale as [[VectorExpressions.register]]). */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash16", simhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", minhashBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -476,4 +485,87 @@ object TextExpressions {
     call_function("graft_bottomk_md5", tokens,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(k))
+
+  /** 16-bit SimHash of a token-array column (null only for a null array).
+    * Callers must [[register]] first. */
+  def simhash16(tokens: Column): Column = call_function("graft_simhash16", tokens)
+}
+
+/** The per-row 16-bit SimHash loop, callable from generated code:
+  * per token, h = the md5 digest's FIRST TWO BYTES as a big-endian
+  * unsigned 16-bit value (= `conv(substring(md5(tok), 1, 4), 16, 10)` —
+  * the exploded formulation's per-token hash, and DuckDB's identically);
+  * each of h's 16 bits votes +1 when set, −1 when clear; the fingerprint
+  * sets bit k iff its vote sum is strictly positive. A NULL token votes
+  * −1 on every bit — exactly the exploded form's `when(NULL ≡ 1)
+  * .otherwise(-1)` null-comparison semantics (split() tokens are never
+  * null in practice; pinned for byte-parity anyway). Exact integer
+  * votes, so the fold is order-independent — byte-identical to the
+  * exploded two-aggregate formulation it replaces. */
+object SimHashHelper {
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scratch = new Array[Byte](16)
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t)
+      if (tok == null) {
+        var b = 0
+        while (b < 16) { votes(b) -= 1; b += 1 }
+      } else {
+        md.update(tok.getBytes)
+        md.digest(scratch, 0, 16) // fills scratch and resets the digest
+        val h = ((scratch(0) & 0xff) << 8) | (scratch(1) & 0xff)
+        var b = 0
+        while (b < 16) {
+          if (((h >> b) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** 16-bit SimHash as ONE map-side expression (round 16, guide §2.3/§4 —
+  * the MinHashHex move applied to q32): the exploded formulation
+  * shuffles corpus-tokens × 16 bit-rows through two keyed aggregates;
+  * this keeps the whole token→votes→fingerprint loop inside the row, so
+  * fingerprints come straight off the scan with no shuffle at all.
+  * Kept byte-identical to the exploded form (differential-spec'd like
+  * MinHashHex/CdcChunks). */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_simhash16"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    SimHashHelper.compute(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashHelper.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
 }

@@ -378,19 +378,23 @@ object Dedup {
     // are never ours to release
     val keep = sc.getPersistentRDDs.keySet
     var ours = Set.empty[Int]
-    def checkpointAndSwap(df: DataFrame): DataFrame = {
-      // freshCheckpoint, NOT localCheckpoint: the loop body joins labels
-      // with itself, and a plain checkpoint carries the origin plan's
-      // size estimate forward — the estimate then SQUARES per round until
-      // the driver stalls in BigInteger stats math (the 1000× base-build
-      // failure; see [[graft.Checkpoints.freshCheckpoint]]).
-      val out = graft.Checkpoints.freshCheckpoint(df) // eager: materializes before the swap
+    // the swap half alone, for a frame the caller already eagerly
+    // checkpointed (the loop folds its convergence accumulator into that
+    // materialization — see below)
+    def swapIn(out: DataFrame): DataFrame = {
       val live = sc.getPersistentRDDs
       val mine = (live.keySet -- keep -- ours).toSet
       ours.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
       ours = mine
       out
     }
+    def checkpointAndSwap(df: DataFrame): DataFrame =
+      // freshCheckpoint, NOT localCheckpoint: the loop body joins labels
+      // with itself, and a plain checkpoint carries the origin plan's
+      // size estimate forward — the estimate then SQUARES per round until
+      // the driver stalls in BigInteger stats math (the 1000× base-build
+      // failure; see [[graft.Checkpoints.freshCheckpoint]]).
+      swapIn(graft.Checkpoints.freshCheckpoint(df)) // eager: materializes before the swap
     var labels = checkpointAndSwap(
       sym.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id")))
@@ -413,12 +417,21 @@ object Dedup {
         .groupBy("doc_id")
         .agg(min("label").as("label"),
           (min("label") =!= max("old")).cast("long").as("changed"))
-      labels = checkpointAndSwap(next)
-      // cheap second pass: no shuffle beyond a 1-row final, reads only the
-      // blocks the checkpoint just wrote; coalesce guards the empty-graph
-      // case (sum over zero rows is NULL, and getLong would NPE)
-      changed = labels.agg(coalesce(sum("changed"), lit(0L))).head().getLong(0)
-      labels = labels.select("doc_id", "label")
+      // ONE job per round (round 16, guide §1.2): the convergence count
+      // rides the checkpoint-materialization job itself as an accumulator
+      // folded into the freshCheckpoint-style re-root's row pass (the
+      // rdd round-trip below IS the re-root — default stats, same as
+      // [[graft.Checkpoints.freshCheckpoint]]) — the old follow-up
+      // `sum(changed)` job is gone. Accumulator updates from a retried
+      // task can only OVER-count a nonzero round (an extra harmless
+      // iteration); a converged round counts zero on every replay, so
+      // termination is exact.
+      val acc = sc.longAccumulator("cc_changed")
+      val nextRdd = next.rdd.map { r => if (r.getLong(2) != 0) acc.add(1L); r }
+      labels = swapIn(
+        spark.createDataFrame(nextRdd, next.schema).localCheckpoint())
+        .select("doc_id", "label")
+      changed = acc.value
     }
     (labels, rounds)
   }
@@ -881,12 +894,11 @@ object Dedup {
     *
     * Scale shape: one corpus-mass gram aggregate (map-side combined) and
     * one gram-keyed join (each position matches its gram's df row at most
-    * once — no fan on hot grams); everything downstream — islands window,
-    * span/coverage aggregates — is keyed by doc_id over DUPLICATED
-    * positions only. The duplicated-position table feeds three consumers,
-    * so it is checkpointed (bounded by dup mass, ≤ corpus positions).
-    * q77's CDC chunks approximate this signal at chunk granularity; this
-    * is the position-exact form. */
+    * once — no fan on hot grams); everything downstream is ONE doc-keyed
+    * aggregate over DUPLICATED positions only (round 16 — spans and
+    * coverage fold in-array over the sorted position list, per-doc state
+    * bounded by doc length). q77's CDC chunks approximate this signal at
+    * chunk granularity; this is the position-exact form. */
   def duplicatedSpans(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     val docs = Tables.documents(spark, dir)
@@ -898,22 +910,39 @@ object Dedup {
     val dfreq = posGrams.groupBy("gram").agg(count(lit(1)).as("df"))
     val dup = posGrams
       .join(dfreq.filter(col("df") > 1).select("gram"), Seq("gram"))
-      .select(col("doc_id"), col("i")).localCheckpoint()
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    val runs = dup.withColumn("run", col("i") - row_number().over(w))
-      .groupBy("doc_id", "run").agg(count(lit(1)).as("run_len"))
-    val spans = runs.groupBy("doc_id").agg(
-      count(lit(1)).as("n_spans"),
-      (max("run_len") + lit(n - 1)).cast("long").as("max_span_tokens"))
-    val cov = dup
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("covered_tokens"))
-    val nd = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_pos"))
+      .select(col("doc_id"), col("i"))
+    // Round 16 (guide §2.3/§2.4): every per-doc statistic derives from
+    // the SORTED duplicated-position array, so ONE doc-keyed aggregate
+    // replaces the old three consumers (islands window + its regroup,
+    // the coverage explode + row-level distinct — n× the shuffle rows —
+    // and the count aggregate) and the checkpoint that fed them: spans
+    // fold over consecutive-position runs in-array; coverage is the
+    // distinct union of the n-token windows in-array. Plan went
+    // 5 exchanges + window + Generate → 2 exchanges
+    // (plans/r16/q130_duplicated_spans_{before,after}.txt);
+    // row-identical (sort_array fixes collect_list's order; the fold
+    // counts exactly the maximal consecutive runs the old
+    // i − row_number() grouping counted).
+    val runFold =
+      s"""aggregate(ps, named_struct('prev', -2, 'cur', 0, 'mx', 0, 'sp', 0),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'cur', IF(x = a.prev + 1, a.cur + 1, 1),
+         |    'mx', GREATEST(a.mx, IF(x = a.prev + 1, a.cur + 1, 1)),
+         |    'sp', IF(x = a.prev + 1, a.sp, a.sp + 1)))""".stripMargin
+    val stats = dup.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_dup_pos"),
+        expr(runFold).as("rf"),
+        size(array_distinct(flatten(transform(col("ps"),
+          i => sequence(i, i + lit(n - 1)))))).cast("long").as("covered_tokens"))
+      .select(col("doc_id"), col("n_dup_pos"),
+        col("rf.sp").cast("long").as("n_spans"),
+        (col("rf.mx") + lit(n - 1)).cast("long").as("max_span_tokens"),
+        col("covered_tokens"))
     docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(nd, Seq("doc_id"), "left")
-      .join(spans, Seq("doc_id"), "left")
-      .join(cov, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -976,17 +1005,30 @@ object Dedup {
     * (doc, p, tok) row in the corpus. */
   private def rewriteAgainstCanonical(docs: DataFrame, occ: DataFrame,
       n: Int): DataFrame = {
-    // a position is cut iff covered and NO covering occurrence is canonical
-    val removed = occ
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + lit(n - 1))).as("p"),
-        col("canonical"))
-      .groupBy("doc_id", "p")
-      .agg(max(when(col("canonical"), 1).otherwise(0)).as("any_canon"))
-      .filter(col("any_canon") === 0)
-      .select(col("doc_id"), col("p"))
-    val remArr = removed.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("p"))).as("rem"))
+    // a position is cut iff covered and NO covering occurrence is
+    // canonical — i.e. (positions under any NON-canonical occurrence)
+    // MINUS (positions under any canonical one). Round 16 (guide §2.3):
+    // the old form exploded every occurrence into its n positions and
+    // de-duplicated them through an extra (doc_id, p)-keyed exchange —
+    // n× the shuffle rows and one more corpus-mass shuffle than needed.
+    // Coverage is doc-local, so ONE doc-keyed fold of the occurrence
+    // structs (bounded by doc length, like the reassembly below) and an
+    // in-array set difference produce the identical sorted cut list:
+    // plan went 2 exchanges + Generate → 1 exchange
+    // (plans/r16/q141_span_rewrite_{before,after}.txt); row-identical
+    // (array_except de-duplicates; sort_array fixes the order the old
+    // sorted collect_list fixed).
+    val remArr = occ
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("i"), col("canonical"))).as("occs"))
+      .select(col("doc_id"), sort_array(array_except(
+        array_distinct(flatten(transform(
+          filter(col("occs"), o => !o.getField("canonical")),
+          o => sequence(o.getField("i"), o.getField("i") + lit(n - 1))))),
+        array_distinct(flatten(transform(
+          filter(col("occs"), o => o.getField("canonical")),
+          o => sequence(o.getField("i"), o.getField("i") + lit(n - 1)))))))
+        .as("rem"))
     docs.join(remArr, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("rem")), lit(0)).cast("long").as("n_removed"),
@@ -2115,6 +2157,25 @@ object Dedup {
     * 16-bit fingerprint. Grouped by doc — one shuffle on doc_id (the
     * explode is local to the map side). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // ONE map-side compiled expression (round 16, guide §2.3/§4 — the
+    // MinHashHex move): the exploded form (kept below as the
+    // differential reference) shuffled corpus-tokens × 16 bit-rows
+    // through two keyed aggregates; fingerprints now come straight off
+    // the scan. text-null docs are dropped exactly as the exploded
+    // form's explode(null) dropped them.
+    graft.functions.TextExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simhash16(
+          TextOps.tokens(col("text"))).as("simhash16"))
+      .orderBy("doc_id")
+  }
+
+  /** The round-1..15 exploded SimHash formulation — the differential
+    * reference [[SimHash16]] is spec'd byte-identical against (the
+    * MinHashHex/CdcChunks convention). */
+  private[graft] def simhashExploded(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))

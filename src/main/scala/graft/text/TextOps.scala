@@ -241,6 +241,7 @@ object TextOps {
     var curIds = graft.Checkpoints.pinnedSince(sc, before)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
+    var pendingMerges = 0
     for (rank <- 1 to nMerges if !done) {
       val top = words
         .select(col("wc"), col("syms"), posexplode(col("syms")).as(Seq("i", "l")))
@@ -258,13 +259,23 @@ object TextOps {
         // the last round's merge needs no re-segmentation — nothing reads
         // the table after the final argmax
         if (rank < nMerges) {
-          before = sc.getPersistentRDDs.keySet
           words = words
             .select(mergePairExpr("syms", l, r).as("syms"), col("wc"))
-            .localCheckpoint()
-          val nextIds = graft.Checkpoints.pinnedSince(sc, before)
-          graft.Checkpoints.release(sc, curIds)
-          curIds = nextIds
+          pendingMerges += 1
+          // checkpoint every SECOND merge (round 16, guide §1.2): one
+          // un-checkpointed merge fold nested inside the next round's
+          // argmax is fine — the quadratic-analysis hazard this loop
+          // checkpoints against needs UNBOUNDED nesting — and halving
+          // the materialization jobs trims the loop's fixed cost at
+          // every scale (the per-round aggregate dominates regardless).
+          if (pendingMerges >= 2) {
+            before = sc.getPersistentRDDs.keySet
+            words = words.localCheckpoint()
+            val nextIds = graft.Checkpoints.pinnedSince(sc, before)
+            graft.Checkpoints.release(sc, curIds)
+            curIds = nextIds
+            pendingMerges = 0
+          }
         }
       }
     }
@@ -626,18 +637,14 @@ object TextOps {
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     val lambda = 0.75
-    // cu MATERIALIZED (round 16): the unigram count table has three
-    // consumers (scalars, w1 join, w2 join) that would otherwise each
-    // re-derive it — the checkpoint is vocabulary-mass, so pinning it
-    // costs bounded storage and saves two corpus tokenize passes at
-    // scale. (Checkpointing the tokenized corpus itself was A/B'd and
-    // rejected: bench-neutral here, and corpus-mass block storage is
-    // exactly what the 100 TB shape must avoid.)
+    // cu's three consumers (scalars, w1 join, w2 join) share the
+    // aggregate through AQE's runtime stage cache (verified round 16 on
+    // q81's identical shape); a checkpoint here A/B'd neutral-to-worse
+    // and was rejected.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val uni = docs.select(col("doc_id"), explode(col("toks")).as("w"))
     val cu = uni.groupBy("w").agg(count(lit(1)).as("cu"))
-      .localCheckpoint()
     val scalars = cu.agg(sum("cu").as("n_corpus"),
       count(lit(1)).as("v_sz"))
     val bg = docs.select(col("doc_id"), explode(

@@ -11,7 +11,7 @@ object CellIndexBench {
     val dir = args(0); val idx = args(1)
     val k = args.lift(2).map(_.toInt).getOrElse(16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -43,7 +43,7 @@ object IndexMaintenanceBench {
     val compactAt = args.lift(4)
       .map(a => a.stripPrefix("compactAt=").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -35,7 +35,7 @@ object MaxScoreBench {
     val nq = args.lift(2).map(_.toInt).getOrElse(5)
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -49,7 +49,7 @@ object PairMassBench {
       .map(_.stripPrefix("sharded=").toInt).getOrElse(0)
     val work = args.lift(2).getOrElse(dir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

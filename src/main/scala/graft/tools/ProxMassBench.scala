@@ -61,7 +61,7 @@ object ProxMassBench {
       else args.lift(3).map(_.toInt).getOrElse(3)
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -90,7 +90,7 @@ object ScaleGen {
       s"ScaleGen supports factor <= 128 (got $factor): replica embedding " +
         "transforms exhaust at 2x the vector dimension")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -285,7 +285,7 @@ object ScaleBench {
     // the production scaling lever: shuffle partitions grow with data so
     // per-partition bytes stay bounded (at 100 TB nobody runs 32)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val spark = graft.SparkTuning.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")

@@ -107,6 +107,17 @@ class TextVectorSpec extends SparkSpec {
     assert(r(0) >= 0 && r(0) < 65536)
   }
 
+  test("SimHash16 expression == exploded two-aggregate formulation") {
+    // the MinHashHex differential convention: the compiled per-row loop
+    // must be byte-identical to the round-1..15 exploded form it replaced
+    val dir = sf0001
+    val viaExpr = Dedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExplode = Dedup.simhashExploded(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaExplode)
+  }
+
   test("language-ID predicts by marker-token profile with tie-break — U8") {
     val dir = docsDir(Seq(
       (1L, "table row table something", "de", "s", 24L),  // de markers win

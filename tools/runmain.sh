@@ -14,4 +14,5 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java -Xmx${SPARK_DRIVER_MEM:-16g} $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  $EXTRA_JAVA_OPTS \
   -cp "$CLS:/opt/spark/jars/*" "$MAIN" "$@"
