@@ -49,7 +49,7 @@ object SparkEntry {
     "q26_lang_id"         -> (TextOps.langId _),
     "q27_text_quality"    -> (TextOps.qualityScore _),
     "q28_fingerprint"     -> (TextOps.fingerprint _),
-    "q29_minhash_sig"     -> (Dedup.minhashSignatures _),
+    "q29_minhash_sig"     -> (Dedup.minhashSignaturesMaterialized _),
     "q30_minhash_pairs"   -> (Dedup.minhashPairs _),
     "q31_ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "q32_simhash"         -> (Dedup.simhash _),

@@ -80,15 +80,31 @@ object Dedup {
     * shuffled the tokenized corpus twice; at 100 TB that was the
     * pipeline's dominant cost). Short docs (<3 tokens) surface null
     * signature columns, same as the old left-join contract. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesUnsorted(spark, dir).orderBy("doc_id")
+
+  private def minhashSignaturesUnsorted(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(spark)
     import graft.functions.TextExpressions.minhash_hex
     Tables.documents(spark, dir)
       .select(col("doc_id"), minhash_hex(TextOps.tokens(col("text"))).as("sigarr"))
       .select(col("doc_id") +:
         (0 until NumHashes).map(s => element_at(col("sigarr"), s + 1).as(s"mh$s")): _*)
-      .orderBy("doc_id")
   }
+
+  /** [[minhashSignatures]] materialized before its presentation sort —
+    * the q29 DECLARED entry's form (round 16, guide §1.2): a global
+    * sort's range partitioner SAMPLES its child with a full pass, so the
+    * plain form runs the whole MinHashHex map twice when every column is
+    * consumed (measured: two ~0.85 s single-task map stages; alternated
+    * q29 A/B 1.16/1.32 → 0.90/0.85 s). Kept OUT of
+    * [[minhashSignatures]] itself: consumers that aggregate or prune
+    * (q116's row counts) let Catalyst skip the signature map entirely,
+    * and an eager checkpoint would force-compute it (measured: q116
+    * 0.67 → 1.22 s when the checkpoint briefly lived in the shared
+    * form). Same rows, same order — the sort key is total. */
+  def minhashSignaturesMaterialized(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesUnsorted(spark, dir).localCheckpoint().orderBy("doc_id")
 
   /** MinHash+LSH candidate pairs: band the signature (4 bands of 2), bucket
     * by (band_id, band value), equi-join buckets, then estimate Jaccard as
