@@ -133,12 +133,16 @@ object Bench {
     val passes: Seq[Map[String, (Double, Boolean)]] = (1 to Passes).map { _ =>
       val pass = names.map { name =>
         val fn = SparkEntry.queries(name)
+        // guide §1.5: label every query's jobs so a UI/event-log read of a
+        // bench run attributes stages without cross-referencing timestamps
+        spark.sparkContext.setJobDescription(s"bench: $name")
         val t0 = System.nanoTime()
         val failed =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); true
           }
+        spark.sparkContext.setJobDescription(null)
         val elapsed = (System.nanoTime() - t0) / 1e9
         // session hygiene: queries that localCheckpoint pin RDD blocks for the
         // life of the session; across ~60 queries that accumulates into
