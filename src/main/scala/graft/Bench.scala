@@ -168,6 +168,8 @@ object Bench {
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)
       graft.text.TextIndex.evictMemos(spark)
+      graft.text.DocStore.evictMemos(spark)
+      graft.vector.CellIndex.evictMemos(spark)
       Checkpoints.evictSessionMemos(spark)
       Checkpoints.sweepExceptRetained(spark.sparkContext)
       System.gc()
@@ -214,7 +216,22 @@ object Bench {
     // reasonable tail; the full per-query data is in the sidecar file.
     val compact =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","protocol":"median-of-$Passes","serving_total":$servingTotal%.3f,"audit_total":$auditTotal%.3f,"load_factor":$loadFactor%.3f,"normalized_total":$normTotal%.3f,"n_queries":${results.size},"errors":$errs,"full":"see SPARK_GRAFT_BENCH_OUT sidecar"}"""
+    // round 17 (the r16 verdict's task #2 — driver-visible per-query
+    // data): the full line's `queries` map outgrows a ~2000-char tail
+    // window (PERF_r16 recorded n_common 0), and 168 full query names
+    // alone exceed that window at ANY value precision, so the in-band
+    // recovery line is POSITIONAL: every query's median in integer
+    // CENTISECONDS, ordered by lexicographic query name — the same order
+    // the full line's `queries` map and SparkEntry.queries enumerate, so
+    // a consumer zips names to values without ambiguity. All 168 rows fit
+    // in ~700 chars and survive the tail beside the compact summary.
+    // Additions only: the full and compact lines are unchanged.
+    val pqCs = results.map { case (_, m, _, _, _) => Math.round(m * 100).toString }
+      .mkString("[", ",", "]")
+    val pqLine =
+      s"""{"metric":"per_query_cs","unit":"centisec","order":"lexicographic_query_names","n":${results.size},"v":$pqCs}"""
     println(line)
+    println(pqLine)
     println(compact)
     // belt-and-braces delivery: build.sbt's `outputStrategy := StdoutOutput`
     // keeps the stdout lines unprefixed under `sbt runMain`, but a consumer
@@ -223,6 +240,7 @@ object Bench {
     // A scraper should take the LAST parseable line of whichever stream it
     // reads (merged streams see the lines twice by design).
     System.err.println(line)
+    System.err.println(pqLine)
     System.err.println(compact)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

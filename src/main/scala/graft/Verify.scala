@@ -39,6 +39,13 @@ object Verify {
         }
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // inter-query hygiene (round-16 ADVICE): query builders checkpoint
+      // always-on intermediates, and without Bench's sweep the pinned
+      // blocks accumulate across the 168-query session — memory creep at
+      // larger verify SFs. Memo-retained blocks survive (truncated
+      // lineage — a swept memo would fail, not recompute).
+      Checkpoints.sweepExceptRetained(spark.sparkContext)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -24,6 +24,9 @@ object VerifyOne {
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
+      // inter-query hygiene, mirroring Verify (round-16 ADVICE)
+      Checkpoints.sweepExceptRetained(spark.sparkContext)
+      spark.catalog.clearCache()
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -74,6 +74,9 @@ object DocStore {
   def write(spark: SparkSession, dir: String, storePath: String,
       buckets: Int = 16): Unit = {
     import spark.implicits._
+    // a base overwrite mutates a root in place — drop the session's
+    // root-keyed layout-scalar memos (the TextIndex.write rebuild rule)
+    evictMemos(spark)
     val docs = Tables.documents(spark, dir)
     docs
       .withColumn("payload", col("text").cast("binary"))
@@ -104,6 +107,7 @@ object DocStore {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    evictMemos(spark) // the write() rebuild rule
     // EXPLICIT clean of the rows layout before the shard loop (round-14
     // ADVICE finding): the shard-0 overwrite only clears the whole dir
     // under the default STATIC partitionOverwriteMode — a deployment
@@ -247,14 +251,28 @@ object DocStore {
   def liveBatchCount(spark: SparkSession, storePath: String): Int =
     withGen(spark, storePath)(gen => liveTagsAt(spark, gen).size)
 
-  private def readBucketsAt(spark: SparkSession, gen: String): Int = {
-    val df = spark.read.parquet(s"$gen/stats")
-    require(df.columns.contains("buckets"),
-      s"doc store stats at $gen/stats has no 'buckets' column — " +
-        "corrupted or hand-assembled; rebuild rather than guessing (a " +
-        "wrong count silently misses every fetch)")
-    df.select(col("buckets")).collect().head.getLong(0).toInt
-  }
+  /** Session memo for the store's layout scalar, keyed by the RESOLVED
+    * generation root (round 17 — the TextIndex MetaMemo move): a
+    * generation's stats file is written once before its publish rename
+    * and never rewritten, so the 1-row collect runs once per generation
+    * per session instead of once per fetch. [[write]]/[[writeSharded]]
+    * evict (the one in-place mutation of a root); evicted between bench
+    * passes via [[evictMemos]]. */
+  private val MetaMemo = "docstore.meta"
+
+  /** Evict this module's session memos (the TextIndex.evictMemos rule). */
+  def evictMemos(spark: SparkSession): Unit =
+    graft.SessionMemos.evict(spark, MetaMemo)
+
+  private def readBucketsAt(spark: SparkSession, gen: String): Int =
+    graft.SessionMemos.getOrComputeScalar(spark, MetaMemo, ("buckets", gen)) {
+      val df = spark.read.parquet(s"$gen/stats")
+      require(df.columns.contains("buckets"),
+        s"doc store stats at $gen/stats has no 'buckets' column — " +
+          "corrupted or hand-assembled; rebuild rather than guessing (a " +
+          "wrong count silently misses every fetch)")
+      df.select(col("buckets")).collect().head.getLong(0).toInt
+    }
 
   /** DELTA-CHAIN COMPACTION (round 13 — the round-12 verdict's top task,
     * the [[graft.text.Dedup.compactGramLedger]] pattern made in-chain):
@@ -374,9 +392,15 @@ object DocStore {
     // page silently (round-13 review finding)
     withGen(spark, storePath) { gen =>
       val buckets = readBucketsAt(spark, gen)
+      // db values via the SAME Catalyst expression the writers used, but
+      // collected off the local relation WITHOUT the distinct: Catalyst
+      // folds Project(LocalRelation) into a LocalRelation
+      // (ConvertToLocalRelation), so this collect is driver-side with no
+      // Spark job, while the old .distinct() paid an exchange + one job
+      // per fetch just to dedup ≤1024 ints (round 17 — dedup driver-side)
       val dbs = ids.toDF("doc_id")
         .select(pmod(hash(col("doc_id")), lit(buckets)).as("db"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+        .collect().map(_.getInt(0)).toSeq.distinct
       // base + every LIVE committed batch dir of the current generation
       // (compaction-carried tags' rows are already in the base — [[compact]]
       // keeps the per-fetch LIST/union width at 1 + #since-compaction, the

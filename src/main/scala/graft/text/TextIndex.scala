@@ -46,6 +46,11 @@ object TextIndex {
     * corpus pass). */
   def write(spark: SparkSession, dir: String, indexPath: String,
       buckets: Int = 16): Unit = {
+    // a base-layout overwrite is the one protocol op that MUTATES a root
+    // in place — drop the session's root-keyed metadata memos so a
+    // same-path in-session rebuild (spec harnesses) cannot serve stale
+    // scalars (the SessionMemos immutability contract)
+    graft.SessionMemos.evict(spark, MetaMemo)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val toks = Tables.documents(spark, dir)
@@ -467,6 +472,7 @@ object TextIndex {
     * by the shared [[committedVersions]] rule. */
   def writePhraseIndex(spark: SparkSession, dir: String, indexPath: String,
       buckets: Int = 16): Unit = {
+    graft.SessionMemos.evict(spark, MetaMemo) // the write() rebuild rule
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val toks = Tables.documents(spark, dir)
@@ -561,9 +567,7 @@ object TextIndex {
     val target = new Path(root, s"v$next")
     val staging = new Path(root,
       s".staging_v${next}_${java.util.UUID.randomUUID().toString.take(8)}")
-    val stats = spark.read.parquet(s"$cur/stats").collect().head
-    val (nDocs, buckets) =
-      (stats.getAs[Long]("n_docs"), stats.getAs[Long]("buckets").toInt)
+    val (nDocs, buckets) = phraseStatsAt(spark, cur)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val toks = Tables.documents(spark, batchDir)
@@ -752,10 +756,15 @@ object TextIndex {
   def topPhrase(spark: SparkSession, indexPath: String,
       pinnedRoot: Option[String] = None): Seq[String] = {
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
-    val r = spark.read.parquet(s"$root/phrases")
-      .orderBy(desc("n"), col("gram")).limit(1).collect()
-    require(r.nonEmpty, s"phrase index at $indexPath has no phrases artifact")
-    r.head.getString(0).split(" ").toSeq
+    // memoized per resolved root (MetaMemo): the trigram table of a
+    // committed version is immutable, so the rank-1 probe is a pure
+    // function of the root — q147/q156/q162/q164 share one derivation job
+    memoMeta(spark, ("topphrase", root)) {
+      val r = spark.read.parquet(s"$root/phrases")
+        .orderBy(desc("n"), col("gram")).limit(1).collect()
+      require(r.nonEmpty, s"phrase index at $indexPath has no phrases artifact")
+      r.head.getString(0).split(" ").toSeq
+    }
   }
 
   /** Exact phrase occurrences from the unigram positional index: per
@@ -782,8 +791,7 @@ object TextIndex {
     // a derive-then-search caller must pin the SAME root across both
     // calls or a concurrent fold can slide a version in between
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
-    val buckets = spark.read.parquet(s"$root/stats")
-      .select(col("buckets")).collect().head.getLong(0).toInt
+    val buckets = phraseStatsAt(spark, root)._2
     val posts = spark.read.parquet(s"$root/positions")
     // VOCABULARY PRE-FLIGHT (round 11): one tiny lookup of the probe
     // tokens' corpus occurrence counts against the udf table
@@ -808,12 +816,16 @@ object TextIndex {
     //     constant is paid for the at-scale worst case, not this box.
     val occOf: Map[String, Long] = {
       val want = phrase.distinct
-      val pruned = spark.read.parquet(s"$root/udf")
-        .filter(want.map(t => col("ub") === pmod(hash(lit(t)), lit(buckets))).reduce(_ || _))
-        .filter(col("tok").isin(want: _*))
-        .select(col("tok"), col("n_occ")).collect()
-      val found = pruned.map(r => r.getString(0) -> r.getLong(1)).toMap
-      want.map(t => t -> found.getOrElse(t, 0L)).toMap
+      // memoized per (root, probe tokens): the udf table of a committed
+      // version is immutable — q147's pre-flight serves q156/q162 free
+      memoMeta(spark, ("occof", root, want)) {
+        val pruned = spark.read.parquet(s"$root/udf")
+          .filter(want.map(t => col("ub") === pmod(hash(lit(t)), lit(buckets))).reduce(_ || _))
+          .filter(col("tok").isin(want: _*))
+          .select(col("tok"), col("n_occ")).collect()
+        val found = pruned.map(r => r.getString(0) -> r.getLong(1)).toMap
+        want.map(t => t -> found.getOrElse(t, 0L)).toMap
+      }
     }
     if (occOf.valuesIterator.contains(0L)) {
       import org.apache.spark.sql.types.{LongType, StructField}
@@ -863,12 +875,15 @@ object TextIndex {
   def deriveProximityTermsN(spark: SparkSession, indexPath: String,
       n: Int, pinnedRoot: Option[String] = None): Seq[String] = {
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
-    val ts = spark.read.parquet(s"$root/udf")
-      .orderBy(desc("df"), col("tok")).limit(n)
-      .select("tok").collect().map(_.getString(0)).toSeq
-    require(ts.length == n,
-      s"proximity derivation needs $n distinct terms in $root/udf")
-    ts
+    // memoized per (root, n): a pure function of the committed udf table
+    memoMeta(spark, ("proxterms", root, n)) {
+      val ts = spark.read.parquet(s"$root/udf")
+        .orderBy(desc("df"), col("tok")).limit(n)
+        .select("tok").collect().map(_.getString(0)).toSeq
+      require(ts.length == n,
+        s"proximity derivation needs $n distinct terms in $root/udf")
+      ts
+    }
   }
 
   /** PROXIMITY (slop) SEARCH from the unigram positional postings — the
@@ -931,8 +946,7 @@ object TextIndex {
       root: String, toks: Seq[String], slop: Int,
       essential: Option[DataFrame],
       essentialIds: Option[Seq[Long]] = None): DataFrame = {
-    val buckets = spark.read.parquet(s"$root/stats")
-      .select(col("buckets")).collect().head.getLong(0).toInt
+    val buckets = phraseStatsAt(spark, root)._2
     val posts = spark.read.parquet(s"$root/positions")
     val w = slop + 1
     def listOf(t: String) = {
@@ -1028,20 +1042,20 @@ object TextIndex {
     require(maxPosShare > 0.0 && maxPosShare <= 1.0,
       s"maxPosShare must be in (0, 1]: $maxPosShare")
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
-    val st = spark.read.parquet(s"$root/stats")
-      .select(col("n_docs"), col("buckets")).collect().head
-    val (nDocs, buckets) = (st.getLong(0), st.getLong(1).toInt)
+    val (nDocs, buckets) = phraseStatsAt(spark, root)
     // vocabulary-sized, bucket-pruned df + position-mass lookup (the
-    // derivation convention — ≤ m rows collected, flat in corpus size)
-    val statsOf: Map[String, (Long, Long)] = {
-      val found = spark.read.parquet(s"$root/udf")
-        .filter(toks.map(t => col("ub") === pmod(hash(lit(t)), lit(buckets)))
-          .reduce(_ || _))
-        .filter(col("tok").isin(toks: _*))
-        .select(col("tok"), col("df"), col("n_occ")).collect()
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      toks.map(t => t -> found.getOrElse(t, (0L, 0L))).toMap
-    }
+    // derivation convention — ≤ m rows collected, flat in corpus size);
+    // memoized per (root, probe) like the phraseSearch pre-flight
+    val statsOf: Map[String, (Long, Long)] =
+      memoMeta(spark, ("udfstats", root, toks.sorted)) {
+        val found = spark.read.parquet(s"$root/udf")
+          .filter(toks.map(t => col("ub") === pmod(hash(lit(t)), lit(buckets)))
+            .reduce(_ || _))
+          .filter(col("tok").isin(toks: _*))
+          .select(col("tok"), col("df"), col("n_occ")).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        toks.map(t => t -> found.getOrElse(t, (0L, 0L))).toMap
+      }
     val dfOf: Map[String, Long] = statsOf.map { case (t, (df, _)) => t -> df }
     val rarest = toks.minBy(t => (dfOf(t), t))
     require(nDocs == 0L || dfOf(rarest).toDouble / nDocs <= maxDfShare,
@@ -1054,8 +1068,10 @@ object TextIndex {
     // semi-join regime) and only from the vocabulary-sized udf table
     if (dfOf(rarest) > pushdownLimit) {
       val probePos = statsOf.valuesIterator.map(_._2).sum
-      val totalPos = spark.read.parquet(s"$root/udf")
-        .agg(coalesce(sum(col("n_occ")), lit(0L))).collect().head.getLong(0)
+      val totalPos = memoMeta(spark, ("totalpos", root)) {
+        spark.read.parquet(s"$root/udf")
+          .agg(coalesce(sum(col("n_occ")), lit(0L))).collect().head.getLong(0)
+      }
       require(totalPos == 0L || probePos.toDouble / totalPos <= maxPosShare,
         s"proximity probe gated: the ${toks.length}-term probe's summed " +
           s"position mass ($probePos of $totalPos corpus positions) " +
@@ -1104,16 +1120,19 @@ object TextIndex {
   def deriveGatedProximityProbe(spark: SparkSession, indexPath: String,
       pinnedRoot: Option[String] = None): Seq[String] = {
     val root = pinnedRoot.getOrElse(phraseCurrentRoot(spark, indexPath))
-    val udf = spark.read.parquet(s"$root/udf")
-    val hot = udf.orderBy(desc("df"), col("tok")).limit(2)
-      .select("tok").collect().map(_.getString(0)).toSeq
-    val rare = udf.orderBy(col("df"), col("tok")).limit(1)
-      .select("tok").collect().map(_.getString(0)).toSeq
-    val probe = Seq(rare.head, hot(1), hot(0))
-    require(probe.distinct.length == 3,
-      s"gated probe derivation needs 3 distinct terms in $root/udf " +
-        s"(got hot=$hot, rare=$rare)")
-    probe
+    // memoized per root; the hot pair rides the shared (root, 2)
+    // derivation q148/q152 also use, so only the rarest-term probe is new
+    memoMeta(spark, ("gatedprobe", root)) {
+      val hot = deriveProximityTermsN(spark, indexPath, 2, Some(root))
+      val rare = spark.read.parquet(s"$root/udf")
+        .orderBy(col("df"), col("tok")).limit(1)
+        .select("tok").collect().map(_.getString(0)).toSeq
+      val probe = Seq(rare.head, hot(1), hot(0))
+      require(probe.distinct.length == 3,
+        s"gated probe derivation needs 3 distinct terms in $root/udf " +
+          s"(got hot=$hot, rare=$rare)")
+      probe
+    }
   }
 
   /** PROXIMITY-BOOSTED RETRIEVAL — both text artifacts composed, fully
@@ -1201,16 +1220,19 @@ object TextIndex {
   def deriveBoolTerms(spark: SparkSession, indexPath: String,
       pinnedRoot: Option[String] = None): (Seq[String], Seq[String]) = {
     val root = pinnedRoot.getOrElse(currentRoot(spark, indexPath))
-    val dfreq = spark.read.parquet(s"$root/dfreq")
-    val must = dfreq.orderBy(desc("df"), col("tok")).limit(2)
-      .select("tok").collect().map(_.getString(0)).toSeq
-    val not = dfreq.orderBy(col("df"), col("tok")).limit(1)
-      .select("tok").collect().map(_.getString(0)).toSeq
-    require(must.length == 2 && not.length == 1 &&
-      (must ++ not).distinct.length == 3,
-      s"bool derivation needs 3 distinct terms in $root/dfreq " +
-        s"(got must=$must, mustNot=$not)")
-    (must, not)
+    // memoized per root: q155 derives, q157 rides — two collects saved
+    memoMeta(spark, ("boolterms", root)) {
+      val dfreq = spark.read.parquet(s"$root/dfreq")
+      val must = dfreq.orderBy(desc("df"), col("tok")).limit(2)
+        .select("tok").collect().map(_.getString(0)).toSeq
+      val not = dfreq.orderBy(col("df"), col("tok")).limit(1)
+        .select("tok").collect().map(_.getString(0)).toSeq
+      require(must.length == 2 && not.length == 1 &&
+        (must ++ not).distinct.length == 3,
+        s"bool derivation needs 3 distinct terms in $root/dfreq " +
+          s"(got must=$must, mustNot=$not)")
+      (must, not)
+    }
   }
 
   /** BOOLEAN SET RETRIEVAL from the posting index — the unranked
@@ -1262,14 +1284,18 @@ object TextIndex {
     val root = pinnedRoot.getOrElse(currentRoot(spark, indexPath))
     val buckets = readStatsRowAt(spark, root)._3
     val dfreq = spark.read.parquet(s"$root/dfreq")
+    // term→bucket resolution memoized per (root, terms) — q155 resolves,
+    // q157 (same probe, same root) rides
     def resolve(ts: Seq[String]): Map[String, Int] =
       if (ts.isEmpty) Map.empty
-      else dfreq
-        .filter(ts.map(t => col("tb") === pmod(hash(lit(t)), lit(buckets)))
-          .reduce(_ || _))
-        .filter(col("tok").isin(ts: _*))
-        .select(col("tok"), col("tb").cast("int"))
-        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      else memoMeta(spark, ("booltb", root, ts.sorted)) {
+        dfreq
+          .filter(ts.map(t => col("tb") === pmod(hash(lit(t)), lit(buckets)))
+            .reduce(_ || _))
+          .filter(col("tok").isin(ts: _*))
+          .select(col("tok"), col("tb").cast("int"))
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      }
     val mustTb = resolve(must)
     val notTb = resolve(mustNot) // OOV mustNot terms exclude nothing: drop
     // OOV must terms can never be hit, so the highest reachable count is
@@ -1320,24 +1346,59 @@ object TextIndex {
     (n, t)
   }
 
-  /** One read of the 1-row stats file for all three scalars. No bucket
+  /** One read of the 1-row stats file for all three scalars — MEMOIZED
+    * per resolved root ([[MetaMemo]]): a committed version's stats is
+    * immutable, so the collect runs once per root per session instead of
+    * once per serving query. No bucket
     * fallback: every [[write]] has persisted the `buckets` column since the
     * layout existed, so its absence can only mean a corrupted or
     * hand-assembled stats file — defaulting would reintroduce exactly the
     * silent mis-pruning (carried-forward postings excluded from query
     * scans) the persisted count exists to prevent (round-8 review finding). */
-  private def readStatsRowAt(spark: SparkSession, root: String): (Long, Long, Int) = {
-    val df = spark.read.parquet(s"$root/stats")
-    require(df.columns.contains("buckets"),
-      s"text index stats at $root/stats has no 'buckets' column — corrupted " +
-        "or hand-assembled stats; rebuild the index rather than guessing the " +
-        "bucket count (a wrong count silently mis-prunes posting scans)")
-    val r = df.collect().head
-    (r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"),
-      r.getAs[Long]("buckets").toInt)
-  }
+  private def readStatsRowAt(spark: SparkSession, root: String): (Long, Long, Int) =
+    memoMeta(spark, ("stats", root)) {
+      val df = spark.read.parquet(s"$root/stats")
+      require(df.columns.contains("buckets"),
+        s"text index stats at $root/stats has no 'buckets' column — corrupted " +
+          "or hand-assembled stats; rebuild the index rather than guessing the " +
+          "bucket count (a wrong count silently mis-prunes posting scans)")
+      val r = df.collect().head
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_toks"),
+        r.getAs[Long]("buckets").toInt)
+    }
+
+  /** The phrase layout's 1-row stats (n_docs, buckets) — memoized per
+    * resolved root like [[readStatsRowAt]]; shared by the phrase/proximity
+    * query paths, which previously each collected it per call. */
+  private def phraseStatsAt(spark: SparkSession, root: String): (Long, Int) =
+    memoMeta(spark, ("phrasestats", root)) {
+      val r = spark.read.parquet(s"$root/stats")
+        .select(col("n_docs"), col("buckets")).collect().head
+      (r.getLong(0), r.getLong(1).toInt)
+    }
 
   private val EpostsMemo = "textindex.eposts"
+
+  /** Session memo for driver-side serving METADATA derived only from a
+    * RESOLVED, immutable-once-committed artifact root (round 17 — the
+    * r16 verdict's top task: every serving page re-ran the same
+    * stats-read and probe-derivation collects as separate Spark jobs, and
+    * at sf0.1 each such driver barrier costs ~80–150 ms; on a cluster
+    * each is a scheduler round-trip per query). A committed version's
+    * stats file and vocabulary tables are written once before the publish
+    * rename and never rewritten (the vledger/carriedtags immutability
+    * argument), so the 1-row stats scalars and the ≤nq-row probe
+    * derivations are pure functions of the root — the first query on a
+    * root pays the collect, every later query on the same root rides it.
+    * Values are a handful of strings/longs per root, never data rows.
+    * Evicted with the other memos ([[evictMemos]] — Bench's between-pass
+    * eviction keeps each pass cold-build-then-ride, the round-7
+    * protocol); [[write]]/[[writePhraseIndex]] evict too, so a same-path
+    * in-session rebuild (spec harnesses) can never serve stale scalars. */
+  private val MetaMemo = "textindex.meta"
+
+  private def memoMeta[T](spark: SparkSession, key: Any)(compute: => T): T =
+    graft.SessionMemos.getOrComputeScalar(spark, MetaMemo, key)(compute)
 
   /** Evict this module's session memos — the cache-map half of a full memo
     * eviction; MUST run beside [[graft.Checkpoints.evictSessionMemos]]
@@ -1346,7 +1407,7 @@ object TextIndex {
     * truncated-lineage checkpoint instead of rebuilding (round-10 review
     * finding — the Dedup/Similarity evictMemos contract). */
   def evictMemos(spark: SparkSession): Unit =
-    graft.SessionMemos.evict(spark, EpostsMemo)
+    graft.SessionMemos.evict(spark, EpostsMemo, MetaMemo)
 
   /** A resolved query term with its pruning inputs: document frequency,
     * partition bucket, and the persisted per-term max-impact bounds. */
@@ -1366,13 +1427,17 @@ object TextIndex {
 
   private[graft] def deriveQueryTermsAt(spark: SparkSession, root: String,
       nDocs: Long, nq: Int): Seq[QTerm] =
-    spark.read.parquet(s"$root/dfreq")
-      .filter(col("df") * 2 < nDocs)
-      .orderBy(desc("df"), col("tok")).limit(nq)
-      .select(col("tok"), col("df"), col("tb").cast("int"),
-        col("max_tf"), col("min_dl"))
-      .collect().map(r => QTerm(r.getString(0), r.getLong(1), r.getInt(2),
-        r.getLong(3), r.getLong(4))).toSeq
+    // memoized per (root, nq): nDocs is itself a function of the root, so
+    // it needs no key slot; q136 derives, q138/q152 ride
+    memoMeta(spark, ("qterms", root, nq)) {
+      spark.read.parquet(s"$root/dfreq")
+        .filter(col("df") * 2 < nDocs)
+        .orderBy(desc("df"), col("tok")).limit(nq)
+        .select(col("tok"), col("df"), col("tb").cast("int"),
+          col("max_tf"), col("min_dl"))
+        .collect().map(r => QTerm(r.getString(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    }
 
   /** The MaxScore term split for one query (Turtle & Flood 1995's
     * MaxScore, batch-shaped): `ub6` is each term's score CEILING — the

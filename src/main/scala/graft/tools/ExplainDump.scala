@@ -18,7 +18,13 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
-    val outDir = args.headOption.getOrElse("plans/r16")
+    // outDir is REQUIRED (round-16 ADVICE): a round-specific default made
+    // a future round silently overwrite the previous round's committed
+    // plan evidence
+    val outDir = args.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "usage: ExplainDump <outDir> [tag] [q74,q31,...] — outDir is " +
+          "required so one round cannot overwrite another's plan dumps"))
     val tag = if (args.length > 1) args(1) else "before"
     val only = if (args.length > 2)
       Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -49,7 +55,11 @@ object ExplainDump {
           plan.getBytes("UTF-8"))
         println(s"[explain] $name ok")
       } catch { case e: Throwable =>
-        System.err.println(s"[explain] $name FAILED: ${e.getMessage}")
+        // class + top frames, not just the message (round-16 ADVICE):
+        // an analysis error's cause was invisible with message-only print
+        System.err.println(s"[explain] $name FAILED: ${e.getClass.getName}: " +
+          s"${e.getMessage}\n  " +
+          e.getStackTrace.take(6).mkString("\n  "))
       }
     }
     spark.stop()

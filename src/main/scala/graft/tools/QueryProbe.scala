@@ -64,7 +64,22 @@ object QueryProbe {
         df.write.format("noop").mode("overwrite").save()
         if (sys.env.contains("PROBE_FINAL_PLAN"))
           println(df.queryExecution.executedPlan.toString.take(4000))
-        Thread.sleep(120) // let the listener bus drain before reading counters
+        // listener-bus drain (round-16 ADVICE): poll until the async
+        // counters stop moving — two identical readings 60 ms apart,
+        // 2 s cap — instead of one fixed sleep, under which a loaded
+        // bus bled stage completions into the next query's counters
+        locally {
+          def snap() = (jobs, stages, taskTimeMs)
+          var prev = snap()
+          var stable = false
+          val deadline = System.nanoTime() + 2000000000L
+          while (!stable && System.nanoTime() < deadline) {
+            Thread.sleep(60)
+            val cur = snap()
+            stable = cur == prev
+            prev = cur
+          }
+        }
         val t2 = System.nanoTime()
         println(f"[probe] $name rep$rep construct=${(t1 - t0) / 1e9}%.3f " +
           f"(jobs=$cJobs) exec=${(t2 - t1) / 1e9}%.3f total_jobs=$jobs " +
@@ -76,6 +91,8 @@ object QueryProbe {
       graft.text.Dedup.evictMemos(spark)
       graft.vector.Similarity.evictMemos(spark)
       graft.text.TextIndex.evictMemos(spark)
+      graft.text.DocStore.evictMemos(spark)
+      graft.vector.CellIndex.evictMemos(spark)
       graft.Checkpoints.evictSessionMemos(spark)
       graft.Checkpoints.sweepExceptRetained(spark.sparkContext)
     }

@@ -47,6 +47,9 @@ object CellIndex {
   def write(spark: SparkSession, dir: String, indexPath: String,
       k: Int = 16, iters: Int = 3, pqM: Int = 4, pqK: Int = 16): Unit = {
     import spark.implicits._
+    // write() rewrites the root codebook pair in place — drop the
+    // session's codebook memos (the TextIndex.write rebuild rule)
+    evictMemos(spark)
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val e = Similarity.withNorm(spark, dir).localCheckpoint()
@@ -366,16 +369,32 @@ object CellIndex {
     else (s"$indexPath/codebook", s"$indexPath/pq_codebook")
   }
 
+  /** Session memo for the k-row codebook collects (round 17 — the
+    * TextIndex MetaMemo move on the dense side): q138/q139/q140 each
+    * collected the same codebook pair per query. Keyed by the RESOLVED
+    * codebook dir — version-local `_codebook` dirs are immutable once
+    * published; the root-level pair is rewritten only by [[write]], which
+    * evicts. Evicted between bench passes via [[evictMemos]]. */
+  private val MetaMemo = "cellindex.meta"
+
+  /** Evict this module's session memos (the TextIndex.evictMemos rule). */
+  def evictMemos(spark: SparkSession): Unit =
+    graft.SessionMemos.evict(spark, MetaMemo)
+
   /** The persisted PQ codebooks, subspace-major ([m][k][subDim]). */
   def readPqCodebook(spark: SparkSession, indexPath: String): Seq[Seq[Seq[Double]]] =
     readPqCodebookAt(spark, indexPath, currentVectorsPath(spark, indexPath))
 
   private def readPqCodebookAt(spark: SparkSession, indexPath: String,
-      vectorsPath: String): Seq[Seq[Seq[Double]]] =
-    spark.read.parquet(codebookDirs(spark, indexPath, vectorsPath)._2).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+      vectorsPath: String): Seq[Seq[Seq[Double]]] = {
+    val dir = codebookDirs(spark, indexPath, vectorsPath)._2
+    graft.SessionMemos.getOrComputeScalar(spark, MetaMemo, ("pq", dir)) {
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3).toSeq)
+    }
+  }
 
   /** The persisted codebook of the CURRENT version, smallest-cell-id
     * first (k×dim — bytes). */
@@ -388,9 +407,13 @@ object CellIndex {
     * publishing between the two reads can never mix new geometry with an
     * old set (or vice versa). */
   def readCodebookAt(spark: SparkSession, indexPath: String,
-      vectorsPath: String): Seq[(Int, Seq[Double])] =
-    spark.read.parquet(codebookDirs(spark, indexPath, vectorsPath)._1).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      vectorsPath: String): Seq[(Int, Seq[Double])] = {
+    val dir = codebookDirs(spark, indexPath, vectorsPath)._1
+    graft.SessionMemos.getOrComputeScalar(spark, MetaMemo, ("cb", dir)) {
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    }
+  }
 
   /** Rank the k-row codebook against the probe on the driver, return the
     * `nprobe` highest-cosine cell ids — the coarse-probe step every indexed
