@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 import org.apache.spark.util.sketch.CountMinSketch
 
 /** Probe side of the count-min sketch. Spark ships the BUILD side as the
@@ -61,6 +63,85 @@ case class CmsEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_bounded_collect(key, cap)` — collect up to `cap` long keys per
+  * group, SORTED ascending in the result (round 17, the q74 candidate-build
+  * rewrite): the df-capped blocking pattern needs each rare gram's doc-id
+  * list, but `collect_list` buffers EVERY id of hot groups — unbounded
+  * per-group aggregation state, the exact 100 TB OOM hazard the repo's
+  * BottomKMd5 expression exists to avoid on the per-row side. This
+  * aggregate's buffer is capped at `cap` entries: groups with ≤ cap rows
+  * collect EXACTLY (update and merge only ever drop past the cap), larger
+  * groups return a truncated array — callers must gate on a count computed
+  * in the same aggregate (`df <= cap`) before trusting contents, which the
+  * df-capped blocking filter does by construction. The sort makes the
+  * result a pure function of the group's value SET (partitioning order
+  * never leaks into the output). */
+case class BoundedCollectLongAgg(
+    child: Expression,
+    cap: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Long]]
+  with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_bounded_collect"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes a bigint key column, got ${child.dataType.sql}")
+    else if (cap < 1 || cap > 4096)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName cap must be in [1, 4096], got $cap — the point is a " +
+          "small bound; use collect_list deliberately for unbounded state")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): scala.collection.mutable.ArrayBuffer[Long] =
+    scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  override def update(buffer: scala.collection.mutable.ArrayBuffer[Long],
+      input: InternalRow): scala.collection.mutable.ArrayBuffer[Long] = {
+    val v = child.eval(input)
+    if (v != null && buffer.length < cap) buffer += v.asInstanceOf[Long]
+    buffer
+  }
+
+  override def merge(buffer: scala.collection.mutable.ArrayBuffer[Long],
+      other: scala.collection.mutable.ArrayBuffer[Long]): scala.collection.mutable.ArrayBuffer[Long] = {
+    var i = 0
+    while (buffer.length < cap && i < other.length) {
+      buffer += other(i); i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: scala.collection.mutable.ArrayBuffer[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buffer.toArray.sorted)
+
+  override def serialize(buffer: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (bb.remaining() >= 8) out += bb.getLong
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BoundedCollectLongAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BoundedCollectLongAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(newChild: Expression): BoundedCollectLongAgg =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
 
   val cmsEstimateBuilder: Seq[Expression] => Expression = { exprs =>
@@ -69,10 +150,26 @@ object SketchExpressions {
     CmsEstimate(exprs(0), exprs(1))
   }
 
-  def register(spark: SparkSession): Unit =
+  val boundedCollectBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2,
+      s"graft_bounded_collect requires (key, cap), got ${exprs.length} args")
+    val capExpr = exprs(1)
+    require(capExpr.foldable, "graft_bounded_collect cap must be a literal")
+    BoundedCollectLongAgg(exprs.head,
+      capExpr.eval(InternalRow.empty).asInstanceOf[Number].intValue())
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_estimate", cmsEstimateBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bounded_collect", boundedCollectBuilder, "built-in")
+  }
 
   def cms_estimate(sketch: Column, key: Column): Column =
     call_function("graft_cms_estimate", sketch, key)
+
+  def bounded_collect(key: Column, cap: Int): Column =
+    call_function("graft_bounded_collect", key,
+      org.apache.spark.sql.functions.lit(cap))
 }

@@ -189,6 +189,63 @@ class PropertySpec extends SparkSpec {
       .checkInputDataTypes().isSuccess)
   }
 
+  test("bounded_collect: exact under the cap, truncated-not-wrong past it; " +
+      "q74's in-array candidate build ≡ the join form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchExpressions
+    SketchExpressions.register(spark)
+    (1 to 5).foreach { i =>
+      // (gram-id, doc-id) pairs, distinct per group — some groups under
+      // the cap, some far over it (the hot-gram shape the bound exists for)
+      val pairs = Gen.listOfN(400, for {
+        g <- Gen.frequency((3, Gen.choose(0L, 30L)), (1, Gen.choose(0L, 2L)))
+        d <- Gen.choose(0L, 60L)
+      } yield (g, d)).pureApply(Gen.Parameters.default, Seed(i.toLong))
+        .distinct
+      val df = pairs.toDF("gram", "doc_id").repartition(7)
+      val cap = 10
+      val got = df.groupBy("gram")
+        .agg(count(lit(1)).as("df"),
+          SketchExpressions.bounded_collect(col("doc_id"), cap + 1).as("ids"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+      val exact = pairs.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted).toMap
+      got.foreach { case (g, (dfN, ids)) =>
+        assert(dfN == exact(g).length)
+        if (dfN <= cap)
+          // groups under the df cap collect EXACTLY (sorted = set-determined)
+          assert(ids == exact(g), s"group $g under cap collected wrong ids")
+        else
+          // overfull groups truncate at cap+1 — enough for the df gate to
+          // exclude them, never trusted for contents
+          assert(ids.length == cap + 1 && ids.toSet.subsetOf(exact(g).toSet))
+      }
+      // the q74 candidate build: in-array ordered-pair expansion over the
+      // df-gated collected ids ≡ the old corpus-join + self-join form
+      val rare = df.groupBy("gram")
+        .agg(count(lit(1)).as("df"),
+          SketchExpressions.bounded_collect(col("doc_id"), cap + 1).as("ids"))
+        .filter(col("df").between(2, cap)).select("gram", "ids")
+      val newCand = rare
+        .select(explode(col("ids")).as("doc_a"), col("ids"))
+        .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_rare"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val dfreq = df.groupBy("gram").agg(count(lit(1)).as("df"))
+      val rareJoin = df.join(
+        dfreq.filter(col("df").between(2, cap)).select("gram"), Seq("gram"))
+      val oldCand = rareJoin.as("x").join(rareJoin.as("y"),
+          col("x.gram") === col("y.gram") && col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_rare"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(newCand == oldCand, s"candidate multiset diverged on seed $i")
+    }
+  }
+
   test("compiled word ngrams are bit-identical to the HOF form, both distinct modes") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
