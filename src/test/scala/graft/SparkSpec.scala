@@ -25,7 +25,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // 3 task attempts: local-mode default (maxFailures=1) turns any
+      // injected task failure into a job failure, which makes the retry
+      // semantics the CC convergence accumulator relies on untestable
+      // (ConnectedComponentsSpec's flaky-once test). Retries only engage
+      // when a task actually fails, so other specs are unaffected.
+      .master("local[4, 3]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
