@@ -226,7 +226,8 @@ object ClusterIndex {
     * and their contract are untouched; only the build's self-join reads
     * the collapsed band set. */
   def writeSharded(spark: SparkSession, dir: String, indexPath: String,
-      minJaccard: Double = 0.5, buckets: Int = 16, shards: Int = 8): Unit = {
+      minJaccard: Double = 0.5, buckets: Int = 16, shards: Int = 8,
+      perTaskPairBudget: Long = PerTaskPairBudget): Unit = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     require(shards >= 1, s"shards must be >= 1 (got $shards)")
@@ -283,12 +284,7 @@ object ClusterIndex {
       val shardBands = spark.read.parquet(bandsTmp)
         .filter(pmod(col("bb"), lit(shards)) === s) // partition-pruned
         .select(col("doc_id"), col("band_id"), col("band_val"))
-      val cand = shardBands.as("x").join(shardBands.as("y"),
-          col("x.band_id") === col("y.band_id") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = bandCandidatePairs(shardBands, perTaskPairBudget)
       cand
         .join(atRestSigs.as("a"), col("doc_a") === col("a.doc_id"))
         .join(atRestSigs.as("b"), col("doc_b") === col("b.doc_id"))
@@ -320,6 +316,91 @@ object ClusterIndex {
     fs.delete(new Path(bandsTmp), true)
     fs.delete(new Path(classesTmp), true)
     ()
+  }
+
+  /** Per-TASK comparison budget for one banded-join key (round 17 — the
+    * r16 verdict's skew task, guide §2.5): a (band_id, band_val) bucket
+    * of n members is one join key, so its C(n,2) comparisons land in ONE
+    * task however many shards or shuffle partitions exist — the one skew
+    * shape neither sharding nor AQE can split (AQE skew-join splits
+    * oversized PARTITIONS, never a single key). Derivation: the validated
+    * per-SHARD operating point is 32M pairs ([[PerShardTargetPairs]]);
+    * a shard should parallelize across at least ~8 tasks rather than
+    * serialize on one hot key, so one task's key is budgeted 32M/8 = 4M
+    * comparisons before the triangle decomposition splits it. */
+  val PerTaskPairBudget: Long = 4L * 1000 * 1000
+
+  /** All within-bucket candidate pairs of a band table — the pair
+    * builder's self-join with a SALTED FALLBACK for hot buckets (round
+    * 17, guide §2.5 "salt the key"; the r16 verdict's task #5: q167/q168
+    * measure per-bucket skew exactly, but no operator ACTED on a hot
+    * band_val). Buckets whose own C(n,2) fits [[PerTaskPairBudget]] take
+    * the plain self-join (one key = one task's work, bounded by the
+    * budget). A HOT bucket — the case [[routeFor]] can only refuse,
+    * because a band_val's bucket lands in one shard whole — is split into
+    * k = ⌈n / ⌊√(2·budget)⌋⌉ deterministic chunks
+    * (`pmod(xxhash64(doc_id), k)` — never rand(), guide §2.5's retry
+    * hazard), and the all-pairs work distributes over the C(k+1, 2)
+    * chunk-pair CELLS of the triangle decomposition: a row in chunk c
+    * replicates as the LEFT of cells (c, j≥c) and the RIGHT of cells
+    * (i≤c, c), so every unordered pair {a∈cᵢ, b∈cⱼ, i≤j} meets in exactly
+    * cell (i, j) — per-join-key work is now ≤ ~2·budget instead of
+    * C(n,2). ANSWER-INVARIANT: the emitted pair SET equals the plain
+    * self-join's (the diagonal cells see both orders; `least/greatest` +
+    * the distinct the candidate contract already requires collapse them
+    * — spec'd against the plain form, and the routed build's labels are
+    * byte-identical under a forced tiny budget). Cost when nothing is
+    * hot: one band-keyed count aggregate + a broadcast anti-join against
+    * an (almost always empty) hot-key list. */
+  private[graft] def bandCandidatePairs(bands: DataFrame,
+      perTaskPairBudget: Long = PerTaskPairBudget): DataFrame = {
+    require(perTaskPairBudget >= 1, s"budget must be >= 1: $perTaskPairBudget")
+    val sizes = bands.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("n"))
+    val hotKeys = sizes
+      .filter(col("n") * (col("n") - lit(1)) / 2 > perTaskPairBudget)
+    val cold = bands.join(broadcast(hotKeys.select("band_id", "band_val")),
+      Seq("band_id", "band_val"), "left_anti")
+    val coldCand = cold.as("x").join(cold.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // chunk row count so a full cell's cross product stays ~2×budget
+    val chunkRows = math.max(2L,
+      math.floor(math.sqrt(2.0 * perTaskPairBudget.toDouble)).toLong)
+    val hot = bands.join(broadcast(hotKeys), Seq("band_id", "band_val"))
+      .withColumn("k",
+        ceil(col("n").cast("double") / lit(chunkRows.toDouble)).cast("int"))
+      .withColumn("c", pmod(xxhash64(col("doc_id")), col("k")).cast("int"))
+    // the cell join's INPUT is tiny (hot members × ~(k+1) replicas) while
+    // its OUTPUT is the decomposed pair mass — exactly the explosive-join
+    // shape AQE's byte-targeted coalescing serializes onto one task (it
+    // sees small shuffle bytes and merges every cell into one partition;
+    // measured: the un-pinned form ran the whole hot bucket's pairs in a
+    // single 7–16 s task, SLOWER than the plain join). Pin the exchange
+    // with an explicit numbered repartition on the cell key — the join
+    // reuses it (same keys), AQE leaves numbered repartitions alone, and
+    // each cell lands in its own task up to the session's parallelism.
+    val cells = bands.sparkSession.sessionState.conf.numShufflePartitions
+    val cellKey = Seq(col("band_id"), col("band_val"), col("cl"), col("cr"))
+    val hotL = hot
+      .withColumn("cr", explode(sequence(col("c"), col("k") - 1)))
+      .select(col("band_id"), col("band_val"), col("c").as("cl"), col("cr"),
+        col("doc_id"))
+      .repartition(cells, cellKey: _*)
+    val hotR = hot
+      .withColumn("cl", explode(sequence(lit(0), col("c"))))
+      .select(col("band_id"), col("band_val"), col("cl"), col("c").as("cr"),
+        col("doc_id").as("rid"))
+      .repartition(cells, cellKey: _*)
+    val hotCand = hotL.join(hotR, Seq("band_id", "band_val", "cl", "cr"))
+      // off-diagonal cells hold disjoint chunks (x ≠ y by construction);
+      // diagonal cells would otherwise emit both orders of every pair
+      .filter(col("cl") =!= col("cr") || col("doc_id") < col("rid"))
+      .select(least(col("doc_id"), col("rid")).as("doc_a"),
+        greatest(col("doc_id"), col("rid")).as("doc_b"))
+    coldCand.unionByName(hotCand).distinct()
   }
 
   /** What the PAIR-MASS ADVISOR predicts for one base-build decision
